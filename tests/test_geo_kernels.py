@@ -1,0 +1,150 @@
+"""Unit tests for the pure-NumPy geometry kernels (hand-computed values)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from greenex_py_spark.geo import cells, kernels, wkb
+
+SQ = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])  # 4x4 square
+HOLE = np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])  # 2x2 hole
+TRI = np.array([[0.0, 0.0], [6.0, 0.0], [0.0, 6.0]])
+
+
+def test_area():
+    assert kernels.polygon_area([SQ]) == 16.0
+    assert kernels.polygon_area([SQ, HOLE]) == 12.0
+    assert kernels.polygon_area([TRI]) == 18.0
+    assert kernels.ring_signed_area(SQ) == 16.0  # CCW positive
+    assert kernels.ring_signed_area(SQ[::-1]) == -16.0
+
+
+def test_centroid():
+    assert kernels.polygon_centroid([SQ]) == (2.0, 2.0)
+    cx, cy = kernels.polygon_centroid([TRI])
+    assert (cx, cy) == (2.0, 2.0)
+    # hole is symmetric → centroid unchanged
+    assert kernels.polygon_centroid([SQ, HOLE]) == (2.0, 2.0)
+    # asymmetric hole shifts centroid away from the hole
+    hole2 = np.array([[2.5, 0.5], [3.5, 0.5], [3.5, 1.5], [2.5, 1.5]])
+    cx, cy = kernels.polygon_centroid([SQ, hole2])
+    assert cx < 2.0 and cy > 2.0
+
+
+def test_point_in_polygon():
+    px = np.array([2.0, 2.0, 5.0, -1.0, 2.0])
+    py = np.array([0.5, 2.0, 2.0, 2.0, 3.5])
+    got = kernels.points_in_polygon(px, py, [SQ, HOLE])
+    assert got.tolist() == [True, False, False, False, True]
+
+
+def test_point_distances():
+    d = kernels.points_to_ring_distance(np.array([2.0, 5.0, -3.0]), np.array([2.0, 2.0, 0.0]), SQ)
+    np.testing.assert_allclose(d, [2.0, 1.0, 3.0])
+    d = kernels.points_to_polygon_distance(np.array([2.0, 5.0]), np.array([2.0, 2.0]), [SQ])
+    np.testing.assert_allclose(d, [0.0, 1.0])  # inside → 0
+    d = kernels.points_to_polygon_distance(np.array([2.0]), np.array([2.0]), [SQ, HOLE])
+    np.testing.assert_allclose(d, [1.0])  # in the hole → dist to hole boundary
+
+
+def test_circle_polygon_matches_shapely_convention():
+    ring = kernels.circle_polygon(0.0, 0.0, 10.0)
+    assert len(ring) == 32
+    # area of regular 32-gon with circumradius r: 0.5*n*r^2*sin(2pi/n)
+    expected = 0.5 * 32 * 100.0 * np.sin(2 * np.pi / 32)
+    np.testing.assert_allclose(kernels.polygon_area([ring]), expected, rtol=1e-12)
+    np.testing.assert_allclose(ring[0], [10.0, 0.0], atol=1e-12)
+
+
+def test_clip_area_box_box():
+    # 4x4 square clipped by box shifted +2,+2 → 2x2 overlap
+    clip = kernels.box_ring(2.0, 2.0, 6.0, 6.0)
+    assert kernels.clip_area([SQ], clip) == pytest.approx(4.0)
+    # with the hole, overlap loses the 1x1 hole corner → 4 - 1 = 3
+    assert kernels.clip_area([SQ, HOLE], clip) == pytest.approx(3.0)
+    # disjoint
+    assert kernels.clip_area([SQ], kernels.box_ring(10, 10, 12, 12)) == 0.0
+    # subject fully inside clip
+    assert kernels.clip_area([SQ], kernels.box_ring(-1, -1, 5, 5)) == pytest.approx(16.0)
+
+
+def test_clip_polygon_circle():
+    # half of a big square overlapping a circle of r=2 centered at origin
+    subject = [kernels.box_ring(0.0, -10.0, 10.0, 10.0)]
+    circle = kernels.circle_polygon(0.0, 0.0, 2.0)
+    a = kernels.clip_area(subject, circle)
+    # half the 32-gon area
+    expected = 0.5 * 0.5 * 32 * 4.0 * np.sin(2 * np.pi / 32)
+    np.testing.assert_allclose(a, expected, rtol=1e-9)
+
+
+def test_interpolate_linspace():
+    # 100 m straight line, sample_dist 30 → num = int(100/30)+1 = 4 points
+    pts = kernels.interpolate_linspace(np.array([0.0, 100.0]), np.array([0.0, 0.0]), 30.0)
+    assert pts.shape == (4, 2)
+    np.testing.assert_allclose(pts[:, 0], [0.0, 100 / 3, 200 / 3, 100.0])
+    # multi-segment: L-shape 3+4
+    pts = kernels.interpolate_linspace(np.array([0, 3, 3.0]), np.array([0, 0, 4.0]), 3.5)
+    assert pts.shape == (3, 2)
+    np.testing.assert_allclose(pts[1], [3.0, 0.5])  # 3.5 along the L
+
+
+def test_interpolate_step():
+    pts = kernels.interpolate_step(np.array([0.0, 100.0]), np.array([0.0, 0.0]), 50.0)
+    # range(0, 100, 50) = [0, 50] — endpoint excluded
+    np.testing.assert_allclose(pts[:, 0], [0.0, 50.0])
+
+
+def test_segment_circle():
+    hit = kernels.segment_circle_intersects(
+        np.array([-5.0, 10.0]), np.array([3.0, 10.0]),
+        np.array([5.0, 20.0]), np.array([3.0, 10.0]), 0.0, 0.0, 4.0)
+    assert hit.tolist() == [True, False]
+
+
+def test_cells_roundtrip():
+    x = np.array([100000.0, 100150.0, 109999.0])
+    y = np.array([450000.0, 450250.0, 459999.0])
+    c = cells.cell_of(x, y)
+    gx, gy = cells.cell_xy(c)
+    assert gx.tolist() == [0, 1, 99]
+    assert gy.tolist() == [0, 2, 99]
+    ring = cells.k_ring(c[:1], 1)
+    assert ring.shape == (1, 9)
+    assert c[0] in ring[0]
+
+
+def test_bbox_cover():
+    got = cells.bbox_cover(100000.0, 450000.0, 100250.0, 450150.0)
+    # 3 cells wide (gx 0,1,2) × 2 tall (gy 0,1)
+    assert len(got) == 6
+
+
+def test_cell_sql_matches_numpy(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [100001.0, 103456.7, 109999.9], "y": [450001.0, 456789.0, 459000.1]})
+    df = spark.createDataFrame(pdf)
+    got = df.selectExpr(cells.cell_sql("x", "y") + " AS cell").toPandas()["cell"].to_numpy()
+    want = cells.cell_of(pdf.x.to_numpy(), pdf.y.to_numpy())
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wkb_roundtrip():
+    poly = [SQ, HOLE]
+    buf = wkb.encode_polygon(poly)
+    back = wkb.decode(buf)
+    assert len(back) == 1
+    np.testing.assert_allclose(back[0][0], SQ)
+    np.testing.assert_allclose(back[0][1], HOLE)
+    mp = wkb.encode_multipolygon([[SQ], [TRI]])
+    back = wkb.decode(mp)
+    assert len(back) == 2
+    np.testing.assert_allclose(back[1][0], TRI)
+
+
+def test_morton_locality():
+    c1 = cells.morton_cell(np.array([100000.0]), np.array([450000.0]))
+    c2 = cells.morton_cell(np.array([100100.0]), np.array([450000.0]))
+    assert c1[0] != c2[0]
