@@ -1,0 +1,125 @@
+"""Accessibility: distance to nearest greenspace (SURVEY.md §3.1).
+
+Re-expresses ``get_shortest_distance_greenspace``
+(/root/reference/GreenExp/accessibility.py:24-322) as a distance-bounded
+1-NN join:
+
+reference semantics preserved (SURVEY.md §2.9):
+- candidate greenspaces = features whose polygon intersects the PoI's
+  ``buffer(target_dist)`` (the per-row ``clip`` at accessibility.py:228);
+- ``destination='centroids'`` measures to the *pre-clip* centroid
+  (accessibility.py:135 computes centroids before the clip);
+- distance rounded to 0 decimals (accessibility.py:271,282,299);
+- ``outcome = min_dist <= target_dist`` evaluated BEFORE clamping
+  (accessibility.py:313-316); NaN → False;
+- a miss (no candidate, or min > target) clamps distance to exactly
+  ``target_dist`` (accessibility.py:318-320).
+
+Spark shape: the whole operator is **pure column expressions** — candidate
+pruning is a cell equi-join (broadcast for small dims, shuffle+AQE-skew
+otherwise), the exact predicate and distance are codegen'd arithmetic, the
+1-NN is a ``groupBy(id).min(dist)``.  No UDF anywhere on this path, so the
+plan is one WholeStageCodegen span per side plus the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rect_buffer_candidates(
+    points: DataFrame,
+    greens: DataFrame,
+    target_dist: float,
+    min_area: float,
+    broadcast_greens: bool = True,
+) -> DataFrame:
+    """Candidate (point, greenspace) pairs: rectangle intersects the
+    circular buffer, i.e. dist(point, rect) <= target_dist.
+
+    ``points``: [id, x, y, ...]; ``greens``: [gs_id, minx, miny, maxx,
+    maxy, area, cx, cy].  Candidates come from the cell-cover equi-join
+    (pad = target_dist) so the plan scales — the exact bbox-distance test
+    (codegen arithmetic, exact for axis-aligned rects) then removes cover
+    false-positives.  Duplicate pairs from multi-cell covers are left in:
+    every consumer below is a min()-style agg, so dedup would be a wasted
+    shuffle.  General polygons go through operators/spatial_join.py's
+    PiP/clip kernels instead.
+    """
+    from .spatial_join import cell_candidates
+
+    g = greens.filter(F.col("area") >= F.lit(min_area))
+    cand = cell_candidates(points, g, pad=float(target_dist), broadcast_cover=broadcast_greens)
+    dx = F.greatest(F.lit(0.0), F.col("minx") - F.col("x"), F.col("x") - F.col("maxx"))
+    dy = F.greatest(F.lit(0.0), F.col("miny") - F.col("y"), F.col("y") - F.col("maxy"))
+    return cand.filter((dx * dx + dy * dy) <= F.lit(float(target_dist) ** 2))
+
+
+def shortest_distance_greenspace(
+    points: DataFrame,
+    greens: DataFrame,
+    target_dist: float = 300.0,
+    min_area: float = 400.0,
+    id_col: str = "id",
+    broadcast_greens: bool = True,
+) -> DataFrame:
+    """Euclidean / centroids variant → [id, greenspace_within, distance_to_greenspace].
+
+    Output contract matches README.md:317-321: bool + clamped rounded
+    float, misses get ``distance == target_dist`` exactly.
+    """
+    cand = rect_buffer_candidates(points, greens, target_dist, min_area, broadcast_greens)
+    d2 = (F.col("cx") - F.col("x")) ** 2 + (F.col("cy") - F.col("y")) ** 2
+    near = (
+        cand.select(id_col, F.round(F.sqrt(d2), 0).alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min("dist").alias("min_dist"))
+    )
+    td = F.lit(float(target_dist))
+    return (
+        points.select(id_col).distinct()
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("min_dist") <= td, F.lit(False)).alias("greenspace_within"),
+            F.coalesce(F.least(F.col("min_dist"), td), td).alias("distance_to_greenspace"),
+        )
+    )
+
+
+def nearest_k(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    id_col: str = "id",
+    target_id_col: str = "gs_id",
+    max_dist: float | None = None,
+    broadcast_targets: bool = True,
+) -> DataFrame:
+    """General k-NN join point→target-point (J3/J4 in SURVEY.md §2.3).
+
+    Distance-bounded when ``max_dist`` given (the cKDTree
+    ``distance_upper_bound`` pattern, GreenExp/visibility.py:706-707).
+    Top-k per point via window rank over the candidate pairs.
+    """
+    t = targets.select(
+        target_id_col,
+        F.col("x").alias("_tx"),
+        F.col("y").alias("_ty"),
+    )
+    if broadcast_targets:
+        t = F.broadcast(t)
+    pairs = points.crossJoin(t) if max_dist is None else points.join(
+        t,
+        ((F.col("_tx") - F.col("x")) ** 2 + (F.col("_ty") - F.col("y")) ** 2)
+        <= F.lit(float(max_dist) ** 2),
+    )
+    dist = F.sqrt((F.col("_tx") - F.col("x")) ** 2 + (F.col("_ty") - F.col("y")) ** 2)
+    w = Window.partitionBy(id_col).orderBy(F.col("nn_dist").asc(), F.col(target_id_col).asc())
+    return (
+        pairs.withColumn("nn_dist", dist)
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .drop("_tx", "_ty")
+    )

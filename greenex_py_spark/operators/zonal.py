@@ -1,0 +1,260 @@
+"""Zonal raster↔vector statistics (availability family, SURVEY.md §3.2).
+
+Re-expresses the reference's per-row ``rioxarray.clip → mean/std`` /
+``np.unique`` kernels (GreenExp/availability.py:289, 553-558, 1068-1080)
+as the engine's two-phase aggregation:
+
+  points ⟕(cogroup on tile id)⟖ raster tiles
+      → Arrow ``applyInPandas`` computes *tile-local partials*
+        (sum, sumsq, count) or (class, count)
+      → built-in ``groupBy(id).agg`` combines partials across tiles.
+
+The cogroup shape is the scalability core: each tile's pixel array is
+deserialized **once per tile** (not once per point), points meet only the
+tiles their buffer touches (tile-span explode is codegen ``sequence``),
+and the final combine is a tiny shuffle of partial rows.  One AoI spanning
+many tiles and one tile serving many AoIs both parallelize.
+
+Reference-parity semantics:
+- pixel selected iff its *center* lies in the AoI (rasterio's default
+  rasterization rule used by ``rio.clip``);
+- NDVI negatives clamped to 0 *after* selection (``clip(min=0)``,
+  availability.py:289) — they still count in n;
+- std is population (ddof=0), mean/std rounded to 3
+  (availability.py:289);
+- landcover percentages = count/total*100 rounded 3, emitted as
+  ``"<v>%"`` strings, one column per class (availability.py:553-560,
+  1068-1080).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..data import driver_city as city
+
+
+def _with_tile_span(points: DataFrame, radius: float, id_col: str) -> DataFrame:
+    """Explode each point to the raster tiles its buffer touches."""
+    tile_m = city.TILE_PX * city.RES
+    n_tiles = (city.NPX + city.TILE_PX - 1) // city.TILE_PX
+    tx0 = F.greatest(F.lit(0), F.floor((F.col("x") - radius - city.X0) / tile_m)).cast("int")
+    tx1 = F.least(F.lit(n_tiles - 1), F.floor((F.col("x") + radius - city.X0) / tile_m)).cast("int")
+    ty0 = F.greatest(F.lit(0), F.floor((F.col("y") - radius - city.Y0) / tile_m)).cast("int")
+    ty1 = F.least(F.lit(n_tiles - 1), F.floor((F.col("y") + radius - city.Y0) / tile_m)).cast("int")
+    return (
+        points.select(id_col, "x", "y")
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+        .withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+    )
+
+
+def _circle_mask_stats(left: pd.DataFrame, right: pd.DataFrame, radius: float,
+                       clip_min0: bool, classes: bool) -> pd.DataFrame:
+    """Per-(tile,point) partials. ``left`` = points, ``right`` = the tile."""
+    if len(left) == 0 or len(right) == 0:
+        cols = (["id", "cls", "cnt"] if classes else ["id", "s", "s2", "n"])
+        return pd.DataFrame({c: [] for c in cols})
+    t = right.iloc[0]
+    w, h, res = int(t["w"]), int(t["h"]), float(t["res"])
+    x0, y0 = float(t["x0"]), float(t["y0"])
+    px = np.asarray(t["px"], dtype=np.float64).reshape(h, w)
+    xs = left["x"].to_numpy(np.float64)
+    ys = left["y"].to_numpy(np.float64)
+    ids = left["id"].to_numpy(np.int64)
+    out: list[tuple] = []
+    r2 = radius * radius
+    for pid, x, y in zip(ids, xs, ys):
+        # sub-window of candidate pixels (clip to tile extent)
+        i0 = max(0, int(np.floor((x - radius - x0) / res - 0.5)))
+        i1 = min(w - 1, int(np.floor((x + radius - x0) / res)))
+        j0 = max(0, int(np.floor((y - radius - y0) / res - 0.5)))
+        j1 = min(h - 1, int(np.floor((y + radius - y0) / res)))
+        if i1 < i0 or j1 < j0:
+            continue
+        cx = x0 + (np.arange(i0, i1 + 1) + 0.5) * res
+        cy = y0 + (np.arange(j0, j1 + 1) + 0.5) * res
+        m = ((cx[None, :] - x) ** 2 + (cy[:, None] - y) ** 2) <= r2
+        if not m.any():
+            continue
+        v = px[j0:j1 + 1, i0:i1 + 1][m]
+        if classes:
+            cls, cnt = np.unique(v.astype(np.int64), return_counts=True)
+            out.extend((pid, int(c), int(n)) for c, n in zip(cls, cnt))
+        else:
+            if clip_min0:
+                v = np.maximum(v, 0.0)
+            out.append((pid, float(v.sum()), float((v * v).sum()), int(v.size)))
+    cols = (["id", "cls", "cnt"] if classes else ["id", "s", "s2", "n"])
+    return pd.DataFrame(out, columns=cols) if out else pd.DataFrame({c: [] for c in cols})
+
+
+def zonal_mean_std(
+    points: DataFrame,
+    tiles: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    clip_min0: bool = True,
+    out_prefix: str = "NDVI",
+) -> DataFrame:
+    """[id, mean_<p>, std_<p>] — circular-buffer zonal mean/std (A1)."""
+    spanned = _with_tile_span(points, radius, id_col).withColumnRenamed(id_col, "id")
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _circle_mask_stats(left, right, radius, clip_min0, classes=False)
+
+    partials = (
+        spanned.groupBy("tx", "ty")
+        .cogroup(tiles.groupBy("tx", "ty"))
+        .applyInPandas(kernel, schema="id long, s double, s2 double, n long")
+    )
+    n = F.sum("n")
+    mean = F.sum("s") / n
+    var = F.sum("s2") / n - mean * mean
+    # guard tiny negative variance from FP cancellation
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        partials.groupBy("id")
+        .agg(
+            F.round(mean, 3).alias(f"mean_{out_prefix}"),
+            F.round(std, 3).alias(f"std_{out_prefix}"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def zonal_class_percentages(
+    points: DataFrame,
+    tiles: DataFrame,
+    radius: float,
+    class_values: list[int],
+    id_col: str = "id",
+    col_prefix: str = "class_",
+) -> DataFrame:
+    """[id, class_<v>% ...] — landcover class percentage pivot (A2)."""
+    spanned = _with_tile_span(points, radius, id_col).withColumnRenamed(id_col, "id")
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _circle_mask_stats(left, right, radius, 0, classes=True)
+
+    partials = (
+        spanned.groupBy("tx", "ty")
+        .cogroup(tiles.groupBy("tx", "ty"))
+        .applyInPandas(kernel, schema="id long, cls long, cnt long")
+    )
+    counts = partials.groupBy("id", "cls").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql import Window
+
+    total = F.sum("cnt").over(Window.partitionBy("id"))
+    pct = counts.withColumn(
+        "pct", F.concat(F.round(F.col("cnt") / total * 100.0, 3).cast("string"), F.lit("%"))
+    )
+    pivoted = (
+        pct.groupBy("id")
+        .pivot("cls", class_values)
+        .agg(F.first("pct"))
+    )
+    renamed = pivoted.select(
+        "id", *[F.coalesce(F.col(str(v)), F.lit("0.0%")).alias(f"{col_prefix}{v}") for v in class_values]
+    )
+    return renamed.withColumnRenamed("id", id_col)
+
+
+def cover_percentage_square(
+    points: DataFrame,
+    greens: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    out_col: str = "greenspace_cover",
+    broadcast_greens: bool = True,
+) -> DataFrame:
+    """[id, <out_col>] — % of a square buffer (side 2r) covered by
+    greenspace rectangles (A3, codegen-only variant).
+
+    Exact when rectangles don't overlap (the dissolve operator guarantees
+    that upstream for real layers).  ``"<v>%"`` string, round 2 —
+    availability.py:764,997 output contract.
+    """
+    from .spatial_join import cell_candidates
+
+    cand = cell_candidates(points.select(id_col, "x", "y"), greens,
+                           pad=float(radius), broadcast_cover=broadcast_greens)
+    ow = F.greatest(F.lit(0.0), F.least(F.col("maxx"), F.col("x") + radius)
+                    - F.greatest(F.col("minx"), F.col("x") - radius))
+    oh = F.greatest(F.lit(0.0), F.least(F.col("maxy"), F.col("y") + radius)
+                    - F.greatest(F.col("miny"), F.col("y") - radius))
+    overlaps = (
+        cand.withColumn("ov", ow * oh)
+        .dropDuplicates([id_col, "gs_id"])
+        .groupBy(id_col)
+        .agg(F.sum("ov").alias("ov_sum"))
+    )
+    buf_area = 4.0 * radius * radius
+    return (
+        points.select(id_col).distinct()
+        .join(overlaps, id_col, "left")
+        .select(
+            id_col,
+            F.concat(
+                F.round(F.coalesce(F.col("ov_sum"), F.lit(0.0)) / buf_area * 100.0, 2)
+                .cast("string"),
+                F.lit("%"),
+            ).alias(out_col),
+        )
+    )
+
+
+def cover_percentage_circle32(
+    points: DataFrame,
+    greens_rings: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    out_col: str = "canopy_cover",
+    broadcast_greens: bool = True,
+) -> DataFrame:
+    """Reference-exact variant: 32-segment circle buffer (shapely
+    ``quad_segs=8``) ∩ arbitrary polygons via the Sutherland–Hodgman
+    kernel; divisor is the 32-gon's own area (availability.py:764 divides
+    by ``buffer.area``, not πr²).
+
+    ``greens_rings``: [gs_id, minx..maxy, rings array<array<double>>].
+    """
+    from pyspark.sql import types as T
+
+    from ..geo.kernels import circle_polygon, clip_area, polygon_area
+    from .spatial_join import cell_candidates
+
+    cand = cell_candidates(points.select(id_col, "x", "y"), greens_rings,
+                           pad=float(radius), broadcast_cover=broadcast_greens)
+    cand = cand.dropDuplicates([id_col, "gs_id"])
+
+    @F.pandas_udf(T.DoubleType())
+    def clip_area_udf(x: pd.Series, y: pd.Series, rings: pd.Series) -> pd.Series:
+        out = np.zeros(len(x))
+        for i in range(len(x)):
+            buf = circle_polygon(float(x.iloc[i]), float(y.iloc[i]), radius)
+            subject = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings.iloc[i]]
+            out[i] = clip_area(subject, buf)
+        return pd.Series(out)
+
+    buf_area = polygon_area([circle_polygon(0.0, 0.0, radius)])
+    overlaps = (
+        cand.withColumn("ov", clip_area_udf("x", "y", "rings"))
+        .groupBy(id_col)
+        .agg(F.sum("ov").alias("ov_sum"))
+    )
+    return (
+        points.select(id_col).distinct()
+        .join(overlaps, id_col, "left")
+        .select(
+            id_col,
+            F.concat(
+                F.round(F.coalesce(F.col("ov_sum"), F.lit(0.0)) / buf_area * 100.0, 2)
+                .cast("string"),
+                F.lit("%"),
+            ).alias(out_col),
+        )
+    )

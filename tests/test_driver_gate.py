@@ -1,0 +1,61 @@
+"""Mimic the driver's correctness gate locally: run every queries() entry
+in Spark AND its oracle_sql() in DuckDB over the same parquet, compare
+row counts, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.round(9) if any(df.dtypes == "float64") else df
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    qfn = entrymod.queries()[name]
+    got = qfn(spark, SF_DIR).toPandas()
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        assert len(got) >= 0  # rows-only check, mirrors the driver
+        return
+    con = _duck(SF_DIR)
+    want = con.execute(oracles[name]).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
+    g = _normalize(got)
+    w = _normalize(want)
+    # dtype harmonization: duckdb may give different int widths
+    for c in g.columns:
+        if g[c].dtype != w[c].dtype:
+            g[c] = g[c].astype("object" if g[c].dtype == object or w[c].dtype == object else "float64")
+            w[c] = w[c].astype(g[c].dtype)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, rtol=0, atol=0)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n >= 0
+    assert set(df.columns) == {"doc_id", "x", "y", "cell", "gs_id"}
