@@ -228,6 +228,325 @@ def q_greenspace_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cover_percentage_square(pts, greens, radius=_GS_R, id_col="doc_id")
 
 
+# ===========================================================================
+# Web-scale text / dedup / similarity operators (SURVEY.md "beyond the
+# reference" families) — all relational, all with exact DuckDB oracles.
+# ===========================================================================
+
+# corpus with planted duplicates: exact clones (+1e6) and near clones with
+# the last word dropped (+2e6) — otherwise a random corpus has no dups and
+# the dedup oracles would compare empty sets.
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1), ' ')
+  FROM documents WHERE doc_id % 25 = 1
+)
+"""
+
+
+def _corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.filter(F.col("doc_id") % 25 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_STOP_SQL = "('the','a','of','to','and','in','for','on','with','at','by','from')"
+
+
+@register(
+    "q_exact_dedup",
+    f"WITH {_CORPUS_SQL.strip()}\n"
+    """
+SELECT min(doc_id) AS rep_id, count(*) AS n_dups
+FROM corpus GROUP BY text HAVING count(*) >= 2
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import exact_duplicates
+
+    return exact_duplicates(_corpus_df(spark, sf_dir))
+
+
+@register(
+    "q_token_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars,
+       round((length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 3) AS avg_token_len,
+       round(len(list_filter(toks, x -> x IN {_STOP_SQL})) / CAST(len(toks) AS DOUBLE), 3)
+         AS stop_ratio
+FROM t
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs)
+
+
+@register(
+    "q_quality_score",
+    f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE) AS nstop,
+         (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mean_len
+  FROM t
+)
+SELECT doc_id,
+       round(least(n / 64.0, 1.0)
+             * (1.0 - least(nstop / n * 4.0, 1.0))
+             * (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.5 END), 3)
+         AS quality
+FROM s
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs)
+
+
+def _langid_sql() -> str:
+    from .functions.text import LANG_STOPWORDS
+
+    score_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in sw)}))) AS s_{lg}"
+        for lg, sw in LANG_STOPWORDS.items()
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+         {score_cols}
+      FROM t)
+SELECT doc_id, {case} AS pred_lang FROM s
+"""
+
+
+@register("q_lang_id", None)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs)
+
+
+ORACLES["q_lang_id"] = _langid_sql()
+
+
+_SHINGLE_SQL = """
+toks AS (SELECT doc_id AS id, string_split(text, ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT id, array_to_string(list_slice(tk, i.range, i.range + 2), ' ') AS sh
+  FROM toks, range(1, 201) i
+  WHERE i.range <= greatest(len(tk) - 2, 1)
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)
+"""
+
+
+@register(
+    "q_ngram_jaccard",
+    f"WITH {_CORPUS_SQL.strip()},\n{_SHINGLE_SQL.strip()},\n"
+    """
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.6
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_corpus_df(spark, sf_dir), threshold=0.6, k=3)
+
+
+_MINHASH_SQL = (
+    f"WITH {_CORPUS_SQL.strip()},\n{_SHINGLE_SQL.strip()},\n"
+    """
+sids AS (
+  SELECT id, CAST(CAST(('0x' || substr(md5(sh), 1, 7)) AS UBIGINT) AS BIGINT) % 268435456 AS sid
+  FROM sh
+),
+perms AS (
+  SELECT CAST(j.range AS INT) AS j,
+         ((j.range + 1) * 2654435761) % 1000000007 AS a,
+         ((j.range + 1) * 40503) % 1000000007 AS b
+  FROM range(16) j
+),
+sig AS (
+  SELECT id, j, min((a * sid + b) % 1000000007) AS mh
+  FROM sids, perms GROUP BY id, j
+),
+bands AS (
+  SELECT id, CAST(j / 4 AS INT) AS band,
+         CAST(sum((mh * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END))
+                  % 1000000007) AS BIGINT) AS bsig
+  FROM sig GROUP BY id, CAST(j / 4 AS INT)
+),
+ok AS (SELECT band, bsig FROM bands GROUP BY band, bsig HAVING count(*) <= 1000),
+bs AS (SELECT bands.* FROM bands JOIN ok USING (band, bsig)),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bs l JOIN bs r USING (band, bsig) WHERE l.id < r.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.6
+"""
+)
+
+
+@register("q_minhash_lsh", _MINHASH_SQL)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_corpus_df(spark, sf_dir), threshold=0.6)
+
+
+@register(
+    "q_simhash",
+    """
+WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (
+  SELECT id, CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS th FROM toks
+),
+votes AS (
+  SELECT id, b.range AS b, CAST(power(2.0, b.range) AS BIGINT) AS pw,
+         sum(CAST(floor(th / power(2.0, b.range)) AS BIGINT) % 2 * 2 - 1) AS v
+  FROM th, range(32) b GROUP BY id, b.range
+)
+SELECT id AS doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY id
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs).withColumnRenamed("id", "doc_id")
+
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NRM = "sqrt(list_sum(list_transform({a}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
+
+
+@register(
+    "q_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round({_DOT.format(a='q.embedding', b='c.embedding')}
+               / ({_NRM.format(a='q.embedding')} * {_NRM.format(a='c.embedding')}), 6) AS sim
+  FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+  FROM p
+)
+SELECT q_id, n_id, sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register("q_lsh_ann", None)  # rows-only: recall<1 by design, no SQL oracle
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=10)
+
+
+@register(
+    "q_embedding_neardup",
+    f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NRM.format(a='a.embedding')} * {_NRM.format(a='b.embedding')}), 6) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.8
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact variant (threshold high enough that LSH bucketing isn't needed
+    # for the oracle comparison; the bucketed scale path is q_lsh_ann)
+    from .functions.similarity import cosine_pairs, with_norm, _dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = with_norm(emb, "embedding").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    b = with_norm(emb, "embedding").select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    return pairs.withColumn("sim", sim).filter(F.col("sim") >= 0.8).select("id_a", "id_b", "sim")
+
+
+@register(
+    "q_text_invariant",
+    """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+""",
+)
+def q_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity invariant (input_hint): text rides through the whole
+    geocode → cell join pipeline untouched; md5 proves it per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    pts = city.with_cell(city.points_df(spark, sf_dir))
+    routed = docs.join(pts, "doc_id").select("doc_id", "text", "cell")
+    return routed.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
 # ---------------------------------------------------------------------------
 # entry() flagship: geocode → cell assignment → PiP join (sf0.001)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,285 @@
+"""Deduplication operator family for the web-pages pipeline.
+
+Five dedup strategies a 100 TB training-data pipeline needs, each
+expressed **relationally** (explode/groupBy/join/window — zero Python
+UDFs, so Catalyst/AQE own the physical plan and every operator has an
+exact DuckDB oracle):
+
+- exact          : hash-groupBy on the full text
+- ngram_jaccard  : word-k-gram shingles → shingle equi-join → exact
+                   Jaccard (the verification kernel for all near-dup ops)
+- minhash_lsh    : shingle→md5→int, R×B permutation min-hash, banded
+                   bucket join for candidates, exact-Jaccard verify
+- simhash        : per-token hash bits weight-summed → 32-bit fingerprint,
+                   hamming-≤k pairs via band partitioning
+- embedding near-dup: cosine ≥ τ pairs over an embedding column
+                   (delegates to similarity.cosine_pairs)
+
+Portable-hash contract: all hashing is ``md5`` (identical across Spark /
+DuckDB / Python) with hex→int via ``conv``; min-hash permutations are
+``(a_j·sid + b_j) mod P`` with P=1e9+7 and sid<2^28 so products stay far
+inside int64 in engines that error on overflow.
+
+Scale notes: shingle explode is the dominant cost; it is map-side only
+(no shuffle until the groupBy).  The LSH band join's worst enemy is a
+hot bucket (boilerplate text) — cap bucket size with a count filter
+(``max_bucket``) exactly like production LSH dedup does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+P_MOD = 1_000_000_007
+SID_MOD = 1 << 28  # shingle ids < 2^28 keep a*sid + b inside int64
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[rep_id, n_dups] — one row per duplicate *group* (size ≥ 2);
+    rep_id = min id. Single shuffle (groupBy text)."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") >= 2)
+        .select("rep_id", "n_dups")
+    )
+
+
+def shingles(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, sh] — distinct word-k-gram shingles per document.
+
+    transform+slice+array_join stays codegen; explode is map-side.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
+        .dropDuplicates(["id", "sh"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id_a, id_b, jaccard] — all pairs with shingle-Jaccard ≥ threshold.
+
+    shingle equi-join (id_a < id_b) → intersection counts → sizes joined
+    back → |∩| / (|A|+|B|−|∩|).  The shingle join is the classic
+    inverted-index self-join; Spark shuffles on ``sh`` and AQE splits
+    skewed shingles.
+    """
+    sh = shingles(df, k, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ja = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return ja
+
+
+def _shingle_int(col):
+    """Portable shingle→int: first 7 hex chars of md5 → 28-bit int.
+
+    Matches DuckDB ``CAST('0x' || substr(md5(sh),1,7) AS UBIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, j, mh] — min-hash signature rows (one per permutation).
+
+    Permutation j: ``h_j(sid) = (a_j·sid + b_j) mod P`` with
+    a_j = (j+1)·2654435761 mod P, b_j = (j+1)·40503 mod P.
+    Relational shape: shingles × perms (tiny broadcast of a range) →
+    groupBy(id, j).min — partial aggregation makes the explode cheap.
+    """
+    sh = shingles(df, k, id_col, text_col).withColumn("sid", _shingle_int(F.col("sh"))% SID_MOD)
+    perms = F.broadcast(
+        df.sparkSession.range(num_perm)
+        .select(
+            F.col("id").cast("int").alias("j"),
+            (F.pmod((F.col("id") + 1) * 2654435761, F.lit(P_MOD))).alias("a"),
+            (F.pmod((F.col("id") + 1) * 40503, F.lit(P_MOD))).alias("b"),
+        )
+    )
+    return (
+        sh.crossJoin(perms)
+        .groupBy("id", "j")
+        .agg(F.min(F.pmod(F.col("a") * F.col("sid") + F.col("b"), F.lit(P_MOD))).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """[id_a, id_b, jaccard] — MinHash+LSH candidate generation, exact
+    Jaccard verification.
+
+    Band signature = Σ mh·31^(j mod r) over the band's rows (portable
+    arithmetic).  Buckets larger than ``max_bucket`` are dropped (hot
+    boilerplate defusal) before the pair self-join.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, num_perm, k, id_col, text_col)
+    pw = F.pow(F.lit(31.0), (F.col("j") % rows_per_band).cast("double")).cast("long")
+    band_sig = (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sum(F.pmod(F.col("mh") * pw, F.lit(P_MOD))).alias("bsig"))
+    )
+    # defuse hot buckets
+    bucket_ok = (
+        band_sig.groupBy("band", "bsig").agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .select("band", "bsig")
+    )
+    bs = band_sig.join(bucket_ok, ["band", "bsig"])
+    cand = (
+        bs.alias("l")
+        .join(bs.alias("r"), ["band", "bsig"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verify on the candidates only
+    sh = shingles(df, k, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh"})
+    b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh"})
+    inter = (
+        cand.join(a, "id_a").join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, simhash] — per-token md5-derived hash, bitwise ±1 vote sum,
+    sign → fingerprint bit.  Pure relational: tokens × bit positions.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .withColumn("th", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
+    )
+    bpos = F.broadcast(
+        df.sparkSession.range(bits).select(
+            F.col("id").cast("int").alias("b"),
+            F.pow(F.lit(2.0), F.col("id").cast("double")).cast("long").alias("pw"),
+        )
+    )
+    votes = (
+        toks.crossJoin(bpos)
+        .withColumn("bit", F.floor(F.col("th") / F.col("pw")) % 2)
+        .groupBy("id", "b", "pw")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("v"))
+    )
+    return (
+        votes.withColumn("fpbit", F.when(F.col("v") > 0, F.col("pw")).otherwise(F.lit(0)))
+        .groupBy("id")
+        .agg(F.sum("fpbit").alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id_a, id_b, hamming] — pairs within hamming distance, via the
+    pigeonhole band trick: split the fingerprint into max_hamming+1
+    bands; any pair within distance shares ≥1 exact band → band
+    equi-join candidates → exact popcount verify."""
+    nb = max_hamming + 1
+    band_bits = bits // nb
+    fp = simhash(df, bits, id_col, text_col)
+    banded = fp.select(
+        "id", "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.pmod(
+                        F.floor(
+                            F.col("simhash")
+                            / F.pow(F.lit(2.0), (i * band_bits).cast("double")).cast("long")
+                        ),
+                        F.lit(1 << band_bits),
+                    ).alias("bsig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bsig"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"), F.col("l.simhash").alias("fp_a"),
+            F.col("r.id").alias("id_b"), F.col("r.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

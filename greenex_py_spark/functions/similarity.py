@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk`   — brute-force cosine top-k (the exactness
+  baseline; one broadcast of the query set, fully codegen arithmetic via
+  higher-order array functions — no UDF, no shuffle until the window).
+- :func:`lsh_topk`      — random-hyperplane (sign) LSH bucketing as the
+  scale path: probes only vectors sharing a bucket, falls back to exact
+  re-ranking inside the candidate set.
+- :func:`cosine_pairs`  — all-pairs cosine ≥ τ (embedding near-dup).
+
+Scale notes: brute force is O(Q·N·d) but embarrassingly parallel —
+right for reranking; the LSH variant prunes N down by ~2^bits.  The dot
+product uses ``aggregate(zip_with(...))`` which Catalyst keeps JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_nrm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """[q_id, n_id, sim, rank] — exact cosine top-k per query.
+
+    Queries are broadcast (the small side); corpus scan is a single
+    embarrassingly-parallel pass; rank via per-query window.  Ties break
+    by neighbour id for determinism; sim rounded to 6 dp *before*
+    ranking so FP sum-order noise can't flip ranks.
+    """
+    q = F.broadcast(
+        with_norm(queries.select(id_col, vec_col), vec_col)
+        .withColumnsRenamed({id_col: "q_id", vec_col: "_qv", "_nrm": "_qn"})
+    )
+    c = with_norm(corpus.select(id_col, vec_col), vec_col).withColumnsRenamed(
+        {id_col: "n_id", vec_col: "_cv", "_nrm": "_cn"}
+    )
+    pairs = q.crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("n_id"))
+    sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(spark, n_bits: int, dim: int):
+    """Deterministic pseudo-random hyperplanes: h[b][i] from a hash mix —
+    reproducible across runs/engines, no RNG state."""
+    rows = []
+    for b in range(n_bits):
+        vec = []
+        for i in range(dim):
+            z = (b * 1315423911 + i * 2654435761 + 97531) % 1000003
+            vec.append((z / 1000003.0) * 2.0 - 1.0)
+        rows.append((b, vec))
+    return spark.createDataFrame(rows, "b int, h array<double>")
+
+
+def lsh_bucket(
+    df: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[id, bucket] — sign-LSH bucket id (random hyperplanes)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = F.broadcast(_hyperplanes(df.sparkSession, n_bits, dim))
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(planes)
+        .withColumn("bit", (_dot(F.col("v"), F.col("h")) > 0).cast("long"))
+    )
+    return scored.groupBy("id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")).alias("bucket")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[q_id, n_id, sim, rank] — bucketed ANN: candidates share the LSH
+    bucket; exact cosine re-rank inside the bucket.  Recall < 1 by
+    design; the exactness baseline is cosine_topk."""
+    qb = lsh_bucket(queries, n_bits, id_col, vec_col).withColumnsRenamed({"id": "q_id"})
+    cb = lsh_bucket(corpus, n_bits, id_col, vec_col).withColumnsRenamed({"id": "n_id"})
+    q = with_norm(queries.select(id_col, vec_col), vec_col).withColumnsRenamed(
+        {id_col: "q_id", vec_col: "_qv", "_nrm": "_qn"}
+    ).join(qb, "q_id")
+    c = with_norm(corpus.select(id_col, vec_col), vec_col).withColumnsRenamed(
+        {id_col: "n_id", vec_col: "_cv", "_nrm": "_cn"}
+    ).join(cb, "n_id")
+    pairs = q.join(c, q["bucket"] == c["bucket"]).filter(F.col("q_id") != F.col("n_id"))
+    sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+) -> DataFrame:
+    """[id_a, id_b, sim] — embedding near-duplicate pairs (cosine ≥ τ),
+    LSH-bucketed so the self-join is per-bucket, not all-pairs."""
+    b = lsh_bucket(df, n_bits, id_col, vec_col)
+    v = with_norm(df.select(id_col, vec_col), vec_col).withColumnsRenamed({id_col: "id"}).join(
+        b, "id"
+    )
+    l = v.select(
+        F.col("id").alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"), "bucket",
+    )
+    r = v.select(
+        F.col("id").alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"), "bucket",
+    )
+    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators for the web-pages pipeline.
+
+Language-ID, quality scoring, token stats, and document fingerprinting —
+the per-document text passes a 100 TB training-data pipeline runs before
+spatial enrichment.  Everything here is **pure relational/codegen** Spark
+(split/explode/groupBy/window + built-in hash functions); no Python UDFs,
+so whole-stage codegen handles the hot path and every operator has an
+exact DuckDB oracle.
+
+The byte-identity invariant (BASELINE.json input_hint): none of these
+operators rewrite ``text`` — they only derive columns keyed by doc/url,
+verified in tests via md5(text) round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# stopword sets for the language-ID heuristic (deterministic, tiny)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "nl": ("de", "het", "een", "en", "niet", "is"),
+    "es": ("el", "la", "de", "y", "que", "es"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+}
+
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "for", "on", "with", "at", "by", "from")
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """+ ``toks array<string>`` (single-space tokenizer — the corpus
+    contract; a BPE-ish regex variant is `tokens_regex`)."""
+    return df.withColumn("toks", F.split(F.col(text_col), " "))
+
+
+def tokens_regex(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish tokenizer: splits on non-alphanumerics, keeps them
+    (regexp-based; for corpora with punctuation)."""
+    return df.withColumn(
+        "toks",
+        F.filter(F.split(F.col(text_col), r"(?=[^\w])|(?<=[^\w])"), lambda t: t != ""),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, n_tokens, n_chars, avg_token_len, stop_ratio] — token counting
+    + stopword ratio, all codegen (no explode: array higher-order fns)."""
+    t = tokens(df.select(id_col, text_col), text_col)
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS_EN)))
+    return t.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.round(
+            (F.length(text_col) - n_tok + 1) / n_tok.cast("double"), 3
+        ).alias("avg_token_len"),
+        F.round(n_stop / n_tok.cast("double"), 3).alias("stop_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, quality] — deterministic 0..1 quality heuristic:
+    length factor × (1 − stopword excess) × short-token penalty.
+
+    Mirrors the Gopher/C4-style filters' *shape* (length, stop ratio,
+    mean word length) with an exactly-reproducible formula.
+    """
+    t = tokens(df.select(id_col, text_col), text_col)
+    n_tok = F.size("toks").cast("double")
+    n_stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS_EN))).cast("double")
+    mean_len = (F.length(text_col) - n_tok + 1) / n_tok
+    len_f = F.least(n_tok / 64.0, F.lit(1.0))
+    stop_f = F.lit(1.0) - F.least(n_stop / n_tok * 4.0, F.lit(1.0))
+    word_f = F.when((mean_len >= 3.0) & (mean_len <= 10.0), 1.0).otherwise(0.5)
+    return t.select(id_col, F.round(len_f * stop_f * word_f, 3).alias("quality"))
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, pred_lang] — stopword-vote language ID with deterministic
+    tie-break (score desc, then language code asc)."""
+    t = tokens(df.select(id_col, text_col), text_col)
+
+    def _in(sw):  # closure factory: the lambda must be unary for F.filter
+        return lambda x: x.isin(*sw)
+
+    scores = [
+        F.size(F.filter("toks", _in(sw))).alias(f"s_{lang}")
+        for lang, sw in LANG_STOPWORDS.items()
+    ]
+    scored = t.select(id_col, *scores)
+    # argmax via greatest + chained when (deterministic tie-break by code)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = None
+    for lg in langs:
+        cond = F.col(f"s_{lg}") == best
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    return scored.select(id_col, pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, fp] — 64-bit document fingerprint (xxhash64 of the exact text
+    bytes).  The rolling-hash shingle variant lives in dedup.simhash."""
+    return df.select(id_col, F.xxhash64(F.col(text_col)).alias("fp"))
