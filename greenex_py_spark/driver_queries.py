@@ -548,6 +548,71 @@ def q_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# visibility family (SURVEY.md §3.3)
+# ---------------------------------------------------------------------------
+
+_SV_R = 150.0
+
+
+@register(
+    "q_streetview_gvi",
+    _CTE + f"""
+, gvi_pts AS (
+  SELECT doc_id, x, y,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE round(((doc_id * 48271) % 1000) / 1000.0, 3) END AS GVI
+  FROM pts
+), bufs AS (SELECT doc_id AS id, x AS bx, y AS by FROM pts WHERE doc_id % 50 = 0)
+SELECT b.id,
+       round(avg(g.GVI), 3) AS GVI,
+       count(g.GVI) AS nr_of_points
+FROM bufs b JOIN gvi_pts g
+  ON (g.x - b.bx) * (g.x - b.bx) + (g.y - b.by) * (g.y - b.by) <= {_SV_R * _SV_R}
+WHERE g.GVI IS NOT NULL
+GROUP BY b.id
+""",
+)
+def q_streetview_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streetview GVI A6 aggregation (visibility.py:1040-1052) over a
+    deterministic per-point GVI table (the external Mapillary/Mask2Former
+    stage is out of engine scope; see functions/multimodal)."""
+    from .operators.visibility import streetview_gvi_aggregate
+
+    pts = city.points_df(spark, sf_dir)
+    gvi_pts = pts.select(
+        "doc_id", "x", "y",
+        F.when(F.col("doc_id") % 17 == 0, None)
+        .otherwise(F.round(((F.col("doc_id") * 48271) % 1000) / 1000.0, 3))
+        .alias("GVI"),
+    )
+    bufs = pts.filter(F.col("doc_id") % 50 == 0).select("doc_id", "x", "y")
+    return streetview_gvi_aggregate(gvi_pts, bufs, buffer_dist=_SV_R, id_col="doc_id").withColumnRenamed("doc_id", "id")
+
+
+@register("q_viewshed_gvi", None)  # raster kernel — not SQL-expressible;
+def q_viewshed_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed GVI over the synthetic DSM/DTM/green tiles for a PoI
+    subset (rows-only driver check; exact-parity oracle lives in
+    tests/test_visibility.py against the full-raster transliteration)."""
+    from .data import city_fixture as fx
+    from .operators.visibility import viewshed_gvi
+
+    pois = city.points_df(spark, sf_dir).filter(F.col("doc_id") % 10 == 0).withColumnRenamed(
+        "doc_id", "id"
+    )
+    _, edges = fx.network_dfs(spark)
+    tiles = (
+        fx.surface_tiles_df(spark, "dsm")
+        .unionByName(fx.surface_tiles_df(spark, "dtm"))
+        .unionByName(fx.surface_tiles_df(spark, "green"))
+    )
+    agg, _pp = viewshed_gvi(
+        pois, edges, tiles, buffer_dist=100.0, viewing_dist=250.0, sample_dist=50.0
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
 # entry() flagship: geocode → cell assignment → PiP join (sf0.001)
 # ---------------------------------------------------------------------------
 
