@@ -548,6 +548,172 @@ def q_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# network family (SURVEY.md §2.7) — real Dijkstra in the engine, closed-form
+# Manhattan shortest paths on the lattice as the oracle
+# ---------------------------------------------------------------------------
+
+_NODES_SQL = f"""
+nodes AS (
+  SELECT CAST(g.range AS BIGINT) AS node_id,
+         CAST(g.range % 51 AS BIGINT) AS gx,
+         CAST(floor(g.range / 51.0) AS BIGINT) AS gy,
+         {city.X0} + (g.range % 51) * 200.0 AS nx,
+         {city.Y0} + CAST(floor(g.range / 51.0) AS BIGINT) * 200.0 AS ny
+  FROM range(2601) g
+)
+"""
+
+
+@register(
+    "q_accessibility_network",
+    _CTE + f"""
+, {_NODES_SQL.strip()},
+snap AS (
+  SELECT doc_id, x, y, node_id, gx, gy, d AS penalty_home FROM (
+    SELECT p.doc_id, p.x, p.y, n.node_id, n.gx, n.gy,
+           sqrt((n.nx - p.x) * (n.nx - p.x) + (n.ny - p.y) * (n.ny - p.y)) AS d,
+           row_number() OVER (
+             PARTITION BY p.doc_id
+             ORDER BY sqrt((n.nx - p.x) * (n.nx - p.x) + (n.ny - p.y) * (n.ny - p.y)) ASC,
+                      n.node_id ASC) AS rn
+    FROM pts p, nodes n
+  ) WHERE rn = 1
+),
+ent AS (
+  SELECT g.gs_id, n.node_id, n.gx, n.gy, n.nx AS ex, n.ny AS ey
+  FROM nodes n JOIN greens g
+    ON g.area >= 400
+   AND (CASE WHEN n.nx >= g.minx AND n.nx <= g.maxx AND n.ny >= g.miny AND n.ny <= g.maxy
+             THEN least(n.nx - g.minx, g.maxx - n.nx, n.ny - g.miny, g.maxy - n.ny)
+             ELSE sqrt(power(greatest(0.0, g.minx - n.nx, n.nx - g.maxx), 2)
+                     + power(greatest(0.0, g.miny - n.ny, n.ny - g.maxy), 2))
+        END) < 20.0
+),
+cand AS (
+  SELECT p.doc_id, g.gs_id, g.cx, g.cy
+  FROM pts p JOIN greens g
+    ON g.area >= 400
+   AND (power(greatest(0.0, g.minx - p.x, p.x - g.maxx), 2)
+      + power(greatest(0.0, g.miny - p.y, p.y - g.maxy), 2)) <= 90000.0
+),
+paths AS (
+  SELECT c.doc_id,
+         200.0 * (abs(e.gx - s.gx) + abs(e.gy - s.gy)) + s.penalty_home
+         + sqrt((c.cx - e.ex) * (c.cx - e.ex) + (c.cy - e.ey) * (c.cy - e.ey)) AS d
+  FROM cand c
+  JOIN ent e ON e.gs_id = c.gs_id
+  JOIN snap s ON s.doc_id = c.doc_id
+  WHERE 200.0 * (abs(e.gx - s.gx) + abs(e.gy - s.gy)) <= 450.0
+),
+near AS (SELECT doc_id, round(min(d), 0) AS min_dist FROM paths GROUP BY doc_id)
+SELECT p.doc_id,
+       coalesce(near.min_dist <= 300.0, false) AS greenspace_within,
+       coalesce(least(near.min_dist, 300.0), 300.0) AS distance_to_greenspace
+FROM (SELECT DISTINCT doc_id FROM pts) p
+LEFT JOIN near ON p.doc_id = near.doc_id
+""",
+)
+def q_accessibility_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network+centroids accessibility: real bounded Dijkstra in the
+    engine; the oracle exploits that shortest paths on the uniform
+    200 m lattice are Manhattan distances (entrances on the *unclipped*
+    rect boundary — the reference-exact clipped-boundary variant is
+    pytest-only, see tests/test_network.py)."""
+    from .data import city_fixture as fx
+    from .operators.network import shortest_distance_greenspace_network
+
+    pts = city.points_df(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    greens = city.greenspace_df(spark)
+    nodes, edges = fx.network_dfs(spark)
+    out = shortest_distance_greenspace_network(
+        pts, greens, nodes, edges, target_dist=300.0, min_area=400.0,
+        destination="centroids", id_col="id",
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "q_greenspace_iso",
+    _CTE + f"""
+, {_NODES_SQL.strip()},
+sub AS (SELECT doc_id, x, y FROM pts WHERE doc_id % 20 = 0),
+snap AS (
+  SELECT doc_id, node_id, gx, gy, nx AS sx, ny AS sy FROM (
+    SELECT p.doc_id, n.node_id, n.gx, n.gy, n.nx, n.ny,
+           row_number() OVER (
+             PARTITION BY p.doc_id
+             ORDER BY sqrt((n.nx - p.x) * (n.nx - p.x) + (n.ny - p.y) * (n.ny - p.y)) ASC,
+                      n.node_id ASC) AS rn
+    FROM sub p, nodes n
+  ) WHERE rn = 1
+),
+reach AS (
+  SELECT s.doc_id, n.node_id, n.gx, n.gy, n.nx, n.ny
+  FROM snap s, nodes n
+  WHERE 200.0 * (abs(n.gx - s.gx) + abs(n.gy - s.gy)) <= 350.0
+),
+segs AS (
+  SELECT a.doc_id, a.nx AS ax, a.ny AS ay, b.nx AS bx, b.ny AS by
+  FROM reach a JOIN reach b
+    ON a.doc_id = b.doc_id AND a.node_id < b.node_id
+   AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+),
+pxc AS (
+  SELECT s.doc_id,
+         CAST(floor((s.sx - {city.X0}) / 5.0) AS BIGINT) + a.range AS ix,
+         CAST(floor((s.sy - {city.Y0}) / 5.0) AS BIGINT) + b.range AS iy
+  FROM snap s, range(-86, 87) a, range(-86, 87) b
+),
+pxb AS (
+  SELECT doc_id, ix, iy,
+         {city.X0} + (ix + 0.5) * 5.0 AS cx,
+         {city.Y0} + (iy + 0.5) * 5.0 AS cy
+  FROM pxc WHERE ix BETWEEN 0 AND 1999 AND iy BETWEEN 0 AND 1999
+),
+inmask AS (
+  SELECT DISTINCT p.doc_id, p.ix, p.iy, p.cx, p.cy
+  FROM pxb p JOIN segs g ON g.doc_id = p.doc_id
+   AND (
+     (p.cx - (g.ax + least(greatest(((p.cx - g.ax) * (g.bx - g.ax) + (p.cy - g.ay) * (g.by - g.ay)) / 40000.0, 0.0), 1.0) * (g.bx - g.ax)))
+   * (p.cx - (g.ax + least(greatest(((p.cx - g.ax) * (g.bx - g.ax) + (p.cy - g.ay) * (g.by - g.ay)) / 40000.0, 0.0), 1.0) * (g.bx - g.ax)))
+   + (p.cy - (g.ay + least(greatest(((p.cx - g.ax) * (g.bx - g.ax) + (p.cy - g.ay) * (g.by - g.ay)) / 40000.0, 0.0), 1.0) * (g.by - g.ay)))
+   * (p.cy - (g.ay + least(greatest(((p.cx - g.ax) * (g.bx - g.ax) + (p.cy - g.ay) * (g.by - g.ay)) / 40000.0, 0.0), 1.0) * (g.by - g.ay)))
+   ) <= 625.0
+),
+cnt AS (
+  SELECT m.doc_id,
+         count(*) AS total,
+         sum(CASE WHEN EXISTS (
+               SELECT 1 FROM greens g
+               WHERE m.cx >= g.minx AND m.cx < g.maxx
+                 AND m.cy >= g.miny AND m.cy < g.maxy) THEN 1 ELSE 0 END) AS grn
+  FROM inmask m GROUP BY m.doc_id
+)
+SELECT s.doc_id,
+       CAST(round(100.0 * cnt.grn / cnt.total, 2) AS VARCHAR) || '%' AS greenspace_cover
+FROM snap s JOIN cnt ON cnt.doc_id = s.doc_id
+""",
+)
+def q_greenspace_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenspace % over a network-isochrone AoI (15-min-walk analogue,
+    README.md:266-270 semantics at raster resolution).  radius=350 m on
+    the 200 m lattice keeps the capsule union hole-free, so the SQL
+    oracle needs no flood fill — the engine still runs its general
+    hole-filling path (a no-op here; hole cases are pytest-covered)."""
+    from .data import city_fixture as fx
+    from .operators.network import greenspace_pct_isochrone
+
+    pts = (
+        city.points_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 20 == 0)
+        .withColumnRenamed("doc_id", "id")
+    )
+    nodes, edges = fx.network_dfs(spark)
+    out = greenspace_pct_isochrone(pts, nodes, edges, radius=350.0, res=5.0, id_col="id")
+    return out.withColumnRenamed("id", "doc_id").filter(F.col("greenspace_cover").isNotNull())
+
+
+# ---------------------------------------------------------------------------
 # visibility family (SURVEY.md §3.3)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,417 @@
+"""Street-network operators (SURVEY.md §2.7: N1-N4, J4, J7).
+
+Re-expresses the reference's per-row OSMnx/networkx calls as a hybrid:
+the *graph kernel* (distance-bounded Dijkstra = ``nx.ego_graph`` +
+``nx.shortest_path``, accessibility.py:237-256) runs inside Arrow
+``applyInPandas`` per PoI over a **broadcast CSR** of the bbox-pruned
+network, and everything around it — node snapping, entrance detection,
+distance composition, clamping — is relational/codegen so Catalyst owns
+it.
+
+Scale note: a city-scale street graph after bbox pruning is a few MB of
+CSR arrays — broadcast is the right call (the reference fetches exactly
+this scope from OSM per run).  At planet scale the design swaps the
+broadcast for cell-partitioned CSR fragments cogrouped with PoIs by
+cell; the kernel is unchanged.
+
+Semantics parity (accessibility.py:226-322):
+- snap = nearest node (euclidean, J4); ``penalty_home`` = that distance;
+- subgraph = nodes within ``target_dist*1.5`` network distance (N1);
+- entrances = subgraph nodes with distance-to-polygon-*boundary* < 20 m
+  (J7 — inside-the-polygon nodes far from the ring do NOT count);
+- centroids destination adds ``euclid(entrance, centroid)`` (N3);
+- min over (greenspace, entrance), rounded **after** the min, then the
+  §2.9 outcome/clamp contract.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# snapping (J4)
+# ---------------------------------------------------------------------------
+
+
+def nearest_node(points: DataFrame, nodes: DataFrame, id_col: str = "id") -> DataFrame:
+    """[id, x, y, node_id, penalty_home] — 1-NN snap, tie-break node_id."""
+    n = F.broadcast(nodes.select("node_id", F.col("x").alias("nx"), F.col("y").alias("ny")))
+    ddx = F.col("nx") - F.col("x")
+    ddy = F.col("ny") - F.col("y")
+    d = F.sqrt(ddx * ddx + ddy * ddy)
+    w = Window.partitionBy(id_col).orderBy(F.col("penalty_home").asc(), F.col("node_id").asc())
+    return (
+        points.select(id_col, "x", "y")
+        .join(n)
+        .withColumn("penalty_home", d)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "nx", "ny")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distance-bounded Dijkstra (N1/N2) — applyInPandas over broadcast CSR
+# ---------------------------------------------------------------------------
+
+
+def _build_csr(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame):
+    ids = nodes_pdf["node_id"].to_numpy(np.int64)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    src = edges_pdf["src"].map(idx).to_numpy(np.int64)
+    dst = edges_pdf["dst"].map(idx).to_numpy(np.int64)
+    w = edges_pdf["length"].to_numpy(np.float64)
+    order = np.argsort(src, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+    indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return ids, idx, indptr, dst, w
+
+
+def _dijkstra_bounded(indptr, dst, w, start: int, radius: float) -> dict[int, float]:
+    dist = {start: 0.0}
+    pq = [(0.0, start)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, np.inf):
+            continue
+        for e in range(indptr[u], indptr[u + 1]):
+            v = dst[e]
+            nd = d + w[e]
+            if nd <= radius and nd < dist.get(v, np.inf):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def bounded_network_distances(
+    snapped: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    radius: float,
+    id_col: str = "id",
+) -> DataFrame:
+    """[id, node_id, net_dist] — network distance from each PoI's snap
+    node to every node within ``radius`` (the ego-graph set)."""
+    spark = snapped.sparkSession
+    nodes_pdf = nodes.select("node_id").toPandas()
+    edges_pdf = edges.select("src", "dst", "length").toPandas()
+    ids, idx, indptr, dstv, wv = _build_csr(nodes_pdf, edges_pdf)
+    bc = spark.sparkContext.broadcast((ids, idx, indptr, dstv, wv))
+
+    def kernel(pdf_iter):
+        ids_b, idx_b, indptr_b, dst_b, w_b = bc.value
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                start = idx_b.get(int(r.node_id))
+                if start is None:
+                    continue
+                dd = _dijkstra_bounded(indptr_b, dst_b, w_b, start, radius)
+                rid = getattr(r, id_col)
+                rows.extend((rid, int(ids_b[v]), d) for v, d in dd.items())
+            yield (
+                pd.DataFrame(rows, columns=[id_col, "node_id", "net_dist"])
+                if rows
+                else pd.DataFrame({id_col: [], "node_id": [], "net_dist": []})
+            )
+
+    return snapped.select(id_col, "node_id").mapInPandas(
+        kernel, schema=f"{id_col} long, node_id long, net_dist double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# entrance detection (J7) — codegen rect-boundary distance
+# ---------------------------------------------------------------------------
+
+
+def entrance_nodes_rect(
+    nodes: DataFrame, greens: DataFrame, tol: float = 20.0
+) -> DataFrame:
+    """[gs_id, node_id, ex, ey] — nodes within ``tol`` of a rectangle
+    *boundary* (accessibility.py:245: ``distance(geom.boundary) < 20``;
+    strict <).  Pure column arithmetic:
+
+    outside → distance to rect; inside → distance to nearest edge.
+    """
+    n = nodes.select("node_id", F.col("x").alias("ex"), F.col("y").alias("ey"))
+    g = F.broadcast(greens.select("gs_id", "minx", "miny", "maxx", "maxy"))
+    dx = F.greatest(F.lit(0.0), F.col("minx") - F.col("ex"), F.col("ex") - F.col("maxx"))
+    dy = F.greatest(F.lit(0.0), F.col("miny") - F.col("ey"), F.col("ey") - F.col("maxy"))
+    outside = F.sqrt(dx * dx + dy * dy)
+    inside = F.least(
+        F.col("ex") - F.col("minx"), F.col("maxx") - F.col("ex"),
+        F.col("ey") - F.col("miny"), F.col("maxy") - F.col("ey"),
+    )
+    bdist = F.when(
+        (F.col("ex") >= F.col("minx")) & (F.col("ex") <= F.col("maxx"))
+        & (F.col("ey") >= F.col("miny")) & (F.col("ey") <= F.col("maxy")),
+        inside,
+    ).otherwise(outside)
+    return n.join(g, bdist < F.lit(tol)).select("gs_id", "node_id", "ex", "ey")
+
+
+# ---------------------------------------------------------------------------
+# full network accessibility composition (N3 + §2.9 clamp)
+# ---------------------------------------------------------------------------
+
+
+def shortest_distance_greenspace_network(
+    points: DataFrame,
+    greens: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    target_dist: float = 300.0,
+    min_area: float = 400.0,
+    destination: str = "centroids",
+    id_col: str = "id",
+) -> DataFrame:
+    """Network variant of get_shortest_distance_greenspace →
+    [id, greenspace_within, distance_to_greenspace]."""
+    g = greens.filter(F.col("area") >= F.lit(min_area))
+    snapped = nearest_node(points, nodes, id_col)
+    reach = bounded_network_distances(snapped, nodes, edges, target_dist * 1.5, id_col)
+    ent = entrance_nodes_rect(nodes, g, tol=20.0)
+
+    # candidate greens: rect ∩ buffer(target) per PoI (the per-row clip)
+    pdx = F.greatest(F.lit(0.0), F.col("minx") - F.col("x"), F.col("x") - F.col("maxx"))
+    pdy = F.greatest(F.lit(0.0), F.col("miny") - F.col("y"), F.col("y") - F.col("maxy"))
+    cand = points.select(id_col, "x", "y").join(
+        F.broadcast(g.select("gs_id", "minx", "miny", "maxx", "maxy", "cx", "cy")),
+        (pdx * pdx + pdy * pdy) <= F.lit(float(target_dist) ** 2),
+    ).select(id_col, "gs_id", "cx", "cy")
+
+    paths = (
+        cand.join(ent, "gs_id")
+        .join(reach, [id_col, "node_id"])  # entrance must be inside the ego set
+        .join(snapped.select(id_col, "penalty_home"), id_col)
+    )
+    dist = F.col("net_dist") + F.col("penalty_home")
+    if destination == "centroids":
+        cdx = F.col("cx") - F.col("ex")
+        cdy = F.col("cy") - F.col("ey")
+        dist = dist + F.sqrt(cdx * cdx + cdy * cdy)
+    near = paths.select(id_col, dist.alias("d")).groupBy(id_col).agg(
+        F.round(F.min("d"), 0).alias("min_dist")
+    )
+    td = F.lit(float(target_dist))
+    return (
+        points.select(id_col).distinct()
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("min_dist") <= td, F.lit(False)).alias("greenspace_within"),
+            F.coalesce(F.least(F.col("min_dist"), td), td).alias("distance_to_greenspace"),
+        )
+    )
+
+
+def shortest_distance_greenspace_entrance_euclid(
+    points: DataFrame,
+    greens: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    target_dist: float = 300.0,
+    min_area: float = 400.0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Euclidean + entrances variant (accessibility.py:287-301):
+    kd-tree over entrance-node positions of buffer-clipped greens,
+    restricted to the PoI's ego set."""
+    g = greens.filter(F.col("area") >= F.lit(min_area))
+    snapped = nearest_node(points, nodes, id_col)
+    reach = bounded_network_distances(snapped, nodes, edges, target_dist * 1.5, id_col)
+    ent = entrance_nodes_rect(nodes, g, tol=20.0)
+    pdx = F.greatest(F.lit(0.0), F.col("minx") - F.col("x"), F.col("x") - F.col("maxx"))
+    pdy = F.greatest(F.lit(0.0), F.col("miny") - F.col("y"), F.col("y") - F.col("maxy"))
+    cand = points.select(id_col, "x", "y").join(
+        F.broadcast(g.select("gs_id", "minx", "miny", "maxx", "maxy")),
+        (pdx * pdx + pdy * pdy) <= F.lit(float(target_dist) ** 2),
+    ).select(id_col, "x", "y", "gs_id")
+    near = (
+        cand.join(ent, "gs_id")
+        .join(reach, [id_col, "node_id"])
+        .select(
+            id_col,
+            (lambda ddx, ddy: F.sqrt(ddx * ddx + ddy * ddy))(F.col("ex") - F.col("x"), F.col("ey") - F.col("y")).alias("d"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.min("d"), 0).alias("min_dist"))
+    )
+    td = F.lit(float(target_dist))
+    return (
+        points.select(id_col).distinct()
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("min_dist") <= td, F.lit(False)).alias("greenspace_within"),
+            F.coalesce(F.least(F.col("min_dist"), td), td).alias("distance_to_greenspace"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# isochrones (N4) — ego set → induced edges → capsule AoI
+# ---------------------------------------------------------------------------
+
+
+def isochrone_edges(
+    points: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    radius: float,
+    id_col: str = "id",
+) -> DataFrame:
+    """[id, ax, ay, bx, by] — edges of the PoI's ego subgraph (both
+    endpoints reached within ``radius``), i.e. the segment set
+    ``make_iso_poly`` buffers (availability.py:1042-1056)."""
+    snapped = nearest_node(points, nodes, id_col)
+    reach = bounded_network_distances(snapped, nodes, edges, radius, id_col)
+    e = edges.select("src", "dst")
+    npos = nodes.select("node_id", "x", "y")
+    r_src = reach.withColumnRenamed("node_id", "src")
+    r_dst = reach.select(F.col(id_col), F.col("node_id").alias("dst"))
+    induced = (
+        e.join(r_src, "src")
+        .join(r_dst, [id_col, "dst"])
+        .filter(F.col("src") < F.col("dst"))  # undirected capsule set
+        .select(id_col, "src", "dst")
+    )
+    return (
+        induced.join(npos.withColumnsRenamed({"node_id": "src", "x": "ax", "y": "ay"}), "src")
+        .join(npos.withColumnsRenamed({"node_id": "dst", "x": "bx", "y": "by"}), "dst")
+        .select(id_col, "ax", "ay", "bx", "by")
+    )
+
+
+def isochrone_raster_mask(
+    seg_pdf: pd.DataFrame,
+    res: float,
+    origin_x: float,
+    origin_y: float,
+    npx: int,
+    edge_buff: float = 25.0,
+    fill_holes: bool = True,
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Rasterized isochrone AoI: union of ``edge_buff``-capsules around
+    the segments, with interior holes filled — the raster-level
+    equivalent of ``sg.Polygon(unary_union(...).exterior)``
+    (availability.py:1060-1062).  Returns (bool mask, (ix0, iy0)) for
+    the covering sub-window; pixel selected iff center in AoI."""
+    ax = seg_pdf["ax"].to_numpy(float)
+    ay = seg_pdf["ay"].to_numpy(float)
+    bx = seg_pdf["bx"].to_numpy(float)
+    by = seg_pdf["by"].to_numpy(float)
+    minx = min(ax.min(), bx.min()) - edge_buff
+    maxx = max(ax.max(), bx.max()) + edge_buff
+    miny = min(ay.min(), by.min()) - edge_buff
+    maxy = max(ay.max(), by.max()) + edge_buff
+    ix0 = max(0, int((minx - origin_x) // res))
+    ix1 = min(npx - 1, int((maxx - origin_x) // res))
+    iy0 = max(0, int((miny - origin_y) // res))
+    iy1 = min(npx - 1, int((maxy - origin_y) // res))
+    cx = origin_x + (np.arange(ix0, ix1 + 1) + 0.5) * res
+    cy = origin_y + (np.arange(iy0, iy1 + 1) + 0.5) * res
+    X, Y = np.meshgrid(cx, cy)
+    mask = np.zeros(X.shape, dtype=bool)
+    for k in range(len(ax)):
+        dx, dy = bx[k] - ax[k], by[k] - ay[k]
+        l2 = dx * dx + dy * dy or 1.0
+        t = np.clip(((X - ax[k]) * dx + (Y - ay[k]) * dy) / l2, 0.0, 1.0)
+        d2 = (X - (ax[k] + t * dx)) ** 2 + (Y - (ay[k] + t * dy)) ** 2
+        mask |= d2 <= edge_buff * edge_buff
+    if fill_holes and mask.any():
+        # flood-fill the outside from the window border; holes = ~mask
+        # not reachable from the border
+        outside = np.zeros_like(mask)
+        stack = (
+            [(0, j) for j in range(mask.shape[1])]
+            + [(mask.shape[0] - 1, j) for j in range(mask.shape[1])]
+            + [(i, 0) for i in range(mask.shape[0])]
+            + [(i, mask.shape[1] - 1) for i in range(mask.shape[0])]
+        )
+        stack = [p for p in stack if not mask[p]]
+        for p in stack:
+            outside[p] = True
+        while stack:
+            i, j = stack.pop()
+            for ni, nj in ((i - 1, j), (i + 1, j), (i, j - 1), (i, j + 1)):
+                if (
+                    0 <= ni < mask.shape[0] and 0 <= nj < mask.shape[1]
+                    and not mask[ni, nj] and not outside[ni, nj]
+                ):
+                    outside[ni, nj] = True
+                    stack.append((ni, nj))
+        mask = ~outside
+    return mask, (ix0, iy0)
+
+
+def greenspace_pct_isochrone(
+    points: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    radius: float = 350.0,
+    res: float = 5.0,
+    edge_buff: float = 25.0,
+    id_col: str = "id",
+    out_col: str = "greenspace_cover",
+) -> DataFrame:
+    """[id, greenspace_cover] — greenspace % of the isochrone AoI
+    (availability.py:997 with the network buffer of :965-977), computed
+    at raster resolution: AoI = hole-filled union of edge capsules
+    (make_iso_poly semantics, availability.py:1042-1065); green test =
+    pixel center inside any greenspace rectangle.  ``"<v>%"`` round 2.
+
+    PoIs whose ego set yields no edges get a null cover (the reference
+    emits None → NaN metrics, availability.py:282-283).
+    """
+    from ..data import driver_city as city
+    from .network import isochrone_edges, isochrone_raster_mask  # self-import ok
+
+    segs = isochrone_edges(points, nodes, edges, radius, id_col)
+
+    g = city.greenspace_numpy()
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (pid,) = key
+        mask, (ix0, iy0) = isochrone_raster_mask(
+            pdf, res, city.X0, city.Y0, int(city.EXTENT / res), edge_buff
+        )
+        total = int(mask.sum())
+        if total == 0:
+            return pd.DataFrame({id_col: [pid], "pct": [None]})
+        jy, jx = np.nonzero(mask)
+        cx = city.X0 + (ix0 + jx + 0.5) * res
+        cy = city.Y0 + (iy0 + jy + 0.5) * res
+        green = np.zeros(len(cx), dtype=bool)
+        for i in range(len(g["gs_id"])):
+            green |= (
+                (cx >= g["minx"][i]) & (cx < g["maxx"][i])
+                & (cy >= g["miny"][i]) & (cy < g["maxy"][i])
+            )
+        raw = float(green.sum()) / total * 100.0
+        # half-away-from-zero to 2dp (matches Spark/DuckDB round, not
+        # Python's banker's rounding)
+        pct = float(np.floor(raw * 100.0 + 0.5) / 100.0)
+        return pd.DataFrame({id_col: [pid], "pct": [pct]})
+
+    pcts = segs.groupBy(id_col).applyInPandas(kernel, schema=f"{id_col} long, pct double")
+    return (
+        points.select(id_col).distinct()
+        .join(pcts, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("pct").isNotNull(),
+                F.concat(F.col("pct").cast("string"), F.lit("%")),
+            ).alias(out_col),
+        )
+    )
