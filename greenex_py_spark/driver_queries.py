@@ -633,6 +633,57 @@ def q_accessibility_network(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dissolve",
+    _CTE + """
+, greens2 AS (
+  SELECT gs_id, minx, miny, maxx, maxy, area, cx, cy, tag FROM greens
+  UNION ALL
+  SELECT gs_id + 100, minx + 17, miny + 13, maxx + 17, maxy + 13, area,
+         cx + 17, cy + 13, tag
+  FROM greens
+),
+dims AS (SELECT gs_id, maxx - minx AS w, maxy - miny AS h FROM greens),
+paired AS (SELECT gs_id FROM dims WHERE w >= 17 AND h >= 13)
+SELECT g.gs_id AS component,
+       2 AS n_members,
+       2 * g.area - (d.w - 17) * (d.h - 13) AS area,
+       (g.cx * g.area + (g.cx + 17) * g.area
+        - (g.minx + 17 + g.maxx) / 2.0 * ((d.w - 17) * (d.h - 13)))
+         / (2 * g.area - (d.w - 17) * (d.h - 13)) AS cx,
+       (g.cy * g.area + (g.cy + 13) * g.area
+        - (g.miny + 13 + g.maxy) / 2.0 * ((d.w - 17) * (d.h - 13)))
+         / (2 * g.area - (d.w - 17) * (d.h - 13)) AS cy,
+       g.minx AS minx, g.miny AS miny, g.maxx + 17 AS maxx, g.maxy + 13 AS maxy,
+       g.tag
+FROM greens g JOIN dims d ON d.gs_id = g.gs_id
+WHERE g.gs_id IN (SELECT gs_id FROM paired)
+UNION ALL
+SELECT g2.gs_id AS component, 1, g2.area, g2.cx, g2.cy,
+       g2.minx, g2.miny, g2.maxx, g2.maxy, g2.tag
+FROM greens2 g2
+WHERE (g2.gs_id % 100) NOT IN (SELECT gs_id FROM paired)
+""",
+)
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic dissolve (cell self-join → CC loop → exact scanline
+    union) over the greenspace layer plus shifted clones; the oracle is
+    the closed-form pairwise union (clones only ever overlap their own
+    original on this layout — chains/hole cases are pytest-covered)."""
+    from .operators.dissolve import dissolve_rects
+
+    g = city.greenspace_df(spark)
+    clones = g.select(
+        (F.col("gs_id") + 100).alias("gs_id"),
+        (F.col("minx") + 17).alias("minx"), (F.col("miny") + 13).alias("miny"),
+        (F.col("maxx") + 17).alias("maxx"), (F.col("maxy") + 13).alias("maxy"),
+        "area",
+        (F.col("cx") + 17).alias("cx"), (F.col("cy") + 13).alias("cy"),
+        "tag",
+    )
+    return dissolve_rects(g.unionByName(clones))
+
+
+@register(
     "q_greenspace_iso",
     _CTE + f"""
 , {_NODES_SQL.strip()},

@@ -1,0 +1,155 @@
+"""Dissolve: union-overlapping-polygons merge (J5/A7/T5 in SURVEY.md).
+
+The reference's ``unary_union`` + ``sjoin`` + ``dissolve(aggfunc='first')``
+(accessibility.py:125-127, availability.py:937-940) becomes:
+
+1. **overlap edges** — cell-cover self-join (equi-join on cell) +
+   exact intersects test (bbox arithmetic for axis-aligned layers);
+2. **connected components** — Pregel-style DataFrame loop:
+   ``label ← min(label, neighbours' labels)`` until fixpoint, persisted
+   per iteration (converges in O(diameter) rounds; overlap graphs of
+   real greenspace layers have tiny components, 2-4 rounds);
+3. **merge** — groupBy(component): ``first``-attribute semantics
+   (ordered by member id, matching pandas dissolve's first-row rule)
+   plus the exact union geometry stats (area/centroid/bbox) via an
+   axis-aligned scanline kernel — integer-coordinate layers get *exact*
+   results (all slab areas are exactly representable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rect_union_stats(rects: np.ndarray) -> tuple[float, float, float]:
+    """(area, cx, cy) of the union of axis-aligned rects (n,4) via
+    x-slab scanline with y-interval merging — exact for any overlap
+    pattern, not just pairs."""
+    minx, miny, maxx, maxy = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    xs = np.unique(np.concatenate([minx, maxx]))
+    area = 0.0
+    mx = 0.0
+    my = 0.0
+    for i in range(len(xs) - 1):
+        x0, x1 = xs[i], xs[i + 1]
+        w = x1 - x0
+        active = (minx < x1) & (maxx > x0)
+        if not active.any():
+            continue
+        ys = np.column_stack([miny[active], maxy[active]])
+        ys = ys[np.argsort(ys[:, 0])]
+        h = 0.0
+        ym = 0.0
+        cur0, cur1 = ys[0]
+        for y0, y1 in ys[1:]:
+            if y0 > cur1:
+                h += cur1 - cur0
+                ym += (cur0 + cur1) / 2.0 * (cur1 - cur0)
+                cur0, cur1 = y0, y1
+            else:
+                cur1 = max(cur1, y1)
+        h += cur1 - cur0
+        ym += (cur0 + cur1) / 2.0 * (cur1 - cur0)
+        area += w * h
+        mx += w * (x0 + x1) / 2.0 * h
+        my += w * ym
+    return area, mx / area, my / area
+
+
+def overlap_edges(
+    polys: DataFrame, key: str = "gs_id", broadcast_cover: bool = True
+) -> DataFrame:
+    """[a, b] — intersecting pairs (a < b), boundary touch included
+    (shapely ``intersects`` semantics)."""
+    from .spatial_join import bbox_cover_cells
+
+    cover = bbox_cover_cells(polys.select(key, "minx", "miny", "maxx", "maxy"))
+    l = cover.select(
+        F.col(key).alias("a"), F.col("cell"),
+        F.col("minx").alias("aminx"), F.col("miny").alias("aminy"),
+        F.col("maxx").alias("amaxx"), F.col("maxy").alias("amaxy"),
+    )
+    r = cover.select(
+        F.col(key).alias("b"), F.col("cell"),
+        F.col("minx").alias("bminx"), F.col("miny").alias("bminy"),
+        F.col("maxx").alias("bmaxx"), F.col("maxy").alias("bmaxy"),
+    )
+    if broadcast_cover:
+        r = F.broadcast(r)
+    return (
+        l.join(r, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col("aminx") <= F.col("bmaxx")) & (F.col("amaxx") >= F.col("bminx"))
+            & (F.col("aminy") <= F.col("bmaxy")) & (F.col("amaxy") >= F.col("bminy"))
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def connected_components(
+    polys: DataFrame, edges: DataFrame, key: str = "gs_id", max_iter: int = 50
+) -> DataFrame:
+    """[key, component] — min-label propagation to fixpoint."""
+    labels = polys.select(F.col(key).alias("n"), F.col(key).alias("comp"))
+    sym = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionByName(
+        edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    ).persist()
+    labels = labels.persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnsRenamed({"n": "m", "comp": "mcomp"}), "m")
+            .groupBy("n")
+            .agg(F.min("mcomp").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "n", "left")
+            .select("n", F.least(F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))).alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnsRenamed({"comp": "new"})
+            .join(labels, "n")
+            .filter(F.col("new") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("n").alias(key), "comp")
+
+
+def dissolve_rects(polys: DataFrame, key: str = "gs_id") -> DataFrame:
+    """[component, n_members, area, cx, cy, minx, miny, maxx, maxy, tag]
+    — dissolved axis-aligned layer; ``tag`` takes the first member's
+    value (pandas ``dissolve(aggfunc='first')``, member order = id)."""
+    e = overlap_edges(polys, key)
+    comp = connected_components(polys, e, key)
+    members = polys.join(comp, key)
+
+    def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+        kdf = kdf.sort_values(key)
+        rects = kdf[["minx", "miny", "maxx", "maxy"]].to_numpy(float)
+        area, cx, cy = rect_union_stats(rects)
+        return pd.DataFrame(
+            {
+                "component": [int(kdf["comp"].iloc[0])],
+                "n_members": [len(kdf)],
+                "area": [area], "cx": [cx], "cy": [cy],
+                "minx": [float(rects[:, 0].min())], "miny": [float(rects[:, 1].min())],
+                "maxx": [float(rects[:, 2].max())], "maxy": [float(rects[:, 3].max())],
+                "tag": [kdf["tag"].iloc[0] if "tag" in kdf else None],
+            }
+        )
+
+    schema = (
+        "component long, n_members long, area double, cx double, cy double, "
+        "minx double, miny double, maxx double, maxy double, tag string"
+    )
+    return members.groupBy("comp").applyInPandas(kernel, schema=schema)

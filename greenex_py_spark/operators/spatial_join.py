@@ -24,6 +24,8 @@ hot-cell histogram (engine/skew.py).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -113,8 +115,6 @@ def make_pip_udf():
     vectorize across points sharing a polygon (the common case after a
     cell join).
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from ..geo.kernels import points_in_polygon

@@ -1,0 +1,76 @@
+"""Incremental ingest of the web-pages table (Structured Streaming).
+
+The reference is batch-only; the engine's streaming obligations come
+from the north rule's resumability requirement (SURVEY.md §2.10).  This
+module gives the idiomatic incremental path: ``readStream`` over the
+documents table directory with ``Trigger.AvailableNow`` — each run
+drains exactly the files not yet recorded in the checkpoint, geocodes
+and cell-assigns them, and appends to the points sink.  Re-runs after
+new crawl batches land process only the delta; the checkpoint directory
+IS the resume state.
+
+``windowed_counts`` adds the watermarked event-time path (late-arriving
+crawl batches): counts per cell per 1-hour ``warc_ts`` window, 2-hour
+watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data.synth import DOC_SCHEMA, geocode
+
+
+def geocode_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all currently-available document files → geocoded points
+    parquet sink.  Blocking (awaitTermination); AvailableNow semantics
+    make this an incremental batch."""
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    pts = geocode(stream).select("url", "warc_ts", "lang", "x", "y", "cell")
+    q = (
+        pts.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Watermarked per-cell/per-window page counts (late-data path)."""
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    pts = geocode(stream)
+    agg = (
+        pts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("cell"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "cell", "n_pages",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,113 @@
+"""Checkpoint/resume, streaming ingest, multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_snapshot_resume_equals_cold_run(spark, tmp_path, sf_dir):
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.engine.checkpoint import Pipeline, SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "snaps"))
+    fp = f"{sf_dir}:v1"
+
+    def build_points():
+        return city.with_cell(city.points_df(spark, sf_dir))
+
+    def run_once() -> tuple[Pipeline, pd.DataFrame]:
+        pipe = Pipeline(store)
+        pts = pipe.run_stage("points", fp, build_points)
+        joined = pipe.run_stage(
+            "pip",
+            fp,
+            lambda: __import__(
+                "greenex_py_spark.operators.spatial_join", fromlist=["point_in_rect_join"]
+            ).point_in_rect_join(pts, city.greenspace_df(spark), point_key="doc_id")
+            .select("doc_id", "gs_id"),
+        )
+        return pipe, joined.toPandas().sort_values(["doc_id", "gs_id"]).reset_index(drop=True)
+
+    p1, out1 = run_once()
+    assert [s["resumed"] for s in p1.stats] == [False, False]
+    p2, out2 = run_once()
+    assert [s["resumed"] for s in p2.stats] == [True, True]  # metadata-only restart
+    pd.testing.assert_frame_equal(out1, out2)
+
+    # partial resume: drop only the final stage → stage 1 resumes, stage 2 rebuilds
+    store.drop("pip")
+    p3, out3 = run_once()
+    assert [s["resumed"] for s in p3.stats] == [True, False]
+    pd.testing.assert_frame_equal(out1, out3)
+
+    # lineage manifest has per-partition rows + latency
+    hist = store.history("points")
+    assert hist and hist[0]["rows"] == len(
+        pd.read_parquet(f"{sf_dir}/documents.parquet")
+    )
+    assert all("wall_ms" in h and h["partitions"] for h in hist)
+
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    from greenex_py_spark.data import synth
+    from greenex_py_spark.streaming.ingest import geocode_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    synth.documents(spark, 200).write.mode("overwrite").parquet(src)
+    geocode_stream(spark, src, sink, ckpt)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 200
+    # a new crawl batch lands → only the delta is processed
+    synth.documents(spark, 100, seed=43).write.mode("append").parquet(src)
+    geocode_stream(spark, src, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 300
+    assert out.select("cell").distinct().count() > 1
+
+
+def test_multimodal_plumbing(spark):
+    from greenex_py_spark.functions import multimodal as mm
+
+    pdf = pd.DataFrame(
+        {"media_id": [1, 2, 3],
+         "media": [b"fake-jpeg-bytes-1", b"fake-jpeg-bytes-22", b"x" * 1000]}
+    )
+    df = spark.createDataFrame(pdf)
+    meta = mm.attach_binary_metadata(df).toPandas().sort_values("media_id")
+    assert meta.n_bytes.tolist() == [17, 18, 1000]
+    assert meta.sha256.str.len().eq(64).all()
+
+    dec = mm.decode_images(df)
+    d = dec.toPandas()
+    assert (d.width * d.height * 3 == d.pixels.map(len)).all()
+    # decode is deterministic
+    d2 = mm.decode_images(df).toPandas()
+    assert d.sort_values("media_id").pixels.map(tuple).tolist() == \
+           d2.sort_values("media_id").pixels.map(tuple).tolist()
+
+    rs = mm.resize_images(dec, 8, 8).toPandas()
+    assert (rs.pixels.map(len) == 8 * 8 * 3).all()
+
+    feats = mm.image_features(dec).toPandas()
+    assert feats.brightness.between(0, 255).all()
+
+    gvi = mm.segment_green_fraction(dec).toPandas()
+    assert gvi.GVI.between(0, 1).all()
+
+    # strict mode marks the missing codec instead of faking silently
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.decode_images(df, strict=True).collect()
+
+    frames = mm.frame_sample(
+        spark.createDataFrame(pd.DataFrame({"media_id": [1], "n_frames": [35]})),
+        every=10,
+    ).toPandas()
+    assert frames.frame_idx.tolist() == [0, 10, 20, 30]

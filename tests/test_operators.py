@@ -1,0 +1,186 @@
+"""Engine-only operator tests: dissolve chains, clamp quirks (§2.9),
+landcover invariants, PiP property test, byte-identity, dedup recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from greenex_py_spark.geo import kernels
+from greenex_py_spark.operators.dissolve import rect_union_stats
+
+
+def test_rect_union_stats_hand_values():
+    # two disjoint unit squares
+    r = np.array([[0, 0, 1, 1], [2, 0, 3, 1]], dtype=float)
+    a, cx, cy = rect_union_stats(r)
+    assert a == 2.0 and cx == 1.5 and cy == 0.5
+    # 50% overlap pair
+    r = np.array([[0, 0, 2, 2], [1, 0, 3, 2]], dtype=float)
+    a, cx, cy = rect_union_stats(r)
+    assert a == 6.0 and cx == 1.5 and cy == 1.0
+    # chain A-B-C where A∩C = ∅
+    r = np.array([[0, 0, 2, 1], [1, 0, 4, 1], [3, 0, 6, 1]], dtype=float)
+    a, cx, cy = rect_union_stats(r)
+    assert a == 6.0 and cx == 3.0 and cy == 0.5
+    # touching squares count once along the shared edge
+    r = np.array([[0, 0, 1, 1], [1, 0, 2, 1]], dtype=float)
+    a, cx, cy = rect_union_stats(r)
+    assert a == 2.0 and cx == 1.0
+
+
+def test_dissolve_chain_component(spark):
+    """A-B-C overlap chain collapses to one component even though A∩C=∅."""
+    from greenex_py_spark.operators.dissolve import dissolve_rects
+
+    pdf = pd.DataFrame(
+        {
+            "gs_id": [1, 2, 3, 9],
+            "minx": [100000.0, 100100.0, 100300.0, 105000.0],
+            "miny": [450000.0] * 3 + [455000.0],
+            "maxx": [100200.0, 100400.0, 100600.0, 105100.0],
+            "maxy": [450100.0] * 3 + [455100.0],
+            "area": [0.0] * 4,
+            "cx": [0.0] * 4, "cy": [0.0] * 4,
+            "tag": ["a", "b", "c", "z"],
+        }
+    )
+    out = dissolve_rects(spark.createDataFrame(pdf)).toPandas().sort_values("component")
+    assert out.component.tolist() == [1, 9]
+    chain = out[out.component == 1].iloc[0]
+    assert chain.n_members == 3 and chain.tag == "a"
+    want_a, want_cx, want_cy = rect_union_stats(
+        pdf[pdf.gs_id < 9][["minx", "miny", "maxx", "maxy"]].to_numpy(float)
+    )
+    assert chain.area == want_a and chain.cx == want_cx and chain.cy == want_cy
+
+
+def test_accessibility_clamp_quirks(spark):
+    """§2.9: outcome evaluated before clamp; miss ⇒ distance == target."""
+    from greenex_py_spark.operators.accessibility import shortest_distance_greenspace
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3],
+                      "x": [100050.0, 103000.0, 100280.0],
+                      "y": [450050.0, 453000.0, 450050.0]})
+    )
+    # one green: rect [100000..100100]² area 10000, centroid (100050, 450050)
+    greens = spark.createDataFrame(
+        pd.DataFrame({"gs_id": [1], "minx": [100000.0], "miny": [450000.0],
+                      "maxx": [100100.0], "maxy": [450100.0], "area": [10000.0],
+                      "cx": [100050.0], "cy": [450050.0]})
+    )
+    out = (
+        shortest_distance_greenspace(pts, greens, target_dist=200.0, min_area=400.0)
+        .toPandas().set_index("id").sort_index()
+    )
+    # id1 sits on the centroid: dist 0, within
+    assert bool(out.loc[1, "greenspace_within"]) and out.loc[1, "distance_to_greenspace"] == 0.0
+    # id2 is ~4km away: no candidate → clamped to exactly 200, not within
+    assert not bool(out.loc[2, "greenspace_within"])
+    assert out.loc[2, "distance_to_greenspace"] == 200.0
+    # id3: rect within 200 (dist to rect 180) but centroid at 230 → candidate
+    # exists, min centroid dist 230 > target → outcome False AND clamped
+    assert not bool(out.loc[3, "greenspace_within"])
+    assert out.loc[3, "distance_to_greenspace"] == 200.0
+
+
+def test_landcover_percentages_sum_to_100(spark, sf_dir):
+    from greenex_py_spark.driver_queries import q_landcover_pct
+
+    out = q_landcover_pct(spark, sf_dir).toPandas()
+    cls = [c for c in out.columns if c.startswith("class_")]
+    sums = out[cls].map(lambda s: float(s.rstrip("%"))).sum(axis=1)
+    assert ((sums - 100.0).abs() < 0.01).all()
+
+
+def test_pip_property_vs_oracle(spark):
+    """Random-ish polygons: Spark PiP join == NumPy ray-cast oracle."""
+    from greenex_py_spark.operators.spatial_join import point_in_polygon_join
+
+    rng = np.random.default_rng(7)
+    polys = []
+    for k in range(5):
+        n = 5 + k
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(50, 200, n)
+        cx = 100000.0 + 1000.0 * (k + 1)
+        cy = 450000.0 + 777.0 * (k + 1)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        polys.append(
+            dict(gs_id=k, rings=[ring.ravel().tolist()],
+                 minx=ring[:, 0].min(), miny=ring[:, 1].min(),
+                 maxx=ring[:, 0].max(), maxy=ring[:, 1].max())
+        )
+    px = rng.uniform(100000, 106000, 400)
+    py = rng.uniform(450000, 456000, 400)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(400), "x": px, "y": py})
+    )
+    pdf = spark.createDataFrame(
+        pd.DataFrame(polys),
+        schema="gs_id long, rings array<array<double>>, minx double, miny double, maxx double, maxy double",
+    )
+    got = (
+        point_in_polygon_join(pts, pdf, point_key="id")
+        .select("id", "gs_id").toPandas().sort_values(["id", "gs_id"]).reset_index(drop=True)
+    )
+    want = []
+    for p in polys:
+        ring = np.asarray(p["rings"][0]).reshape(-1, 2)
+        inside = kernels.points_in_polygon(px, py, [ring])
+        want.extend((int(i), p["gs_id"]) for i in np.nonzero(inside)[0])
+    want = pd.DataFrame(want, columns=["id", "gs_id"]).sort_values(["id", "gs_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_text_byte_identity(spark, sf_dir):
+    """input_hint invariant: text survives the spatial pipeline
+    byte-identically per doc."""
+    import hashlib
+
+    from greenex_py_spark.data import driver_city as city
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    before = {
+        r["doc_id"]: hashlib.sha256(r["text"].encode()).hexdigest()
+        for r in docs.collect()
+    }
+    routed = (
+        docs.join(city.with_cell(city.points_df(spark, sf_dir)), "doc_id")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(routed) == len(before)
+    for r in routed:
+        assert hashlib.sha256(r["text"].encode()).hexdigest() == before[r["doc_id"]]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates recover every exact-Jaccard pair ≥ threshold on the
+    planted corpus (16 perms / 4 bands at τ=0.6 ⇒ near-1 recall)."""
+    from greenex_py_spark.driver_queries import _corpus_df
+    from greenex_py_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    corpus = _corpus_df(spark, sf_dir)
+    exact = ngram_jaccard_pairs(corpus, threshold=0.6).toPandas()
+    lsh = minhash_lsh_pairs(corpus, threshold=0.6).toPandas()
+    e = set(zip(exact.id_a, exact.id_b))
+    l = set(zip(lsh.id_a, lsh.id_b))
+    assert l <= e  # verification step guarantees no false positives
+    assert len(l) / max(len(e), 1) >= 0.95
+
+
+def test_simhash_near_dup_hamming(spark, sf_dir):
+    """Planted near-clones (one word dropped) sit within small hamming
+    distance of their originals."""
+    from greenex_py_spark.driver_queries import _corpus_df
+    from greenex_py_spark.functions.dedup import simhash
+
+    fp = simhash(_corpus_df(spark, sf_dir)).toPandas().set_index("id")["simhash"]
+    orig = [i for i in fp.index if i < 1000000 and (i % 25 == 1) and (i + 2000000) in fp.index]
+    assert orig
+    hams = [bin(int(fp[i]) ^ int(fp[i + 2000000])).count("1") for i in orig]
+    assert np.mean(hams) <= 4.0
