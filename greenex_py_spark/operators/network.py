@@ -380,7 +380,7 @@ def greenspace_pct_isochrone(
 
     g = city.greenspace_numpy()
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (pid,) = key
         mask, (ix0, iy0) = isochrone_raster_mask(
             pdf, res, city.X0, city.Y0, int(city.EXTENT / res), edge_buff

@@ -258,3 +258,217 @@ def cover_percentage_circle32(
             ).alias(out_col),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unified AoI table + masked zonal stats (euclidean / isochrone / polygon
+# AoIs are interchangeable inputs — SURVEY.md §7.3 item 5)
+# ---------------------------------------------------------------------------
+
+AOI_SCHEMA = (
+    "id long, kind string, x double, y double, r double, "
+    "sax array<double>, say array<double>, sbx array<double>, sby array<double>, "
+    "rings array<array<double>>, minx double, miny double, maxx double, maxy double"
+)
+
+
+def aoi_circle(points: DataFrame, radius: float, id_col: str = "id") -> DataFrame:
+    """AoI rows for euclidean buffers (availability.py:236)."""
+    return points.select(
+        F.col(id_col).alias("id"), F.lit("circle").alias("kind"),
+        "x", "y", F.lit(float(radius)).alias("r"),
+        F.lit(None).cast("array<double>").alias("sax"),
+        F.lit(None).cast("array<double>").alias("say"),
+        F.lit(None).cast("array<double>").alias("sbx"),
+        F.lit(None).cast("array<double>").alias("sby"),
+        F.lit(None).cast("array<array<double>>").alias("rings"),
+        (F.col("x") - radius).alias("minx"), (F.col("y") - radius).alias("miny"),
+        (F.col("x") + radius).alias("maxx"), (F.col("y") + radius).alias("maxy"),
+    )
+
+
+def aoi_isochrone(
+    points: DataFrame, nodes: DataFrame, edges: DataFrame,
+    radius: float, edge_buff: float = 25.0, id_col: str = "id",
+) -> DataFrame:
+    """AoI rows for network buffers: the induced ego-edge capsule set
+    (make_iso_poly, availability.py:1042-1065); PoIs with no reached
+    edge get no row (reference: None geometry → NaN metrics)."""
+    from .network import isochrone_edges
+
+    segs = isochrone_edges(points, nodes, edges, radius, id_col)
+    return (
+        segs.groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.collect_list("ax").alias("sax"), F.collect_list("ay").alias("say"),
+            F.collect_list("bx").alias("sbx"), F.collect_list("by").alias("sby"),
+            (F.least(F.min("ax"), F.min("bx")) - edge_buff).alias("minx"),
+            (F.least(F.min("ay"), F.min("by")) - edge_buff).alias("miny"),
+            (F.greatest(F.max("ax"), F.max("bx")) + edge_buff).alias("maxx"),
+            (F.greatest(F.max("ay"), F.max("by")) + edge_buff).alias("maxy"),
+        )
+        .select(
+            "id", F.lit("iso").alias("kind"),
+            F.lit(None).cast("double").alias("x"), F.lit(None).cast("double").alias("y"),
+            F.lit(float(edge_buff)).alias("r"),
+            "sax", "say", "sbx", "sby",
+            F.lit(None).cast("array<array<double>>").alias("rings"),
+            "minx", "miny", "maxx", "maxy",
+        )
+    )
+
+
+def aoi_polygon(polys: DataFrame, id_col: str = "id") -> DataFrame:
+    """AoI rows for raw polygon PoIs (availability.py:232); expects
+    [id, rings, minx..maxy]."""
+    return polys.select(
+        F.col(id_col).alias("id"), F.lit("polygon").alias("kind"),
+        F.lit(None).cast("double").alias("x"), F.lit(None).cast("double").alias("y"),
+        F.lit(None).cast("double").alias("r"),
+        F.lit(None).cast("array<double>").alias("sax"),
+        F.lit(None).cast("array<double>").alias("say"),
+        F.lit(None).cast("array<double>").alias("sbx"),
+        F.lit(None).cast("array<double>").alias("sby"),
+        "rings", "minx", "miny", "maxx", "maxy",
+    )
+
+
+def _aoi_mask(aoi_row, cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """Pixel-center membership for one AoI row; (len(cy), len(cx)) bool."""
+    from ..geo.kernels import points_in_polygon
+
+    X, Y = np.meshgrid(cx, cy)
+    kind = aoi_row["kind"]
+    if kind == "circle":
+        return (X - aoi_row["x"]) ** 2 + (Y - aoi_row["y"]) ** 2 <= aoi_row["r"] ** 2
+    if kind == "polygon":
+        rings = [np.asarray(rg, dtype=np.float64).reshape(-1, 2) for rg in aoi_row["rings"]]
+        return points_in_polygon(X.ravel(), Y.ravel(), rings).reshape(X.shape)
+    # iso: capsule union + hole fill (Polygon(exterior) raster equivalence)
+    ax = np.asarray(aoi_row["sax"], float); ay = np.asarray(aoi_row["say"], float)
+    bx = np.asarray(aoi_row["sbx"], float); by = np.asarray(aoi_row["sby"], float)
+    eb = float(aoi_row["r"])
+    mask = np.zeros(X.shape, dtype=bool)
+    for k in range(len(ax)):
+        dx, dy = bx[k] - ax[k], by[k] - ay[k]
+        l2 = dx * dx + dy * dy or 1.0
+        t = np.clip(((X - ax[k]) * dx + (Y - ay[k]) * dy) / l2, 0.0, 1.0)
+        mask |= (X - (ax[k] + t * dx)) ** 2 + (Y - (ay[k] + t * dy)) ** 2 <= eb * eb
+    if mask.any():
+        from ..operators.network import isochrone_raster_mask  # noqa: F401 (fill below)
+        outside = np.zeros_like(mask)
+        import collections
+        dq = collections.deque()
+        H, W = mask.shape
+        for i in range(H):
+            for j in (0, W - 1):
+                if not mask[i, j] and not outside[i, j]:
+                    outside[i, j] = True; dq.append((i, j))
+        for j in range(W):
+            for i in (0, H - 1):
+                if not mask[i, j] and not outside[i, j]:
+                    outside[i, j] = True; dq.append((i, j))
+        while dq:
+            i, j = dq.popleft()
+            for ni, nj in ((i - 1, j), (i + 1, j), (i, j - 1), (i, j + 1)):
+                if 0 <= ni < H and 0 <= nj < W and not mask[ni, nj] and not outside[ni, nj]:
+                    outside[ni, nj] = True; dq.append((ni, nj))
+        mask = ~outside
+    return mask
+
+
+def zonal_stats_aoi(
+    aoi: DataFrame,
+    tiles: DataFrame,
+    stat: str = "mean_std",
+    clip_min0: bool = True,
+    class_values: list[int] | None = None,
+    tile_px: int = city.TILE_PX,
+    res: float = city.RES,
+    out_prefix: str = "NDVI",
+    col_prefix: str = "class_",
+) -> DataFrame:
+    """Masked zonal statistics over arbitrary AoIs.
+
+    Plan: AoI bbox → tile-span explode (codegen) → equi-join to tiles →
+    ``groupBy(id)`` Arrow kernel assembles the AoI-window mosaic, builds
+    the mask (circle / capsule+fill / ray-cast), emits the stat.
+    Hole-filling makes iso masks non-local, so this path groups per AoI
+    (window-sized mosaic per id) — the pure-circle cogroup path
+    (zonal_mean_std) stays the per-tile-partial fast path.
+    """
+    tile_m = tile_px * res
+    n_tiles = (city.NPX + tile_px - 1) // tile_px
+    tx0 = F.greatest(F.lit(0), F.floor((F.col("minx") - city.X0) / tile_m)).cast("int")
+    tx1 = F.least(F.lit(n_tiles - 1), F.floor((F.col("maxx") - city.X0) / tile_m)).cast("int")
+    ty0 = F.greatest(F.lit(0), F.floor((F.col("miny") - city.Y0) / tile_m)).cast("int")
+    ty1 = F.least(F.lit(n_tiles - 1), F.floor((F.col("maxy") - city.Y0) / tile_m)).cast("int")
+    spanned = (
+        aoi.withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+        .withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+    )
+    joined = spanned.join(tiles, ["tx", "ty"])
+
+    classes = class_values or []
+
+    def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+        a = kdf.iloc[0]
+        ix0 = max(0, int(np.floor((a["minx"] - city.X0) / res)))
+        ix1 = min(city.NPX - 1, int(np.floor((a["maxx"] - city.X0) / res)))
+        iy0 = max(0, int(np.floor((a["miny"] - city.Y0) / res)))
+        iy1 = min(city.NPX - 1, int(np.floor((a["maxy"] - city.Y0) / res)))
+        W = ix1 - ix0 + 1
+        H = iy1 - iy0 + 1
+        mos = np.full((H, W), np.nan)
+        for t in kdf.itertuples(index=False):
+            arr = np.asarray(t.px, dtype=np.float64).reshape(t.h, t.w)
+            gx0 = int(t.tx) * tile_px
+            gy0 = int(t.ty) * tile_px
+            sx0 = max(ix0, gx0); sx1 = min(ix1, gx0 + t.w - 1)
+            sy0 = max(iy0, gy0); sy1 = min(iy1, gy0 + t.h - 1)
+            if sx1 < sx0 or sy1 < sy0:
+                continue
+            mos[sy0 - iy0 : sy1 - iy0 + 1, sx0 - ix0 : sx1 - ix0 + 1] = (
+                arr[sy0 - gy0 : sy1 - gy0 + 1, sx0 - gx0 : sx1 - gx0 + 1]
+            )
+        cx = city.X0 + (np.arange(ix0, ix1 + 1) + 0.5) * res
+        cy = city.Y0 + (np.arange(iy0, iy1 + 1) + 0.5) * res
+        mask = _aoi_mask(a, cx, cy) & ~np.isnan(mos)
+        v = mos[mask]
+        if stat == "classes":
+            if v.size == 0:
+                return pd.DataFrame({"id": [], "cls": [], "cnt": []})
+            cls, cnt = np.unique(v.astype(np.int64), return_counts=True)
+            return pd.DataFrame({"id": a["id"], "cls": cls, "cnt": cnt})
+        if v.size == 0:
+            return pd.DataFrame({"id": [a["id"]], "s": [np.nan], "s2": [np.nan], "n": [0]})
+        if clip_min0:
+            v = np.maximum(v, 0.0)
+        return pd.DataFrame(
+            {"id": [a["id"]], "s": [v.sum()], "s2": [(v * v).sum()], "n": [v.size]}
+        )
+
+    if stat == "classes":
+        partials = joined.groupBy("id").applyInPandas(kernel, schema="id long, cls long, cnt long")
+        counts = partials.groupBy("id", "cls").agg(F.sum("cnt").alias("cnt"))
+        from pyspark.sql import Window as _W
+
+        total = F.sum("cnt").over(_W.partitionBy("id"))
+        pct = counts.withColumn(
+            "pct", F.concat(F.round(F.col("cnt") / total * 100.0, 3).cast("string"), F.lit("%"))
+        )
+        pivoted = pct.groupBy("id").pivot("cls", classes).agg(F.first("pct"))
+        return pivoted.select(
+            "id",
+            *[F.coalesce(F.col(str(vv)), F.lit("0.0%")).alias(f"{col_prefix}{vv}") for vv in classes],
+        )
+    partials = joined.groupBy("id").applyInPandas(kernel, schema="id long, s double, s2 double, n long")
+    n = F.col("n")
+    mean = F.col("s") / n
+    var = F.col("s2") / n - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return partials.select(
+        "id",
+        F.when(n > 0, F.round(mean, 3)).alias(f"mean_{out_prefix}"),
+        F.when(n > 0, F.round(std, 3)).alias(f"std_{out_prefix}"),
+    )
