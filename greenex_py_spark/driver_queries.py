@@ -505,31 +505,45 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_embedding_neardup",
-    f"""
-WITH p AS (
+    """
+WITH emb2 AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [CAST(embedding[1] AS DOUBLE) + 0.05]
+           || list_transform(embedding[2:], e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 100
+),
+p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round({_DOT.format(a='a.embedding', b='b.embedding')}
-               / ({_NRM.format(a='a.embedding')} * {_NRM.format(a='b.embedding')}), 6) AS sim
-  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         round(list_sum(list_transform(list_zip(a.v, b.v), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.v, e -> e * e)))
+                * sqrt(list_sum(list_transform(b.v, e -> e * e)))), 6) AS sim
+  FROM emb2 a, emb2 b WHERE a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, sim FROM p WHERE sim >= 0.8
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.99
 """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact variant (threshold high enough that LSH bucketing isn't needed
-    # for the oracle comparison; the bucketed scale path is q_lsh_ann)
-    from .functions.similarity import cosine_pairs, with_norm, _dot
+    """Exact embedding near-dup sweep (block-matmul cogroup) over the
+    corpus plus planted perturbed clones (vec_id+1e6, first coord +0.05);
+    the LSH-bucketed scale path is exercised by q_lsh_ann."""
+    from .functions.similarity import cosine_pairs_blocked
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = with_norm(emb, "embedding").select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_nrm").alias("_na")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda e: e.cast("double")).alias("embedding")
     )
-    b = with_norm(emb, "embedding").select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_nrm").alias("_nb")
+    clones = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + 0.05),
+            F.transform(F.slice("embedding", 2, 10000), lambda e: e.cast("double")),
+        ).alias("embedding"),
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
-    return pairs.withColumn("sim", sim).filter(F.col("sim") >= 0.8).select("id_a", "id_b", "sim")
+    return cosine_pairs_blocked(
+        base.unionByName(clones), threshold=0.99, block_rows=1024
+    )
 
 
 @register(

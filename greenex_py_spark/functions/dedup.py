@@ -112,6 +112,15 @@ def _shingle_int(col):
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def _perm_consts(num_perm: int) -> list[tuple[int, int]]:
+    """(a_j, b_j) for permutation j: a=(j+1)·2654435761 mod P,
+    b=(j+1)·40503 mod P."""
+    return [
+        (((j + 1) * 2654435761) % P_MOD, ((j + 1) * 40503) % P_MOD)
+        for j in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 16,
@@ -121,25 +130,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """[id, j, mh] — min-hash signature rows (one per permutation).
 
-    Permutation j: ``h_j(sid) = (a_j·sid + b_j) mod P`` with
-    a_j = (j+1)·2654435761 mod P, b_j = (j+1)·40503 mod P.
-    Relational shape: shingles × perms (tiny broadcast of a range) →
-    groupBy(id, j).min — partial aggregation makes the explode cheap.
+    All permutations aggregate in ONE groupBy as num_perm min-columns
+    (partial aggregation, single shuffle of the shingle table — a
+    shingles×perms explode costs num_perm× the shuffle for nothing),
+    then unpivot to rows.
     """
-    sh = shingles(df, k, id_col, text_col).withColumn("sid", _shingle_int(F.col("sh"))% SID_MOD)
-    perms = F.broadcast(
-        df.sparkSession.range(num_perm)
-        .select(
-            F.col("id").cast("int").alias("j"),
-            (F.pmod((F.col("id") + 1) * 2654435761, F.lit(P_MOD))).alias("a"),
-            (F.pmod((F.col("id") + 1) * 40503, F.lit(P_MOD))).alias("b"),
-        )
-    )
-    return (
-        sh.crossJoin(perms)
-        .groupBy("id", "j")
-        .agg(F.min(F.pmod(F.col("a") * F.col("sid") + F.col("b"), F.lit(P_MOD))).alias("mh"))
-    )
+    sh = shingles(df, k, id_col, text_col).withColumn("sid", _shingle_int(F.col("sh")) % SID_MOD)
+    aggs = [
+        F.min(F.pmod(F.col("sid") * F.lit(a) + F.lit(b), F.lit(P_MOD))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_perm_consts(num_perm))
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    stack = ", ".join(f"{j}, mh{j}" for j in range(num_perm))
+    return wide.selectExpr("id", f"stack({num_perm}, {stack}) AS (j, mh)")
 
 
 def minhash_lsh_pairs(
@@ -160,13 +163,30 @@ def minhash_lsh_pairs(
     boilerplate defusal) before the pair self-join.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, num_perm, k, id_col, text_col)
-    pw = F.pow(F.lit(31.0), (F.col("j") % rows_per_band).cast("double")).cast("long")
-    band_sig = (
-        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.sum(F.pmod(F.col("mh") * pw, F.lit(P_MOD))).alias("bsig"))
-    )
+    # shingles feed both the signature path and the exact-verify path —
+    # cache once (plan inspection showed a full recompute otherwise)
+    sh = shingles(df, k, id_col, text_col).withColumn(
+        "sid", _shingle_int(F.col("sh")) % SID_MOD
+    ).cache()
+    # one groupBy produces all num_perm min-hashes as columns (single
+    # shuffle), band signatures fold columns arithmetically, then
+    # unpivot to (id, band, bsig) rows for the bucket join
+    consts = _perm_consts(num_perm)
+    aggs = [
+        F.min(F.pmod(F.col("sid") * F.lit(a) + F.lit(b), F.lit(P_MOD))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(consts)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    band_cols = []
+    for b in range(bands):
+        terms = None
+        for r in range(rows_per_band):
+            t = F.pmod(F.col(f"mh{b * rows_per_band + r}") * F.lit(31 ** r), F.lit(P_MOD))
+            terms = t if terms is None else terms + t
+        band_cols.append(terms.alias(f"bs{b}"))
+    wide = wide.select("id", *band_cols)
+    stack = ", ".join(f"{b}, bs{b}" for b in range(bands))
+    band_sig = wide.selectExpr("id", f"stack({bands}, {stack}) AS (band, bsig)")
     # defuse hot buckets
     bucket_ok = (
         band_sig.groupBy("band", "bsig").agg(F.count("*").alias("bn"))
@@ -181,8 +201,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verify on the candidates only
-    sh = shingles(df, k, id_col, text_col)
+    # exact verify on the candidates only (reuses the cached shingles)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh"})
     b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh"})
@@ -216,23 +235,19 @@ def simhash(
         df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .withColumn("th", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
     )
-    bpos = F.broadcast(
-        df.sparkSession.range(bits).select(
-            F.col("id").cast("int").alias("b"),
-            F.pow(F.lit(2.0), F.col("id").cast("double")).cast("long").alias("pw"),
-        )
+    # all bit votes in ONE groupBy (bits as agg columns — a token×bits
+    # explode multiplies the shuffle by `bits` for nothing)
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum((F.shiftright(F.col("th"), b) % 2) * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    votes = (
-        toks.crossJoin(bpos)
-        .withColumn("bit", F.floor(F.col("th") / F.col("pw")) % 2)
-        .groupBy("id", "b", "pw")
-        .agg(F.sum(F.col("bit") * 2 - 1).alias("v"))
-    )
-    return (
-        votes.withColumn("fpbit", F.when(F.col("v") > 0, F.col("pw")).otherwise(F.lit(0)))
-        .groupBy("id")
-        .agg(F.sum("fpbit").alias("simhash"))
-    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(

@@ -39,21 +39,53 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def nearest_node(points: DataFrame, nodes: DataFrame, id_col: str = "id") -> DataFrame:
-    """[id, x, y, node_id, penalty_home] — 1-NN snap, tie-break node_id."""
-    n = F.broadcast(nodes.select("node_id", F.col("x").alias("nx"), F.col("y").alias("ny")))
+def nearest_node(
+    points: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_snap_dist: float = 300.0,
+) -> DataFrame:
+    """[id, x, y, node_id, penalty_home] — 1-NN snap, tie-break node_id.
+
+    Cell-prefiltered (J3 machinery): node rows replicate to the cells a
+    ``max_snap_dist`` disk can reach (bounded cover explode, broadcast),
+    the probe equi-joins on its cell, and the per-point window ranks the
+    few local candidates — not a points×nodes cross join.  Points with
+    no node inside ``max_snap_dist`` fall back to a full scan (rare by
+    construction: street networks are denser than the snap bound).
+    """
+    from .spatial_join import bbox_cover_cells, with_point_cell
+
+    n_src = nodes.select("node_id", F.col("x").alias("nx"), F.col("y").alias("ny"))
+    cover = bbox_cover_cells(
+        n_src.withColumn("minx", F.col("nx")).withColumn("miny", F.col("ny"))
+        .withColumn("maxx", F.col("nx")).withColumn("maxy", F.col("ny")),
+        pad=max_snap_dist,
+    ).drop("minx", "miny", "maxx", "maxy")
+    pts = with_point_cell(points.select(id_col, "x", "y"))
     ddx = F.col("nx") - F.col("x")
     ddy = F.col("ny") - F.col("y")
     d = F.sqrt(ddx * ddx + ddy * ddy)
     w = Window.partitionBy(id_col).orderBy(F.col("penalty_home").asc(), F.col("node_id").asc())
-    return (
-        points.select(id_col, "x", "y")
-        .join(n)
+    snapped = (
+        pts.join(F.broadcast(cover), "cell")
+        .withColumn("penalty_home", d)
+        .filter(F.col("penalty_home") <= max_snap_dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "nx", "ny", "cell")
+    )
+    # fallback full scan for points beyond max_snap_dist (keeps the
+    # operator total — same contract as ox.distance.nearest_nodes)
+    missed = pts.join(snapped.select(id_col), id_col, "left_anti")
+    fallback = (
+        missed.join(F.broadcast(n_src))
         .withColumn("penalty_home", d)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "nx", "ny")
+        .drop("_rn", "nx", "ny", "cell")
     )
+    return snapped.unionByName(fallback)
 
 
 # ---------------------------------------------------------------------------
