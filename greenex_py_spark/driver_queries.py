@@ -844,6 +844,134 @@ def q_viewshed_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event-stream analytics (windowed aggs + sessionization — the batch
+# mirror of streaming/ingest's watermarked path, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_windows",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents,
+       CAST(floor(CAST(round(sum(value) * 100) AS BIGINT) * 100.0 / count(*)) AS BIGINT)
+         AS avg_e4
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (the batch twin of the
+    watermarked streaming agg in streaming/ingest.windowed_counts)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n_events", "sum_cents",
+            # integer-exact average (1e-4 units): value data has 2
+            # decimals, so sum_cents is exact — float rounding of
+            # near-half averages can't diverge between engines
+            F.floor(F.col("sum_cents") * 100.0 / F.col("n_events")).cast("long").alias("avg_e4"),
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g
+)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end
+FROM s GROUP BY user_id, sess_no
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → flag → running
+    sum → session key, all window functions (the batch equivalent of
+    ``applyInPandasWithState`` session windows)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sess_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sess_end"),
+    )
+
+
+@register(
+    "q_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+       CAST(floor(sum(CAST(round(l_quantity) AS BIGINT)) * 10000.0 / count(*)) AS BIGINT) AS avg_qty_e4,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped relational sanity check: predicate pushdown +
+    two-phase agg on the biggest driver table."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .withColumn("qty_i", F.round("l_quantity").cast("long"))
+        .withColumn("cents", F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .withColumn("disc_i", F.round(F.col("l_discount") * 100).cast("long"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # integer-domain money math: exact and engine-independent
+            # (per-row 2dp values -> cents; discount -> percent points)
+            F.sum("qty_i").alias("sum_qty"),
+            F.sum("cents").alias("sum_base_cents"),
+            F.sum(F.col("cents") * (100 - F.col("disc_i"))).alias("sum_disc_e4"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty_e4",
+            F.floor(F.col("sum_qty") * 10000.0 / F.col("count_order")).cast("long"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+                "sum_disc_e4", "avg_qty_e4", "count_order")
+    )
+
+
+# ---------------------------------------------------------------------------
 # entry() flagship: geocode → cell assignment → PiP join (sf0.001)
 # ---------------------------------------------------------------------------
 
