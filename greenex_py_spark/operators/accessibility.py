@@ -24,6 +24,7 @@ plan is one WholeStageCodegen span per side plus the join.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,4 +123,68 @@ def nearest_k(
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= k)
         .drop("_tx", "_ty")
+    )
+
+
+def rect_buffer_candidates_polygon32(
+    points: DataFrame,
+    greens: DataFrame,
+    target_dist: float,
+    min_area: float,
+    broadcast_greens: bool = True,
+) -> DataFrame:
+    """Reference-exact candidate set: a greenspace is a candidate iff its
+    polygon intersects the **32-segment buffer polygon** (shapely's
+    ``Point.buffer`` default the reference clips against,
+    accessibility.py:228) — not the true circle.  The two differ in a
+    ~1.4 m sagitta band at target_dist=300; `rect_buffer_candidates`
+    (circle test) is the SQL-checkable engine default.
+    """
+    from pyspark.sql import types as T
+
+    from ..geo.kernels import box_ring, circle_polygon, clip_area
+    from .spatial_join import cell_candidates
+
+    g = greens.filter(F.col("area") >= F.lit(min_area))
+    cand = cell_candidates(points, g, pad=float(target_dist), broadcast_cover=broadcast_greens)
+
+    @F.pandas_udf(T.BooleanType())
+    def intersects32(x: pd.Series, y: pd.Series, minx: pd.Series, miny: pd.Series,
+                     maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(x)):
+            buf = circle_polygon(float(x.iloc[i]), float(y.iloc[i]), float(target_dist))
+            rect = [box_ring(float(minx.iloc[i]), float(miny.iloc[i]),
+                             float(maxx.iloc[i]), float(maxy.iloc[i]))]
+            out.append(clip_area(rect, buf) > 0.0)
+        return pd.Series(out)
+
+    return cand.filter(intersects32("x", "y", "minx", "miny", "maxx", "maxy"))
+
+
+def shortest_distance_greenspace_exact(
+    points: DataFrame,
+    greens: DataFrame,
+    target_dist: float = 300.0,
+    min_area: float = 400.0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Euclidean/centroids with the reference-exact 32-gon candidate set
+    (golden-parity path; tests/test_reference_parity.py)."""
+    cand = rect_buffer_candidates_polygon32(points, greens, target_dist, min_area)
+    d2 = (F.col("cx") - F.col("x")) ** 2 + (F.col("cy") - F.col("y")) ** 2
+    near = (
+        cand.select(id_col, F.sqrt(d2).alias("dist"))
+        .groupBy(id_col)
+        .agg(F.round(F.min("dist"), 0).alias("min_dist"))
+    )
+    td = F.lit(float(target_dist))
+    return (
+        points.select(id_col).distinct()
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("min_dist") <= td, F.lit(False)).alias("greenspace_within"),
+            F.coalesce(F.least(F.col("min_dist"), td), td).alias("distance_to_greenspace"),
+        )
     )
