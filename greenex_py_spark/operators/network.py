@@ -447,3 +447,110 @@ def greenspace_pct_isochrone(
             ).alias(out_col),
         )
     )
+
+
+def entrance_nodes_clipped(
+    points: DataFrame,
+    greens: DataFrame,
+    reach: DataFrame,
+    target_dist: float,
+    tol: float = 20.0,
+    id_col: str = "id",
+) -> DataFrame:
+    """[id, gs_id, node_id, ex, ey] — reference-exact entrance detection:
+    nodes within ``tol`` of the boundary of the greenspace *clipped to
+    the PoI's 32-gon buffer* (accessibility.py:228+245 operate on the
+    clipped GeoDataFrame, so clip arcs count as boundary).
+
+    Per-PoI Arrow kernel over a cogroup of (candidate greens, ego
+    nodes); heavier than the rect-boundary default
+    (`entrance_nodes_rect`, used by the SQL-checkable gate query).
+    """
+    from ..geo.kernels import (
+        box_ring, circle_polygon, clip_polygon_convex, points_to_ring_distance,
+    )
+
+    # candidate greens per PoI (32-gon intersect test happens in-kernel
+    # via the clip itself)
+    pdx = F.greatest(F.lit(0.0), F.col("minx") - F.col("x"), F.col("x") - F.col("maxx"))
+    pdy = F.greatest(F.lit(0.0), F.col("miny") - F.col("y"), F.col("y") - F.col("maxy"))
+    cand = points.select(id_col, "x", "y").join(
+        F.broadcast(greens.select("gs_id", "minx", "miny", "maxx", "maxy")),
+        (pdx * pdx + pdy * pdy) <= F.lit(float(target_dist) ** 2),
+    )
+    npos = reach  # [id, node_id, net_dist] joined with coords by caller
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "gs_id", "node_id", "ex", "ey"]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        px = float(left["x"].iloc[0])
+        py = float(left["y"].iloc[0])
+        pid = left[id_col].iloc[0]
+        buf = circle_polygon(px, py, float(target_dist))
+        nx = right["ex"].to_numpy(float)
+        ny = right["ey"].to_numpy(float)
+        nid = right["node_id"].to_numpy(np.int64)
+        out = []
+        for gr in left.itertuples(index=False):
+            rect = [box_ring(gr.minx, gr.miny, gr.maxx, gr.maxy)]
+            clipped = clip_polygon_convex(rect, buf)
+            if not clipped:
+                continue
+            d = points_to_ring_distance(nx, ny, clipped[0])
+            for hole in clipped[1:]:
+                d = np.minimum(d, points_to_ring_distance(nx, ny, hole))
+            hit = d < tol
+            out.extend((pid, gr.gs_id, int(nid[i]), nx[i], ny[i]) for i in np.nonzero(hit)[0])
+        return pd.DataFrame(out, columns=cols) if out else pd.DataFrame({c: [] for c in cols})
+
+    return (
+        cand.groupBy(id_col)
+        .cogroup(npos.groupBy(id_col))
+        .applyInPandas(kernel, schema=f"{id_col} long, gs_id long, node_id long, ex double, ey double")
+    )
+
+
+def shortest_distance_greenspace_network_exact(
+    points: DataFrame,
+    greens: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    target_dist: float = 300.0,
+    min_area: float = 400.0,
+    destination: str = "centroids",
+    id_col: str = "id",
+) -> DataFrame:
+    """Network accessibility with reference-exact clipped-boundary
+    entrances (golden-parity path; the rect-boundary variant is the
+    gate default)."""
+    g = greens.filter(F.col("area") >= F.lit(min_area))
+    snapped = nearest_node(points, nodes, id_col)
+    reach = bounded_network_distances(snapped, nodes, edges, target_dist * 1.5, id_col)
+    reach_pos = reach.join(
+        nodes.select("node_id", F.col("x").alias("ex"), F.col("y").alias("ey")), "node_id"
+    )
+    ent = entrance_nodes_clipped(points, g, reach_pos, target_dist, 20.0, id_col)
+    paths = (
+        ent.join(reach, [id_col, "node_id"])
+        .join(F.broadcast(g.select("gs_id", "cx", "cy")), "gs_id")
+        .join(snapped.select(id_col, "penalty_home"), id_col)
+    )
+    dist = F.col("net_dist") + F.col("penalty_home")
+    if destination == "centroids":
+        cdx = F.col("cx") - F.col("ex")
+        cdy = F.col("cy") - F.col("ey")
+        dist = dist + F.sqrt(cdx * cdx + cdy * cdy)
+    near = paths.select(id_col, dist.alias("d")).groupBy(id_col).agg(
+        F.round(F.min("d"), 0).alias("min_dist")
+    )
+    td = F.lit(float(target_dist))
+    return (
+        points.select(id_col).distinct()
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("min_dist") <= td, F.lit(False)).alias("greenspace_within"),
+            F.coalesce(F.least(F.col("min_dist"), td), td).alias("distance_to_greenspace"),
+        )
+    )

@@ -184,3 +184,55 @@ def test_simhash_near_dup_hamming(spark, sf_dir):
     assert orig
     hams = [bin(int(fp[i]) ^ int(fp[i + 2000000])).count("1") for i in orig]
     assert np.mean(hams) <= 4.0
+
+
+def test_isochrone_hole_fill(spark):
+    """radius 500 on the 200 m lattice induces edge loops; the capsule
+    union has (200-50)² holes that Polygon(exterior) semantics fill —
+    pixels at grid-square centers are ~>25 m from any segment but must
+    be inside the AoI (availability.py:1060-1062)."""
+    from greenex_py_spark.data import city_fixture as fx
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.operators.network import (
+        isochrone_edges, isochrone_raster_mask,
+    )
+
+    # PoI exactly on lattice node (25, 25)
+    px = city.X0 + 25 * fx.GRID_STEP
+    py = city.Y0 + 25 * fx.GRID_STEP
+    pts = spark.createDataFrame(pd.DataFrame({"id": [1], "x": [px], "y": [py]}))
+    nodes, edges = fx.network_dfs(spark)
+    segs = isochrone_edges(pts, nodes, edges, radius=500.0).toPandas()
+    assert len(segs) >= 8  # loops exist
+    filled, (ix0, iy0) = isochrone_raster_mask(segs, 5.0, city.X0, city.Y0, 2000, 25.0)
+    open_, _ = isochrone_raster_mask(
+        segs, 5.0, city.X0, city.Y0, 2000, 25.0, fill_holes=False
+    )
+    # grid-square center (100,100) m off the node = hole interior
+    hx, hy = px + 100.0, py + 100.0
+    jx = int((hx - city.X0) // 5.0) - ix0
+    jy = int((hy - city.Y0) // 5.0) - iy0
+    assert not open_[jy, jx]      # not in any capsule
+    assert filled[jy, jx]         # but inside the filled polygon
+    assert filled.sum() > open_.sum()
+
+
+def test_streetview_sampler_step_scheme(spark):
+    """select_points_on_road_network semantics: one direction per edge
+    (T6), points every 50 m endpoint-excluded (G6 step), geometry dedup
+    (T1) — on the 200 m lattice that's 4 points per undirected edge and
+    shared endpoints deduped."""
+    from greenex_py_spark.data import city_fixture as fx
+    from greenex_py_spark.operators.visibility import sample_points_streetview
+
+    _, edges = fx.network_dfs(spark)
+    pts = sample_points_streetview(edges, step=50.0).toPandas()
+    n_edges_undirected = fx.GRID_N * (fx.GRID_N - 1) * 2
+    # per edge: distances 0,50,100,150 → 4 pts, but the 0-point of an
+    # edge equals a node shared by up to 4 edges → dedup
+    n_nodes = fx.GRID_N * fx.GRID_N
+    # 3 interior points per undirected edge + one 0-distance point per
+    # distinct edge-start node; with src<dst canonicalization the
+    # top-right corner node never starts an edge → nodes-1
+    expected = n_edges_undirected * 3 + n_nodes - 1
+    assert len(pts) == expected

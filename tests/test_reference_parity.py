@@ -151,3 +151,94 @@ def test_golden_landcover(spark, pois3):
     assert out[cls].iloc[0].tolist() == [
         "19.949%", "20.025%", "20.025%", "19.949%", "20.051%"
     ]
+
+
+def _lattice_sssp(start_gx, start_gy, radius):
+    """Test-local Dijkstra on the 51×51/200 m lattice (plain BFS by
+    rings since all weights equal) — independent of the engine kernel."""
+    import collections
+
+    step = fx.GRID_STEP
+    dist = {(start_gx, start_gy): 0.0}
+    dq = collections.deque([(start_gx, start_gy)])
+    while dq:
+        gx, gy = dq.popleft()
+        d = dist[(gx, gy)]
+        for nx_, ny_ in ((gx+1, gy), (gx-1, gy), (gx, gy+1), (gx, gy-1)):
+            if 0 <= nx_ < fx.GRID_N and 0 <= ny_ < fx.GRID_N:
+                nd = d + step
+                if nd <= radius and nd < dist.get((nx_, ny_), 1e18):
+                    dist[(nx_, ny_)] = nd
+                    dq.append((nx_, ny_))
+    return dist
+
+
+def reference_network_centroids(px, py, greens, target, min_area):
+    """Transliteration of the reference's network+centroids path on the
+    lattice, with clipped-boundary entrances (accessibility.py:234-273)."""
+    # snap (tie-break node id = gy*51+gx — matches engine ordering)
+    best = None
+    for gy in range(fx.GRID_N):
+        for gx in range(fx.GRID_N):
+            nx_ = city.X0 + gx * fx.GRID_STEP
+            ny_ = city.Y0 + gy * fx.GRID_STEP
+            d = np.hypot(nx_ - px, ny_ - py)
+            nid = gy * fx.GRID_N + gx
+            if best is None or (d, nid) < best[:2]:
+                best = (d, nid, gx, gy)
+    penalty_home, _nid, sgx, sgy = best
+    sssp = _lattice_sssp(sgx, sgy, target * 1.5)
+    buf = kernels.circle_polygon(px, py, target)
+    dists = []
+    for i in range(len(greens["gs_id"])):
+        if greens["area"][i] < min_area:
+            continue
+        rect = [kernels.box_ring(greens["minx"][i], greens["miny"][i],
+                                 greens["maxx"][i], greens["maxy"][i])]
+        clipped = kernels.clip_polygon_convex(rect, buf)
+        if not clipped:
+            continue
+        for (gx, gy), nd in sssp.items():
+            ex = city.X0 + gx * fx.GRID_STEP
+            ey = city.Y0 + gy * fx.GRID_STEP
+            bd = kernels.points_to_ring_distance(
+                np.array([ex]), np.array([ey]), clipped[0]
+            )[0]
+            if bd < 20.0:
+                dists.append(
+                    nd + penalty_home
+                    + np.hypot(greens["cx"][i] - ex, greens["cy"][i] - ey)
+                )
+    if dists:
+        md = round(min(dists), 0)
+    else:
+        md = np.nan
+    outcome = bool(md <= target) if not np.isnan(md) else False
+    if np.isnan(md) or md > target:
+        md = target
+    return outcome, float(md)
+
+
+def test_network_exact_matches_reference_transliteration(spark):
+    from greenex_py_spark.operators.network import (
+        shortest_distance_greenspace_network_exact,
+    )
+
+    g = city.greenspace_numpy()
+    rng = np.random.default_rng(23)
+    n = 40
+    xs = rng.uniform(city.X0 + 500, city.X0 + city.EXTENT - 500, n)
+    ys = rng.uniform(city.Y0 + 500, city.Y0 + city.EXTENT - 500, n)
+    pts = spark.createDataFrame(pd.DataFrame({"id": np.arange(n), "x": xs, "y": ys}))
+    nodes, edges = fx.network_dfs(spark)
+    got = (
+        shortest_distance_greenspace_network_exact(
+            pts, city.greenspace_df(spark), nodes, edges,
+            target_dist=300.0, min_area=400.0,
+        )
+        .toPandas().set_index("id").sort_index()
+    )
+    for i in range(n):
+        want_out, want_dist = reference_network_centroids(xs[i], ys[i], g, 300.0, 400.0)
+        assert bool(got.loc[i, "greenspace_within"]) == want_out, i
+        assert got.loc[i, "distance_to_greenspace"] == want_dist, i
