@@ -104,6 +104,14 @@ def run_bench() -> dict:
         **extra,
     }
     spark.stop()
+    # persist per-stage metrics next to the driver's BENCH_r{N}.json
+    # (north_rule: row-count/latency metrics surface)
+    try:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "last_bench.json"), "w") as f:
+            json.dump(out, f, indent=2)
+    except OSError:
+        pass
     return out
 
 

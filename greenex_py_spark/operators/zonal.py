@@ -472,3 +472,35 @@ def zonal_stats_aoi(
         F.when(n > 0, F.round(mean, 3)).alias(f"mean_{out_prefix}"),
         F.when(n > 0, F.round(std, 3)).alias(f"std_{out_prefix}"),
     )
+
+
+def aoi_street_edges(
+    edges: DataFrame,
+    buffer_dist: float = 10.0,
+    id_col: str = "edge_id",
+) -> DataFrame:
+    """AoI rows for the reference's street-query mode: each network edge
+    becomes a PoI whose AoI is the edge buffered by ``buffer_dist``
+    (availability.py:52-61 + :133-135 — 'OSM place query → street edges
+    become the PoIs', 10 m buffer per edge).  Shares the capsule-mask
+    kind with isochrones (a one-segment capsule)."""
+    e = edges.filter(F.col("src") < F.col("dst")).select(
+        F.coalesce(
+            F.col(id_col) if id_col in edges.columns else F.lit(None),
+            F.col("src") * F.lit(1 << 20) + F.col("dst"),
+        ).alias("id"),
+        F.element_at("geom_xs", 1).alias("ax"), F.element_at("geom_ys", 1).alias("ay"),
+        F.element_at("geom_xs", -1).alias("bx"), F.element_at("geom_ys", -1).alias("by"),
+    )
+    return e.select(
+        "id", F.lit("iso").alias("kind"),
+        F.lit(None).cast("double").alias("x"), F.lit(None).cast("double").alias("y"),
+        F.lit(float(buffer_dist)).alias("r"),
+        F.array("ax").alias("sax"), F.array("ay").alias("say"),
+        F.array("bx").alias("sbx"), F.array("by").alias("sby"),
+        F.lit(None).cast("array<array<double>>").alias("rings"),
+        (F.least("ax", "bx") - buffer_dist).alias("minx"),
+        (F.least("ay", "by") - buffer_dist).alias("miny"),
+        (F.greatest("ax", "bx") + buffer_dist).alias("maxx"),
+        (F.greatest("ay", "by") + buffer_dist).alias("maxy"),
+    )

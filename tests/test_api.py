@@ -133,3 +133,24 @@ def test_viewshed_and_streetview_api(spark, pois):
     sv = api.get_streetview_GVI(pois, gvi_pts, buffer_dist=150).toPandas()
     row = sv[sv.url == "a"].iloc[0]
     assert row.GVI == 0.4 and row.nr_of_points == 1  # null GVI excluded from both
+
+
+def test_street_edges_as_pois(spark):
+    """Street-query mode: every network edge gets its own 10 m-buffer
+    mean NDVI (the 2242-street-AoIs example, README.md:123-137)."""
+    from greenex_py_spark.operators.zonal import aoi_street_edges, zonal_stats_aoi
+
+    _, edges = fx.network_dfs(spark)
+    # bbox-prune to a 1 km corner so the test stays fast
+    sub = edges.filter(
+        (F.element_at("geom_xs", 1) < city.X0 + 1000)
+        & (F.element_at("geom_ys", 1) < city.Y0 + 1000)
+        & (F.element_at("geom_xs", -1) <= city.X0 + 1000)
+        & (F.element_at("geom_ys", -1) <= city.Y0 + 1000)
+    )
+    aoi = aoi_street_edges(sub, buffer_dist=10.0)
+    n_aoi = aoi.count()
+    assert n_aoi > 20
+    out = zonal_stats_aoi(aoi, city.tiles_df(spark, "ndvi"), stat="mean_std").toPandas()
+    assert len(out) == n_aoi
+    assert out.mean_NDVI.notna().all() and (out.std_NDVI >= 0).all()

@@ -236,3 +236,37 @@ def test_streetview_sampler_step_scheme(spark):
     # top-right corner node never starts an edge → nodes-1
     expected = n_edges_undirected * 3 + n_nodes - 1
     assert len(pts) == expected
+
+
+def test_wkb_binary_column_roundtrip(spark):
+    """Geometry interchange: rings → WKB binary column → Spark →
+    decode in an Arrow UDF → identical area/centroid (the engine's
+    storage format for polygon layers, geo/wkb.py)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from greenex_py_spark.data import city_fixture as fx
+    from greenex_py_spark.geo import wkb as wkbmod
+
+    pdf = fx.greenspace_rings_pdf().head(30)
+    pdf = pdf.assign(
+        wkb=[
+            wkbmod.encode_polygon(
+                [np.asarray(r, dtype=float).reshape(-1, 2) for r in rings]
+            )
+            for rings in pdf.rings
+        ]
+    )
+    df = spark.createDataFrame(pdf[["gs_id", "wkb", "area"]],
+                               schema="gs_id long, wkb binary, area double")
+
+    @F.pandas_udf(T.DoubleType())
+    def wkb_area(b: pd.Series) -> pd.Series:
+        out = []
+        for buf in b:
+            polys = wkbmod.decode(bytes(buf))
+            out.append(sum(kernels.polygon_area(p) for p in polys))
+        return pd.Series(out)
+
+    got = df.withColumn("area2", wkb_area("wkb")).toPandas()
+    np.testing.assert_allclose(got.area2, got.area, rtol=1e-12)
