@@ -326,6 +326,50 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs)
 
 
+def _winnow_sql(k: int = 5, window: int = 4) -> str:
+    """Oracle for winnow_fingerprints: the same Horner rolling hash
+    unrolled (k is small), same window-min winnowing."""
+    h = "(ti[i] % 1000000007)"
+    for j in range(1, k):
+        h = f"(({h} * 1000003 + ti[i+{j}]) % 1000000007)"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        tok -> CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT))
+           AS ti
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ti) >= {k}
+              THEN list_transform(range(1, len(ti) - {k} + 2), i -> {h})
+              ELSE CAST([] AS BIGINT[]) END AS grams
+  FROM t
+),
+w AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(grams) - {window - 1}, 1) + 1),
+                        j -> list_aggregate(list_slice(grams, j, j + {window - 1}), 'min'))
+           AS fps
+  FROM g
+)
+SELECT DISTINCT doc_id, fp
+FROM (SELECT doc_id, unnest(fps) AS fp FROM w)
+WHERE fp IS NOT NULL
+"""
+
+
+@register("q_fingerprint", _winnow_sql())
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints — rolling-hash k-grams,
+    window-min selection; the corpus-wide copy-detection primitive."""
+    from .functions.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs)
+
+
 def _langid_sql() -> str:
     from .functions.text import LANG_STOPWORDS
 

@@ -51,7 +51,11 @@ def shingles(
 ) -> DataFrame:
     """[id, sh] — distinct word-k-gram shingles per document.
 
-    transform+slice+array_join stays codegen; explode is map-side.
+    transform+slice+array_join stays codegen; duplicates can only occur
+    *within* one document's gram array, so ``array_distinct`` dedups
+    map-side and the whole operator is shuffle-free (the old
+    ``dropDuplicates([id, sh])`` cost a full shuffle of the exploded
+    shingle table for nothing).
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -59,9 +63,8 @@ def shingles(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
-        .dropDuplicates(["id", "sh"])
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("sh")
     )
 
 
@@ -76,10 +79,17 @@ def ngram_jaccard_pairs(
 
     shingle equi-join (id_a < id_b) → intersection counts → sizes joined
     back → |∩| / (|A|+|B|−|∩|).  The shingle join is the classic
-    inverted-index self-join; Spark shuffles on ``sh`` and AQE splits
-    skewed shingles.
+    inverted-index self-join; Spark shuffles on the **64-bit shingle
+    hash** (``xxhash64`` — an 8-byte fixed-width key shuffles and
+    compares far cheaper than the raw ~20-byte gram string; collision
+    odds at n distinct shingles are ~n²/2⁶⁵) and AQE splits skewed
+    shingles.
     """
-    sh = shingles(df, k, id_col, text_col).cache()
+    sh = (
+        shingles(df, k, id_col, text_col)
+        .select("id", F.xxhash64("sh").alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -164,10 +174,18 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     # shingles feed both the signature path and the exact-verify path —
-    # cache once (plan inspection showed a full recompute otherwise)
-    sh = shingles(df, k, id_col, text_col).withColumn(
-        "sid", _shingle_int(F.col("sh")) % SID_MOD
-    ).cache()
+    # cache once (plan inspection showed a full recompute otherwise).
+    # sid (md5-derived, DuckDB-portable) drives the min-hash arithmetic;
+    # h (xxhash64) is the cheap 8-byte equi-join key for the verify join.
+    sh = (
+        shingles(df, k, id_col, text_col)
+        .select(
+            "id",
+            (_shingle_int(F.col("sh")) % SID_MOD).alias("sid"),
+            F.xxhash64("sh").alias("h"),
+        )
+        .cache()
+    )
     # one groupBy produces all num_perm min-hashes as columns (single
     # shuffle), band signatures fold columns arithmetically, then
     # unpivot to (id, band, bsig) rows for the bucket join
@@ -203,10 +221,10 @@ def minhash_lsh_pairs(
     )
     # exact verify on the candidates only (reuses the cached shingles)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh"})
-    b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh"})
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
     inter = (
-        cand.join(a, "id_a").join(b, ["id_b", "sh"])
+        cand.join(a, "id_a").join(b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -105,3 +105,54 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """[id, fp] — 64-bit document fingerprint (xxhash64 of the exact text
     bytes).  The rolling-hash shingle variant lives in dedup.simhash."""
     return df.select(id_col, F.xxhash64(F.col(text_col)).alias("fp"))
+
+
+# winnowing constants (Karp–Rabin base/modulus; portable int64 arithmetic:
+# Horner acc < P ≈ 1e9, acc·B + tok < 1e15+2³² — far inside int64)
+FP_B = 1_000_003
+FP_P = 1_000_000_007
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, fp] — winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken, the MOSS algorithm): token k-gram Karp–Rabin rolling hashes,
+    then the minimum hash of every `window` consecutive grams, distinct.
+
+    Guarantees: any shared token run of length ≥ k+window−1 between two
+    documents yields a shared fingerprint — the standard copy-detection
+    primitive a training-data pipeline runs corpus-wide.
+
+    Entirely array higher-order functions (transform/aggregate/slice/
+    array_min) → whole-stage codegen, zero shuffle, zero Python; the
+    token hash is md5-derived so DuckDB reproduces it bit-for-bit.
+    Documents shorter than k tokens emit no fingerprints.
+    """
+    toks = F.split(F.col(text_col), " ")
+    ti = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.aggregate(
+                F.slice(ti, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc * FP_B + x, F.lit(FP_P)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    return df.select(
+        id_col, F.explode(F.array_distinct(fps)).alias("fp")
+    ).filter(F.col("fp").isNotNull())

@@ -173,6 +173,30 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert len(l) / max(len(e), 1) >= 0.95
 
 
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing invariant: a shared token run of length ≥ k+w−1 between
+    two documents yields ≥1 shared fingerprint; disjoint-vocabulary
+    documents share none; docs shorter than k tokens emit nothing."""
+    from greenex_py_spark.functions.text import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(12))  # ≥ k+w−1 = 8 tokens
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, shared + " delta epsilon zeta"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "tiny doc"),  # < k tokens → no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc
+    # determinism: recompute → identical set
+    fp2 = winnow_fingerprints(df).toPandas()
+    assert set(map(tuple, fp.values.tolist())) == set(map(tuple, fp2.values.tolist()))
+
+
 def test_simhash_near_dup_hamming(spark, sf_dir):
     """Planted near-clones (one word dropped) sit within small hamming
     distance of their originals."""
