@@ -539,6 +539,58 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CSIM = (
+    "round(" + _DOT.format(a="{v}", b="c.cv") + " / ("
+    + _NRM.format(a="{v}") + " * " + _NRM.format(a="c.cv") + "), 6)"
+)
+
+@register(
+    "q_ivf_ann",
+    f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+asg0 AS (
+  SELECT v.vec_id AS n_id, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_IVF_CSIM.format(v='v.embedding')} DESC, c.c_id ASC) AS r
+  FROM v, c
+),
+asg AS (SELECT n_id, c_id AS list_id FROM asg0 WHERE r = 1),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+pr0 AS (
+  SELECT q.q_id, c.c_id,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_IVF_CSIM.format(v='q.qv')} DESC, c.c_id ASC) AS r
+  FROM q, c
+),
+pr AS (SELECT q_id, c_id AS list_id FROM pr0 WHERE r <= 4),
+cand AS (SELECT pr.q_id, asg.n_id FROM pr JOIN asg USING (list_id) WHERE asg.n_id <> pr.q_id),
+p AS (
+  SELECT cand.q_id, cand.n_id,
+         round({_DOT.format(a='q.qv', b='n.embedding')}
+               / ({_NRM.format(a='q.qv')} * {_NRM.format(a='n.embedding')}), 6) AS sim
+  FROM cand JOIN q ON q.q_id = cand.q_id JOIN v n ON n.vec_id = cand.n_id
+),
+r AS (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+  FROM p
+)
+SELECT q_id, n_id, sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+""",
+)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (deterministic coarse quantizer → inverted lists →
+    probed exact re-rank) — the oracle-exact scale path beside the
+    sign-LSH one (q_lsh_ann)."""
+    from .functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=10, nprobe=4).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @register("q_lsh_ann", None)  # rows-only: recall<1 by design, no SQL oracle
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import lsh_topk

