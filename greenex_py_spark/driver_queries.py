@@ -370,6 +370,40 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs)
 
 
+@register(
+    "q_media_meta",
+    """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST((n_chars % 97) // 10 + 1 AS BIGINT) AS n_sampled_frames
+FROM documents
+""",
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, JVM-side half: opaque binary media column
+    (synthesized from the text bytes — deterministic, no codec needed)
+    → typed metadata (octet_length/sha256 codegen) → video-style frame
+    sampling plan (sequence/explode) aggregated to a per-media count.
+    The Python/Arrow half (decode/resize/features/segment stubs) is
+    exercised in tests/test_engine.test_multimodal_plumbing."""
+    from .functions.multimodal import attach_binary_metadata, frame_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        (F.col("n_chars") % 97 + 1).alias("n_frames"),
+    )
+    meta = attach_binary_metadata(media, "media", "media_id").drop("media")
+    frames = (
+        frame_sample(media, "n_frames", every=10, id_col="media_id")
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_sampled_frames"))
+    )
+    return meta.join(frames, "media_id")
+
+
 def _langid_sql() -> str:
     from .functions.text import LANG_STOPWORDS
 
