@@ -12,8 +12,10 @@ with a scalable equi-join shape:
    AQE skew-split handles moderate hot cells;
 4. exact geometry predicate (bbox arithmetic in codegen, or a
    vectorized ray-cast pandas UDF for true polygons) filters false
-   positives; multi-cell duplicates drop via ``dropDuplicates`` only
-   where the consumer needs distinct pairs (min/agg consumers don't).
+   positives.  Single-cell probes produce distinct pairs by
+   construction (one probe cell × one cover row per cell) — the
+   whole join is shuffle-free after the broadcast; only
+   buffer-expanded (multi-cell) probes need a consumer-side dedup.
 
 Skew: urban-core cells can exceed what AQE can split for a *single* key.
 ``salt_join`` fans each hot probe row to 1 salt and replicates cover rows
@@ -95,13 +97,19 @@ def point_in_rect_join(
     """Exact point-in-rectangle join (cell prefilter + codegen bbox test).
 
     Distinct pairs [point_key, rect_key] + point/rect columns.
+
+    Shuffle-free: the probe point carries exactly ONE cell and the cover
+    table has exactly one row per (rect, cell), so every surviving
+    (point, rect) pair joins exactly once — no dedup exchange needed.
+    Precondition: ``point_key`` is unique per input row (P4 id
+    assignment guarantees it); buffer-expanded probes (which explode a
+    point to many cells) must dedup at the consumer.
     """
     cand = cell_candidates(points, rects, pad=0.0, broadcast_cover=broadcast_cover)
-    hit = cand.filter(
+    return cand.filter(
         (F.col("x") >= F.col("minx")) & (F.col("x") < F.col("maxx"))
         & (F.col("y") >= F.col("miny")) & (F.col("y") < F.col("maxy"))
     )
-    return hit.dropDuplicates([point_key, rect_key])
 
 
 _pip_schema = T.BooleanType()
@@ -147,16 +155,18 @@ def point_in_polygon_join(
     broadcast_cover: bool = True,
 ) -> DataFrame:
     """General PiP join: cell prefilter → bbox codegen filter → exact
-    ray-cast UDF.  ``polys`` needs bbox columns + ``rings_col``."""
+    ray-cast UDF.  ``polys`` needs bbox columns + ``rings_col``.
+
+    Shuffle-free for the same reason as :func:`point_in_rect_join`:
+    single-cell probes meet one cover row per (poly, cell), so pairs
+    are born distinct."""
     cand = cell_candidates(points, polys, pad=0.0, broadcast_cover=broadcast_cover)
     cand = cand.filter(
         (F.col("x") >= F.col("minx")) & (F.col("x") <= F.col("maxx"))
         & (F.col("y") >= F.col("miny")) & (F.col("y") <= F.col("maxy"))
     )
     pip = make_pip_udf()
-    return cand.filter(pip(F.col("x"), F.col("y"), F.col(rings_col))).dropDuplicates(
-        [point_key, poly_key]
-    )
+    return cand.filter(pip(F.col("x"), F.col("y"), F.col(rings_col)))
 
 
 def salt_join(
