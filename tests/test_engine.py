@@ -111,3 +111,40 @@ def test_multimodal_plumbing(spark):
         every=10,
     ).toPandas()
     assert frames.frame_idx.tolist() == [0, 10, 20, 30]
+
+
+def test_spark_submit_pyfiles_deployment(tmp_path):
+    """north_rule deployment contract: the packaged zip runs under real
+    ``spark-submit --py-files`` from a neutral cwd (the repo is NOT on
+    the path — only the zip provides the package), and the flagship
+    query returns its pinned sf0.001 row count."""
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "build_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    assert zip_path.endswith("greenex_py_spark.zip") and os.path.exists(zip_path)
+    job = tmp_path / "job.py"
+    job.write_text(
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "from greenex_py_spark.driver_queries import flagship\n"
+        "print('FLAGSHIP_ROWS=%d' % flagship(spark, '/root/testdata/sf0.001').count())\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, str(job)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "FLAGSHIP_ROWS=22" in r.stdout, r.stdout[-2000:] + r.stderr[-1000:]
