@@ -326,6 +326,27 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs)
 
 
+@register("q_stream_ingest", None)  # rows-only: xxhash64 geocode has no DuckDB twin
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the driver gate: AvailableNow incremental
+    ingest (readStream over a crawl-batch directory → geocode →
+    checkpointed parquet sink) of a deterministic synthetic documents
+    batch; returns the drained sink.  The incremental-delta and
+    watermarked-window paths are pytest-covered
+    (test_engine.test_streaming_incremental_ingest)."""
+    import os
+    import tempfile
+
+    from .data import synth
+    from .streaming.ingest import geocode_stream
+
+    base = tempfile.mkdtemp(prefix="q_stream_ingest_")
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    synth.documents(spark, 400).write.mode("overwrite").parquet(src)
+    geocode_stream(spark, src, sink, ckpt)
+    return spark.read.parquet(sink).select("url", "x", "y", "cell")
+
+
 def _winnow_sql(k: int = 5, window: int = 4) -> str:
     """Oracle for winnow_fingerprints: the same Horner rolling hash
     unrolled (k is small), same window-min winnowing."""

@@ -213,24 +213,28 @@ def viewshed_gvi_points(
             r0 = t.ty * tile_px - base_iy
             c0 = t.tx * tile_px - base_ix
             mos[t.layer][r0 : r0 + t.h, c0 : c0 + t.w] = a
-        out = []
-        for p in left.itertuples(index=False):
-            ixc = int((p.x - city.X0) // res)
-            iyc = int((p.y - city.Y0) // res)
-            # reference envelope: points whose window leaves the raster
-            # would crash/NaN the reference — engine yields null
-            if ixc - R < 0 or iyc - R < 0 or ixc + R + 1 > npx or iyc + R + 1 > npx:
-                out.append((p.id, p.sp_id, p.x, p.y, None))
-                continue
-            r0 = iyc - R - base_iy
-            c0 = ixc - R - base_ix
-            sl = (slice(r0, r0 + 2 * R + 1), slice(c0, c0 + 2 * R + 1))
-            g = raster.gvi_at_point(
-                mos["dsm"][sl], mos["dtm"][sl], mos["green"][sl],
+        ixc = ((left["x"].to_numpy(np.float64) - city.X0) // res).astype(np.int64)
+        iyc = ((left["y"].to_numpy(np.float64) - city.Y0) // res).astype(np.int64)
+        # reference envelope: points whose window leaves the raster
+        # would crash/NaN the reference — engine yields null
+        ok = (ixc - R >= 0) & (iyc - R >= 0) & (ixc + R + 1 <= npx) & (iyc + R + 1 <= npx)
+        gvi = np.full(len(left), np.nan)
+        if ok.any():
+            gvi[ok] = raster.gvi_batch(
+                mos["dsm"], mos["dtm"], mos["green"],
+                iyc[ok] - base_iy, ixc[ok] - base_ix,
                 R, res, observer_height, target_height, replicate_bug,
             )
-            out.append((p.id, p.sp_id, p.x, p.y, None if np.isnan(g) else float(g)))
-        return pd.DataFrame(out, columns=cols)
+        return pd.DataFrame(
+            {
+                "id": left["id"].to_numpy(np.int64),
+                "sp_id": left["sp_id"].to_numpy(np.int64),
+                "x": left["x"].to_numpy(np.float64),
+                "y": left["y"].to_numpy(np.float64),
+                # explicit None (not NaN) → null in the Arrow batch, as before
+                "GVI": [None if not np.isfinite(v) else float(v) for v in gvi],
+            }
+        )
 
     return (
         pts.groupBy("htx", "hty")

@@ -152,3 +152,31 @@ def test_distributed_pipeline_matches_oracle(spark):
     for pid, grp in pp.groupby("id"):
         np.testing.assert_allclose(a.loc[pid, "GVI"], np.mean(grp.GVI.to_numpy()).round(3))
         assert a.loc[pid, "nr_of_points"] == len(grp)
+
+
+def test_batch_kernel_bit_identical():
+    """gvi_batch == gvi_at_point bit-for-bit on fixture windows (the
+    distributed pipeline's exactness hinges on this)."""
+    import numpy as np
+
+    from greenex_py_spark.data import city_fixture as fx
+    from greenex_py_spark.geo import raster
+
+    R = int(250.0 // fx.DSM_RES)
+    npx = fx.DSM_NPX
+    col = np.arange(npx)[None, :]
+    row = np.arange(npx)[:, None]
+    dsm = fx.dsm_value(col, row)
+    dtm = fx.dtm_value(col, row)
+    green = fx.green_value(col, row)
+    rng = np.random.default_rng(7)
+    iy = rng.integers(R, npx - R - 1, size=40)
+    ix = rng.integers(R, npx - R - 1, size=40)
+    batch = raster.gvi_batch(dsm, dtm, green, iy, ix, R, fx.DSM_RES, 1.7)
+    for k in range(len(iy)):
+        sl = (slice(iy[k] - R, iy[k] + R + 1), slice(ix[k] - R, ix[k] + R + 1))
+        want = raster.gvi_at_point(dsm[sl], dtm[sl], green[sl], R, fx.DSM_RES, 1.7)
+        if np.isnan(want):
+            assert np.isnan(batch[k])
+        else:
+            assert batch[k] == want, (k, batch[k], want)
