@@ -79,7 +79,7 @@ def run_bench() -> dict:
             "url", "x", "y", "cell", "gs_id"
         )
 
-    # warm up JIT / codegen paths once, then take best of 2
+    # warm up JIT / codegen paths once, then take best of 3
     _noop(flagship().limit(1))
     dt = min(_timed(flagship) for _ in range(3))
     timings["flagship_spatial_join"] = round(dt, 3)
@@ -158,7 +158,7 @@ def run_scaling() -> None:
             "partitions) at several parallelism levels, each **pinned with\n"
             "taskset to exactly N CPUs** (JVM GC threads and python workers\n"
             "included) — the honest emulation of an N-core cluster slice.\n\n"
-            "| config | wall s (best of 2) | rows/sec |\n|---|---|---|\n"
+            "| config | wall s (best of 3) | rows/sec |\n|---|---|---|\n"
             + "".join(
                 f"| local[{c}] pinned {c} CPUs | {results[c]['queries']['flagship_spatial_join']} | {t[c]} |\n"
                 for c in (2, 8, 32)
