@@ -222,7 +222,9 @@ def shortest_distance_greenspace_network(
     ).select(id_col, "gs_id", "cx", "cy")
 
     paths = (
-        cand.join(ent, "gs_id")
+        # ent scales with the green layer (a dim), not the point table —
+        # broadcast it so the big cand side never shuffles on gs_id
+        cand.join(F.broadcast(ent), "gs_id")
         .join(reach, [id_col, "node_id"])  # entrance must be inside the ego set
         .join(snapped.select(id_col, "penalty_home"), id_col)
     )
@@ -269,7 +271,7 @@ def shortest_distance_greenspace_entrance_euclid(
         (pdx * pdx + pdy * pdy) <= F.lit(float(target_dist) ** 2),
     ).select(id_col, "x", "y", "gs_id")
     near = (
-        cand.join(ent, "gs_id")
+        cand.join(F.broadcast(ent), "gs_id")  # ent is green-layer-sized (dim)
         .join(reach, [id_col, "node_id"])
         .select(
             id_col,
