@@ -86,6 +86,30 @@ def run_bench() -> dict:
     extra["flagship_rows_per_sec"] = round(n_docs / dt, 1)
     extra["flagship_docs"] = n_docs
 
+    # -- flagship through the salted broadcast/shuffle hybrid --------------
+    # Same join, routed through engine/skew.plan_salted_cell_join: hot
+    # cells (urban core; > n_docs/1000 rows in one cell) take the salted
+    # shuffle path, cold cells the broadcast path.  Row-identical to the
+    # plain flagship (tests/test_skew.py) — this measures the overhead
+    # the skew armor costs when the data is only moderately skewed.
+    if not os.environ.get("SPARK_GRAFT_SKIP_SALTED"):
+        from greenex_py_spark.engine.skew import plan_salted_cell_join
+        from greenex_py_spark.operators.spatial_join import bbox_cover_cells
+
+        def flagship_salted():
+            pts = synth.geocode(urls())
+            cover = bbox_cover_cells(greens)
+            cand = plan_salted_cell_join(pts, cover, threshold=n_docs // 1000)
+            return cand.filter(
+                (F.col("x") >= F.col("minx")) & (F.col("x") < F.col("maxx"))
+                & (F.col("y") >= F.col("miny")) & (F.col("y") < F.col("maxy"))
+            ).select("url", "x", "y", "cell", "gs_id")
+
+        _noop(flagship_salted().limit(1))
+        dts = min(_timed(flagship_salted) for _ in range(2))
+        timings["flagship_salted_hybrid"] = round(dts, 3)
+        extra["salted_rows_per_sec"] = round(n_docs / dts, 1)
+
     # -- driver-gate operator queries at the bench SF ----------------------
     # Each query gets one warm-up execution (codegen/JIT compile, Python
     # worker spin-up), then the cache is cleared (so `.cache()` calls
@@ -140,6 +164,7 @@ def run_scaling() -> None:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
         env.setdefault("SPARK_GRAFT_BENCH_DOCS", "64000000")
         env.setdefault("SPARK_GRAFT_SKIP_SF_QUERIES", "1")
+        env.setdefault("SPARK_GRAFT_SKIP_SALTED", "1")
         cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, os.path.abspath(__file__)]
         p = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
         line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
