@@ -1,0 +1,144 @@
+"""Hypothesis property tests for the pure-NumPy geometry kernels.
+
+No SparkSession — these pin the *math* every distributed operator leans
+on (SURVEY.md §2.6) against brute-force/pixel oracles over randomized
+inputs, where the hand-value unit tests in test_geo_kernels.py pin only
+fixed cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from greenex_py_spark.geo import kernels
+from greenex_py_spark.operators.dissolve import rect_union_stats
+
+coord = st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32)
+
+
+def _rand_convex_ring(seed: int, n: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(1.0, 100.0, 1)  # common radius → convex (circle-ish)
+    ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+    return ring
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10_000), st.integers(4, 12))
+def test_shoelace_area_matches_triangle_fan(seed, n):
+    ring = _rand_convex_ring(seed, n)
+    got = abs(kernels.ring_signed_area(ring))
+    # convex fan from vertex 0: area = Σ ½|cross(v_i − v_0, v_{i+1} − v_0)|
+    v0 = ring[0]
+    fan = 0.0
+    for i in range(1, n - 1):
+        a = ring[i] - v0
+        b = ring[i + 1] - v0
+        fan += 0.5 * abs(a[0] * b[1] - a[1] * b[0])
+    np.testing.assert_allclose(got, fan, rtol=1e-9)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10_000))
+def test_pip_convex_equals_halfplane_test(seed):
+    rng = np.random.default_rng(seed)
+    ring = _rand_convex_ring(seed, 8)
+    ring = kernels.ensure_ccw(ring)
+    px = rng.uniform(-120, 120, 200)
+    py = rng.uniform(-120, 120, 200)
+    got = kernels.points_in_ring(px, py, ring)
+    # CCW convex polygon: inside ⇔ left of (or on) every edge.  The
+    # ray-cast uses half-open boundary semantics, so exclude points
+    # within ε of any edge from the comparison.
+    n = len(ring)
+    left = np.ones(len(px), dtype=bool)
+    near_edge = np.zeros(len(px), dtype=bool)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        left &= cross >= 0
+        seg_d = kernels.point_segment_distance(px, py, ax, ay, bx, by)
+        near_edge |= seg_d < 1e-6
+    cmp = ~near_edge
+    np.testing.assert_array_equal(got[cmp], left[cmp])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 8))
+def test_rect_union_area_vs_pixel_oracle(seed, n_rects):
+    """Scanline union area == exact brute force on integer-coordinate
+    rects (every slab boundary representable ⇒ equality, not approx)."""
+    rng = np.random.default_rng(seed)
+    x0 = rng.integers(0, 50, n_rects)
+    y0 = rng.integers(0, 50, n_rects)
+    w = rng.integers(1, 30, n_rects)
+    h = rng.integers(1, 30, n_rects)
+    rects = np.column_stack([x0, y0, x0 + w, y0 + h]).astype(float)
+    area, cx, cy = rect_union_stats(rects)
+    # pixel oracle on the integer grid
+    grid = np.zeros((100, 100), dtype=bool)
+    for (a, b, c, d) in rects.astype(int):
+        grid[b:d, a:c] = True
+    assert area == float(grid.sum())
+    jy, jx = np.nonzero(grid)
+    np.testing.assert_allclose(cx, (jx + 0.5).mean(), rtol=1e-12)
+    np.testing.assert_allclose(cy, (jy + 0.5).mean(), rtol=1e-12)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000))
+def test_clip_area_bounded_and_idempotent(seed):
+    """Sutherland–Hodgman: clip area ≤ min(subject, clip) areas; clipping
+    by the subject's own bbox is identity."""
+    ring = _rand_convex_ring(seed, 10)
+    ring = kernels.ensure_ccw(ring)
+    box = kernels.box_ring(-30.0, -30.0, 40.0, 40.0)
+    a_subject = abs(kernels.ring_signed_area(ring))
+    a_box = abs(kernels.ring_signed_area(box))
+    a_clip = kernels.clip_area([ring], box)
+    assert a_clip <= a_subject + 1e-9
+    assert a_clip <= a_box + 1e-9
+    bb = kernels.box_ring(
+        ring[:, 0].min() - 1, ring[:, 1].min() - 1,
+        ring[:, 0].max() + 1, ring[:, 1].max() + 1,
+    )
+    np.testing.assert_allclose(kernels.clip_area([ring], bb), a_subject, rtol=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000))
+def test_circle_clip_area_converges_to_overlap(seed):
+    """clip_area(circle32, box) ≈ analytic circle∩halfplane when the box
+    cuts the circle with one edge (tolerance = 32-gon discretization)."""
+    rng = np.random.default_rng(seed)
+    r = float(rng.uniform(5, 50))
+    cut = float(rng.uniform(-r * 0.9, r * 0.9))  # vertical line x = cut
+    circle = kernels.circle_polygon(0.0, 0.0, r, quad_segs=8)
+    box = kernels.box_ring(cut, -2 * r, 2 * r, 2 * r)
+    got = kernels.clip_area([kernels.ensure_ccw(circle)], box)
+    # analytic circular-segment area right of x=cut
+    theta = np.arccos(np.clip(cut / r, -1, 1))
+    want = r * r * theta - cut * r * np.sin(theta)
+    # inscribed 32-gon under-covers thin segments; tolerance follows the
+    # discretization bound (relative + a chord-area absolute term)
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.05 * r)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000))
+def test_distance_consistent_with_membership(seed):
+    """points_to_polygon_distance == 0 ⇔ inside-or-on-boundary (up to the
+    ray-cast's half-open boundary rule)."""
+    rng = np.random.default_rng(seed)
+    ring = kernels.ensure_ccw(_rand_convex_ring(seed, 9))
+    px = rng.uniform(-120, 120, 100)
+    py = rng.uniform(-120, 120, 100)
+    d = kernels.points_to_polygon_distance(px, py, [ring])
+    inside = kernels.points_in_ring(px, py, ring)
+    assert (d[inside] == 0).all()
+    far = d > 1e-6
+    assert not inside[far].any()
