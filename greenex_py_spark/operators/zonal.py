@@ -82,8 +82,15 @@ def _circle_mask_stats(left: pd.DataFrame, right: pd.DataFrame, radius: float,
             continue
         v = px[j0:j1 + 1, i0:i1 + 1][m]
         if classes:
-            cls, cnt = np.unique(v.astype(np.int64), return_counts=True)
-            out.extend((pid, int(c), int(n)) for c, n in zip(cls, cnt))
+            vi = v.astype(np.int64)
+            if len(vi) and vi.min() >= 0 and vi.max() < 65536:
+                # bincount histogram ~10× np.unique on small class codes
+                cnts = np.bincount(vi)
+                cls = np.nonzero(cnts)[0]
+                out.extend((pid, int(c), int(cnts[c])) for c in cls)
+            else:
+                cls, cnt = np.unique(vi, return_counts=True)
+                out.extend((pid, int(c), int(n)) for c, n in zip(cls, cnt))
         else:
             if clip_min0:
                 v = np.maximum(v, 0.0)
