@@ -216,14 +216,17 @@ def surface_tiles_df(spark: SparkSession, layer: str, tile_px: int = 256) -> Dat
                         "x0": city.X0 + tx * tile_px * DSM_RES,
                         "y0": city.Y0 + ty * tile_px * DSM_RES,
                         "res": DSM_RES, "w": w, "h": h,
-                        "px": vals.ravel(),
+                        # float32 bytes: exact for these integer-valued
+                        # layers, and the Arrow transfer through the 9x
+                        # halo replication is 1/4 the array<double> cost
+                        "px": vals.astype(np.float32).tobytes(),
                     }
                 )
             yield pd.DataFrame(out)
 
     schema = (
         "layer string, tx int, ty int, x0 double, y0 double, "
-        "res double, w int, h int, px array<double>"
+        "res double, w int, h int, px binary"
     )
     return (
         spark.range(n_tiles * n_tiles)

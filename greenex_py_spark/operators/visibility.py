@@ -209,7 +209,11 @@ def viewshed_gvi_points(
             layer: np.zeros((3 * tile_px, 3 * tile_px)) for layer in ("dsm", "dtm", "green")
         }
         for t in right.itertuples(index=False):
-            a = np.asarray(t.px, dtype=np.float64).reshape(t.h, t.w)
+            buf = t.px
+            if isinstance(buf, (bytes, bytearray)):
+                a = np.frombuffer(buf, dtype=np.float32).astype(np.float64).reshape(t.h, t.w)
+            else:
+                a = np.asarray(buf, dtype=np.float64).reshape(t.h, t.w)
             r0 = t.ty * tile_px - base_iy
             c0 = t.tx * tile_px - base_ix
             mos[t.layer][r0 : r0 + t.h, c0 : c0 + t.w] = a
