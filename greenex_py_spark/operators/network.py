@@ -388,6 +388,33 @@ def isochrone_raster_mask(
     return mask, (ix0, iy0)
 
 
+_GREEN_GRID_CACHE: dict = {}
+
+
+def _green_grid(res: float) -> "np.ndarray":
+    """Boolean green raster over the city at ``res`` — pixel center
+    inside any greenspace rect (identical test to the per-rect loop it
+    replaces; memoized once per executor process)."""
+    from ..data import driver_city as city
+
+    key = res
+    g = _GREEN_GRID_CACHE.get(key)
+    if g is None:
+        npx = int(city.EXTENT / res)
+        gs = city.greenspace_numpy()
+        cx = city.X0 + (np.arange(npx) + 0.5) * res
+        cy = city.Y0 + (np.arange(npx) + 0.5) * res
+        g = np.zeros((npx, npx), dtype=bool)
+        for i in range(len(gs["gs_id"])):
+            x0 = np.searchsorted(cx, gs["minx"][i], "left")
+            x1 = np.searchsorted(cx, gs["maxx"][i], "left")
+            y0 = np.searchsorted(cy, gs["miny"][i], "left")
+            y1 = np.searchsorted(cy, gs["maxy"][i], "left")
+            g[y0:y1, x0:x1] = True
+        _GREEN_GRID_CACHE[key] = g
+    return g
+
+
 def greenspace_pct_isochrone(
     points: DataFrame,
     nodes: DataFrame,
@@ -412,8 +439,6 @@ def greenspace_pct_isochrone(
 
     segs = isochrone_edges(points, nodes, edges, radius, id_col)
 
-    g = city.greenspace_numpy()
-
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (pid,) = key
         mask, (ix0, iy0) = isochrone_raster_mask(
@@ -423,14 +448,11 @@ def greenspace_pct_isochrone(
         if total == 0:
             return pd.DataFrame({id_col: [pid], "pct": [None]})
         jy, jx = np.nonzero(mask)
-        cx = city.X0 + (ix0 + jx + 0.5) * res
-        cy = city.Y0 + (iy0 + jy + 0.5) * res
-        green = np.zeros(len(cx), dtype=bool)
-        for i in range(len(g["gs_id"])):
-            green |= (
-                (cx >= g["minx"][i]) & (cx < g["maxx"][i])
-                & (cy >= g["miny"][i]) & (cy < g["maxy"][i])
-            )
+        # rasterized green layer, memoized once per executor: same
+        # pixel-center-in-rect test, O(pixels) lookup instead of an
+        # O(N_GS · pixels) rect loop per PoI
+        gg = _green_grid(res)
+        green = gg[iy0 + jy, ix0 + jx]
         raw = float(green.sum()) / total * 100.0
         # half-away-from-zero to 2dp (matches Spark/DuckDB round, not
         # Python's banker's rounding)
