@@ -266,9 +266,10 @@ def cosine_pairs_blocked(
         "ba", F.col("blk").alias("bb"), "id", "v"
     )
 
-    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        ba, bb = key
         am = np.stack(left["v"].map(np.asarray))
         bm = np.stack(right["v"].map(np.asarray))
         an = np.sqrt((am * am).sum(axis=1))
@@ -276,8 +277,26 @@ def cosine_pairs_blocked(
         sims = np.round((am @ bm.T) / (an[:, None] * bn[None, :]), 6)
         aid = left["id"].to_numpy(np.int64)
         bid = right["id"].to_numpy(np.int64)
-        ii, jj = np.nonzero((sims >= threshold) & (aid[:, None] < bid[None, :]))
-        return pd.DataFrame({"id_a": aid[ii], "id_b": bid[jj], "sim": sims[ii, jj]})
+        if ba == bb:
+            # diagonal group: both orientations of a pair are present —
+            # keep the aid < bid half
+            ord_mask = aid[:, None] < bid[None, :]
+        else:
+            # off-diagonal: each unordered cross-block pair appears
+            # exactly once, in EITHER orientation (the smaller id may
+            # live in the higher block) — take all of them and
+            # canonicalize below.  (An `aid < bid` filter here silently
+            # dropped those pairs; caught by the sf0.1 oracle sweep.)
+            ord_mask = np.ones_like(sims, dtype=bool)
+        ii, jj = np.nonzero((sims >= threshold) & ord_mask)
+        ia, ib = aid[ii], bid[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "sim": sims[ii, jj],
+            }
+        )
 
     return (
         a_side.groupBy("ba", "bb")

@@ -197,6 +197,26 @@ def test_winnow_fingerprint_guarantee(spark):
     assert set(map(tuple, fp.values.tolist())) == set(map(tuple, fp2.values.tolist()))
 
 
+def test_blocked_cosine_pairs_cross_block(spark):
+    """Regression: cosine_pairs_blocked must find pairs whose SMALLER id
+    hashes into the HIGHER block (block_rows=2 forces many blocks; every
+    planted clone pair must surface regardless of block layout)."""
+    from greenex_py_spark.functions.similarity import cosine_pairs_blocked
+
+    rows = []
+    for i in range(12):
+        v = [float((i * 7 + j * 3) % 11 + 1) for j in range(8)]
+        rows.append((i, v))
+        rows.append((1000 + i, v))  # exact clone → sim 1.0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_pairs_blocked(df, threshold=0.999, block_rows=2).toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    for i in range(12):
+        assert (i, 1000 + i) in pairs, f"clone pair {i} lost to block layout"
+    assert (got.id_a < got.id_b).all()
+    assert not got.duplicated(["id_a", "id_b"]).any()
+
+
 def test_ivf_ann_recall_and_determinism(spark, sf_dir):
     """IVF probed search: no false results (every returned pair is a true
     cosine sim), decent recall vs exact top-k at nprobe=4/16, and exact
