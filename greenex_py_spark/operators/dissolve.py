@@ -139,12 +139,19 @@ def connected_components(
 def _cc_distributed(
     polys: DataFrame, edges: DataFrame, key: str = "gs_id", max_iter: int = 50
 ) -> DataFrame:
-    """Distributed min-label propagation to fixpoint (big-graph path)."""
-    labels = polys.select(F.col(key).alias("n"), F.col(key).alias("comp"))
+    """Distributed min-label propagation to fixpoint (big-graph path).
+
+    Each round **localCheckpoints** the new label table: persist() alone
+    leaves the logical plan growing one join deeper per round, and
+    Catalyst re-analysis of the compounding tree goes super-linear
+    (measured: a diameter-9 chain hung for minutes; with lineage
+    truncation it converges in seconds).  On a cluster with HDFS,
+    `checkpoint()` on a reliable dir is the fault-tolerant variant.
+    """
+    labels = polys.select(F.col(key).alias("n"), F.col(key).alias("comp")).localCheckpoint()
     sym = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionByName(
         edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
-    ).persist()
-    labels = labels.persist()
+    ).localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnsRenamed({"n": "m", "comp": "mcomp"}), "m")
@@ -154,7 +161,7 @@ def _cc_distributed(
         new_labels = (
             labels.join(nbr_min, "n", "left")
             .select("n", F.least(F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))).alias("comp"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnsRenamed({"comp": "new"})
@@ -162,11 +169,9 @@ def _cc_distributed(
             .filter(F.col("new") != F.col("comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select(F.col("n").alias(key), "comp")
 
 

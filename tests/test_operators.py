@@ -197,6 +197,34 @@ def test_winnow_fingerprint_guarantee(spark):
     assert set(map(tuple, fp.values.tolist())) == set(map(tuple, fp2.values.tolist()))
 
 
+def test_distributed_cc_equals_driver_cc(spark):
+    """The big-graph Pregel path (_cc_distributed, never reached by the
+    adaptive threshold on fixtures) emits the same labels as the
+    driver-side union-find — on a CHAIN layout (diameter 9, exercises
+    multi-round min-label convergence), not just pairwise overlaps."""
+    from greenex_py_spark.operators.dissolve import (
+        _cc_distributed,
+        connected_components,
+        overlap_edges,
+    )
+
+    rows = []
+    for c in range(4):  # 4 chains of 10 overlapping rects
+        for i in range(10):
+            x0 = c * 1000.0 + i * 50.0
+            rows.append((c * 10 + i, 100000.0 + x0, 450000.0 + c * 500.0,
+                         100000.0 + x0 + 80.0, 450000.0 + c * 500.0 + 80.0))
+    layer = spark.createDataFrame(
+        rows, "gs_id long, minx double, miny double, maxx double, maxy double"
+    )
+    e = overlap_edges(layer)
+    drv = connected_components(layer, e).toPandas().set_index("gs_id")["comp"]
+    dist = _cc_distributed(layer, e).toPandas().set_index("gs_id")["comp"]
+    assert (drv.sort_index() == dist.sort_index()).all()
+    # each chain collapses to its min id
+    assert set(drv.unique()) == {0, 10, 20, 30}
+
+
 def test_blocked_cosine_pairs_cross_block(spark):
     """Regression: cosine_pairs_blocked must find pairs whose SMALLER id
     hashes into the HIGHER block (block_rows=2 forces many blocks; every
