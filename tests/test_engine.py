@@ -148,3 +148,56 @@ def test_spark_submit_pyfiles_deployment(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "FLAGSHIP_ROWS=22" in r.stdout, r.stdout[-2000:] + r.stderr[-1000:]
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked windowed counts across two AvailableNow runs: the
+    checkpoint carries the watermark, finalized windows emit exactly
+    once, and a row older than the carried watermark is DROPPED (its
+    closed window's count never changes)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from greenex_py_spark.data.synth import DOC_SCHEMA
+    from greenex_py_spark.streaming.ingest import windowed_counts
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(url, hour, minute=0):
+        return (
+            url,
+            dt.datetime(2026, 1, 1, hour, minute),
+            b"<html/>",
+            "page text",
+            "en",
+        )
+
+    batch1 = spark.createDataFrame(
+        [doc("https://a/1", 10), doc("https://a/2", 11),
+         doc("https://a/3", 12), doc("https://a/4", 13)],
+        DOC_SCHEMA,
+    )
+    batch1.write.mode("overwrite").parquet(src)
+    windowed_counts(spark, src, sink, ckpt, window="1 hour", watermark="2 hours")
+    out1 = spark.read.parquet(sink).toPandas()
+    # watermark = 13:00 − 2h = 11:00 → only window [10,11) is final
+    assert set(out1.win_start.dt.hour) == {10}
+    assert out1.n_pages.sum() == 1
+
+    # batch 2: one on-time row (advances watermark to 12:00) and one row
+    # at 10:30 — older than the carried watermark → dropped
+    batch2 = spark.createDataFrame(
+        [doc("https://a/5", 14), doc("https://late/x", 10, 30)], DOC_SCHEMA
+    )
+    batch2.write.mode("append").parquet(src)
+    windowed_counts(spark, src, sink, ckpt, window="1 hour", watermark="2 hours")
+    out2 = spark.read.parquet(sink).toPandas()
+    by_win = out2.groupby(out2.win_start.dt.hour).n_pages.sum()
+    # [10,11) still 1 (late row dropped, window emitted exactly once);
+    # [11,12) newly finalized with its single on-time row
+    assert by_win.loc[10] == 1
+    assert by_win.loc[11] == 1
+    assert 13 not in by_win.index  # still within watermark, not final
