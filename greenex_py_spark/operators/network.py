@@ -160,6 +160,107 @@ def bounded_network_distances(
     )
 
 
+def bounded_network_distances_partitioned(
+    snapped: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    region: float | None = None,
+) -> DataFrame:
+    """[id, node_id, net_dist] — same contract as
+    :func:`bounded_network_distances`, WITHOUT broadcasting the graph:
+    the 100 TB path (SURVEY §2.7 N1: "cell-partitioned CSR fragments
+    joined to PoIs by cell").
+
+    Network distance ≥ euclidean distance, so a ``radius``-bounded
+    Dijkstra from a snap node inside region cell C can only touch edges
+    whose bbox lies within ``radius`` of C.  Edges therefore replicate
+    to the ≤3×3 region cells (region size = radius) they can serve —
+    bounded blow-up, exactly the halo-exchange shape the viewshed uses —
+    and each cogroup builds its own local CSR.  No driver collect, no
+    broadcast, works when the road network itself is sharded.
+
+    Row-identical to the broadcast path
+    (tests/test_operators.test_partitioned_dijkstra_equals_broadcast).
+    """
+    from ..geo.cells import ORIGIN_X, ORIGIN_Y, _BASE
+
+    region = float(region if region is not None else radius)
+
+    npos = nodes.select("node_id", "x", "y")
+    sn = (
+        snapped.select(id_col, "node_id")
+        .join(npos, "node_id")
+        .withColumn(
+            "rcell",
+            F.floor((F.col("y") - ORIGIN_Y) / region).cast("long") * _BASE
+            + F.floor((F.col("x") - ORIGIN_X) / region).cast("long"),
+        )
+        .select(id_col, "node_id", "rcell")
+    )
+    e = (
+        edges.select("src", "dst", "length")
+        .join(npos.withColumnsRenamed({"node_id": "src", "x": "ax", "y": "ay"}), "src")
+        .join(npos.withColumnsRenamed({"node_id": "dst", "x": "bx", "y": "by"}), "dst")
+    )
+    gx0 = F.floor((F.least("ax", "bx") - radius - ORIGIN_X) / region).cast("long")
+    gx1 = F.floor((F.greatest("ax", "bx") + radius - ORIGIN_X) / region).cast("long")
+    gy0 = F.floor((F.least("ay", "by") - radius - ORIGIN_Y) / region).cast("long")
+    gy1 = F.floor((F.greatest("ay", "by") + radius - ORIGIN_Y) / region).cast("long")
+    frag = (
+        e.withColumn("_gy", F.explode(F.sequence(gy0, gy1)))
+        .withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("rcell", F.col("_gy") * _BASE + F.col("_gx"))
+        .select("rcell", "src", "dst", "length")
+    )
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "node_id", "net_dist"]
+        if len(left) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        starts = left["node_id"].to_numpy(np.int64)
+        # local node universe: fragment endpoints + the snap nodes (a
+        # snap node with no in-radius edges still emits its 0-row, same
+        # as the broadcast path)
+        uniq = np.unique(
+            np.concatenate(
+                [right["src"].to_numpy(np.int64), right["dst"].to_numpy(np.int64), starts]
+            )
+            if len(right)
+            else starts
+        )
+        idx = {int(v): i for i, v in enumerate(uniq)}
+        if len(right):
+            src = right["src"].map(idx).to_numpy(np.int64)
+            dstv = right["dst"].map(idx).to_numpy(np.int64)
+            wv = right["length"].to_numpy(np.float64)
+            order = np.argsort(src, kind="stable")
+            src, dstv, wv = src[order], dstv[order], wv[order]
+            indptr = np.zeros(len(uniq) + 1, dtype=np.int64)
+            np.add.at(indptr, src + 1, 1)
+            np.cumsum(indptr, out=indptr)
+        else:
+            indptr = np.zeros(len(uniq) + 1, dtype=np.int64)
+            dstv = np.zeros(0, dtype=np.int64)
+            wv = np.zeros(0, dtype=np.float64)
+        rows = []
+        for rid, node in zip(left[id_col].to_numpy(np.int64), starts):
+            dd = _dijkstra_bounded(indptr, dstv, wv, idx[int(node)], radius)
+            rows.extend((int(rid), int(uniq[v]), d) for v, d in dd.items())
+        return (
+            pd.DataFrame(rows, columns=cols)
+            if rows
+            else pd.DataFrame({c: [] for c in cols})
+        )
+
+    return (
+        sn.groupBy("rcell")
+        .cogroup(frag.groupBy("rcell"))
+        .applyInPandas(kernel, schema=f"{id_col} long, node_id long, net_dist double")
+    )
+
+
 # ---------------------------------------------------------------------------
 # entrance detection (J7) — codegen rect-boundary distance
 # ---------------------------------------------------------------------------

@@ -197,6 +197,38 @@ def test_winnow_fingerprint_guarantee(spark):
     assert set(map(tuple, fp.values.tolist())) == set(map(tuple, fp2.values.tolist()))
 
 
+def test_partitioned_dijkstra_equals_broadcast(spark, sf_dir):
+    """The no-broadcast scale path (cell-partitioned CSR fragments,
+    3×3 halo) emits exactly the broadcast-CSR path's rows."""
+    from greenex_py_spark.data import city_fixture as fx
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.operators.network import (
+        bounded_network_distances,
+        bounded_network_distances_partitioned,
+        nearest_node,
+    )
+
+    pts = (
+        city.points_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 7 == 0)
+        .withColumnRenamed("doc_id", "id")
+    )
+    nodes, edges = fx.network_dfs(spark)
+    snapped = nearest_node(pts, nodes, "id")
+    a = (
+        bounded_network_distances(snapped, nodes, edges, 450.0, "id")
+        .toPandas().sort_values(["id", "node_id"]).reset_index(drop=True)
+    )
+    b = (
+        bounded_network_distances_partitioned(snapped, nodes, edges, 450.0, "id")
+        .toPandas().sort_values(["id", "node_id"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    assert (a.id.to_numpy() == b.id.to_numpy()).all()
+    assert (a.node_id.to_numpy() == b.node_id.to_numpy()).all()
+    np.testing.assert_allclose(a.net_dist.to_numpy(), b.net_dist.to_numpy(), rtol=0, atol=0)
+
+
 def test_distributed_cc_equals_driver_cc(spark):
     """The big-graph Pregel path (_cc_distributed, never reached by the
     adaptive threshold on fixtures) emits the same labels as the
