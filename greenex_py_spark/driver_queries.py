@@ -326,6 +326,26 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs)
 
 
+@register(
+    "q_unigram_logprob",
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freqs AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT sum(tf) AS total FROM freqs)
+SELECT doc_id, round(avg(log10(CAST(tf AS DOUBLE) / total)), 6) AS avg_logprob
+FROM toks JOIN freqs USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality signal: mean log10 unigram probability of
+    each document under the corpus's own empirical distribution."""
+    from .functions.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs)
+
+
 @register("q_stream_ingest", None)  # rows-only: xxhash64 geocode has no DuckDB twin
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the driver gate: AvailableNow incremental

@@ -78,6 +78,33 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return t.select(id_col, F.round(len_f * stop_f * word_f, 3).alias("quality"))
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, avg_logprob] — mean per-token log₁₀ unigram probability under
+    the corpus's own empirical distribution (the CCNet-style LM-quality
+    signal: boilerplate scores high, gibberish scores low).
+
+    The only text operator needing a **corpus-level statistic**: one
+    token explode → groupBy(token) count (map-side combined) → total via
+    a window-free broadcast-friendly cross join of one row → rejoin to
+    the token stream → per-doc mean.  At 100 TB the token-frequency dim
+    is the classic "big agg, then broadcast back" shape.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freqs.agg(F.sum("tf").alias("_total"))
+    lp = F.log10(F.col("tf").cast("double") / F.col("_total"))
+    scored = toks.join(F.broadcast(freqs.crossJoin(total)), "tok")
+    return (
+        scored.groupBy("_id")
+        .agg(F.round(F.avg(lp), 6).alias("avg_logprob"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """[id, pred_lang] — stopword-vote language ID with deterministic
     tie-break (score desc, then language code asc)."""
