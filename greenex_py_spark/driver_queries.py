@@ -817,6 +817,27 @@ def q_accessibility_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id")
 
 
+@register("q_accessibility_network_part", None)  # oracle attached below
+def q_accessibility_network_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as q_accessibility_network, routed through the
+    no-broadcast cell-partitioned Dijkstra (the sharded-network scale
+    path) — held to the same exact oracle."""
+    from .data import city_fixture as fx
+    from .operators.network import shortest_distance_greenspace_network
+
+    pts = city.points_df(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    greens = city.greenspace_df(spark)
+    nodes, edges = fx.network_dfs(spark)
+    out = shortest_distance_greenspace_network(
+        pts, greens, nodes, edges, target_dist=300.0, min_area=400.0,
+        destination="centroids", id_col="id", partitioned=True,
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+ORACLES["q_accessibility_network_part"] = ORACLES["q_accessibility_network"]
+
+
 @register(
     "q_dissolve",
     _CTE + """

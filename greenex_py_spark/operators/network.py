@@ -306,12 +306,18 @@ def shortest_distance_greenspace_network(
     min_area: float = 400.0,
     destination: str = "centroids",
     id_col: str = "id",
+    partitioned: bool = False,
 ) -> DataFrame:
     """Network variant of get_shortest_distance_greenspace →
-    [id, greenspace_within, distance_to_greenspace]."""
+    [id, greenspace_within, distance_to_greenspace].
+
+    ``partitioned=True`` routes the ego-graph stage through the
+    no-broadcast cell-partitioned Dijkstra (row-identical; the sharded-
+    network scale path)."""
     g = greens.filter(F.col("area") >= F.lit(min_area))
     snapped = nearest_node(points, nodes, id_col)
-    reach = bounded_network_distances(snapped, nodes, edges, target_dist * 1.5, id_col)
+    dist_fn = bounded_network_distances_partitioned if partitioned else bounded_network_distances
+    reach = dist_fn(snapped, nodes, edges, target_dist * 1.5, id_col)
     ent = entrance_nodes_rect(nodes, g, tol=20.0)
 
     # candidate greens: rect ∩ buffer(target) per PoI (the per-row clip)
