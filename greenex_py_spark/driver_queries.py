@@ -479,7 +479,7 @@ _SHINGLE_SQL = """
 toks AS (SELECT doc_id AS id, string_split(text, ' ') AS tk FROM corpus),
 sh AS (
   SELECT DISTINCT id, array_to_string(list_slice(tk, i.range, i.range + 2), ' ') AS sh
-  FROM toks, range(1, 201) i
+  FROM toks, range(1, 1001) i
   WHERE i.range <= greatest(len(tk) - 2, 1)
 ),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)

@@ -396,3 +396,16 @@ def test_wkb_binary_column_roundtrip(spark):
 
     got = df.withColumn("area2", wkb_area("wkb")).toPandas()
     np.testing.assert_allclose(got.area2, got.area, rtol=1e-12)
+
+
+def test_shingles_unbounded_long_docs(spark):
+    """Engine shingling is position-unbounded: a 600-token document
+    yields exactly n−k+1 distinct shingles (matches the oracle's raised
+    1000-position cap; pinned so the envelope never silently shrinks)."""
+    from greenex_py_spark.functions.dedup import shingles
+
+    text = " ".join(f"w{i}" for i in range(600))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sh = shingles(df, k=3).toPandas()
+    assert len(sh) == 600 - 2
+    assert sh.sh.nunique() == 598
