@@ -119,10 +119,13 @@ def run_bench() -> dict:
     if not os.environ.get("SPARK_GRAFT_SKIP_SF_QUERIES"):
         for name, fn in sorted(dq.QUERIES.items()):
             _noop(fn(spark, SF_DIR))
-            spark.catalog.clearCache()
-            t0 = time.time()
-            _noop(fn(spark, SF_DIR))
-            timings[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # min-of-2 damps GC/worker-churn variance
+                spark.catalog.clearCache()
+                t0 = time.time()
+                _noop(fn(spark, SF_DIR))
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
