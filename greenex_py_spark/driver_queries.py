@@ -346,6 +346,33 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+@register("q_multimodal_gvi", None)  # rows-only: sha-derived fake decode has no SQL twin
+def q_multimodal_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal Python/Arrow chain in the gate: binary media
+    (synthesized from text bytes) → deterministic fake decode
+    (mapInPandas) → green-fraction segmentation stub → per-language
+    mean GVI.  Deterministic end-to-end; the real codec/model swap in
+    behind the same signatures on a cluster image."""
+    from .functions.multimodal import decode_images, segment_green_fraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        "lang",
+    )
+    decoded = decode_images(media, "media", "media_id")
+    gvi = segment_green_fraction(decoded, "media_id")
+    return (
+        gvi.join(media.select("media_id", "lang"), "media_id")
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("GVI"), 6).alias("mean_gvi"),
+            F.count("*").alias("n_media"),
+        )
+    )
+
+
 @register("q_stream_ingest", None)  # rows-only: xxhash64 geocode has no DuckDB twin
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the driver gate: AvailableNow incremental
