@@ -167,8 +167,15 @@ def viewshed_gvi_points(
     tile_px: int = 256,
     res: float = fx.DSM_RES,
     npx: int = fx.DSM_NPX,
+    prune_empty_tiles: bool = False,
 ) -> DataFrame:
     """[id, sp_id, x, y, GVI] — per-sample-point GVI.
+
+    ``prune_empty_tiles=True`` semi-joins the halo on the tile groups
+    that actually hold sample points — pays one extra pass over the
+    sample lineage, wins when PoIs cover a sparse fraction of the
+    raster (planet-scale), loses on dense fixtures (measured 2×) —
+    hence opt-in.
 
     ``tiles``: union of dsm/dtm/green tile tables (same schema, distinct
     ``layer`` values).  Tiles are exploded to their 3×3 halo neighbours
@@ -196,6 +203,10 @@ def viewshed_gvi_points(
         )
         .drop("_dx", "_dy")
     )
+    if prune_empty_tiles:
+        halo = halo.join(
+            F.broadcast(pts.select("htx", "hty").distinct()), ["htx", "hty"], "leftsemi"
+        )
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = ["id", "sp_id", "x", "y", "GVI"]
