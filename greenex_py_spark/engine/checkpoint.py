@@ -164,3 +164,12 @@ class Pipeline:
             }
         )
         return self.store.read(name, entry["snapshot_id"])
+
+    def dump_stats(self, run_name: str, out_dir: str = "BENCH") -> str:
+        """Persist the per-stage rows/latency record (north_rule metrics
+        surface) as one JSON file via engine.metrics.StageMetrics."""
+        from .metrics import StageMetrics
+
+        m = StageMetrics(run_name, out_dir)
+        m.stages = list(self.stats)
+        return m.dump()

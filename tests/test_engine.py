@@ -40,6 +40,14 @@ def test_snapshot_resume_equals_cold_run(spark, tmp_path, sf_dir):
     assert [s["resumed"] for s in p2.stats] == [True, True]  # metadata-only restart
     pd.testing.assert_frame_equal(out1, out2)
 
+    # metrics surface: per-stage rows/latency dump (north_rule)
+    import json as _json
+
+    mpath = p1.dump_stats("resume_test", out_dir=str(tmp_path / "metrics"))
+    md = _json.load(open(mpath))
+    assert [st["stage"] for st in md["stages"]] == ["points", "pip"]
+    assert all(st["rows"] > 0 and st["wall_ms"] >= 0 for st in md["stages"])
+
     # partial resume: drop only the final stage → stage 1 resumes, stage 2 rebuilds
     store.drop("pip")
     p3, out3 = run_once()
