@@ -1,0 +1,146 @@
+"""Coverage for public API surface not on the driver-gate hot path —
+every function COVERAGE.md cites must actually run and be correct
+(found by a defs-vs-uses AST audit; these were defined-but-unexercised).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_nearest_k_matches_brute_force(spark):
+    from greenex_py_spark.operators.accessibility import nearest_k
+
+    rng = np.random.default_rng(3)
+    px, py = rng.uniform(0, 1000, 20), rng.uniform(0, 1000, 20)
+    tx, ty = rng.uniform(0, 1000, 50), rng.uniform(0, 1000, 50)
+    pts = spark.createDataFrame(pd.DataFrame({"id": range(20), "x": px, "y": py}))
+    tgt = spark.createDataFrame(pd.DataFrame({"gs_id": range(50), "x": tx, "y": ty}))
+    got = nearest_k(pts, tgt, k=3).toPandas()
+    assert (got.groupby("id").size() == 3).all()
+    for pid in range(20):
+        d = np.hypot(tx - px[pid], ty - py[pid])
+        want = set(np.argsort(d, kind="stable")[:3])
+        have = set(got[got.id == pid].gs_id)
+        assert have == want, pid
+    # distance-bounded variant: every returned pair respects the bound
+    bounded = nearest_k(pts, tgt, k=3, max_dist=200.0).toPandas()
+    assert (bounded.nn_dist <= 200.0).all()
+
+
+def test_simhash_pairs_pigeonhole(spark):
+    from greenex_py_spark.driver_queries import _corpus_df
+    from greenex_py_spark.functions.dedup import simhash, simhash_pairs
+
+    corpus = _corpus_df(spark, "/root/testdata/sf0.001")
+    pairs = simhash_pairs(corpus, max_hamming=3).toPandas()
+    fp = simhash(corpus).toPandas().set_index("id")["simhash"]
+    # every returned pair's true hamming distance matches and is ≤ 3
+    for r in pairs.itertuples(index=False):
+        ham = bin(int(fp[r.id_a]) ^ int(fp[r.id_b])).count("1")
+        assert ham == r.hamming and ham <= 3
+    # completeness: pigeonhole banding finds ALL pairs ≤ max_hamming
+    ids = fp.index.to_numpy()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(fp[ids[i]]) ^ int(fp[ids[j]])).count("1") <= 3:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert set(zip(pairs.id_a, pairs.id_b)) == want
+
+
+def test_cosine_pairs_bucketed_subset_of_exact(spark):
+    from greenex_py_spark.functions.similarity import cosine_pairs, cosine_pairs_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_pairs_blocked(
+        emb.select("vec_id", F.transform("embedding", lambda e: e.cast("double")).alias("embedding")),
+        threshold=0.8,
+    ).toPandas()
+    lsh = cosine_pairs(emb, threshold=0.8).toPandas()
+    e = set(zip(exact.id_a, exact.id_b))
+    l = set(zip(lsh.id_a, lsh.id_b))
+    assert l <= e  # bucketing can miss, never invent
+    m = exact.merge(lsh, on=["id_a", "id_b"], suffixes=("_e", "_l"))
+    assert (m.sim_e == m.sim_l).all()
+
+
+def test_minhash_signatures_shape_and_values(spark):
+    from greenex_py_spark.functions.dedup import (
+        P_MOD,
+        SID_MOD,
+        _perm_consts,
+        minhash_signatures,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "a b c d e f g h")], "doc_id long, text string"
+    )
+    sig = minhash_signatures(df, num_perm=4).toPandas().sort_values("j")
+    assert sig.id.eq(7).all() and sig.j.tolist() == [0, 1, 2, 3]
+    # recompute expected min-hash from the shingle ints
+    sh = shingles(df, 3).toPandas()
+    import hashlib
+
+    sids = [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) % SID_MOD for s in sh.sh]
+    for j, (a, b) in enumerate(_perm_consts(4)):
+        want = min((a * s + b) % P_MOD for s in sids)
+        assert int(sig[sig.j == j].mh.iloc[0]) == want
+
+
+def test_tokens_regex_punctuation(spark):
+    from greenex_py_spark.functions.text import tokens_regex
+
+    df = spark.createDataFrame([(1, "Hello, world! x2")], "id long, text string")
+    out = tokens_regex(df).select("toks").first()[0]
+    assert out == ["Hello", ",", " ", "world", "!", " ", "x2"]
+
+
+def test_line_length_and_polygon_cover():
+    from greenex_py_spark.geo import kernels
+    from greenex_py_spark.geo.cells import cell_of, polygon_cover
+
+    assert kernels.line_length(np.array([0.0, 3.0, 3.0]), np.array([0.0, 4.0, 8.0])) == 9.0
+    ring = np.array([[100010.0, 450010.0], [100190.0, 450010.0],
+                     [100190.0, 450190.0], [100010.0, 450190.0]])
+    cover = set(np.asarray(polygon_cover([ring])).ravel().tolist())
+    # superset property: the cell of every ring vertex is covered
+    for x, y in ring:
+        assert int(cell_of(np.array([x]), np.array([y]))[0]) in cover
+
+
+def test_geocode_arrow_matches_numpy_oracle(spark):
+    """geocode_arrow (pandas-UDF path) == the in-process NumPy
+    url_hash64+geocode_xy oracle, row for row.  (The codegen `geocode`
+    intentionally uses JVM xxhash64 instead — different hash family,
+    same distribution contract — so the two geocoders are each pinned
+    against their own oracle, not against each other.)"""
+    from greenex_py_spark.data.synth import geocode_arrow, geocode_xy, url_hash64
+
+    url_list = [f"https://site{i}.example/p/{i}" for i in range(200)]
+    urls = spark.createDataFrame([(u,) for u in url_list], "url string")
+    b = geocode_arrow(urls).toPandas().sort_values("url").reset_index(drop=True)
+    want_x, want_y = geocode_xy(url_hash64(pd.Series(sorted(url_list))))
+    np.testing.assert_allclose(b.x.to_numpy(), want_x, rtol=0, atol=0)
+    np.testing.assert_allclose(b.y.to_numpy(), want_y, rtol=0, atol=0)
+    # and the core-skew contract holds for both hash families
+    assert (b.x.between(100000, 110000)).all() and (b.y.between(450000, 460000)).all()
+
+
+def test_stage_metrics_measure_and_timed(spark, tmp_path):
+    import json
+
+    from greenex_py_spark.engine.metrics import StageMetrics
+
+    m = StageMetrics("unit", out_dir=str(tmp_path))
+    df = spark.range(10)
+    m.measure("range", df)
+    with m.timed("noop-sleep"):
+        pass
+    path = m.dump()
+    d = json.load(open(path))
+    assert d["stages"][0] == {"stage": "range", "rows": 10, "wall_ms": d["stages"][0]["wall_ms"]}
+    assert d["stages"][1]["stage"] == "noop-sleep"
