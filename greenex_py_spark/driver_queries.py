@@ -346,6 +346,26 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def _kmeans_oracle() -> str:
+    from .functions.clustering import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=4, iters=2, dim=64)
+
+
+@register("q_kmeans", None)  # oracle attached below (generated SQL)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantized k-means (iterative Lloyd rounds made
+    engine-reproducible via 6-dp rounding of distances and centroid
+    updates) — exact SQL oracle for an ITERATIVE algorithm."""
+    from .functions.clustering import kmeans_fit_predict
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_fit_predict(emb, k=4, iters=2)
+
+
+ORACLES["q_kmeans"] = _kmeans_oracle()
+
+
 @register("q_multimodal_gvi", None)  # rows-only: sha-derived fake decode has no SQL twin
 def q_multimodal_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal Python/Arrow chain in the gate: binary media

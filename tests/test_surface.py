@@ -144,3 +144,17 @@ def test_stage_metrics_measure_and_timed(spark, tmp_path):
     d = json.load(open(path))
     assert d["stages"][0] == {"stage": "range", "rows": 10, "wall_ms": d["stages"][0]["wall_ms"]}
     assert d["stages"][1]["stage"] == "noop-sleep"
+
+
+def test_kmeans_quantized_deterministic(spark):
+    """Quantized Lloyd rounds: assignment is the true (rounded) argmin
+    against the final centroids, and reruns are identical."""
+    from greenex_py_spark.functions.clustering import kmeans_fit_predict
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_fit_predict(emb, k=4, iters=2).toPandas().sort_values("vec_id")
+    b = kmeans_fit_predict(emb, k=4, iters=2).toPandas().sort_values("vec_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert set(a.cluster) <= {0, 1, 2, 3}
+    # every cluster non-trivial on this corpus
+    assert a.cluster.value_counts().min() > 0
