@@ -76,15 +76,17 @@ def decode_images(
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[bin_col]):
                 arr = _fake_decode(bytes(buf))
+                # uint8 bytes, not array<int>: 1 B/px vs ~12 B/px boxed
+                # through Arrow — the payload a real pipeline ships
                 rows.append(
-                    (int(mid), arr.shape[1], arr.shape[0], 3, arr.ravel().astype(np.int32))
+                    (int(mid), arr.shape[1], arr.shape[0], 3, arr.ravel().tobytes())
                 )
             yield pd.DataFrame(
                 rows, columns=[id_col, "width", "height", "channels", "pixels"]
             )
 
     return df.select(id_col, bin_col).mapInPandas(
-        run, schema=f"{id_col} long, width int, height int, channels int, pixels array<int>"
+        run, schema=f"{id_col} long, width int, height int, channels int, pixels binary"
     )
 
 
@@ -98,16 +100,16 @@ def resize_images(decoded: DataFrame, out_w: int = 16, out_h: int = 16,
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                arr = np.asarray(r.pixels, dtype=np.int32).reshape(r.height, r.width, r.channels)
+                arr = np.frombuffer(r.pixels, dtype=np.uint8).reshape(r.height, r.width, r.channels)
                 yi = (np.arange(out_h) * r.height // out_h)
                 xi = (np.arange(out_w) * r.width // out_w)
                 small = arr[yi[:, None], xi[None, :], :]
                 rows.append((getattr(r, id_col), out_w, out_h, r.channels,
-                             small.ravel().astype(np.int32)))
+                             small.ravel().tobytes()))
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "channels", "pixels"])
 
     return decoded.mapInPandas(
-        run, schema=f"{id_col} long, width int, height int, channels int, pixels array<int>"
+        run, schema=f"{id_col} long, width int, height int, channels int, pixels binary"
     )
 
 
@@ -119,7 +121,7 @@ def image_features(decoded: DataFrame, id_col: str = "media_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                arr = np.asarray(r.pixels, dtype=np.float64).reshape(-1, 3)
+                arr = np.frombuffer(r.pixels, dtype=np.uint8).astype(np.float64).reshape(-1, 3)
                 m = arr.mean(axis=0)
                 rows.append((getattr(r, id_col), round(m[0], 3), round(m[1], 3),
                              round(m[2], 3), round(float(arr.mean()), 3)))
@@ -160,7 +162,7 @@ def segment_green_fraction(
                 )
             rows = []
             for r in pdf.itertuples(index=False):
-                arr = np.asarray(r.pixels, dtype=np.int32).reshape(-1, 3)
+                arr = np.frombuffer(r.pixels, dtype=np.uint8).reshape(-1, 3)
                 green = (arr[:, 1] > arr[:, 0]) & (arr[:, 1] > arr[:, 2])
                 rows.append((getattr(r, id_col), round(float(green.mean()), 3)))
             yield pd.DataFrame(rows, columns=[id_col, "GVI"])
