@@ -168,3 +168,83 @@ def segment_green_fraction(
             yield pd.DataFrame(rows, columns=[id_col, "GVI"])
 
     return decoded.mapInPandas(run, schema=f"{id_col} long, GVI double")
+
+
+def _fake_decode_audio(buf: bytes, sr: int = 16000) -> np.ndarray:
+    """Deterministic fake PCM decode: bytes → float32 mono waveform in
+    [-1, 1], length derived from a digest.  Stands in for a real
+    libsndfile/ffmpeg decoder; REPLACE on a cluster image."""
+    d = hashlib.sha256(buf).digest()
+    n = sr // 100 * (1 + d[0] % 20)  # 10..200 ms of samples
+    seed = np.frombuffer(d, dtype=np.uint8).astype(np.int64)
+    stream = np.resize(np.cumsum(seed * 2654435761 % 65521), n)
+    return ((stream % 65521).astype(np.float32) / 32760.5) - 1.0
+
+
+def decode_audio(
+    df: DataFrame,
+    bin_col: str = "media",
+    id_col: str = "media_id",
+    sample_rate: int = 16000,
+    strict: bool = False,
+) -> DataFrame:
+    """[id, sample_rate, n_samples, pcm binary] — audio decode over
+    mapInPandas (Arrow batches; float32 PCM shipped as binary, the same
+    1-copy payload convention as decoded image pixels).
+
+    strict=True raises NotImplementedError per batch — the marker that
+    a real audio codec must be installed on the cluster image.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio decode requires a codec library (soundfile/ffmpeg); "
+                    "not available in this environment"
+                )
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[bin_col]):
+                wav = _fake_decode_audio(bytes(buf), sample_rate)
+                rows.append((int(mid), sample_rate, len(wav), wav.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "n_samples", "pcm"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run, schema=f"{id_col} long, sample_rate int, n_samples int, pcm binary"
+    )
+
+
+def audio_features(decoded: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """[id, duration_s, rms, peak, zero_crossings] — per-clip features
+    (vectorized NumPy per Arrow batch; the audio analogue of
+    image_features)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                wav = np.frombuffer(r.pcm, dtype=np.float32).astype(np.float64)
+                zc = int(np.count_nonzero(np.diff(np.signbit(wav))))
+                rows.append(
+                    (
+                        getattr(r, id_col),
+                        round(r.n_samples / r.sample_rate, 6),
+                        round(float(np.sqrt(np.mean(wav * wav))), 6),
+                        round(float(np.abs(wav).max()), 6),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "duration_s", "rms", "peak", "zero_crossings"],
+            )
+
+    return decoded.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, duration_s double, rms double, "
+            "peak double, zero_crossings long"
+        ),
+    )

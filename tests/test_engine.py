@@ -209,3 +209,26 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert by_win.loc[10] == 1
     assert by_win.loc[11] == 1
     assert 13 not in by_win.index  # still within watermark, not final
+
+
+def test_audio_plumbing(spark):
+    """Audio modality: opaque binary → stubbed PCM decode → features;
+    deterministic, strict mode marks the missing codec."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from greenex_py_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2, 3],
+                      "media": [b"clip-a", b"clip-b", b"x" * 500]})
+    )
+    dec = mm.decode_audio(df).toPandas().sort_values("media_id")
+    assert (dec.n_samples == dec.pcm.map(len) // 4).all()  # float32 PCM
+    dec2 = mm.decode_audio(df).toPandas().sort_values("media_id")
+    assert dec.pcm.tolist() == dec2.pcm.tolist()  # deterministic
+    feats = mm.audio_features(mm.decode_audio(df)).toPandas()
+    assert (feats.duration_s > 0).all()
+    assert feats.rms.between(0, 1).all() and feats.peak.between(0, 1).all()
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.decode_audio(df, strict=True).collect()
