@@ -470,27 +470,27 @@ def isochrone_raster_mask(
         d2 = (X - (ax[k] + t * dx)) ** 2 + (Y - (ay[k] + t * dy)) ** 2
         mask |= d2 <= edge_buff * edge_buff
     if fill_holes and mask.any():
-        # flood-fill the outside from the window border; holes = ~mask
-        # not reachable from the border
+        # flood-fill the outside from the window border (4-connected);
+        # holes = ~mask not reachable from the border.  Vectorized
+        # iterative dilation — identical reachability to the old
+        # per-pixel BFS (which spent ~15 ms/PoI in Python loops), each
+        # pass is four shifted ORs over the whole window.
+        free = ~mask
         outside = np.zeros_like(mask)
-        stack = (
-            [(0, j) for j in range(mask.shape[1])]
-            + [(mask.shape[0] - 1, j) for j in range(mask.shape[1])]
-            + [(i, 0) for i in range(mask.shape[0])]
-            + [(i, mask.shape[1] - 1) for i in range(mask.shape[0])]
-        )
-        stack = [p for p in stack if not mask[p]]
-        for p in stack:
-            outside[p] = True
-        while stack:
-            i, j = stack.pop()
-            for ni, nj in ((i - 1, j), (i + 1, j), (i, j - 1), (i, j + 1)):
-                if (
-                    0 <= ni < mask.shape[0] and 0 <= nj < mask.shape[1]
-                    and not mask[ni, nj] and not outside[ni, nj]
-                ):
-                    outside[ni, nj] = True
-                    stack.append((ni, nj))
+        outside[0, :] = free[0, :]
+        outside[-1, :] |= free[-1, :]
+        outside[:, 0] |= free[:, 0]
+        outside[:, -1] |= free[:, -1]
+        while True:
+            grow = outside.copy()
+            grow[1:, :] |= outside[:-1, :]
+            grow[:-1, :] |= outside[1:, :]
+            grow[:, 1:] |= outside[:, :-1]
+            grow[:, :-1] |= outside[:, 1:]
+            grow &= free
+            if np.array_equal(grow, outside):
+                break
+            outside = grow
         mask = ~outside
     return mask, (ix0, iy0)
 
