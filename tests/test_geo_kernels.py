@@ -148,3 +148,49 @@ def test_morton_locality():
     c1 = cells.morton_cell(np.array([100000.0]), np.array([450000.0]))
     c2 = cells.morton_cell(np.array([100100.0]), np.array([450000.0]))
     assert c1[0] != c2[0]
+
+
+def test_mercator_projection_hand_values_and_roundtrip():
+    """EPSG:4326↔3395: known proj4 values + double-precision roundtrip."""
+    import numpy as np
+
+    from greenex_py_spark.geo import crs
+
+    # anchors: (0,0) -> (0,0); lon 180 -> a·π exactly; x = a·λ
+    x, y = crs.lonlat_to_mercator(np.array([0.0, 180.0, 4.9041]),
+                                  np.array([0.0, 0.0, 52.3676]))
+    assert x[0] == 0.0 and y[0] == 0.0
+    np.testing.assert_allclose(x[1], 20037508.342789244, rtol=1e-12)
+    np.testing.assert_allclose(x[2], np.radians(4.9041) * crs.WGS84_A, rtol=1e-15)
+    # independent identity for the ellipsoidal y (isometric latitude via
+    # atanh form): y = a·(atanh(sin φ) − e·atanh(e·sin φ))
+    phi = np.radians(52.3676)
+    e = np.sqrt(crs.WGS84_E2)
+    y_id = crs.WGS84_A * (np.arctanh(np.sin(phi)) - e * np.arctanh(e * np.sin(phi)))
+    np.testing.assert_allclose(y[2], y_id, rtol=1e-12)
+    # roundtrip over a lon/lat grid
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-84, 84, 500)
+    mx, my = crs.lonlat_to_mercator(lon, lat)
+    lon2, lat2 = crs.mercator_to_lonlat(mx, my)
+    np.testing.assert_allclose(lon2, lon, rtol=0, atol=1e-11)
+    np.testing.assert_allclose(lat2, lat, rtol=0, atol=1e-11)
+
+
+def test_mercator_codegen_matches_numpy(spark):
+    """The codegen Column projection == the NumPy kernel bit-for-bit-ish
+    (same double formula; tolerances at 1 ulp scale)."""
+    import numpy as np
+    import pandas as pd
+
+    from greenex_py_spark.geo import crs
+
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-179, 179, 300)
+    lat = rng.uniform(-84, 84, 300)
+    df = spark.createDataFrame(pd.DataFrame({"id": range(300), "lon": lon, "lat": lat}))
+    out = crs.project_points(df).toPandas().sort_values("id")
+    wx, wy = crs.lonlat_to_mercator(lon, lat)
+    np.testing.assert_allclose(out.x.to_numpy(), wx, rtol=1e-15)
+    np.testing.assert_allclose(out.y.to_numpy(), wy, rtol=1e-12)
