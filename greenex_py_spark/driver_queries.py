@@ -346,6 +346,54 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+_BUCKET_SQL = (
+    "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10000"
+)
+
+
+@register(
+    "q_hash_split",
+    f"""
+WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bkt FROM documents)
+SELECT lang,
+       CASE WHEN bkt < 500 THEN 'val'
+            WHEN bkt < 1000 THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY lang, split
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (md5-mod buckets — stable per
+    key across runs/engines/scales) summarized per language."""
+    from .functions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        hash_split(docs)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bkt FROM documents)
+SELECT doc_id, lang FROM b
+WHERE bkt < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END)
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language keep rates (hash-mod sampleBy)."""
+    from .functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, {"en": 5000, "de": 2500}, default_bp=1000
+    ).select("doc_id", "lang")
+
+
 def _kmeans_oracle() -> str:
     from .functions.clustering import kmeans_oracle_sql
 

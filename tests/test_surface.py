@@ -158,3 +158,22 @@ def test_kmeans_quantized_deterministic(spark):
     assert set(a.cluster) <= {0, 1, 2, 3}
     # every cluster non-trivial on this corpus
     assert a.cluster.value_counts().min() > 0
+
+
+def test_hash_split_stability_and_rates(spark):
+    """Hash splits are per-key stable (same doc → same split on rerun
+    and across SFs for overlapping ids) and rates land near nominal."""
+    from greenex_py_spark.functions.sampling import hash_split
+
+    d1 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = hash_split(d1).select("doc_id", "split").toPandas()
+    b = hash_split(d1).select("doc_id", "split").toPandas()
+    assert a.sort_values("doc_id").split.tolist() == b.sort_values("doc_id").split.tolist()
+    d2 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    big = hash_split(d2).select("doc_id", "split").toPandas().set_index("doc_id")
+    small = a.set_index("doc_id")
+    common = small.index.intersection(big.index)
+    assert len(common) > 0
+    assert (small.loc[common, "split"] == big.loc[common, "split"]).all()
+    frac = (big.split != "train").mean()
+    assert 0.06 <= frac <= 0.14  # nominal 10% val+test
