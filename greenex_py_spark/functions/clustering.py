@@ -82,6 +82,10 @@ def kmeans_fit_predict(
         cents = (
             cents.join(upd, "cid", "left")
             .select("cid", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
+            # k rows — truncate lineage per round or Catalyst re-analysis
+            # grows super-linearly with iters (same failure mode the CC
+            # loop hit; BENCH/SCALE_AUDIT.md)
+            .localCheckpoint()
         )
     return assign(cents).select(id_col, F.col("cid").alias("cluster"))
 
