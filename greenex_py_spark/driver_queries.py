@@ -394,10 +394,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _embedding_dim(default: int = 64) -> int:
+    """Embedding dimensionality read from the fixture itself (ADVICE r01:
+    a hardcoded dim would silently average the wrong positions if the
+    fixture ever changed)."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"]
+        )
+        return len(t.column(0)[0])
+    except Exception:
+        return default
+
+
 def _kmeans_oracle() -> str:
     from .functions.clustering import kmeans_oracle_sql
 
-    return kmeans_oracle_sql(k=4, iters=2, dim=64)
+    return kmeans_oracle_sql(k=4, iters=2, dim=_embedding_dim())
 
 
 @register("q_kmeans", None)  # oracle attached below (generated SQL)
@@ -449,13 +464,20 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch; returns the drained sink.  The incremental-delta and
     watermarked-window paths are pytest-covered
     (test_engine.test_streaming_incremental_ingest)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from .data import synth
     from .streaming.ingest import geocode_stream
 
-    base = tempfile.mkdtemp(prefix="q_stream_ingest_")
+    # fixed per-process dir (pid-keyed): repeated gate/bench invocations
+    # reuse it instead of leaking a fresh mkdtemp per run; removed on
+    # interpreter exit (ADVICE r01)
+    base = os.path.join(tempfile.gettempdir(), f"q_stream_ingest_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     synth.documents(spark, 400).write.mode("overwrite").parquet(src)
     geocode_stream(spark, src, sink, ckpt)
@@ -570,6 +592,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_lang_id"] = _langid_sql()
 
 
+# Engine/oracle asymmetries, both documented here (ADVICE r01):
+# 1. gram start positions cap at 1000 (range(1,1001)); the engine's
+#    shingles() is unbounded.  Corpus invariant this relies on: synthetic
+#    documents are 20..79 words (data/synth.py), planted near-dups drop
+#    one word — far below 1002 tokens at every SF.  A fixture with longer
+#    documents must raise the cap (tests/test_driver_gate.py asserts the
+#    invariant).
+# 2. the engine joins shingles on xxhash64(gram) (8-byte shuffle key)
+#    while the oracle intersects exact strings; a 64-bit collision between
+#    distinct grams of two compared docs would inflate the intersection
+#    (~n²/2⁶⁵ — negligible, and it would surface as a gate hash mismatch).
 _SHINGLE_SQL = """
 toks AS (SELECT doc_id AS id, string_split(text, ' ') AS tk FROM corpus),
 sh AS (

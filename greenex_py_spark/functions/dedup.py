@@ -37,10 +37,25 @@ SID_MOD = 1 << 28  # shingle ids < 2^28 keep a*sid + b inside int64
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """[rep_id, n_dups] — one row per duplicate *group* (size ≥ 2);
-    rep_id = min id. Single shuffle (groupBy text)."""
+    rep_id = min id.
+
+    Hash-first: the groupBy key is ``(md5(text), octet_length(text))``,
+    computed map-side, so the single shuffle moves ~24-byte keys instead
+    of the documents themselves — at 100 TB that is the difference
+    between shuffling digests and shuffling the corpus.  Two documents
+    collide only on an md5 collision *at equal byte length*
+    (probability ~n²/2¹²⁸ — far below the engine's other documented
+    hash-collision assumptions); the DuckDB oracle keeps grouping on the
+    raw text, so any collision would surface as a gate mismatch.
+    """
     return (
-        df.groupBy(text_col)
-        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(F.col(text_col)).alias("_digest"),
+            F.octet_length(F.col(text_col)).alias("_len"),
+        )
+        .groupBy("_digest", "_len")
+        .agg(F.min("_id").alias("rep_id"), F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") >= 2)
         .select("rep_id", "n_dups")
     )

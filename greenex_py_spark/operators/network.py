@@ -50,10 +50,20 @@ def nearest_node(
     Cell-prefiltered (J3 machinery): node rows replicate to the cells a
     ``max_snap_dist`` disk can reach (bounded cover explode, broadcast),
     the probe equi-joins on its cell, and the per-point window ranks the
-    few local candidates — not a points×nodes cross join.  Points with
-    no node inside ``max_snap_dist`` fall back to a full scan (rare by
-    construction: street networks are denser than the snap bound).
+    few local candidates — not a points×nodes cross join.
+
+    Points with no node inside ``max_snap_dist`` (ocean/desert tiles)
+    retry with an **expanding k-ring** on the *probe* side: the missed
+    point explodes to every cell within 4× then 16× the snap bound and
+    equi-joins the nodes' home cells.  A candidate found at distance
+    ≤ R is provably the true 1-NN (any closer node would lie inside the
+    searched ring), so each round is exact, never approximate.  Only
+    points that survive both rings — vanishingly rare on any layer with
+    a finite node bbox — hit the final full scan, so the operator stays
+    total (same contract as ox.distance.nearest_nodes) without the old
+    unbounded points×all-nodes cross join.
     """
+    from ..geo.cells import _BASE
     from .spatial_join import bbox_cover_cells, with_point_cell
 
     n_src = nodes.select("node_id", F.col("x").alias("nx"), F.col("y").alias("ny"))
@@ -75,9 +85,27 @@ def nearest_node(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "nx", "ny", "cell")
     )
-    # fallback full scan for points beyond max_snap_dist (keeps the
-    # operator total — same contract as ox.distance.nearest_nodes)
+    from .spatial_join import CELL_SIZE
+
+    n_home = with_point_cell(n_src, x="nx", y="ny", out="ncell")
     missed = pts.join(snapped.select(id_col), id_col, "left_anti")
+    out = snapped
+    for mult in (4.0, 16.0):
+        radius = max_snap_dist * mult
+        span = int(np.ceil(radius / CELL_SIZE)) + 1
+        ring = (
+            missed.withColumn("_dy", F.explode(F.sequence(F.lit(-span), F.lit(span))))
+            .withColumn("_dx", F.explode(F.sequence(F.lit(-span), F.lit(span))))
+            .withColumn("ncell", F.col("cell") + F.col("_dy") * _BASE + F.col("_dx"))
+            .join(F.broadcast(n_home), "ncell")
+            .withColumn("penalty_home", d)
+            .filter(F.col("penalty_home") <= radius)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "x", "y", "node_id", "penalty_home", "cell")
+        )
+        out = out.unionByName(ring.drop("cell"))
+        missed = missed.join(ring.select(id_col), id_col, "left_anti")
     fallback = (
         missed.join(F.broadcast(n_src))
         .withColumn("penalty_home", d)
@@ -85,7 +113,7 @@ def nearest_node(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "nx", "ny", "cell")
     )
-    return snapped.unionByName(fallback)
+    return out.unionByName(fallback)
 
 
 # ---------------------------------------------------------------------------

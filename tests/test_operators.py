@@ -409,3 +409,44 @@ def test_shingles_unbounded_long_docs(spark):
     sh = shingles(df, k=3).toPandas()
     assert len(sh) == 600 - 2
     assert sh.sh.nunique() == 598
+
+
+def test_nearest_node_isolated_far_point(spark):
+    """A point far outside the snap bound must still snap to its true
+    1-NN via the expanding k-ring retry (no unbounded cross join), and
+    exactness must hold when a nearer node sits just outside an inner
+    ring's distance bound."""
+    import pandas as pd
+
+    from greenex_py_spark.operators.network import nearest_node
+
+    nodes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node_id": [0, 1, 2],
+                "x": [100000.0, 101000.0, 160000.0],
+                "y": [450000.0, 450000.0, 450000.0],
+            }
+        ),
+        schema="node_id long, x double, y double",
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [10, 11, 12],
+                # 10: on top of node 0; 11: 900 m from node 1 (k-ring round 1);
+                # 12: ~49 km from every node (full-scan remainder)
+                "x": [100000.0, 101900.0, 111000.0],
+                "y": [450000.0, 450000.0, 450000.0],
+            }
+        ),
+        schema="id long, x double, y double",
+    )
+    got = {
+        r["id"]: (r["node_id"], r["penalty_home"])
+        for r in nearest_node(pts, nodes, "id", max_snap_dist=300.0).collect()
+    }
+    assert got[10] == (0, 0.0)
+    assert got[11][0] == 1 and abs(got[11][1] - 900.0) < 1e-9
+    assert got[12][0] == 1 and abs(got[12][1] - 10000.0) < 1e-9
+    assert len(got) == 3
