@@ -211,8 +211,8 @@ def get_greenspace_percentage(
         from .operators.network import greenspace_pct_isochrone
 
         out = greenspace_pct_isochrone(
-            poi, network_nodes, network_edges, radius=float(buffer_dist),
-            id_col="id", out_col="greenspace_cover",
+            poi, network_nodes, network_edges, greenspace_layer,
+            radius=float(buffer_dist), id_col="id", out_col="greenspace_cover",
         )
     else:
         from .operators.zonal import cover_percentage_circle32

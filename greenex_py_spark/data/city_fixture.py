@@ -155,6 +155,13 @@ DSM_RES = 5.0
 DSM_NPX = 2000  # 10 km at 5 m
 
 
+def surface_grid(tile_px: int = 256):
+    """GridSpec of the 5 m dsm/dtm/green surface rasters."""
+    from ..geo.grid import GridSpec
+
+    return GridSpec.square(city.X0, city.Y0, DSM_RES, tile_px, DSM_NPX)
+
+
 def dtm_value(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
     """Flat terrain — viewshed heights come from DSM blocks only."""
     return np.zeros(np.broadcast(ix, iy).shape, dtype=np.float64)

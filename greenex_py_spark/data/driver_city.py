@@ -190,6 +190,14 @@ LC_SQL = "(CASE ((({ix}) + ({iy})) % 5) WHEN 0 THEN 0 WHEN 1 THEN 10 WHEN 2 THEN
 TILE_PX = 256  # pixels per tile side → 4×4 tiles cover the 1000-px city
 
 
+def grid():
+    """GridSpec of the 10 m driver-city rasters (the explicit descriptor
+    gate queries hand the now-fixture-free raster operators)."""
+    from ..geo.grid import GridSpec
+
+    return GridSpec.square(X0, Y0, RES, TILE_PX, NPX)
+
+
 def tiles_df(spark: SparkSession, layer: str = "ndvi") -> DataFrame:
     """Materialize the raster tile table [layer, tx, ty, x0, y0, res, w, h, px].
 

@@ -158,7 +158,9 @@ def q_mean_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = city.points_df(spark, sf_dir)
     tiles = city.tiles_df(spark, "ndvi")
-    return zonal_mean_std(pts, tiles, radius=_NDVI_R, id_col="doc_id", out_prefix="NDVI")
+    return zonal_mean_std(
+        pts, tiles, radius=_NDVI_R, id_col="doc_id", out_prefix="NDVI", grid=city.grid()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +192,8 @@ def q_landcover_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = city.points_df(spark, sf_dir)
     tiles = city.tiles_df(spark, "landcover")
     return zonal_class_percentages(
-        pts, tiles, radius=_LC_R, class_values=list(city.LC_CLASSES), id_col="doc_id"
+        pts, tiles, radius=_LC_R, class_values=list(city.LC_CLASSES), id_col="doc_id",
+        grid=city.grid(),
     )
 
 
@@ -1094,7 +1097,10 @@ def q_greenspace_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "id")
     )
     nodes, edges = fx.network_dfs(spark)
-    out = greenspace_pct_isochrone(pts, nodes, edges, radius=350.0, res=5.0, id_col="id")
+    out = greenspace_pct_isochrone(
+        pts, nodes, edges, city.greenspace_df(spark), radius=350.0, res=5.0,
+        id_col="id", origin_x=city.X0, origin_y=city.Y0, npx=2000,
+    )
     return out.withColumnRenamed("id", "doc_id").filter(F.col("greenspace_cover").isNotNull())
 
 
@@ -1158,7 +1164,8 @@ def q_viewshed_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fx.surface_tiles_df(spark, "green"))
     )
     agg, _pp = viewshed_gvi(
-        pois, edges, tiles, buffer_dist=100.0, viewing_dist=250.0, sample_dist=50.0
+        pois, edges, tiles, buffer_dist=100.0, viewing_dist=250.0, sample_dist=50.0,
+        grid=fx.surface_grid(),
     )
     return agg
 

@@ -1,0 +1,77 @@
+"""Raster grid descriptor — the contract between tile tables and the
+raster operators (zonal / visibility / isochrone-mask).
+
+Round-1 verdict flagged that the raster operators imported the synthetic
+driver-city fixture for grid geometry (origin/res/tile size), welding
+them to one dataset.  ``GridSpec`` carries exactly the five numbers an
+operator needs; callers either pass it explicitly (the gate queries do —
+zero extra jobs) or let :func:`GridSpec.from_tiles` recover it from the
+tile table itself (two tiny agg jobs over tile *metadata* columns only —
+the pixel payload column is pruned from the scan).
+
+Tile-table contract (S2 ingest, SURVEY.md §2.1): one row per tile with
+``tx, ty, x0, y0, res, w, h, px`` where ``x0 = origin_x + tx·tile_px·res``
+(so every tile row independently witnesses the grid origin) and full
+tiles have ``w = h = tile_px`` (edge tiles may be clipped).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    origin_x: float
+    origin_y: float
+    res: float
+    tile_px: int
+    npx_x: int
+    npx_y: int
+
+    @property
+    def npx(self) -> int:
+        """Square-raster convenience (max axis for clamping)."""
+        return max(self.npx_x, self.npx_y)
+
+    @property
+    def tile_m(self) -> float:
+        return self.tile_px * self.res
+
+    @property
+    def n_tiles_x(self) -> int:
+        return (self.npx_x + self.tile_px - 1) // self.tile_px
+
+    @property
+    def n_tiles_y(self) -> int:
+        return (self.npx_y + self.tile_px - 1) // self.tile_px
+
+    @staticmethod
+    def square(origin_x: float, origin_y: float, res: float, tile_px: int, npx: int) -> "GridSpec":
+        return GridSpec(origin_x, origin_y, res, tile_px, npx, npx)
+
+    @staticmethod
+    def from_tiles(tiles: DataFrame) -> "GridSpec":
+        """Recover the grid from tile metadata (column-pruned scans;
+        the ``px`` payload is never read).  Needs at least one full
+        (unclipped) tile OR a raster no wider than one tile."""
+        r1 = tiles.agg(
+            F.max("w").alias("tile_px"), F.min("res").alias("res"),
+            F.max("res").alias("res2"),
+        ).first()
+        tile_px, res = int(r1["tile_px"]), float(r1["res"])
+        if float(r1["res2"]) != res:
+            raise ValueError(f"mixed-resolution tile table: {res} vs {r1['res2']}")
+        step = tile_px * res
+        r2 = tiles.agg(
+            F.min(F.col("x0") - F.col("tx") * step).alias("ox"),
+            F.min(F.col("y0") - F.col("ty") * step).alias("oy"),
+            F.max(F.col("tx") * tile_px + F.col("w")).alias("nx"),
+            F.max(F.col("ty") * tile_px + F.col("h")).alias("ny"),
+        ).first()
+        return GridSpec(
+            float(r2["ox"]), float(r2["oy"]), res, tile_px, int(r2["nx"]), int(r2["ny"])
+        )

@@ -523,30 +523,24 @@ def isochrone_raster_mask(
     return mask, (ix0, iy0)
 
 
-_GREEN_GRID_CACHE: dict = {}
+_UNPACKED_GRID_CACHE: dict = {}
 
 
-def _green_grid(res: float) -> "np.ndarray":
-    """Boolean green raster over the city at ``res`` — pixel center
-    inside any greenspace rect (identical test to the per-rect loop it
-    replaces; memoized once per executor process)."""
-    from ..data import driver_city as city
-
-    key = res
-    g = _GREEN_GRID_CACHE.get(key)
-    if g is None:
-        npx = int(city.EXTENT / res)
-        gs = city.greenspace_numpy()
-        cx = city.X0 + (np.arange(npx) + 0.5) * res
-        cy = city.Y0 + (np.arange(npx) + 0.5) * res
-        g = np.zeros((npx, npx), dtype=bool)
-        for i in range(len(gs["gs_id"])):
-            x0 = np.searchsorted(cx, gs["minx"][i], "left")
-            x1 = np.searchsorted(cx, gs["maxx"][i], "left")
-            y0 = np.searchsorted(cy, gs["miny"][i], "left")
-            y1 = np.searchsorted(cy, gs["maxy"][i], "left")
-            g[y0:y1, x0:x1] = True
-        _GREEN_GRID_CACHE[key] = g
+def _rasterize_rects(
+    rects: np.ndarray, origin_x: float, origin_y: float, res: float, npx: int
+) -> np.ndarray:
+    """Boolean raster (npx, npx): pixel center inside any rect
+    [minx,maxx)×[miny,maxy) — the layer-level rasterize (R3) the
+    isochrone cover test indexes."""
+    cx = origin_x + (np.arange(npx) + 0.5) * res
+    cy = origin_y + (np.arange(npx) + 0.5) * res
+    g = np.zeros((npx, npx), dtype=bool)
+    for minx, miny, maxx, maxy in rects:
+        x0 = np.searchsorted(cx, minx, "left")
+        x1 = np.searchsorted(cx, maxx, "left")
+        y0 = np.searchsorted(cy, miny, "left")
+        y1 = np.searchsorted(cy, maxy, "left")
+        g[y0:y1, x0:x1] = True
     return g
 
 
@@ -554,39 +548,79 @@ def greenspace_pct_isochrone(
     points: DataFrame,
     nodes: DataFrame,
     edges: DataFrame,
+    greens: DataFrame,
     radius: float = 350.0,
     res: float = 5.0,
     edge_buff: float = 25.0,
     id_col: str = "id",
     out_col: str = "greenspace_cover",
+    origin_x: float | None = None,
+    origin_y: float | None = None,
+    npx: int | None = None,
 ) -> DataFrame:
     """[id, greenspace_cover] — greenspace % of the isochrone AoI
     (availability.py:997 with the network buffer of :965-977), computed
     at raster resolution: AoI = hole-filled union of edge capsules
     (make_iso_poly semantics, availability.py:1042-1065); green test =
-    pixel center inside any greenspace rectangle.  ``"<v>%"`` round 2.
+    pixel center inside any rect of ``greens`` [minx..maxy].
+    ``"<v>%"`` round 2.
+
+    The green layer is a dim table: its rects are collected, rasterized
+    once on the driver, and shipped bit-packed via broadcast (~npx²/8
+    bytes — 500 KB at 2000²); each executor unpacks once (process-level
+    cache).  Grid origin/extent default to the nodes∪greens bbox padded
+    by ``edge_buff`` and snapped to ``res`` — pass them explicitly when
+    results must align with an external raster's pixel grid.
 
     PoIs whose ego set yields no edges get a null cover (the reference
     emits None → NaN metrics, availability.py:282-283).
     """
-    from ..data import driver_city as city
+    import uuid
+
     from .network import isochrone_edges, isochrone_raster_mask  # self-import ok
+
+    rects = np.asarray(
+        [
+            [r["minx"], r["miny"], r["maxx"], r["maxy"]]
+            for r in greens.select("minx", "miny", "maxx", "maxy").collect()
+        ],
+        dtype=np.float64,
+    ).reshape(-1, 4)
+    if origin_x is None or origin_y is None or npx is None:
+        nb = nodes.select(
+            F.min("x").alias("x0"), F.min("y").alias("y0"),
+            F.max("x").alias("x1"), F.max("y").alias("y1"),
+        ).first()
+        pad = edge_buff + res
+        lo_x = min(float(nb["x0"]), float(rects[:, 0].min()) if len(rects) else np.inf) - pad
+        lo_y = min(float(nb["y0"]), float(rects[:, 1].min()) if len(rects) else np.inf) - pad
+        hi_x = max(float(nb["x1"]), float(rects[:, 2].max()) if len(rects) else -np.inf) + pad
+        hi_y = max(float(nb["y1"]), float(rects[:, 3].max()) if len(rects) else -np.inf) + pad
+        origin_x = np.floor(lo_x / res) * res
+        origin_y = np.floor(lo_y / res) * res
+        npx = int(np.ceil((max(hi_x - origin_x, hi_y - origin_y)) / res))
+    grid = _rasterize_rects(rects, origin_x, origin_y, res, npx)
+    spark = points.sparkSession
+    grid_key = uuid.uuid4().hex
+    bc = spark.sparkContext.broadcast((grid_key, np.packbits(grid, axis=None), grid.shape))
 
     segs = isochrone_edges(points, nodes, edges, radius, id_col)
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (pid,) = key
         mask, (ix0, iy0) = isochrone_raster_mask(
-            pdf, res, city.X0, city.Y0, int(city.EXTENT / res), edge_buff
+            pdf, res, origin_x, origin_y, npx, edge_buff
         )
         total = int(mask.sum())
         if total == 0:
             return pd.DataFrame({id_col: [pid], "pct": [None]})
         jy, jx = np.nonzero(mask)
-        # rasterized green layer, memoized once per executor: same
-        # pixel-center-in-rect test, O(pixels) lookup instead of an
-        # O(N_GS · pixels) rect loop per PoI
-        gg = _green_grid(res)
+        gkey, packed, shape = bc.value
+        gg = _UNPACKED_GRID_CACHE.get(gkey)
+        if gg is None:
+            gg = np.unpackbits(packed)[: shape[0] * shape[1]].reshape(shape).astype(bool)
+            _UNPACKED_GRID_CACHE.clear()  # keep one grid per worker process
+            _UNPACKED_GRID_CACHE[gkey] = gg
         green = gg[iy0 + jy, ix0 + jx]
         raw = float(green.sum()) / total * 100.0
         # half-away-from-zero to 2dp (matches Spark/DuckDB round, not

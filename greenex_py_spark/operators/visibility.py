@@ -35,9 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..data import city_fixture as fx
-from ..data import driver_city as city
 from ..geo import kernels, raster
+from ..geo.grid import GridSpec
 
 
 # ---------------------------------------------------------------------------
@@ -164,12 +163,14 @@ def viewshed_gvi_points(
     observer_height: float = 1.7,
     target_height: float = 0.0,
     replicate_bug: bool = True,
-    tile_px: int = 256,
-    res: float = fx.DSM_RES,
-    npx: int = fx.DSM_NPX,
+    grid: GridSpec | None = None,
     prune_empty_tiles: bool = False,
 ) -> DataFrame:
     """[id, sp_id, x, y, GVI] — per-sample-point GVI.
+
+    ``grid`` describes the surface-tile geometry; ``None`` recovers it
+    from the tile table metadata (GridSpec.from_tiles — two tiny agg
+    jobs; gate queries pass it explicitly).
 
     ``prune_empty_tiles=True`` semi-joins the halo on the tile groups
     that actually hold sample points — pays one extra pass over the
@@ -183,13 +184,16 @@ def viewshed_gvi_points(
     Arrow kernel assembles the mosaic once per group and computes every
     point vectorized.
     """
+    grid = grid or GridSpec.from_tiles(tiles)
+    tile_px, res = grid.tile_px, grid.res
+    ox, oy = grid.origin_x, grid.origin_y
+    npx_x, npx_y = grid.npx_x, grid.npx_y
     R = int(viewing_dist // res)
-    n_tiles = (npx + tile_px - 1) // tile_px
 
     pts = sampled.withColumn(
-        "htx", F.floor((F.col("x") - city.X0) / (tile_px * res)).cast("int")
+        "htx", F.floor((F.col("x") - ox) / (tile_px * res)).cast("int")
     ).withColumn(
-        "hty", F.floor((F.col("y") - city.Y0) / (tile_px * res)).cast("int")
+        "hty", F.floor((F.col("y") - oy) / (tile_px * res)).cast("int")
     )
 
     halo = (
@@ -198,8 +202,8 @@ def viewshed_gvi_points(
         .withColumn("htx", F.col("tx") + F.col("_dx"))
         .withColumn("hty", F.col("ty") + F.col("_dy"))
         .filter(
-            (F.col("htx") >= 0) & (F.col("htx") < n_tiles)
-            & (F.col("hty") >= 0) & (F.col("hty") < n_tiles)
+            (F.col("htx") >= 0) & (F.col("htx") < grid.n_tiles_x)
+            & (F.col("hty") >= 0) & (F.col("hty") < grid.n_tiles_y)
         )
         .drop("_dx", "_dy")
     )
@@ -228,11 +232,11 @@ def viewshed_gvi_points(
             r0 = t.ty * tile_px - base_iy
             c0 = t.tx * tile_px - base_ix
             mos[t.layer][r0 : r0 + t.h, c0 : c0 + t.w] = a
-        ixc = ((left["x"].to_numpy(np.float64) - city.X0) // res).astype(np.int64)
-        iyc = ((left["y"].to_numpy(np.float64) - city.Y0) // res).astype(np.int64)
+        ixc = ((left["x"].to_numpy(np.float64) - ox) // res).astype(np.int64)
+        iyc = ((left["y"].to_numpy(np.float64) - oy) // res).astype(np.int64)
         # reference envelope: points whose window leaves the raster
         # would crash/NaN the reference — engine yields null
-        ok = (ixc - R >= 0) & (iyc - R >= 0) & (ixc + R + 1 <= npx) & (iyc + R + 1 <= npx)
+        ok = (ixc - R >= 0) & (iyc - R >= 0) & (ixc + R + 1 <= npx_x) & (iyc + R + 1 <= npx_y)
         gvi = np.full(len(left), np.nan)
         if ok.any():
             gvi[ok] = raster.gvi_batch(

@@ -34,17 +34,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..data import driver_city as city
+from ..geo.grid import GridSpec
 
 
-def _with_tile_span(points: DataFrame, radius: float, id_col: str) -> DataFrame:
+def _with_tile_span(points: DataFrame, radius: float, id_col: str, grid: GridSpec) -> DataFrame:
     """Explode each point to the raster tiles its buffer touches."""
-    tile_m = city.TILE_PX * city.RES
-    n_tiles = (city.NPX + city.TILE_PX - 1) // city.TILE_PX
-    tx0 = F.greatest(F.lit(0), F.floor((F.col("x") - radius - city.X0) / tile_m)).cast("int")
-    tx1 = F.least(F.lit(n_tiles - 1), F.floor((F.col("x") + radius - city.X0) / tile_m)).cast("int")
-    ty0 = F.greatest(F.lit(0), F.floor((F.col("y") - radius - city.Y0) / tile_m)).cast("int")
-    ty1 = F.least(F.lit(n_tiles - 1), F.floor((F.col("y") + radius - city.Y0) / tile_m)).cast("int")
+    tile_m = grid.tile_m
+    tx0 = F.greatest(F.lit(0), F.floor((F.col("x") - radius - grid.origin_x) / tile_m)).cast("int")
+    tx1 = F.least(F.lit(grid.n_tiles_x - 1), F.floor((F.col("x") + radius - grid.origin_x) / tile_m)).cast("int")
+    ty0 = F.greatest(F.lit(0), F.floor((F.col("y") - radius - grid.origin_y) / tile_m)).cast("int")
+    ty1 = F.least(F.lit(grid.n_tiles_y - 1), F.floor((F.col("y") + radius - grid.origin_y) / tile_m)).cast("int")
     return (
         points.select(id_col, "x", "y")
         .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
@@ -106,9 +105,14 @@ def zonal_mean_std(
     id_col: str = "id",
     clip_min0: bool = True,
     out_prefix: str = "NDVI",
+    grid: GridSpec | None = None,
 ) -> DataFrame:
-    """[id, mean_<p>, std_<p>] — circular-buffer zonal mean/std (A1)."""
-    spanned = _with_tile_span(points, radius, id_col).withColumnRenamed(id_col, "id")
+    """[id, mean_<p>, std_<p>] — circular-buffer zonal mean/std (A1).
+
+    ``grid`` defaults to :func:`GridSpec.from_tiles` (recovered from the
+    tile table's own metadata — pass it explicitly to skip those jobs)."""
+    grid = grid or GridSpec.from_tiles(tiles)
+    spanned = _with_tile_span(points, radius, id_col, grid).withColumnRenamed(id_col, "id")
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         return _circle_mask_stats(left, right, radius, clip_min0, classes=False)
@@ -140,9 +144,11 @@ def zonal_class_percentages(
     class_values: list[int],
     id_col: str = "id",
     col_prefix: str = "class_",
+    grid: GridSpec | None = None,
 ) -> DataFrame:
     """[id, class_<v>% ...] — landcover class percentage pivot (A2)."""
-    spanned = _with_tile_span(points, radius, id_col).withColumnRenamed(id_col, "id")
+    grid = grid or GridSpec.from_tiles(tiles)
+    spanned = _with_tile_span(points, radius, id_col, grid).withColumnRenamed(id_col, "id")
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         return _circle_mask_stats(left, right, radius, 0, classes=True)
@@ -390,10 +396,9 @@ def zonal_stats_aoi(
     stat: str = "mean_std",
     clip_min0: bool = True,
     class_values: list[int] | None = None,
-    tile_px: int = city.TILE_PX,
-    res: float = city.RES,
     out_prefix: str = "NDVI",
     col_prefix: str = "class_",
+    grid: GridSpec | None = None,
 ) -> DataFrame:
     """Masked zonal statistics over arbitrary AoIs.
 
@@ -404,12 +409,14 @@ def zonal_stats_aoi(
     (window-sized mosaic per id) — the pure-circle cogroup path
     (zonal_mean_std) stays the per-tile-partial fast path.
     """
-    tile_m = tile_px * res
-    n_tiles = (city.NPX + tile_px - 1) // tile_px
-    tx0 = F.greatest(F.lit(0), F.floor((F.col("minx") - city.X0) / tile_m)).cast("int")
-    tx1 = F.least(F.lit(n_tiles - 1), F.floor((F.col("maxx") - city.X0) / tile_m)).cast("int")
-    ty0 = F.greatest(F.lit(0), F.floor((F.col("miny") - city.Y0) / tile_m)).cast("int")
-    ty1 = F.least(F.lit(n_tiles - 1), F.floor((F.col("maxy") - city.Y0) / tile_m)).cast("int")
+    grid = grid or GridSpec.from_tiles(tiles)
+    tile_px, res = grid.tile_px, grid.res
+    ox, oy = grid.origin_x, grid.origin_y
+    tile_m = grid.tile_m
+    tx0 = F.greatest(F.lit(0), F.floor((F.col("minx") - ox) / tile_m)).cast("int")
+    tx1 = F.least(F.lit(grid.n_tiles_x - 1), F.floor((F.col("maxx") - ox) / tile_m)).cast("int")
+    ty0 = F.greatest(F.lit(0), F.floor((F.col("miny") - oy) / tile_m)).cast("int")
+    ty1 = F.least(F.lit(grid.n_tiles_y - 1), F.floor((F.col("maxy") - oy) / tile_m)).cast("int")
     spanned = (
         aoi.withColumn("ty", F.explode(F.sequence(ty0, ty1)))
         .withColumn("tx", F.explode(F.sequence(tx0, tx1)))
@@ -417,13 +424,14 @@ def zonal_stats_aoi(
     joined = spanned.join(tiles, ["tx", "ty"])
 
     classes = class_values or []
+    npx_x, npx_y = grid.npx_x, grid.npx_y
 
     def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
         a = kdf.iloc[0]
-        ix0 = max(0, int(np.floor((a["minx"] - city.X0) / res)))
-        ix1 = min(city.NPX - 1, int(np.floor((a["maxx"] - city.X0) / res)))
-        iy0 = max(0, int(np.floor((a["miny"] - city.Y0) / res)))
-        iy1 = min(city.NPX - 1, int(np.floor((a["maxy"] - city.Y0) / res)))
+        ix0 = max(0, int(np.floor((a["minx"] - ox) / res)))
+        ix1 = min(npx_x - 1, int(np.floor((a["maxx"] - ox) / res)))
+        iy0 = max(0, int(np.floor((a["miny"] - oy) / res)))
+        iy1 = min(npx_y - 1, int(np.floor((a["maxy"] - oy) / res)))
         W = ix1 - ix0 + 1
         H = iy1 - iy0 + 1
         mos = np.full((H, W), np.nan)
@@ -438,8 +446,8 @@ def zonal_stats_aoi(
             mos[sy0 - iy0 : sy1 - iy0 + 1, sx0 - ix0 : sx1 - ix0 + 1] = (
                 arr[sy0 - gy0 : sy1 - gy0 + 1, sx0 - gx0 : sx1 - gx0 + 1]
             )
-        cx = city.X0 + (np.arange(ix0, ix1 + 1) + 0.5) * res
-        cy = city.Y0 + (np.arange(iy0, iy1 + 1) + 0.5) * res
+        cx = ox + (np.arange(ix0, ix1 + 1) + 0.5) * res
+        cy = oy + (np.arange(iy0, iy1 + 1) + 0.5) * res
         mask = _aoi_mask(a, cx, cy) & ~np.isnan(mos)
         v = mos[mask]
         if stat == "classes":

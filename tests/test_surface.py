@@ -177,3 +177,38 @@ def test_hash_split_stability_and_rates(spark):
     assert (small.loc[common, "split"] == big.loc[common, "split"]).all()
     frac = (big.split != "train").mean()
     assert 0.06 <= frac <= 0.14  # nominal 10% val+test
+
+
+def test_operators_are_fixture_free():
+    """No operator module may import the synthetic-fixture data modules
+    (r01 verdict structural flaw): grid/raster geometry must arrive as a
+    GridSpec / DataFrame parameter, never from data.driver_city or
+    data.city_fixture."""
+    import ast
+    import pathlib
+
+    ops = pathlib.Path("/root/repo/greenex_py_spark/operators")
+    offenders = []
+    for p in sorted(ops.glob("*.py")):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module and "data" in node.module.split("."):
+                offenders.append(f"{p.name}:{node.lineno} from {node.module}")
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if "data" in a.name.split("."):
+                        offenders.append(f"{p.name}:{node.lineno} import {a.name}")
+    assert not offenders, offenders
+
+
+def test_gridspec_from_tiles_roundtrip(spark):
+    """GridSpec recovered from tile-table metadata equals the explicit
+    fixture grid, for both the 10 m city rasters and the 5 m surface."""
+    from greenex_py_spark.data import city_fixture as fx
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.geo.grid import GridSpec
+
+    got = GridSpec.from_tiles(city.tiles_df(spark, "ndvi"))
+    assert got == city.grid()
+    got2 = GridSpec.from_tiles(fx.surface_tiles_df(spark, "dsm"))
+    assert got2 == fx.surface_grid()
