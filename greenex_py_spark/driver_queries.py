@@ -797,12 +797,18 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_lsh_ann", None)  # rows-only: recall<1 by design, no SQL oracle
+@register("q_lsh_ann", None)  # pinned-VALUES oracle attached at module end
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN (recall<1 by design, so no closed-form SQL twin);
+    exact-match gated against the pinned independent mirror
+    (scripts/pin_oracles.py: same public hyperplane formula,
+    sequential-fold cosine, HALF_UP rounding)."""
     from .functions.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=10)
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 @register(
@@ -1296,6 +1302,24 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
                 "sum_disc_e4", "avg_qty_e4", "count_order")
     )
+
+
+# ---------------------------------------------------------------------------
+# pinned-VALUES oracles for the queries with no closed-form SQL twin
+# (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
+# expected rows computed by independent mirrors and cross-checked against
+# the engine at pin time (scripts/pin_oracles.py), keyed by a content
+# marker so one SQL string serves the whole tri-scale sweep.
+# ---------------------------------------------------------------------------
+
+try:
+    from .data.pinned_oracles import SQLS as _PINNED_SQLS
+
+    for _name, _sql in _PINNED_SQLS.items():
+        if _name in QUERIES:
+            ORACLES[_name] = _sql
+except ImportError:  # pragma: no cover — regenerate with scripts/pin_oracles.py
+    pass
 
 
 # ---------------------------------------------------------------------------
