@@ -1026,6 +1026,29 @@ def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dissolve_rects(g.unionByName(clones))
 
 
+def _dissolve_poly_oracle() -> str:
+    from .data.poly_fixture import dissolve_poly_oracle_sql
+
+    return dissolve_poly_oracle_sql()
+
+
+@register("q_dissolve_poly", None)  # generated inclusion–exclusion oracle below
+def q_dissolve_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-polygon dissolve (rotated + concave members): engine runs
+    the slab-decomposition union (geo/kernels.polygon_union_stats); the
+    oracle is inclusion–exclusion over Sutherland–Hodgman intersections
+    — two independent exact algorithms must agree to 6 dp.  Reference:
+    availability.py:937-940, accessibility.py:125-127 (unary_union over
+    arbitrary OSM (Multi)Polygons)."""
+    from .data.poly_fixture import poly_layer_df
+    from .operators.dissolve import dissolve_polygons
+
+    return dissolve_polygons(poly_layer_df(spark))
+
+
+ORACLES["q_dissolve_poly"] = _dissolve_poly_oracle()
+
+
 @register(
     "q_greenspace_iso",
     _CTE + f"""

@@ -203,3 +203,102 @@ def dissolve_rects(polys: DataFrame, key: str = "gs_id") -> DataFrame:
         "minx double, miny double, maxx double, maxy double, tag string"
     )
     return members.groupBy("comp").applyInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# general-polygon dissolve (r01 verdict item 2): arbitrary rotated /
+# concave simple polygons, not just axis-aligned rects
+# ---------------------------------------------------------------------------
+
+
+def overlap_edges_polygons(
+    polys: DataFrame, key: str = "gs_id", broadcast_cover: bool = True
+) -> DataFrame:
+    """[a, b] — intersecting polygon pairs (a < b): cell-cover equi-join
+    + bbox filter (codegen) + exact ``polygons_intersect`` refinement
+    (Arrow pandas UDF; shapely-``intersects`` semantics incl. boundary
+    touch).  ``polys`` needs bbox columns + ``rings``."""
+    from pyspark.sql import types as T
+
+    from ..geo.kernels import polygons_intersect
+    from .spatial_join import bbox_cover_cells
+
+    cover = bbox_cover_cells(polys.select(key, "minx", "miny", "maxx", "maxy", "rings"))
+    l = cover.select(
+        F.col(key).alias("a"), "cell",
+        F.col("minx").alias("aminx"), F.col("miny").alias("aminy"),
+        F.col("maxx").alias("amaxx"), F.col("maxy").alias("amaxy"),
+        F.col("rings").alias("rings_a"),
+    )
+    r = cover.select(
+        F.col(key).alias("b"), "cell",
+        F.col("minx").alias("bminx"), F.col("miny").alias("bminy"),
+        F.col("maxx").alias("bmaxx"), F.col("maxy").alias("bmaxy"),
+        F.col("rings").alias("rings_b"),
+    )
+    if broadcast_cover:
+        r = F.broadcast(r)
+    cand = (
+        l.join(r, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col("aminx") <= F.col("bmaxx")) & (F.col("amaxx") >= F.col("bminx"))
+            & (F.col("aminy") <= F.col("bmaxy")) & (F.col("amaxy") >= F.col("bminy"))
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def inter_udf(ra: pd.Series, rb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ra), dtype=bool)
+        for i in range(len(ra)):
+            ar = [np.asarray(rg, dtype=np.float64).reshape(-1, 2) for rg in ra.iloc[i]]
+            br = [np.asarray(rg, dtype=np.float64).reshape(-1, 2) for rg in rb.iloc[i]]
+            out[i] = polygons_intersect(ar, br)
+        return pd.Series(out)
+
+    return cand.filter(inter_udf(F.col("rings_a"), F.col("rings_b"))).select("a", "b")
+
+
+def dissolve_polygons(polys: DataFrame, key: str = "gs_id", round_dp: int = 6) -> DataFrame:
+    """[component, n_members, area, cx, cy, minx, miny, maxx, maxy, tag]
+    — dissolve for ARBITRARY simple polygons (rotated, concave, holes):
+    exact union area/centroid via the slab-decomposition kernel
+    (geo/kernels.polygon_union_stats), same CC machinery and
+    first-attribute semantics as :func:`dissolve_rects` (pandas
+    ``dissolve(aggfunc='first')``, reference availability.py:937-940).
+
+    ``polys``: [key, rings array<array<double>>, minx..maxy, tag].
+    area/cx/cy round to ``round_dp`` (FP paths differ between union
+    algorithms; 6 dp is far below any geometric meaning at metre scale).
+    """
+    from ..geo.kernels import polygon_union_stats
+
+    e = overlap_edges_polygons(polys, key)
+    comp = connected_components(polys, e, key)
+    members = polys.join(comp, key)
+
+    def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+        kdf = kdf.sort_values(key)
+        plist = [
+            [np.asarray(rg, dtype=np.float64).reshape(-1, 2) for rg in rings]
+            for rings in kdf["rings"]
+        ]
+        area, cx, cy = polygon_union_stats(plist)
+        return pd.DataFrame(
+            {
+                "component": [int(kdf["comp"].iloc[0])],
+                "n_members": [len(kdf)],
+                "area": [round(area, round_dp)],
+                "cx": [round(cx, round_dp)], "cy": [round(cy, round_dp)],
+                "minx": [float(kdf["minx"].min())], "miny": [float(kdf["miny"].min())],
+                "maxx": [float(kdf["maxx"].max())], "maxy": [float(kdf["maxy"].max())],
+                "tag": [kdf["tag"].iloc[0] if "tag" in kdf else None],
+            }
+        )
+
+    schema = (
+        "component long, n_members long, area double, cx double, cy double, "
+        "minx double, miny double, maxx double, maxy double, tag string"
+    )
+    return members.groupBy("comp").applyInPandas(kernel, schema=schema)

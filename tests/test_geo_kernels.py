@@ -194,3 +194,76 @@ def test_mercator_codegen_matches_numpy(spark):
     wx, wy = crs.lonlat_to_mercator(lon, lat)
     np.testing.assert_allclose(out.x.to_numpy(), wx, rtol=1e-15)
     np.testing.assert_allclose(out.y.to_numpy(), wy, rtol=1e-12)
+
+
+def test_polygon_union_stats_hand_values():
+    import numpy as np
+
+    from greenex_py_spark.geo import kernels as K
+
+    # overlapping unit squares: union 1.75, centroid (0.75, 0.75)
+    a, cx, cy = K.polygon_union_stats(
+        [[K.box_ring(0, 0, 1, 1)], [K.box_ring(0.5, 0.5, 1.5, 1.5)]]
+    )
+    np.testing.assert_allclose([a, cx, cy], [1.75, 0.75, 0.75], atol=1e-12)
+    # disjoint squares
+    a, cx, cy = K.polygon_union_stats(
+        [[K.box_ring(0, 0, 1, 1)], [K.box_ring(3, 3, 4, 4)]]
+    )
+    np.testing.assert_allclose([a, cx, cy], [2.0, 2.0, 2.0], atol=1e-12)
+    # diamond fully inside a square: union = the square
+    d = np.array([[0.5, 0.1], [0.9, 0.5], [0.5, 0.9], [0.1, 0.5]])
+    a, cx, cy = K.polygon_union_stats([[K.box_ring(0, 0, 1, 1)], [d]])
+    np.testing.assert_allclose([a, cx, cy], [1.0, 0.5, 0.5], atol=1e-12)
+    # polygon with a hole, overlapped by a square filling part of the hole:
+    # ring [0,4]² minus hole [1,3]² (area 12) ∪ [2,2.5]×[2,2.5] in the hole
+    outer = [K.box_ring(0, 0, 4, 4), K.box_ring(1, 1, 3, 3)]
+    plug = [K.box_ring(2.0, 2.0, 2.5, 2.5)]
+    a, cx, cy = K.polygon_union_stats([outer, plug])
+    np.testing.assert_allclose(a, 12.0 + 0.25, atol=1e-10)
+
+
+def test_polygon_union_matches_inclusion_exclusion_random():
+    """Slab union vs A+B−A∩B (Sutherland–Hodgman) on random rotated
+    rect pairs — two independent exact algorithms, FP-level agreement."""
+    import numpy as np
+
+    from greenex_py_spark.geo import kernels as K
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        c1 = rng.uniform(0, 100, 2)
+        c2 = c1 + rng.uniform(-40, 40, 2)
+        w1, h1 = rng.uniform(20, 80, 2)
+        w2, h2 = rng.uniform(20, 80, 2)
+        t1, t2 = rng.uniform(0, 180, 2)
+
+        def rect(c, w, h, deg):
+            th = np.radians(deg)
+            R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+            base = np.array([[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]])
+            return base @ R.T + c
+
+        ra, rb = rect(c1, w1, h1, t1), rect(c2, w2, h2, t2)
+        inter = K.clip_polygon_convex([ra], rb)
+        ia = sum(abs(K.ring_signed_area(r)) for r in inter)
+        want = w1 * h1 + w2 * h2 - ia
+        got, _, _ = K.polygon_union_stats([[ra], [rb]])
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-8)
+
+
+def test_polygons_intersect_cases():
+    import numpy as np
+
+    from greenex_py_spark.geo import kernels as K
+
+    sq = [K.box_ring(0, 0, 2, 2)]
+    assert K.polygons_intersect(sq, [K.box_ring(1, 1, 3, 3)])
+    assert not K.polygons_intersect(sq, [K.box_ring(3, 3, 4, 4)])
+    # boundary touch counts (shapely intersects semantics)
+    assert K.polygons_intersect(sq, [K.box_ring(2, 0, 3, 2)])
+    # containment without boundary crossing
+    assert K.polygons_intersect(sq, [K.box_ring(0.5, 0.5, 1.5, 1.5)])
+    # cross shape: edges cross but no vertex inside
+    thin_h = [np.array([[-1, 0.9], [3, 0.9], [3, 1.1], [-1, 1.1]])]
+    assert K.polygons_intersect(sq, thin_h)

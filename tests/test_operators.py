@@ -450,3 +450,44 @@ def test_nearest_node_isolated_far_point(spark):
     assert got[11][0] == 1 and abs(got[11][1] - 900.0) < 1e-9
     assert got[12][0] == 1 and abs(got[12][1] - 10000.0) < 1e-9
     assert len(got) == 3
+
+
+def test_dissolve_polygons_chain(spark):
+    """Chain of three rotated rects A-B-C (A∩B, B∩C, A∩C disjoint) must
+    dissolve to ONE component whose union stats match the driver-side
+    slab kernel over all three members."""
+    import numpy as np
+    import pandas as pd
+
+    from greenex_py_spark.geo import kernels as K
+    from greenex_py_spark.operators.dissolve import dissolve_polygons
+
+    def rect(cx, cy, w, h, deg):
+        th = np.radians(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        base = np.array([[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]])
+        return base @ R.T + np.array([cx, cy])
+
+    rings = [rect(100100, 450100, 120, 80, 15),
+             rect(100180, 450140, 120, 80, 70),
+             rect(100260, 450180, 120, 80, 130),
+             rect(100900, 450900, 60, 60, 33)]  # far single
+    rows = [
+        dict(gs_id=i, rings=[r.ravel().tolist()],
+             minx=float(r[:, 0].min()), miny=float(r[:, 1].min()),
+             maxx=float(r[:, 0].max()), maxy=float(r[:, 1].max()), tag="t")
+        for i, r in enumerate(rings)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="gs_id long, rings array<array<double>>, minx double, miny double, "
+               "maxx double, maxy double, tag string",
+    )
+    out = dissolve_polygons(df).toPandas().sort_values("component").reset_index(drop=True)
+    assert out.component.tolist() == [0, 3]
+    assert out.n_members.tolist() == [3, 1]
+    want_a, want_cx, want_cy = K.polygon_union_stats([[r] for r in rings[:3]])
+    np.testing.assert_allclose(out.loc[0, "area"], round(want_a, 6))
+    np.testing.assert_allclose(out.loc[0, "cx"], round(want_cx, 6))
+    np.testing.assert_allclose(out.loc[0, "cy"], round(want_cy, 6))
+    np.testing.assert_allclose(out.loc[1, "area"], round(60.0 * 60.0, 6))
