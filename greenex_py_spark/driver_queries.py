@@ -198,6 +198,60 @@ def q_landcover_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_resample — R2 nearest-neighbour regrid onto a deliberately offset
+# 7 m grid; per-target-tile integer checksums (each value quantized to
+# 1e-6 BEFORE summing so FP summation order can't flip the hash)
+# ---------------------------------------------------------------------------
+
+_RS_OX, _RS_OY, _RS_RES, _RS_NPX, _RS_TPX = 3.0, 4.0, 7.0, 500, 128
+
+_rs_six = f"CAST(floor(({city.X0 + _RS_OX} + (i.range + 0.5) * {_RS_RES} - {city.X0}) / {city.RES}) AS BIGINT)"
+_rs_siy = f"CAST(floor(({city.Y0 + _RS_OY} + (j.range + 0.5) * {_RS_RES} - {city.Y0}) / {city.RES}) AS BIGINT)"
+
+@register(
+    "q_resample",
+    f"""
+WITH v AS (
+  SELECT CAST(i.range // {_RS_TPX} AS BIGINT) AS tx,
+         CAST(j.range // {_RS_TPX} AS BIGINT) AS ty,
+         {city.NDVI_SQL.format(
+             px_x=f"{city.X0} + ({_rs_six} + 0.5) * {city.RES}",
+             px_y=f"{city.Y0} + ({_rs_siy} + 0.5) * {city.RES}")} AS val
+  FROM range({_RS_NPX}) i, range({_RS_NPX}) j
+)
+SELECT tx, ty,
+       CAST(sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS checksum_e6,
+       count(*) AS n_px
+FROM v GROUP BY tx, ty
+""",
+)
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 regrid: the 10 m NDVI raster gathered onto a 7 m grid offset
+    by (3, 4) m — every target pixel crosses source-pixel boundaries, so
+    identity shortcuts can't pass.  Output is a per-target-tile integer
+    checksum of the quantized values (gdal.Warp parity surface:
+    availability.py:181,457; visibility.py:123)."""
+    from .geo.grid import GridSpec
+    from .operators.resample import resample_nearest
+
+    tiles = city.tiles_df(spark, "ndvi")
+    dst = GridSpec(city.X0 + _RS_OX, city.Y0 + _RS_OY, _RS_RES, _RS_TPX, _RS_NPX, _RS_NPX)
+    out = resample_nearest(tiles, dst, src_grid=city.grid())
+    return (
+        out.select(
+            F.col("tx").cast("long").alias("tx"),
+            F.col("ty").cast("long").alias("ty"),
+            F.explode("px").alias("v"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(F.floor(F.col("v") * 1000000 + 0.5).cast("long")).alias("checksum_e6"),
+            F.count("*").alias("n_px"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_greenspace_cover — % of square buffer covered by greenspace (A3)
 # ---------------------------------------------------------------------------
 

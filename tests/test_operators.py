@@ -491,3 +491,70 @@ def test_dissolve_polygons_chain(spark):
     np.testing.assert_allclose(out.loc[0, "cx"], round(want_cx, 6))
     np.testing.assert_allclose(out.loc[0, "cy"], round(want_cy, 6))
     np.testing.assert_allclose(out.loc[1, "area"], round(60.0 * 60.0, 6))
+
+
+def test_resample_nearest_identity_and_offset(spark):
+    """Identity regrid reproduces the source exactly; a half-pixel
+    offset grid picks the containing source pixel (hand-checkable)."""
+    import numpy as np
+
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.resample import resample_nearest
+
+    tiles = city.tiles_df(spark, "ndvi")
+    # identity: same grid in and out
+    ident = resample_nearest(tiles, city.grid(), src_grid=city.grid())
+    a = {(r["tx"], r["ty"]): np.asarray(r["px"]) for r in ident.collect()}
+    b = {(r["tx"], r["ty"]): np.asarray(r["px"]) for r in tiles.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    # offset coarse grid: value at target center (x,y) = src pixel floor
+    dst = GridSpec(city.X0 + 3.0, city.Y0 + 4.0, 25.0, 64, 128, 128)
+    out = resample_nearest(tiles, dst, src_grid=city.grid()).collect()
+    got = {(r["tx"], r["ty"]): np.asarray(r["px"]).reshape(r["h"], r["w"]) for r in out}
+    for (tx, ty), arr in got.items():
+        for li, lj in ((0, 0), (5, 7)):
+            gx = tx * 64 + lj
+            gy = ty * 64 + li
+            if gx >= 128 or gy >= 128:
+                continue
+            cx = city.X0 + 3.0 + (gx + 0.5) * 25.0
+            cy = city.Y0 + 4.0 + (gy + 0.5) * 25.0
+            six = int((cx - city.X0) // city.RES)
+            siy = int((cy - city.Y0) // city.RES)
+            want = np.sin((city.X0 + (six + 0.5) * city.RES) / 500.0) * np.cos(
+                (city.Y0 + (siy + 0.5) * city.RES) / 500.0
+            )
+            assert arr[li, lj] == want
+
+
+def test_resample_nearest_binary_src_and_gaps(spark):
+    """float32-binary source tiles (surface rasters) decode correctly,
+    and target areas outside the source raster come back NaN."""
+    import numpy as np
+
+    from greenex_py_spark.data import city_fixture as fx
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.resample import resample_nearest
+
+    tiles = fx.surface_tiles_df(spark, "dsm")
+    # target window straddling the raster's east edge -> right half NaN
+    dst = GridSpec(city.X0 + 9900.0, city.Y0 + 100.0, 10.0, 32, 32, 32)
+    out = resample_nearest(tiles, dst, src_grid=fx.surface_grid()).collect()
+    assert len(out) == 1
+    # NaN crosses Arrow as null → None elements in the collected list
+    arr = np.array(
+        [np.nan if v is None else v for v in out[0]["px"]], dtype=np.float64
+    ).reshape(32, 32)
+    # columns with centers beyond x = X0+10000 are NaN
+    cx = city.X0 + 9900.0 + (np.arange(32) + 0.5) * 10.0
+    outside = cx >= city.X0 + 10000.0
+    assert np.isnan(arr[:, outside]).all()
+    inside = ~outside
+    ix = ((cx[inside] - city.X0) // fx.DSM_RES).astype(int)
+    iy = ((city.Y0 + 100.0 + (np.arange(32) + 0.5) * 10.0 - city.Y0) // fx.DSM_RES).astype(int)
+    want = fx.dsm_value(ix[None, :], iy[:, None])
+    np.testing.assert_array_equal(arr[:, inside], want)
