@@ -198,6 +198,55 @@ def q_landcover_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_project_utm — P2 projection family: WGS84 lon/lat → UTM 31N through
+# the Transverse Mercator series; oracle is the SAME series generated as
+# SQL (tm_forward_sql).  Agreement is ulp-level (~1e-9 m), so the gate
+# quantizes to whole meters; sub-mm accuracy is pinned in pytest against
+# the published OS / EPSG worked examples (tests/test_proj.py).
+# ---------------------------------------------------------------------------
+
+_LONLAT = (
+    "(0.5 + ((doc_id * 48271) % 1000000) / 1000000.0 * 5.0)",
+    "(45.0 + ((doc_id * 16807 + 12345) % 1000000) / 1000000.0 * 10.0)",
+)
+
+
+def _project_utm_oracle() -> str:
+    from .geo.proj import WGS84, tm_forward_sql
+
+    e_sql, n_sql = tm_forward_sql(_LONLAT[0], _LONLAT[1], WGS84, 3.0, 0.0, 0.9996, 500000.0, 0.0)
+    return (
+        f"SELECT doc_id, CAST(floor({e_sql}) AS BIGINT) AS easting_m,"
+        f" CAST(floor({n_sql}) AS BIGINT) AS northing_m FROM documents"
+    )
+
+
+@register("q_project_utm", None)  # generated oracle attached below
+def q_project_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: project deterministic WGS84 lon/lat (derived from doc_id) to
+    EPSG:32631 via the Arrow-batched projection UDF; whole-meter floor
+    on both sides (reference: accessibility.py:40-50 CRS forcing)."""
+    from .geo.proj import project_points_epsg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    pts = docs.select(
+        "doc_id",
+        (0.5 + ((did * 48271) % 1000000) / 1000000.0 * 5.0).alias("lon"),
+        (45.0 + ((did * 16807 + 12345) % 1000000) / 1000000.0 * 10.0).alias("lat"),
+    )
+    out = project_points_epsg(pts, 32631)
+    return out.select(
+        "doc_id",
+        F.floor(F.col("x")).cast("long").alias("easting_m"),
+        F.floor(F.col("y")).cast("long").alias("northing_m"),
+    )
+
+
+ORACLES["q_project_utm"] = _project_utm_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q_resample — R2 nearest-neighbour regrid onto a deliberately offset
 # 7 m grid; per-target-tile integer checksums (each value quantized to
 # 1e-6 BEFORE summing so FP summation order can't flip the hash)
