@@ -239,11 +239,22 @@ def viewshed_gvi_points(
         ok = (ixc - R >= 0) & (iyc - R >= 0) & (ixc + R + 1 <= npx_x) & (iyc + R + 1 <= npx_y)
         gvi = np.full(len(left), np.nan)
         if ok.any():
-            gvi[ok] = raster.gvi_batch(
+            # GVI depends only on the observer PIXEL: sample points from
+            # both edge directions, overlapping PoI buffers and nearby
+            # PoIs land on identical pixels (measured 78× duplication on
+            # the clustered fixture at sf0.1).  Ray-cast once per unique
+            # pixel, scatter back — bit-identical, order-of-magnitude
+            # less kernel work.
+            keys = iyc[ok] * np.int64(npx_x) + ixc[ok]
+            uniq, inv = np.unique(keys, return_inverse=True)
+            uy = uniq // npx_x
+            ux = uniq - uy * npx_x
+            uvals = raster.gvi_batch(
                 mos["dsm"], mos["dtm"], mos["green"],
-                iyc[ok] - base_iy, ixc[ok] - base_ix,
+                uy - base_iy, ux - base_ix,
                 R, res, observer_height, target_height, replicate_bug,
             )
+            gvi[ok] = uvals[inv]
         return pd.DataFrame(
             {
                 "id": left["id"].to_numpy(np.int64),
