@@ -232,3 +232,36 @@ def test_audio_plumbing(spark):
     assert feats.rms.between(0, 1).all() and feats.peak.between(0, 1).all()
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         mm.decode_audio(df, strict=True).collect()
+
+
+def test_snapshot_store_factory_backend_switch(spark, tmp_path):
+    """snapshot_store picks the parquet fallback when no Iceberg jar is
+    present (this sandbox), honors explicit backend='parquet', and
+    refuses backend='iceberg' without jar+catalog; the Pipeline resume
+    contract holds on whatever the factory returns."""
+    import pytest as _pytest
+
+    from greenex_py_spark.engine.checkpoint import Pipeline, SnapshotStore
+    from greenex_py_spark.engine.iceberg import (
+        iceberg_available, snapshot_store,
+    )
+
+    assert not iceberg_available(spark)  # sandbox has no runtime jar
+    store = snapshot_store(spark, str(tmp_path / "snap"))
+    assert isinstance(store, SnapshotStore)
+    assert isinstance(snapshot_store(spark, str(tmp_path / "s2"), "parquet"), SnapshotStore)
+    with _pytest.raises(RuntimeError):
+        snapshot_store(spark, str(tmp_path / "s3"), "iceberg")
+
+    # the backend-independent contract: write -> resume is metadata-only
+    pipe = Pipeline(store)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(10).withColumnRenamed("id", "v")
+
+    a = pipe.run_stage("stage_x", "fp1", build)
+    b = pipe.run_stage("stage_x", "fp1", build)
+    assert len(calls) == 1 and a.count() == b.count() == 10
+    assert pipe.stats[1]["resumed"] is True
