@@ -71,22 +71,63 @@ def resample_nearest(
         (F.lit(dg.origin_x) + F.col("tx") * F.lit(dg.tile_m)).alias("x0"),
         (F.lit(dg.origin_y) + F.col("ty") * F.lit(dg.tile_m)).alias("y0"),
     )
-    # source tile span per target tile (pad half a source pixel so a
-    # center exactly on a tile seam still finds its source tile)
-    pad = sg.res * 0.5
-    stx0 = F.greatest(F.lit(0), F.floor((F.col("x0") - pad - sg.origin_x) / sg.tile_m)).cast("int")
+    # source tile span per target tile.  Identity: the tile's own bbox
+    # (padded half a source pixel so a center exactly on a tile seam
+    # still finds its source tile).  With a CRS transform the span must
+    # be computed in SOURCE coordinates: map a boundary grid of the
+    # target tile through the transform (projections are smooth, so
+    # boundary extremes bound the interior; pad 2 src pixels for
+    # residual curvature) — an Arrow pass over tile METADATA only.
+    if transform is None:
+        dst_s = dst.withColumns(
+            {
+                "sminx": F.col("x0"),
+                "smaxx": F.col("x0") + F.col("w") * dg.res,
+                "sminy": F.col("y0"),
+                "smaxy": F.col("y0") + F.col("h") * dg.res,
+            }
+        )
+        pad = sg.res * 0.5
+    else:
+        def bbox_kernel(batches):
+            for pdf in batches:
+                smnx, smxx, smny, smxy = [], [], [], []
+                for t in pdf.itertuples(index=False):
+                    xs = np.linspace(t.x0, t.x0 + int(t.w) * dg.res, 9)
+                    ys = np.linspace(t.y0, t.y0 + int(t.h) * dg.res, 9)
+                    X, Y = np.meshgrid(xs, ys)
+                    SX, SY = transform(X, Y)
+                    smnx.append(float(np.nanmin(SX)))
+                    smxx.append(float(np.nanmax(SX)))
+                    smny.append(float(np.nanmin(SY)))
+                    smxy.append(float(np.nanmax(SY)))
+                out = pdf.copy()
+                out["sminx"], out["smaxx"] = smnx, smxx
+                out["sminy"], out["smaxy"] = smny, smxy
+                yield out
+
+        dst_s = dst.mapInPandas(
+            bbox_kernel,
+            schema=(
+                "tx int, ty int, w int, h int, x0 double, y0 double, "
+                "sminx double, smaxx double, sminy double, smaxy double"
+            ),
+        )
+        pad = sg.res * 2.0
+    stx0 = F.greatest(F.lit(0), F.floor((F.col("sminx") - pad - sg.origin_x) / sg.tile_m)).cast("int")
     stx1 = F.least(
         F.lit(sg.n_tiles_x - 1),
-        F.floor((F.col("x0") + F.col("w") * dg.res + pad - sg.origin_x) / sg.tile_m),
+        F.floor((F.col("smaxx") + pad - sg.origin_x) / sg.tile_m),
     ).cast("int")
-    sty0 = F.greatest(F.lit(0), F.floor((F.col("y0") - pad - sg.origin_y) / sg.tile_m)).cast("int")
+    sty0 = F.greatest(F.lit(0), F.floor((F.col("sminy") - pad - sg.origin_y) / sg.tile_m)).cast("int")
     sty1 = F.least(
         F.lit(sg.n_tiles_y - 1),
-        F.floor((F.col("y0") + F.col("h") * dg.res + pad - sg.origin_y) / sg.tile_m),
+        F.floor((F.col("smaxy") + pad - sg.origin_y) / sg.tile_m),
     ).cast("int")
     spanned = (
-        dst.withColumn("sty", F.explode(F.sequence(sty0, sty1)))
-        .withColumn("stx", F.explode(F.sequence(stx0, stx1)))
+        dst_s.withColumn("sty", F.explode(F.sequence(sty0, F.greatest(sty0, sty1))))
+        .withColumn("stx", F.explode(F.sequence(stx0, F.greatest(stx0, stx1))))
+        .drop("sminx", "smaxx", "sminy", "smaxy")
     )
     src = src_tiles.select(
         F.col("tx").alias("stx"), F.col("ty").alias("sty"),

@@ -558,3 +558,68 @@ def test_resample_nearest_binary_src_and_gaps(spark):
     iy = ((city.Y0 + 100.0 + (np.arange(32) + 0.5) * 10.0 - city.Y0) // fx.DSM_RES).astype(int)
     want = fx.dsm_value(ix[None, :], iy[:, None])
     np.testing.assert_array_equal(arr[:, inside], want)
+
+
+def test_resample_mixed_crs_transform(spark):
+    """Mixed-CRS regrid (the gdal.Warp case R2 exists for): a source
+    raster on a UTM-31N grid is gathered onto an EPSG:28992 target grid
+    through the geo/proj transform hook; sampled pixels must equal the
+    direct NumPy evaluation of source-value(nearest source pixel of the
+    reprojected target center)."""
+    import numpy as np
+    import pandas as pd
+
+    from greenex_py_spark.geo import proj as P
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.resample import resample_nearest
+
+    # source: 64x64 UTM-31N raster near (4.8E, 52.4N) with closed-form
+    # values v = ix*1000 + iy (exact integers → exact equality checks)
+    e0, n0 = P.from_wgs84(4.8, 52.4, 32631)
+    src_grid = GridSpec(float(e0), float(n0), 30.0, 32, 64, 64)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            ix = tx * 32 + np.arange(32)
+            iy = ty * 32 + np.arange(32)
+            vals = (ix[None, :] * 1000.0 + iy[:, None])
+            rows.append(
+                dict(layer="v", tx=tx, ty=ty,
+                     x0=src_grid.origin_x + tx * 32 * 30.0,
+                     y0=src_grid.origin_y + ty * 32 * 30.0,
+                     res=30.0, w=32, h=32, px=vals.ravel().tolist())
+            )
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="layer string, tx int, ty int, x0 double, y0 double, "
+               "res double, w int, h int, px array<double>",
+    )
+    # target: EPSG:28992 grid over the same ground area
+    rd_e, rd_n = P.from_wgs84(4.8, 52.4, 28992)
+    dst_grid = GridSpec(float(rd_e) + 100.0, float(rd_n) + 100.0, 40.0, 16, 32, 32)
+
+    def rd_to_utm(X, Y):
+        lon, lat = P.to_wgs84(X, Y, 28992)
+        return P.from_wgs84(lon, lat, 32631)
+
+    out = resample_nearest(tiles, dst_grid, src_grid=src_grid, transform=rd_to_utm).collect()
+    got = {}
+    for r in out:
+        arr = np.array([np.nan if v is None else v for v in r["px"]], dtype=np.float64)
+        got[(r["tx"], r["ty"])] = arr.reshape(r["h"], r["w"])
+    checked = 0
+    for (tx, ty), arr in got.items():
+        for li, lj in ((0, 0), (7, 3), (15, 15)):
+            gx = tx * 16 + lj
+            gy = ty * 16 + li
+            cx = dst_grid.origin_x + (gx + 0.5) * 40.0
+            cy = dst_grid.origin_y + (gy + 0.5) * 40.0
+            sx, sy = rd_to_utm(np.array([cx]), np.array([cy]))
+            six = int(np.floor((sx[0] - src_grid.origin_x) / 30.0))
+            siy = int(np.floor((sy[0] - src_grid.origin_y) / 30.0))
+            if 0 <= six < 64 and 0 <= siy < 64:
+                assert arr[li, lj] == six * 1000.0 + siy
+                checked += 1
+            else:
+                assert np.isnan(arr[li, lj])
+    assert checked >= 6  # grids overlap by construction
