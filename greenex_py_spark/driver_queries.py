@@ -900,6 +900,55 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_oracle() -> str:
+    dim = _embedding_dim()
+    dq_case = (
+        "CASE WHEN p[3] - p[2] = 0 THEN p[2] "
+        "ELSE p[2] + least(255.0, greatest(0.0, "
+        "floor((p[1] - p[2]) / (p[3] - p[2]) * 255.0 + 0.5))) / 255.0 * (p[3] - p[2]) END"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v FROM embeddings),
+st AS (
+  SELECT i.range AS pos, min(v[i.range]) AS mn, max(v[i.range]) AS mx
+  FROM v, range(1, {dim + 1}) i GROUP BY i.range
+),
+stats AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM st),
+dq AS (
+  SELECT v.vec_id, list_transform(list_zip(v.v, s.mn, s.mx), p -> {dq_case}) AS dv
+  FROM v CROSS JOIN stats s
+),
+q AS (SELECT vec_id AS q_id, dv AS qv FROM dq WHERE vec_id < 10),
+p AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         round({_DOT.format(a='q.qv', b='c.dv')}
+               / ({_NRM.format(a='q.qv')} * {_NRM.format(a='c.dv')}), 6) AS sim
+  FROM q, dq c WHERE c.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+  FROM p
+)
+SELECT q_id, n_id, sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+@register("q_sq8_ann", None)  # generated oracle attached below
+def q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN: per-dim min/max codebook trained on
+    the corpus, both sides quantized→dequantized, exact cosine top-k on
+    the dequantized vectors — the stored-embedding compression path,
+    fully relational and exact-oracle-gated."""
+    from .functions.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_topk(emb.filter(F.col("vec_id") < 10), emb, k=10)
+
+
+ORACLES["q_sq8_ann"] = _sq8_oracle()
+
+
 @register("q_lsh_ann", None)  # pinned-VALUES oracle attached at module end
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN (recall<1 by design, so no closed-form SQL twin);

@@ -334,3 +334,78 @@ def cosine_pairs(
         .select("id_a", "id_b", "sim")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the stored-embedding compression path):
+# per-dimension min/max train → uint8 codes → dequantized re-rank
+# ---------------------------------------------------------------------------
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1 row: [mn array<double>, mx array<double>] — per-dimension
+    min/max over the corpus (the SQ8 'codebook'; a single partial-agg
+    shuffle of (pos, partial) rows, O(dim) result)."""
+    dims = corpus.select(F.posexplode(F.transform(F.col(vec_col), lambda e: e.cast("double"))).alias("pos", "val"))
+    st = dims.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    return st.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]).alias("mn"),
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]).alias("mx"),
+    )
+
+
+def _sq8_code(v, mn, mx):
+    """Portable quantizer: floor(t*255 + 0.5) clamped to [0,255]; a
+    constant dimension (mx==mn) codes to 0."""
+    den = mx - mn
+    t = (v.cast("double") - mn) / den
+    q = F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.floor(t * 255.0 + 0.5)))
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(q)
+
+
+def sq8_quantize(df: DataFrame, stats: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """[id, qcode array<int>] — the stored representation (64 B/vector
+    at dim 64 instead of 256/512 B; stats is a 1-row broadcast dim)."""
+    z = df.crossJoin(F.broadcast(stats))
+    code = F.zip_with(
+        F.col(vec_col), F.arrays_zip("mn", "mx"),
+        lambda v, s: _sq8_code(v, s["mn"], s["mx"]).cast("int"),
+    )
+    return z.select(F.col(id_col).alias("id"), code.alias("qcode"))
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[q_id, n_id, sim, rank] — cosine top-k over DEQUANTIZED int8
+    codes (both sides quantized with the corpus-trained stats), the
+    accuracy/efficiency trade a stored-embedding ANN serves.  Fully
+    relational (zip_with/aggregate stay JVM-side) so the whole operator
+    has an exact DuckDB oracle; ranking rounds to 6 dp first, ties break
+    by neighbour id — same contract as cosine_topk/ivf_topk."""
+    stats = sq8_stats(corpus, vec_col)
+
+    def dequant(df: DataFrame, out: str) -> DataFrame:
+        z = df.crossJoin(F.broadcast(stats))
+        dq = F.zip_with(
+            F.col(vec_col), F.arrays_zip("mn", "mx"),
+            lambda v, s: s["mn"] + _sq8_code(v, s["mn"], s["mx"]) / 255.0 * (s["mx"] - s["mn"]),
+        )
+        return z.select(F.col(id_col), dq.alias(out))
+
+    q = dequant(queries, "qv").withColumnsRenamed({id_col: "q_id"})
+    c = dequant(corpus, "cv").withColumnsRenamed({id_col: "n_id"})
+    pairs = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -623,3 +623,29 @@ def test_resample_mixed_crs_transform(spark):
             else:
                 assert np.isnan(arr[li, lj])
     assert checked >= 6  # grids overlap by construction
+
+
+def test_sq8_quantized_ann_recall_and_codes(spark, sf_dir):
+    """int8 scalar quantization: codes land in [0,255], dequantized
+    top-10 recovers most of the exact cosine top-10 (256-level grids
+    barely perturb rankings), and reruns are identical."""
+    from greenex_py_spark.functions.similarity import (
+        cosine_topk, sq8_quantize, sq8_stats, sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stats = sq8_stats(emb)
+    codes = sq8_quantize(emb, stats).toPandas()
+    allq = np.concatenate([np.asarray(c) for c in codes.qcode])
+    assert allq.min() >= 0 and allq.max() <= 255
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = sq8_topk(q, emb, k=10).toPandas()
+    exact = cosine_topk(q, emb, k=10).toPandas()
+    a = set(zip(approx.q_id, approx.n_id))
+    e = set(zip(exact.q_id, exact.n_id))
+    assert len(a & e) / len(e) >= 0.8
+    again = sq8_topk(q, emb, k=10).toPandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["q_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["q_id", "rank"]).reset_index(drop=True),
+    )
