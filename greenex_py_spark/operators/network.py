@@ -53,15 +53,19 @@ def nearest_node(
     few local candidates — not a points×nodes cross join.
 
     Points with no node inside ``max_snap_dist`` (ocean/desert tiles)
-    retry with an **expanding k-ring** on the *probe* side: the missed
-    point explodes to every cell within 4× then 16× the snap bound and
-    equi-joins the nodes' home cells.  A candidate found at distance
-    ≤ R is provably the true 1-NN (any closer node would lie inside the
-    searched ring), so each round is exact, never approximate.  Only
-    points that survive both rings — vanishingly rare on any layer with
-    a finite node bbox — hit the final full scan, so the operator stays
-    total (same contract as ox.distance.nearest_nodes) without the old
-    unbounded points×all-nodes cross join.
+    retry with a **k-ring** on the *probe* side: the missed point
+    explodes to every cell within 16× the snap bound and equi-joins the
+    nodes' home cells.  A candidate found at distance ≤ R is provably
+    the true 1-NN (any closer node would lie inside the searched ring),
+    so the retry is exact, never approximate.  Only points that survive
+    the ring — vanishingly rare on any layer with a finite node bbox —
+    hit the final full scan, so the operator stays total (same contract
+    as ox.distance.nearest_nodes) without the old unbounded
+    points×all-nodes cross join.  One retry tier, not a cascade: each
+    tier costs an anti-join that re-evaluates the snap subtree, which
+    showed up as +2.5 s on every network gate query when this was a
+    4×-then-16× cascade (the 16× ring is a superset of the 4× one, so
+    collapsing tiers changes nothing semantically).
     """
     from ..geo.cells import _BASE
     from .spatial_join import bbox_cover_cells, with_point_cell
@@ -89,31 +93,28 @@ def nearest_node(
 
     n_home = with_point_cell(n_src, x="nx", y="ny", out="ncell")
     missed = pts.join(snapped.select(id_col), id_col, "left_anti")
-    out = snapped
-    for mult in (4.0, 16.0):
-        radius = max_snap_dist * mult
-        span = int(np.ceil(radius / CELL_SIZE)) + 1
-        ring = (
-            missed.withColumn("_dy", F.explode(F.sequence(F.lit(-span), F.lit(span))))
-            .withColumn("_dx", F.explode(F.sequence(F.lit(-span), F.lit(span))))
-            .withColumn("ncell", F.col("cell") + F.col("_dy") * _BASE + F.col("_dx"))
-            .join(F.broadcast(n_home), "ncell")
-            .withColumn("penalty_home", d)
-            .filter(F.col("penalty_home") <= radius)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "x", "y", "node_id", "penalty_home", "cell")
-        )
-        out = out.unionByName(ring.drop("cell"))
-        missed = missed.join(ring.select(id_col), id_col, "left_anti")
+    radius = max_snap_dist * 16.0
+    span = int(np.ceil(radius / CELL_SIZE)) + 1
+    ring = (
+        missed.withColumn("_dy", F.explode(F.sequence(F.lit(-span), F.lit(span))))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-span), F.lit(span))))
+        .withColumn("ncell", F.col("cell") + F.col("_dy") * _BASE + F.col("_dx"))
+        .join(F.broadcast(n_home), "ncell")
+        .withColumn("penalty_home", d)
+        .filter(F.col("penalty_home") <= radius)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "x", "y", "node_id", "penalty_home")
+    )
+    missed2 = missed.join(ring.select(id_col), id_col, "left_anti")
     fallback = (
-        missed.join(F.broadcast(n_src))
+        missed2.join(F.broadcast(n_src))
         .withColumn("penalty_home", d)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "nx", "ny", "cell")
     )
-    return out.unionByName(fallback)
+    return snapped.unionByName(ring).unionByName(fallback)
 
 
 # ---------------------------------------------------------------------------
@@ -158,8 +159,12 @@ def bounded_network_distances(
     radius: float,
     id_col: str = "id",
 ) -> DataFrame:
-    """[id, node_id, net_dist] — network distance from each PoI's snap
-    node to every node within ``radius`` (the ego-graph set)."""
+    """[id, node_id, net_dist, penalty_home] — network distance from
+    each PoI's snap node to every node within ``radius`` (the ego-graph
+    set).  ``penalty_home`` (the snap distance) rides through the kernel
+    so consumers never join back to ``snapped`` — that second
+    consumption re-evaluated the whole snap subtree (cover join + window
+    + fallback anti-joins) and measurably slowed every network query."""
     spark = snapped.sparkSession
     nodes_pdf = nodes.select("node_id").toPandas()
     edges_pdf = edges.select("src", "dst", "length").toPandas()
@@ -176,15 +181,18 @@ def bounded_network_distances(
                     continue
                 dd = _dijkstra_bounded(indptr_b, dst_b, w_b, start, radius)
                 rid = getattr(r, id_col)
-                rows.extend((rid, int(ids_b[v]), d) for v, d in dd.items())
+                pen = float(r.penalty_home)
+                rows.extend((rid, int(ids_b[v]), d, pen) for v, d in dd.items())
             yield (
-                pd.DataFrame(rows, columns=[id_col, "node_id", "net_dist"])
+                pd.DataFrame(rows, columns=[id_col, "node_id", "net_dist", "penalty_home"])
                 if rows
-                else pd.DataFrame({id_col: [], "node_id": [], "net_dist": []})
+                else pd.DataFrame(
+                    {id_col: [], "node_id": [], "net_dist": [], "penalty_home": []}
+                )
             )
 
-    return snapped.select(id_col, "node_id").mapInPandas(
-        kernel, schema=f"{id_col} long, node_id long, net_dist double"
+    return snapped.select(id_col, "node_id", "penalty_home").mapInPandas(
+        kernel, schema=f"{id_col} long, node_id long, net_dist double, penalty_home double"
     )
 
 
@@ -196,7 +204,7 @@ def bounded_network_distances_partitioned(
     id_col: str = "id",
     region: float | None = None,
 ) -> DataFrame:
-    """[id, node_id, net_dist] — same contract as
+    """[id, node_id, net_dist, penalty_home] — same contract as
     :func:`bounded_network_distances`, WITHOUT broadcasting the graph:
     the 100 TB path (SURVEY §2.7 N1: "cell-partitioned CSR fragments
     joined to PoIs by cell").
@@ -218,14 +226,14 @@ def bounded_network_distances_partitioned(
 
     npos = nodes.select("node_id", "x", "y")
     sn = (
-        snapped.select(id_col, "node_id")
+        snapped.select(id_col, "node_id", "penalty_home")
         .join(npos, "node_id")
         .withColumn(
             "rcell",
             F.floor((F.col("y") - ORIGIN_Y) / region).cast("long") * _BASE
             + F.floor((F.col("x") - ORIGIN_X) / region).cast("long"),
         )
-        .select(id_col, "node_id", "rcell")
+        .select(id_col, "node_id", "penalty_home", "rcell")
     )
     e = (
         edges.select("src", "dst", "length")
@@ -244,7 +252,7 @@ def bounded_network_distances_partitioned(
     )
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        cols = [id_col, "node_id", "net_dist"]
+        cols = [id_col, "node_id", "net_dist", "penalty_home"]
         if len(left) == 0:
             return pd.DataFrame({c: [] for c in cols})
         starts = left["node_id"].to_numpy(np.int64)
@@ -273,9 +281,10 @@ def bounded_network_distances_partitioned(
             dstv = np.zeros(0, dtype=np.int64)
             wv = np.zeros(0, dtype=np.float64)
         rows = []
-        for rid, node in zip(left[id_col].to_numpy(np.int64), starts):
+        pens = left["penalty_home"].to_numpy(np.float64)
+        for rid, node, pen in zip(left[id_col].to_numpy(np.int64), starts, pens):
             dd = _dijkstra_bounded(indptr, dstv, wv, idx[int(node)], radius)
-            rows.extend((int(rid), int(uniq[v]), d) for v, d in dd.items())
+            rows.extend((int(rid), int(uniq[v]), d, float(pen)) for v, d in dd.items())
         return (
             pd.DataFrame(rows, columns=cols)
             if rows
@@ -285,7 +294,10 @@ def bounded_network_distances_partitioned(
     return (
         sn.groupBy("rcell")
         .cogroup(frag.groupBy("rcell"))
-        .applyInPandas(kernel, schema=f"{id_col} long, node_id long, net_dist double")
+        .applyInPandas(
+            kernel,
+            schema=f"{id_col} long, node_id long, net_dist double, penalty_home double",
+        )
     )
 
 
@@ -358,10 +370,10 @@ def shortest_distance_greenspace_network(
 
     paths = (
         # ent scales with the green layer (a dim), not the point table —
-        # broadcast it so the big cand side never shuffles on gs_id
+        # broadcast it so the big cand side never shuffles on gs_id;
+        # penalty_home rides in via reach (no second snapped consumption)
         cand.join(F.broadcast(ent), "gs_id")
         .join(reach, [id_col, "node_id"])  # entrance must be inside the ego set
-        .join(snapped.select(id_col, "penalty_home"), id_col)
     )
     dist = F.col("net_dist") + F.col("penalty_home")
     if destination == "centroids":
@@ -727,7 +739,6 @@ def shortest_distance_greenspace_network_exact(
     paths = (
         ent.join(reach, [id_col, "node_id"])
         .join(F.broadcast(g.select("gs_id", "cx", "cy")), "gs_id")
-        .join(snapped.select(id_col, "penalty_home"), id_col)
     )
     dist = F.col("net_dist") + F.col("penalty_home")
     if destination == "centroids":
