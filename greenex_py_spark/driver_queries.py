@@ -500,19 +500,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-def _embedding_dim(default: int = 64) -> int:
-    """Embedding dimensionality read from the fixture itself (ADVICE r01:
-    a hardcoded dim would silently average the wrong positions if the
-    fixture ever changed)."""
-    try:
-        import pyarrow.parquet as pq
+def _embedding_dim() -> int:
+    """Embedding dimensionality read from the fixtures themselves
+    (ADVICE r01: a hardcoded dim would silently average the wrong
+    positions).  Checks every SF dir the tri-scale sweep uses and fails
+    LOUDLY on disagreement or missing fixtures — a silent default would
+    surface as an opaque gate hash mismatch instead of a clear error."""
+    import glob
 
-        t = pq.read_table(
-            "/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"]
-        )
-        return len(t.column(0)[0])
-    except Exception:
-        return default
+    import pyarrow.parquet as pq
+
+    dims = {}
+    for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        try:
+            dims[p] = len(pq.read_table(p, columns=["embedding"]).column(0)[0])
+        except Exception as e:  # unreadable fixture → loud
+            raise RuntimeError(f"cannot read embedding dim from {p}: {e}") from e
+    if not dims:
+        raise RuntimeError("no /root/testdata/sf*/embeddings.parquet fixtures found")
+    if len(set(dims.values())) != 1:
+        raise RuntimeError(f"embedding dim differs across fixtures: {dims}")
+    return next(iter(dims.values()))
 
 
 def _kmeans_oracle() -> str:

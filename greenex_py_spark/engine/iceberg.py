@@ -84,7 +84,9 @@ class IcebergStore:
                 "stage": stage,
                 "snapshot_id": str(s["snapshot_id"]),
                 "fingerprint": (s["summary"] or {}).get("fingerprint"),
-                "rows": int((s["summary"] or {}).get("total-records", -1)),
+                # added-records = rows of THIS write (the parquet
+                # SnapshotStore contract); total-records is cumulative
+                "rows": int((s["summary"] or {}).get("added-records", -1)),
                 "committed": True,  # Iceberg snapshots exist iff committed
                 "ts": s["committed_at"].timestamp(),
             }
@@ -109,10 +111,13 @@ class IcebergStore:
             from pyspark.sql import functions as F
 
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
-        try:
+        # explicit existence check — a blanket append-then-create would
+        # mask real append failures (schema drift, commit conflicts) as
+        # a misleading TableAlreadyExists
+        if self.spark.catalog.tableExists(t):
             w.append()
-        except Exception:
-            w.create()  # first snapshot of a new stage table
+        else:
+            w.create()
         wall_ms = int((time.time() - t0) * 1000)
         entry = self.latest(stage, fingerprint)
         assert entry is not None, "Iceberg commit did not surface a snapshot"

@@ -56,10 +56,13 @@ class GridSpec:
     @staticmethod
     def from_tiles(tiles: DataFrame) -> "GridSpec":
         """Recover the grid from tile metadata (column-pruned scans;
-        the ``px`` payload is never read).  Needs at least one full
-        (unclipped) tile OR a raster no wider than one tile."""
+        the ``px`` payload is never read).  tile_px = max over tiles of
+        max(w, h): a full (unclipped) tile in EITHER axis witnesses the
+        pitch, which also covers rasters narrower than one tile in one
+        axis; a raster smaller than a tile in both axes is a single
+        tile, for which any pitch ≥ its size is equivalent."""
         r1 = tiles.agg(
-            F.max("w").alias("tile_px"), F.min("res").alias("res"),
+            F.max(F.greatest("w", "h")).alias("tile_px"), F.min("res").alias("res"),
             F.max("res").alias("res2"),
         ).first()
         tile_px, res = int(r1["tile_px"]), float(r1["res"])

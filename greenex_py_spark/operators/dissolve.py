@@ -214,38 +214,22 @@ def dissolve_rects(polys: DataFrame, key: str = "gs_id") -> DataFrame:
 def overlap_edges_polygons(
     polys: DataFrame, key: str = "gs_id", broadcast_cover: bool = True
 ) -> DataFrame:
-    """[a, b] — intersecting polygon pairs (a < b): cell-cover equi-join
-    + bbox filter (codegen) + exact ``polygons_intersect`` refinement
-    (Arrow pandas UDF; shapely-``intersects`` semantics incl. boundary
-    touch).  ``polys`` needs bbox columns + ``rings``."""
+    """[a, b] — intersecting polygon pairs (a < b): bbox candidate pairs
+    from the shared rect machinery (:func:`overlap_edges` — cell-cover
+    equi-join + bbox filter, geometry-free so the broadcast carries only
+    bboxes, never rings-per-cell), then rings joined back by key for the
+    exact ``polygons_intersect`` refinement (Arrow pandas UDF;
+    shapely-``intersects`` semantics incl. boundary touch).
+    ``polys`` needs bbox columns + ``rings``."""
     from pyspark.sql import types as T
 
     from ..geo.kernels import polygons_intersect
-    from .spatial_join import bbox_cover_cells
 
-    cover = bbox_cover_cells(polys.select(key, "minx", "miny", "maxx", "maxy", "rings"))
-    l = cover.select(
-        F.col(key).alias("a"), "cell",
-        F.col("minx").alias("aminx"), F.col("miny").alias("aminy"),
-        F.col("maxx").alias("amaxx"), F.col("maxy").alias("amaxy"),
-        F.col("rings").alias("rings_a"),
-    )
-    r = cover.select(
-        F.col(key).alias("b"), "cell",
-        F.col("minx").alias("bminx"), F.col("miny").alias("bminy"),
-        F.col("maxx").alias("bmaxx"), F.col("maxy").alias("bmaxy"),
-        F.col("rings").alias("rings_b"),
-    )
-    if broadcast_cover:
-        r = F.broadcast(r)
+    rings = polys.select(key, "rings")
     cand = (
-        l.join(r, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .filter(
-            (F.col("aminx") <= F.col("bmaxx")) & (F.col("amaxx") >= F.col("bminx"))
-            & (F.col("aminy") <= F.col("bmaxy")) & (F.col("amaxy") >= F.col("bminy"))
-        )
-        .dropDuplicates(["a", "b"])
+        overlap_edges(polys.drop("rings"), key, broadcast_cover)
+        .join(F.broadcast(rings.withColumnsRenamed({key: "a", "rings": "rings_a"})), "a")
+        .join(F.broadcast(rings.withColumnsRenamed({key: "b", "rings": "rings_b"})), "b")
     )
 
     @F.pandas_udf(T.BooleanType())

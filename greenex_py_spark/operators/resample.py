@@ -56,6 +56,8 @@ def resample_nearest(
     to full 2-D index arrays — same gather, 2× the index memory.
     """
     spark = src_tiles.sparkSession
+    if layer is not None and "layer" in src_tiles.columns:
+        src_tiles = src_tiles.filter(F.col("layer") == layer)
     src_grid = src_grid or GridSpec.from_tiles(src_tiles)
     sg, dg = src_grid, dst_grid
 
@@ -96,11 +98,24 @@ def resample_nearest(
                     xs = np.linspace(t.x0, t.x0 + int(t.w) * dg.res, 9)
                     ys = np.linspace(t.y0, t.y0 + int(t.h) * dg.res, 9)
                     X, Y = np.meshgrid(xs, ys)
-                    SX, SY = transform(X, Y)
-                    smnx.append(float(np.nanmin(SX)))
-                    smxx.append(float(np.nanmax(SX)))
-                    smny.append(float(np.nanmin(SY)))
-                    smxy.append(float(np.nanmax(SY)))
+                    with np.errstate(all="ignore"):
+                        SX, SY = transform(X, Y)
+                    fin = np.isfinite(SX) & np.isfinite(SY)
+                    if fin.any():
+                        smnx.append(float(SX[fin].min()))
+                        smxx.append(float(SX[fin].max()))
+                        smny.append(float(SY[fin].min()))
+                        smxy.append(float(SY[fin].max()))
+                    else:
+                        # tile entirely outside the transform's domain:
+                        # keep the row (degenerate span clamps to one
+                        # source tile; the gather masks reject every
+                        # pixel) so the output still carries a NaN tile
+                        # instead of silently dropping it
+                        smnx.append(sg.origin_x)
+                        smxx.append(sg.origin_x)
+                        smny.append(sg.origin_y)
+                        smxy.append(sg.origin_y)
                 out = pdf.copy()
                 out["sminx"], out["smaxx"] = smnx, smxx
                 out["sminy"], out["smaxy"] = smny, smxy
@@ -140,6 +155,14 @@ def resample_nearest(
     tile_px = dg.tile_px
 
     def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+        if "slayer" in kdf.columns:
+            layers = kdf["slayer"].dropna().unique()
+            if len(layers) > 1:
+                raise ValueError(
+                    f"resample_nearest got a multi-layer tile table {sorted(layers)}; "
+                    "pass layer=<name> to select one (mixed layers would "
+                    "overwrite each other nondeterministically)"
+                )
         t = kdf.iloc[0]
         tw, th = int(t["w"]), int(t["h"])
         gx = t["tx"] * tile_px + np.arange(tw)
@@ -167,9 +190,12 @@ def resample_nearest(
                     out[np.ix_(rm, cm)] = arr[np.ix_(siy[rm] - gy0, six[cm] - gx0)]
         else:
             X, Y = np.meshgrid(cx, cy)
-            SX, SY = transform(X, Y)
-            six = np.floor((SX - sg.origin_x) / sg.res).astype(np.int64)
-            siy = np.floor((SY - sg.origin_y) / sg.res).astype(np.int64)
+            with np.errstate(all="ignore"):
+                SX, SY = transform(X, Y)
+            fin = np.isfinite(SX) & np.isfinite(SY)
+            # out-of-domain centers get an impossible index (< any tile)
+            six = np.where(fin, np.floor(np.where(fin, (SX - sg.origin_x) / sg.res, 0.0)), -1).astype(np.int64)
+            siy = np.where(fin, np.floor(np.where(fin, (SY - sg.origin_y) / sg.res, 0.0)), -1).astype(np.int64)
             for srow in kdf.itertuples(index=False):
                 if srow.spx is None:
                     continue

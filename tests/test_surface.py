@@ -212,3 +212,28 @@ def test_gridspec_from_tiles_roundtrip(spark):
     assert got == city.grid()
     got2 = GridSpec.from_tiles(fx.surface_tiles_df(spark, "dsm"))
     assert got2 == fx.surface_grid()
+
+
+def test_gridspec_from_tiles_narrow_raster(spark):
+    """A raster narrower than one tile in x but multiple tiles tall must
+    still recover the true tile pitch (from h) — regression for the
+    max(w)-only derivation."""
+    import pandas as pd
+
+    from greenex_py_spark.geo.grid import GridSpec
+
+    rows = []
+    for ty in range(3):
+        h = 256 if ty < 2 else 88  # clipped last row
+        rows.append(dict(layer="v", tx=0, ty=ty, x0=1000.0,
+                         y0=2000.0 + ty * 256 * 2.0, res=2.0, w=100, h=h,
+                         px=[0.0]))
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="layer string, tx int, ty int, x0 double, y0 double, "
+               "res double, w int, h int, px array<double>",
+    )
+    g = GridSpec.from_tiles(tiles)
+    assert g.tile_px == 256
+    assert g.npx_x == 100 and g.npx_y == 600
+    assert g.origin_x == 1000.0 and g.origin_y == 2000.0
