@@ -1445,6 +1445,74 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# closed-session predicate mirrors Spark's state-timeout firing rule:
+# timeout_ms = floor(epoch_us(end + gap)/1000) + 1 fires when the final
+# watermark (max event time ms − 1 min delay) exceeds it strictly
+_SESS_STREAM_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g
+), sess AS (
+  SELECT user_id, sess_no, count(*) AS n_events,
+         min(ts) AS t0, max(ts) AS t1
+  FROM s GROUP BY user_id, sess_no
+), wm AS (
+  SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 60000 AS wm_ms FROM events
+)
+SELECT user_id,
+       strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+       strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+       n_events
+FROM sess, wm
+WHERE wm.wm_ms > CAST(floor((epoch_us(t1) + 1800000000) / 1000) AS BIGINT) + 1
+"""
+
+
+@register("q_sessionize_stream", _SESS_STREAM_SQL)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator in the gate:
+    ``applyInPandasWithState`` gap-sessionization (GroupState carries
+    open sessions across micro-batches; event-time timeouts close them
+    when the watermark passes end+gap).  Two AvailableNow drains — the
+    second fires the stored timeouts — then the closed-session sink is
+    hash-matched against the batch window-function sessionization
+    filtered by the same closure rule."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.sessionize import EVENT_SCHEMA, sessionize_stream
+
+    base = os.path.join(tempfile.gettempdir(), f"q_sessionize_stream_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(src)
+    sessionize_stream(spark, src, sink, ckpt)
+    # an empty delta file forces one more micro-batch, in which the
+    # state-store timeouts fire against the now-advanced watermark
+    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    sessionize_stream(spark, src, sink, ckpt)
+    out = spark.read.parquet(sink)
+    return out.select(
+        "user_id",
+        F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sess_start"),
+        F.date_format("sess_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sess_end"),
+        "n_events",
+    )
+
+
 @register(
     "q_pricing_summary",
     """

@@ -1,0 +1,144 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (SURVEY.md §2.10 "custom stateful operators"
+— the streaming twin of the batch window-function q_sessionize).
+
+Semantics (identical to the batch definition): a user's events belong
+to one session while consecutive gaps stay ≤ ``gap``; a session CLOSES
+when the event-time watermark passes ``session_end + gap`` (no more
+in-order events can extend it) and is emitted exactly once as
+``[user_id, sess_start, sess_end, n_events]``.
+
+State per user = the open session (start, end, count) plus a buffer-free
+design: events inside a micro-batch are sorted and folded in pandas;
+cross-batch continuation lives in GroupState.  An event-time timeout
+fires when the watermark passes the open session's expiry, closing it
+even if the user never appears again — the property that makes this a
+true stateful operator rather than a windowed agg.
+
+Caveat shared with every gap-session implementation on streams: events
+arriving later than the watermark delay are dropped by Spark before the
+operator (the watermark contract); the batch twin sees them.  The
+equivalence test therefore compares CLOSED sessions against the batch
+result on in-watermark data (tests/test_engine.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_OUT_SCHEMA = "user_id long, sess_start timestamp, sess_end timestamp, n_events long"
+_STATE_SCHEMA = "start long, end long, n long"  # epoch-us
+
+
+def _fold(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState, gap_us: int
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    closed: list[tuple] = []
+    if state.hasTimedOut:
+        if state.exists:
+            s, e, n = state.get
+            closed.append((user_id, s, e, n))
+            state.remove()
+    else:
+        ts_list: list[int] = []
+        for pdf in pdf_iter:
+            # timestamps arrive as datetime64; fold in int64 epoch-µs
+            ts_list.extend(pdf["ts"].astype("datetime64[us]").astype("int64").tolist())
+        ts_list.sort()
+        if state.exists:
+            s, e, n = state.get
+        else:
+            s, e, n = None, None, 0
+        for t in ts_list:
+            if s is None:
+                s, e, n = t, t, 1
+            elif t - e <= gap_us:
+                e, n = max(e, t), n + 1
+            else:
+                closed.append((user_id, s, e, n))
+                s, e, n = t, t, 1
+        if s is not None:
+            state.update((int(s), int(e), int(n)))
+            # close when the watermark passes end + gap
+            state.setTimeoutTimestamp((int(e) + gap_us) // 1000 + 1)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "sess_start": pd.to_datetime([c[1] for c in closed], unit="us"),
+                "sess_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+                "n_events": [c[3] for c in closed],
+            }
+        )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+) -> None:
+    """Drain available event files → closed-session parquet sink
+    (AvailableNow incremental batch; re-runs process only new files and
+    carry open sessions in the checkpointed state store)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+
+    def fold(key, pdf_iter, state):
+        yield from _fold(key, pdf_iter, state, gap_us)
+
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sessionize_batch_reference(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """The batch twin (same window-function chain as q_sessionize),
+    reduced to the streaming operator's output columns — the
+    equivalence oracle for closed sessions."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > F.expr(f"INTERVAL {gap_minutes} MINUTES")), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "sess_start", "sess_end", "n_events")
