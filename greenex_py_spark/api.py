@@ -20,6 +20,8 @@ reference's error messages verbatim.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -105,6 +107,44 @@ def _ensure_id(poi: DataFrame, order_col: str | None = None) -> DataFrame:
     return poi.withColumn("id", rn.cast("long"))
 
 
+def _apply_polygon_type(poi: DataFrame, geom_type: str, polygon_type: str):
+    """Reference polygon_type semantics (availability.py:88-94):
+    'house' converts polygon PoIs to their centroids (P3) and the
+    pipeline proceeds as points; 'neighbourhood' keeps the polygons as
+    AoIs; anything else raises the reference's message verbatim."""
+    if geom_type != "Polygon":
+        return poi, geom_type
+    if polygon_type not in ["neighbourhood", "house"]:
+        raise ValueError(
+            "Please make sure that the polygon_type argument is set to either "
+            "'neighbourhood' or 'house'"
+        )
+    if polygon_type == "house":
+        from pyspark.sql import types as T
+
+        from .geo.kernels import polygon_centroid
+
+        @F.pandas_udf(
+            T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+        )
+        def centroid_udf(rings: pd.Series) -> pd.DataFrame:
+            xs = np.empty(len(rings))
+            ys = np.empty(len(rings))
+            for i, rg in enumerate(rings):
+                rl = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rg]
+                xs[i], ys[i] = polygon_centroid(rl)
+            return pd.DataFrame({"x": xs, "y": ys})
+
+        pts = (
+            poi.withColumn("_c", centroid_udf(F.col("rings")))
+            .withColumn("x", F.col("_c.x"))
+            .withColumn("y", F.col("_c.y"))
+            .drop("_c", "rings")
+        )
+        return pts, "Point"
+    return poi, geom_type
+
+
 def _aoi_for(poi, geom_type, buffer_type, buffer_dist, nodes, edges):
     from .operators.zonal import aoi_circle, aoi_isochrone, aoi_polygon
 
@@ -125,6 +165,7 @@ def _aoi_for(poi, geom_type, buffer_type, buffer_dist, nodes, edges):
 def get_mean_NDVI(
     point_of_interest: DataFrame,
     ndvi_tiles: DataFrame,
+    polygon_type: str = "neighbourhood",
     buffer_type: str | None = None,
     buffer_dist: int | None = None,
     trip_time: int | None = None,
@@ -136,6 +177,9 @@ def get_mean_NDVI(
     from .operators.zonal import zonal_stats_aoi
 
     geom_type = _geom_type(point_of_interest)
+    point_of_interest, geom_type = _apply_polygon_type(
+        point_of_interest, geom_type, polygon_type
+    )
     buffer_dist = _resolve_buffer(geom_type, buffer_type, buffer_dist, trip_time, travel_speed)
     poi = _ensure_id(point_of_interest)
     aoi = _aoi_for(poi, geom_type, buffer_type, buffer_dist, network_nodes, network_edges)
@@ -146,6 +190,7 @@ def get_mean_NDVI(
 def get_landcover_percentages(
     point_of_interest: DataFrame,
     landcover_tiles: DataFrame,
+    polygon_type: str = "neighbourhood",
     buffer_type: str | None = None,
     buffer_dist: int | None = None,
     trip_time: int | None = None,
@@ -159,6 +204,9 @@ def get_landcover_percentages(
     from .operators.zonal import zonal_stats_aoi
 
     geom_type = _geom_type(point_of_interest)
+    point_of_interest, geom_type = _apply_polygon_type(
+        point_of_interest, geom_type, polygon_type
+    )
     buffer_dist = _resolve_buffer(geom_type, buffer_type, buffer_dist, trip_time, travel_speed)
     poi = _ensure_id(point_of_interest)
     aoi = _aoi_for(poi, geom_type, buffer_type, buffer_dist, network_nodes, network_edges)
@@ -172,6 +220,7 @@ def get_landcover_percentages(
 def get_canopy_percentage(
     point_of_interest: DataFrame,
     canopy_layer: DataFrame,
+    polygon_type: str = "neighbourhood",
     buffer_type: str | None = None,
     buffer_dist: int | None = None,
     trip_time: int | None = None,
@@ -182,6 +231,9 @@ def get_canopy_percentage(
     from .operators.zonal import cover_percentage_circle32
 
     geom_type = _geom_type(point_of_interest)
+    point_of_interest, geom_type = _apply_polygon_type(
+        point_of_interest, geom_type, polygon_type
+    )
     buffer_dist = _resolve_buffer(geom_type, buffer_type, buffer_dist, trip_time, travel_speed)
     poi = _ensure_id(point_of_interest)
     out = cover_percentage_circle32(
@@ -193,6 +245,7 @@ def get_canopy_percentage(
 def get_greenspace_percentage(
     point_of_interest: DataFrame,
     greenspace_layer: DataFrame,
+    polygon_type: str = "neighbourhood",
     buffer_type: str | None = None,
     buffer_dist: int | None = None,
     trip_time: int | None = None,
@@ -205,6 +258,9 @@ def get_greenspace_percentage(
     isochrone raster-mask path (documented raster-level equivalence of
     make_iso_poly)."""
     geom_type = _geom_type(point_of_interest)
+    point_of_interest, geom_type = _apply_polygon_type(
+        point_of_interest, geom_type, polygon_type
+    )
     buffer_dist = _resolve_buffer(geom_type, buffer_type, buffer_dist, trip_time, travel_speed)
     poi = _ensure_id(point_of_interest)
     if buffer_type == "network":

@@ -154,3 +154,50 @@ def test_street_edges_as_pois(spark):
     out = zonal_stats_aoi(aoi, city.tiles_df(spark, "ndvi"), stat="mean_std").toPandas()
     assert len(out) == n_aoi
     assert out.mean_NDVI.notna().all() and (out.std_NDVI >= 0).all()
+
+
+def test_polygon_type_house_equals_centroid_points(spark):
+    """polygon_type='house' (availability.py:88-94): polygon PoIs become
+    their centroids and the result equals calling the API with the
+    centroid points directly; invalid values raise the reference's
+    message verbatim."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from greenex_py_spark import api
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.geo import kernels
+
+    rows = []
+    cents = []
+    for k in range(4):
+        x0 = city.X0 + 2000.0 + k * 900.0
+        y0 = city.Y0 + 2000.0
+        ring = kernels.box_ring(x0, y0, x0 + 120.0, y0 + 80.0)
+        rows.append(
+            dict(id=k + 1, rings=[ring.ravel().tolist()],
+                 minx=x0, miny=y0, maxx=x0 + 120.0, maxy=y0 + 80.0)
+        )
+        cents.append((k + 1, x0 + 60.0, y0 + 40.0))
+    polys = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="id long, rings array<array<double>>, minx double, miny double, "
+               "maxx double, maxy double",
+    )
+    pts = spark.createDataFrame(pd.DataFrame(cents, columns=["id", "x", "y"]))
+    tiles = city.tiles_df(spark, "ndvi")
+    a = (
+        api.get_mean_NDVI(polys, tiles, polygon_type="house",
+                          buffer_type="euclidean", buffer_dist=200)
+        .select("id", "mean_NDVI", "std_NDVI").toPandas().sort_values("id").reset_index(drop=True)
+    )
+    b = (
+        api.get_mean_NDVI(pts, tiles, buffer_type="euclidean", buffer_dist=200)
+        .select("id", "mean_NDVI", "std_NDVI").toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a.mean_NDVI.notna().all()
+    with _pytest.raises(ValueError, match="polygon_type argument"):
+        api.get_mean_NDVI(polys, tiles, polygon_type="block",
+                          buffer_type="euclidean", buffer_dist=200)
