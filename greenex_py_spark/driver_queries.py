@@ -1514,6 +1514,50 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_html_extract",
+    """
+WITH h AS (
+  SELECT doc_id, text,
+         encode('<html>\n <body class="page">' || text || '</body>\n</html>') AS html
+  FROM documents
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(decode(html), '<[^>]*>', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS extracted_md5,
+       trim(regexp_replace(regexp_replace(decode(html), '<[^>]*>', '', 'g'),
+            '\\s+', ' ', 'g')) = text AS matches_text
+FROM h
+""",
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML->text extraction over the raw crawl bytes (decode + tag
+    strip + whitespace collapse, all codegen); the synthetic corpus
+    wraps text in markup, so extraction must reproduce the text column
+    byte-for-byte (matches_text true everywhere) -- the boilerplate-
+    removal stage of a web-corpus pipeline, exact-oracle-gated."""
+    from .functions.text import html_extract_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the driver table carries text only; synthesize the crawl-page
+    # bytes (markup + stray whitespace) the synth pipeline's html
+    # column has, then run the real extraction chain over the binary
+    pages = docs.select(
+        "doc_id", "text",
+        F.encode(
+            F.concat(F.lit('<html>\n <body class="page">'), F.col("text"),
+                     F.lit("</body>\n</html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out = html_extract_text(pages)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("extracted")).alias("extracted_md5"),
+        (F.col("extracted") == F.col("text")).alias("matches_text"),
+    )
+
+
+@register(
     "q_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,

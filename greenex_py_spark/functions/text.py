@@ -190,3 +190,20 @@ def winnow_fingerprints(
         F.count("*").over(Window.partitionBy("_id")).alias("_gc"),
     ).filter(F.col("_rn") <= F.greatest(F.col("_gc") - (window - 1), F.lit(1)))
     return out.select(F.col("_id").alias(id_col), "fp").distinct()
+
+
+def html_extract_text(
+    df, html_col: str = "html", out_col: str = "extracted",
+):
+    """+ [out_col] — text extracted from the crawl page's raw ``html``
+    binary: UTF-8 decode → strip tags → collapse runs of whitespace →
+    trim.  Pure codegen (decode/regexp_replace/trim — zero Python), the
+    first stage of every HTML-corpus pipeline; swap the regex chain for
+    a real DOM extractor (trafilatura-style) behind the same column
+    contract on a cluster image."""
+    from pyspark.sql import functions as F
+
+    stripped = F.regexp_replace(F.decode(F.col(html_col), "UTF-8"), "<[^>]*>", "")
+    return df.withColumn(
+        out_col, F.trim(F.regexp_replace(stripped, "\\s+", " "))
+    )

@@ -338,3 +338,43 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     # cross-batch continuation really happened: user 2 has ONE session
     u2 = got[got.user_id == 2]
     assert len(u2) == 1 and int(u2.n_events.iloc[0]) == 2
+
+
+def test_bucketed_join_eliminates_shuffles(spark, tmp_path):
+    """Both sides written bucketed on doc_id -> the join plan has ZERO
+    shuffle exchanges (each task merges matching bucket files locally);
+    the same join on plain parquet shuffles both sides.  Results are
+    identical either way."""
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.engine.bucketing import (
+        plan_has_exchange, read_bucketed, write_bucketed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    scores = docs.select("doc_id", (F.col("n_chars") % 97).alias("score"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(docs, "t_docs_b", "doc_id", buckets=8)
+        write_bucketed(scores, "t_scores_b", "doc_id", buckets=8)
+        joined_b = read_bucketed(spark, "t_docs_b").join(
+            read_bucketed(spark, "t_scores_b"), "doc_id"
+        )
+        assert not plan_has_exchange(joined_b), joined_b._jdf.queryExecution().executedPlan().toString()
+
+        p1 = str(tmp_path / "docs_plain")
+        p2 = str(tmp_path / "scores_plain")
+        docs.write.parquet(p1)
+        scores.write.parquet(p2)
+        joined_p = spark.read.parquet(p1).join(spark.read.parquet(p2), "doc_id")
+        assert plan_has_exchange(joined_p)
+
+        a = joined_b.orderBy("doc_id").toPandas()
+        b = joined_p.orderBy("doc_id").toPandas()
+        assert a.equals(b[a.columns])
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_scores_b")
