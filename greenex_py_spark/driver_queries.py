@@ -1498,7 +1498,8 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(src)
+    # few large files: the streaming source lists/tracks per-file state
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").coalesce(8).write.parquet(src)
     sessionize_stream(spark, src, sink, ckpt)
     # an empty delta file forces one more micro-batch, in which the
     # state-store timeouts fire against the now-advanced watermark
