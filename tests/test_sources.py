@@ -1,0 +1,64 @@
+"""Catalog-table STAC selection (S5) + slippy-map tile math (S7)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _items(spark):
+    rows = [
+        # item_id, bbox, datetime, cloud, href
+        ("s2_a", 4.0, 52.0, 5.0, 53.0, "2023-06-10 10:00:00", 12.5, "a.tif"),
+        ("s2_b", 4.0, 52.0, 5.0, 53.0, "2023-06-20 10:00:00", 3.1, "b.tif"),
+        ("s2_c", 4.0, 52.0, 5.0, 53.0, "2023-07-05 10:00:00", 3.1, "c.tif"),  # tie with b
+        ("s2_d", 4.0, 52.0, 5.0, 53.0, "2023-06-15 10:00:00", 45.0, "d.tif"),  # too cloudy
+        ("s2_e", 9.0, 45.0, 10.0, 46.0, "2023-06-15 10:00:00", 0.5, "e.tif"),  # wrong bbox
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["item_id", "minx", "miny", "maxx", "maxy", "datetime", "cloud_cover", "asset_href"]
+    )
+    pdf["datetime"] = pd.to_datetime(pdf["datetime"])
+    return spark.createDataFrame(pdf)
+
+
+def test_stac_least_cloudy_selection(spark):
+    """Reference selection semantics (availability.py:156-177): bbox ∩,
+    date range, cloud<20, lowest cloud wins, deterministic tie-break."""
+    from greenex_py_spark.sources.stac import filter_items, least_cloudy_item
+
+    items = _items(spark)
+    got = least_cloudy_item(items, 4.4, 52.3, 4.6, 52.4,
+                            start="2023-06-01", end="2023-07-31").collect()
+    assert len(got) == 1 and got[0]["item_id"] == "s2_b"  # tie: b < c
+    # date range excludes b and c → d blocked by cloud → a
+    got2 = least_cloudy_item(items, 4.4, 52.3, 4.6, 52.4,
+                             start="2023-06-01", end="2023-06-12").collect()
+    assert got2[0]["item_id"] == "s2_a"
+    n = filter_items(items, 4.4, 52.3, 4.6, 52.4).count()
+    assert n == 3  # a, b, c (d too cloudy, e wrong bbox)
+
+
+def test_slippy_tile_math(spark):
+    """Known slippy-map values (OSM wiki worked example: Berlin
+    13.41,52.52 at z14 → tile 8802/5373) + codegen == scalar mirror +
+    bbox cover shape."""
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.sources.tiles import (
+        tile_of, tiles_for_bbox, with_tile,
+    )
+
+    assert tile_of(0.0, 0.0, 0) == (0, 0)
+    assert tile_of(13.41, 52.52, 14) == (8802, 5373)
+    assert tile_of(-0.1276, 51.5072, 10) == (511, 340)  # London
+    pdf = pd.DataFrame({"lon": [13.41, -0.1276, 0.0], "lat": [52.52, 51.5072, 0.0]})
+    df = with_tile(spark.createDataFrame(pdf), zoom=14)
+    got = {(r["tile_x"], r["tile_y"]) for r in df.collect()}
+    want = {tile_of(lon, lat, 14) for lon, lat in zip(pdf.lon, pdf.lat)}
+    assert got == want
+    cover = tiles_for_bbox(13.3, 52.4, 13.6, 52.6, 14)
+    assert tile_of(13.41, 52.52, 14) in cover
+    xs = {t[0] for t in cover}
+    ys = {t[1] for t in cover}
+    assert len(cover) == len(xs) * len(ys) and len(cover) >= 4
