@@ -386,6 +386,49 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_corpus_df(spark, sf_dir))
 
 
+def _url_canonical_oracle() -> str:
+    from .functions.dedup import canonicalize_url_sql
+
+    variants = (
+        "CASE doc_id % 3 "
+        "WHEN 0 THEN 'https://Site' || CAST(doc_id // 3 AS VARCHAR) || '.Example/a//b/' "
+        "WHEN 1 THEN 'https://site' || CAST(doc_id // 3 AS VARCHAR) || '.example/a/b?utm_source=x&utm_campaign=y#frag' "
+        "ELSE 'HTTPS://SITE' || CAST(doc_id // 3 AS VARCHAR) || '.EXAMPLE/a/b?ref=rss&keep=1&gclid=z' END"
+    )
+    canon = canonicalize_url_sql("raw_url")
+    return f"""
+WITH u AS (SELECT doc_id, {variants} AS raw_url FROM documents),
+c AS (SELECT doc_id, {canon} AS canonical_url FROM u)
+SELECT canonical_url, min(doc_id) AS rep_id, count(*) AS n_dups
+FROM c GROUP BY canonical_url HAVING count(*) >= 2
+"""
+
+
+@register("q_url_canonical", None)  # generated oracle attached below
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup over planted crawl-URL variants
+    (case-folded host, tracking params, fragments, duplicate/trailing
+    slashes): groups of 3 raw variants must collapse to one canonical
+    URL, except every third group where a genuine '?keep=1' param
+    survives — the RE2-portable regexp chain is mirrored literally in
+    the DuckDB oracle."""
+    from .functions.dedup import url_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    base = (did / 3).cast("long").cast("string")
+    raw = (
+        F.when(did % 3 == 0, F.concat(F.lit("https://Site"), base, F.lit(".Example/a//b/")))
+        .when(did % 3 == 1, F.concat(F.lit("https://site"), base, F.lit(".example/a/b?utm_source=x&utm_campaign=y#frag")))
+        .otherwise(F.concat(F.lit("HTTPS://SITE"), base, F.lit(".EXAMPLE/a/b?ref=rss&keep=1&gclid=z")))
+    )
+    urls = docs.select("doc_id", raw.alias("url"))
+    return url_duplicates(urls)
+
+
+ORACLES["q_url_canonical"] = _url_canonical_oracle()
+
+
 @register(
     "q_token_stats",
     f"""

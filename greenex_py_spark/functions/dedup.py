@@ -331,3 +331,54 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+_URL_PREFIX_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+_URL_TRK_RE = "(utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)"
+
+
+def canonicalize_url(col):
+    """Column expression: crawl-URL canonical form — lowercase scheme+
+    host, strip fragment, strip common tracking query params
+    (utm_*/fbclid/gclid/ref), collapse duplicate path slashes, strip a
+    trailing slash.  Pure codegen regexp chain (the URL-dedup normalizer
+    every crawl pipeline runs before exact dedup); RE2-compatible
+    patterns only (no lookbehind) so the DuckDB oracle mirrors it
+    literally — the scheme's ``//`` survives because the collapse runs
+    on the post-host remainder, not the whole URL."""
+    u = F.regexp_replace(col, "#.*$", "")  # fragment
+    prefix = F.lower(F.regexp_extract(u, _URL_PREFIX_RE, 1))
+    rest = F.regexp_replace(u, _URL_PREFIX_RE, "")
+    # tracking params: non-first, then first-with-successor, then lone
+    rest = F.regexp_replace(rest, "&" + _URL_TRK_RE + "=[^&#]*", "")
+    rest = F.regexp_replace(rest, "\\?" + _URL_TRK_RE + "=[^&#]*&", "?")
+    rest = F.regexp_replace(rest, "\\?" + _URL_TRK_RE + "=[^&#]*$", "")
+    rest = F.regexp_replace(rest, "//+", "/")
+    rest = F.regexp_replace(rest, "/$", "")
+    return F.concat(prefix, rest)
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """The identical chain as DuckDB SQL (RE2, 'g' flags — Spark's
+    regexp_replace is global by default)."""
+    u = f"regexp_replace({expr}, '#.*$', '', 'g')"
+    prefix = f"lower(regexp_extract({u}, '{_URL_PREFIX_RE}', 1))"
+    rest = f"regexp_replace({u}, '{_URL_PREFIX_RE}', '', 'g')"
+    rest = f"regexp_replace({rest}, '&{_URL_TRK_RE}=[^&#]*', '', 'g')"
+    rest = f"regexp_replace({rest}, '\\?{_URL_TRK_RE}=[^&#]*&', '?', 'g')"
+    rest = f"regexp_replace({rest}, '\\?{_URL_TRK_RE}=[^&#]*$', '', 'g')"
+    rest = f"regexp_replace({rest}, '//+', '/', 'g')"
+    rest = f"regexp_replace({rest}, '/$', '', 'g')"
+    return f"({prefix} || {rest})"
+
+
+def url_duplicates(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """[canonical_url, rep_id, n_dups] — URL-level duplicate groups
+    after canonicalization (size ≥ 2; rep = min id).  Shuffles the
+    canonical string (bounded length), grouped map-side first."""
+    return (
+        df.select(F.col(id_col).alias("_id"), canonicalize_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("_id").alias("rep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") >= 2)
+    )

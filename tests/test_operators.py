@@ -649,3 +649,25 @@ def test_sq8_quantized_ann_recall_and_codes(spark, sf_dir):
         approx.sort_values(["q_id", "rank"]).reset_index(drop=True),
         again.sort_values(["q_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_canonicalize_url_cases(spark):
+    """URL normalizer unit cases: fragments, tracking params in every
+    position, genuine params preserved, case folding limited to
+    scheme+host, slash collapse sparing the scheme's //."""
+    from greenex_py_spark.functions.dedup import canonicalize_url
+
+    cases = [
+        ("https://Ex.COM/Path/To?x=1#frag", "https://ex.com/Path/To?x=1"),
+        ("HTTPS://A.B//p//q///r/", "https://a.b/p/q/r"),
+        ("https://a.b/p?utm_source=x", "https://a.b/p"),
+        ("https://a.b/p?utm_source=x&keep=1", "https://a.b/p?keep=1"),
+        ("https://a.b/p?keep=1&utm_source=x&gclid=2", "https://a.b/p?keep=1"),
+        ("https://a.b/p?ref=rss&fbclid=z", "https://a.b/p"),
+        ("https://a.b/p?href=3", "https://a.b/p?href=3"),  # not a tracking param
+        ("https://a.b", "https://a.b"),
+        ("relative/path//x?utm_id=9", "relative/path/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [w for _, w in cases], list(zip(got, [w for _, w in cases]))
