@@ -165,13 +165,13 @@ def _aoi_for(poi, geom_type, buffer_type, buffer_dist, nodes, edges):
 def get_mean_NDVI(
     point_of_interest: DataFrame,
     ndvi_tiles: DataFrame,
-    polygon_type: str = "neighbourhood",
     buffer_type: str | None = None,
     buffer_dist: int | None = None,
     trip_time: int | None = None,
     travel_speed: float | None = None,
     network_nodes: DataFrame | None = None,
     network_edges: DataFrame | None = None,
+    polygon_type: str = "neighbourhood",
 ) -> DataFrame:
     """→ poi + [mean_NDVI, std_NDVI] (availability.py:41-342)."""
     from .operators.zonal import zonal_stats_aoi
@@ -190,7 +190,6 @@ def get_mean_NDVI(
 def get_landcover_percentages(
     point_of_interest: DataFrame,
     landcover_tiles: DataFrame,
-    polygon_type: str = "neighbourhood",
     buffer_type: str | None = None,
     buffer_dist: int | None = None,
     trip_time: int | None = None,
@@ -198,6 +197,7 @@ def get_landcover_percentages(
     class_values: list[int] | None = None,
     network_nodes: DataFrame | None = None,
     network_edges: DataFrame | None = None,
+    polygon_type: str = "neighbourhood",
 ) -> DataFrame:
     """→ poi + one ``%``-string column per landcover class
     (availability.py:344-597)."""
@@ -220,11 +220,11 @@ def get_landcover_percentages(
 def get_canopy_percentage(
     point_of_interest: DataFrame,
     canopy_layer: DataFrame,
-    polygon_type: str = "neighbourhood",
     buffer_type: str | None = None,
     buffer_dist: int | None = None,
     trip_time: int | None = None,
     travel_speed: float | None = None,
+    polygon_type: str = "neighbourhood",
 ) -> DataFrame:
     """→ poi + [canopy_cover] — vector clip (32-gon circle buffer ∩
     canopy polygons, availability.py:600-806)."""
@@ -245,13 +245,13 @@ def get_canopy_percentage(
 def get_greenspace_percentage(
     point_of_interest: DataFrame,
     greenspace_layer: DataFrame,
-    polygon_type: str = "neighbourhood",
     buffer_type: str | None = None,
     buffer_dist: int | None = None,
     trip_time: int | None = None,
     travel_speed: float | None = None,
     network_nodes: DataFrame | None = None,
     network_edges: DataFrame | None = None,
+    polygon_type: str = "neighbourhood",
 ) -> DataFrame:
     """→ poi + [greenspace_cover] (availability.py:807-1036): euclidean
     buffers take the vector 32-gon clip path; network buffers the

@@ -1506,7 +1506,8 @@ WITH g AS (
   FROM g
 ), sess AS (
   SELECT user_id, sess_no, count(*) AS n_events,
-         min(ts) AS t0, max(ts) AS t1
+         min(ts) AS t0, max(ts) AS t1,
+         max(sess_no) OVER (PARTITION BY user_id) AS last_sess
   FROM s GROUP BY user_id, sess_no
 ), wm AS (
   SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 60000 AS wm_ms FROM events
@@ -1516,7 +1517,8 @@ SELECT user_id,
        strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
        n_events
 FROM sess, wm
-WHERE wm.wm_ms > CAST(floor((epoch_us(t1) + 1800000000) / 1000) AS BIGINT) + 1
+WHERE sess_no < last_sess  -- closed by a successor event in the drain
+   OR wm.wm_ms > CAST(floor((epoch_us(t1) + 1800000000) / 1000) AS BIGINT) + 1
 """
 
 

@@ -22,14 +22,19 @@ def write_bucketed(
     table: str,
     key: str,
     buckets: int = 32,
-    sort_by: str | None = None,
+    sort_by: str | None = "key",
 ) -> None:
-    """Persist df bucketed (and optionally sorted) by ``key`` into the
-    session catalog.  ``buckets`` should match the downstream join's
-    parallelism appetite (fixed at write time — choose for the CLUSTER,
-    e.g. a few buckets per executor core)."""
+    """Persist df bucketed by ``key`` into the session catalog.
+    ``sort_by``: column to sort within buckets — the default sentinel
+    ``"key"`` sorts by the bucket key (lets the join skip its sort
+    stages too); pass ``None`` to skip the sort entirely (append-heavy
+    staging where sort cost dominates the write).  ``buckets`` should
+    match the downstream join's parallelism appetite (fixed at write
+    time — choose for the CLUSTER, e.g. a few buckets per executor
+    core)."""
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
-    w = w.sortBy(sort_by or key)
+    if sort_by is not None:
+        w = w.sortBy(key if sort_by == "key" else sort_by)
     w.saveAsTable(table)
 
 

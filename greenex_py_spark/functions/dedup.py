@@ -349,13 +349,17 @@ def canonicalize_url(col):
     u = F.regexp_replace(col, "#.*$", "")  # fragment
     prefix = F.lower(F.regexp_extract(u, _URL_PREFIX_RE, 1))
     rest = F.regexp_replace(u, _URL_PREFIX_RE, "")
+    # slash collapse / trailing strip apply to the PATH only — query
+    # values like ?next=//x must survive verbatim
+    path = F.regexp_extract(rest, "^[^?]*", 0)
+    query = F.regexp_replace(rest, "^[^?]*", "")
+    path = F.regexp_replace(path, "//+", "/")
+    path = F.regexp_replace(path, "/$", "")
     # tracking params: non-first, then first-with-successor, then lone
-    rest = F.regexp_replace(rest, "&" + _URL_TRK_RE + "=[^&#]*", "")
-    rest = F.regexp_replace(rest, "\\?" + _URL_TRK_RE + "=[^&#]*&", "?")
-    rest = F.regexp_replace(rest, "\\?" + _URL_TRK_RE + "=[^&#]*$", "")
-    rest = F.regexp_replace(rest, "//+", "/")
-    rest = F.regexp_replace(rest, "/$", "")
-    return F.concat(prefix, rest)
+    query = F.regexp_replace(query, "&" + _URL_TRK_RE + "=[^&#]*", "")
+    query = F.regexp_replace(query, "\\?" + _URL_TRK_RE + "=[^&#]*&", "?")
+    query = F.regexp_replace(query, "\\?" + _URL_TRK_RE + "=[^&#]*$", "")
+    return F.concat(prefix, path, query)
 
 
 def canonicalize_url_sql(expr: str) -> str:
@@ -364,12 +368,14 @@ def canonicalize_url_sql(expr: str) -> str:
     u = f"regexp_replace({expr}, '#.*$', '', 'g')"
     prefix = f"lower(regexp_extract({u}, '{_URL_PREFIX_RE}', 1))"
     rest = f"regexp_replace({u}, '{_URL_PREFIX_RE}', '', 'g')"
-    rest = f"regexp_replace({rest}, '&{_URL_TRK_RE}=[^&#]*', '', 'g')"
-    rest = f"regexp_replace({rest}, '\\?{_URL_TRK_RE}=[^&#]*&', '?', 'g')"
-    rest = f"regexp_replace({rest}, '\\?{_URL_TRK_RE}=[^&#]*$', '', 'g')"
-    rest = f"regexp_replace({rest}, '//+', '/', 'g')"
-    rest = f"regexp_replace({rest}, '/$', '', 'g')"
-    return f"({prefix} || {rest})"
+    path = f"regexp_extract({rest}, '^[^?]*', 0)"
+    query = f"regexp_replace({rest}, '^[^?]*', '', 'g')"
+    path = f"regexp_replace({path}, '//+', '/', 'g')"
+    path = f"regexp_replace({path}, '/$', '', 'g')"
+    query = f"regexp_replace({query}, '&{_URL_TRK_RE}=[^&#]*', '', 'g')"
+    query = f"regexp_replace({query}, '\\?{_URL_TRK_RE}=[^&#]*&', '?', 'g')"
+    query = f"regexp_replace({query}, '\\?{_URL_TRK_RE}=[^&#]*$', '', 'g')"
+    return f"({prefix} || {path} || {query})"
 
 
 def url_duplicates(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:

@@ -27,12 +27,15 @@ def filter_items(
     end: str | None = None,
     max_cloud: float = 20.0,
 ) -> DataFrame:
-    """Items whose bbox intersects the AoI within the date range and
-    under the cloud threshold (the reference's search(...) predicate:
-    availability.py:158-163, ``eo:cloud_cover lt 20``)."""
+    """Items whose footprint CONTAINS the whole AoI bbox, within the
+    date range and under the cloud threshold — the reference first
+    searches by intersection (availability.py:158-163,
+    ``eo:cloud_cover lt 20``) and then keeps only items whose geometry
+    ``contains`` the AoI box (availability.py:169), so a low-cloud item
+    covering half the AoI must NOT win."""
     f = items.filter(
-        (F.col("maxx") >= minx) & (F.col("minx") <= maxx)
-        & (F.col("maxy") >= miny) & (F.col("miny") <= maxy)
+        (F.col("minx") <= minx) & (F.col("maxx") >= maxx)
+        & (F.col("miny") <= miny) & (F.col("maxy") >= maxy)
         & (F.col("cloud_cover") < max_cloud)
     )
     if start is not None:

@@ -19,17 +19,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Web-Mercator latitude domain (mercantile clamps identically)
+MAX_LAT = 85.0511287798066
+
+
 def tile_x(lon_deg: Column, zoom: int) -> Column:
-    n = float(1 << zoom)
-    return F.floor((lon_deg + 180.0) / 360.0 * n).cast("long")
+    n = 1 << zoom
+    raw = F.floor((lon_deg + 180.0) / 360.0 * float(n)).cast("long")
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw))
 
 
 def tile_y(lat_deg: Column, zoom: int) -> Column:
-    n = float(1 << zoom)
-    lat = F.radians(lat_deg)
-    return F.floor(
-        (1.0 - F.log(F.tan(lat) + 1.0 / F.cos(lat)) / float(np.pi)) / 2.0 * n
+    n = 1 << zoom
+    lat = F.radians(F.least(F.lit(MAX_LAT), F.greatest(F.lit(-MAX_LAT), lat_deg)))
+    raw = F.floor(
+        (1.0 - F.log(F.tan(lat) + 1.0 / F.cos(lat)) / float(np.pi)) / 2.0 * float(n)
     ).cast("long")
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw))
 
 
 def with_tile(
@@ -45,19 +51,27 @@ def with_tile(
 
 
 def tile_of(lon: float, lat: float, zoom: int) -> tuple[int, int]:
-    """NumPy/scalar mirror (mercantile.tile equivalent)."""
+    """NumPy/scalar mirror (mercantile.tile equivalent): lat clamps to
+    the Web-Mercator domain ±85.0511°, indices clamp to [0, 2^z−1]
+    (lon=180 / poles would otherwise index one past the grid)."""
     n = 1 << zoom
     x = int(np.floor((lon + 180.0) / 360.0 * n))
-    latr = np.radians(lat)
+    latr = np.radians(min(MAX_LAT, max(-MAX_LAT, lat)))
     y = int(np.floor((1.0 - np.arcsinh(np.tan(latr)) / np.pi) / 2.0 * n))
-    return x, y
+    return min(n - 1, max(0, x)), min(n - 1, max(0, y))
 
 
 def tiles_for_bbox(
     minx: float, miny: float, maxx: float, maxy: float, zoom: int
 ) -> list[tuple[int, int]]:
     """All (x, y) tiles intersecting a WGS84 bbox (mercantile.tiles
-    equivalent) — the fetch list for an AoI."""
+    equivalent) — the fetch list for an AoI.  Antimeridian-crossing
+    boxes (minx > maxx) are rejected rather than silently returning an
+    empty cover: split the box at ±180 and call twice."""
+    if minx > maxx:
+        raise ValueError(
+            "antimeridian-crossing bbox: split at ±180 and cover each side"
+        )
     x0, y1 = tile_of(minx, miny, zoom)  # south-west: max y (y grows south)
     x1, y0 = tile_of(maxx, maxy, zoom)
     return [(x, y) for y in range(y0, y1 + 1) for x in range(x0, x1 + 1)]

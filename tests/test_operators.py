@@ -667,6 +667,12 @@ def test_canonicalize_url_cases(spark):
         ("https://a.b/p?href=3", "https://a.b/p?href=3"),  # not a tracking param
         ("https://a.b", "https://a.b"),
         ("relative/path//x?utm_id=9", "relative/path/x"),
+        # query values survive verbatim (collapse/trailing-strip are
+        # path-only): distinct queries must NOT conflate
+        ("https://a.b/p?next=//x", "https://a.b/p?next=//x"),
+        ("https://a.b/p?next=/x", "https://a.b/p?next=/x"),
+        ("https://a.b/p?next=/", "https://a.b/p?next=/"),
+        ("https://a.b/p/?u=http://y", "https://a.b/p?u=http://y"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]

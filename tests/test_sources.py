@@ -14,6 +14,10 @@ def _items(spark):
         ("s2_c", 4.0, 52.0, 5.0, 53.0, "2023-07-05 10:00:00", 3.1, "c.tif"),  # tie with b
         ("s2_d", 4.0, 52.0, 5.0, 53.0, "2023-06-15 10:00:00", 45.0, "d.tif"),  # too cloudy
         ("s2_e", 9.0, 45.0, 10.0, 46.0, "2023-06-15 10:00:00", 0.5, "e.tif"),  # wrong bbox
+        # intersects but does NOT contain the AoI (covers its west half
+        # only) with the lowest cloud of all — the reference's
+        # contains() filter (availability.py:169) must reject it
+        ("s2_f", 4.0, 52.0, 4.5, 53.0, "2023-06-18 10:00:00", 0.1, "f.tif"),
     ]
     pdf = pd.DataFrame(
         rows, columns=["item_id", "minx", "miny", "maxx", "maxy", "datetime", "cloud_cover", "asset_href"]
@@ -30,6 +34,7 @@ def test_stac_least_cloudy_selection(spark):
     items = _items(spark)
     got = least_cloudy_item(items, 4.4, 52.3, 4.6, 52.4,
                             start="2023-06-01", end="2023-07-31").collect()
+    # s2_f intersects with the lowest cloud but doesn't CONTAIN the AoI
     assert len(got) == 1 and got[0]["item_id"] == "s2_b"  # tie: b < c
     # date range excludes b and c → d blocked by cloud → a
     got2 = least_cloudy_item(items, 4.4, 52.3, 4.6, 52.4,
@@ -62,3 +67,11 @@ def test_slippy_tile_math(spark):
     xs = {t[0] for t in cover}
     ys = {t[1] for t in cover}
     assert len(cover) == len(xs) * len(ys) and len(cover) >= 4
+    # Web-Mercator domain: poles / lon=180 clamp into the grid
+    assert tile_of(180.0, 0.0, 5) == (31, 16)
+    assert tile_of(0.0, -89.9, 5) == (16, 31)
+    assert tile_of(0.0, 89.9, 5) == (16, 0)
+    for x, y in tiles_for_bbox(-180.0, -86.0, -170.0, -80.0, 10):
+        assert 0 <= x < 1024 and 0 <= y < 1024
+    with pytest.raises(ValueError, match="antimeridian"):
+        tiles_for_bbox(170.0, 0.0, -170.0, 1.0, 10)
