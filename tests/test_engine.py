@@ -378,3 +378,58 @@ def test_bucketed_join_eliminates_shuffles(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_scores_b")
+
+
+def test_web_corpus_pipeline_end_to_end_and_resume(spark, tmp_path):
+    """The composed curation pipeline: extract -> quality -> URL dedup ->
+    exact dedup -> enrich, every stage a resumable snapshot.  Planted
+    URL-variant and exact-text duplicates must each collapse to one
+    representative; a second run with the same fingerprint recomputes
+    NOTHING (all stages resumed); a new fingerprint recomputes all."""
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.data import synth
+    from greenex_py_spark.pipelines.web_corpus import run_web_corpus_pipeline
+
+    base = synth.documents(spark, 200).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    ).select("doc_id", "url", "warc_ts", "html", "text")
+    # planted: exact-text dup under a different url (survives URL dedup,
+    # dies in text dedup) + URL variant (dies in URL dedup)
+    chosen = base.filter(F.col("doc_id") == 7)
+    text_dup = chosen.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("https://other.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text",
+    )
+    url_dup = chosen.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("url"), F.lit("?utm_source=feed#top")).alias("url"),
+        "warc_ts", "html",
+        F.concat(F.col("text"), F.lit(" altered tail")).alias("text"),
+    )
+    # html must match text for the planted rows too
+    def with_html(df):
+        return df.withColumn(
+            "html",
+            F.encode(F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "UTF-8"),
+        )
+
+    pages = with_html(base.unionByName(text_dup).unionByName(url_dup))
+
+    out1, stats1 = run_web_corpus_pipeline(spark, pages, str(tmp_path / "s"), "fp-A")
+    r1 = out1.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert not any(s["resumed"] for s in stats1)
+    ids = set(r1.doc_id)
+    assert 10_000 + 7 not in ids  # exact-text dup collapsed (rep = min id 7)
+    assert 20_000 + 7 not in ids  # URL variant collapsed
+    assert {"pred_lang", "split", "x", "y", "cell", "quality"} <= set(r1.columns)
+    assert (r1.quality >= 0.05).all()
+
+    out2, stats2 = run_web_corpus_pipeline(spark, pages, str(tmp_path / "s"), "fp-A")
+    r2 = out2.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert all(s["resumed"] for s in stats2)
+    assert r1.equals(r2[r1.columns])
+
+    _, stats3 = run_web_corpus_pipeline(spark, pages, str(tmp_path / "s"), "fp-B")
+    assert not any(s["resumed"] for s in stats3)

@@ -677,3 +677,22 @@ def test_canonicalize_url_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
     assert got == [w for _, w in cases], list(zip(got, [w for _, w in cases]))
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — normalizers must be
+    idempotent or repeated pipeline passes churn keys."""
+    from greenex_py_spark.functions.dedup import canonicalize_url
+
+    urls = [
+        "https://Ex.COM/Path//To/?utm_source=x&keep=1&ref=rss#f",
+        "HTTP://A.B//x///y?fbclid=1",
+        "https://a.b/p?next=//x&utm_id=2",
+        "relative//p/?gclid=9",
+        "https://a.b/p?keep=/#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    rows = twice.collect()
+    assert all(r["c1"] == r["c2"] for r in rows), [(r["c1"], r["c2"]) for r in rows]

@@ -142,3 +142,53 @@ def test_distance_consistent_with_membership(seed):
     assert (d[inside] == 0).all()
     far = d > 1e-6
     assert not inside[far].any()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000))
+def test_polygon_union_translation_and_monotone(seed):
+    """polygon_union_stats invariances over random rotated-rect pairs:
+    translation shifts the centroid exactly and preserves area; the
+    union area is bounded by max(parts) and sum(parts)."""
+    rng = np.random.default_rng(seed)
+
+    def rect(c, w, h, deg):
+        th = np.radians(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        base = np.array([[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]])
+        return base @ R.T + c
+
+    c1 = rng.uniform(0, 50, 2)
+    c2 = c1 + rng.uniform(-30, 30, 2)
+    w1, h1, w2, h2 = rng.uniform(10, 60, 4)
+    t1, t2 = rng.uniform(0, 180, 2)
+    ra, rb = rect(c1, w1, h1, t1), rect(c2, w2, h2, t2)
+    a, cx, cy = kernels.polygon_union_stats([[ra], [rb]])
+    assert max(w1 * h1, w2 * h2) - 1e-6 <= a <= w1 * h1 + w2 * h2 + 1e-6
+    dx, dy = 1234.5, -987.25
+    a2, cx2, cy2 = kernels.polygon_union_stats([[ra + [dx, dy]], [rb + [dx, dy]]])
+    np.testing.assert_allclose(a2, a, rtol=1e-9, atol=1e-6)
+    np.testing.assert_allclose(cx2, cx + dx, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(cy2, cy + dy, rtol=0, atol=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000))
+def test_projection_roundtrip_property(seed):
+    """from_wgs84/to_wgs84 roundtrip across the whole supported CRS
+    family at random in-domain points."""
+    from greenex_py_spark.geo import proj as P
+
+    rng = np.random.default_rng(seed)
+    for epsg, lon_rng, lat_rng in (
+        (32631, (0, 6), (-75, 75)),
+        (32733, (12, 18), (-75, 0)),
+        (27700, (-5, 1.5), (50, 58)),
+        (28992, (3.5, 7), (50.8, 53.5)),
+    ):
+        lon = rng.uniform(*lon_rng, 20)
+        lat = rng.uniform(*lat_rng, 20)
+        E, N = P.from_wgs84(lon, lat, epsg)
+        lo, la = P.to_wgs84(E, N, epsg)
+        np.testing.assert_allclose(lo, lon, atol=2e-7)
+        np.testing.assert_allclose(la, lat, atol=2e-7)
