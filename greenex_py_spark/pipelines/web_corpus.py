@@ -40,7 +40,7 @@ def run_web_corpus_pipeline(
     from ..data.synth import geocode
     from ..engine.checkpoint import Pipeline
     from ..engine.iceberg import snapshot_store
-    from ..functions.dedup import canonicalize_url, exact_duplicates
+    from ..functions.dedup import canonicalize_url
     from ..functions.sampling import hash_split
     from ..functions.text import html_extract_text, language_id, quality_score
 
@@ -74,9 +74,9 @@ def run_web_corpus_pipeline(
     url_rep = pipe.run_stage("url_dedup", fp, s_url_dedup)
 
     def s_text_dedup():
-        dups = exact_duplicates(url_rep)  # [rep_id, n_dups]
         # keep representatives: min-id of each text group survives; all
-        # singletons survive.  anti-join on (group member, not rep).
+        # singletons survive (hash-first grouping — the same digest keys
+        # exact_duplicates shuffles, never the text itself)
         members = url_rep.select(
             "doc_id", F.md5("text").alias("_d"), F.octet_length("text").alias("_l")
         )
