@@ -566,6 +566,69 @@ def _embedding_dim() -> int:
     return next(iter(dims.values()))
 
 
+# 2-gram stream per language (vocab² cardinality, so the KMV sketch's
+# estimation path — not just the exact under-k path — is exercised)
+_BIGRAM_TBL = (
+    "(SELECT lang, array_to_string(list_slice(tk, i.range, i.range + 1), ' ') AS tok"
+    " FROM (SELECT lang, string_split(text, ' ') AS tk FROM documents) t,"
+    " range(1, 1001) i WHERE i.range <= greatest(len(tk) - 1, 1))"
+)
+
+
+def _bigrams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    return docs.select("lang", F.explode(grams).alias("tok"))
+
+
+def _kmv_oracle() -> str:
+    from .functions.sketches import kmv_distinct_sql
+
+    return kmv_distinct_sql(_BIGRAM_TBL, "tok", ["lang"], k=256)
+
+
+@register("q_kmv_distinct", None)  # generated oracle attached below
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per language over the bigram stream —
+    a cardinality estimator whose ARITHMETIC (portable md5 unit-hash,
+    k-th-minimum estimate) has an exact DuckDB oracle, not just its
+    inputs; the bounded-state shape dictionaries can't scale to."""
+    from .functions.sketches import kmv_distinct
+
+    return kmv_distinct(_bigrams_df(spark, sf_dir), "tok", ["lang"], k=256)
+
+
+ORACLES["q_kmv_distinct"] = _kmv_oracle()
+
+
+@register(
+    "q_heavy_hitters",
+    """
+WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS value FROM documents),
+c AS (SELECT lang, value, count(*) AS n FROM toks GROUP BY lang, value),
+r AS (
+  SELECT lang, value, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, value ASC) AS rank
+  FROM c
+)
+SELECT lang, value, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language top-20 vocabulary (two-phase count, then the
+    rank window over one row per DISTINCT token — the vocabulary-
+    building primitive at corpus scale)."""
+    from .functions.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", ["lang"], k=20)
+
+
 def _kmeans_oracle() -> str:
     from .functions.clustering import kmeans_oracle_sql
 

@@ -696,3 +696,52 @@ def test_canonicalize_url_idempotent(spark):
     twice = once.select("c1", canonicalize_url(F.col("c1")).alias("c2"))
     rows = twice.collect()
     assert all(r["c1"] == r["c2"] for r in rows), [(r["c1"], r["c2"]) for r in rows]
+
+
+def test_kmv_sketch_accuracy_and_exact_under_k(spark, sf_dir):
+    """KMV estimator: exact when distinct < k (sketch holds every
+    hash); within the ~1/sqrt(k) relative bound when estimating; and
+    n_seen is the raw row count."""
+    from greenex_py_spark.functions.sketches import kmv_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    truth = {
+        r["lang"]: (r["d"], r["n"])
+        for r in toks.groupBy("lang").agg(
+            F.countDistinct("tok").alias("d"), F.count("*").alias("n")
+        ).collect()
+    }
+    # unigram vocab (< k=256): estimate must be EXACT
+    exact = kmv_distinct(toks, "tok", ["lang"], k=256).collect()
+    for r in exact:
+        d, n = truth[r["lang"]]
+        assert r["est_distinct"] == float(d) and r["n_seen"] == n
+    # k smaller than cardinality: estimation path, ~1/sqrt(k) bound
+    est = kmv_distinct(toks, "tok", ["lang"], k=16).collect()
+    for r in est:
+        d, _ = truth[r["lang"]]
+        assert abs(r["est_distinct"] - d) / d < 0.6  # 16-min sketch is coarse
+    est64 = kmv_distinct(toks, "tok", ["lang"], k=64).collect()
+    for r in est64:
+        d, _ = truth[r["lang"]]
+        assert abs(r["est_distinct"] - d) / d < 0.35
+
+
+def test_heavy_hitters_matches_exact_counts(spark, sf_dir):
+    """Top-k rows are exactly the k most frequent values (count + order
+    verified against a full pandas count)."""
+    from greenex_py_spark.functions.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    got = heavy_hitters(toks, "tok", ["lang"], k=5).toPandas()
+    full = toks.toPandas().groupby(["lang", "tok"]).size().reset_index(name="n")
+    for lang, grp in got.groupby("lang"):
+        want = (
+            full[full.lang == lang]
+            .sort_values(["n", "tok"], ascending=[False, True])
+            .head(5)
+        )
+        assert grp.sort_values("rank")["value"].tolist() == want["tok"].tolist()
+        assert grp.sort_values("rank")["n"].tolist() == want["n"].tolist()
