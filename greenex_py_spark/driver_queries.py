@@ -904,6 +904,99 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_corpus_df(spark, sf_dir), threshold=0.6)
 
 
+# near-dup GROUP assignment: engine runs real connected components over
+# the LSH pair graph; the oracle computes the same labels via a
+# recursive transitive closure (exact for arbitrary chain topologies,
+# not just the planted pair structure)
+_NEAR_DUP_GROUPS_SQL = (
+    f"WITH RECURSIVE {_CORPUS_SQL.strip()},\n{_SHINGLE_SQL.strip()},\n"
+    """
+sids AS (
+  SELECT id, CAST(CAST(('0x' || substr(md5(sh), 1, 7)) AS UBIGINT) AS BIGINT) % 268435456 AS sid
+  FROM sh
+),
+perms AS (
+  SELECT CAST(j.range AS INT) AS j,
+         ((j.range + 1) * 2654435761) % 1000000007 AS a,
+         ((j.range + 1) * 40503) % 1000000007 AS b
+  FROM range(16) j
+),
+sig AS (
+  SELECT id, j, min((a * sid + b) % 1000000007) AS mh
+  FROM sids, perms GROUP BY id, j
+),
+bands AS (
+  SELECT id, CAST(j / 4 AS INT) AS band,
+         CAST(sum((mh * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END))
+                  % 1000000007) AS BIGINT) AS bsig
+  FROM sig GROUP BY id, CAST(j / 4 AS INT)
+),
+ok AS (SELECT band, bsig FROM bands GROUP BY band, bsig HAVING count(*) <= 1000),
+bs AS (SELECT bands.* FROM bands JOIN ok USING (band, bsig)),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bs l JOIN bs r USING (band, bsig) WHERE l.id < r.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.6
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+)
+SELECT n AS doc_id, CAST(least(n, min(m)) AS BIGINT) AS rep_id
+FROM reach GROUP BY n
+"""
+)
+
+
+@register("q_near_dup_groups", _NEAR_DUP_GROUPS_SQL)
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUP assignment (the composite curation pipelines
+    run on LSH output): minhash pairs → real connected components
+    (dissolve's CC machinery) → min-id representative per document.
+    The oracle resolves the same labels with a recursive transitive
+    closure, so chains — not just planted pairs — must agree."""
+    from .functions.dedup import near_dup_groups
+
+    return near_dup_groups(_corpus_df(spark, sf_dir), threshold=0.6)
+
+
+@register(
+    "q_group_sample",
+    """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 25
+""",
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 25-per-language sample (hash-rank — the
+    reservoir-sampling equivalent with per-key stability across
+    runs/engines/scales)."""
+    from .functions.sampling import group_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_sample(docs, ["lang"], k=25).select("doc_id", "lang")
+
+
 @register(
     "q_simhash",
     """

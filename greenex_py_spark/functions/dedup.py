@@ -388,3 +388,36 @@ def url_duplicates(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") 
         .agg(F.min("_id").alias("rep_id"), F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") >= 2)
     )
+
+
+def near_dup_groups(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """[doc_id, rep_id] — near-duplicate GROUP assignment, the composite
+    every curation pipeline actually runs on LSH output: minhash
+    candidate pairs → connected components over the similarity graph →
+    every grouped document labeled with its component representative
+    (min id).  Documents with no near-dup partner are absent (keep-all
+    semantics live with the caller: anti-join to drop non-reps).
+
+    Reuses the dissolve operators' CC machinery (driver union-find
+    below the threshold, Pregel min-label loop with per-round
+    localCheckpoint above it) — the similarity graph is orders of
+    magnitude smaller than the corpus, exactly like overlap graphs.
+    """
+    from ..operators.dissolve import connected_components
+
+    pairs = minhash_lsh_pairs(df, threshold, id_col=id_col, text_col=text_col, **lsh_kwargs)
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    nodes = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .distinct()
+        .withColumnRenamed("n", id_col)
+    )
+    comp = connected_components(nodes, edges, key=id_col)
+    return comp.select(id_col, F.col("comp").alias("rep_id"))

@@ -63,3 +63,26 @@ def stratified_sample(
     for stratum, bp in sorted(rates_bp.items()):
         thr = F.when(F.col(stratum_col) == stratum, F.lit(bp)).otherwise(thr)
     return df.filter(b < thr)
+
+
+def group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic uniform k-per-group sample: rank rows by the md5
+    hash of their key within each group, keep the k smallest — the
+    same per-key stability contract as hash_split (same rows survive
+    across runs/engines/scales; adding rows to a group only swaps
+    members whose hash rank crosses k).  The distributed reservoir-
+    sampling equivalent, minus the nondeterminism."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
