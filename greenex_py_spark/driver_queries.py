@@ -501,6 +501,32 @@ _BUCKET_SQL = (
 
 
 @register(
+    "q_bigram_logprob",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+bi AS (
+  SELECT doc_id, tk[i.range] AS w1, tk[i.range + 1] AS w2
+  FROM t, range(1, 1001) i
+  WHERE len(tk) >= 2 AND i.range <= len(tk) - 1
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1)
+SELECT bi.doc_id, round(avg(log10(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS avg_logprob2
+FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY bi.doc_id
+""",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM-quality signal: mean log10 conditional bigram
+    probability under the corpus's own distribution (the n-gram step
+    toward CCNet's 5-gram scoring; q_unigram_logprob is order 1)."""
+    from .functions.text import bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logprob(docs)
+
+
+@register(
     "q_hash_split",
     f"""
 WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bkt FROM documents)

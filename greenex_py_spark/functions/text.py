@@ -207,3 +207,44 @@ def html_extract_text(
     return df.withColumn(
         out_col, F.trim(F.regexp_replace(stripped, "\\s+", " "))
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, avg_logprob2] — mean per-transition log₁₀ conditional bigram
+    probability  P(wᵢ | wᵢ₋₁) = count(wᵢ₋₁ wᵢ)/count(wᵢ₋₁·)  under the
+    corpus's own empirical distribution (the order-2 step toward the
+    CCNet 5-gram LM; unigram_logprob is order 1).  Self-trained, so no
+    transition in a scored document is unseen — no smoothing needed for
+    the in-corpus scoring signal.  Single-token documents have no
+    transitions and emit null.
+
+    Shape: one bigram explode feeds both the numerator counts (groupBy
+    bigram) and, re-aggregated, the denominator counts (groupBy first
+    token) — a dim-sized double agg broadcast back onto the stream, the
+    same "big agg, rejoin" shape as unigram_logprob.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        df.filter(n >= 2)
+        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("g"))
+        .select("_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    dim = c2.join(c1, "w1")
+    scored = bi.join(F.broadcast(dim), ["w1", "w2"])
+    return (
+        scored.groupBy("_id")
+        .agg(F.round(F.avg(F.log10(F.col("c2").cast("double") / F.col("c1"))), 6).alias("avg_logprob2"))
+        .withColumnRenamed("_id", id_col)
+    )
