@@ -254,6 +254,19 @@ ORACLES["q_project_utm"] = _project_utm_oracle()
 
 _RS_OX, _RS_OY, _RS_RES, _RS_NPX, _RS_TPX = 3.0, 4.0, 7.0, 500, 128
 
+# ORACLE PRECONDITION (ADVICE r02): the DuckDB oracle below evaluates the
+# NDVI formula unconditionally at the mapped source index, while the
+# engine emits null (excluded from the checksum) for target centers
+# OUTSIDE the source raster.  The two agree only while the target grid
+# sits entirely inside the source — assert it here so changing any
+# constant fails loudly instead of as an opaque hash mismatch.
+for _off, _n in ((_RS_OX, _RS_NPX), (_RS_OY, _RS_NPX)):
+    assert _off >= 0 and _off + _n * _RS_RES <= city.NPX * city.RES, (
+        "q_resample target grid must be contained in the source raster; "
+        "guard the oracle with CASE WHEN six/siy BETWEEN 0 AND NPX-1 "
+        "before moving it outside"
+    )
+
 _rs_six = f"CAST(floor(({city.X0 + _RS_OX} + (i.range + 0.5) * {_RS_RES} - {city.X0}) / {city.RES}) AS BIGINT)"
 _rs_siy = f"CAST(floor(({city.Y0 + _RS_OY} + (j.range + 0.5) * {_RS_RES} - {city.Y0}) / {city.RES}) AS BIGINT)"
 
@@ -569,13 +582,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+# documented fixture embedding dim (TESTDATA.md) — import-time fallback
+# only, used when the grading fixtures are absent (spark-submit dist zip,
+# bench on a foreign host); the grading path always reads the real dim
+_EMBEDDING_DIM_FALLBACK = 64
+
+
 def _embedding_dim() -> int:
     """Embedding dimensionality read from the fixtures themselves
     (ADVICE r01: a hardcoded dim would silently average the wrong
     positions).  Checks every SF dir the tri-scale sweep uses and fails
-    LOUDLY on disagreement or missing fixtures — a silent default would
-    surface as an opaque gate hash mismatch instead of a clear error."""
+    LOUDLY on disagreement or on an unreadable fixture.  When NO fixture
+    exists at all (ADVICE r02: importing the registry must not hard-fail
+    on hosts without the grading testdata — bench.py, plan_inventory,
+    the dist zip) it warns loudly and returns the documented fallback;
+    any oracle built from the fallback only ever runs against those same
+    fixtures, so a wrong fallback cannot silently pass the gate."""
     import glob
+    import warnings
 
     import pyarrow.parquet as pq
 
@@ -586,14 +610,26 @@ def _embedding_dim() -> int:
         except Exception as e:  # unreadable fixture → loud
             raise RuntimeError(f"cannot read embedding dim from {p}: {e}") from e
     if not dims:
-        raise RuntimeError("no /root/testdata/sf*/embeddings.parquet fixtures found")
+        warnings.warn(
+            "no /root/testdata/sf*/embeddings.parquet fixtures found; "
+            f"falling back to documented embedding dim={_EMBEDDING_DIM_FALLBACK} "
+            "(oracles built from it are only valid against those fixtures)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return _EMBEDDING_DIM_FALLBACK
     if len(set(dims.values())) != 1:
         raise RuntimeError(f"embedding dim differs across fixtures: {dims}")
     return next(iter(dims.values()))
 
 
 # 2-gram stream per language (vocab² cardinality, so the KMV sketch's
-# estimation path — not just the exact under-k path — is exercised)
+# estimation path — not just the exact under-k path — is exercised).
+# ORACLE ASYMMETRY (documented): the DuckDB side enumerates positions
+# via range(1, 1001) — a 1000-position cap the Spark side does not have.
+# Exact equivalence therefore requires every document ≤ 1001 tokens;
+# the fixture documents are 20–79 words (TESTDATA.md), asserted by
+# tests/test_driver_gate.py::test_oracle_position_cap_headroom.
 _BIGRAM_TBL = (
     "(SELECT lang, array_to_string(list_slice(tk, i.range, i.range + 1), ' ') AS tok"
     " FROM (SELECT lang, string_split(text, ' ') AS tk FROM documents) t,"
@@ -602,13 +638,20 @@ _BIGRAM_TBL = (
 
 
 def _bigrams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text")
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    # Eval-once bigram stream (slice + arrays_zip, no interpreted HOF
+    # lambda re-evaluating split() per element).  A single-token doc
+    # emits its lone token (concat_ws skips the null zip pad), matching
+    # the oracle's array_to_string(list_slice(tk, i, i+1)) at i=1.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", F.split(F.col("text"), " ").alias("tk")
     )
-    return docs.select("lang", F.explode(grams).alias("tok"))
+    n1 = F.greatest(F.size("tk") - 1, F.lit(1))
+    pairs = docs.select(
+        "lang", F.slice("tk", 1, n1).alias("w1s"), F.slice("tk", 2, n1).alias("w2s")
+    )
+    return pairs.select(
+        "lang", F.explode(F.arrays_zip("w1s", "w2s")).alias("g")
+    ).select("lang", F.concat_ws(" ", F.col("g.w1s"), F.col("g.w2s")).alias("tok"))
 
 
 def _kmv_oracle() -> str:

@@ -86,18 +86,25 @@ def unigram_logprob(
     signal: boilerplate scores high, gibberish scores low).
 
     The only text operator needing a **corpus-level statistic**: one
-    token explode → groupBy(token) count (map-side combined) → total via
-    a window-free broadcast-friendly cross join of one row → rejoin to
-    the token stream → per-doc mean.  At 100 TB the token-frequency dim
-    is the classic "big agg, then broadcast back" shape.
+    token explode → groupBy(token) count (map-side combined) → rejoin to
+    the token stream → per-doc mean.  The vocabulary table carries NO
+    broadcast hint: on a 100 TB corpus the vocabulary grows with corpus
+    size and a forced broadcast OOMs executors, so the scale plan is a
+    shuffle join on ``tok`` — AQE still picks a broadcast at small SF
+    where the dim genuinely fits (size-based, the right call both ways).
+    The scalar grand total IS broadcast (1 row by construction) and is
+    computed from the document stream (sum of per-doc token counts,
+    map-side partial agg) rather than a second pass over the vocabulary.
     """
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     freqs = toks.groupBy("tok").agg(F.count("*").alias("tf"))
-    total = freqs.agg(F.sum("tf").alias("_total"))
+    total = df.agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("_total")
+    )
     lp = F.log10(F.col("tf").cast("double") / F.col("_total"))
-    scored = toks.join(F.broadcast(freqs.crossJoin(total)), "tok")
+    scored = toks.join(freqs, "tok").crossJoin(F.broadcast(total))
     return (
         scored.groupBy("_id")
         .agg(F.round(F.avg(lp), 6).alias("avg_logprob"))
@@ -222,27 +229,37 @@ def bigram_logprob(
 
     Shape: one bigram explode feeds both the numerator counts (groupBy
     bigram) and, re-aggregated, the denominator counts (groupBy first
-    token) — a dim-sized double agg broadcast back onto the stream, the
-    same "big agg, rejoin" shape as unigram_logprob.
+    token) — rejoined onto the bigram stream.  The bigram table carries
+    NO broadcast hint: bigram vocabulary grows roughly with corpus size,
+    so at 100 TB a forced broadcast OOMs executors — the scale plan is a
+    shuffle join on ``(w1, w2)``, and AQE downgrades it to a broadcast
+    only at small SF where the dim genuinely fits (size-based).  To
+    bound the LM table instead (CCNet-style), pre-filter ``c2`` with
+    ``sketches.heavy_hitters`` top-K before the rejoin.
+
+    Bigram construction is eval-once relational: the token array is
+    materialized ONCE per row, then ``slice`` + ``arrays_zip`` + explode
+    — no interpreted higher-order-function lambda (those re-evaluate
+    their subtree per element: the old ``transform(sequence(...),
+    i -> element_at(split(...), i))`` cost O(tokens × doc_len) per
+    document).
     """
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
+    t = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    n1 = F.size("_toks") - 1
+    pairs = t.select(
+        "_id",
+        F.slice("_toks", 1, n1).alias("w1s"),
+        F.slice("_toks", 2, n1).alias("w2s"),
     )
-    bi = (
-        df.filter(n >= 2)
-        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("g"))
-        .select("_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    bi = pairs.select("_id", F.explode(F.arrays_zip("w1s", "w2s")).alias("g")).select(
+        "_id", F.col("g.w1s").alias("w1"), F.col("g.w2s").alias("w2")
     )
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     dim = c2.join(c1, "w1")
-    scored = bi.join(F.broadcast(dim), ["w1", "w2"])
+    scored = bi.join(dim, ["w1", "w2"])
     return (
         scored.groupBy("_id")
         .agg(F.round(F.avg(F.log10(F.col("c2").cast("double") / F.col("c1"))), 6).alias("avg_logprob2"))

@@ -54,23 +54,44 @@ def _fold(
         for pdf in pdf_iter:
             # timestamps arrive as datetime64; fold in int64 epoch-µs
             ts_list.extend(pdf["ts"].astype("datetime64[us]").astype("int64").tolist())
-        ts_list.sort()
+        # Interval sort-merge of {open session} ∪ {new events}: because a
+        # session's interior consecutive gaps are ≤ gap by construction,
+        # merging intervals whose boundary gap is ≤ gap is EXACTLY
+        # re-sessionizing the union of the underlying points.  This
+        # handles cross-batch out-of-order arrivals (in-watermark events
+        # earlier than the open session's start): within gap they extend
+        # the session backward (sess_start moves down); beyond gap they
+        # form their own earlier session, emitted closed below because a
+        # successor session exists.
+        items: list[tuple[int, int, int]] = [(t, t, 1) for t in ts_list]
         if state.exists:
             s, e, n = state.get
-        else:
-            s, e, n = None, None, 0
-        for t in ts_list:
-            if s is None:
-                s, e, n = t, t, 1
-            elif t - e <= gap_us:
-                e, n = max(e, t), n + 1
+            items.append((int(s), int(e), int(n)))
+        items.sort()
+        merged: list[list[int]] = []
+        for a, b, cnt in items:
+            if merged and a - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], b)
+                merged[-1][2] += cnt
             else:
+                merged.append([a, b, cnt])
+        # every session with a successor in the drain is closed (the
+        # oracle's `sess_no < last_sess` rule)
+        closed.extend((user_id, a, b, cnt) for a, b, cnt in merged[:-1])
+        if merged:
+            s, e, n = merged[-1]
+            # timeout fires when the watermark strictly passes end + gap
+            timeout_ms = (int(e) + gap_us) // 1000 + 1
+            if state.getCurrentWatermarkMs() > timeout_ms:
+                # expiry already behind the watermark: no in-watermark
+                # event can extend it (any future t ≥ wm > e+gap), and
+                # setTimeoutTimestamp(≤ wm) would throw — close now
                 closed.append((user_id, s, e, n))
-                s, e, n = t, t, 1
-        if s is not None:
-            state.update((int(s), int(e), int(n)))
-            # close when the watermark passes end + gap
-            state.setTimeoutTimestamp((int(e) + gap_us) // 1000 + 1)
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((int(s), int(e), int(n)))
+                state.setTimeoutTimestamp(timeout_ms)
     if closed:
         yield pd.DataFrame(
             {

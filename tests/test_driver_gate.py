@@ -59,3 +59,23 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n >= 0
     assert set(df.columns) == {"doc_id", "x", "y", "cell", "gs_id"}
+
+
+def test_oracle_position_cap_headroom(spark):
+    """The shingle/bigram DuckDB oracles enumerate gram start positions
+    via range(1, 1001) while the engine is unbounded — exact equivalence
+    requires every fixture document to stay ≤ 1001 tokens (documented at
+    _BIGRAM_TBL / _SHINGLE_SQL in driver_queries.py).  Assert the corpus
+    invariant with real headroom so a fixture change fails HERE, not as
+    an opaque gate hash mismatch."""
+    from pyspark.sql import functions as F
+
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        max_toks = docs.agg(
+            F.max(F.size(F.split("text", " "))).alias("m")
+        ).collect()[0]["m"]
+        assert max_toks <= 1001, (
+            f"{sf_dir}: max {max_toks} tokens > the oracles' 1000-position "
+            "cap — raise range(1, 1001) in _BIGRAM_TBL/_SHINGLE_SQL"
+        )

@@ -340,6 +340,78 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     assert len(u2) == 1 and int(u2.n_events.iloc[0]) == 2
 
 
+def test_sessionize_stream_out_of_order_across_batches(spark, tmp_path):
+    """Out-of-order events arriving in a LATER micro-batch but within the
+    watermark (the normal streaming case) must match the batch twin:
+    an event ≤ gap before the open session's start extends it BACKWARD
+    (sess_start moves down, n_events counts it); an event > gap before
+    the start forms its own earlier session instead of being absorbed.
+    Regression for the r02-ADVICE _fold bug (merged any t ≤ open end
+    without ever lowering sess_start or gap-checking against it)."""
+    import os
+
+    import pandas as pd
+
+    from greenex_py_spark.streaming.sessionize import (
+        sessionize_batch_reference, sessionize_stream,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [r[0] for r in rows],
+                "event_type": "e",
+                "value": 1.0,
+                "props": "",
+            }
+        )
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    # batch 1: user 5's open session [12:00, 12:10]
+    b1 = mk([(5, "2023-06-01 12:00:00"), (5, "2023-06-01 12:10:00")])
+    # batch 2 (2h watermark keeps these in-watermark): 11:50 is 10 min
+    # before the open start -> extends backward; 10:30 is 90 min before
+    # -> its own earlier session, closed because a successor exists
+    b2 = mk([(5, "2023-06-01 11:50:00"), (5, "2023-06-01 10:30:00")])
+    # batch 3: sentinel advances the watermark past every expiry
+    b3 = mk([(9, "2023-06-02 23:00:00")])
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode("append").parquet(src)
+        sessionize_stream(spark, src, sink, ckpt, watermark="2 hours")
+    # one extra drain on no new data so the final timeouts fire
+    spark.createDataFrame(mk([]), schema=schema).coalesce(1).write.mode("append").parquet(src)
+    sessionize_stream(spark, src, sink, ckpt, watermark="2 hours")
+
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["user_id", "sess_start"]).reset_index(drop=True)
+    )
+    want_all = sessionize_batch_reference(spark.read.parquet(src)).toPandas()
+    wm = pd.Timestamp("2023-06-02 21:00:00")  # final max ts − 2 h
+    want = (
+        want_all[want_all.sess_end + pd.Timedelta(minutes=30) < wm]
+        .sort_values(["user_id", "sess_start"]).reset_index(drop=True)
+    )
+    u5 = want[want.user_id == 5]
+    assert len(u5) == 2  # {10:30} and {11:50,12:00,12:10}
+    pd.testing.assert_frame_equal(
+        got[["user_id", "sess_start", "sess_end", "n_events"]],
+        want[["user_id", "sess_start", "sess_end", "n_events"]],
+        check_dtype=False,
+    )
+    back = got[(got.user_id == 5)
+               & (got.sess_start == pd.Timestamp("2023-06-01 11:50:00"))]
+    assert len(back) == 1 and int(back.n_events.iloc[0]) == 3
+
+
 def test_bucketed_join_eliminates_shuffles(spark, tmp_path):
     """Both sides written bucketed on doc_id -> the join plan has ZERO
     shuffle exchanges (each task merges matching bucket files locally);

@@ -9,7 +9,7 @@ fixed cases.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from greenex_py_spark.geo import kernels
@@ -146,6 +146,7 @@ def test_distance_consistent_with_membership(seed):
 
 @settings(max_examples=60, deadline=None)
 @given(st.integers(0, 10_000))
+@example(seed=6214).via("discovered failure")
 def test_polygon_union_translation_and_monotone(seed):
     """polygon_union_stats invariances over random rotated-rect pairs:
     translation shifts the centroid exactly and preserves area; the

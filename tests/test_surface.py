@@ -237,3 +237,36 @@ def test_gridspec_from_tiles_narrow_raster(spark):
     assert g.tile_px == 256
     assert g.npx_x == 100 and g.npx_y == 600
     assert g.origin_x == 1000.0 and g.origin_y == 2000.0
+
+
+def test_lm_logprob_dim_join_not_hint_broadcast(spark):
+    """Scale invariant (VERDICT r02 #1): the unigram/bigram LM dim joins
+    must carry NO broadcast hint — the vocabulary grows with corpus size,
+    so the hint would OOM executors at 100 TB.  With size-based
+    auto-broadcast disabled, a hinted plan would still broadcast; an
+    unhinted plan falls back to a shuffle join.  Assert no broadcast
+    join survives (the 1-row grand-total crossJoin in unigram is the
+    allowed exception: BroadcastNestedLoopJoin of a scalar agg).
+    Results must be identical either way."""
+    from greenex_py_spark.functions.text import bigram_logprob, unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    baseline = {
+        "uni": unigram_logprob(docs).toPandas().set_index("doc_id"),
+        "bi": bigram_logprob(docs).toPandas().set_index("doc_id"),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, fn in (("uni", unigram_logprob), ("bi", bigram_logprob)):
+            df = fn(docs)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, (name, plan)
+            if name == "bi":
+                assert "BroadcastNestedLoop" not in plan, plan
+            got = df.toPandas().set_index("doc_id")
+            pd.testing.assert_frame_equal(
+                got.sort_index(), baseline[name].sort_index(), check_dtype=False
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
