@@ -535,18 +535,25 @@ def isochrone_raster_mask(
     return mask, (ix0, iy0)
 
 
-_UNPACKED_GRID_CACHE: dict = {}
-
-
-def _rasterize_rects(
-    rects: np.ndarray, origin_x: float, origin_y: float, res: float, npx: int
+def _rasterize_rects_window(
+    rects: np.ndarray,
+    origin_x: float,
+    origin_y: float,
+    res: float,
+    ix0: int,
+    iy0: int,
+    shape: tuple[int, int],
 ) -> np.ndarray:
-    """Boolean raster (npx, npx): pixel center inside any rect
-    [minx,maxx)×[miny,maxy) — the layer-level rasterize (R3) the
-    isochrone cover test indexes."""
-    cx = origin_x + (np.arange(npx) + 0.5) * res
-    cy = origin_y + (np.arange(npx) + 0.5) * res
-    g = np.zeros((npx, npx), dtype=bool)
+    """Boolean raster over the sub-window starting at global pixel
+    (ix0, iy0): pixel center inside any rect [minx,maxx)×[miny,maxy) —
+    the layer-level rasterize (R3) the isochrone cover test indexes.
+    Pixel centers are the SAME floats as a full-grid rasterization
+    (``origin + (i + 0.5) * res`` elementwise), so a window crop of the
+    old global grid and this window raster are bit-identical."""
+    ny, nx = shape
+    cx = origin_x + (np.arange(ix0, ix0 + nx) + 0.5) * res
+    cy = origin_y + (np.arange(iy0, iy0 + ny) + 0.5) * res
+    g = np.zeros((ny, nx), dtype=bool)
     for minx, miny, maxx, maxy in rects:
         x0 = np.searchsorted(cx, minx, "left")
         x1 = np.searchsorted(cx, maxx, "left")
@@ -554,6 +561,15 @@ def _rasterize_rects(
         y1 = np.searchsorted(cy, maxy, "left")
         g[y0:y1, x0:x1] = True
     return g
+
+
+def _covered_cells(lo, hi, cell: float):
+    """sequence of integer cell indices the closed interval [lo, hi]
+    touches at pitch ``cell`` (tiny arrays: windows span ≤2 cells per
+    axis by construction, rects span their extent / cell)."""
+    return F.sequence(
+        F.floor(lo / F.lit(cell)).cast("long"), F.floor(hi / F.lit(cell)).cast("long")
+    )
 
 
 def greenspace_pct_isochrone(
@@ -577,70 +593,108 @@ def greenspace_pct_isochrone(
     pixel center inside any rect of ``greens`` [minx..maxy].
     ``"<v>%"`` round 2.
 
-    The green layer is a dim table: its rects are collected, rasterized
-    once on the driver, and shipped bit-packed via broadcast (~npx²/8
-    bytes — 500 KB at 2000²); each executor unpacks once (process-level
-    cache).  Grid origin/extent default to the nodes∪greens bbox padded
-    by ``edge_buff`` and snapped to ``res`` — pass them explicitly when
+    Scale design (VERDICT r02 #2 — no driver-side rasterization, no
+    global grid anywhere): green rects reach each PoI through a
+    **cell equi-join** — PoI isochrone windows and green-rect bboxes are
+    both exploded onto a coarse cell lattice (pitch ≈ one window, so a
+    window touches ≤ 2×2 cells), joined on cell, and the Arrow cogroup
+    kernel rasterizes ONLY the PoI's sub-window from its local rects.
+    Work per PoI = O(local rects × window px); nothing scales with
+    world extent or total green count, so a continental layer costs the
+    same per PoI as a city one.  Duplicate (id, rect) pairs from shared
+    cells are harmless (mask OR is idempotent).  The expensive segment
+    set is localCheckpoint'ed once and feeds both its window bbox agg
+    and the kernel (no re-evaluation — anti-join convention, CLAUDE.md).
+    Pixel centers are computed identically to a full-grid rasterization,
+    so results are bit-identical to the old broadcast-grid path.
+
+    Grid origin/extent default to the nodes∪greens bbox padded by
+    ``edge_buff`` and snapped to ``res`` — pass them explicitly when
     results must align with an external raster's pixel grid.
 
     PoIs whose ego set yields no edges get a null cover (the reference
     emits None → NaN metrics, availability.py:282-283).
     """
-    import uuid
-
     from .network import isochrone_edges, isochrone_raster_mask  # self-import ok
 
-    rects = np.asarray(
-        [
-            [r["minx"], r["miny"], r["maxx"], r["maxy"]]
-            for r in greens.select("minx", "miny", "maxx", "maxy").collect()
-        ],
-        dtype=np.float64,
-    ).reshape(-1, 4)
     if origin_x is None or origin_y is None or npx is None:
         nb = nodes.select(
             F.min("x").alias("x0"), F.min("y").alias("y0"),
             F.max("x").alias("x1"), F.max("y").alias("y1"),
         ).first()
+        gb = greens.select(
+            F.min("minx").alias("x0"), F.min("miny").alias("y0"),
+            F.max("maxx").alias("x1"), F.max("maxy").alias("y1"),
+        ).first()
         pad = edge_buff + res
-        lo_x = min(float(nb["x0"]), float(rects[:, 0].min()) if len(rects) else np.inf) - pad
-        lo_y = min(float(nb["y0"]), float(rects[:, 1].min()) if len(rects) else np.inf) - pad
-        hi_x = max(float(nb["x1"]), float(rects[:, 2].max()) if len(rects) else -np.inf) + pad
-        hi_y = max(float(nb["y1"]), float(rects[:, 3].max()) if len(rects) else -np.inf) + pad
+        lo_x = min(float(nb["x0"]), float(gb["x0"]) if gb["x0"] is not None else np.inf) - pad
+        lo_y = min(float(nb["y0"]), float(gb["y0"]) if gb["y0"] is not None else np.inf) - pad
+        hi_x = max(float(nb["x1"]), float(gb["x1"]) if gb["x1"] is not None else -np.inf) + pad
+        hi_y = max(float(nb["y1"]), float(gb["y1"]) if gb["y1"] is not None else -np.inf) + pad
         origin_x = np.floor(lo_x / res) * res
         origin_y = np.floor(lo_y / res) * res
         npx = int(np.ceil((max(hi_x - origin_x, hi_y - origin_y)) / res))
-    grid = _rasterize_rects(rects, origin_x, origin_y, res, npx)
-    spark = points.sparkSession
-    grid_key = uuid.uuid4().hex
-    bc = spark.sparkContext.broadcast((grid_key, np.packbits(grid, axis=None), grid.shape))
 
-    segs = isochrone_edges(points, nodes, edges, radius, id_col)
+    # materialize the Dijkstra-derived segment set ONCE; it feeds both
+    # the window-bbox agg and the cogroup kernel
+    segs = isochrone_edges(points, nodes, edges, radius, id_col).localCheckpoint()
 
-    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    # cell pitch ≈ one isochrone window → each window covers ≤ 4 cells
+    cell = 2.0 * (radius + edge_buff) + 2.0 * res
+    pad = edge_buff + res  # mask window = segment bbox ± edge_buff (+res guard)
+    # rect branch works on a renamed id (_rid): both cogroup sides derive
+    # from `segs`, and identical attribute ids would be an ambiguous
+    # self-join for the analyzer
+    win = segs.select(
+        F.col(id_col).alias("_rid"), "ax", "ay", "bx", "by"
+    ).groupBy("_rid").agg(
+        (F.least(F.min("ax"), F.min("bx")) - pad).alias("wx0"),
+        (F.least(F.min("ay"), F.min("by")) - pad).alias("wy0"),
+        (F.greatest(F.max("ax"), F.max("bx")) + pad).alias("wx1"),
+        (F.greatest(F.max("ay"), F.max("by")) + pad).alias("wy1"),
+    )
+    win_cells = win.select(
+        "_rid",
+        F.explode(_covered_cells(F.col("wx0"), F.col("wx1"), cell)).alias("cx"),
+        F.col("wy0"), F.col("wy1"),
+    ).select(
+        "_rid", "cx",
+        F.explode(_covered_cells(F.col("wy0"), F.col("wy1"), cell)).alias("cy"),
+    )
+    rect_cells = greens.select(
+        "minx", "miny", "maxx", "maxy",
+        F.explode(_covered_cells(F.col("minx"), F.col("maxx"), cell)).alias("cx"),
+    ).select(
+        "minx", "miny", "maxx", "maxy", "cx",
+        F.explode(_covered_cells(F.col("miny"), F.col("maxy"), cell)).alias("cy"),
+    )
+    local_rects = win_cells.join(rect_cells, ["cx", "cy"]).select(
+        "_rid", "minx", "miny", "maxx", "maxy"
+    )
+
+    def kernel(key: tuple, seg_pdf: pd.DataFrame, rect_pdf: pd.DataFrame) -> pd.DataFrame:
         (pid,) = key
+        if seg_pdf.empty:  # id only present on the rect side (can't happen
+            return pd.DataFrame({id_col: [], "pct": []})  # — wins ⊆ segs ids)
         mask, (ix0, iy0) = isochrone_raster_mask(
-            pdf, res, origin_x, origin_y, npx, edge_buff
+            seg_pdf, res, origin_x, origin_y, npx, edge_buff
         )
         total = int(mask.sum())
         if total == 0:
             return pd.DataFrame({id_col: [pid], "pct": [None]})
-        jy, jx = np.nonzero(mask)
-        gkey, packed, shape = bc.value
-        gg = _UNPACKED_GRID_CACHE.get(gkey)
-        if gg is None:
-            gg = np.unpackbits(packed)[: shape[0] * shape[1]].reshape(shape).astype(bool)
-            _UNPACKED_GRID_CACHE.clear()  # keep one grid per worker process
-            _UNPACKED_GRID_CACHE[gkey] = gg
-        green = gg[iy0 + jy, ix0 + jx]
-        raw = float(green.sum()) / total * 100.0
+        rects = rect_pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
+        gg = _rasterize_rects_window(rects, origin_x, origin_y, res, ix0, iy0, mask.shape)
+        raw = float(gg[mask].sum()) / total * 100.0
         # half-away-from-zero to 2dp (matches Spark/DuckDB round, not
         # Python's banker's rounding)
         pct = float(np.floor(raw * 100.0 + 0.5) / 100.0)
         return pd.DataFrame({id_col: [pid], "pct": [pct]})
 
-    pcts = segs.groupBy(id_col).applyInPandas(kernel, schema=f"{id_col} long, pct double")
+    pcts = (
+        segs.groupBy(id_col)
+        .cogroup(local_rects.groupBy("_rid"))
+        .applyInPandas(kernel, schema=f"{id_col} long, pct double")
+    )
     return (
         points.select(id_col).distinct()
         .join(pcts, id_col, "left")
