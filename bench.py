@@ -116,18 +116,23 @@ def run_bench() -> dict:
     # inside operators can't leak data between runs) and a single timed
     # execution measures warm-code/cold-data steady state — what a
     # long-running cluster job actually sees.
+    reps_per_q: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_SF_QUERIES"):
         for name, fn in sorted(dq.QUERIES.items()):
             _noop(fn(spark, SF_DIR))
-            best = float("inf")
             # min-of-N damps GC/worker-churn + shared-host contention
-            # (load bursts from co-tenant VMs showed 2-10x swings)
+            # (load bursts from co-tenant VMs showed 2-10x swings); ALL
+            # reps are recorded so round-over-round comparisons carry
+            # error bars (VERDICT r02 #3) — a "regression" smaller than
+            # the observed rep spread is box noise, not a plan change.
+            reps = []
             for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
                 spark.catalog.clearCache()
                 t0 = time.time()
                 _noop(fn(spark, SF_DIR))
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+                reps.append(round(time.time() - t0, 3))
+            reps_per_q[name] = reps
+            timings[name] = min(reps)
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -136,6 +141,7 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_reps": reps_per_q,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         **extra,

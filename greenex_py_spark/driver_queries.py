@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -311,6 +313,144 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_px"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_resample_reproject — R2 + P2 composed: a UTM-31N source raster
+# gathered onto a WGS84 lon/lat target grid (the reference reprojects
+# with gdal.Warp before zonal math, visibility.py:123-127).  The target
+# pixel centers run through the Transverse Mercator forward series —
+# NumPy in the engine kernel, the IDENTICAL series as SQL text in the
+# oracle (geo/proj.tm_forward_sql, ulp-level agreement) — then index the
+# source grid; the value at (six, siy) is exact integer-modular math so
+# any index disagreement flips the hash.
+# ---------------------------------------------------------------------------
+
+_RP_LON0, _RP_LAT0, _RP_RES_DEG, _RP_NPX, _RP_TPX = 3.05, 45.1, 0.001, 256, 128
+_RP_SX0, _RP_SY0, _RP_SRES, _RP_SNPX, _RP_STPX = 500000.0, 4990000.0, 50.0, 1000, 250
+_RP_UTM = (3.0, 0.0, 0.9996, 500000.0, 0.0)  # lon0/lat0/k0/fe/fn, EPSG:32631
+
+
+def _rp_value(six, siy):
+    """Deterministic source raster value — integer modular arithmetic,
+    bit-identical across NumPy and DuckDB doubles."""
+    return ((six * 7 + siy * 13) % 401) / 400.0
+
+
+def _rp_guard() -> None:
+    """ORACLE PRECONDITION: (a) every target center maps inside the
+    source raster (the engine emits NaN outside, the oracle evaluates
+    unconditionally — same contract as q_resample); (b) no mapped
+    coordinate sits within 1e-6 source-pixel of an index boundary, so
+    the ~1e-9 m NumPy-vs-SQL series difference can never flip floor().
+    Pure NumPy over the 256² target centers — runs once, at gate build."""
+    from .geo.proj import WGS84, tm_forward
+
+    i = np.arange(_RP_NPX)
+    lon = _RP_LON0 + (i + 0.5) * _RP_RES_DEG
+    lat = _RP_LAT0 + (i + 0.5) * _RP_RES_DEG
+    LON, LAT = np.meshgrid(lon, lat)
+    E, N = tm_forward(LON, LAT, WGS84, *_RP_UTM)
+    for v, o in ((E, _RP_SX0), (N, _RP_SY0)):
+        f = (v - o) / _RP_SRES
+        assert f.min() >= 0 and f.max() < _RP_SNPX, "target maps outside source"
+        frac = np.abs(f - np.round(f))
+        assert frac.min() > 1e-6, "target center too close to a source-pixel seam"
+
+
+def _rp_src_tiles(spark: SparkSession) -> DataFrame:
+    """Synthetic UTM-31N source tile table (same mapInPandas ingest shape
+    as data/driver_city.tiles_df)."""
+    n_tiles = (_RP_SNPX + _RP_STPX - 1) // _RP_STPX
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for tid in pdf["id"].to_numpy():
+                ty, tx = divmod(int(tid), n_tiles)
+                w = min(_RP_STPX, _RP_SNPX - tx * _RP_STPX)
+                h = min(_RP_STPX, _RP_SNPX - ty * _RP_STPX)
+                ix = tx * _RP_STPX + np.arange(w)
+                iy = ty * _RP_STPX + np.arange(h)
+                vals = _rp_value(ix[None, :], iy[:, None])
+                out.append(
+                    {
+                        "layer": "utm_ndvi", "tx": tx, "ty": ty,
+                        "x0": _RP_SX0 + tx * _RP_STPX * _RP_SRES,
+                        "y0": _RP_SY0 + ty * _RP_STPX * _RP_SRES,
+                        "res": _RP_SRES, "w": w, "h": h,
+                        "px": vals.ravel(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "layer string, tx int, ty int, x0 double, y0 double, "
+        "res double, w int, h int, px array<double>"
+    )
+    return (
+        spark.range(n_tiles * n_tiles)
+        .repartition(max(spark.sparkContext.defaultParallelism, 4))
+        .mapInPandas(gen, schema=schema)
+    )
+
+
+def _rp_oracle() -> str:
+    from .geo.proj import WGS84, tm_forward_sql
+
+    east, north = tm_forward_sql(
+        f"({_RP_LON0} + (i.range + 0.5) * {_RP_RES_DEG})",
+        f"({_RP_LAT0} + (j.range + 0.5) * {_RP_RES_DEG})",
+        WGS84, *_RP_UTM,
+    )
+    return f"""
+WITH idx AS (
+  SELECT CAST(i.range // {_RP_TPX} AS BIGINT) AS tx,
+         CAST(j.range // {_RP_TPX} AS BIGINT) AS ty,
+         CAST(floor(({east} - {_RP_SX0}) / {_RP_SRES}) AS BIGINT) AS six,
+         CAST(floor(({north} - {_RP_SY0}) / {_RP_SRES}) AS BIGINT) AS siy
+  FROM range({_RP_NPX}) i, range({_RP_NPX}) j
+)
+SELECT tx, ty,
+       CAST(sum(CAST(floor(((six * 7 + siy * 13) % 401) / 400.0 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS checksum_e6,
+       count(*) AS n_px
+FROM idx GROUP BY tx, ty
+"""
+
+
+@register("q_resample_reproject", None)  # oracle attached below (generated SQL)
+def q_resample_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2+P2 composed (VERDICT r02 #4): nearest-neighbour regrid ACROSS
+    CRSs — UTM-31N source raster onto a WGS84 degree grid, target
+    centers projected through the TM forward series inside the Arrow
+    gather kernel (resample_nearest's transform hook); per-target-tile
+    integer checksums (gdal.Warp parity: visibility.py:123-127)."""
+    from .geo.grid import GridSpec
+    from .geo.proj import WGS84, tm_forward
+    from .operators.resample import resample_nearest
+
+    _rp_guard()
+    dst = GridSpec(_RP_LON0, _RP_LAT0, _RP_RES_DEG, _RP_TPX, _RP_NPX, _RP_NPX)
+    src_grid = GridSpec(_RP_SX0, _RP_SY0, _RP_SRES, _RP_STPX, _RP_SNPX, _RP_SNPX)
+    out = resample_nearest(
+        _rp_src_tiles(spark), dst, src_grid=src_grid,
+        transform=lambda X, Y: tm_forward(X, Y, WGS84, *_RP_UTM),
+    )
+    return (
+        out.select(
+            F.col("tx").cast("long").alias("tx"),
+            F.col("ty").cast("long").alias("ty"),
+            F.explode("px").alias("v"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(F.floor(F.col("v") * 1000000 + 0.5).cast("long")).alias("checksum_e6"),
+            F.count("*").alias("n_px"),
+        )
+    )
+
+
+ORACLES["q_resample_reproject"] = _rp_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1784,39 +1924,57 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# synthetic crawl-page head: CSS + a script whose body contains bare `<`
+# and a quoted "</div>" — exactly the content a naive tag-strip leaks or
+# mangles; the extraction chain must drop the element BODIES
+_HTML_HEAD = (
+    '<html>\n <head><style type="text/css">body { color: #0f0; }</style>\n'
+    '<script>if (1 < 2 && x !== "</div>") { track("noise") }</script>'
+    '</head>\n<body class="page">'
+)
+_HTML_TAIL = "</body>\n</html>"
+
+_HTML_EXTRACT_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "decode(html), '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),"
+    " '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),"
+    " '<[^>]*>', '', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
 @register(
     "q_html_extract",
-    """
+    f"""
 WITH h AS (
   SELECT doc_id, text,
-         encode('<html>\n <body class="page">' || text || '</body>\n</html>') AS html
+         encode('{_HTML_HEAD.replace("'", "''")}' || text || '{_HTML_TAIL}') AS html
   FROM documents
 )
 SELECT doc_id,
-       md5(trim(regexp_replace(regexp_replace(decode(html), '<[^>]*>', '', 'g'),
-                               '\\s+', ' ', 'g'))) AS extracted_md5,
-       trim(regexp_replace(regexp_replace(decode(html), '<[^>]*>', '', 'g'),
-            '\\s+', ' ', 'g')) = text AS matches_text
+       md5({_HTML_EXTRACT_SQL}) AS extracted_md5,
+       {_HTML_EXTRACT_SQL} = text AS matches_text
 FROM h
 """,
 )
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML->text extraction over the raw crawl bytes (decode + tag
-    strip + whitespace collapse, all codegen); the synthetic corpus
-    wraps text in markup, so extraction must reproduce the text column
-    byte-for-byte (matches_text true everywhere) -- the boilerplate-
-    removal stage of a web-corpus pipeline, exact-oracle-gated."""
+    """HTML->text extraction over the raw crawl bytes (decode +
+    script/style-BODY removal + tag strip + whitespace collapse, all
+    codegen); the synthetic page head embeds CSS and a script with a
+    bare `<` and a quoted "</div>", so extraction must both survive the
+    corrupted-tag case and drop element bodies to reproduce the text
+    column byte-for-byte (matches_text true everywhere) -- the
+    boilerplate-removal stage of a web-corpus pipeline,
+    exact-oracle-gated."""
     from .functions.text import html_extract_text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # the driver table carries text only; synthesize the crawl-page
-    # bytes (markup + stray whitespace) the synth pipeline's html
-    # column has, then run the real extraction chain over the binary
+    # bytes (markup + script/style noise + stray whitespace) the synth
+    # pipeline's html column has, then run the real extraction chain
     pages = docs.select(
         "doc_id", "text",
         F.encode(
-            F.concat(F.lit('<html>\n <body class="page">'), F.col("text"),
-                     F.lit("</body>\n</html>")),
+            F.concat(F.lit(_HTML_HEAD), F.col("text"), F.lit(_HTML_TAIL)),
             "UTF-8",
         ).alias("html"),
     )

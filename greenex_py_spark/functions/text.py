@@ -203,14 +203,21 @@ def html_extract_text(
     df, html_col: str = "html", out_col: str = "extracted",
 ):
     """+ [out_col] — text extracted from the crawl page's raw ``html``
-    binary: UTF-8 decode → strip tags → collapse runs of whitespace →
-    trim.  Pure codegen (decode/regexp_replace/trim — zero Python), the
-    first stage of every HTML-corpus pipeline; swap the regex chain for
-    a real DOM extractor (trafilatura-style) behind the same column
-    contract on a cluster image."""
+    binary: UTF-8 decode → drop ``<script>``/``<style>`` element
+    **content** (a bare tag-strip would leak JS/CSS bodies into the
+    text, and un-quoted ``<`` inside scripts corrupts the tag regex) →
+    strip tags → collapse runs of whitespace → trim.  Pure codegen
+    (decode/regexp_replace/trim — zero Python), the first stage of every
+    HTML-corpus pipeline; swap the regex chain for a real DOM extractor
+    (trafilatura-style) behind the same column contract on a cluster
+    image.  Script/style bodies are replaced by a single space (block
+    elements — their removal must not glue adjacent words)."""
     from pyspark.sql import functions as F
 
-    stripped = F.regexp_replace(F.decode(F.col(html_col), "UTF-8"), "<[^>]*>", "")
+    decoded = F.decode(F.col(html_col), "UTF-8")
+    no_script = F.regexp_replace(decoded, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    no_style = F.regexp_replace(no_script, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    stripped = F.regexp_replace(no_style, "<[^>]*>", "")
     return df.withColumn(
         out_col, F.trim(F.regexp_replace(stripped, "\\s+", " "))
     )

@@ -450,11 +450,15 @@ def isochrone_edges(
     edges: DataFrame,
     radius: float,
     id_col: str = "id",
+    snapped: DataFrame | None = None,
 ) -> DataFrame:
     """[id, ax, ay, bx, by] — edges of the PoI's ego subgraph (both
     endpoints reached within ``radius``), i.e. the segment set
-    ``make_iso_poly`` buffers (availability.py:1042-1056)."""
-    snapped = nearest_node(points, nodes, id_col)
+    ``make_iso_poly`` buffers (availability.py:1042-1056).  Pass a
+    precomputed ``snapped`` (nearest_node output) to share the snap with
+    other consumers instead of re-evaluating it."""
+    if snapped is None:
+        snapped = nearest_node(points, nodes, id_col)
     reach = bounded_network_distances(snapped, nodes, edges, radius, id_col)
     e = edges.select("src", "dst")
     npos = nodes.select("node_id", "x", "y")
@@ -597,16 +601,21 @@ def greenspace_pct_isochrone(
     global grid anywhere): green rects reach each PoI through a
     **cell equi-join** — PoI isochrone windows and green-rect bboxes are
     both exploded onto a coarse cell lattice (pitch ≈ one window, so a
-    window touches ≤ 2×2 cells), joined on cell, and the Arrow cogroup
+    window touches ≤ 2×2 cells), joined on cell, then threaded into the
+    SAME grouped Arrow kernel as the segments via a union-tag (one
+    shuffle, no cogroup, no join-back — CLAUDE.md convention), where the
     kernel rasterizes ONLY the PoI's sub-window from its local rects.
     Work per PoI = O(local rects × window px); nothing scales with
     world extent or total green count, so a continental layer costs the
     same per PoI as a city one.  Duplicate (id, rect) pairs from shared
-    cells are harmless (mask OR is idempotent).  The expensive segment
-    set is localCheckpoint'ed once and feeds both its window bbox agg
-    and the kernel (no re-evaluation — anti-join convention, CLAUDE.md).
-    Pixel centers are computed identically to a full-grid rasterization,
-    so results are bit-identical to the old broadcast-grid path.
+    cells are harmless (mask OR is idempotent).  The window is anchored
+    at the PoI's SNAP NODE, not derived from the segment set: every ego
+    node lies within network-distance ``radius`` of the snap node, and
+    edge weights are Euclidean lengths, so euclid ≤ radius — this keeps
+    the expensive Dijkstra-derived segments single-use (no
+    re-evaluation, no checkpoint barrier).  Pixel centers are computed
+    identically to a full-grid rasterization, so results are
+    bit-identical to the old broadcast-grid path.
 
     Grid origin/extent default to the nodes∪greens bbox padded by
     ``edge_buff`` and snapped to ``res`` — pass them explicitly when
@@ -635,23 +644,25 @@ def greenspace_pct_isochrone(
         origin_y = np.floor(lo_y / res) * res
         npx = int(np.ceil((max(hi_x - origin_x, hi_y - origin_y)) / res))
 
-    # materialize the Dijkstra-derived segment set ONCE; it feeds both
-    # the window-bbox agg and the cogroup kernel
-    segs = isochrone_edges(points, nodes, edges, radius, id_col).localCheckpoint()
+    # snap once, materialize (one tiny row per PoI), feed BOTH the ego
+    # Dijkstra and the window derivation — no re-evaluation of the snap
+    # join (anti-join convention, CLAUDE.md)
+    snapped = nearest_node(points, nodes, id_col).localCheckpoint()
+    segs = isochrone_edges(points, nodes, edges, radius, id_col, snapped=snapped)
 
     # cell pitch ≈ one isochrone window → each window covers ≤ 4 cells
     cell = 2.0 * (radius + edge_buff) + 2.0 * res
-    pad = edge_buff + res  # mask window = segment bbox ± edge_buff (+res guard)
-    # rect branch works on a renamed id (_rid): both cogroup sides derive
-    # from `segs`, and identical attribute ids would be an ambiguous
-    # self-join for the analyzer
-    win = segs.select(
-        F.col(id_col).alias("_rid"), "ax", "ay", "bx", "by"
-    ).groupBy("_rid").agg(
-        (F.least(F.min("ax"), F.min("bx")) - pad).alias("wx0"),
-        (F.least(F.min("ay"), F.min("by")) - pad).alias("wy0"),
-        (F.greatest(F.max("ax"), F.max("bx")) + pad).alias("wx1"),
-        (F.greatest(F.max("ay"), F.max("by")) + pad).alias("wy1"),
+    # window half-extent around the snap node: ego nodes are within
+    # euclid ≤ network ≤ radius of it; the mask pads segments by
+    # edge_buff and pixel rounding adds < res
+    half = radius + edge_buff + res
+    win = snapped.select(id_col, "node_id").join(
+        nodes.select("node_id", F.col("x").alias("nx"), F.col("y").alias("ny")),
+        "node_id",
+    ).select(
+        F.col(id_col).alias("_rid"),
+        (F.col("nx") - half).alias("wx0"), (F.col("nx") + half).alias("wx1"),
+        (F.col("ny") - half).alias("wy0"), (F.col("ny") + half).alias("wy1"),
     )
     win_cells = win.select(
         "_rid",
@@ -672,17 +683,36 @@ def greenspace_pct_isochrone(
         "_rid", "minx", "miny", "maxx", "maxy"
     )
 
-    def kernel(key: tuple, seg_pdf: pd.DataFrame, rect_pdf: pd.DataFrame) -> pd.DataFrame:
+    # union-tag segments (kind 0: c1..c4 = ax,ay,bx,by) and local rects
+    # (kind 1: c1..c4 = minx,miny,maxx,maxy) into ONE grouped stream —
+    # a single shuffle feeds the kernel both inputs
+    tagged = segs.select(
+        F.col(id_col).alias("_gid"), F.lit(0).alias("kind"),
+        F.col("ax").alias("c1"), F.col("ay").alias("c2"),
+        F.col("bx").alias("c3"), F.col("by").alias("c4"),
+    ).unionByName(
+        local_rects.select(
+            F.col("_rid").alias("_gid"), F.lit(1).alias("kind"),
+            F.col("minx").alias("c1"), F.col("miny").alias("c2"),
+            F.col("maxx").alias("c3"), F.col("maxy").alias("c4"),
+        )
+    )
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (pid,) = key
-        if seg_pdf.empty:  # id only present on the rect side (can't happen
-            return pd.DataFrame({id_col: [], "pct": []})  # — wins ⊆ segs ids)
+        k = pdf["kind"].to_numpy()
+        if not (k == 0).any():  # rect-only group: PoI has no ego edges —
+            return pd.DataFrame({id_col: [], "pct": []})  # null via left join
+        seg_pdf = pdf.loc[k == 0, ["c1", "c2", "c3", "c4"]].rename(
+            columns={"c1": "ax", "c2": "ay", "c3": "bx", "c4": "by"}
+        )
         mask, (ix0, iy0) = isochrone_raster_mask(
             seg_pdf, res, origin_x, origin_y, npx, edge_buff
         )
         total = int(mask.sum())
         if total == 0:
             return pd.DataFrame({id_col: [pid], "pct": [None]})
-        rects = rect_pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
+        rects = pdf.loc[k == 1, ["c1", "c2", "c3", "c4"]].to_numpy(np.float64)
         gg = _rasterize_rects_window(rects, origin_x, origin_y, res, ix0, iy0, mask.shape)
         raw = float(gg[mask].sum()) / total * 100.0
         # half-away-from-zero to 2dp (matches Spark/DuckDB round, not
@@ -690,10 +720,8 @@ def greenspace_pct_isochrone(
         pct = float(np.floor(raw * 100.0 + 0.5) / 100.0)
         return pd.DataFrame({id_col: [pid], "pct": [pct]})
 
-    pcts = (
-        segs.groupBy(id_col)
-        .cogroup(local_rects.groupBy("_rid"))
-        .applyInPandas(kernel, schema=f"{id_col} long, pct double")
+    pcts = tagged.groupBy("_gid").applyInPandas(
+        kernel, schema=f"{id_col} long, pct double"
     )
     return (
         points.select(id_col).distinct()

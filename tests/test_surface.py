@@ -270,3 +270,27 @@ def test_lm_logprob_dim_join_not_hint_broadcast(spark):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_html_extract_drops_script_and_style_bodies(spark):
+    """The extraction contract (VERDICT r02 #6): <script>/<style> element
+    BODIES are removed (not just the tags), including scripts containing
+    bare `<` and quoted '</div>'; block removal must not glue adjacent
+    words; plain tags still strip; whitespace collapses."""
+    from greenex_py_spark.functions.text import html_extract_text
+
+    pages = spark.createDataFrame(
+        [
+            (1, "<p>hello</p><script>if (1 < 2) { x = \"</div>\" }</script><p>world</p>"),
+            (2, "a<style media=\"x\">p { color: red }</style>b"),
+            (3, "<SCRIPT type='t'>nested \n lines</SCRIPT \n> ok <b>bold</b>\t end"),
+            (4, "no markup at all"),
+        ],
+        schema="doc_id long, raw string",
+    ).select("doc_id", F.encode("raw", "UTF-8").alias("html"))
+    got = {r["doc_id"]: r["extracted"]
+           for r in html_extract_text(pages).select("doc_id", "extracted").collect()}
+    assert got[1] == "hello world"
+    assert got[2] == "a b"
+    assert got[3] == "ok bold end"
+    assert got[4] == "no markup at all"
