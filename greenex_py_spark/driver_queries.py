@@ -679,6 +679,87 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs)
 
 
+# Oracle n-gram position cap: `range(1, 1001)` bounds DuckDB's position
+# generator at 1000 grams/document — an ORACLE-side simplification only
+# (the Spark operators are unbounded); exact as long as fixture documents
+# stay under 1000 tokens (they are 10–99; asserted in test_driver_gate).
+@register(
+    "q_gopher_repetition",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+bi AS (
+  SELECT doc_id, tk[i.range] AS w1, tk[i.range + 1] AS w2,
+         CASE WHEN i.range + 2 <= len(tk) THEN tk[i.range + 2] END AS w3
+  FROM t, range(1, 1001) i
+  WHERE i.range <= len(tk) - 1
+),
+c2 AS (SELECT doc_id, w1, w2, count(*) AS c2 FROM bi GROUP BY doc_id, w1, w2),
+a2 AS (
+  SELECT doc_id, max(c2) AS mx2,
+         sum(CASE WHEN c2 >= 2 THEN c2 ELSE 0 END) AS dup2,
+         sum(c2) AS nb
+  FROM c2 GROUP BY doc_id
+),
+c3 AS (
+  SELECT doc_id, w1, w2, w3, count(*) AS c3
+  FROM bi WHERE w3 IS NOT NULL GROUP BY doc_id, w1, w2, w3
+),
+a3 AS (SELECT doc_id, max(c3) AS mx3 FROM c3 GROUP BY doc_id)
+SELECT a2.doc_id,
+       round(mx2 * 2 / CAST(nb + 1 AS DOUBLE), 6) AS top2_frac,
+       round(mx3 * 3 / CAST(nb + 1 AS DOUBLE), 6) AS top3_frac,
+       round(dup2 / CAST(nb AS DOUBLE), 6) AS dup2_frac
+FROM a2 JOIN a3 USING (doc_id)
+""",
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality filters (top-2/3-
+    gram token fraction + duplicated-bigram fraction)."""
+    from .functions.text import gopher_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_repetition(docs)
+
+
+@register(
+    "q_decontaminate",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ev AS (
+  SELECT DISTINCT md5(array_to_string(tk[3:15], ' ')) AS gh
+  FROM t WHERE doc_id % 50 = 0 AND len(tk) >= 15
+),
+g AS (
+  SELECT doc_id, md5(array_to_string(tk[i.range : i.range + 12], ' ')) AS gh
+  FROM t, range(1, 1001) i
+  WHERE i.range <= len(tk) - 12
+)
+SELECT g.doc_id, count(*) AS n_hits
+FROM g JOIN ev USING (gh)
+GROUP BY g.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style 13-gram overlap): the eval
+    set is derived deterministically from the corpus itself — tokens
+    3..15 of every doc_id % 50 == 0 document (benchmarks leak INTO
+    crawls, so self-derived snippets are the realistic fixture) — and
+    every training document containing any eval 13-gram is flagged with
+    its hit count."""
+    from .functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    evals = (
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.size(toks) >= 15))
+        .select(F.array_join(F.slice(toks, 3, 13), " ").alias("text"))
+    )
+    return decontaminate(docs, evals, k=13)
+
+
 @register(
     "q_hash_split",
     f"""

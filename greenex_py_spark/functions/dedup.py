@@ -421,3 +421,66 @@ def near_dup_groups(
     )
     comp = connected_components(nodes, edges, key=id_col)
     return comp.select(id_col, F.col("comp").alias("rep_id"))
+
+
+def decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """[doc_id, n_hits] — benchmark decontamination: training documents
+    that contain any word-``k``-gram of the evaluation set (the GPT-3 /
+    Llama "13-gram overlap" rule; Brown et al. 2020 §C).  Output is one
+    row per CONTAMINATED training document with the number of matching
+    gram positions; clean documents are absent (the caller anti-joins to
+    drop contaminated ones, mirroring `near_dup_groups` keep-semantics).
+
+    Shape: both sides build word-k-grams with the same eval-once
+    ``transform``+``slice``+``array_join`` used by `shingles` (the token
+    array is a materialized column, so the interpreted lambda's body is
+    O(k) `element_at`s, never a re-evaluated subtree), hash each gram to
+    md5 and equi-join on the hash.  Train-side grams keep one row per
+    POSITION (a doc repeating an eval gram counts each occurrence);
+    eval-side grams are distinct.  At scale the eval set is a genuinely
+    small dimension (benchmarks are MBs, the corpus is TBs) so AQE
+    broadcasts it — no hint is forced, letting a pathological giant
+    "eval" set degrade to a shuffle join instead of an executor OOM.
+    Documents shorter than k tokens emit no grams on either side.
+    """
+    def _grams(df: DataFrame, idc, txtc, distinct: bool) -> DataFrame:
+        # materialize the token array BEFORE the lambda so the
+        # interpreted HOF body is O(k) element_ats, never a re-split
+        keep = [F.col(idc).alias("_id")] if idc is not None else []
+        t = df.select(*keep, F.split(F.col(txtc), " ").alias("_toks"))
+        n = F.size("_toks")
+        # greatest(...,1) clamp: Catalyst's subexpression elimination can
+        # evaluate the projected transform while running the n>=k filter
+        # predicate, and sequence(1, n-k+1) DESCENDS through 0 for short
+        # docs (slice rejects start=0).  Clamped short docs yield one
+        # harmless short gram; the filter still drops the row.
+        t = t.filter(n >= k).select(
+            *(["_id"] if idc is not None else []),
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice("_toks", i, k), " "),
+            ).alias("_grams"),
+        )
+        arr = F.array_distinct("_grams") if distinct else F.col("_grams")
+        t = t.select(
+            *(["_id"] if idc is not None else []), F.explode(arr).alias("_g")
+        )
+        return t.select(
+            *(["_id"] if idc is not None else []), F.md5("_g").alias("gh")
+        )
+
+    tg = _grams(train, id_col, text_col, distinct=False)
+    eg = _grams(evals, None, eval_text_col, distinct=True).distinct()
+    return (
+        tg.join(eg, "gh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumnRenamed("_id", id_col)
+    )

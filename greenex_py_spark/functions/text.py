@@ -199,6 +199,72 @@ def winnow_fingerprints(
     return out.select(F.col("_id").alias(id_col), "fp").distinct()
 
 
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, top2_frac, top3_frac, dup2_frac] — Gopher-style within-document
+    repetition signals (Rae et al. 2021, "Scaling Language Models", table
+    A1: fraction of content in the most common 2-/3-gram and in duplicated
+    n-grams).  Token-based variant (the corpus contract tokenizes on a
+    single space):
+
+    - ``top2_frac`` = (count of the most frequent bigram × 2) / n_tokens
+    - ``top3_frac`` = (count of the most frequent trigram × 3) / n_tokens
+    - ``dup2_frac`` = bigram occurrences in bigrams seen ≥ 2× / n_bigrams
+
+    Documents with fewer than 3 tokens are dropped (no trigram exists).
+    All three are round-6 so FP summation order can't flip downstream
+    filters.
+
+    Shape: the token array is materialized once; bigrams/trigrams are
+    eval-once relational ``slice`` + ``arrays_zip`` + explode (no
+    interpreted higher-order-function lambdas).  Per-document n-gram
+    counting is a two-level keyed aggregation — map-side partial combine
+    on (doc, gram), then a per-doc rollup — so state is bounded by the
+    document, never the corpus: the shape survives 100 TB unchanged.
+    """
+    t = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    ).filter(F.size("_toks") >= 3)
+    n2 = F.size("_toks") - 1
+    n3 = F.size("_toks") - 2
+    grams = t.select(
+        "_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_toks", 1, n2).alias("w1"),
+                F.slice("_toks", 2, n2).alias("w2"),
+                # trigram third token: null on the final bigram position
+                F.slice(
+                    F.concat("_toks", F.array(F.lit(None).cast("string"))), 3, n2
+                ).alias("w3"),
+            )
+        ).alias("g"),
+    ).select("_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"), F.col("g.w3").alias("w3"))
+    c2 = grams.groupBy("_id", "w1", "w2").agg(F.count("*").alias("c2"))
+    a2 = c2.groupBy("_id").agg(
+        F.max("c2").alias("mx2"),
+        F.sum(F.when(F.col("c2") >= 2, F.col("c2")).otherwise(F.lit(0))).alias("dup2"),
+        F.sum("c2").alias("nb"),
+    )
+    c3 = (
+        grams.filter(F.col("w3").isNotNull())
+        .groupBy("_id", "w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    a3 = c3.groupBy("_id").agg(F.max("c3").alias("mx3"))
+    ntok = F.col("nb") + 1
+    return (
+        a2.join(a3, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(F.col("mx2") * 2 / ntok.cast("double"), 6).alias("top2_frac"),
+            F.round(F.col("mx3") * 3 / ntok.cast("double"), 6).alias("top3_frac"),
+            F.round(F.col("dup2") / F.col("nb").cast("double"), 6).alias("dup2_frac"),
+        )
+    )
+
+
 def html_extract_text(
     df, html_col: str = "html", out_col: str = "extracted",
 ):

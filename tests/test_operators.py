@@ -745,3 +745,52 @@ def test_heavy_hitters_matches_exact_counts(spark, sf_dir):
         )
         assert grp.sort_values("rank")["value"].tolist() == want["tok"].tolist()
         assert grp.sort_values("rank")["n"].tolist() == want["n"].tolist()
+
+
+def test_gopher_repetition_hand_values(spark):
+    """Hand-computed repetition fractions, incl. a doc below the 3-token
+    floor (dropped) and a fully repetitive doc."""
+    from greenex_py_spark.functions.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a": bigrams ab,ba,ab,ba -> top2 count 2 (x2/5 tokens
+            # = 0.8); trigrams aba,bab,aba -> top3 count 2 (x3/5 = 1.2 capped
+            # by formula, not clamped); dup2 = 4/4 = 1.0
+            (1, "a b a b a"),
+            # all-distinct tokens: top2 1*2/5=0.4, top3 3/5=0.6, dup2 0
+            (2, "v w x y z"),
+            (3, "too short"),  # 2 tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["top2_frac"] == 0.8
+    assert got[1]["top3_frac"] == 1.2
+    assert got[1]["dup2_frac"] == 1.0
+    assert got[2]["top2_frac"] == 0.4
+    assert got[2]["top3_frac"] == 0.6
+    assert got[2]["dup2_frac"] == 0.0
+
+
+def test_decontaminate_gram_semantics(spark):
+    """Position-level hit counting, short-doc exclusion on both sides,
+    and eval-side distinctness (duplicate eval grams count once)."""
+    from greenex_py_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "p q r s t u"),       # contains "q r s" at one position
+            (2, "q r s q r s q"),     # "q r s" at positions 1 and 4
+            (3, "x y z w v u"),       # clean
+            (4, "q r"),               # shorter than k -> never flagged
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [("q r s",), ("q r s",), ("m n",)], "text string"
+    )  # dup eval gram counts once; 2-token eval line emits no 3-gram
+    got = {r["doc_id"]: r["n_hits"] for r in
+           decontaminate(train, evals, k=3).collect()}
+    assert got == {1: 1, 2: 2}
