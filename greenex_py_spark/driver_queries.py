@@ -761,6 +761,135 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_segment_dedup",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+base AS (SELECT doc_id, CAST(ceil(len(tk) / 8.0) AS INT) AS n_segs FROM t),
+seg AS (
+  SELECT doc_id, i.range AS pos,
+         array_to_string(tk[(i.range - 1) * 8 + 1 : i.range * 8], ' ') AS s
+  FROM t, range(1, 1001) i
+  WHERE (i.range - 1) * 8 < len(tk)
+),
+boiler AS (SELECT s FROM seg GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+kept AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM seg WHERE s NOT IN (SELECT s FROM boiler)
+  GROUP BY doc_id
+)
+SELECT base.doc_id,
+       coalesce(text_clean, '') AS text_clean,
+       n_segs,
+       n_segs - coalesce(n_kept, 0) AS n_dropped
+FROM base LEFT JOIN kept USING (doc_id)
+""",
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment (line-analogue) dedup: 8-token segments
+    occurring in ≥ 2 distinct documents are boilerplate and removed;
+    survivors reassemble in order.  The oracle compares the CLEANED
+    TEXT itself, not just counts — proving the reassembly contract.
+    (Oracle side groups on raw segment strings where the engine groups
+    on md5 — identical barring an md5 collision, the documented
+    portable-hash assumption.)"""
+    from .functions.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return segment_dedup(docs, seg_tokens=8, max_docs=1)
+
+
+def _redact_oracle() -> str:
+    from .functions.text import PII_PATTERNS
+
+    steps, prev, counts = [], "t0", []
+    for i, (pat, tok) in enumerate(PII_PATTERNS, start=1):
+        steps.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"len(regexp_extract_all({prev}, '{pat}')) AS c{i}, "
+            f"regexp_replace({prev}, '{pat}', '{tok}', 'g') AS t{i}, "
+            + (", ".join(f"c{j}" for j in range(1, i)) + " " if i > 1 else "")
+            + f"FROM {'aug' if i == 1 else f's{i-1}'})"
+        )
+        counts.append(f"c{i}")
+        prev = f"t{i}"
+    return (
+        "WITH aug AS (SELECT doc_id, text || ' reach u' || doc_id"
+        " || '@ex.org or 10.2.' || (doc_id % 250) || '.9 tel"
+        " +44 20 7946 0' || (doc_id % 900 + 100) AS t0 FROM documents),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT doc_id, {prev} AS redacted, "
+        + " + ".join(counts)
+        + f" AS n_pii FROM s{len(PII_PATTERNS)}"
+    )
+
+
+@register("q_redact_pii")
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically PII-augmented text (the raw
+    fixture is letter-only word soup, so each doc gets an email + IP +
+    phone derived from doc_id appended on BOTH sides; the oracle then
+    mirrors the sequential regexp_replace/count chain pattern-for-
+    pattern — Java regex and RE2 agree on the restricted dialect
+    PII_PATTERNS uses)."""
+    from .functions.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.org or 10.2."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(".9 tel +44 20 7946 0"),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
+
+
+ORACLES["q_redact_pii"] = _redact_oracle()
+
+
+@register(
+    "q_domain_stats",
+    f"""
+WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+           FROM documents),
+s AS (
+  SELECT source AS domain, doc_id, md5(text) AS dg, strlen(text) AS ln,
+         CAST(round(round(
+           least(len(toks) / 64.0, 1.0)
+           * (1.0 - least(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                     / CAST(len(toks) AS DOUBLE) * 4.0, 1.0))
+           * (CASE WHEN (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+                     BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END), 3) * 1000)
+           AS BIGINT) AS qm,
+         len(toks) AS nt
+  FROM t
+),
+d AS (SELECT dg, ln FROM s GROUP BY dg, ln HAVING count(*) >= 2)
+SELECT domain, count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.dg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(sum(qm) / 1000.0 / count(*), 6) AS mean_quality,
+       round(sum(nt) / CAST(count(*) AS DOUBLE), 6) AS mean_tokens
+FROM s LEFT JOIN d ON s.dg = d.dg AND s.ln = d.ln
+GROUP BY domain
+""",
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain reputation rollup (doc count, corpus-wide exact-dup
+    membership, mean quality, mean tokens) — the host-level allow/block
+    signal.  Quality is summed as exact milli-ints so the float mean is
+    FP-order independent."""
+    from .functions.text import domain_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_stats(docs)
+
+
+@register(
     "q_hash_split",
     f"""
 WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bkt FROM documents)

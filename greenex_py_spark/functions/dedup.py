@@ -484,3 +484,82 @@ def decontaminate(
         .agg(F.count("*").alias("n_hits"))
         .withColumnRenamed("_id", id_col)
     )
+
+
+def segment_dedup(
+    train: DataFrame,
+    seg_tokens: int = 8,
+    max_docs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, text_clean, n_segs, n_dropped] — cross-document segment
+    deduplication, the RefinedWeb/CCNet "line-wise dedup" boilerplate
+    filter (Penedo et al. 2023 §4.2; CCNet hashes paragraphs): a
+    SEGMENT (this corpus has no newlines, so a segment is a run of
+    ``seg_tokens`` consecutive tokens — the line analogue) that occurs
+    in more than ``max_docs`` DISTINCT documents is boilerplate
+    (headers, nav bars, cookie banners) and is removed from every
+    document; the survivors are reassembled in original order.
+
+    Scale shape — a genuine two-pass corpus algorithm, like
+    `unigram_logprob`: pass 1 counts distinct-doc frequency per segment
+    hash (map-side combined groupBy on md5, bounded per-task state);
+    the BOILERPLATE set it yields is small by definition (only
+    segments crossing the repetition threshold), so the pass-2
+    left-anti join is AQE-broadcast at any corpus size — no forced
+    hint, so a pathological threshold that flags half the corpus
+    degrades to a shuffle join instead of an executor OOM.  Reassembly
+    is a per-document sort_array over (pos, seg) — state bounded by
+    the document.  Documents whose every segment is boilerplate stay
+    in the output with ``text_clean = ''`` (the caller decides whether
+    an emptied doc survives, mirroring `decontaminate`'s
+    flag-don't-drop contract).
+    """
+    w = seg_tokens
+    t = train.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    nseg = F.ceil(F.size("_toks") / float(w)).cast("int")
+    base = t.select("_id", nseg.alias("n_segs"))
+    segs = t.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nseg, F.lit(1))),
+                lambda i: F.array_join(
+                    F.slice("_toks", (i - F.lit(1)) * w + 1, w), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    boiler = (
+        segs.groupBy(F.md5("seg").alias("sh"))
+        .agg(F.count_distinct("_id").alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("sh")
+    )
+    kept = (
+        segs.withColumn("sh", F.md5("seg"))
+        .join(boiler, "sh", "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    return (
+        base.join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_segs",
+            (F.col("n_segs") - F.coalesce("_n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )

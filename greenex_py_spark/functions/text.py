@@ -69,13 +69,24 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     mean word length) with an exactly-reproducible formula.
     """
     t = tokens(df.select(id_col, text_col), text_col)
-    n_tok = F.size("toks").cast("double")
-    n_stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS_EN))).cast("double")
+    return t.select(
+        id_col, F.round(quality_expr(text_col, "toks"), 3).alias("quality")
+    )
+
+
+def quality_expr(text_col: str, toks_col: str):
+    """The quality formula as a column expression over a text column and
+    its materialized token array — shared by `quality_score` and
+    `domain_stats` so the two cannot drift."""
+    n_tok = F.size(toks_col).cast("double")
+    n_stop = F.size(
+        F.filter(toks_col, lambda x: x.isin(*STOPWORDS_EN))
+    ).cast("double")
     mean_len = (F.length(text_col) - n_tok + 1) / n_tok
     len_f = F.least(n_tok / 64.0, F.lit(1.0))
     stop_f = F.lit(1.0) - F.least(n_stop / n_tok * 4.0, F.lit(1.0))
     word_f = F.when((mean_len >= 3.0) & (mean_len <= 10.0), 1.0).otherwise(0.5)
-    return t.select(id_col, F.round(len_f * stop_f * word_f, 3).alias("quality"))
+    return len_f * stop_f * word_f
 
 
 def unigram_logprob(
@@ -337,4 +348,104 @@ def bigram_logprob(
         scored.groupBy("_id")
         .agg(F.round(F.avg(F.log10(F.col("c2").cast("double") / F.col("c1"))), 6).alias("avg_logprob2"))
         .withColumnRenamed("_id", id_col)
+    )
+
+
+# PII patterns, ordered: email first (its local part may contain digits a
+# later pattern would half-eat), then dotted IPv4, then phone-shaped digit
+# runs.  The dialect is the Java-regex ∩ RE2 common subset ([...], \d, \b,
+# {m,n} — no lookaround, no backrefs) so the DuckDB oracle can run the
+# SAME patterns verbatim.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """[id, redacted, n_pii] — PII scrubbing for crawl curation: emails,
+    dotted-quad IPs and phone-shaped digit runs are replaced with typed
+    placeholder tokens (the C4/RefinedWeb release practice; reference
+    GreenEx_Py has no text pipeline — this is beyond-reference curation
+    surface).  ``n_pii`` counts replacements across all three classes.
+
+    Pure whole-stage-codegen ``regexp_replace``/``regexp_count`` chain —
+    no shuffle, no Python; embarrassingly parallel at any corpus size.
+    Replacement is sequential per PII_PATTERNS order, so a phone number
+    inside an already-redacted email is never double-counted.
+    """
+    out = F.col(text_col)
+    n = F.lit(0)
+    for pat, tok in PII_PATTERNS:
+        n = n + F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, tok)
+    return df.select(
+        F.col(id_col),
+        out.alias(out_col),
+        n.cast("long").alias("n_pii"),
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[domain, n_docs, n_dup_docs, mean_quality, mean_tokens] — per-domain
+    reputation table, the crawl-curation signal used to allow/block whole
+    hosts (CCNet §4 aggregates quality per domain; RefinedWeb blocklists
+    by URL host).  ``n_dup_docs`` counts documents whose exact text
+    (md5 + byte length, the `exact_duplicates` hash-first contract)
+    appears more than once ANYWHERE in the corpus — cross-domain
+    duplication damns the domain that hosts it.
+
+    Shape: per-doc quality/token columns are doc-bounded projections;
+    the corpus-wide dup flag is one digest-keyed groupBy (24-byte keys,
+    never text) whose output joins back to docs on digest — AQE sizes
+    that join (dup digests ≪ corpus).  Final rollup is a single
+    per-domain aggregation.  The output is a genuine dimension table
+    (domains ≪ documents) — safe to broadcast downstream.
+    """
+    t = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_digest"),
+        F.octet_length(F.col(text_col)).alias("_len"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+        F.col(text_col).alias("_text"),
+    )
+    # per-doc quality is carried as an exact milli-int so the domain
+    # rollup sums INTEGERS — order-independent across partitions, unlike
+    # a float avg whose low bits depend on FP summation order
+    scored = t.select(
+        "domain", "_id", "_digest", "_len",
+        F.round(F.round(quality_expr("_text", "_toks"), 3) * 1000)
+        .cast("long").alias("_qm"),
+        F.size("_toks").cast("long").alias("_nt"),
+    )
+    dups = (
+        scored.groupBy("_digest", "_len")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_digest", "_len")
+    )
+    flagged = scored.join(
+        dups.withColumn("_dup", F.lit(1)), ["_digest", "_len"], "left"
+    )
+    n = F.count("*")
+    return (
+        flagged.groupBy("domain")
+        .agg(
+            n.alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0))).alias("n_dup_docs"),
+            F.round(F.sum("_qm") / 1000.0 / n, 6).alias("mean_quality"),
+            F.round(F.sum("_nt") / n.cast("double"), 6).alias("mean_tokens"),
+        )
     )

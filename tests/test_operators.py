@@ -794,3 +794,74 @@ def test_decontaminate_gram_semantics(spark):
     got = {r["doc_id"]: r["n_hits"] for r in
            decontaminate(train, evals, k=3).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_segment_dedup_boilerplate_removal(spark):
+    """Shared segments vanish from every doc, unique ones survive in
+    order; a fully-boilerplate doc stays with empty text."""
+    from greenex_py_spark.functions.dedup import segment_dedup
+
+    boiler = "cookie banner here"  # 3 tokens = one full segment at W=3
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma"),
+            (2, boiler + " delta eps zeta"),
+            (3, boiler),                    # everything boilerplate
+            (4, "unique words only stay"),  # 4 toks -> 2 segs (3+1)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           segment_dedup(docs, seg_tokens=3, max_docs=1).collect()}
+    assert got[1]["text_clean"] == "alpha beta gamma"
+    assert (got[1]["n_segs"], got[1]["n_dropped"]) == (2, 1)
+    assert got[2]["text_clean"] == "delta eps zeta"
+    assert got[3]["text_clean"] == "" and got[3]["n_dropped"] == 1
+    assert got[4]["text_clean"] == "unique words only stay"
+    assert (got[4]["n_segs"], got[4]["n_dropped"]) == (2, 0)
+
+
+def test_redact_pii_patterns(spark):
+    """Each PII class redacts with its own token; counting is sequential
+    (an email's digits are not re-counted as a phone)."""
+    from greenex_py_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_9@sub.ex.co now"),
+            (2, "host 192.168.0.1 up"),
+            (3, "call +31 20 123 4567 or 0612345678"),
+            (4, "clean text with no pii at all"),
+            (5, "x user99@ex.org and 10.0.0.7 and +1 555 123 9876"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["redacted"] == "mail <EMAIL> now" and got[1]["n_pii"] == 1
+    assert got[2]["redacted"] == "host <IP> up" and got[2]["n_pii"] == 1
+    assert got[3]["redacted"] == "call <PHONE> or <PHONE>" and got[3]["n_pii"] == 2
+    assert got[4]["redacted"] == got[4]["redacted"] and got[4]["n_pii"] == 0
+    assert got[5]["redacted"] == "x <EMAIL> and <IP> and <PHONE>"
+    assert got[5]["n_pii"] == 3
+
+
+def test_domain_stats_dup_and_means(spark):
+    """Cross-domain exact dup flags both hosting domains; means are exact
+    rationals of the per-doc values."""
+    from greenex_py_spark.functions.text import domain_stats, quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same exact body text here", "a.com"),
+            (2, "same exact body text here", "b.com"),  # dup across domains
+            (3, "unique alpha beta gamma delta", "a.com"),
+            (4, "another unique doc body", "b.com"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["domain"]: r for r in domain_stats(docs).collect()}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert got["a.com"]["n_docs"] == 2 and got["a.com"]["n_dup_docs"] == 1
+    assert got["b.com"]["n_docs"] == 2 and got["b.com"]["n_dup_docs"] == 1
+    assert got["a.com"]["mean_quality"] == round((q[1] + q[3]) / 2, 6)
+    assert got["a.com"]["mean_tokens"] == 5.0
