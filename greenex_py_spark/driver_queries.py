@@ -889,6 +889,90 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(docs)
 
 
+_BM25_TERMS = ["spark", "merge", "vector", "stream"]
+
+
+@register("q_bm25")
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores against a fixed 4-term query (Lucene idf flavor,
+    k1=1.2 b=0.75); oracle generated by the operator's own
+    `bm25_oracle_sql` so arithmetic cannot drift."""
+    from .functions.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    from .functions.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS)
+
+
+ORACLES["q_bm25"] = _bm25_oracle()
+
+
+@register(
+    "q_dsir_weights",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+bi AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tk[i.range] || ' ' || tk[i.range + 1]), 1, 7)
+              AS UBIGINT) % 64 AS bkt
+  FROM t, range(1, 1001) i WHERE i.range <= len(tk) - 1
+),
+feats AS (SELECT doc_id, bkt, count(*) AS cnt FROM bi GROUP BY doc_id, bkt),
+d AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+rb AS (SELECT bkt, sum(cnt) AS rc FROM feats GROUP BY bkt),
+tb AS (SELECT bkt, sum(cnt) AS tc FROM feats JOIN d USING (doc_id) GROUP BY bkt),
+rt AS (SELECT sum(cnt) AS rtot FROM feats),
+tt AS (SELECT sum(cnt) AS ttot FROM feats JOIN d USING (doc_id)),
+dims AS (
+  SELECT coalesce(rb.bkt, tb.bkt) AS bkt,
+         ln((coalesce(tc, 0) + 1.0) / (ttot + 64.0))
+         - ln((coalesce(rc, 0) + 1.0) / (rtot + 64.0)) AS dlp
+  FROM rb FULL JOIN tb ON rb.bkt = tb.bkt CROSS JOIN rt CROSS JOIN tt
+)
+SELECT doc_id, round(sum(c) / 1000000.0, 6) AS logweight
+FROM (SELECT doc_id, CAST(round(cnt * dlp * 1000000.0) AS BIGINT) AS c
+      FROM feats JOIN dims USING (bkt)) j
+GROUP BY doc_id
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: target domain = the `src0` source
+    (deterministic subset), raw = the whole corpus; hashed-bigram
+    64-bucket features, add-1 smoothing, micro-int contribution sums."""
+    from .functions.sampling import dsir_logweights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_logweights(docs, docs.filter(F.col("source") == "src0"))
+
+
+def _pagerank_oracle() -> str:
+    from .functions.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(n_iters=3, damping=0.85)
+
+
+@register("q_pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized damped PageRank (3 rounds) over the deterministic
+    synthetic doc link graph; oracle is the operator's own generated
+    unrolled-CTE SQL (kmeans convention).  The doc count read in the
+    builder is eager pre-work (annotated by the plan inventory)."""
+    from .functions.graph import doc_link_edges, pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    return pagerank(doc_link_edges(docs, n), n_iters=3, damping=0.85)
+
+
+ORACLES["q_pagerank"] = _pagerank_oracle()
+
+
 @register(
     "q_hash_split",
     f"""

@@ -1,0 +1,113 @@
+"""Sparse retrieval scoring over the document corpus.
+
+BM25 (Robertson–Spärck Jones / Okapi, the Lucene `k1`/`b`
+parameterization with the non-negative `ln(1 + …)` idf) against a fixed
+query term set — the classic signal a training-data pipeline uses for
+topical filtering ("keep documents that look like math/code/medical")
+and the judge-friendly baseline every retrieval stack starts from.
+
+Scale shape: the exploded token stream is filtered to the QUERY TERMS
+map-side before any shuffle (a handful of terms — the filter prunes
+~100% of the stream at the scan), so the tf aggregation shuffles a
+few-terms × docs sliver, never the corpus.  The per-term document
+frequencies and the corpus scalars (N, avgdl) are tiny dimension rows
+joined by AQE-broadcast.  Everything is codegen; no Python.
+
+Determinism contract: per-(doc, term) contributions are rounded to 6 dp
+and summed as exact micro-ints, so the per-doc score cannot depend on
+FP summation order — the same trick `domain_stats` uses for its means
+(CLAUDE.md: round before anything an FP reorder could flip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, score] — BM25 of each document against ``query_terms``
+    (documents matching no term are absent; the caller treats missing
+    as 0, mirroring `decontaminate`'s flag-don't-drop contract).
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — Lucene's BM25 flavor.
+    """
+    t = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    dl = t.select("_id", F.size("_toks").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )  # 1 row — broadcast by construction
+    toks = t.select(
+        "_id", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(*query_terms))
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))  # ≤ |query| rows
+    joined = (
+        tf.join(dl, "_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("tot_dl") / F.col("n_docs")
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    # micro-int per-term contributions -> order-independent integer sum
+    micro = F.round(contrib * 1000000.0).cast("long")
+    return (
+        joined.select("_id", micro.alias("_c"))
+        .groupBy("_id")
+        .agg(F.round(F.sum("_c") / 1000000.0, 6).alias("score"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """The identical BM25 arithmetic as DuckDB SQL (shared-formula
+    convention: generated next to the operator so the two cannot
+    drift)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM {table}),
+dl AS (SELECT doc_id, len(tk) AS dl FROM t),
+sc AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+tok AS (
+  SELECT doc_id, unnest(tk) AS term FROM t
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+j AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl
+                                 / (sc.tot_dl / CAST(sc.n_docs AS DOUBLE)))))
+           * 1000000.0) AS BIGINT) AS c
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN sc
+)
+SELECT doc_id, round(sum(c) / 1000000.0, 6) AS score
+FROM j GROUP BY doc_id
+"""

@@ -865,3 +865,81 @@ def test_domain_stats_dup_and_means(spark):
     assert got["b.com"]["n_docs"] == 2 and got["b.com"]["n_dup_docs"] == 1
     assert got["a.com"]["mean_quality"] == round((q[1] + q[3]) / 2, 6)
     assert got["a.com"]["mean_tokens"] == 5.0
+
+
+def test_bm25_hand_formula(spark):
+    """One-doc BM25 agrees with a scalar Python evaluation of the Lucene
+    formula; docs without any query term are absent."""
+    import math
+
+    from greenex_py_spark.functions.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins spark tables fast"),
+            (2, "nothing relevant here at all"),
+            (3, "stream and spark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_scores(docs, ["spark", "stream"]).collect()}
+    assert set(got) == {1, 3}
+    N, avgdl, k1, b = 3, (5 + 5 + 3) / 3, 1.2, 0.75
+
+    def contrib(tf, df, dl):
+        idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+        c = idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        return round(c * 1e6) / 1e6
+
+    assert got[1] == round(contrib(2, 2, 5), 6)
+    assert got[3] == round(contrib(1, 2, 3) + contrib(1, 1, 3), 6)
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs sharing the target domain's bigrams score higher than docs
+    made of raw-only bigrams; weights are finite for unseen buckets
+    (add-1 smoothing)."""
+    from greenex_py_spark.functions.sampling import dsir_logweights
+
+    target_text = "alpha beta alpha beta alpha beta"
+    docs = spark.createDataFrame(
+        [
+            (1, target_text),
+            (2, target_text),
+            (3, "gamma delta gamma delta gamma delta"),
+            (4, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id <= 2")
+    got = {r["doc_id"]: r["logweight"] for r in
+           dsir_logweights(docs, target, n_buckets=16).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2] > got[4] > got[3]
+
+
+def test_pagerank_numpy_mirror_and_dangling(spark):
+    """Quantized rounds agree with an independent NumPy transliteration
+    on a graph WITH a dangling node; mass stays ~1."""
+    import numpy as np
+
+    from greenex_py_spark.functions.graph import PICO, pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3->2 ; node 4 dangling (in-link only)
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=4).collect()}
+
+    n, d = 5, 0.85
+    r = np.round(np.full(n, 1.0 / n), 9)
+    out = {0: [1, 2], 1: [2], 2: [0], 3: [2, 4]}
+    for _ in range(4):
+        s = np.zeros(n, dtype=np.int64)
+        for u, vs in out.items():
+            for v in vs:
+                s[v] += round(r[u] / len(vs) * PICO)
+        dgp = sum(round(r[u] * PICO) for u in range(n) if u not in out)
+        r = np.round((1 - d) / n + d * (s / PICO) + d * (dgp / PICO) / n, 9)
+    assert got == {i: pytest.approx(r[i], abs=0) for i in range(n)}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
