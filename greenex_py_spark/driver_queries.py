@@ -974,6 +974,57 @@ ORACLES["q_pagerank"] = _pagerank_oracle()
 
 
 @register(
+    "q_length_quantiles",
+    """
+WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n, 0.5), 6) AS p50,
+       round(quantile_cont(n, 0.9), 6) AS p90,
+       round(quantile_cont(n, 0.99), 6) AS p99
+FROM t GROUP BY lang
+""",
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantiles (exact Hyndman–Fan type-7 —
+    Spark `percentile` and DuckDB `quantile_cont` implement the same
+    interpolation, which is what makes this oracle closed-form)."""
+    from .functions.text import length_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_quantiles(docs)
+
+
+@register(
+    "q_pmi_bigrams",
+    """
+WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+bi AS (SELECT tk[i.range] AS w1, tk[i.range + 1] AS w2
+       FROM t, range(1, 1001) i WHERE i.range <= len(tk) - 1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+       HAVING count(*) >= 5),
+uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+tot AS (SELECT sum(len(string_split(text, ' '))) AS nt FROM documents),
+s AS (
+  SELECT w1, w2, c2,
+         round(ln(c2 * nt / CAST(a.c1 * b.c1 AS DOUBLE)), 6) AS pmi
+  FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w CROSS JOIN tot
+),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM s)
+SELECT w1, w2, c2, pmi, rank FROM r WHERE rank <= 20
+""",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI with count≥5 support; PMI rounded to
+    6 dp BEFORE ranking, ties broken on (w1, w2)."""
+    from .functions.text import pmi_bigrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_bigrams(docs, min_count=5, top_k=20)
+
+
+@register(
     "q_hash_split",
     f"""
 WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bkt FROM documents)

@@ -449,3 +449,108 @@ def domain_stats(
             F.round(F.sum("_nt") / n.cast("double"), 6).alias("mean_tokens"),
         )
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[group, n_docs, p50, p90, p99] — per-group token-length
+    distribution, the corpus-health dashboard every curation run reads
+    before setting Gopher-style length cutoffs.  Exact linear-
+    interpolation quantiles (both Spark `percentile` and DuckDB
+    `quantile_cont` implement Hyndman–Fan type 7, so the oracle is
+    closed-form).
+
+    Scale note: exact percentile collects the per-group value MULTISET
+    on one reducer — fine for token lengths (ints, millions per group
+    compress to a count-map), and grouped by language so no single
+    reducer sees the whole corpus.  For heavy-tailed value domains at
+    100 TB the approximate twin is `percentile_approx` (t-digest,
+    bounded state); the exact form is kept here because the gate
+    demands bit-reproducibility.
+    """
+    t = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(F.split(F.col(text_col), " ")).alias("n"),
+    )
+    q = t.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n", F.lit([0.5, 0.9, 0.99])).alias("_q"),
+    )
+    return q.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.round(F.col("_q")[0], 6).alias("p50"),
+        F.round(F.col("_q")[1], 6).alias("p90"),
+        F.round(F.col("_q")[2], 6).alias("p99"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[w1, w2, c2, pmi, rank] — top-k collocations by pointwise mutual
+    information, PMI = ln(c₂·N / (c₁(w1)·c₁(w2))) with N = total token
+    count (Church & Hanks 1990) — the classic phrase-mining signal for
+    tokenizer vocab construction.
+
+    Scale shape: bigram/unigram counts are keyed two-phase aggregations
+    (the `bigram_logprob` machinery without the per-doc rejoin);
+    ``min_count`` prunes the tail BEFORE the global top-k sort, so the
+    ordered window sees only frequent pairs (≪ corpus).  PMI is rounded
+    to 6 dp before ranking and ties break on (w1, w2) — ranking can
+    never be flipped by FP noise (CLAUDE.md convention).
+    """
+    t = df.select(F.split(F.col(text_col), " ").alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    n1 = F.size("_toks") - 1
+    bi = (
+        t.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_toks", 1, n1).alias("w1"),
+                    F.slice("_toks", 2, n1).alias("w2"),
+                )
+            ).alias("g")
+        )
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2")).filter(
+        F.col("c2") >= min_count
+    )
+    uni = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = df.agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("nt")
+    )  # 1 row
+    scored = (
+        c2.join(uni.withColumnsRenamed({"w": "w1", "c1": "c1a"}), "w1")
+        .join(uni.withColumnsRenamed({"w": "w2", "c1": "c1b"}), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c2",
+            F.round(
+                F.log(
+                    F.col("c2") * F.col("nt")
+                    / (F.col("c1a") * F.col("c1b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

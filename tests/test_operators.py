@@ -943,3 +943,41 @@ def test_pagerank_numpy_mirror_and_dangling(spark):
         r = np.round((1 - d) / n + d * (s / PICO) + d * (dgp / PICO) / n, 9)
     assert got == {i: pytest.approx(r[i], abs=0) for i in range(n)}
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_length_quantiles_hand_values(spark):
+    """Type-7 interpolated quantiles on a known tiny distribution."""
+    import numpy as np
+
+    from greenex_py_spark.functions.text import length_quantiles
+
+    rows = [(i, " ".join(["w"] * n), "en") for i, n in enumerate([1, 2, 3, 4, 100])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = length_quantiles(docs).collect()[0]
+    vals = np.array([1, 2, 3, 4, 100], dtype=float)
+    assert got["n_docs"] == 5
+    for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        assert got[col] == round(float(np.quantile(vals, q)), 6)
+
+
+def test_pmi_bigrams_ranking(spark):
+    """An always-together pair outranks an independent pair; min_count
+    prunes; rank is contiguous from 1."""
+    from greenex_py_spark.functions.text import pmi_bigrams
+
+    # "zig" only ever precedes "zag" (max PMI); "cat" also occurs away
+    # from "the", diluting the "the cat" association
+    docs = spark.createDataFrame(
+        [
+            (1, "zig zag the cat the dog zig zag cat naps"),
+            (2, "the dog zig zag the cat zig zag cat naps"),
+            (3, "zig zag zig zag the cat the dog cat naps"),
+        ],
+        "doc_id long, text string",
+    )
+    got = pmi_bigrams(docs, min_count=2, top_k=10).collect()
+    ranks = [r["rank"] for r in got]
+    assert ranks == list(range(1, len(got) + 1))
+    by_pair = {(r["w1"], r["w2"]): r for r in got}
+    assert ("zig", "zag") in by_pair
+    assert by_pair[("zig", "zag")]["pmi"] > by_pair[("the", "cat")]["pmi"]
