@@ -1025,6 +1025,47 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ccnet_buckets",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freqs AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT sum(len(string_split(text, ' '))) AS t FROM documents),
+lp AS (
+  SELECT doc_id,
+         round(avg(log(tf / CAST(t AS DOUBLE))), 6) AS avg_logprob
+  FROM toks JOIN freqs USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+),
+s AS (
+  SELECT d.doc_id, d.lang, lp.avg_logprob
+  FROM documents d JOIN lp ON d.doc_id = lp.doc_id
+),
+cuts AS (
+  SELECT lang, quantile_cont(avg_logprob, {1 / 3!r}) AS q33,
+         quantile_cont(avg_logprob, {2 / 3!r}) AS q67
+  FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_logprob,
+       CASE WHEN s.avg_logprob >= cuts.q67 THEN 'head'
+            WHEN s.avg_logprob >= cuts.q33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN cuts USING (lang)
+""",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality buckets from per-language unigram
+    LM-score tertiles (oracle note: DuckDB log() is log10, matching the
+    operator's log10 LM; tertile positions spelled as Python float reprs
+    on both sides so the interpolation arithmetic is bit-identical)."""
+    from .functions.text import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_buckets(docs)
+
+
+@register(
     "q_hash_split",
     f"""
 WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bkt FROM documents)

@@ -554,3 +554,45 @@ def pmi_bigrams(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, group, avg_logprob, bucket] — CCNet-style quality bucketing
+    (Wenzek et al. 2020 §4.3): per-language LM score tertiles split the
+    corpus into head / middle / tail; training pipelines keep head+middle
+    or re-weight by bucket.  The LM signal is `unigram_logprob` (higher
+    log-prob = more fluent under the corpus's own distribution, CCNet's
+    lower-perplexity = head orientation).
+
+    Cutoffs are the exact type-7 tertiles of the ROUND-6 per-doc scores
+    (rounding before the quantile keeps the cutoff arithmetic identical
+    across engines); the cutoff table is |languages| rows — a broadcast
+    dim by construction.  Boundary docs (score == cutoff) land in the
+    better bucket (>=).
+    """
+    lp = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    scored = df.select(
+        F.col(id_col), F.col(group_col).alias("grp")
+    ).join(lp, id_col)
+    cuts = scored.groupBy("grp").agg(
+        F.percentile("avg_logprob", F.lit([1 / 3, 2 / 3])).alias("_q")
+    ).select(
+        "grp", F.col("_q")[0].alias("q33"), F.col("_q")[1].alias("q67")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "grp")
+        .select(
+            id_col,
+            F.col("grp").alias(group_col),
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("q67"), "head")
+            .when(F.col("avg_logprob") >= F.col("q33"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

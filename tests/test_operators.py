@@ -981,3 +981,39 @@ def test_pmi_bigrams_ranking(spark):
     by_pair = {(r["w1"], r["w2"]): r for r in got}
     assert ("zig", "zag") in by_pair
     assert by_pair[("zig", "zag")]["pmi"] > by_pair[("the", "cat")]["pmi"]
+
+
+def test_ccnet_buckets_tertiles_and_boundaries(spark):
+    """Per-language tertile cuts: within one language the three buckets
+    are ~equal-sized, a boundary score lands in the better bucket, and a
+    second language gets its own independent cutoffs."""
+    from greenex_py_spark.functions.text import ccnet_buckets
+
+    # 6 English docs built from a shared vocab so per-doc unigram
+    # log-probs are strictly ordered: more repetitions of the corpus's
+    # dominant token => higher (less negative) avg logprob
+    rows = []
+    for i in range(6):
+        toks = ["common"] * (i + 1) + ["rare%d" % i]
+        rows.append((i, " ".join(toks), "en"))
+    rows.append((100, "uno dos", "es"))
+    rows.append((101, "uno uno uno", "es"))
+    # fr: both docs identical => score == q33 == q67 => boundary-up => head
+    rows.append((200, "le chat", "fr"))
+    rows.append((201, "le chat", "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    assert len(got) == 10
+    en = [got[i] for i in range(6)]
+    # scores strictly increase with i (more of the dominant token)
+    scores = [r["avg_logprob"] for r in en]
+    assert scores == sorted(scores) and len(set(scores)) == 6
+    assert [r["bucket"] for r in en] == (
+        ["tail"] * 2 + ["middle"] * 2 + ["head"] * 2
+    )
+    # es has its own cuts (independent of en): type-7 on 2 distinct pts
+    # interpolates strictly between them -> lower is tail, higher head
+    assert got[101]["bucket"] == "head"
+    assert got[100]["bucket"] == "tail"
+    # exact-boundary docs land in the better bucket (>= comparisons)
+    assert got[200]["bucket"] == "head" and got[201]["bucket"] == "head"
