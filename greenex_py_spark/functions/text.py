@@ -571,27 +571,31 @@ def ccnet_buckets(
 
     Cutoffs are the exact type-7 tertiles of the ROUND-6 per-doc scores
     (rounding before the quantile keeps the cutoff arithmetic identical
-    across engines); the cutoff table is |languages| rows — a broadcast
-    dim by construction.  Boundary docs (score == cutoff) land in the
-    better bucket (>=).
+    across engines); they are computed as a window aggregate over the
+    language partition, NOT a groupBy+join-back — Catalyst does not reuse
+    common subtrees across join arms, so the join-back shape would
+    re-evaluate the whole two-pass unigram LM (token explode + vocab agg)
+    a second time (CLAUDE.md anti-join convention; measured 2x the LM
+    subtree in the physical plan).  One language = one window partition,
+    the same per-language locality any grouping needs; per-doc state is
+    one score.  Boundary docs (score == cutoff) land in the better
+    bucket (>=).
     """
     lp = unigram_logprob(df, id_col=id_col, text_col=text_col)
     scored = df.select(
         F.col(id_col), F.col(group_col).alias("grp")
     ).join(lp, id_col)
-    cuts = scored.groupBy("grp").agg(
-        F.percentile("avg_logprob", F.lit([1 / 3, 2 / 3])).alias("_q")
-    ).select(
-        "grp", F.col("_q")[0].alias("q33"), F.col("_q")[1].alias("q67")
-    )
+    w = Window.partitionBy("grp")
     return (
-        scored.join(F.broadcast(cuts), "grp")
+        scored.withColumn(
+            "_q", F.percentile("avg_logprob", F.lit([1 / 3, 2 / 3])).over(w)
+        )
         .select(
             id_col,
             F.col("grp").alias(group_col),
             "avg_logprob",
-            F.when(F.col("avg_logprob") >= F.col("q67"), "head")
-            .when(F.col("avg_logprob") >= F.col("q33"), "middle")
+            F.when(F.col("avg_logprob") >= F.col("_q")[1], "head")
+            .when(F.col("avg_logprob") >= F.col("_q")[0], "middle")
             .otherwise("tail")
             .alias("bucket"),
         )
