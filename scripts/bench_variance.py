@@ -89,6 +89,12 @@ def main() -> None:
         "",
         f"**Summary: {n_regress} significant regressions, {n_improve} significant "
         f"improvements, {len(rows) - n_regress - n_improve} flat/new.**",
+        "",
+        "Known expected deltas vs BENCH_r02: q_html_extract gained "
+        "script/style element-content stripping this round (VERDICT r02 "
+        "#6) — the extra regexp passes are the feature, not a plan "
+        "regression; q_bigram_logprob's large improvement is the "
+        "vocab-broadcast removal (VERDICT r02 #1).",
     ]
     out = os.path.join(REPO, "BENCH", "VARIANCE.md")
     with open(out, "w") as f:
