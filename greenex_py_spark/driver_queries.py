@@ -1244,6 +1244,66 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_kmeans"] = _kmeans_oracle()
 
 
+# clone-augmented corpus shared by q_embedding_neardup / q_semdedup:
+# every vec_id < 100 gets a perturbed twin at vec_id + 1e6 (first
+# coordinate +0.05) so a planted near-dup structure exists at every SF
+_CLONES_CTE = """emb2 AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [CAST(embedding[1] AS DOUBLE) + 0.05]
+           || list_transform(embedding[2:], e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 100
+)"""
+
+
+def _with_clones(emb: DataFrame) -> DataFrame:
+    """Spark twin of _CLONES_CTE (the q_embedding_neardup planting)."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda e: e.cast("double")).alias("embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + 0.05),
+            F.transform(F.slice("embedding", 2, 10000), lambda e: e.cast("double")),
+        ).alias("embedding"),
+    )
+    return base.unionByName(clones)
+
+
+def _semdedup_oracle() -> str:
+    from .functions.similarity import semdedup_oracle_sql
+
+    sql = semdedup_oracle_sql(
+        k=4, iters=2, dim=_embedding_dim(), threshold=0.99, table="emb2"
+    )
+    # the generated chain reads FROM emb2 — splice the clone CTE in
+    # front of its WITH list.  kmeans's v-CTE re-casts to double; the
+    # clone CTE already emits doubles, so the cast is a no-op there.
+    assert sql.startswith("WITH v AS")
+    return sql.replace("WITH v AS", f"WITH {_CLONES_CTE},\nv AS", 1).replace(
+        "list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v FROM emb2",
+        "v FROM emb2",
+    )
+
+
+@register("q_semdedup", None)  # oracle attached below (generated SQL)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: quantized k-means clusters → per-cluster
+    Arrow gram-matrix sweep → min-lower-id duplicate assignment, over
+    the corpus plus planted perturbed clones.  Both halves are
+    independently oracle-green (q_kmeans, q_embedding_neardup); this
+    gates the COMPOSITION end-to-end against one generated SQL chain."""
+    from .functions.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(_with_clones(emb), k=4, iters=2, threshold=0.99)
+
+
+ORACLES["q_semdedup"] = _semdedup_oracle()
+
+
 @register("q_multimodal_gvi", None)  # rows-only: sha-derived fake decode has no SQL twin
 def q_multimodal_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal Python/Arrow chain in the gate: binary media

@@ -409,3 +409,113 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication = clustering + within-cluster near-dup
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[vec_id, cluster, dup_of] — SemDeDup (Abbas et al. 2023):
+    k-means partitions the embedding space, then ONLY within-cluster
+    pairs are scored — the pairwise sweep that is O(N²) globally becomes
+    k independent O((N/k)²) blocks.  A vector is a semantic duplicate
+    when some lower-id member of its own cluster has cosine ≥ τ to it;
+    ``dup_of`` is the smallest such id (null for keepers), so the keep
+    set is exactly the null-``dup_of`` rows and assignment is
+    deterministic without a transitive-closure pass.
+
+    Clustering is the oracle-exact quantized Lloyd of
+    :func:`~greenex_py_spark.functions.clustering.kmeans_fit_predict`;
+    the within-cluster sweep is one Arrow task per cluster running a
+    dense BLAS gram matrix (same arithmetic the blocked exact sweep
+    `cosine_pairs_blocked` uses, round-6 before the threshold).
+
+    Scale envelope: one cluster = one task, so k must grow with the
+    corpus (SemDeDup runs k≈√N; the paper's 50k clusters on LAION put
+    ~5k vectors per task — a trivial gram matrix).  A skewed giant
+    cluster falls back to `cosine_pairs_blocked` filtered to that
+    cluster — same semantics, block-pair parallel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .clustering import kmeans_fit_predict
+
+    asg = kmeans_fit_predict(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("v"),
+    ).join(asg, id_col)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["v"].iloc[order].map(np.asarray))
+        nrm = np.sqrt((m * m).sum(axis=1))
+        sims = np.round((m @ m.T) / (nrm[:, None] * nrm[None, :]), 6)
+        # rows ascend by id, so per column the FIRST qualifying row is
+        # the SMALLEST lower id with sim >= τ
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        hit = mask.any(axis=0)
+        first = mask.argmax(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].iloc[0],
+                "dup_of": pd.array(
+                    np.where(hit, ids[first], 0), dtype="Int64"
+                ),
+            }
+        ).assign(dup_of=lambda d: d["dup_of"].where(hit, pd.NA))
+
+    return v.groupBy("cluster").applyInPandas(
+        kernel, schema=f"{id_col} long, cluster long, dup_of long"
+    )
+
+
+def semdedup_oracle_sql(
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.95,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`semdedup`: the generated quantized-Lloyd
+    CTE chain of ``kmeans_oracle_sql`` (same k/iters/dim/table) extended
+    with a within-cluster pair sweep — sequential-fold cosine rounded to
+    6 dp, min lower id per duplicate.  BLAS gram-matrix vs sequential
+    list_sum agree at round-6 on well-conditioned unit-scale embeddings
+    (the q_embedding_neardup precedent; a boundary-straddling sum would
+    need the same micro-int device BM25 uses)."""
+    from .clustering import kmeans_oracle_sql
+
+    base = kmeans_oracle_sql(k=k, iters=iters, dim=dim, table=table)
+    base = base[: base.rindex("\nSELECT")]
+    cos = (
+        "round(list_sum(list_transform(list_zip(a.v, b.v), "
+        "q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(a.v, e -> e * e))) "
+        "* sqrt(list_sum(list_transform(b.v, e -> e * e)))), 6)"
+    )
+    return (
+        base
+        + f""",
+dups AS (
+  SELECT b.vec_id AS id, min(a.vec_id) AS dup_of
+  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold!r}
+  GROUP BY b.vec_id
+)
+SELECT m.vec_id, m.cid AS cluster, d.dup_of
+FROM afinal m LEFT JOIN dups d ON d.id = m.vec_id"""
+    )

@@ -1017,3 +1017,26 @@ def test_ccnet_buckets_tertiles_and_boundaries(spark):
     assert got[100]["bucket"] == "tail"
     # exact-boundary docs land in the better bucket (>= comparisons)
     assert got[200]["bucket"] == "head" and got[201]["bucket"] == "head"
+
+
+def test_semdedup_hand_clusters_and_dups(spark):
+    """Two well-separated clusters; within each, one planted duplicate
+    points at its min lower-id twin and non-dups keep dup_of null."""
+    from greenex_py_spark.functions.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),   # cluster seed A
+        (1, [0.0, 1.0]),   # cluster seed B
+        (2, [2.0, 0.0]),   # same direction as 0 -> dup_of 0
+        (3, [1.0, 0.3]),   # cluster A, cos≈0.958 < τ -> keeper
+        (4, [0.0, 2.0]),   # same direction as 1 -> dup_of 1
+        (5, [0.3, 1.0]),   # cluster B, keeper
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in semdedup(df, k=2, iters=1, threshold=0.999).collect()}
+    assert {i: got[i]["dup_of"] for i in range(6)} == {
+        0: None, 1: None, 2: 0, 3: None, 4: 1, 5: None,
+    }
+    assert got[0]["cluster"] == got[2]["cluster"] == got[3]["cluster"]
+    assert got[1]["cluster"] == got[4]["cluster"] == got[5]["cluster"]
+    assert got[0]["cluster"] != got[1]["cluster"]
