@@ -799,6 +799,60 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(docs, seg_tokens=8, max_docs=1)
 
 
+@register(
+    "q_substring_dedup",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+base AS (SELECT doc_id, len(tk) AS n_tokens FROM t),
+p AS (
+  SELECT doc_id, unnest(generate_series(1, len(tk) - 12)) AS pos, tk
+  FROM t WHERE len(tk) >= 13
+),
+g AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(tk[pos : pos + 12], ' ')) AS gh
+  FROM p
+),
+occ AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gh) AS c,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+rem AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 12)) AS pos
+  FROM occ WHERE c >= 2 AND rn > 1
+),
+tok AS (
+  SELECT doc_id, unnest(tk) AS tok,
+         unnest(generate_series(1, len(tk))) AS pos
+  FROM t
+),
+kept AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS text_clean,
+         count(*) AS n_kept
+  FROM tok k LEFT JOIN rem r ON r.doc_id = k.doc_id AND r.pos = k.pos
+  WHERE r.pos IS NULL GROUP BY k.doc_id
+)
+SELECT base.doc_id, base.n_tokens,
+       base.n_tokens - coalesce(n_kept, 0) AS n_removed,
+       coalesce(text_clean, '') AS text_clean
+FROM base LEFT JOIN kept USING (doc_id)
+""",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021) at 13 tokens (the corpus's
+    docs are 20-79 words, so the paper's 50-BPE-token threshold maps to
+    the repo's standard 13-gram window): repeated runs keep only the
+    globally first occurrence; the oracle compares the SPLICED TEXT.
+    Both sides hash windows with md5 (portable across engines), so the
+    match is exact, not modulo a collision assumption."""
+    from .functions.dedup import exact_substring_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substring_dedup(docs, min_len=13)
+
+
 def _redact_oracle() -> str:
     from .functions.text import PII_PATTERNS
 

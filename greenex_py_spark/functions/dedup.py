@@ -563,3 +563,92 @@ def segment_dedup(
             (F.col("n_segs") - F.coalesce("_n_kept", F.lit(0))).alias("n_dropped"),
         )
     )
+
+
+def exact_substring_dedup(
+    train: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, n_tokens, n_removed, text_clean] — ExactSubstr deduplication
+    (Lee et al. 2021 §3.1, "Deduplicating Training Data Makes Language
+    Models Better"): any run of ``min_len`` consecutive tokens that
+    occurs elsewhere in the corpus is removed, keeping only the
+    globally FIRST occurrence (ordered by (doc_id, pos)).  The paper
+    builds a corpus-wide suffix array; the distributed equivalent here
+    enumerates every ``min_len``-token window, hashes it, and uses one
+    hash-partitioned window function to find repeats — a shuffle on
+    24-byte digests instead of a shared-memory suffix array.
+
+    Token (d, t) is removed when ANY non-first duplicate window of doc
+    d covers position t; survivors reassemble in order (the
+    `segment_dedup` device).  Documents shorter than ``min_len``
+    emit no windows and pass through unchanged.
+
+    Scale shape: the window stream is ~n_tokens rows of (id, pos,
+    digest) — the md5 is computed inside the projection so the shuffle
+    carries digests, never gram text (the exact-dedup hash-first rule);
+    repeat detection is count+row_number over ONE hash partition
+    exchange (no join-back, so the gram build is evaluated once —
+    CLAUDE.md anti-join convention); removed-position coverage explodes
+    only DUPLICATE windows (rare by construction in deduplicated-ish
+    corpora) and the final anti-join is co-partitioned on (id, pos).
+    """
+    L = min_len
+    t = train.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    n = F.size("_toks")
+    base = t.select("_id", n.alias("n_tokens"))
+    g = (
+        t.filter(n >= L)
+        .select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (L - 1)),
+                    lambda i: F.md5(F.array_join(F.slice("_toks", i, L), " ")),
+                )
+            ).alias("_p0", "gh"),
+        )
+        .select("_id", (F.col("_p0") + 1).alias("pos"), "gh")
+    )
+    wcnt = Window.partitionBy("gh")
+    wrn = Window.partitionBy("gh").orderBy("_id", "pos")
+    rem = (
+        g.select(
+            "_id",
+            "pos",
+            F.count("*").over(wcnt).alias("_c"),
+            F.row_number().over(wrn).alias("_rn"),
+        )
+        .filter((F.col("_c") >= 2) & (F.col("_rn") > 1))
+        .select(
+            "_id", F.explode(F.sequence("pos", F.col("pos") + (L - 1))).alias("pos")
+        )
+        .distinct()
+    )
+    toks = t.select("_id", F.posexplode("_toks").alias("_p0", "tok")).select(
+        "_id", (F.col("_p0") + 1).alias("pos"), "tok"
+    )
+    kept = (
+        toks.join(rem, ["_id", "pos"], "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    return base.join(kept, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

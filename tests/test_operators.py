@@ -1040,3 +1040,26 @@ def test_semdedup_hand_clusters_and_dups(spark):
     assert got[0]["cluster"] == got[2]["cluster"] == got[3]["cluster"]
     assert got[1]["cluster"] == got[4]["cluster"] == got[5]["cluster"]
     assert got[0]["cluster"] != got[1]["cluster"]
+
+
+def test_exact_substring_dedup_keep_first_and_splice(spark):
+    """Keep-first contract at min_len=3: the earliest (doc_id, pos)
+    occurrence of a repeated run survives, later ones are spliced out;
+    a fully-duplicated doc empties; short docs pass through."""
+    from greenex_py_spark.functions.dedup import exact_substring_dedup
+
+    rows = [
+        (1, "a b c d e"),   # first occurrence of every run -> untouched
+        (2, "x b c d y"),   # shares "b c d" with doc 1 -> splice 3 tokens
+        (3, "a b c d e"),   # exact clone of doc 1 -> fully removed
+        (4, "z q"),         # shorter than min_len -> pass-through
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, min_len=3).collect()
+    }
+    assert (got[1]["n_tokens"], got[1]["n_removed"], got[1]["text_clean"]) == (5, 0, "a b c d e")
+    assert (got[2]["n_tokens"], got[2]["n_removed"], got[2]["text_clean"]) == (5, 3, "x y")
+    assert (got[3]["n_tokens"], got[3]["n_removed"], got[3]["text_clean"]) == (5, 5, "")
+    assert (got[4]["n_tokens"], got[4]["n_removed"], got[4]["text_clean"]) == (2, 0, "z q")
