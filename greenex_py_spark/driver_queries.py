@@ -1162,6 +1162,46 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+# shared mixture spec for q_mix_allocation: the SQL CASE and the Spark
+# literal map are both generated from THIS dict so they cannot drift
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.05, "src4": 0.05}
+_MIX_BUDGET = 50000
+_MIX_CASE = (
+    "CASE domain "
+    + " ".join(
+        f"WHEN '{d}' THEN CAST({w!r} AS DOUBLE)" for d, w in _MIX_TARGETS.items()
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "q_mix_allocation",
+    f"""
+WITH per AS (
+  SELECT source AS domain,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT domain, n_tokens,
+       {_MIX_CASE} AS target_weight,
+       round({_MIX_CASE} * CAST({_MIX_BUDGET} AS DOUBLE) / n_tokens, 6) AS epochs,
+       least(CAST(1.0 AS DOUBLE),
+             round({_MIX_CASE} * CAST({_MIX_BUDGET} AS DOUBLE) / n_tokens, 6))
+         AS sample_rate
+FROM per
+""",
+)
+def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning (LLaMA/DoReMi mixture table): per-domain
+    epochs and sampling rate to hit a target token mixture under a
+    fixed budget; unlisted domains report weight 0."""
+    from .functions.sampling import mix_allocation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mix_allocation(docs, _MIX_TARGETS, _MIX_BUDGET)
+
+
 # documented fixture embedding dim (TESTDATA.md) — import-time fallback
 # only, used when the grading fixtures are absent (spark-submit dist zip,
 # bench on a foreign host); the grading path always reads the real dim

@@ -186,3 +186,42 @@ def dsir_logweights(
         .agg(F.round(F.sum("_c") / 1000000.0, 6).alias("logweight"))
         .withColumnRenamed("_id", id_col)
     )
+
+
+def mix_allocation(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """[domain, n_tokens, target_weight, epochs, sample_rate] — data-
+    mixture planning: given target mixture weights per domain and a
+    total token budget, how many EPOCHS of each domain's data hit the
+    budgeted share (the LLaMA / DoReMi mixture table: epochs > 1 means
+    upsample/repeat, < 1 means subsample at ``sample_rate``).
+    ``epochs = weight x budget / domain_tokens``, round-6; domains
+    absent from ``targets`` get weight 0 (excluded from the mixture but
+    still reported with their token mass).
+
+    Shape: one map-side-combined groupBy(domain) over token counts —
+    domains ≪ documents, so the result is a broadcastable dimension
+    (feed ``sample_rate`` to `stratified_sample` keep rates, epochs to
+    the repeat-loader).  The weight map is a literal expression —
+    no second input, nothing shuffled but (domain, count) partials.
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in (kv[0], float(kv[1]))]
+    )
+    w = F.coalesce(wmap[F.col("domain")], F.lit(0.0))
+    epochs = F.round(w * F.lit(float(budget_tokens)) / F.col("n_tokens"), 6)
+    return per.select(
+        "domain",
+        "n_tokens",
+        w.alias("target_weight"),
+        epochs.alias("epochs"),
+        F.least(F.lit(1.0), epochs).alias("sample_rate"),
+    )

@@ -1063,3 +1063,25 @@ def test_exact_substring_dedup_keep_first_and_splice(spark):
     assert (got[2]["n_tokens"], got[2]["n_removed"], got[2]["text_clean"]) == (5, 3, "x y")
     assert (got[3]["n_tokens"], got[3]["n_removed"], got[3]["text_clean"]) == (5, 5, "")
     assert (got[4]["n_tokens"], got[4]["n_removed"], got[4]["text_clean"]) == (2, 0, "z q")
+
+
+def test_mix_allocation_hand_values(spark):
+    """Upsampled domain caps sample_rate at 1; subsampled rate == epochs;
+    unlisted domain reports weight 0 with its token mass intact."""
+    from greenex_py_spark.functions.sampling import mix_allocation
+
+    rows = [
+        (1, " ".join(["a"] * 10), "A"),
+        (2, " ".join(["b"] * 60), "B"),
+        (3, " ".join(["c"] * 40), "B"),
+        (4, " ".join(["d"] * 10), "C"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["domain"]: r
+        for r in mix_allocation(docs, {"A": 0.5, "B": 0.5}, 100).collect()
+    }
+    a, b, c = got["A"], got["B"], got["C"]
+    assert (a["n_tokens"], a["target_weight"], a["epochs"], a["sample_rate"]) == (10, 0.5, 5.0, 1.0)
+    assert (b["n_tokens"], b["epochs"], b["sample_rate"]) == (100, 0.5, 0.5)
+    assert (c["n_tokens"], c["target_weight"], c["epochs"], c["sample_rate"]) == (10, 0.0, 0.0, 0.0)
