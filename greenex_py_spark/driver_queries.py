@@ -602,6 +602,53 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(docs)
 
 
+def _bpe_oracle() -> str:
+    from .functions.text import BPE_PATTERN
+
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' v1.' || CAST(doc_id % 10 AS VARCHAR)
+              || '; id=' || CAST(doc_id AS VARCHAR) || '!?' AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS nb,
+         len(string_split(text, ' ')) AS nw
+  FROM a
+)
+SELECT doc_id, nb AS n_bpe_tokens, nw AS n_ws_tokens,
+       round(nb / CAST(nw AS DOUBLE), 6) AS fertility,
+       round(length(text) / CAST(nb AS DOUBLE), 6) AS bytes_per_token
+FROM t
+"""
+
+
+@register("q_bpe_token_stats")
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the BPE-style regex pretokenizer (the raw
+    fixture is letter-only word soup, so each doc gets a digit/punct
+    suffix derived from doc_id appended on BOTH sides — the
+    q_redact_pii augmentation device); BPE_PATTERN is shared between
+    the operator and this oracle so the dialects cannot drift."""
+    from .functions.text import bpe_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" v1."), (F.col("doc_id") % 10).cast("string"),
+            F.lit("; id="), F.col("doc_id").cast("string"), F.lit("!?"),
+        ).alias("text"),
+    )
+    return bpe_token_stats(aug)
+
+
+ORACLES["q_bpe_token_stats"] = _bpe_oracle()
+
+
 @register(
     "q_quality_score",
     f"""

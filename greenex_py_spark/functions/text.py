@@ -600,3 +600,38 @@ def ccnet_buckets(
             .alias("bucket"),
         )
     )
+
+
+# GPT-2-ish pretokenizer in the Java∩RE2 portable dialect: letter runs,
+# digit runs, punctuation runs, each with an optional leading space
+# (GPT-2's \p{L}/\p{N} classes and the trailing-space lookahead are not
+# portable; ASCII classes + no lookahead keep Spark and DuckDB
+# bit-identical).  Alternatives are first-char disjoint, so Java's and
+# RE2's leftmost-first alternation agree.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_bpe_tokens, n_ws_tokens, fertility, bytes_per_token] —
+    token counting under a BPE-style regex pretokenizer vs plain
+    whitespace.  ``fertility`` (regex tokens per whitespace word) and
+    ``bytes_per_token`` are the standard tokenizer-efficiency signals a
+    curation pipeline budgets with (compression-ratio quality filters,
+    per-language token accounting for mixture planning).
+
+    Pure codegen: one regexp_extract_all + size per doc, no explode, no
+    shuffle — the scan stays whole-stage-generated at any corpus size.
+    """
+    n_bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+    n_ws = F.size(F.split(F.col(text_col), " "))
+    return df.select(
+        id_col,
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe / n_ws.cast("double"), 6).alias("fertility"),
+        F.round(F.length(text_col) / n_bpe.cast("double"), 6).alias(
+            "bytes_per_token"
+        ),
+    )

@@ -1085,3 +1085,19 @@ def test_mix_allocation_hand_values(spark):
     assert (a["n_tokens"], a["target_weight"], a["epochs"], a["sample_rate"]) == (10, 0.5, 5.0, 1.0)
     assert (b["n_tokens"], b["epochs"], b["sample_rate"]) == (100, 0.5, 0.5)
     assert (c["n_tokens"], c["target_weight"], c["epochs"], c["sample_rate"]) == (10, 0.0, 0.0, 0.0)
+
+
+def test_bpe_token_stats_hand_values(spark):
+    """Regex pretokenizer: letter/digit/punct runs split, optional
+    leading space attaches; whitespace words stay the denominator."""
+    from greenex_py_spark.functions.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "ab 12 c.d!"), (2, "word")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bpe_token_stats(docs).collect()}
+    # "ab", " 12", " c", ".", "d", "!" -> 6 regex tokens over 3 words
+    assert (got[1]["n_bpe_tokens"], got[1]["n_ws_tokens"]) == (6, 3)
+    assert got[1]["fertility"] == 2.0
+    assert got[1]["bytes_per_token"] == round(10 / 6, 6)
+    assert (got[2]["n_bpe_tokens"], got[2]["n_ws_tokens"]) == (1, 1)
