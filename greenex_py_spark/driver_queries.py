@@ -2517,16 +2517,38 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HTML_HEAD = (
     '<html>\n <head><style type="text/css">body { color: #0f0; }</style>\n'
     '<script>if (1 < 2 && x !== "</div>") { track("noise") }</script>'
-    '</head>\n<body class="page">'
+    "</head>\n<!-- ad slot: <div class=\"banner\">buy now</div> -->"
+    '<body class="page">&nbsp;'
 )
-_HTML_TAIL = "</body>\n</html>"
+_HTML_TAIL = "&nbsp;</body>\n</html>"
 
-_HTML_EXTRACT_SQL = (
-    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-    "decode(html), '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),"
-    " '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),"
-    " '<[^>]*>', '', 'g'), '\\s+', ' ', 'g'))"
-)
+
+def _html_extract_sql() -> str:
+    """The oracle regexp chain generated from the SAME steps (incl. the
+    shared HTML_ENTITIES order) the operator applies — the two cannot
+    drift.  The comment and &nbsp; in the synthetic page head/tail
+    exercise comment-body removal and entity decoding while keeping the
+    extracted == text identity (nbsp decodes to a collapsible space;
+    the other entities are covered by the unit test, since decoding
+    them would inject characters the fixture text lacks)."""
+    from .functions.text import HTML_ENTITIES
+
+    expr = "decode(html)"
+    for pat, rep in (
+        ("(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+        ("(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
+        ("(?s)<!--.*?-->", " "),
+        ("<[^>]*>", ""),
+        *HTML_ENTITIES,
+        ("\\s+", " "),
+    ):
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
+_HTML_EXTRACT_SQL = _html_extract_sql()
 
 
 @register(

@@ -276,6 +276,19 @@ def gopher_repetition(
     )
 
 
+# entity decode order is part of the contract: &amp; LAST, so escaped
+# entity references (&amp;lt;) decode to the literal entity text (&lt;)
+# instead of cascading into markup.  Shared with the oracle generator.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
 def html_extract_text(
     df, html_col: str = "html", out_col: str = "extracted",
 ):
@@ -283,20 +296,29 @@ def html_extract_text(
     binary: UTF-8 decode → drop ``<script>``/``<style>`` element
     **content** (a bare tag-strip would leak JS/CSS bodies into the
     text, and un-quoted ``<`` inside scripts corrupts the tag regex) →
-    strip tags → collapse runs of whitespace → trim.  Pure codegen
+    drop ``<!-- -->`` comment content (ad markers, conditional IE
+    blocks — comments may hold tags, so they go before the tag strip) →
+    strip tags → decode the common entities (named five + nbsp;
+    ``&amp;`` LAST so ``&amp;lt;`` yields the literal text ``&lt;``,
+    and decode AFTER the strip so escaped markup stays text) →
+    collapse runs of whitespace → trim.  Pure codegen
     (decode/regexp_replace/trim — zero Python), the first stage of every
     HTML-corpus pipeline; swap the regex chain for a real DOM extractor
     (trafilatura-style) behind the same column contract on a cluster
-    image.  Script/style bodies are replaced by a single space (block
-    elements — their removal must not glue adjacent words)."""
+    image.  Script/style/comment bodies are replaced by a single space
+    (block elements — their removal must not glue adjacent words)."""
     from pyspark.sql import functions as F
 
     decoded = F.decode(F.col(html_col), "UTF-8")
     no_script = F.regexp_replace(decoded, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
     no_style = F.regexp_replace(no_script, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
-    stripped = F.regexp_replace(no_style, "<[^>]*>", "")
+    no_comment = F.regexp_replace(no_style, "(?s)<!--.*?-->", " ")
+    stripped = F.regexp_replace(no_comment, "<[^>]*>", "")
+    ent = stripped
+    for pat, rep in HTML_ENTITIES:
+        ent = F.regexp_replace(ent, pat, rep)
     return df.withColumn(
-        out_col, F.trim(F.regexp_replace(stripped, "\\s+", " "))
+        out_col, F.trim(F.regexp_replace(ent, "\\s+", " "))
     )
 
 

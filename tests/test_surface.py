@@ -294,3 +294,29 @@ def test_html_extract_drops_script_and_style_bodies(spark):
     assert got[2] == "a b"
     assert got[3] == "ok bold end"
     assert got[4] == "no markup at all"
+
+
+def test_html_extract_comments_and_entities(spark):
+    """Comment BODIES are removed even when they hold tags; the common
+    entities decode AFTER the tag strip (&lt;b&gt; stays literal text,
+    never markup), and &amp; decodes last so &amp;lt; yields the
+    literal five characters '&lt;'."""
+    from greenex_py_spark.functions.text import html_extract_text
+
+    pages = spark.createDataFrame(
+        [
+            (1, "x <!-- ad: <div class=\"b\">buy</div> --> y"),
+            (2, "Tom &amp; Jerry&nbsp;&nbsp;say &quot;hi&#39;s&quot;"),
+            (3, "escaped markup: &lt;b&gt;not bold&lt;/b&gt;"),
+            (4, "doubly escaped: &amp;lt;"),
+            (5, "<!-- multi\nline\ncomment -->only"),
+        ],
+        schema="doc_id long, raw string",
+    ).select("doc_id", F.encode("raw", "UTF-8").alias("html"))
+    got = {r["doc_id"]: r["extracted"]
+           for r in html_extract_text(pages).select("doc_id", "extracted").collect()}
+    assert got[1] == "x y"
+    assert got[2] == 'Tom & Jerry say "hi\'s"'
+    assert got[3] == "escaped markup: <b>not bold</b>"
+    assert got[4] == "doubly escaped: &lt;"
+    assert got[5] == "only"
