@@ -952,6 +952,69 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_redact_pii"] = _redact_oracle()
 
 
+def _mojibake_oracle() -> str:
+    """Generated from the SAME MOJIBAKE_TABLE as the operator and the
+    same doc_id-keyed augmentation as the Spark side (the q_redact_pii
+    device: the raw fixture is clean ASCII, so each doc gets two
+    corrupted sequences appended before repair)."""
+    from .functions.text import MOJIBAKE_TABLE
+
+    n = len(MOJIBAKE_TABLE)
+    case1 = "CASE doc_id % {n} {w} END".format(
+        n=n,
+        w=" ".join(
+            f"WHEN {i} THEN '{s}'" for i, (s, _) in enumerate(MOJIBAKE_TABLE)
+        ),
+    )
+    case2 = "CASE (doc_id + 5) % {n} {w} END".format(
+        n=n,
+        w=" ".join(
+            f"WHEN {i} THEN '{s}'" for i, (s, _) in enumerate(MOJIBAKE_TABLE)
+        ),
+    )
+    fixed = "text"
+    counts = []
+    for seq, rep in MOJIBAKE_TABLE:
+        counts.append(
+            f"CAST((length(text) - length(replace(text, '{seq}', ''))) / {len(seq)} AS BIGINT)"
+        )
+        fixed = f"replace({fixed}, '{seq}', '{rep}')"
+    return f"""
+WITH a AS (
+  SELECT doc_id, text || ' x' || {case1} || 'y ' || {case2} AS text
+  FROM documents
+)
+SELECT doc_id, {fixed} AS text_fixed, {" + ".join(counts)} AS n_fixed
+FROM a
+"""
+
+
+@register("q_fix_mojibake")
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair over deterministically corrupted text: each doc
+    gets two cp1252-mojibake sequences (selected by doc_id from the
+    shared MOJIBAKE_TABLE) appended, then the literal replace chain
+    restores the original characters; the oracle compares the REPAIRED
+    text and the per-doc repair count."""
+    from .functions.text import MOJIBAKE_TABLE, fix_mojibake
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seqs = F.array(*[F.lit(s) for s, _ in MOJIBAKE_TABLE])
+    n = len(MOJIBAKE_TABLE)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" x"), F.element_at(seqs, (F.col("doc_id") % n + 1).cast("int")),
+            F.lit("y "), F.element_at(seqs, ((F.col("doc_id") + 5) % n + 1).cast("int")),
+        ).alias("text"),
+    )
+    return fix_mojibake(aug)
+
+
+ORACLES["q_fix_mojibake"] = _mojibake_oracle()
+
+
 @register(
     "q_domain_stats",
     f"""

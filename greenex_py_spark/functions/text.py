@@ -657,3 +657,62 @@ def bpe_token_stats(
             "bytes_per_token"
         ),
     )
+
+
+# cp1252-misdecoded UTF-8 sequences → the character they originally
+# encoded (the ftfy "mojibake" core table, restricted to sequences whose
+# every byte IS mapped in cp1252 so the corruption is reversible).
+# Entries are prefix-disjoint (Ã/â/Â lead-ins with distinct followers)
+# and no replacement re-creates a pattern, so sequential literal
+# replaces in ANY order equal one simultaneous pass — the oracle
+# generator still mirrors this exact order.
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # right single quote
+    ("â€œ", "“"),  # left double quote
+    ("â€“", "–"),  # en dash
+    ("â€”", "—"),  # em dash
+    ("â€¦", "…"),  # ellipsis
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¼", "ü"),
+    ("Ã¶", "ö"),
+    ("Ã¤", "ä"),
+    ("Ã§", "ç"),
+    ("Ã±", "ñ"),
+    ("Ã¡", "á"),
+    ("Ã³", "ó"),
+    ("Ãº", "ú"),
+    ("Â°", "°"),
+    ("Â«", "«"),
+    ("Â»", "»"),
+)
+
+
+def fix_mojibake(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, text_fixed, n_fixed] — encoding repair for the classic crawl
+    corruption (UTF-8 bytes decoded as cp1252: "cafÃ©" for "café",
+    "â€™" for a right quote — what ftfy fixes): a literal
+    replace chain over MOJIBAKE_TABLE, counting repairs per document.
+    Literal `replace` (not regexp) keeps the chain regex-dialect-free —
+    bit-identical across Spark and any SQL engine — and whole-stage
+    codegen'd; ``n_fixed`` counts occurrences in the ORIGINAL text
+    (valid because table entries are mutually non-creating).
+    """
+    fixed = F.col(text_col)
+    counts = []
+    for seq, rep in MOJIBAKE_TABLE:
+        counts.append(
+            (
+                (F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(seq), F.lit(""))))
+                / F.lit(len(seq))
+            ).cast("long")
+        )
+        fixed = F.replace(fixed, F.lit(seq), F.lit(rep))
+    n_fixed = counts[0]
+    for c in counts[1:]:
+        n_fixed = n_fixed + c
+    return df.select(
+        id_col, fixed.alias("text_fixed"), n_fixed.alias("n_fixed")
+    )

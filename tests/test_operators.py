@@ -1101,3 +1101,20 @@ def test_bpe_token_stats_hand_values(spark):
     assert got[1]["fertility"] == 2.0
     assert got[1]["bytes_per_token"] == round(10 / 6, 6)
     assert (got[2]["n_bpe_tokens"], got[2]["n_ws_tokens"]) == (1, 1)
+
+
+def test_fix_mojibake_hand_values(spark):
+    """cp1252-mojibake sequences restore to their original characters
+    with an exact repair count; clean text is untouched."""
+    from greenex_py_spark.functions.text import fix_mojibake
+
+    rows = [
+        (1, "cafÃ© crÃ¨me â€” voilÃ©"),
+        (2, "plain ascii stays"),
+        (3, "itâ€™s â€œquotedâ€¦ at 20Â°"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in fix_mojibake(docs).collect()}
+    assert (got[1]["text_fixed"], got[1]["n_fixed"]) == ("café crème — voilé", 4)
+    assert (got[2]["text_fixed"], got[2]["n_fixed"]) == ("plain ascii stays", 0)
+    assert (got[3]["text_fixed"], got[3]["n_fixed"]) == ("it’s “quoted… at 20°", 4)
