@@ -1312,6 +1312,43 @@ def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_allocation(docs, _MIX_TARGETS, _MIX_BUDGET)
 
 
+_PACK_SEQ_LEN = 128
+
+
+@register(
+    "q_pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tok, tok_start,
+       tok_start // {_PACK_SEQ_LEN} AS seq_first,
+       (tok_start + n_tok - 1) // {_PACK_SEQ_LEN} AS seq_last,
+       (tok_start + n_tok - 1) // {_PACK_SEQ_LEN}
+         - tok_start // {_PACK_SEQ_LEN} + 1 AS n_seqs
+FROM c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for a pretraining loader: docs (ws tokens + 1
+    EOS each) concatenated in doc_id order and sliced into seq_len=128
+    training sequences — per-doc global offset and spanned-sequence
+    range via the two-level distributed prefix sum (the oracle's flat
+    global window is exactly what the operator must NOT do at scale)."""
+    from .functions.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, _PACK_SEQ_LEN, bucket_width=1024)
+
+
 # documented fixture embedding dim (TESTDATA.md) — import-time fallback
 # only, used when the grading fixtures are absent (spark-submit dist zip,
 # bench on a foreign host); the grading path always reads the real dim

@@ -16,7 +16,7 @@ expressed in basis points so thresholds are exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -224,4 +224,69 @@ def mix_allocation(
         w.alias("target_weight"),
         epochs.alias("epochs"),
         F.least(F.lit(1.0), epochs).alias("sample_rate"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """[doc_id, n_tok, tok_start, seq_first, seq_last, n_seqs] — the
+    concat-and-chunk packing map every LLM pretraining loader needs:
+    docs are tokenized (whitespace tokens + 1 EOS each), concatenated in
+    doc_id order into one global token stream, and sliced into fixed
+    ``seq_len`` training sequences.  The output tells each document
+    exactly where it lands: its global token offset and the first/last
+    sequence indices it contributes to (``n_seqs`` > 1 means the doc
+    straddles a sequence boundary).
+
+    The global token offset is an exclusive prefix sum over doc_id
+    order — computed WITHOUT a single-partition global window, which
+    would funnel the whole corpus through one task at 100 TB.  Instead a
+    two-level scan: (1) doc_ids are range-bucketed
+    (``floor(id / bucket_width)``), (2) per-bucket token totals — a tiny
+    table, one row per bucket — get an exclusive cumsum in a one-
+    partition window that only ever sees #buckets rows, (3) the bucket
+    bases broadcast-join back and an intra-bucket window (partitioned by
+    bucket → parallelism = #buckets) adds the within-bucket offset.
+    Shuffle traffic is one hash partition of (id, n_tok) pairs — no
+    text moves.
+    """
+    ntok = (F.size(F.split(F.col(text_col), " ")) + F.lit(1)).cast("long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        ntok.alias("n_tok"),
+        F.floor(F.col(id_col) / F.lit(bucket_width)).alias("_bkt"),
+    )
+    bw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        base.groupBy("_bkt")
+        .agg(F.sum("n_tok").alias("_tot"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_tot").over(bw), F.lit(0)).alias("_base"),
+        )
+    )
+    iw = (
+        Window.partitionBy("_bkt")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_base") + F.coalesce(F.sum("n_tok").over(iw), F.lit(0))
+    first = F.floor(F.col("tok_start") / F.lit(seq_len))
+    last = F.floor((F.col("tok_start") + F.col("n_tok") - 1) / F.lit(seq_len))
+    return (
+        base.join(F.broadcast(bases), "_bkt")
+        .withColumn("tok_start", start)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tok",
+            "tok_start",
+            first.alias("seq_first"),
+            last.alias("seq_last"),
+            (last - first + F.lit(1)).alias("n_seqs"),
+        )
     )

@@ -1118,3 +1118,32 @@ def test_fix_mojibake_hand_values(spark):
     assert (got[1]["text_fixed"], got[1]["n_fixed"]) == ("café crème — voilé", 4)
     assert (got[2]["text_fixed"], got[2]["n_fixed"]) == ("plain ascii stays", 0)
     assert (got[3]["text_fixed"], got[3]["n_fixed"]) == ("it’s “quoted… at 20°", 4)
+
+
+def test_pack_sequences_hand_values(spark):
+    """Concat-and-chunk packing map: offsets are an exclusive prefix sum
+    of (ws tokens + 1 EOS) in doc_id order; a doc spanning a seq_len
+    boundary reports every sequence it touches.  bucket_width=2 forces
+    the cross-bucket base path of the two-level prefix sum."""
+    from greenex_py_spark.functions.sampling import pack_sequences
+
+    rows = [(0, "a b c"), (1, "d e"), (2, "f g h i j k"), (3, "l")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, seq_len=4, bucket_width=2).collect()
+    }
+    # (n_tok, tok_start, seq_first, seq_last, n_seqs)
+    want = {
+        0: (4, 0, 0, 0, 1),
+        1: (3, 4, 1, 1, 1),
+        2: (7, 7, 1, 3, 3),
+        3: (2, 14, 3, 3, 1),
+    }
+    for d, w in want.items():
+        r = got[d]
+        assert (
+            r["n_tok"], r["tok_start"], r["seq_first"], r["seq_last"], r["n_seqs"]
+        ) == w, d
+    # total stream length 16 = exactly 4 sequences of 4
+    assert got[3]["tok_start"] + got[3]["n_tok"] == 16
