@@ -582,6 +582,82 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_url_canonical"] = _url_canonical_oracle()
 
 
+# shared blocklist spec for q_url_blocklist: rules and URL variants both
+# generated from these literals so Spark and the oracle cannot drift
+_BLOCK_RULES: list[tuple[int, str, str | None]] = [
+    (1, "ads.example", None),
+    (2, "adnet.io", None),
+    (3, "sample.net", "/casino"),
+]
+_BLOCK_URL_CASES: list[str] = [
+    "'https://site' || CAST(doc_id // 7 AS VARCHAR) || '.example/a/b'",
+    "'https://ads.example/banner?x=1'",
+    "'https://sub.adnet.io/t' || CAST(doc_id // 7 AS VARCHAR)",
+    "'https://blog.sample.net/casino/room' || CAST(doc_id // 7 AS VARCHAR)",
+    "'https://blog.sample.net/news/' || CAST(doc_id // 7 AS VARCHAR)",
+]
+
+
+def _url_blocklist_oracle() -> str:
+    from .functions.dedup import _URL_HOST_RE, _URL_PREFIX_RE
+
+    variants = (
+        "CASE doc_id % 5 "
+        + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_BLOCK_URL_CASES))
+        + " END"
+    )
+    rules = ", ".join(
+        f"({rid}, '{dom}', " + (f"'{pre}'" if pre is not None else "CAST(NULL AS VARCHAR)") + ")"
+        for rid, dom, pre in _BLOCK_RULES
+    )
+    return f"""
+WITH u AS (SELECT doc_id, {variants} AS url FROM documents),
+h AS (SELECT doc_id,
+        lower(regexp_extract(url, '{_URL_HOST_RE}', 1)) AS host,
+        regexp_extract(regexp_replace(url, '{_URL_PREFIX_RE}', '', 'g'),
+                       '^[^?#]*', 0) AS path
+      FROM u),
+r(rule_id, domain, path_prefix) AS (VALUES {rules}),
+j AS (SELECT h.doc_id, h.host,
+        CAST(COALESCE(min(r.rule_id), -1) AS BIGINT) AS rule_id
+      FROM h LEFT JOIN r
+        ON (h.host = r.domain OR ends_with(h.host, '.' || r.domain))
+       AND (r.path_prefix IS NULL OR starts_with(h.path, r.path_prefix))
+      GROUP BY h.doc_id, h.host)
+SELECT doc_id, host, rule_id, rule_id != -1 AS blocked FROM j
+"""
+
+
+@register("q_url_blocklist")
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style URL blocklist filter over planted crawl URLs: exact
+    and subdomain matches on blocked domains plus one domain+path-prefix
+    rule, with a clean case sharing the blocked domain but not the path
+    (proves the prefix is actually checked).  Blocklist broadcast into a
+    non-equi LEFT join; lowest matching rule wins."""
+    from .functions.dedup import url_blocklist
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    k = (did / 7).cast("long").cast("string")
+    url = (
+        F.when(did % 5 == 0, F.concat(F.lit("https://site"), k, F.lit(".example/a/b")))
+        .when(did % 5 == 1, F.lit("https://ads.example/banner?x=1"))
+        .when(did % 5 == 2, F.concat(F.lit("https://sub.adnet.io/t"), k))
+        .when(did % 5 == 3, F.concat(F.lit("https://blog.sample.net/casino/room"), k))
+        .otherwise(F.concat(F.lit("https://blog.sample.net/news/"), k))
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    rules = spark.createDataFrame(
+        [(rid, dom, pre) for rid, dom, pre in _BLOCK_RULES],
+        "rule_id long, domain string, path_prefix string",
+    )
+    return url_blocklist(urls, rules)
+
+
+ORACLES["q_url_blocklist"] = _url_blocklist_oracle()
+
+
 @register(
     "q_token_stats",
     f"""
@@ -1347,6 +1423,46 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pack_sequences(docs, _PACK_SEQ_LEN, bucket_width=1024)
+
+
+def _classifier_oracle() -> str:
+    """Generated from the SAME shared constants as the operator (the
+    mojibake device): md5-hashing-trick bucket, LCG weight, exact
+    integer sum, one final division."""
+    from .functions.text import CLS_A, CLS_BUCKETS, CLS_C, CLS_M, CLS_SCALE
+
+    w = (
+        f"(CAST(CAST('0x' || substr(md5(t), 1, 7) AS UBIGINT) AS BIGINT)"
+        f" % {CLS_BUCKETS} * {CLS_A} + {CLS_C}) % {CLS_M} - {CLS_SCALE}"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         CAST(list_sum(list_transform(string_split(text, ' '), t -> {w}))
+              AS BIGINT) AS s
+  FROM documents
+)
+SELECT doc_id, n_toks,
+       s / ({CLS_SCALE}.0 * n_toks) AS quality_score,
+       s > 0 AS keep
+FROM t
+"""
+
+
+@register("q_classifier_score")
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier inference (the CCNet /
+    LLaMA quality keep/drop stage): hashing-trick buckets, deterministic
+    LCG weights, per-doc mean score, sign-exact keep flag — a pure map
+    stage with no vocabulary join."""
+    from .functions.text import hashed_classifier_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hashed_classifier_score(docs)
+
+
+ORACLES["q_classifier_score"] = _classifier_oracle()
 
 
 # documented fixture embedding dim (TESTDATA.md) — import-time fallback

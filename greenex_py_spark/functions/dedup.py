@@ -378,6 +378,73 @@ def canonicalize_url_sql(expr: str) -> str:
     return f"({prefix} || {path} || {query})"
 
 
+_URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+
+
+def url_blocklist(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[doc_id, host, rule_id, blocked] — UT1-style URL blocklist
+    filtering (the adult/ads/malware domain filter every crawl pipeline
+    runs first): ``rules`` is a [rule_id, domain, path_prefix] table; a
+    URL is blocked when its host equals the rule domain OR is a
+    subdomain of it (suffix match on ``.domain``), and — when the rule
+    carries a ``path_prefix`` — its path starts with that prefix.
+    ``rule_id`` is the LOWEST matching rule (-1 = clean) so overlapping
+    rules resolve deterministically; ``blocked`` is the keep/drop flag.
+
+    Shape: "host equals or is a subdomain of ``domain``" is EXACTLY
+    "``domain`` is in the host's dot-suffix chain" (a.b.c → {a.b.c,
+    b.c, c}), so the host explodes into its ≤ #labels suffixes and
+    equi-joins ``suffix = domain`` — a BroadcastHashJoin against the
+    broadcast blocklist (real UT1 lists are a few million short rows —
+    megabytes, the canonical broadcast dim).  A raw OR-of-endswith
+    predicate would force a BroadcastNestedLoopJoin: O(docs x rules)
+    per-row rule scans, dead at list scale.  The path-prefix test rides
+    the same join as a residual filter; the min-rule groupBy shuffles
+    only (id, host, rule_id) triples — document text never moves.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_HOST_RE, 1))
+    path = F.regexp_extract(
+        F.regexp_replace(F.col(url_col), _URL_PREFIX_RE, ""), "^[^?#]*", 0
+    )
+    h = df.select(
+        F.col(id_col).alias("_id"), host.alias("host"), path.alias("_path")
+    )
+    # lambda only touches the _labels COLUMN (per the HOF mandate: the
+    # split itself is bound once in the select, not re-run per element)
+    nlab = F.size("_labels")
+    cand = h.withColumn("_labels", F.split(F.col("host"), "\\.")).select(
+        "_id",
+        "host",
+        "_path",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nlab - 1),
+                lambda i: F.array_join(F.slice("_labels", i + 1, nlab - i), "."),
+            )
+        ).alias("_suffix"),
+    )
+    cond = (F.col("_suffix") == F.col("domain")) & (
+        F.col("path_prefix").isNull()
+        | F.col("_path").startswith(F.col("path_prefix"))
+    )
+    return (
+        cand.join(F.broadcast(rules), cond, "left")
+        .groupBy("_id", "host")
+        .agg(F.coalesce(F.min("rule_id"), F.lit(-1)).alias("rule_id"))
+        .select(
+            F.col("_id").alias(id_col),
+            "host",
+            "rule_id",
+            (F.col("rule_id") != -1).alias("blocked"),
+        )
+    )
+
+
 def url_duplicates(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
     """[canonical_url, rep_id, n_dups] — URL-level duplicate groups
     after canonicalization (size ≥ 2; rep = min id).  Shuffles the

@@ -716,3 +716,61 @@ def fix_mojibake(
     return df.select(
         id_col, fixed.alias("text_fixed"), n_fixed.alias("n_fixed")
     )
+
+
+# Deterministic "trained" weights for the hashed linear classifier: the
+# hashing-trick bucket count and an LCG that maps bucket -> integer
+# weight in [-CLS_SCALE, CLS_SCALE].  Integer-exact end to end (portable
+# across Spark/DuckDB); only the FINAL per-doc mean divides.
+CLS_BUCKETS = 4096
+CLS_A = 1103515245
+CLS_C = 12345
+CLS_M = 2 * 1000 + 1  # odd modulus -> weights in [-1000, 1000]
+CLS_SCALE = 1000
+
+
+def hashed_classifier_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_toks, quality_score, keep] — fastText-style linear quality
+    classifier INFERENCE (the CCNet/LLaMA "Wikipedia-reference"
+    keep/drop filter stage): each ws token is hashed into one of
+    CLS_BUCKETS hashing-trick buckets (md5-derived, engine-portable),
+    each bucket carries a deterministic weight (LCG over the bucket id,
+    standing in for trained coefficients), and the document score is the
+    mean token weight; ``keep`` is the sign test on the EXACT integer
+    weight sum, so no float threshold can flip on summation order.
+
+    Shape: zero shuffles — split once, one single-level ``transform``
+    over the token array (md5 evaluated once per token; never nested,
+    per the HOF mandate), one integer ``aggregate``.  A pure map stage:
+    embarrassingly parallel at any corpus size, no vocabulary table to
+    broadcast or join (the hashing trick is WHY fastText scales).
+    """
+    t = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    weights = F.transform(
+        "_toks",
+        lambda tok: (
+            F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long")
+            % CLS_BUCKETS
+            * CLS_A
+            + CLS_C
+        )
+        % CLS_M
+        - CLS_SCALE,
+    )
+    s = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n = F.size("_toks")
+    # UNROUNDED on purpose (exception to the round-6 convention): s and
+    # n are exact integers, so the single division is bit-identical on
+    # any IEEE engine — rounding would CREATE cross-engine ties (a
+    # score of -0.0641875 at 6 dp: Spark HALF_UPs the decimal string,
+    # DuckDB rounds the binary double; caught by the sf0.1 sweep).
+    return t.select(
+        F.col("_id").alias(id_col),
+        n.cast("long").alias("n_toks"),
+        (s / (F.lit(float(CLS_SCALE)) * n)).alias("quality_score"),
+        (s > 0).alias("keep"),
+    )

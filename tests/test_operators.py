@@ -1147,3 +1147,58 @@ def test_pack_sequences_hand_values(spark):
         ) == w, d
     # total stream length 16 = exactly 4 sequences of 4
     assert got[3]["tok_start"] + got[3]["n_tok"] == 16
+
+
+def test_hashed_classifier_score_python_oracle(spark):
+    """Classifier inference matches an independent Python recomputation
+    of the md5 hashing-trick + LCG weights; keep is the exact sign of
+    the integer weight sum and the score is the UNROUNDED quotient."""
+    import hashlib as _h
+
+    from greenex_py_spark.functions.text import (
+        CLS_A, CLS_BUCKETS, CLS_C, CLS_M, CLS_SCALE, hashed_classifier_score,
+    )
+
+    def w(tok):
+        b = int(_h.md5(tok.encode()).hexdigest()[:7], 16) % CLS_BUCKETS
+        return (b * CLS_A + CLS_C) % CLS_M - CLS_SCALE
+
+    rows = [(1, "the quick brown fox"), (2, "zzz"), (3, "a a a b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in hashed_classifier_score(docs).collect()}
+    for did, text in rows:
+        toks = text.split(" ")
+        s = sum(w(t) for t in toks)
+        r = got[did]
+        assert r["n_toks"] == len(toks)
+        assert r["quality_score"] == s / (CLS_SCALE * len(toks))
+        assert r["keep"] == (s > 0)
+
+
+def test_url_blocklist_hand_values(spark):
+    """Blocklist semantics: exact host, subdomain suffix (but NOT a
+    mere substring), path-prefix gating, lowest rule id on overlap,
+    -1 for clean."""
+    from greenex_py_spark.functions.dedup import url_blocklist
+
+    rules = spark.createDataFrame(
+        [(1, "bad.example", None), (2, "sample.net", "/casino"), (3, "bad.example", None)],
+        "rule_id long, domain string, path_prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://bad.example/x"),          # exact host → rule 1 (not 3)
+            (2, "https://a.bad.example/x"),        # subdomain → blocked
+            (3, "https://notbad.example/x"),       # substring, NOT subdomain → clean
+            (4, "https://www.sample.net/casino/9"),# domain + path prefix → rule 2
+            (5, "https://www.sample.net/news/9"),  # domain matches, path doesn't → clean
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r for r in url_blocklist(urls, rules).collect()}
+    assert (got[1]["rule_id"], got[1]["blocked"]) == (1, True)
+    assert (got[2]["rule_id"], got[2]["blocked"]) == (1, True)
+    assert (got[3]["rule_id"], got[3]["blocked"]) == (-1, False)
+    assert got[3]["host"] == "notbad.example"
+    assert (got[4]["rule_id"], got[4]["blocked"]) == (2, True)
+    assert (got[5]["rule_id"], got[5]["blocked"]) == (-1, False)
