@@ -1388,6 +1388,66 @@ def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_allocation(docs, _MIX_TARGETS, _MIX_BUDGET)
 
 
+_ZIPF_TOP_R = 50
+
+
+@register(
+    "q_zipf_slope",
+    f"""
+WITH c AS (
+  SELECT source AS domain, tok, count(*) AS cnt
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+), r AS (
+  SELECT domain, cnt,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY cnt DESC, tok ASC) AS rank
+  FROM c
+)
+SELECT domain,
+       round(regr_slope(log10(cnt), log10(rank)), 6) AS zipf_slope,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM r WHERE rank <= {_ZIPF_TOP_R} GROUP BY domain
+""",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain Zipf exponent over the top-50 terms via the exact
+    salted two-phase top-k (no task sorts a full domain vocabulary);
+    the oracle is the naive single-window SQL."""
+    from .functions.text import zipf_slope
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_slope(docs, _ZIPF_TOP_R)
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "q_shard_shuffle",
+    f"""
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+              AS UBIGINT) % {_N_SHARDS} AS BIGINT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos
+FROM t
+""",
+)
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order reproducibility:
+    md5-bucket shard + md5-ranked position within shard — replayable
+    from ids alone, no RNG state, window parallelism = n_shards."""
+    from .functions.sampling import shard_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return shard_shuffle(docs, _N_SHARDS)
+
+
 _PACK_SEQ_LEN = 128
 
 

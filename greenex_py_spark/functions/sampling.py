@@ -290,3 +290,33 @@ def pack_sequences(
             (last - first + F.lit(1)).alias("n_seqs"),
         )
     )
+
+
+def shard_shuffle(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """[doc_id, shard, pos] — deterministic global shuffle for a
+    training loader: every document gets a reproducible pseudo-random
+    position (shard file + offset) derived ONLY from its id, so the
+    exact example order of a run can be replayed byte-for-byte (no RNG
+    state, no partition-count dependence).  ``shard`` is an md5 bucket
+    of the id, ``pos`` the rank of the md5 digest within the shard
+    (digest ties impossible below md5 collisions; id breaks them
+    anyway).
+
+    Shape: one hash shuffle of (id, digest) pairs and a window
+    PARTITIONED BY shard — parallelism = n_shards, each task ranks
+    ~corpus/n_shards rows; pick n_shards ≍ output files at scale (a
+    global ORDER BY would sort the whole corpus through a range
+    exchange for the same answer).
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 7), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("_key"), shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -774,3 +774,57 @@ def hashed_classifier_score(
         (s / (F.lit(float(CLS_SCALE)) * n)).alias("quality_score"),
         (s > 0).alias("keep"),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    top_r: int = 50,
+    n_salts: int = 8,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """[domain, zipf_slope, n_terms] — per-domain Zipf exponent: the
+    regression slope of log10(frequency) on log10(rank) over the top_r
+    most frequent terms (natural text sits near -1; templated/spammy
+    domains flatten — a corpus-health signal curation dashboards track).
+
+    The top-k is TWO-PHASE exact: term counts are salted into n_salts
+    sub-partitions, each takes its local top_r by (count desc, token
+    asc) in a window, and only those n_salts x top_r survivors per
+    domain meet the final window — the global top_r is always a subset
+    of the union of per-salt top_rs, so no single task ever sorts a
+    domain's full vocabulary (the naive PARTITION BY domain window
+    would; vocabularies reach 1e8+ terms per domain at corpus scale).
+    Ranking ties break on the token string, so the rank-boundary cut is
+    engine-deterministic.
+    """
+    cnt = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("domain", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    salt = F.pmod(F.xxhash64("tok"), F.lit(n_salts))
+    w1 = Window.partitionBy("domain", "_salt").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    cand = (
+        cnt.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= top_r)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy("domain").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    top = cand.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= top_r
+    )
+    return top.groupBy("domain").agg(
+        F.round(F.regr_slope(F.log10("cnt"), F.log10("rank")), 6).alias(
+            "zipf_slope"
+        ),
+        F.count("*").alias("n_terms"),
+    )

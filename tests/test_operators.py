@@ -1202,3 +1202,51 @@ def test_url_blocklist_hand_values(spark):
     assert got[3]["host"] == "notbad.example"
     assert (got[4]["rule_id"], got[4]["blocked"]) == (2, True)
     assert (got[5]["rule_id"], got[5]["blocked"]) == (-1, False)
+
+
+def test_shard_shuffle_python_oracle(spark):
+    """Shard assignment matches an independent md5 recomputation; each
+    shard's positions are exactly 1..shard_size (dense, no gaps)."""
+    import hashlib as _h
+
+    from greenex_py_spark.functions.sampling import shard_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    rows = shard_shuffle(docs, 4).collect()
+    assert len(rows) == 97
+    by_shard = {}
+    for r in rows:
+        want_shard = int(_h.md5(str(r["doc_id"]).encode()).hexdigest()[:7], 16) % 4
+        assert r["shard"] == want_shard
+        by_shard.setdefault(r["shard"], []).append(r)
+    for srows in by_shard.values():
+        assert sorted(r["pos"] for r in srows) == list(range(1, len(srows) + 1))
+        # pos order == md5-digest order within the shard
+        in_pos = sorted(srows, key=lambda r: r["pos"])
+        digs = [_h.md5(str(r["doc_id"]).encode()).hexdigest() for r in in_pos]
+        assert digs == sorted(digs)
+
+
+def test_zipf_slope_hand_values(spark):
+    """Two-phase salted top-k reproduces the naive ranking exactly, and
+    the slope matches a NumPy least-squares fit on log-log rank/freq."""
+    import numpy as np
+
+    from greenex_py_spark.functions.text import zipf_slope
+
+    # freqs: aa x 8, bb x 4, cc x 2, dd x 1  (plus a second domain)
+    t1 = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    t2 = " ".join(["xx"] * 9 + ["yy"] * 3 + ["zz"])
+    docs = spark.createDataFrame(
+        [(1, "d1", t1), (2, "d2", t2)], "doc_id long, source string, text string"
+    )
+    got = {
+        r["domain"]: r
+        for r in zipf_slope(docs, top_r=3, n_salts=4, domain_col="source").collect()
+    }
+    for dom, freqs in [("d1", [8, 4, 2]), ("d2", [9, 3, 1])]:
+        x = np.log10(np.arange(1, len(freqs) + 1))
+        y = np.log10(np.array(freqs, dtype=float))
+        want = np.polyfit(x, y, 1)[0]
+        assert got[dom]["n_terms"] == 3
+        assert abs(got[dom]["zipf_slope"] - want) < 1e-6, dom
