@@ -1388,6 +1388,95 @@ def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_allocation(docs, _MIX_TARGETS, _MIX_BUDGET)
 
 
+@register(
+    "q_geoparse_green",
+    _CTE + f""",
+gaz AS (SELECT 'Park_' || CAST(gs_id AS VARCHAR) AS name, gs_id, cx, cy
+        FROM greens),
+a AS (SELECT doc_id,
+        text || ' see Park_' || CAST(doc_id % {{n_gs}} AS VARCHAR)
+             || ' and Park_' || CAST((doc_id * 7 + 3) % 97 AS VARCHAR)
+             || ' .' AS text
+      FROM documents),
+m AS (SELECT doc_id, unnest(regexp_extract_all(text, 'Park_[0-9]+')) AS name
+      FROM a)
+SELECT m.doc_id, m.name, g.gs_id,
+       {{cell}} AS cell,
+       round({{ndvi}}, 6) AS ndvi
+FROM m JOIN gaz g USING (name)
+""".format(
+        n_gs=city.N_GS,
+        cell=city.cell_expr_sql("g.cx", "g.cy"),
+        ndvi=city.NDVI_SQL.format(px_x="g.cx", px_y="g.cy"),
+    ),
+)
+def q_geoparse_green(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toponym geoparsing composite — the webtext → geospatial bridge:
+    two park mentions planted per document (the second often missing
+    from the gazetteer, so the resolution gap shows as dropped rows),
+    regex-extracted, broadcast-resolved against the greenspace-centroid
+    gazetteer, then cell-indexed and NDVI-scored at the resolved
+    coordinates via the shared city formulas."""
+    from .functions.geoparse import geoparse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see Park_"), (did % city.N_GS).cast("string"),
+            F.lit(" and Park_"), ((did * 7 + 3) % 97).cast("string"),
+            F.lit(" ."),
+        ).alias("text"),
+    )
+    gaz = city.greenspace_df(spark).select(
+        F.concat(F.lit("Park_"), F.col("gs_id").cast("string")).alias("name"),
+        "gs_id", "cx", "cy",
+    )
+    res = geoparse(aug, gaz, "Park_[0-9]+")
+    return res.select(
+        "doc_id",
+        "name",
+        "gs_id",
+        F.expr(city.cell_expr_sql("cx", "cy")).alias("cell"),
+        F.round(F.expr(city.NDVI_SQL.format(px_x="cx", px_y="cy")), 6).alias(
+            "ndvi"
+        ),
+    )
+
+
+def _hll_oracle() -> str:
+    from .functions.sketches import hll_distinct_sql
+
+    return hll_distinct_sql(
+        "(SELECT source AS domain, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents)",
+        "tok",
+        ["domain"],
+    )
+
+
+@register("q_hll_distinct")
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain vocabulary size via the portable deterministic HLL
+    sketch (md5 buckets, hex-run rho, exact int64 register sum): no
+    distinct shuffle, at most 256 sketch rows per domain move."""
+    from .functions.sketches import hll_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.col("source").alias("domain"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    return hll_distinct(toks, "tok", ["domain"])
+
+
+ORACLES["q_hll_distinct"] = _hll_oracle()
+
+
 _ZIPF_TOP_R = 50
 
 

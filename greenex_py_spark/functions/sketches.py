@@ -121,3 +121,106 @@ def heavy_hitters(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# HLL: m = 2^8 buckets from the first 2 md5 hex chars; rho from the next
+# 13 hex chars (52 bits).  All arithmetic below is integer-exact until
+# ONE final double division/log, so the estimator itself (not just its
+# inputs) is engine-portable.
+HLL_M = 256
+_HLL_SCALE = 1 << 53  # per-bucket term 2^(53 - rho); sum <= 2^61, int64-safe
+# alpha_m * m^2 * 2^53, precomputed as one double literal so both engines
+# perform exactly one multiplication-free division by the exact int sum
+_HLL_C = 4.2399330249068963e+20
+# leading zero bits of the first NONZERO hex digit
+_HLL_LZ4 = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """[*group_cols, est_distinct] — deterministic HyperLogLog distinct
+    count (Flajolet et al. 2007, with the standard linear-counting
+    small-range correction).  Unlike `approx_count_distinct` (whose HLL++
+    is JVM-internal and engine-specific), every step here is portable:
+    bucket = first 2 md5 hex chars, rho = leading-zero count of the next
+    52 bits extracted by HEX-STRING arithmetic (run of '0 'chars x 4 +
+    a 7-way CASE on the first nonzero digit — no log2, no bit_length
+    dialect), and the register sum is SUM(2^(53-rho)) in exact int64,
+    so the one final division is bit-identical on any IEEE engine.
+
+    Scale shape vs `kmv_distinct`: NO distinct shuffle and NO window —
+    the sketch is a partial-aggregable max per (group, bucket), so the
+    shuffle carries at most m=256 rows per group regardless of group
+    cardinality; merging sketches = max of maxes (the property that
+    makes HLL the 100 TB unique-URL/vocabulary counter).
+    """
+    gcols = group_cols or []
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    hex13 = F.substring(h, 3, 13)
+    z = F.length(F.regexp_extract(hex13, "^0*", 0))
+    d = F.substring(hex13, (z + 1).cast("int"), 1)
+    lz4 = F.lit(0)
+    for dig, n in _HLL_LZ4.items():
+        lz4 = F.when(d == dig, n).otherwise(lz4)
+    rho = F.when(z == 13, F.lit(53)).otherwise(z * 4 + lz4 + 1)
+    regs = (
+        df.select(*gcols, bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy(*gcols, "_b")
+        .agg(F.max("_rho").alias("_mr"))
+    )
+    sk = regs.groupBy(*gcols).agg(
+        F.count("*").alias("_nz"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - _mr)")).alias("_snz"),
+    )
+    sum_z = (F.lit(HLL_M) - F.col("_nz")) * F.lit(_HLL_SCALE) + F.col("_snz")
+    v_empty = F.lit(HLL_M) - F.col("_nz")
+    raw = F.lit(_HLL_C) / sum_z
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty),
+    ).otherwise(raw)
+    return sk.select(*gcols, F.round(est, 3).alias("est_distinct"))
+
+
+def hll_distinct_sql(
+    table_sql: str, value_expr: str, group_cols: list[str]
+) -> str:
+    """The identical estimator as DuckDB SQL (generated from the same
+    constants — same bucket, same hex-run rho, same exact int sum)."""
+    g = ", ".join(group_cols)
+    case = " ".join(f"WHEN '{dig}' THEN {n}" for dig, n in _HLL_LZ4.items())
+    return f"""
+WITH h AS (
+  SELECT {g},
+         CAST(CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 2)
+              AS UBIGINT) AS BIGINT) AS b,
+         substr(md5(CAST({value_expr} AS VARCHAR)), 3, 13) AS hex13
+  FROM {table_sql}
+), r AS (
+  SELECT {g}, b,
+         CASE WHEN length(regexp_extract(hex13, '^0*', 0)) = 13 THEN 53
+              ELSE length(regexp_extract(hex13, '^0*', 0)) * 4
+                   + CASE substr(hex13, length(regexp_extract(hex13, '^0*', 0)) + 1, 1)
+                     {case} ELSE 0 END + 1
+         END AS rho
+  FROM h
+), regs AS (
+  SELECT {g}, b, max(rho) AS mr FROM r GROUP BY {g}, b
+), sk AS (
+  SELECT {g}, count(*) AS nz,
+         sum(CAST(1 AS BIGINT) << (53 - mr)) AS snz
+  FROM regs GROUP BY {g}
+)
+SELECT {g},
+       round(CASE WHEN {_HLL_C!r} / (({HLL_M} - nz) * {_HLL_SCALE} + snz)
+                       <= {2.5 * HLL_M}
+                  AND {HLL_M} - nz > 0
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nz))
+             ELSE {_HLL_C!r} / (({HLL_M} - nz) * {_HLL_SCALE} + snz)
+             END, 3) AS est_distinct
+FROM sk
+"""

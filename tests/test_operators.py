@@ -1250,3 +1250,60 @@ def test_zipf_slope_hand_values(spark):
         want = np.polyfit(x, y, 1)[0]
         assert got[dom]["n_terms"] == 3
         assert abs(got[dom]["zipf_slope"] - want) < 1e-6, dom
+
+
+def test_hll_distinct_python_oracle(spark):
+    """HLL estimate matches an independent Python simulation of the
+    md5-bucket/hex-rho/int-register estimator bit-for-bit, and lands
+    within the m=256 theoretical error band of the truth."""
+    import hashlib as _h
+    import math
+
+    from greenex_py_spark.functions.sketches import (
+        HLL_M, _HLL_C, _HLL_LZ4, _HLL_SCALE, hll_distinct,
+    )
+
+    vals = [f"tok{i % 700}" for i in range(5000)]  # 700 distinct
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    got = hll_distinct(df, "tok").collect()[0]["est_distinct"]
+
+    regs = {}
+    for v in set(vals):
+        hx = _h.md5(v.encode()).hexdigest()
+        b = int(hx[:2], 16)
+        hex13 = hx[2:15]
+        z = len(hex13) - len(hex13.lstrip("0"))
+        rho = 53 if z == 13 else z * 4 + _HLL_LZ4.get(hex13[z], 0) + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    nz = len(regs)
+    sum_z = (HLL_M - nz) * _HLL_SCALE + sum(1 << (53 - r) for r in regs.values())
+    raw = _HLL_C / sum_z
+    want = (
+        HLL_M * math.log(HLL_M / (HLL_M - nz))
+        if raw <= 2.5 * HLL_M and nz < HLL_M
+        else raw
+    )
+    assert got == round(want, 3)
+    assert abs(got - 700) / 700 < 3 * 1.04 / math.sqrt(HLL_M)
+
+
+def test_geoparse_hand_values(spark):
+    """All regex mentions extract (including repeats), unresolved names
+    drop out, gazetteer attributes ride along."""
+    from greenex_py_spark.functions.geoparse import geoparse
+
+    docs = spark.createDataFrame(
+        [
+            (1, "met at Park_3 then Park_7 again Park_3"),
+            (2, "no places here"),
+            (3, "ghost Park_99 only"),
+        ],
+        "doc_id long, text string",
+    )
+    gaz = spark.createDataFrame(
+        [("Park_3", 30.0, 300.0), ("Park_7", 70.0, 700.0)],
+        "name string, cx double, cy double",
+    )
+    rows = geoparse(docs, gaz, "Park_[0-9]+").collect()
+    got = sorted((r["doc_id"], r["name"], r["cx"]) for r in rows)
+    assert got == [(1, "Park_3", 30.0), (1, "Park_3", 30.0), (1, "Park_7", 70.0)]
