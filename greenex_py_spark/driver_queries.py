@@ -1614,6 +1614,80 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_classifier_score"] = _classifier_oracle()
 
 
+@register(
+    "q_score_percentiles",
+    f"""
+WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+           FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE) AS nstop,
+         (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mean_len
+  FROM t
+), q AS (
+  SELECT doc_id, lang,
+         round(least(n / 64.0, 1.0)
+               * (1.0 - least(nstop / n * 4.0, 1.0))
+               * (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                       THEN 1.0 ELSE 0.5 END), 3) AS score
+  FROM s
+)
+SELECT lang, doc_id, score,
+       percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id)
+         AS pct_rank
+FROM q
+""",
+)
+def q_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile calibration of the quality score (the
+    CCNet normalize-before-bucketing step) via the histogram two-level
+    rank — exact percent_rank semantics without a per-language
+    single-task window; the oracle IS that naive window."""
+    from .functions.sampling import score_percentiles
+    from .functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return score_percentiles(scored, "quality", ["lang"])
+
+
+@register(
+    "q_repeat_plan",
+    f"""
+WITH per AS (
+  SELECT source AS domain,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), a AS (
+  SELECT domain,
+         round({_MIX_CASE} * CAST({_MIX_BUDGET} AS DOUBLE) / n_tokens, 6)
+           AS epochs
+  FROM per
+)
+SELECT doc_id, domain, epochs,
+       CAST(floor(epochs) AS BIGINT)
+       + CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS UBIGINT) % 10000 AS BIGINT)
+                   < CAST(trunc((epochs - floor(epochs)) * 10000) AS BIGINT)
+              THEN 1 ELSE 0 END AS n_copies
+FROM (SELECT doc_id, source AS domain FROM documents) d
+JOIN a USING (domain)
+""",
+)
+def q_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-side mixture realization: per-document repeat counts
+    (floor(epochs) everywhere + a deterministic md5-bucket extra epoch
+    for the fractional share), broadcast-joined from the per-domain
+    allocation dim."""
+    from .functions.sampling import repeat_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeat_plan(docs, _MIX_TARGETS, _MIX_BUDGET)
+
+
 # documented fixture embedding dim (TESTDATA.md) — import-time fallback
 # only, used when the grading fixtures are absent (spark-submit dist zip,
 # bench on a foreign host); the grading path always reads the real dim
@@ -2999,6 +3073,47 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
                 "sum_disc_e4", "avg_qty_e4", "count_order")
+    )
+
+
+@register(
+    "q_asof_join",
+    """
+SELECT l.event_id, l.user_id,
+       coalesce(strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f'), '-') AS view_ts,
+       coalesce(round(r.value, 6), -1.0) AS view_value
+FROM (SELECT * FROM events WHERE event_type <> 'view') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal attribution: every non-view event joined as-of to the
+    latest view at-or-before it per user (the "which page view preceded
+    this click" join).  The oracle is DuckDB's native ASOF LEFT JOIN;
+    the engine realizes it with zero joins — one shuffle on user_id and
+    an ordered window carrying the latest view struct forward.  Misses
+    surface as '-'/-1.0 sentinels (both engines) so the hash never
+    depends on null-dtype coercion; the matched ts is a formatted
+    string because the parquet ts is TIMESTAMP_NTZ (tz-free on both
+    engines, same convention as q_sessionize)."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") != "view").select(
+        "event_id", "user_id", "ts"
+    )
+    res = asof_join(clicks, views, "user_id", "ts", ["value"], tiebreak_col="event_id")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("-")
+        ).alias("view_ts"),
+        F.coalesce(F.round("value_asof", 6), F.lit(-1.0)).alias("view_value"),
     )
 
 

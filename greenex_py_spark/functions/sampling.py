@@ -320,3 +320,99 @@ def shard_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def repeat_plan(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[doc_id, domain, epochs, n_copies] — the loader-side realization
+    of `mix_allocation`: every document's exact repeat count under the
+    mixture.  A domain with epochs = e contributes floor(e) full copies
+    of every doc plus one extra copy for the deterministic hash-sampled
+    frac(e) of docs (same md5 bucket contract as `hash_split`, so WHICH
+    docs get the extra epoch is stable across runs/engines/scales).
+    Feeding `pack_sequences`/`shard_shuffle` downstream, the repeat
+    explode is `explode(sequence(1, n_copies))` — still no RNG.
+
+    The fractional threshold is TRUNCATED (not rounded) from the
+    round-6 epochs: both engines truncate the bit-identical double, so
+    no half-tie can flip a bucket (the q_classifier_score lesson).
+
+    Shape: the allocation is a per-domain dim (broadcast by
+    construction); everything else is codegen over the scan.
+    """
+    alloc = mix_allocation(df, targets, budget_tokens, domain_col, text_col)
+    full = F.floor(F.col("epochs")).cast("long")
+    thr = (
+        ((F.col("epochs") - F.floor(F.col("epochs"))) * 10000)
+        .cast("long")
+    )
+    extra = F.when(_bucket(id_col) < thr, 1).otherwise(0)
+    return (
+        df.select(F.col(id_col), F.col(domain_col).alias("domain"))
+        .join(F.broadcast(alloc.select("domain", "epochs")), "domain")
+        .select(
+            id_col,
+            "domain",
+            "epochs",
+            (full + extra).alias("n_copies"),
+        )
+    )
+
+
+def score_percentiles(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """[*group_cols, doc_id, score, pct_rank] — per-group percentile
+    calibration of a score column (CCNet normalizes its LM quality
+    per LANGUAGE before bucketing precisely because raw score scales
+    aren't comparable across languages).  ``pct_rank`` is exactly SQL's
+    ``percent_rank() OVER (PARTITION BY group ORDER BY score, id)``:
+    the id tiebreak makes every rank unique, so the result is
+    engine-exact ((rank-1)/(n-1), 0 for singleton groups).
+
+    Scale shape — the naive window partitions by GROUP, funnelling each
+    group (a whole language!) through one task.  Instead the
+    pack_sequences two-level scan keyed by (group, score histogram
+    bucket): per-bucket counts cumsum'd in a window that only sees
+    ≤ n_buckets rows per group, bases broadcast back, final ranking
+    window partitioned by (group, bucket) — parallelism = groups x
+    buckets, each task sorts one bucket's sliver.
+    """
+    g = list(group_cols)
+    b = F.floor(F.col(score_col) * n_buckets).cast("long")
+    base = df.select(
+        *g, F.col(id_col), F.col(score_col).alias("score"), b.alias("_b")
+    )
+    hw = (
+        Window.partitionBy(*g)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        base.groupBy(*g, "_b")
+        .agg(F.count("*").alias("_c"))
+        .select(
+            *g, "_b", F.coalesce(F.sum("_c").over(hw), F.lit(0)).alias("_base")
+        )
+    )
+    totals = base.groupBy(*g).agg(F.count("*").alias("_n"))
+    iw = Window.partitionBy(*g, "_b").orderBy("score", id_col)
+    rank = F.col("_base") + F.row_number().over(iw)
+    pct = F.when(
+        F.col("_n") > 1, (rank - 1) / (F.col("_n") - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(F.broadcast(bases), [*g, "_b"])
+        .join(F.broadcast(totals), g)
+        .select(*g, id_col, "score", pct.alias("pct_rank"))
+    )

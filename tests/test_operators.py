@@ -1307,3 +1307,81 @@ def test_geoparse_hand_values(spark):
     rows = geoparse(docs, gaz, "Park_[0-9]+").collect()
     got = sorted((r["doc_id"], r["name"], r["cx"]) for r in rows)
     assert got == [(1, "Park_3", 30.0), (1, "Park_3", 30.0), (1, "Park_7", 70.0)]
+
+
+def test_repeat_plan_hand_values(spark):
+    """floor(epochs) copies everywhere, the extra epoch goes to exactly
+    the hash-sampled fractional share, and the realized totals match
+    the allocation: sum(n_copies)/n ≈ epochs."""
+    from greenex_py_spark.functions.sampling import repeat_plan
+
+    rows = [(i, "up" if i % 2 == 0 else "down", "w " * 9 + "w") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # 200 docs x 10 tokens per domain; budget 7000: up w=0.5 -> 3500/2000
+    # = 1.75 epochs, down w=0.1 -> 700/2000 = 0.35 epochs
+    got = repeat_plan(docs, {"up": 0.5, "down": 0.1}, 7000).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r["n_copies"])
+        assert r["epochs"] == (1.75 if r["domain"] == "up" else 0.35)
+    assert set(by_dom["up"]) == {1, 2} and set(by_dom["down"]) <= {0, 1}
+    # hash-sampled shares track the fractional part (±10% of the group)
+    assert abs(sum(by_dom["up"]) / 200 - 1.75) < 0.1
+    assert abs(sum(by_dom["down"]) / 200 - 0.35) < 0.1
+
+
+def test_score_percentiles_matches_naive_window(spark):
+    """The histogram two-level rank reproduces percent_rank() exactly,
+    including ties broken by id and singleton groups."""
+    from pyspark.sql import Window as W
+
+    from greenex_py_spark.functions.sampling import score_percentiles
+
+    rows = [(i, "g" + str(i % 3 if i < 30 else 3), round((i * 7919 % 100) / 100, 3))
+            for i in range(31)]  # group g3 is a singleton; scores collide
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+    got = {
+        (r["lang"], r["doc_id"]): r["pct_rank"]
+        for r in score_percentiles(df, "quality", ["lang"], n_buckets=7).collect()
+    }
+    naive = df.select(
+        "lang", "doc_id",
+        F.percent_rank().over(
+            W.partitionBy("lang").orderBy("quality", "doc_id")
+        ).alias("p"),
+    ).collect()
+    assert len(got) == 31
+    for r in naive:
+        assert got[(r["lang"], r["doc_id"])] == r["p"], (r["lang"], r["doc_id"])
+
+
+def test_asof_join_hand_values(spark):
+    """Equal-ts right rows match (>=), pre-first-view rows miss (null),
+    duplicate (key, ts) right rows resolve to the largest tiebreak, and
+    payload+ts travel atomically from the same right row."""
+    from greenex_py_spark.operators.asof import asof_join
+
+    views = spark.createDataFrame(
+        [  # user 1: ties at t=20 (ids 7 & 8 -> 8 wins); user 2: none
+            (1, 10, 1.0, 5),
+            (1, 20, 2.0, 7),
+            (1, 20, 3.0, 8),
+            (1, 40, None, 9),  # null payload must NOT back-fill from id 8
+        ],
+        "user long, t long, v double, vid long",
+    )
+    clicks = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 20), (102, 1, 30), (103, 1, 50), (104, 2, 99)],
+        "click_id long, user long, t long",
+    )
+    got = {
+        r["click_id"]: (r["t_asof"], r["v_asof"])
+        for r in asof_join(clicks, views, "user", "t", ["v"], "vid").collect()
+    }
+    assert got == {
+        100: (None, None),        # before first view
+        101: (20, 3.0),           # equal ts matches; tiebreak max vid
+        102: (20, 3.0),
+        103: (40, None),          # latest view has null payload: kept
+        104: (None, None),        # user with no views at all
+    }
