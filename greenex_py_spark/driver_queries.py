@@ -3117,6 +3117,146 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the same stop set as a DuckDB list literal (for list_intersect)
+_STOP_LIST_SQL = "[" + _STOP_SQL.strip("()") + "]"
+
+
+@register(
+    "q_domain_cap",
+    f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE) AS nstop,
+         (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mean_len
+  FROM t
+), q AS (
+  SELECT doc_id,
+         round(least(n / 64.0, 1.0)
+               * (1.0 - least(nstop / n * 4.0, 1.0))
+               * (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                       THEN 1.0 ELSE 0.5 END), 3) AS score
+  FROM s
+), r AS (
+  SELECT q.doc_id, d.source AS domain, q.score,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY q.score DESC, q.doc_id) AS BIGINT)
+           AS rank
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+)
+SELECT doc_id, domain, score, rank FROM r WHERE rank <= 20
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep the best 20 documents per source
+    by (quality desc, id) — the FineWeb-style anti-SEO-farm cap —
+    realized with the exact salted two-phase top-k so no task sorts a
+    whole domain; the oracle is the naive per-domain window."""
+    from .functions.sampling import domain_cap
+    from .functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return domain_cap(scored, 20, "quality").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register(
+    "q_gopher_quality",
+    f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS ml,
+         len(list_intersect(list_distinct(toks), {_STOP_LIST_SQL})) AS sd,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           / CAST(len(toks) AS DOUBLE) AS af
+  FROM t
+)
+SELECT doc_id, n AS n_words, round(ml, 6) AS mean_word_len,
+       sd AS stop_distinct, round(af, 6) AS alpha_frac,
+       CASE WHEN n BETWEEN 50 AND 100000 AND ml >= 3.0 AND ml <= 10.0
+                 AND sd >= 2 AND af >= 0.8 THEN 1 ELSE 0 END AS keep
+FROM s
+""",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher word-shape quality rules (word count / mean word length /
+    distinct-stopword floor / alphabetic-word fraction) — the doc-level
+    half of the Gopher filter pair; q_gopher_repetition is the
+    repetition half.  Pure single-projection codegen over the scan."""
+    from .functions.text import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality(docs)
+
+
+@register(
+    "q_morans_i",
+    _CTE + f""",
+d AS (
+  SELECT CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy,
+         CAST(round(({city.NDVI_SQL.format(px_x='x', px_y='y')}) * 1000000)
+              AS BIGINT) AS vd
+  FROM pts
+),
+c AS (SELECT gx, gy, sum(vd) AS v FROM d GROUP BY gx, gy),
+s AS (SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS svv FROM c),
+p AS (
+  SELECT count(*) AS w,
+         coalesce(sum(pp), 0) AS spp, coalesce(sum(ab), 0) AS sab
+  FROM (
+    SELECT CAST(a.v AS HUGEINT) * b.v AS pp, CAST(a.v AS HUGEINT) + b.v AS ab
+    FROM c a JOIN c b ON b.gx = a.gx + 1 AND b.gy = a.gy
+    UNION ALL
+    SELECT CAST(a.v AS HUGEINT) * b.v, CAST(a.v AS HUGEINT) + b.v
+    FROM c a JOIN c b ON b.gx = a.gx - 1 AND b.gy = a.gy
+    UNION ALL
+    SELECT CAST(a.v AS HUGEINT) * b.v, CAST(a.v AS HUGEINT) + b.v
+    FROM c a JOIN c b ON b.gx = a.gx AND b.gy = a.gy + 1
+    UNION ALL
+    SELECT CAST(a.v AS HUGEINT) * b.v, CAST(a.v AS HUGEINT) + b.v
+    FROM c a JOIN c b ON b.gx = a.gx AND b.gy = a.gy - 1
+  )
+)
+SELECT n AS n_cells, w AS w_pairs,
+       CAST(n * n * spp - n * sv * sab + w * sv * sv AS DOUBLE)
+       / nullif(CAST(w AS DOUBLE) * CAST(n * svv - sv * sv AS DOUBLE), 0.0)
+         AS morans_i
+FROM s, p
+""",
+)
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of per-cell greenness-exposure mass: geocoded
+    documents binned to the 100 m city grid, per-cell value = exact
+    integer sum of round-6 NDVI micro-units at each document's
+    coordinates (so both engines aggregate integers — no FP-order
+    escape hatch), rook adjacency as an equi-join.  The only FP step is
+    the final double division of two exact DECIMAL/HUGEINT integers,
+    bit-identical across engines."""
+    from .operators.spatial_stats import morans_i
+
+    pts = city.points_df(spark, sf_dir)
+    vd = F.round(
+        F.expr(city.NDVI_SQL.format(px_x="x", px_y="y")) * 1000000
+    ).cast("long")
+    cells = (
+        pts.select(
+            F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+            F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+            vd.alias("vd"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.sum("vd").alias("v"))
+    )
+    return morans_i(cells)
+
+
 # ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):

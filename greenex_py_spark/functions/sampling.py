@@ -416,3 +416,49 @@ def score_percentiles(
         .join(F.broadcast(totals), g)
         .select(*g, id_col, "score", pct.alias("pct_rank"))
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    score_col: str,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """[doc_id, domain, score, rank] — keep at most ``cap`` documents
+    per domain, the best by (score desc, id asc): the FineWeb-style
+    per-domain cap that stops one SEO farm from dominating the corpus.
+
+    Exact two-phase top-k (the `zipf_slope` shape): rows are salted
+    into n_salts sub-partitions per domain, each takes its local cap in
+    a window, and only those n_salts x cap survivors meet the final
+    per-domain window.  The global top-cap is always a subset of the
+    per-salt winners' union, so no task ever sorts a whole domain —
+    a 1e8-document domain costs each task a cap-sized heap, not a
+    domain-sized sort.  The id tiebreak makes the cut boundary
+    engine-deterministic under round-3 score collisions.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.col(score_col).alias("score"),
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy("domain", "_salt").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        base.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy("domain").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= cap)
+        .select(id_col, "domain", "score", "rank")
+    )

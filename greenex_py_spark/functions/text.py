@@ -210,6 +210,63 @@ def winnow_fingerprints(
     return out.select(F.col("_id").alias(id_col), "fp").distinct()
 
 
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """[id, n_words, mean_word_len, stop_distinct, alpha_frac, keep] —
+    Gopher-style document-level quality rules (Rae et al. 2021, table
+    A1), the word-shape half (the repetition half is
+    `gopher_repetition`):
+
+    - word count in [min_words, max_words],
+    - mean word length in [3, 10] characters,
+    - >= 2 DISTINCT stopwords present (Gopher's "contains at least two
+      of a small stop set" rule),
+    - >= 80% of words contain an alphabetic character.
+
+    Symbol-ratio rules (hashtag/ellipsis) and line rules (bullet
+    prefixes) are omitted: the corpus contract is single-space prose
+    with no lines, so they'd be constants here.
+
+    ``keep`` is int (0/1) so the hash never depends on bool dtype.
+    ``mean_word_len`` uses the single-space identity
+    (chars - (n-1)) / n and is compared UNROUNDED (both engines compute
+    the identical double from identical ints), rounded only for output.
+    All codegen: one projection over the scan, array ops on a
+    materialized token array — no explode, no shuffle, no UDF.
+    """
+    t = tokens(df.select(id_col, text_col), text_col)
+    n = F.size("toks")
+    mean_len = (F.length(text_col) - n + 1) / n.cast("double")
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"), F.array(*[F.lit(s) for s in STOPWORDS_EN])
+        )
+    )
+    alpha_frac = (
+        F.size(F.filter("toks", lambda x: x.rlike("[a-zA-Z]"))) / n.cast("double")
+    )
+    keep = (
+        n.between(min_words, max_words)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (stop_distinct >= 2)
+        & (alpha_frac >= 0.8)
+    )
+    return t.select(
+        id_col,
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        stop_distinct.alias("stop_distinct"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def gopher_repetition(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1385,3 +1385,89 @@ def test_asof_join_hand_values(spark):
         103: (40, None),          # latest view has null payload: kept
         104: (None, None),        # user with no views at all
     }
+
+
+def test_morans_i_vs_numpy(spark):
+    """Engine Moran's I equals the textbook float formula on a hand
+    grid (clustered values -> strongly positive I), and a checkerboard
+    gives the known negative autocorrelation."""
+    from greenex_py_spark.operators.spatial_stats import morans_i
+
+    def numpy_i(cells):
+        xs = np.array(list(cells.values()), dtype=float)
+        mu = xs.mean()
+        den = ((xs - mu) ** 2).sum()
+        num, w = 0.0, 0
+        for (gx, gy), v in cells.items():
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                o = cells.get((gx + dx, gy + dy))
+                if o is not None:
+                    num += (v - mu) * (o - mu)
+                    w += 1
+        return len(xs), w, (len(xs) / w) * num / den
+
+    # clustered: left half high, right half low
+    clustered = {(x, y): (100 if x < 2 else -100) for x in range(4) for y in range(4)}
+    # checkerboard on a 3x3 with a gap (tests missing-neighbour cells)
+    checker = {(x, y): (50 if (x + y) % 2 == 0 else -50)
+               for x in range(3) for y in range(3) if (x, y) != (1, 1)}
+    for cells in (clustered, checker):
+        df = spark.createDataFrame(
+            [(gx, gy, v) for (gx, gy), v in cells.items()], "gx long, gy long, v long"
+        )
+        got = morans_i(df).collect()[0]
+        n, w, want = numpy_i(cells)
+        assert (got["n_cells"], got["w_pairs"]) == (n, w)
+        assert got["morans_i"] == pytest.approx(want, abs=1e-12)
+    assert clustered and numpy_i(clustered)[2] > 0.5
+    assert numpy_i(checker)[2] < -0.5
+
+
+def test_gopher_quality_hand_values(spark):
+    """Each rule flips keep at its boundary: word-count floor, mean
+    word length band, distinct-stopword floor, alphabetic fraction."""
+    from greenex_py_spark.functions.text import gopher_quality
+
+    good = "the of " + "word " * 47 + "word"          # 50 words, 2 stops
+    short = "the of " + "word " * 10 + "word"         # 13 words
+    longw = "the of " + "x" * 11 + " " + "y " * 46 + "y"  # mean len < 3
+    onestop = "the the " + "word " * 47 + "word"      # 1 distinct stop
+    numeric = "the of " + "123 " * 47 + "123"         # alpha frac 2/50
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, longw), (4, onestop), (5, numeric)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert [got[i]["keep"] for i in (1, 2, 3, 4, 5)] == [1, 0, 0, 0, 0]
+    assert got[1]["n_words"] == 50 and got[1]["stop_distinct"] == 2
+    assert got[5]["alpha_frac"] == 0.04
+    assert got[2]["keep"] == 0 and got[2]["n_words"] == 13
+
+
+def test_domain_cap_matches_naive_window(spark):
+    """Salted two-phase per-domain top-k equals the naive window: caps
+    a big domain, leaves a small one whole, breaks score ties by id."""
+    from pyspark.sql import Window as W
+
+    from greenex_py_spark.functions.sampling import domain_cap
+
+    rows = [(i, "big", float(i % 5)) for i in range(40)] + [
+        (100 + i, "small", float(i)) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    got = sorted(
+        (r["domain"], r["rank"], r["doc_id"])
+        for r in domain_cap(df, 10, "q", n_salts=4).collect()
+    )
+    naive = sorted(
+        (r["source"], r["rk"], r["doc_id"])
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+            ),
+        ).filter(F.col("rk") <= 10).collect()
+    )
+    assert got == naive
+    assert sum(1 for d, _, _ in got if d == "big") == 10
+    assert sum(1 for d, _, _ in got if d == "small") == 3
