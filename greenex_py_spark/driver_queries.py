@@ -3258,6 +3258,204 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# shared per-cell fragments for the spatial-statistics family
+# ---------------------------------------------------------------------------
+
+# per-cell greenness-exposure MASS (exact integer micro-unit sums — same
+# construction q_morans_i inlines; kept as one fragment so the new local
+# statistics cannot drift from it)
+_MASS_CELLS_SQL = f"""
+d AS (
+  SELECT CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy,
+         CAST(round(({city.NDVI_SQL.format(px_x='x', px_y='y')}) * 1000000)
+              AS BIGINT) AS vd
+  FROM pts
+),
+c AS (SELECT gx, gy, sum(vd) AS v FROM d GROUP BY gx, gy)
+"""
+
+# per-cell document COUNT (for the density / clustering statistics)
+_COUNT_CELLS_SQL = f"""
+c AS (
+  SELECT CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+)
+"""
+
+
+def _mass_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _MASS_CELLS_SQL: [gx, gy, v]."""
+    pts = city.points_df(spark, sf_dir)
+    vd = F.round(
+        F.expr(city.NDVI_SQL.format(px_x="x", px_y="y")) * 1000000
+    ).cast("long")
+    return (
+        pts.select(
+            F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+            F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+            vd.alias("vd"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.sum("vd").alias("v"))
+    )
+
+
+def _count_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _COUNT_CELLS_SQL: [gx, gy, cnt]."""
+    pts = city.points_df(spark, sf_dir)
+    return (
+        pts.select(
+            F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+            F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "q_getis_ord",
+    _CTE + f""",
+{_MASS_CELLS_SQL.strip()},
+s AS (SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS svv FROM c),
+o AS (SELECT a.dx, b.dy
+      FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+           (SELECT unnest([-1, 0, 1]) AS dy) b),
+l AS (
+  SELECT t.gx, t.gy, count(*) AS w_i, sum(CAST(nbr.v AS HUGEINT)) AS li
+  FROM c t JOIN o ON true
+  JOIN c nbr ON nbr.gx = t.gx + o.dx AND nbr.gy = t.gy + o.dy
+  GROUP BY t.gx, t.gy
+),
+g AS (
+  SELECT l.gx, l.gy, l.w_i,
+         round(CAST(n * li - sv * w_i AS DOUBLE)
+               * sqrt(CAST(n - 1 AS DOUBLE))
+               / nullif(sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                             * CAST(n * w_i - CAST(w_i AS HUGEINT) * w_i
+                                    AS DOUBLE)), 0.0), 6) AS gi_z
+  FROM l, s
+)
+SELECT gx, gy, w_i, gi_z, coalesce(gi_z >= 1.96, false) AS hot FROM g
+""",
+)
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot z-score per 100 m cell over the same
+    per-cell greenness-exposure mass q_morans_i aggregates globally —
+    "WHICH cells are exposure hot spots", the per-cell drill-down of the
+    corpus-level clustering question.  Same exactness contract: all sums
+    are exact integers (DECIMAL/HUGEINT); the z-score is a fixed chain of
+    correctly-rounded IEEE ops, then round-6."""
+    from .operators.spatial_stats import getis_ord_gi
+
+    return getis_ord_gi(_mass_cells_df(spark, sf_dir))
+
+
+def _kde_values_sql() -> str:
+    from .operators.density import kde_offsets
+
+    return ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in kde_offsets(2))
+
+
+@register(
+    "q_kde_density",
+    _CTE + f""",
+{_COUNT_CELLS_SQL.strip()},
+o AS (SELECT * FROM (VALUES {_kde_values_sql()}) AS t(dx, dy, w))
+SELECT t.gx, t.gy, CAST(sum(s.cnt * o.w) AS BIGINT) AS density
+FROM c t JOIN o ON true
+JOIN c s ON s.gx = t.gx + o.dx AND s.gy = t.gy + o.dy
+GROUP BY t.gx, t.gy
+""",
+)
+def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-density surface of the geocoded corpus over the 100 m grid
+    (integer parabolic kernel, radius 2) — exact integers end-to-end, the
+    smoothed "where is the corpus concentrated" surface.  The offsets
+    VALUES list is rendered from the same kde_offsets() the operator
+    explodes, so kernel and oracle cannot drift."""
+    from .operators.density import kde_density
+
+    return kde_density(_count_cells_df(spark, sf_dir), radius=2)
+
+
+# min_pts for grid DBSCAN scales with corpus size (exact integer
+# ceil(3n/100)): a FIXED threshold would flip every cell to core at 100x
+# data, degenerating the core graph; this keeps the cluster structure —
+# and the oracle's transitive closure — scale-free across SFs.
+_DBSCAN_MIN_PTS_SQL = "greatest(3, (3 * count(*) + 99) // 100)"
+
+
+@register(
+    "q_dbscan_cells",
+    f"""WITH RECURSIVE pts AS ({city.points_sql()}),
+{_COUNT_CELLS_SQL.strip()},
+mp AS (SELECT {_DBSCAN_MIN_PTS_SQL} AS v FROM pts),
+r AS (SELECT a.dx, b.dy
+      FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+           (SELECT unnest([-1, 0, 1]) AS dy) b),
+pop AS (
+  SELECT t.gx, t.gy, t.cnt, sum(s.cnt) AS m
+  FROM c t JOIN r ON true
+  JOIN c s ON s.gx = t.gx + r.dx AND s.gy = t.gy + r.dy
+  GROUP BY t.gx, t.gy, t.cnt
+),
+core AS (SELECT gx, gy, gy * {city.CELL_BASE} + gx AS cell
+         FROM pop, mp WHERE m >= mp.v),
+e AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM core a JOIN r ON NOT (r.dx = 0 AND r.dy = 0)
+  JOIN core b ON b.gx = a.gx + r.dx AND b.gy = a.gy + r.dy
+),
+reach(src, dst) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT reach.src, e.dst FROM reach JOIN e ON e.src = reach.dst
+),
+lab AS (SELECT src AS cell, min(dst) AS cluster FROM reach GROUP BY src),
+clab AS (SELECT core.gx, core.gy, lab.cluster
+         FROM core JOIN lab ON lab.cell = core.cell),
+bord AS (
+  SELECT t.gx, t.gy, min(nl.cluster) AS cluster
+  FROM c t
+  LEFT JOIN core sc ON sc.gx = t.gx AND sc.gy = t.gy
+  JOIN r ON NOT (r.dx = 0 AND r.dy = 0)
+  JOIN clab nl ON nl.gx = t.gx + r.dx AND nl.gy = t.gy + r.dy
+  WHERE sc.cell IS NULL
+  GROUP BY t.gx, t.gy
+)
+SELECT t.gx, t.gy, t.cnt,
+       CASE WHEN cl.cluster IS NOT NULL THEN 'core'
+            WHEN b.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(cl.cluster, b.cluster) AS cluster
+FROM c t
+LEFT JOIN clab cl ON cl.gx = t.gx AND cl.gy = t.gy
+LEFT JOIN bord b ON b.gx = t.gx AND b.gy = t.gy
+""",
+)
+def q_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over geocoded-document occupancy: core cells by 3x3
+    weighted population >= min_pts (min_pts = exact ceil(3n/100), derived
+    from the corpus size so the structure is scale-free), clusters =
+    connected components over queen-adjacent core cells (dissolve's
+    adaptive CC), borders take the min neighbouring label, rest is noise.
+    The oracle resolves components with a recursive transitive closure —
+    bounded because the scaled min_pts keeps the core graph at the dense
+    urban-core scale, not the corpus scale."""
+    from .operators.density import grid_dbscan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    min_pts = max(3, (3 * n + 99) // 100)
+    return grid_dbscan(_count_cells_df(spark, sf_dir), min_pts=min_pts)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -26,6 +26,7 @@ ORIGIN_Y = 450000.0
 CELL_SIZE = 100.0
 _SHIFT = 20  # gx occupies the low 20 bits: cell = gy * 2^20 + gx
 _BASE = 1 << _SHIFT
+CELL_BASE = _BASE  # public alias (operators may not import data/ fixtures)
 
 
 def cell_of(

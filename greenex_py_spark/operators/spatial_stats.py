@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morans_i"]
+__all__ = ["morans_i", "getis_ord_gi"]
 
 _DEC = "decimal(38,0)"
 
@@ -95,3 +95,88 @@ def morans_i(
             / F.nullif(wd.cast("double") * b.cast("double"), F.lit(0.0))
         ).alias("morans_i"),
     )
+
+
+def getis_ord_gi(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "v",
+    hot_z: float = 1.96,
+) -> DataFrame:
+    """[gx, gy, w_i, gi_z, hot] — local Getis-Ord Gi* hotspot z-score per
+    occupied cell (Getis & Ord 1992, the star variant: the 3x3 queen
+    neighbourhood INCLUDES the cell itself), binary weights.
+
+    The local complement of :func:`morans_i`: Moran's I says "is exposure
+    clustered at all?", Gi* says "*which* cells are the hot spots?".
+
+    Same engine-exactness strategy as morans_i — with integer ``val_col``
+    and W_i = occupied neighbours (incl. self), L_i = their value sum,
+
+        A_i = n*L_i - Sv*W_i        (numerator, exact DECIMAL(38,0))
+        B   = n*Svv - Sv^2          (global variance term, exact)
+        C_i = n*W_i - W_i^2         (weight variance term, exact)
+        z_i = A_i * sqrt(n-1) / sqrt(B * C_i)
+
+    so the only FP steps are correctly-rounded IEEE casts / one multiply /
+    one sqrt / one divide in a fixed order — bit-identical across Spark
+    and DuckDB (gi_z is still rounded to 6 dp per house convention).
+    C_i = 0 (every cell in every neighbourhood) yields null.
+
+    Spark shape: each cell explodes its 9 neighbour keys and equi-joins
+    back on (gx, gy) — O(cells), never all-pairs; the two 1-row global
+    aggregates broadcast via the final cross join.
+    """
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast(_DEC)
+    s = c.agg(
+        F.count("*").alias("n"),
+        F.sum(vd).alias("sv"),
+        F.sum(vd * F.col("v")).alias("svv"),
+    )
+    nb = c.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gx") + dx).alias("gx"), (F.col("gy") + dy).alias("gy")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+        F.col("v").alias("av"),
+    ).select(F.col("k.gx").alias("gx"), F.col("k.gy").alias("gy"), "av")
+    loc = (
+        nb.join(c.select("gx", "gy"), ["gx", "gy"])
+        .groupBy("gx", "gy")
+        .agg(
+            F.count("*").alias("w_i"),
+            F.sum(F.col("av").cast(_DEC)).alias("li"),
+        )
+    )
+    nd = F.col("n").cast(_DEC)
+    wd = F.col("w_i").cast(_DEC)
+    a = nd * F.col("li") - F.col("sv") * wd
+    b = nd * F.col("svv") - F.col("sv") * F.col("sv")
+    ci = nd * wd - wd * wd
+    z = F.round(
+        a.cast("double")
+        * F.sqrt((F.col("n") - 1).cast("double"))
+        / F.nullif(F.sqrt(b.cast("double") * ci.cast("double")), F.lit(0.0)),
+        6,
+    )
+    return loc.crossJoin(s).select(
+        "gx",
+        "gy",
+        "w_i",
+        z.alias("gi_z"),
+        F.coalesce(z >= F.lit(hot_z), F.lit(False)).alias("hot"),
+    )
+

@@ -1423,6 +1423,94 @@ def test_morans_i_vs_numpy(spark):
     assert numpy_i(checker)[2] < -0.5
 
 
+def test_getis_ord_vs_numpy(spark):
+    """Engine Gi* equals the textbook float formula (star variant: 3x3
+    neighbourhood including self, binary weights) per cell, and the
+    high-value block is the one flagged hot."""
+    from greenex_py_spark.operators.spatial_stats import getis_ord_gi
+
+    cells = {(x, y): (900 if x <= 1 and y <= 1 else 1)
+             for x in range(5) for y in range(5) if (x, y) != (3, 3)}
+    xs = np.array(list(cells.values()), dtype=float)
+    n = len(xs)
+    sv, svv = xs.sum(), (xs * xs).sum()
+
+    def numpy_gi(gx, gy):
+        nbrs = [cells[(gx + dx, gy + dy)]
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (gx + dx, gy + dy) in cells]
+        w, li = len(nbrs), float(sum(nbrs))
+        num = li - (sv / n) * w
+        s = np.sqrt(svv / n - (sv / n) ** 2)
+        den = s * np.sqrt((n * w - w * w) / (n - 1))
+        return w, (num / den if den else None)
+
+    df = spark.createDataFrame(
+        [(gx, gy, v) for (gx, gy), v in cells.items()], "gx long, gy long, v long"
+    )
+    got = {(r["gx"], r["gy"]): r for r in getis_ord_gi(df).collect()}
+    assert set(got) == set(cells)
+    for (gx, gy), r in got.items():
+        w, want = numpy_gi(gx, gy)
+        assert r["w_i"] == w
+        assert r["gi_z"] == pytest.approx(want, abs=1e-6)
+        assert r["hot"] == (r["gi_z"] is not None and r["gi_z"] >= 1.96)
+    assert got[(0, 0)]["hot"] and not got[(4, 4)]["hot"]
+
+
+def test_kde_density_hand_values(spark):
+    """Integer parabolic kernel: lone point spreads w(d)=max(0,5-d^2)
+    to occupied cells only; two stacked points sum linearly."""
+    from greenex_py_spark.operators.density import kde_density, kde_offsets
+
+    w = {(dx, dy): wt for dx, dy, wt in kde_offsets(2)}
+    assert w[(0, 0)] == 5 and w[(1, 0)] == 4 and w[(1, 1)] == 3
+    assert w[(2, 0)] == 1 and (2, 2) not in w and (2, 1) not in w
+    pts = {(0, 0): 10, (1, 0): 1, (3, 0): 2}
+    df = spark.createDataFrame(
+        [(gx, gy, c) for (gx, gy), c in pts.items()], "gx long, gy long, cnt long"
+    )
+    got = {(r["gx"], r["gy"]): r["density"] for r in kde_density(df).collect()}
+    want = {
+        t: sum(c * w[(t[0] - sx, t[1] - sy)]
+               for (sx, sy), c in pts.items() if (t[0] - sx, t[1] - sy) in w)
+        for t in pts
+    }
+    assert got == want
+    assert got[(0, 0)] == 10 * 5 + 1 * 4  # (3,0) is out of kernel range
+
+
+def test_grid_dbscan_roles_and_labels(spark):
+    """Two core blobs separated by >1 empty ring stay distinct clusters;
+    an adjacent light cell is border (min neighbouring label); an
+    isolated light cell is noise."""
+    from greenex_py_spark.geo.cells import CELL_BASE
+    from greenex_py_spark.operators.density import grid_dbscan
+
+    pts = {
+        # blob A: 2x2 of weight 5 -> 3x3 sums >= 20 at all four
+        (0, 0): 5, (1, 0): 5, (0, 1): 5, (1, 1): 5,
+        # border candidate next to blob A
+        (2, 0): 1,
+        # blob B: single heavy cell, far away
+        (10, 10): 25,
+        # noise: light and isolated
+        (20, 20): 1,
+    }
+    df = spark.createDataFrame(
+        [(gx, gy, c) for (gx, gy), c in pts.items()], "gx long, gy long, cnt long"
+    )
+    got = {(r["gx"], r["gy"]): (r["role"], r["cluster"])
+           for r in grid_dbscan(df, min_pts=20).collect()}
+    lab_a = 0 * CELL_BASE + 0  # min cell key in blob A
+    lab_b = 10 * CELL_BASE + 10
+    for cell in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        assert got[cell] == ("core", lab_a)
+    assert got[(10, 10)] == ("core", lab_b)
+    assert got[(2, 0)] == ("border", lab_a)
+    assert got[(20, 20)] == ("noise", None)
+
+
 def test_gopher_quality_hand_values(spark):
     """Each rule flips keep at its boundary: word-count floor, mean
     word length band, distinct-stopword floor, alphabetic fraction."""
