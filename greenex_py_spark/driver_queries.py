@@ -3455,6 +3455,342 @@ def q_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_dbscan(_count_cells_df(spark, sf_dir), min_pts=min_pts)
 
 
+@register(
+    "q_gini_exposure",
+    _CTE + f""",
+{_COUNT_CELLS_SQL.strip()},
+s AS (SELECT count(*) AS n, sum(CAST(cnt AS HUGEINT)) AS total FROM c),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM c)
+SELECT n AS n_cells, CAST(total AS BIGINT) AS total,
+       round(CAST(sum((2 * CAST(rn AS HUGEINT) - n - 1) * cnt) AS DOUBLE)
+             / nullif(CAST(n AS DOUBLE) * CAST(total AS DOUBLE), 0.0), 6) AS gini
+FROM r, s GROUP BY n, total
+""",
+)
+def q_gini_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus mass across occupied 100 m cells —
+    "how unequally is the geocoded corpus spread over space".  The
+    oracle is the naive row_number window (tie order irrelevant: a tie
+    group's coefficient sum depends only on which ranks it occupies);
+    the engine uses the two-level distinct-value rank so no task ever
+    sorts the full cell table — both numerators are the same exact
+    integer, gini one division + round-6."""
+    from .operators.spatial_stats import gini_exposure
+
+    return gini_exposure(_count_cells_df(spark, sf_dir), val_col="cnt")
+
+
+def _vario_values_sql() -> str:
+    from .operators.spatial_stats import semivariogram_offsets
+
+    return ", ".join(
+        f"({dx}, {dy}, {dx * dx + dy * dy})" for dx, dy in semivariogram_offsets(3)
+    )
+
+
+@register(
+    "q_semivariogram",
+    _CTE + f""",
+{_MASS_CELLS_SQL.strip()},
+o AS (SELECT * FROM (VALUES {_vario_values_sql()}) AS t(dx, dy, d2))
+SELECT o.d2, count(*) AS n_pairs,
+       round(CAST(sum((CAST(a.v AS HUGEINT) - b.v)
+                      * (CAST(a.v AS HUGEINT) - b.v)) AS DOUBLE)
+             / (2.0 * CAST(count(*) AS DOUBLE))
+             / 1000000000000.0, 6) AS gamma
+FROM c a JOIN o ON true
+JOIN c b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+GROUP BY o.d2
+""",
+)
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of per-cell exposure mass by squared lag
+    distance (half-plane pairs counted once) — "over what range is
+    exposure spatially structured", the geostatistics companion of
+    q_morans_i.  Offsets VALUES rendered from the operator's own
+    semivariogram_offsets(); squared differences exact HUGEINT/DECIMAL;
+    gamma is de-scaled by unit^2=1e12 back to original NDVI-mass units
+    BEFORE round-6 (round of a ~1e11 double is not engine-portable —
+    see the operator docstring), then one division chain + round-6."""
+    from .operators.spatial_stats import semivariogram
+
+    return semivariogram(_mass_cells_df(spark, sf_dir), max_lag=3, unit=1e6)
+
+
+# per-point (ungrouped) cell coords for the layout query
+_POINT_CELLS_SQL = f"""
+d AS (
+  SELECT CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy
+  FROM pts
+)
+"""
+
+
+def _zorder_oracle() -> str:
+    from .engine.layout import zorder_sql
+
+    return (
+        _CTE
+        + f""",
+{_POINT_CELLS_SQL.strip()},
+k AS (SELECT gx, gy, {zorder_sql('gx', 'gy')} AS zkey FROM d)
+SELECT zkey >> 6 AS file_id, count(*) AS n_rows,
+       count(DISTINCT gy * {city.CELL_BASE} + gx) AS n_cells,
+       max(gx) - min(gx) + 1 AS gx_span, max(gy) - min(gy) + 1 AS gy_span,
+       min(zkey) AS zmin, max(zkey) AS zmax
+FROM k GROUP BY 1
+"""
+    )
+
+
+@register("q_zorder_layout", None)  # generated oracle attached below
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) write-layout audit: assign every geocoded point
+    to the fixed-width curve range ``zkey >> 6`` (the static-binning
+    layout job — map-side only, no global sort) and report per-file
+    locality (rows, distinct cells, bbox spans, curve range).  The
+    oracle renders the identical bit-spread chain from the shared mask
+    table (engine/layout.zorder_sql), so key and oracle cannot drift.
+    At 100 TB this is the OPTIMIZE ZORDER shape: curve-clustered files
+    make a 2-D cell-range scan touch O(k) files instead of O(k^2)."""
+    from .engine.layout import zorder_layout_stats
+
+    pts = city.points_df(spark, sf_dir)
+    cells = pts.select(
+        F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+        F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+    )
+    return zorder_layout_stats(cells, shift=6)
+
+
+ORACLES["q_zorder_layout"] = _zorder_oracle()
+
+# Bloom sizing: 2^17 bits / k=3 md5 slices.  At sf0.1 the reference side
+# inserts ~1.5e5 positions (fill ~0.67, fp ~3%) — the gate intentionally
+# spans near-empty (sf0.001, fp ~0) to well-loaded (sf0.1) filters.
+_BLOOM_M = 1 << 17
+
+
+def _bloom_oracle() -> str:
+    from .functions.dedup import bloom_positions_sql
+
+    p = bloom_positions_sql("text", _BLOOM_M, 3)
+    return f"WITH {_CORPUS_SQL.strip()},\n" + f"""
+ref AS (SELECT doc_id, text FROM corpus WHERE doc_id < 1000000),
+qry AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT {p[0]} AS bit FROM ref
+    UNION ALL SELECT {p[1]} FROM ref
+    UNION ALL SELECT {p[2]} FROM ref)
+),
+probes AS (
+  SELECT doc_id, {p[0]} AS bit FROM qry
+  UNION ALL SELECT doc_id, {p[1]} FROM qry
+  UNION ALL SELECT doc_id, {p[2]} FROM qry
+),
+hits AS (SELECT probes.doc_id FROM probes JOIN bits USING (bit)
+         GROUP BY probes.doc_id HAVING count(*) >= 3),
+seen AS (SELECT DISTINCT q.doc_id FROM qry q JOIN ref r ON r.text = q.text)
+SELECT q.doc_id, h.doc_id IS NOT NULL AS probably_seen,
+       s.doc_id IS NOT NULL AS actually_seen
+FROM qry q LEFT JOIN hits h ON h.doc_id = q.doc_id
+LEFT JOIN seen s ON s.doc_id = q.doc_id
+"""
+
+
+@register("q_bloom_prefilter", None)  # generated oracle attached below
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot Bloom pre-screen: the previous snapshot (original
+    corpus docs) folds its content digests into a 2^17-bit Bloom filter;
+    every new-snapshot doc (the injected exact/near clones) is flagged
+    ``probably_seen`` (no false negatives) next to the ground-truth
+    ``actually_seen`` exact-text match, so the gate hash also pins the
+    false-positive pattern.  The filter travels as a DISTINCT-positions
+    dim bounded by m_bits rows — broadcast-sized regardless of corpus
+    scale (functions/dedup.bloom_prefilter)."""
+    from .functions.dedup import bloom_prefilter
+
+    corpus = _corpus_df(spark, sf_dir)
+    ref = corpus.filter(F.col("doc_id") < 1000000)
+    qry = corpus.filter(F.col("doc_id") >= 1000000)
+    flags = bloom_prefilter(ref, qry, m_bits=_BLOOM_M, k=3)
+    seen = qry.join(
+        ref.select("text").distinct().withColumn("_s", F.lit(True)), "text", "left"
+    ).select("doc_id", F.coalesce("_s", F.lit(False)).alias("actually_seen"))
+    return flags.join(seen, "doc_id")
+
+
+ORACLES["q_bloom_prefilter"] = _bloom_oracle()
+
+
+# per-cell dominant document language (deterministic tiebreak: higher
+# count first, then lexicographically smaller lang) — the categorical
+# surface for the join-count statistics
+_DOM_LANG_SQL = f"""
+lc AS (
+  SELECT CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy,
+         d.lang, count(*) AS lcnt
+  FROM pts p JOIN documents d USING (doc_id)
+  GROUP BY 1, 2, d.lang
+),
+dom AS (
+  SELECT gx, gy, lang AS cat FROM lc
+  QUALIFY row_number() OVER (PARTITION BY gx, gy ORDER BY lcnt DESC, lang) = 1
+)
+"""
+
+
+def _dom_lang_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DOM_LANG_SQL: [gx, gy, cat]."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    pts = city.points_df(spark, sf_dir).join(docs, "doc_id")
+    lc = (
+        pts.select(
+            F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+            F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+            "lang",
+        )
+        .groupBy("gx", "gy", "lang")
+        .agg(F.count("*").alias("lcnt"))
+    )
+    w = Window.partitionBy("gx", "gy").orderBy(F.col("lcnt").desc(), "lang")
+    return (
+        lc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("gx", "gy", F.col("lang").alias("cat"))
+    )
+
+
+@register(
+    "q_join_counts",
+    _CTE + f""",
+{_DOM_LANG_SQL.strip()},
+sh AS (SELECT gx + 1 AS gx, gy, cat FROM dom
+       UNION ALL SELECT gx, gy + 1, cat FROM dom),
+p AS (SELECT least(s.cat, d.cat) AS cat_a, greatest(s.cat, d.cat) AS cat_b
+      FROM sh s JOIN dom d USING (gx, gy)),
+obs AS (SELECT cat_a, cat_b, count(*) AS joins FROM p GROUP BY 1, 2),
+t AS (SELECT cat, count(*) AS nc FROM dom GROUP BY 1),
+g AS (SELECT count(*) AS n FROM dom),
+j AS (SELECT count(*) AS jtot FROM p)
+SELECT obs.cat_a, obs.cat_b, obs.joins,
+       round(CAST(CASE WHEN obs.cat_a = obs.cat_b
+                       THEN CAST(jtot AS HUGEINT) * ta.nc * (ta.nc - 1)
+                       ELSE 2 * CAST(jtot AS HUGEINT) * ta.nc * tb.nc END
+                  AS DOUBLE)
+             / nullif(CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 0.0),
+             6) AS expected
+FROM obs
+JOIN t ta ON ta.cat = obs.cat_a
+JOIN t tb ON tb.cat = obs.cat_b, g, j
+""",
+)
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics over the per-cell dominant document
+    language — "do same-language regions clump in space?", the
+    categorical autocorrelation complement of q_morans_i and the
+    webtext x geospatial cross: observed rook-adjacent language pairs
+    vs the nonfree-sampling expectation (exact-integer numerators, one
+    division + round-6)."""
+    from .operators.spatial_stats import join_counts
+
+    return join_counts(_dom_lang_df(spark, sf_dir))
+
+
+# quadtree threshold scales with corpus size (same reasoning as the
+# DBSCAN min_pts): fixed T degenerates to all-finest at 100x data
+_QT_T_SQL = "greatest(16, (count(*) + 63) // 64)"
+
+
+@register(
+    "q_adaptive_grid",
+    _CTE + f""",
+{_COUNT_CELLS_SQL.strip()},
+k AS (SELECT gx, gy, cnt,
+             gx >> 3 AS gx0, gy >> 3 AS gy0, gx >> 2 AS gx1, gy >> 2 AS gy1,
+             gx >> 1 AS gx2, gy >> 1 AS gy2, gx AS gx3, gy AS gy3
+      FROM c),
+d0 AS (SELECT gx0, gy0, CAST(sum(cnt) AS BIGINT) AS c0 FROM k GROUP BY 1, 2),
+d1 AS (SELECT gx1, gy1, CAST(sum(cnt) AS BIGINT) AS c1 FROM k GROUP BY 1, 2),
+d2 AS (SELECT gx2, gy2, CAST(sum(cnt) AS BIGINT) AS c2 FROM k GROUP BY 1, 2),
+d3 AS (SELECT gx3, gy3, CAST(sum(cnt) AS BIGINT) AS c3 FROM k GROUP BY 1, 2),
+mp AS (SELECT {_QT_T_SQL} AS t FROM pts),
+lv AS (
+  SELECT k.*, c0, c1, c2, c3,
+         CASE WHEN c0 <= t THEN 0 WHEN c1 <= t THEN 1
+              WHEN c2 <= t THEN 2 ELSE 3 END AS level
+  FROM k
+  JOIN d0 USING (gx0, gy0) JOIN d1 USING (gx1, gy1)
+  JOIN d2 USING (gx2, gy2) JOIN d3 USING (gx3, gy3), mp
+)
+SELECT level,
+       CASE level WHEN 0 THEN gx0 WHEN 1 THEN gx1 WHEN 2 THEN gx2 ELSE gx3 END AS gxl,
+       CASE level WHEN 0 THEN gy0 WHEN 1 THEN gy1 WHEN 2 THEN gy2 ELSE gy3 END AS gyl,
+       max(CASE level WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END) AS n_docs
+FROM lv GROUP BY 1, 2, 3
+""",
+)
+def q_adaptive_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree adaptive re-grid of the geocoded corpus: every occupied
+    100 m cell is assigned the coarsest ancestor (800/400/200/100 m)
+    whose occupancy is <= T (T = exact max(16, ceil(n/64)), scaled to
+    corpus size so the tree shape is SF-stable) — the index-side answer
+    to urban-core skew: no adaptive cell is hot, so downstream joins
+    partition evenly without salting."""
+    from .operators.adaptive_grid import adaptive_cells
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    t = max(16, (n + 63) // 64)
+    return adaptive_cells(_count_cells_df(spark, sf_dir), threshold=t, levels=4)
+
+
+@register(
+    "q_ripleys_k",
+    _CTE + """,
+pr AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b
+    ON b.doc_id != a.doc_id
+   AND b.x BETWEEN a.x - 300 AND a.x + 300
+   AND b.y BETWEEN a.y - 300 AND a.y + 300
+),
+s AS (SELECT CAST(unnest([100, 200, 300]) AS DOUBLE) AS r),
+n AS (SELECT count(*) AS n FROM pts),
+cr AS (SELECT s.r, count(*) FILTER (WHERE pr.d2 <= s.r * s.r) AS n_pairs
+       FROM s JOIN pr ON true GROUP BY s.r)
+SELECT r, n_pairs,
+       round(100.0 * CAST(n_pairs AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS k_hat,
+       round(sqrt((100.0 * CAST(n_pairs AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                  / 3.141592653589793) * 1000.0, 6) AS l_hat
+FROM cr, n
+""",
+)
+def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K / L of the geocoded corpus at r = 100/200/300 m —
+    "is the corpus more clumped than CSR at radius r" (it is: 60% of
+    points sit in the 1 km urban core), the point-pattern complement of
+    q_morans_i / q_semivariogram.  area passed in km^2 (city = 100) so
+    k_hat stays O(10) and round-6 is engine-portable; the oracle's
+    banded self-join (DuckDB IEJoin) mirrors the engine's bounded cell
+    k-ring equi-join pair-for-pair."""
+    from .operators.spatial_stats import ripleys_k
+
+    return ripleys_k(
+        city.points_df(spark, sf_dir),
+        radii=[100.0, 200.0, 300.0],
+        area=100.0,
+        cell_size=city.CELL,
+    )
+
+
 # ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):

@@ -719,3 +719,77 @@ def exact_substring_dedup(
         (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
+
+
+def bloom_positions(col, m_bits: int, k: int = 3):
+    """k Bloom bit positions of a string column — md5 hex slices
+    (10 hex chars = 40 bits each, non-overlapping for k <= 3) mod
+    ``m_bits``.  Pure codegen; the portable-hash contract of this module
+    (md5 + conv) so Spark / DuckDB / Python agree bit-for-bit."""
+    if not 1 <= k <= 3:
+        raise ValueError("k must be in 1..3 (md5 yields 3 independent 40-bit slices)")
+    h = F.md5(col)
+    return [
+        (F.conv(F.substring(h, 1 + 10 * i, 10), 16, 10).cast("long") % m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_positions_sql(expr: str, m_bits: int, k: int = 3) -> list[str]:
+    """DuckDB twin of :func:`bloom_positions` (oracle side)."""
+    return [
+        f"(CAST(CAST('0x' || substr(md5({expr}), {1 + 10 * i}, 10) AS UBIGINT)"
+        f" AS BIGINT) % {m_bits})"
+        for i in range(k)
+    ]
+
+
+def bloom_prefilter(
+    ref: DataFrame,
+    query: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """[id_col, probably_seen] — Bloom-filter membership pre-filter:
+    for every query row, is md5(key) *probably* in the reference set?
+
+    The cross-snapshot dedup shape CommonCrawl-scale recrawl pipelines
+    use: the previous snapshot's content digests are folded into a
+    fixed-size Bloom filter and every new document is pre-screened
+    against it BEFORE any shuffle-heavy dedup — no false negatives, and
+    false positives (all k positions collide) only cost a redundant
+    exact check downstream.
+
+    Spark shape: the filter is represented relationally as the DISTINCT
+    set of occupied bit positions — **bounded by m_bits rows regardless
+    of reference-corpus size** (here 2^17), i.e. a true dim table; it is
+    broadcast and the query side explodes its k positions, joins, and
+    keeps ids matching all k.  The production variant packs the same
+    positions into a bitset broadcast variable; the relational form is
+    chosen because it is plan-transparent and oracle-exact — membership
+    semantics are identical by construction.
+    """
+    pos = bloom_positions(F.col(key_col), m_bits, k)
+    bits = (
+        ref.select(F.explode(F.array(*pos)).alias("bit")).distinct()
+    )
+    probes = query.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*pos)).alias("bit")
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("_id")
+        .agg(F.count("*").alias("_k_hit"))
+        .filter(F.col("_k_hit") >= k)
+        .select("_id", F.lit(True).alias("probably_seen"))
+    )
+    return (
+        query.select(F.col(id_col).alias("_id"))
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("probably_seen", F.lit(False)).alias("probably_seen"),
+        )
+    )

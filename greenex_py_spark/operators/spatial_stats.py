@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morans_i", "getis_ord_gi"]
+__all__ = ["morans_i", "getis_ord_gi", "gini_exposure", "semivariogram"]
 
 _DEC = "decimal(38,0)"
 
@@ -180,3 +180,332 @@ def getis_ord_gi(
         F.coalesce(z >= F.lit(hot_z), F.lit(False)).alias("hot"),
     )
 
+
+def gini_exposure(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "v",
+) -> DataFrame:
+    """One row [n_cells, total, gini] — Gini coefficient of the
+    non-negative integer ``val_col`` across occupied cells: "how
+    unequally is greenness exposure (or corpus mass) distributed over
+    space?" — the standard equity summary environmental-justice studies
+    pair with the reference's per-location metrics.
+
+        G = sum_i (2*r_i - n - 1) * v_i / (n * sum(v))
+
+    with r_i the 1-based ascending rank by value.  The coefficient sum
+    over a tie group depends only on which ranks the group occupies,
+    never on the order within it, so G is well-defined under ties.
+
+    Engine-exactness: the numerator is assembled per DISTINCT value —
+    a group of count c whose first rank is base+1 contributes
+    c*(2*base + c - n) * v — entirely in DECIMAL(38,0); the only FP
+    steps are the final division and round-6.
+
+    Scale shape: groupBy(value) first, then a cumsum window over the
+    distinct-value table only (same two-level trick as
+    functions/sampling.score_percentiles) — no task ever sorts the full
+    cell table, and the final reduction is a two-phase aggregate.
+    """
+    from pyspark.sql import Window
+
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    by_v = c.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_v.select(
+        "v", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("base")
+    )
+    tot = c.agg(
+        F.count("*").alias("n"), F.sum(F.col("v").cast(_DEC)).alias("total")
+    )
+    cd = F.col("c").cast(_DEC)
+    num = (
+        ranked.crossJoin(tot)
+        .select(
+            (
+                cd
+                * (2 * F.col("base").cast(_DEC) + cd - F.col("n").cast(_DEC))
+                * F.col("v").cast(_DEC)
+            ).alias("g"),
+            "n",
+            "total",
+        )
+        .groupBy("n", "total")
+        .agg(F.sum("g").alias("gnum"))
+    )
+    gini = F.round(
+        F.col("gnum").cast("double")
+        / F.nullif(
+            F.col("n").cast("double") * F.col("total").cast("double"), F.lit(0.0)
+        ),
+        6,
+    )
+    return num.select(
+        F.col("n").alias("n_cells"),
+        F.col("total").cast("long").alias("total"),
+        gini.alias("gini"),
+    )
+
+
+def semivariogram_offsets(max_lag: int) -> list[tuple[int, int]]:
+    """Half-plane lag offsets (dx > 0, or dx = 0 and dy > 0) within
+    Euclidean distance ``max_lag`` — the single source of truth both the
+    Spark operator and the SQL oracle render, so they cannot drift."""
+    return [
+        (dx, dy)
+        for dx in range(0, max_lag + 1)
+        for dy in range(-max_lag, max_lag + 1)
+        if (dx > 0 or (dx == 0 and dy > 0))
+        and 0 < dx * dx + dy * dy <= max_lag * max_lag
+    ]
+
+
+def semivariogram(
+    cells: DataFrame,
+    max_lag: int = 3,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "v",
+    unit: float = 1.0,
+) -> DataFrame:
+    """[d2, n_pairs, gamma] — empirical semivariogram of the integer
+    ``val_col`` over the grid, one row per squared lag distance class
+    0 < dx^2+dy^2 <= max_lag^2 that has pairs:
+
+        gamma(h) = sum_pairs (v_i - v_j)^2 / (2 * n_pairs(h)) / unit^2
+
+    the geostatistics companion to :func:`morans_i` — "over what range
+    is exposure spatially structured?" (Matheron 1963).  Pairs are
+    unordered and counted once (half-plane offsets: dx > 0, or dx = 0
+    and dy > 0).
+
+    ``unit`` de-scales integer micro-unit inputs back to their original
+    units (a caller whose v is value*1e6 passes unit=1e6).  This is
+    load-bearing for portability, not cosmetics: round(x, 6) of a ~1e11
+    double is NOT engine-portable (DuckDB's multiply-by-1e6 rounding
+    path overflows 2^53 and lands one ULP away from Spark's BigDecimal
+    path), so gamma must be brought to O(1) magnitude BEFORE round-6.
+
+    Engine-exactness: (v_i - v_j)^2 summed in DECIMAL(38,0); gamma is
+    the fixed chain  ss -> double, / (2*n), / unit^2, round-6  (unit^2
+    a power of ten, exactly representable).
+
+    Spark shape: per-offset equi-joins — each cell explodes its bounded
+    half-plane offset ring (O(max_lag^2) keys) and joins back on
+    (gx, gy); O(cells x ring), never all-pairs, same scale-free shape
+    as the rest of this module.
+    """
+    offsets = semivariogram_offsets(max_lag)
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    sh = c.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gx") + dx).alias("gx"),
+                        (F.col("gy") + dy).alias("gy"),
+                        F.lit(dx * dx + dy * dy).alias("d2"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("k"),
+        F.col("v").alias("av"),
+    ).select("k.gx", "k.gy", "k.d2", "av")
+    d = F.col("av").cast(_DEC) - F.col("v").cast(_DEC)
+    return (
+        sh.join(c, ["gx", "gy"])
+        .groupBy("d2")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(d * d).alias("ss"),
+        )
+        .select(
+            "d2",
+            "n_pairs",
+            F.round(
+                F.col("ss").cast("double")
+                / (2.0 * F.col("n_pairs").cast("double"))
+                / F.lit(float(unit) * float(unit)),
+                6,
+            ).alias("gamma"),
+        )
+    )
+
+
+def join_counts(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    cat_col: str = "cat",
+) -> DataFrame:
+    """[cat_a, cat_b, joins, expected] — join-count statistics for a
+    categorical cell attribute over rook adjacency (Cliff & Ord 1981):
+    observed undirected adjacent pairs per unordered category pair
+    (cat_a <= cat_b), next to the expectation under nonfree (i.e.
+    hypergeometric / randomisation) sampling
+
+        E[J_aa] =     J * n_a (n_a - 1) / (n (n - 1))
+        E[J_ab] = 2 * J * n_a n_b       / (n (n - 1))    (a != b)
+
+    with J the total undirected join count — the categorical
+    complement of :func:`morans_i` ("do like categories clump?").
+
+    Engine-exactness: all counts exact; the expectation numerator is
+    assembled in DECIMAL(38,0), one double division + round-6.
+
+    Spark shape: half-plane rook offsets ((1,0),(0,1)) explode +
+    equi-join — each undirected pair produced exactly once, O(cells);
+    category totals are a tiny dim joined twice (broadcast).
+    """
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(cat_col).alias("cat"),
+    )
+    sh = c.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") + 1).alias("gy")),
+            )
+        ).alias("k"),
+        F.col("cat").alias("acat"),
+    ).select("k.gx", "k.gy", "acat")
+    pairs = sh.join(c, ["gx", "gy"]).select(
+        F.least("acat", "cat").alias("cat_a"),
+        F.greatest("acat", "cat").alias("cat_b"),
+    )
+    obs = pairs.groupBy("cat_a", "cat_b").agg(F.count("*").alias("joins"))
+    totals = c.groupBy("cat").agg(F.count("*").alias("nc"))
+    g = c.agg(F.count("*").alias("n"))
+    j = pairs.agg(F.count("*").alias("jtot"))
+    na = F.col("na").cast(_DEC)
+    nb = F.col("nb").cast(_DEC)
+    jd = F.col("jtot").cast(_DEC)
+    nd = F.col("n").cast(_DEC)
+    num = F.when(
+        F.col("cat_a") == F.col("cat_b"), jd * na * (na - 1)
+    ).otherwise(2 * jd * na * nb)
+    den = nd * (nd - 1)
+    return (
+        obs.join(
+            F.broadcast(totals.select(F.col("cat").alias("cat_a"), F.col("nc").alias("na"))),
+            "cat_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("cat").alias("cat_b"), F.col("nc").alias("nb"))),
+            "cat_b",
+        )
+        .crossJoin(g)
+        .crossJoin(j)
+        .select(
+            "cat_a",
+            "cat_b",
+            "joins",
+            F.round(
+                num.cast("double")
+                / F.nullif(den.cast("double"), F.lit(0.0)),
+                6,
+            ).alias("expected"),
+        )
+    )
+
+
+def ripleys_k(
+    points: DataFrame,
+    radii: list[float],
+    area: float,
+    cell_size: float,
+    id_col: str = "doc_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """[r, n_pairs, k_hat, l_hat] — Ripley's K point-pattern statistic
+    (Ripley 1976, no edge correction) at each radius:
+
+        K(r) = area * n_pairs(r) / (n * (n-1))      (ordered pairs)
+        L(r) = sqrt(K(r) / pi)
+
+    "is the corpus MORE clumped than random at radius r?" — the
+    point-pattern complement of the field statistics above (CSR
+    baseline: K(r) = pi r^2).
+
+    Units are the caller's contract: pass ``area`` in the units k_hat
+    should carry (the gate passes km^2 so k_hat stays O(10) — round-6
+    of a >1e10 double is not engine-portable, see semivariogram) and
+    ``radii``/coords in metres; l_hat is converted back to metres by
+    the fixed chain  sqrt(k/pi) * 1000.
+
+    Spark shape: candidate pairs via a bounded cell k-ring equi-join —
+    one side explodes its (2k+1)^2 ring (k = ceil(max_r / cell_size)),
+    joins back on the cell key, and every ordered pair within max_r is
+    produced exactly once (floor is monotone: |x_a - x_b| <= k*cell
+    implies |gx_a - gx_b| <= k).  O(n * density * r^2), never global
+    all-pairs; per-radius counts are conditional sums in ONE aggregate.
+    """
+    k = int(-(-max(radii) // cell_size))  # ceil
+    p = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.floor(F.col(x_col) / cell_size).cast("long").alias("gx"),
+        F.floor(F.col(y_col) / cell_size).cast("long").alias("gy"),
+    )
+    ring = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    sh = p.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gx") + dx).alias("gx"), (F.col("gy") + dy).alias("gy")
+                    )
+                    for dx, dy in ring
+                ]
+            )
+        ).alias("c"),
+        F.col("id").alias("aid"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    ).select("c.gx", "c.gy", "aid", "ax", "ay")
+    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    pairs = (
+        sh.join(p, ["gx", "gy"])
+        .filter(F.col("aid") != F.col("id"))
+        .select(d2.alias("d2"))
+    )
+    counts = pairs.agg(
+        *[
+            F.count(F.when(F.col("d2") <= float(r) * float(r), 1)).alias(f"c{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    n = points.agg(F.count("*").alias("n"))
+    stack = ", ".join(f"{float(r)}D, c{i}" for i, r in enumerate(radii))
+    out = counts.crossJoin(n).select(
+        F.expr(f"stack({len(radii)}, {stack}) AS (r, n_pairs)"), "n"
+    )
+    kraw = (
+        F.lit(float(area)) * F.col("n_pairs").cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    return out.select(
+        "r",
+        "n_pairs",
+        F.round(kraw, 6).alias("k_hat"),
+        F.round(
+            F.sqrt(kraw / F.lit(3.141592653589793)) * F.lit(1000.0), 6
+        ).alias("l_hat"),
+    )

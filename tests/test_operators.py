@@ -1511,6 +1511,199 @@ def test_grid_dbscan_roles_and_labels(spark):
     assert got[(20, 20)] == ("noise", None)
 
 
+def test_gini_exposure_vs_numpy(spark):
+    """Engine Gini equals the textbook sorted-rank formula, including
+    under ties; uniform values give 0."""
+    from greenex_py_spark.operators.spatial_stats import gini_exposure
+
+    cases = [
+        [1, 1, 1, 1],                    # perfectly equal -> 0
+        [0, 0, 0, 10],                   # concentrated
+        [3, 1, 4, 1, 5, 9, 2, 6, 5, 3],  # ties present
+    ]
+    for vals in cases:
+        xs = np.sort(np.array(vals, dtype=float))
+        n = len(xs)
+        want = float(((2 * np.arange(1, n + 1) - n - 1) * xs).sum() / (n * xs.sum()))
+        df = spark.createDataFrame(
+            [(i, 0, v) for i, v in enumerate(vals)], "gx long, gy long, v long"
+        )
+        got = gini_exposure(df).collect()[0]
+        assert got["n_cells"] == n and got["total"] == sum(vals)
+        assert got["gini"] == pytest.approx(want, abs=1e-6)
+
+
+def test_semivariogram_hand_values(spark):
+    """A 1-D ramp v = 10*gx on a line: gamma(h^2) = (10h)^2 / 2 for the
+    axis lags, pair counts n-h; half-plane offsets count pairs once."""
+    from greenex_py_spark.operators.spatial_stats import (
+        semivariogram,
+        semivariogram_offsets,
+    )
+
+    offs = semivariogram_offsets(3)
+    assert (1, 0) in offs and (-1, 0) not in offs and (0, 1) in offs
+    assert (0, -1) not in offs and (3, 1) not in offs and (2, 2) in offs
+    n = 8
+    df = spark.createDataFrame(
+        [(i, 0, 10 * i) for i in range(n)], "gx long, gy long, v long"
+    )
+    got = {r["d2"]: (r["n_pairs"], r["gamma"]) for r in semivariogram(df).collect()}
+    # only axis lags (h,0) exist on a line; d2 = 1, 4, 9
+    assert set(got) == {1, 4, 9}
+    for h in (1, 2, 3):
+        np_, gamma = got[h * h]
+        assert np_ == n - h
+        assert gamma == pytest.approx(sum((10 * h) ** 2 for _ in range(n - h))
+                                      / (2 * (n - h)), abs=1e-6)
+
+
+def test_zorder_key_matches_numpy_morton(spark):
+    """The codegen Morton key equals geo/cells.morton_cell bit-for-bit,
+    and consecutive-key cells are spatially adjacent (locality)."""
+    from greenex_py_spark.engine.layout import zorder_key, zorder_layout_stats
+    from greenex_py_spark.geo.cells import CELL_SIZE, ORIGIN_X, ORIGIN_Y, morton_cell
+
+    rng = np.random.RandomState(7)
+    gx = rng.randint(0, 1 << 16, 200).astype(np.int64)
+    gy = rng.randint(0, 1 << 16, 200).astype(np.int64)
+    want = morton_cell(
+        ORIGIN_X + gx * CELL_SIZE + 1.0, ORIGIN_Y + gy * CELL_SIZE + 1.0
+    )
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(gx, gy)], "gx long, gy long"
+    )
+    got = (
+        df.select(zorder_key(F.col("gx"), F.col("gy")).alias("z"))
+        .toPandas()["z"]
+        .to_numpy()
+    )
+    assert (got == want).all()
+    # locality: within one shift=4 file (16 consecutive curve keys),
+    # cells sit in a small bbox (Morton: 16 keys span <= 8x8)
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "gx long, gy long"
+    )
+    stats = zorder_layout_stats(grid, shift=4).collect()
+    assert len(stats) == 16  # 256 cells / 16 per file
+    for r in stats:
+        assert r["n_rows"] == 16 and r["n_cells"] == 16
+        assert r["gx_span"] <= 8 and r["gy_span"] <= 8
+        assert r["zmax"] - r["zmin"] == 15  # contiguous curve range
+
+
+def test_bloom_prefilter_semantics(spark):
+    """No false negatives ever; with a deliberately tiny filter the
+    false-positive set matches an independent python Bloom simulation."""
+    import hashlib
+
+    from greenex_py_spark.functions.dedup import bloom_prefilter
+
+    ref_texts = [f"ref doc {i}" for i in range(40)]
+    qry = [(i, ref_texts[i]) for i in range(10)] + [
+        (100 + i, f"new doc {i}") for i in range(30)
+    ]
+    m, k = 64, 3  # tiny -> false positives guaranteed
+
+    def positions(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return [int(h[10 * i: 10 * i + 10], 16) % m for i in range(k)]
+
+    bits = {p for t in ref_texts for p in positions(t)}
+    ref_df = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    qry_df = spark.createDataFrame(qry, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["probably_seen"]
+        for r in bloom_prefilter(ref_df, qry_df, m_bits=m, k=k).collect()
+    }
+    want = {i: all(p in bits for p in positions(t)) for i, t in qry}
+    assert got == want
+    assert all(got[i] for i in range(10))  # no false negatives
+    fps = [i for i in got if i >= 100 and got[i]]
+    assert fps  # tiny filter must produce some false positives
+
+
+def test_join_counts_hand_values(spark):
+    """2x2 checkerboard of A/B: zero like-pairs, all 4 rook joins are
+    AB; expectations follow the nonfree-sampling formula."""
+    from greenex_py_spark.operators.spatial_stats import join_counts
+
+    cells = [(0, 0, "A"), (1, 1, "A"), (1, 0, "B"), (0, 1, "B")]
+    df = spark.createDataFrame(cells, "gx long, gy long, cat string")
+    got = {(r["cat_a"], r["cat_b"]): r for r in join_counts(df).collect()}
+    # rook joins: (0,0)-(1,0) AB, (0,0)-(0,1) AB, (1,0)-(1,1) BA, (0,1)-(1,1) BA
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert r["joins"] == 4
+    # E[J_AB] = 2*J*nA*nB / (n(n-1)) = 2*4*2*2/12
+    assert r["expected"] == pytest.approx(2 * 4 * 2 * 2 / 12, abs=1e-6)
+    # stripes: like categories adjacent along y -> AA and BB joins appear
+    stripes = [(x, y, "A" if x == 0 else "B") for x in (0, 1) for y in range(3)]
+    got2 = {(r["cat_a"], r["cat_b"]): r["joins"]
+            for r in join_counts(
+                spark.createDataFrame(stripes, "gx long, gy long, cat string")
+            ).collect()}
+    assert got2 == {("A", "A"): 2, ("B", "B"): 2, ("A", "B"): 3}
+
+
+def test_adaptive_cells_quadtree(spark):
+    """Dense block refines to finest level, sparse region collapses to
+    one coarse cell; counts conserved and the partition is disjoint."""
+    from greenex_py_spark.operators.adaptive_grid import adaptive_cells
+
+    cells = (
+        # dense 2x2 block at origin: each base cell holds 10 docs
+        [(x, y, 10) for x in (0, 1) for y in (0, 1)]
+        # sparse far block within one level-0 cell (coords 8..15)
+        + [(8, 8, 1), (9, 10, 1), (12, 13, 1)]
+    )
+    df = spark.createDataFrame(cells, "gx long, gy long, cnt long")
+    got = {(r["level"], r["gxl"], r["gyl"]): r["n_docs"]
+           for r in adaptive_cells(df, threshold=5, levels=4).collect()}
+    # origin block: c0 (cell 0,0 at 800m) = 40+3? no — (8,8)+ are in
+    # level-0 cell (1,1); origin level-0 cell count = 40 > 5, level1
+    # (0,0)=40, level2 (0,0)=40, all > 5 -> each base cell at finest
+    for x in (0, 1):
+        for y in (0, 1):
+            assert got[(3, x, y)] == 10
+    # sparse block: level-0 cell (1,1) holds 3 <= 5 -> one coarse cell
+    assert got[(0, 1, 1)] == 3
+    assert len(got) == 5
+    assert sum(got.values()) == 43
+    # threshold high enough: everything collapses into level-0 cells
+    got2 = {(r["level"], r["gxl"], r["gyl"]): r["n_docs"]
+            for r in adaptive_cells(df, threshold=100, levels=4).collect()}
+    assert got2 == {(0, 0, 0): 40, (0, 1, 1): 3}
+
+
+def test_ripleys_k_vs_numpy(spark):
+    """Engine pair counts equal the brute-force O(n^2) count at every
+    radius (incl. pairs straddling cell boundaries), and K/L follow the
+    fixed formula chain."""
+    from greenex_py_spark.operators.spatial_stats import ripleys_k
+
+    rng = np.random.RandomState(3)
+    xs = rng.uniform(0, 1000, 120)
+    ys = rng.uniform(0, 1000, 120)
+    pts = [(i, float(xs[i]), float(ys[i])) for i in range(120)]
+    df = spark.createDataFrame(pts, "doc_id long, x double, y double")
+    radii, area = [100.0, 250.0], 1.0  # km^2
+    got = {r["r"]: r for r in
+           ripleys_k(df, radii=radii, area=area, cell_size=100.0).collect()}
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    n = len(xs)
+    for r in radii:
+        pairs = int((d2 <= r * r).sum())  # ordered pairs
+        k = area * pairs / (n * (n - 1))
+        assert got[r]["n_pairs"] == pairs
+        assert got[r]["k_hat"] == pytest.approx(k, abs=1e-6)
+        assert got[r]["l_hat"] == pytest.approx(
+            np.sqrt(k / np.pi) * 1000.0, abs=1e-5)
+
+
 def test_gopher_quality_hand_values(spark):
     """Each rule flips keep at its boundary: word-count floor, mean
     word length band, distinct-stopword floor, alphabetic fraction."""
