@@ -3751,6 +3751,87 @@ def q_adaptive_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_local_moran",
+    _CTE + f""",
+{_MASS_CELLS_SQL.strip()},
+s AS (SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS svv FROM c),
+o AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS t(dx, dy)),
+l AS (
+  SELECT t.gx, t.gy, count(*) AS w_i, sum(CAST(nbr.v AS HUGEINT)) AS li
+  FROM c t JOIN o ON true
+  JOIN c nbr ON nbr.gx = t.gx + o.dx AND nbr.gy = t.gy + o.dy
+  GROUP BY t.gx, t.gy
+),
+f AS (SELECT c.gx, c.gy, c.v, coalesce(l.w_i, 0) AS w_i,
+             coalesce(l.li, 0) AS li
+      FROM c LEFT JOIN l USING (gx, gy))
+SELECT gx, gy, w_i,
+       round(CAST((n * CAST(v AS HUGEINT) - sv) * (n * li - w_i * sv)
+                  AS DOUBLE)
+             / nullif(CAST(n * svv - sv * sv AS DOUBLE), 0.0), 6) AS local_i,
+       (CASE WHEN n * CAST(v AS HUGEINT) - sv > 0 THEN 'H' ELSE 'L' END)
+       || (CASE WHEN n * li - w_i * sv > 0 THEN 'H' ELSE 'L' END) AS quadrant
+FROM f, s
+""",
+)
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (Anselin LISA) per 100 m cell over the exposure
+    mass — "which cells are HH/LL clusters vs HL/LH outliers", the
+    signed-cluster companion of q_getis_ord (Gi* ranks hot spots, LISA
+    also exposes spatial outliers).  Exact-integer numerators, quadrant
+    from exact sign tests, one division + round-6."""
+    from .operators.spatial_stats import local_morans_i
+
+    return local_morans_i(_mass_cells_df(spark, sf_dir))
+
+
+@register(
+    "q_bivariate_moran",
+    _CTE + f""",
+{_MASS_CELLS_SQL.strip()},
+cc AS (SELECT gx, gy, count(*) AS cnt FROM d GROUP BY 1, 2),
+m AS (SELECT c.gx, c.gy, c.v AS x, cc.cnt AS y FROM c JOIN cc USING (gx, gy)),
+s2 AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+              sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy FROM m),
+o AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS t(dx, dy)),
+pr AS (SELECT a.x AS ax, b.y AS yb
+       FROM m a JOIN o ON true
+       JOIN m b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy),
+p2 AS (SELECT count(*) AS w,
+              coalesce(sum(CAST(ax AS HUGEINT) * yb), 0) AS pxy,
+              coalesce(sum(CAST(ax AS HUGEINT)), 0) AS sxp,
+              coalesce(sum(CAST(yb AS HUGEINT)), 0) AS syp FROM pr)
+SELECT n AS n_cells, w AS w_pairs,
+       round(CAST(n * n * pxy - n * sy * sxp - n * sx * syp + w * sx * sy
+                  AS DOUBLE)
+             / nullif(CAST(w AS DOUBLE)
+                      * sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+             6) AS morans_ixy
+FROM s2, p2
+""",
+)
+def q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate (cross) Moran's I between greenness-exposure mass and
+    document density on adjacent cells — "do corpus-dense cells sit
+    NEXT TO green-heavy cells?", the exposure-equity cross statistic
+    tying the webtext corpus to the geospatial surface.  Directed
+    pairs; exact-integer A/Bx/By, one sqrt-multiply-divide chain +
+    round-6."""
+    from .operators.spatial_stats import bivariate_morans_i
+
+    mass = _mass_cells_df(spark, sf_dir)
+    cnt = _count_cells_df(spark, sf_dir)
+    cells = mass.join(cnt, ["gx", "gy"]).select(
+        "gx", "gy", F.col("v").alias("x"), F.col("cnt").alias("y")
+    )
+    return bivariate_morans_i(cells)
+
+
+@register(
     "q_ripleys_k",
     _CTE + """,
 pr AS (

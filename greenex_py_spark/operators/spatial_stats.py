@@ -509,3 +509,170 @@ def ripleys_k(
             F.sqrt(kraw / F.lit(3.141592653589793)) * F.lit(1000.0), 6
         ).alias("l_hat"),
     )
+
+
+def local_morans_i(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "v",
+) -> DataFrame:
+    """[gx, gy, w_i, local_i, quadrant] — local Moran's I (Anselin 1995
+    LISA) per occupied cell, binary rook weights:
+
+        I_i = (v_i - mu) * sum_{j in N(i)} (v_j - mu) / m2,
+        m2  = sum_k (v_k - mu)^2 / n
+
+    which multiplies out (S = sum v, L_i = neighbour sum, w_i =
+    neighbour count, B = n*Svv - S^2) to the EXACT-integer form
+
+        I_i = (n*v_i - S) * (n*L_i - w_i*S) / B
+
+    in which the numerator product stays in DECIMAL(38,0) — exact
+    integers until one double division + round-6.  ``quadrant`` classifies the cell by the exact signs of
+    the two centered terms: HH / LL (spatial clusters) vs HL / LH
+    (spatial outliers); isolated cells (w_i = 0) get I_i = 0 and the
+    lag counts as low.  B = 0 (constant surface) yields null.
+
+    Spark shape: identical to :func:`getis_ord_gi` — 4-key rook explode
+    + equi-join, O(cells); LEFT join keeps isolated cells.
+    """
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast(_DEC)
+    s = c.agg(
+        F.count("*").alias("n"),
+        F.sum(vd).alias("sv"),
+        F.sum(vd * F.col("v")).alias("svv"),
+    )
+    nb = c.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct((F.col("gx") - 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") + 1).alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") - 1).alias("gy")),
+            )
+        ).alias("k"),
+        F.col("v").alias("av"),
+    ).select(F.col("k.gx").alias("gx"), F.col("k.gy").alias("gy"), "av")
+    loc = (
+        nb.join(c.select("gx", "gy"), ["gx", "gy"])
+        .groupBy("gx", "gy")
+        .agg(
+            F.count("*").alias("w_i"),
+            F.sum(F.col("av").cast(_DEC)).alias("li"),
+        )
+    )
+    full = c.join(loc, ["gx", "gy"], "left").select(
+        "gx",
+        "gy",
+        "v",
+        F.coalesce("w_i", F.lit(0)).alias("w_i"),
+        F.coalesce("li", F.lit(0).cast(_DEC)).alias("li"),
+    )
+    nd = F.col("n").cast(_DEC)
+    zi = nd * vd - F.col("sv")
+    lag = nd * F.col("li") - F.col("w_i").cast(_DEC) * F.col("sv")
+    b = nd * F.col("svv") - F.col("sv") * F.col("sv")
+    quad = F.concat(
+        F.when(zi > 0, F.lit("H")).otherwise(F.lit("L")),
+        F.when(lag > 0, F.lit("H")).otherwise(F.lit("L")),
+    )
+    return full.crossJoin(s).select(
+        "gx",
+        "gy",
+        "w_i",
+        F.round(
+            (zi * lag).cast("double") / F.nullif(b.cast("double"), F.lit(0.0)), 6
+        ).alias("local_i"),
+        quad.alias("quadrant"),
+    )
+
+
+def bivariate_morans_i(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """One row [n_cells, w_pairs, morans_ixy] — bivariate (cross)
+    Moran's I between two integer cell variables over rook adjacency
+    (Wartenberg 1985): "is x at a cell correlated with y NEXT DOOR?"
+
+        I_xy = (n/W) * sum_pairs (x_i - mx)(y_j - my)
+               / sqrt(sum (x - mx)^2 * sum (y - my)^2)
+
+    Multiplied out (Sx, Sy sums; P = sum_pairs x_i*y_j; Sxp/Syp = pair
+    sums of the source x / target y; Bx = n*Sxx - Sx^2, By likewise):
+
+        A = n^2*P - n*Sy*Sxp - n*Sx*Syp + W*Sx*Sy     (exact)
+        I_xy = A / (W * sqrt(Bx * By))
+
+    exact integers until one fixed sqrt/multiply/divide chain; null
+    when W = 0 or either variance is 0.  Directed pairs (i -> j), so
+    the statistic is asymmetric in (x, y) as defined.
+
+    Spark shape: same 4-key rook explode + equi-join as morans_i, with
+    x carried on the source side and y read on the target side.
+    """
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast(_DEC)
+    yd = F.col("y").cast(_DEC)
+    s = c.agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    nb = c.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct((F.col("gx") - 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") + 1).alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") - 1).alias("gy")),
+            )
+        ).alias("k"),
+        F.col("x").alias("ax"),
+    ).select(F.col("k.gx").alias("gx"), F.col("k.gy").alias("gy"), "ax")
+    axd = F.col("ax").cast(_DEC)
+    p = nb.join(c, ["gx", "gy"]).agg(
+        F.count("*").alias("w"),
+        F.coalesce(F.sum(axd * F.col("y")), F.lit(0).cast(_DEC)).alias("pxy"),
+        F.coalesce(F.sum(axd), F.lit(0).cast(_DEC)).alias("sxp"),
+        F.coalesce(F.sum(yd), F.lit(0).cast(_DEC)).alias("syp"),
+    )
+    nd = F.col("n").cast(_DEC)
+    wd = F.col("w").cast(_DEC)
+    a = (
+        nd * nd * F.col("pxy")
+        - nd * F.col("sy") * F.col("sxp")
+        - nd * F.col("sx") * F.col("syp")
+        + wd * F.col("sx") * F.col("sy")
+    )
+    bx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    by = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.crossJoin(p).select(
+        F.col("n").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        F.round(
+            a.cast("double")
+            / F.nullif(
+                wd.cast("double")
+                * F.sqrt(bx.cast("double") * by.cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("morans_ixy"),
+    )

@@ -1704,6 +1704,68 @@ def test_ripleys_k_vs_numpy(spark):
             np.sqrt(k / np.pi) * 1000.0, abs=1e-5)
 
 
+def test_local_morans_i_vs_numpy(spark):
+    """Engine LISA equals the textbook float formula per cell; high
+    block cells are HH, the low far corner LL, and an isolated cell
+    gets I=0 with a deterministic quadrant."""
+    from greenex_py_spark.operators.spatial_stats import local_morans_i
+
+    cells = {(x, y): (100 if x <= 1 and y <= 1 else -5)
+             for x in range(4) for y in range(4)}
+    cells[(10, 10)] = 7  # isolated: no rook neighbour
+    xs = np.array(list(cells.values()), dtype=float)
+    n, mu = len(xs), xs.mean()
+    m2 = ((xs - mu) ** 2).sum() / n
+
+    def numpy_lisa(gx, gy):
+        lag = sum(cells.get((gx + dx, gy + dy), 0) - mu
+                  for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+                  if (gx + dx, gy + dy) in cells)
+        return (cells[(gx, gy)] - mu) * lag / m2
+
+    df = spark.createDataFrame(
+        [(gx, gy, v) for (gx, gy), v in cells.items()], "gx long, gy long, v long"
+    )
+    got = {(r["gx"], r["gy"]): r for r in local_morans_i(df).collect()}
+    assert set(got) == set(cells)
+    for (gx, gy), r in got.items():
+        assert r["local_i"] == pytest.approx(numpy_lisa(gx, gy), abs=1e-6)
+    assert got[(0, 0)]["quadrant"] == "HH"
+    assert got[(3, 3)]["quadrant"] == "LL"
+    iso = got[(10, 10)]
+    # isolated: value 7 < mean (~20.4) and zero lag -> LL with I = 0
+    assert iso["w_i"] == 0 and iso["local_i"] == 0.0 and iso["quadrant"] == "LL"
+
+
+def test_bivariate_morans_i_vs_numpy(spark):
+    """Engine cross-Moran equals the float Wartenberg formula; y built
+    as the spatially-lagged copy of x gives a strongly positive I."""
+    from greenex_py_spark.operators.spatial_stats import bivariate_morans_i
+
+    rng = np.random.RandomState(11)
+    grid = [(x, y) for x in range(6) for y in range(6)]
+    xv = {g: int(rng.randint(0, 100)) for g in grid}
+    yv = {g: xv.get((g[0] + 1, g[1]), 0) + xv.get((g[0] - 1, g[1]), 0) for g in grid}
+    xs = np.array([xv[g] for g in grid], dtype=float)
+    ys = np.array([yv[g] for g in grid], dtype=float)
+    n, mx, my = len(grid), xs.mean(), ys.mean()
+    num, w = 0.0, 0
+    for gx, gy in grid:
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            if (gx + dx, gy + dy) in xv:
+                num += (xv[(gx, gy)] - mx) * (yv[(gx + dx, gy + dy)] - my)
+                w += 1
+    want = (n / w) * num / np.sqrt(((xs - mx) ** 2).sum() * ((ys - my) ** 2).sum())
+    df = spark.createDataFrame(
+        [(gx, gy, xv[(gx, gy)], yv[(gx, gy)]) for gx, gy in grid],
+        "gx long, gy long, x long, y long",
+    )
+    got = bivariate_morans_i(df).collect()[0]
+    assert (got["n_cells"], got["w_pairs"]) == (n, w)
+    assert got["morans_ixy"] == pytest.approx(want, abs=1e-6)
+    assert got["morans_ixy"] > 0.1  # lagged copy -> clearly positive
+
+
 def test_gopher_quality_hand_values(spark):
     """Each rule flips keep at its boundary: word-count floor, mean
     word length band, distinct-stopword floor, alphabetic fraction."""
