@@ -3831,6 +3831,70 @@ def q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bivariate_morans_i(cells)
 
 
+def _det3_sql(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+    """Cramer cofactor expansion — the SQL twin of slx_regression's
+    det3, same fixed form (exact integers, so order is immaterial)."""
+    return (
+        f"({a11} * ({a22} * {a33} - {a23} * {a32}) "
+        f"- {a12} * ({a21} * {a33} - {a23} * {a31}) "
+        f"+ {a13} * ({a21} * {a32} - {a22} * {a31}))"
+    )
+
+
+_SLX_D = _det3_sql("n", "sx", "sz", "sx", "sxx", "sxz", "sz", "sxz", "szz")
+_SLX_D0 = _det3_sql("sy", "sx", "sz", "sxy", "sxx", "sxz", "szy", "sxz", "szz")
+_SLX_D1 = _det3_sql("n", "sy", "sz", "sx", "sxy", "sxz", "sz", "szy", "szz")
+_SLX_D2 = _det3_sql("n", "sx", "sy", "sx", "sxx", "sxy", "sz", "sxz", "szy")
+
+
+@register(
+    "q_slx_regression",
+    _CTE + f""",
+{_MASS_CELLS_SQL.strip()},
+cc AS (SELECT gx, gy, count(*) AS cnt FROM d GROUP BY 1, 2),
+m AS (SELECT c.gx, c.gy, c.v AS y, cc.cnt AS x FROM c JOIN cc USING (gx, gy)),
+o AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS t(dx, dy)),
+lg AS (SELECT t.gx, t.gy, sum(CAST(b.x AS HUGEINT)) AS z
+       FROM m t JOIN o ON true
+       JOIN m b ON b.gx = t.gx + o.dx AND b.gy = t.gy + o.dy
+       GROUP BY t.gx, t.gy),
+f AS (SELECT m.y, m.x, coalesce(lg.z, 0) AS z FROM m LEFT JOIN lg USING (gx, gy)),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(z AS HUGEINT)) AS sz,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(z AS HUGEINT) * z) AS szz,
+             sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(z AS HUGEINT) * y) AS szy FROM f)
+SELECT CAST(n AS BIGINT) AS n_cells,
+       round(CAST({_SLX_D0} AS DOUBLE)
+             / nullif(CAST({_SLX_D} AS DOUBLE), 0.0), 6) AS b0,
+       round(CAST({_SLX_D1} AS DOUBLE)
+             / nullif(CAST({_SLX_D} AS DOUBLE), 0.0), 6) AS b1,
+       round(CAST({_SLX_D2} AS DOUBLE)
+             / nullif(CAST({_SLX_D} AS DOUBLE), 0.0), 6) AS b2
+FROM s
+""",
+)
+def q_slx_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLX spatial regression of per-cell exposure mass on document
+    count AND rook-lagged neighbour count — "after the cell's own
+    density, does the neighbourhood's density predict exposure?".  The
+    whole fit is distributed exact arithmetic: 9 DECIMAL/HUGEINT sums,
+    Cramer determinants as integer polynomials, one double division +
+    round-6 per coefficient — no iterative solver, no FP summation
+    order anywhere."""
+    from .operators.spatial_stats import slx_regression
+
+    mass = _mass_cells_df(spark, sf_dir)
+    cnt = _count_cells_df(spark, sf_dir)
+    cells = mass.join(cnt, ["gx", "gy"]).select(
+        "gx", "gy", F.col("v").alias("y"), F.col("cnt").alias("x")
+    )
+    return slx_regression(cells)
+
+
 @register(
     "q_ripleys_k",
     _CTE + """,

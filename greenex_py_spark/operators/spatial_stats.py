@@ -386,10 +386,26 @@ def join_counts(
         F.least("acat", "cat").alias("cat_a"),
         F.greatest("acat", "cat").alias("cat_b"),
     )
-    obs = pairs.groupBy("cat_a", "cat_b").agg(F.count("*").alias("joins"))
-    totals = c.groupBy("cat").agg(F.count("*").alias("nc"))
-    g = c.agg(F.count("*").alias("n"))
-    j = pairs.agg(F.count("*").alias("jtot"))
+    from pyspark.sql import Window
+
+    # Catalyst does not reuse common subtrees across join arms, so every
+    # extra reference to `pairs` / `c` would re-run the (possibly
+    # expensive) input pipeline.  Derive J from obs and n from totals
+    # with unpartitioned window sums over the TINY aggregated frames —
+    # one evaluation of `pairs`, two of `c` (self-join + totals), which
+    # is the minimum a self-join statistic admits; persist the input if
+    # it is an expensive subtree.
+    everything = Window.partitionBy()
+    obs = (
+        pairs.groupBy("cat_a", "cat_b")
+        .agg(F.count("*").alias("joins"))
+        .withColumn("jtot", F.sum("joins").over(everything))
+    )
+    totals = (
+        c.groupBy("cat")
+        .agg(F.count("*").alias("nc"))
+        .withColumn("n", F.sum("nc").over(everything))
+    )
     na = F.col("na").cast(_DEC)
     nb = F.col("nb").cast(_DEC)
     jd = F.col("jtot").cast(_DEC)
@@ -400,15 +416,19 @@ def join_counts(
     den = nd * (nd - 1)
     return (
         obs.join(
-            F.broadcast(totals.select(F.col("cat").alias("cat_a"), F.col("nc").alias("na"))),
+            F.broadcast(
+                totals.select(
+                    F.col("cat").alias("cat_a"), F.col("nc").alias("na"), "n"
+                )
+            ),
             "cat_a",
         )
         .join(
-            F.broadcast(totals.select(F.col("cat").alias("cat_b"), F.col("nc").alias("nb"))),
+            F.broadcast(
+                totals.select(F.col("cat").alias("cat_b"), F.col("nc").alias("nb"))
+            ),
             "cat_b",
         )
-        .crossJoin(g)
-        .crossJoin(j)
         .select(
             "cat_a",
             "cat_b",
@@ -675,4 +695,97 @@ def bivariate_morans_i(
             ),
             6,
         ).alias("morans_ixy"),
+    )
+
+
+def slx_regression(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> DataFrame:
+    """One row [n_cells, b0, b1, b2] — OLS fit of the SLX (spatial
+    lag-of-X) model over the grid, binary rook weights:
+
+        y_i = b0 + b1 * x_i + b2 * (Wx)_i,     (Wx)_i = sum_{j in N(i)} x_j
+
+    "does the NEIGHBOURHOOD's x predict y beyond the cell's own x?" —
+    the simplest spatial regression (Halleck Vega & Elhorst 2015), fit
+    distributed with EXACT normal equations: every X'X / X'y entry is
+    an exact DECIMAL(38,0) sum, the 3x3 system is solved by Cramer's
+    rule whose cofactor determinants are polynomials of those integers
+    (still exact), and each coefficient is ONE double division +
+    round-6 — bit-identical across engines, no iterative solver.
+
+    The spatial lag is the binary-weights SUM (not row-standardized
+    mean — a mean would leave integer arithmetic).  Isolated cells get
+    lag 0.  A singular system (det = 0, e.g. constant x) yields nulls.
+
+    Scale note: determinant magnitude grows like n * (sum x^2)^2 —
+    fine in 38-digit decimals for count-scale variables at any n, but
+    production fits on huge-valued variables should pre-scale x (the
+    gate regresses exposure mass on document counts, which keeps every
+    determinant < 1e21).
+
+    Spark shape: one rook explode + equi-join for the lag, then a
+    single 9-sum global aggregate (two-phase) and a 1-row projection.
+    """
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    nb = c.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct((F.col("gx") - 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") + 1).alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") - 1).alias("gy")),
+            )
+        ).alias("k"),
+        F.col("x").alias("ax"),
+    ).select(F.col("k.gx").alias("gx"), F.col("k.gy").alias("gy"), "ax")
+    lag = nb.join(c.select("gx", "gy"), ["gx", "gy"]).groupBy("gx", "gy").agg(
+        F.sum(F.col("ax").cast(_DEC)).alias("z")
+    )
+    full = c.join(lag, ["gx", "gy"], "left").select(
+        "y", "x", F.coalesce("z", F.lit(0).cast(_DEC)).alias("z")
+    )
+    xd, yd, zd = F.col("x").cast(_DEC), F.col("y").cast(_DEC), F.col("z")
+    s = full.agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(zd).alias("sz"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(zd * zd).alias("szz"),
+        F.sum(xd * zd).alias("sxz"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(zd * yd).alias("szy"),
+    )
+
+    def det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        return (
+            a11 * (a22 * a33 - a23 * a32)
+            - a12 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * a32 - a22 * a31)
+        )
+
+    nd = F.col("n").cast(_DEC)
+    sx, sz, sy = F.col("sx"), F.col("sz"), F.col("sy")
+    sxx, szz, sxz = F.col("sxx"), F.col("szz"), F.col("sxz")
+    sxy, szy = F.col("sxy"), F.col("szy")
+    d = det3(nd, sx, sz, sx, sxx, sxz, sz, sxz, szz)
+    d0 = det3(sy, sx, sz, sxy, sxx, sxz, szy, sxz, szz)
+    d1 = det3(nd, sy, sz, sx, sxy, sxz, sz, szy, szz)
+    d2 = det3(nd, sx, sy, sx, sxx, sxy, sz, sxz, szy)
+    dd = F.nullif(d.cast("double"), F.lit(0.0))
+    return s.select(
+        F.col("n").alias("n_cells"),
+        F.round(d0.cast("double") / dd, 6).alias("b0"),
+        F.round(d1.cast("double") / dd, 6).alias("b1"),
+        F.round(d2.cast("double") / dd, 6).alias("b2"),
     )

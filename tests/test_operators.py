@@ -1766,6 +1766,43 @@ def test_bivariate_morans_i_vs_numpy(spark):
     assert got["morans_ixy"] > 0.1  # lagged copy -> clearly positive
 
 
+def test_slx_regression_vs_numpy(spark):
+    """Engine SLX coefficients equal numpy lstsq on [1, x, Wx] (binary
+    rook lag sum), and a y constructed as 2 + 3x + 5Wx is recovered
+    exactly."""
+    from greenex_py_spark.operators.spatial_stats import slx_regression
+
+    rng = np.random.RandomState(5)
+    grid = [(x, y) for x in range(5) for y in range(5)]
+    xv = {g: int(rng.randint(1, 20)) for g in grid}
+
+    def lag(g):
+        return sum(xv.get((g[0] + dx, g[1] + dy), 0)
+                   for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)))
+
+    # exact linear model: recovered coefficients must be exact
+    yv = {g: 2 + 3 * xv[g] + 5 * lag(g) for g in grid}
+    df = spark.createDataFrame(
+        [(gx, gy, yv[(gx, gy)], xv[(gx, gy)]) for gx, gy in grid],
+        "gx long, gy long, y long, x long",
+    )
+    got = slx_regression(df).collect()[0]
+    assert got["n_cells"] == 25
+    assert (got["b0"], got["b1"], got["b2"]) == (2.0, 3.0, 5.0)
+    # noisy y: match numpy least squares
+    yv2 = {g: yv[g] + int(rng.randint(-10, 10)) for g in grid}
+    df2 = spark.createDataFrame(
+        [(gx, gy, yv2[(gx, gy)], xv[(gx, gy)]) for gx, gy in grid],
+        "gx long, gy long, y long, x long",
+    )
+    A = np.array([[1.0, xv[g], lag(g)] for g in grid])
+    b = np.array([float(yv2[g]) for g in grid])
+    want, *_ = np.linalg.lstsq(A, b, rcond=None)
+    got2 = slx_regression(df2).collect()[0]
+    for k, w in zip(("b0", "b1", "b2"), want):
+        assert got2[k] == pytest.approx(w, abs=1e-6)
+
+
 def test_gopher_quality_hand_values(spark):
     """Each rule flips keep at its boundary: word-count floor, mean
     word length band, distinct-stopword floor, alphabetic fraction."""
