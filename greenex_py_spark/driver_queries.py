@@ -3831,6 +3831,118 @@ def q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bivariate_morans_i(cells)
 
 
+@register(
+    "q_gearys_c",
+    _CTE + f""",
+{_MASS_CELLS_SQL.strip()},
+s AS (SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS svv FROM c),
+o AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS t(dx, dy)),
+p AS (SELECT count(*) AS w,
+             coalesce(sum((CAST(a.v AS HUGEINT) - b.v)
+                          * (CAST(a.v AS HUGEINT) - b.v)), 0) AS p2
+      FROM c a JOIN o ON true
+      JOIN c b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy)
+SELECT n AS n_cells, w AS w_pairs,
+       CAST((n - 1) * n * p2 AS DOUBLE)
+       / nullif(CAST(2 * w * (n * svv - sv * sv) AS DOUBLE), 0.0) AS gearys_c
+FROM s, p
+""",
+)
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C contiguity ratio of the per-cell exposure mass — the
+    difference-based global autocorrelation twin of q_morans_i (C < 1
+    = clustered; like morans_i, exact integers until ONE double
+    division, no rounding needed)."""
+    from .operators.spatial_stats import gearys_c
+
+    return gearys_c(_mass_cells_df(spark, sf_dir))
+
+
+@register(
+    "q_general_g",
+    _CTE + f""",
+{_COUNT_CELLS_SQL.strip()},
+s AS (SELECT count(*) AS n, sum(CAST(cnt AS HUGEINT)) AS sv,
+             sum(CAST(cnt AS HUGEINT) * cnt) AS svv FROM c),
+o AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS t(dx, dy)),
+p AS (SELECT count(*) AS w,
+             coalesce(sum(CAST(a.cnt AS HUGEINT) * b.cnt), 0) AS pp
+      FROM c a JOIN o ON true
+      JOIN c b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy)
+SELECT n AS n_cells, w AS w_pairs,
+       round(CAST(pp AS DOUBLE)
+             / nullif(CAST(sv * sv - svv AS DOUBLE), 0.0), 6) AS general_g,
+       round(CAST(w AS DOUBLE)
+             / nullif(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0.0),
+             6) AS expected_g
+FROM s, p
+""",
+)
+def q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord General G of per-cell document counts (non-negative by
+    construction) vs its CSR expectation W/(n(n-1)) — "do HIGH-density
+    cells concentrate?", the global yes/no that q_getis_ord drills into
+    per cell.  Exact-integer ratios, one division + round-6 each."""
+    from .operators.spatial_stats import general_g
+
+    return general_g(_count_cells_df(spark, sf_dir), val_col="cnt")
+
+
+@register(
+    "q_areal_interp",
+    _CTE + f""",
+{_MASS_CELLS_SQL.strip()},
+cover AS (
+  SELECT g.gs_id AS tid, g.minx, g.miny, g.maxx, g.maxy, gxs.gx, gys.gy
+  FROM greens g,
+       LATERAL (SELECT unnest(generate_series(
+                  CAST(floor((g.minx - {city.X0}) / {city.CELL}) AS BIGINT),
+                  CAST(floor((g.maxx - {city.X0}) / {city.CELL}) AS BIGINT)))
+                AS gx) gxs,
+       LATERAL (SELECT unnest(generate_series(
+                  CAST(floor((g.miny - {city.Y0}) / {city.CELL}) AS BIGINT),
+                  CAST(floor((g.maxy - {city.Y0}) / {city.CELL}) AS BIGINT)))
+                AS gy) gys
+),
+w AS (
+  SELECT tid, gx, gy,
+         CAST(round((least(maxx, {city.X0} + gx * {city.CELL} + {city.CELL})
+                     - greatest(minx, {city.X0} + gx * {city.CELL}))
+                    * (least(maxy, {city.Y0} + gy * {city.CELL} + {city.CELL})
+                       - greatest(miny, {city.Y0} + gy * {city.CELL}))
+                    * 100.0) AS BIGINT) AS w
+  FROM cover
+),
+j AS (SELECT w.tid, w.w, c.v FROM w JOIN c USING (gx, gy) WHERE w.w > 0)
+SELECT tid AS gs_id, count(*) AS n_cells,
+       round(CAST(sum(CAST(v AS HUGEINT) * w) AS DOUBLE)
+             / 1000000000000.0, 6) AS transferred
+FROM j GROUP BY tid
+""",
+)
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation of the per-cell exposure mass onto the
+    greenspace rectangles — zone-to-zone transfer with QUANTIZED
+    overlap micro-weights (w = round(frac*1e6)) so the transfer sum is
+    an exact order-free integer; result reported in original NDVI-mass
+    units (out_scale=1e6).  The cell-edge expressions are the identical
+    IEEE chain in both engines (X0 + gx*CELL + CELL — never
+    (gx+1)*CELL, which can differ in the last ULP)."""
+    from .operators.areal import areal_interpolate
+
+    return areal_interpolate(
+        _mass_cells_df(spark, sf_dir),
+        city.greenspace_df(spark),
+        cell_size=city.CELL,
+        origin_x=city.X0,
+        origin_y=city.Y0,
+        id_col="gs_id",
+        val_col="v",
+        out_scale=1e6,
+    )
+
+
 def _det3_sql(a11, a12, a13, a21, a22, a23, a31, a32, a33):
     """Cramer cofactor expansion — the SQL twin of slx_regression's
     det3, same fixed form (exact integers, so order is immaterial)."""

@@ -789,3 +789,139 @@ def slx_regression(
         F.round(d1.cast("double") / dd, 6).alias("b1"),
         F.round(d2.cast("double") / dd, 6).alias("b2"),
     )
+
+
+def gearys_c(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "v",
+) -> DataFrame:
+    """One row [n_cells, w_pairs, gearys_c] — Geary's C contiguity
+    ratio over rook adjacency (Geary 1954), the difference-based
+    complement of Moran's I (C < 1 clustering, C > 1 dispersion;
+    sensitive to local differences where I is to covariance):
+
+        C = (n-1) * sum_pairs (v_i - v_j)^2 / (2W * sum_i (v_i - mu)^2)
+
+    With P2 = sum_pairs (v_i - v_j)^2 (exact) and B = n*Svv - S^2
+    (so sum (v-mu)^2 = B/n) this is the exact-integer ratio
+
+        C = (n-1) * n * P2 / (2 * W * B)
+
+    — one double division + no rounding escape (same contract as
+    morans_i).  Null when W = 0 or the variance is 0.
+
+    Spark shape: identical 4-key rook explode + equi-join, O(cells).
+    """
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast(_DEC)
+    s = c.agg(
+        F.count("*").alias("n"),
+        F.sum(vd).alias("sv"),
+        F.sum(vd * F.col("v")).alias("svv"),
+    )
+    nb = c.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct((F.col("gx") - 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") + 1).alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") - 1).alias("gy")),
+            )
+        ).alias("k"),
+        F.col("v").alias("av"),
+    ).select(F.col("k.gx").alias("gx"), F.col("k.gy").alias("gy"), "av")
+    d = F.col("av").cast(_DEC) - vd
+    p = nb.join(c, ["gx", "gy"]).agg(
+        F.count("*").alias("w"),
+        F.coalesce(F.sum(d * d), F.lit(0).cast(_DEC)).alias("p2"),
+    )
+    nd = F.col("n").cast(_DEC)
+    wd = F.col("w").cast(_DEC)
+    b = nd * F.col("svv") - F.col("sv") * F.col("sv")
+    num = (nd - 1) * nd * F.col("p2")
+    den = 2 * wd * b
+    return s.crossJoin(p).select(
+        F.col("n").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        (
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
+        ).alias("gearys_c"),
+    )
+
+
+def general_g(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "v",
+) -> DataFrame:
+    """One row [n_cells, w_pairs, general_g, expected_g] — Getis-Ord
+    General G high/low concentration statistic over rook adjacency
+    (Getis & Ord 1992; requires non-negative values):
+
+        G    = sum_pairs v_i * v_j / sum_{i != j} v_i * v_j
+        E[G] = W / (n (n - 1))
+
+    G > E[G] means HIGH values concentrate near each other — the
+    global yes/no the local Gi* drills into.  The denominator over all
+    ordered i != j pairs is S^2 - Svv (exact), so both ratios are
+    exact-integer numerator/denominator with one double division each
+    (round-6).
+
+    Spark shape: identical 4-key rook explode + equi-join, O(cells) —
+    the all-pairs denominator needs only the two global sums, never a
+    pair join.
+    """
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast(_DEC)
+    s = c.agg(
+        F.count("*").alias("n"),
+        F.sum(vd).alias("sv"),
+        F.sum(vd * F.col("v")).alias("svv"),
+    )
+    nb = c.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct((F.col("gx") - 1).alias("gx"), F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") + 1).alias("gy")),
+                F.struct(F.col("gx").alias("gx"), (F.col("gy") - 1).alias("gy")),
+            )
+        ).alias("k"),
+        F.col("v").alias("av"),
+    ).select(F.col("k.gx").alias("gx"), F.col("k.gy").alias("gy"), "av")
+    p = nb.join(c, ["gx", "gy"]).agg(
+        F.count("*").alias("w"),
+        F.coalesce(F.sum(F.col("av").cast(_DEC) * F.col("v")), F.lit(0).cast(_DEC)).alias(
+            "pp"
+        ),
+    )
+    nd = F.col("n").cast(_DEC)
+    wd = F.col("w").cast(_DEC)
+    den = F.col("sv") * F.col("sv") - F.col("svv")
+    return s.crossJoin(p).select(
+        F.col("n").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        F.round(
+            F.col("pp").cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("general_g"),
+        F.round(
+            wd.cast("double")
+            / F.nullif(
+                nd.cast("double") * (nd - 1).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("expected_g"),
+    )

@@ -1803,6 +1803,64 @@ def test_slx_regression_vs_numpy(spark):
         assert got2[k] == pytest.approx(w, abs=1e-6)
 
 
+def test_areal_interpolate_hand_values(spark):
+    """A rect covering 1 full cell + half a cell transfers v1 + v2/2;
+    cells outside the rect or with zero overlap contribute nothing."""
+    from greenex_py_spark.operators.areal import areal_interpolate
+
+    cells = spark.createDataFrame(
+        [(0, 0, 1_000_000), (1, 0, 2_000_000), (2, 0, 5_000_000)],
+        "gx long, gy long, v long",
+    )
+    # rect x: 0..150 (cell0 full, cell1 half), y: 0..100 (full height);
+    # second rect exactly on cell 2 boundary -> zero-width overlap of
+    # cell 3 is dropped
+    targets = spark.createDataFrame(
+        [(1, 0.0, 0.0, 150.0, 100.0), (2, 200.0, 0.0, 300.0, 100.0)],
+        "gs_id long, minx double, miny double, maxx double, maxy double",
+    )
+    got = {r["gs_id"]: r for r in areal_interpolate(
+        cells, targets, cell_size=100.0, origin_x=0.0, origin_y=0.0,
+        out_scale=1e6,
+    ).collect()}
+    assert got[1]["n_cells"] == 2
+    assert got[1]["transferred"] == pytest.approx(1.0 + 2.0 * 0.5, abs=1e-6)
+    assert got[2]["n_cells"] == 1
+    assert got[2]["transferred"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_gearys_c_and_general_g_vs_numpy(spark):
+    """Both global statistics equal their textbook float formulas on a
+    hand grid; the clustered surface gives C < 1 and G > E[G]."""
+    from greenex_py_spark.operators.spatial_stats import gearys_c, general_g
+
+    cells = {(x, y): (90 if x < 2 else 10) for x in range(4) for y in range(4)}
+    xs = np.array(list(cells.values()), dtype=float)
+    n, mu = len(xs), np.mean(xs)
+    num_c, num_g, w = 0.0, 0.0, 0
+    for (gx, gy), v in cells.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            o = cells.get((gx + dx, gy + dy))
+            if o is not None:
+                num_c += (v - o) ** 2
+                num_g += v * o
+                w += 1
+    want_c = (n - 1) * num_c / (2 * w * ((xs - mu) ** 2).sum())
+    want_g = num_g / (xs.sum() ** 2 - (xs ** 2).sum())
+    df = spark.createDataFrame(
+        [(gx, gy, v) for (gx, gy), v in cells.items()], "gx long, gy long, v long"
+    )
+    gc = gearys_c(df).collect()[0]
+    assert (gc["n_cells"], gc["w_pairs"]) == (n, w)
+    assert gc["gearys_c"] == pytest.approx(want_c, abs=1e-12)
+    assert gc["gearys_c"] < 1  # clustered
+    gg = general_g(df).collect()[0]
+    assert (gg["n_cells"], gg["w_pairs"]) == (n, w)
+    assert gg["general_g"] == pytest.approx(want_g, abs=1e-6)
+    assert gg["expected_g"] == pytest.approx(w / (n * (n - 1)), abs=1e-6)
+    assert gg["general_g"] > gg["expected_g"]  # high values concentrate
+
+
 def test_gopher_quality_hand_values(spark):
     """Each rule flips keep at its boundary: word-count floor, mean
     word length band, distinct-stopword floor, alphabetic fraction."""
