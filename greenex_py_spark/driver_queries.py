@@ -3831,6 +3831,79 @@ def q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bivariate_morans_i(cells)
 
 
+_BLOOM_STREAM_M = 1 << 15
+
+
+def _bloom_stream_oracle() -> str:
+    from .functions.dedup import bloom_positions_sql
+
+    p = bloom_positions_sql("key", _BLOOM_STREAM_M, 3)
+    return f"""
+WITH d AS (SELECT doc_id, doc_id % 3 AS lab,
+                  array_to_string(list_slice(string_split(text, ' '), 1, 3),
+                                  ' ') AS key
+           FROM documents),
+pb AS (
+  SELECT doc_id, lab, {p[0]} AS bit FROM d
+  UNION ALL SELECT doc_id, lab, {p[1]} FROM d
+  UNION ALL SELECT doc_id, lab, {p[2]} FROM d
+),
+ins AS (SELECT DISTINCT lab, bit FROM pb),
+hit AS (SELECT p.doc_id, count(*) AS c
+        FROM pb p
+        WHERE EXISTS (SELECT 1 FROM ins i
+                      WHERE i.bit = p.bit AND i.lab < p.lab)
+        GROUP BY p.doc_id)
+SELECT d.doc_id, d.lab, coalesce(h.c, 0) >= 3 AS probably_seen
+FROM d LEFT JOIN hit h ON h.doc_id = d.doc_id
+"""
+
+
+@register("q_bloom_stream", None)  # generated oracle attached below
+def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cross-snapshot Bloom pre-screen: documents labelled
+    into three crawl snapshots (lab = doc_id % 3) stream through the
+    sharded stateful filter (streaming/bloom_dedup, GroupState per bit
+    shard); each doc's 3-token content prefix is flagged
+    ``probably_seen`` iff all k digest bits were set by a STRICTLY
+    EARLIER snapshot.  Unlike the other stateful streaming entries this
+    one has a CLOSED-FORM SQL oracle, because the semantics are defined
+    on the monotone snapshot label, not on micro-batch boundaries —
+    the per-shard fold makes the output invariant to how the stream is
+    chopped.  Cross-RUN checkpoint resume (state surviving a second
+    AvailableNow drain) is pytest-covered."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.bloom_dedup import run_bloom_stream
+
+    base = os.path.join(tempfile.gettempdir(), f"q_bloom_stream_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 3).alias("lab"), "text"
+    )
+    docs.write.mode("overwrite").parquet(src)
+    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    run_bloom_stream(
+        spark, src, sink, ckpt,
+        key_expr=key,
+        schema="doc_id long, lab long, text string",
+        m_bits=_BLOOM_STREAM_M,
+        k=3,
+    )
+    flags = spark.read.parquet(sink)
+    return flags.groupBy("doc_id", "lab").agg(
+        (F.count(F.when(F.col("prior"), 1)) >= 3).alias("probably_seen")
+    )
+
+
+ORACLES["q_bloom_stream"] = _bloom_stream_oracle()
+
+
 @register(
     "q_gearys_c",
     _CTE + f""",

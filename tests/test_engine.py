@@ -81,6 +81,53 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     assert out.select("cell").distinct().count() > 1
 
 
+def test_streaming_bloom_cross_run_resume(spark, tmp_path):
+    """The sharded Bloom GroupState survives a checkpoint restart: a
+    second AvailableNow drain over newly-landed later-snapshot files
+    flags them against state accumulated in the FIRST run, matching an
+    independent python fold of the label semantics."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.streaming.bloom_dedup import run_bloom_stream
+
+    m, k = 256, 3  # tiny filter -> guaranteed collisions to check
+    texts0 = [(i, 0, f"alpha beta {i}") for i in range(30)]
+    # snapshot 1: half repeat snapshot-0 content keys, half fresh
+    texts1 = [(100 + i, 1, f"alpha beta {i}") for i in range(15)] + [
+        (200 + i, 1, f"gamma delta {i}") for i in range(15)
+    ]
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    schema = "doc_id long, lab long, text string"
+    spark.createDataFrame(texts0, schema).write.mode("overwrite").parquet(src)
+    key = F.col("text")
+    run_bloom_stream(spark, src, sink, ckpt, key_expr=key, schema=schema,
+                     m_bits=m, k=k)
+    # second snapshot lands; same checkpoint -> only the delta processed
+    spark.createDataFrame(texts1, schema).write.mode("append").parquet(src)
+    run_bloom_stream(spark, src, sink, ckpt, key_expr=key, schema=schema,
+                     m_bits=m, k=k)
+    flags = (
+        spark.read.parquet(sink)
+        .groupBy("doc_id", "lab")
+        .agg((F.count(F.when(F.col("prior"), 1)) >= k).alias("seen"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["seen"] for r in flags}
+
+    def positions(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return [int(h[10 * i: 10 * i + 10], 16) % m for i in range(k)]
+
+    bits0 = {p for _, _, t in texts0 for p in positions(t)}
+    want = {i: False for i, _, _ in texts0}
+    want.update({i: all(p in bits0 for p in positions(t)) for i, _, t in texts1})
+    assert got == want
+    assert all(got[100 + i] for i in range(15))  # repeats flagged
+    assert len(got) == 60
+
+
 def test_multimodal_plumbing(spark):
     from greenex_py_spark.functions import multimodal as mm
 
