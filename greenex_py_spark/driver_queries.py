@@ -4122,6 +4122,249 @@ def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_2sfca — two-step floating catchment area accessibility
+# ---------------------------------------------------------------------------
+
+_FCA_R = 300.0
+_FCA_MIN_AREA = 400.0
+
+
+@register(
+    "q_2sfca",
+    _CTE + f""",
+cand AS (
+  SELECT p.doc_id, g.gs_id, g.area
+  FROM pts p JOIN greens g
+    ON g.area >= {_FCA_MIN_AREA}
+   AND (g.cx - p.x) * (g.cx - p.x) + (g.cy - p.y) * (g.cy - p.y)
+       <= {_FCA_R * _FCA_R}
+),
+dem AS (SELECT doc_id, gs_id, area,
+               count(*) OVER (PARTITION BY gs_id) AS dj
+        FROM cand),
+rq AS (SELECT doc_id, CAST(round(area * 1000000.0 / dj) AS BIGINT) AS rq
+       FROM dem),
+sc AS (SELECT doc_id, sum(rq) AS s FROM rq GROUP BY doc_id)
+SELECT p.doc_id,
+       round(coalesce(CAST(s AS DOUBLE), 0.0) / 1000000.0, 6) AS fca_score
+FROM (SELECT DISTINCT doc_id FROM pts) p LEFT JOIN sc USING (doc_id)
+""",
+)
+def q_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step floating catchment area (Luo & Wang 2003) over the
+    geocoded corpus: greenspace supply (area) rationed by catchment
+    demand, then summed per point — the supply/demand accessibility
+    index complementing q_accessibility's distance-to-nearest
+    (reference semantics: accessibility.py:24-322 measures distance
+    only; 2SFCA is the standard congestion-aware extension).  R_j is
+    quantized to an integer micro-ratio so the per-point sum is exact
+    in any order; demand counts are a window over the SAME candidate
+    pair frame (single evaluation, no join-back)."""
+    from .operators.accessibility import two_step_fca
+
+    return two_step_fca(
+        city.points_df(spark, sf_dir),
+        city.greenspace_df(spark),
+        radius=_FCA_R,
+        min_area=_FCA_MIN_AREA,
+        id_col="doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_idw_surface — inverse-distance-weighted interpolation at centroids
+# ---------------------------------------------------------------------------
+
+_IDW_R = 250.0
+
+
+@register(
+    "q_idw_surface",
+    _CTE + f""",
+{_MASS_CELLS_SQL.strip()},
+pr AS (
+  SELECT g.gs_id,
+         (g.cx - ({city.X0} + gx * {city.CELL} + {city.CELL / 2.0}))
+         * (g.cx - ({city.X0} + gx * {city.CELL} + {city.CELL / 2.0}))
+         + (g.cy - ({city.Y0} + gy * {city.CELL} + {city.CELL / 2.0}))
+         * (g.cy - ({city.Y0} + gy * {city.CELL} + {city.CELL / 2.0})) AS d2,
+         c.v
+  FROM greens g JOIN c ON true
+),
+f AS (SELECT gs_id, d2, v FROM pr WHERE d2 <= {_IDW_R * _IDW_R}),
+wq AS (SELECT gs_id,
+              CAST(CASE WHEN d2 = 0.0 THEN 1000000000000.0
+                   ELSE least(round(1000000000.0 / d2), 1000000000000.0)
+                   END AS BIGINT) AS wq,
+              v
+       FROM f),
+a AS (SELECT gs_id, count(*) AS n_samples,
+             sum(CAST(wq AS HUGEINT) * v) AS num,
+             sum(CAST(wq AS HUGEINT)) AS den
+      FROM wq GROUP BY gs_id)
+SELECT g.gs_id,
+       coalesce(a.n_samples, 0) AS n_samples,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0, 6) AS idw_v
+FROM gs_ids g LEFT JOIN a USING (gs_id)
+""",
+)
+def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW (Shepard p=2) interpolation of the per-cell exposure mass at
+    the 80 greenspace centroids, radius-bounded — the deterministic
+    interpolation complement of q_semivariogram (kriging's FP solve is
+    not engine-portable; quantized-weight IDW is).  Weights are
+    integer-quantized so numerator/denominator are exact
+    DECIMAL/HUGEINT sums; out_scale=1e6 de-scales the micro-NDVI mass
+    before round-6 per the scale-audit rule."""
+    from .operators.areal import idw_interpolate
+
+    return idw_interpolate(
+        _mass_cells_df(spark, sf_dir),
+        city.greenspace_df(spark),
+        radius=_IDW_R,
+        cell_size=city.CELL,
+        origin_x=city.X0,
+        origin_y=city.Y0,
+        id_col="gs_id",
+        val_col="v",
+        out_scale=1e6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_flesch — Flesch reading-ease readability scoring
+# ---------------------------------------------------------------------------
+
+
+def _flesch_sql() -> str:
+    from .functions.text import (
+        FLESCH_SENT_RE,
+        FLESCH_SUFFIXES,
+        FLESCH_SYLL_RE,
+        FLESCH_WORD_RE,
+    )
+
+    suffix = (
+        "CASE doc_id % 3 "
+        + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(FLESCH_SUFFIXES[:-1]))
+        + f" ELSE '{FLESCH_SUFFIXES[-1]}' END"
+    )
+    return f"""
+WITH v AS (SELECT doc_id, text || {suffix} AS t FROM documents),
+n AS (SELECT doc_id,
+             len(regexp_extract_all(t, '{FLESCH_WORD_RE}')) AS n_words,
+             greatest(len(regexp_extract_all(t, '{FLESCH_SENT_RE}')), 1) AS n_sents,
+             len(regexp_extract_all(t, '{FLESCH_SYLL_RE}')) AS n_sylls
+      FROM v)
+SELECT doc_id, n_words, n_sents, n_sylls,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_sylls AS DOUBLE) / nullif(n_words, 0)), 6) AS flesch
+FROM n
+"""
+
+
+@register("q_flesch", None)  # generated oracle attached below
+def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the corpus with doc_id-planted sentence
+    punctuation (the fixture text carries none) — the stock
+    readability quality signal.  Three regexp_counts per doc, pure
+    codegen; regex classes shared with the oracle generator."""
+    from .functions.text import FLESCH_SUFFIXES, flesch_reading_ease
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 3 == 0, F.lit(FLESCH_SUFFIXES[0]))
+        .when(did % 3 == 1, F.lit(FLESCH_SUFFIXES[1]))
+        .otherwise(F.lit(FLESCH_SUFFIXES[2]))
+    )
+    v = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return flesch_reading_ease(v)
+
+
+ORACLES["q_flesch"] = _flesch_sql()
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_pairs — one BPE-training merge round (top adjacent char pairs)
+# ---------------------------------------------------------------------------
+
+_BPE_PAIR_TOP = 20
+
+
+@register(
+    "q_bpe_pairs",
+    f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wf AS (SELECT word, count(*) AS wf FROM w WHERE word != '' GROUP BY word),
+p AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, wf
+  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) t
+  WHERE length(word) >= 2
+),
+a AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM p GROUP BY pair)
+SELECT pair, cnt FROM a ORDER BY cnt DESC, pair ASC LIMIT {_BPE_PAIR_TOP}
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE-training merge round: corpus word counts
+    (map-side-combinable), then adjacent-pair extraction over the
+    VOCABULARY — bounded by distinct words, not corpus size — and the
+    top-20 pair cut under a total order (cnt desc, pair asc)."""
+    from .functions.text import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(docs, top_n=_BPE_PAIR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q_compaction_plan — small-file binpack planning over a file manifest
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4000.0
+_COMPACT_SHARDS = 16
+
+
+@register(
+    "q_compaction_plan",
+    f"""
+WITH files AS (
+  SELECT source, doc_id % {_COMPACT_SHARDS} AS file_id,
+         CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, doc_id % {_COMPACT_SHARDS}
+),
+b AS (
+  SELECT source, file_id, bytes,
+         CAST(floor(CAST(coalesce(sum(bytes) OVER (
+                PARTITION BY source ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+              / {_COMPACT_TARGET}) AS BIGINT) AS bin_id
+  FROM files)
+SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       min(file_id) AS first_file, max(file_id) AS last_file
+FROM b GROUP BY source, bin_id
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-binpack-style compaction plan over a synthetic file
+    manifest (one file per (source, doc_id%16) shard, bytes = exact
+    n_chars sum): bin = floor(exclusive-cumsum / target) within each
+    table partition, straddling files stay in their starting bin —
+    the FileScan-coalescer rule, closed-form, no greedy loop."""
+    from .engine.compaction import compaction_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = (
+        docs.groupBy("source", (F.col("doc_id") % _COMPACT_SHARDS).alias("file_id"))
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    return compaction_plan(
+        files, target_bytes=_COMPACT_TARGET, partition_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -687,6 +687,85 @@ def ccnet_buckets(
 # portable; ASCII classes + no lookahead keep Spark and DuckDB
 # bit-identical).  Alternatives are first-char disjoint, so Java's and
 # RE2's leftmost-first alternation agree.
+# Flesch reading-ease: sentence suffixes planted per doc_id % 3 (the
+# fixture corpus carries no punctuation), regex patterns shared with the
+# oracle generator so the two sides cannot drift.  Classes only — no
+# lookarounds/backrefs — so Java (Spark) and RE2 (DuckDB) agree.
+FLESCH_SUFFIXES: tuple[str, ...] = (". the end is here.", "! done now", "?")
+FLESCH_WORD_RE = "[a-z]+"
+FLESCH_SYLL_RE = "[aeiouy]+"
+FLESCH_SENT_RE = "[.!?]+"
+
+
+def flesch_reading_ease(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_words, n_sents, n_sylls, flesch] — Flesch reading-ease
+
+        206.835 - 1.015 * (words/sentences) - 84.6 * (syllables/words)
+
+    with vowel-group syllable approximation (the standard heuristic —
+    each maximal ``[aeiouy]+`` run is one syllable) and ``[.!?]+`` runs
+    as sentence breaks.  A readability band is a stock quality-filter
+    signal (C4 kept 3 <= FRE grade bands; Gopher reports it).
+
+    Pure codegen: three ``regexp_count`` per doc — no explode, no
+    shuffle, whole-stage-generated at any corpus size.  The sentence
+    count is floored at 1 so punctuation-free docs stay defined.
+    """
+    v = F.col(text_col)
+    n_w = F.regexp_count(v, F.lit(FLESCH_WORD_RE))
+    n_sy = F.regexp_count(v, F.lit(FLESCH_SYLL_RE))
+    n_se = F.greatest(F.regexp_count(v, F.lit(FLESCH_SENT_RE)), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_w.cast("double") / n_se)
+        - F.lit(84.6) * (n_sy.cast("double") / F.nullif(n_w, F.lit(0)))
+    )
+    return df.select(
+        id_col,
+        n_w.cast("long").alias("n_words"),
+        n_se.cast("long").alias("n_sents"),
+        n_sy.cast("long").alias("n_sylls"),
+        F.round(flesch, 6).alias("flesch"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """[pair, cnt] — one BPE-training merge round: the ``top_n`` most
+    frequent ADJACENT CHARACTER PAIRS over the corpus, weighted by word
+    frequency (ties broken by pair asc, so the cut is a total order).
+
+    This is the distributed core of tokenizer training (Sennrich 2016;
+    HF tokenizers does exactly this per merge): a map-side-combinable
+    word-frequency aggregation over the corpus, then pair extraction
+    over the *vocabulary* — bounded by distinct-word count, not corpus
+    size — so each merge round touches the 100 TB corpus exactly once
+    (in practice once total, with rounds iterating on the vocab table).
+
+    Pair positions come from ``explode(sequence(1, len-1))`` +
+    ``substr`` — no interpreted array-lambda over the word subtree.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.length("word") - 1)))
+        .select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "wf")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
 BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 

@@ -89,6 +89,64 @@ def shortest_distance_greenspace(
     )
 
 
+def two_step_fca(
+    points: DataFrame,
+    greens: DataFrame,
+    radius: float = 300.0,
+    min_area: float = 0.0,
+    id_col: str = "id",
+    supply_col: str = "area",
+    weight_scale: float = 1_000_000.0,
+    broadcast_greens: bool = True,
+) -> DataFrame:
+    """Two-step floating catchment area (2SFCA) greenspace accessibility.
+
+    The classic supply/demand accessibility index (Luo & Wang 2003) the
+    reference's distance-to-nearest metric (accessibility.py:24-322)
+    does not capture: step 1 gives every greenspace *j* a supply ratio
+    ``R_j = supply_j / D_j`` where ``D_j`` is the number of demand
+    points within ``radius`` of its centroid; step 2 scores every point
+    *i* as ``A_i = sum(R_j)`` over the greenspaces it can reach.
+
+    Exactness: ``R_j`` is quantised to ``round(supply * weight_scale /
+    D_j)`` BIGINT, so the step-2 sum is an exact integer in any
+    accumulation order; the output is ``round(sum / weight_scale, 6)``.
+
+    Scale shape: candidate pairs come from the single-cell-probe equi
+    join (distinct by construction, spatial_join.py:100-107), demand
+    counts are a window over ``gs_id`` on the SAME pair frame — no
+    join-back, so the candidate subtree is evaluated once (the no-CSE
+    rule) — and the final score is one ``groupBy(id)``.  Greenspace
+    demand skew maps to window-partition skew, which AQE splits.
+    """
+    from .spatial_join import cell_candidates
+
+    g = greens.filter(F.col("area") >= F.lit(float(min_area)))
+    cand = cell_candidates(points, g, pad=float(radius), broadcast_cover=broadcast_greens)
+    dx = F.col("cx") - F.col("x")
+    dy = F.col("cy") - F.col("y")
+    pairs = cand.filter(dx * dx + dy * dy <= F.lit(float(radius) ** 2)).select(
+        id_col, "gs_id", supply_col
+    )
+    w = Window.partitionBy("gs_id")
+    rq = F.round(
+        F.col(supply_col) * F.lit(float(weight_scale)) / F.count(F.lit(1)).over(w)
+    ).cast("long")
+    scored = pairs.withColumn("rq", rq).groupBy(id_col).agg(F.sum("rq").alias("_s"))
+    return (
+        points.select(id_col).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+                / F.lit(float(weight_scale)),
+                6,
+            ).alias("fca_score"),
+        )
+    )
+
+
 def nearest_k(
     points: DataFrame,
     targets: DataFrame,

@@ -1909,3 +1909,124 @@ def test_domain_cap_matches_naive_window(spark):
     assert got == naive
     assert sum(1 for d, _, _ in got if d == "big") == 10
     assert sum(1 for d, _, _ in got if d == "small") == 3
+
+
+def test_two_step_fca_matches_bruteforce(spark):
+    """2SFCA against a direct Python mirror of the quantized formula:
+    R_j = round(area*1e6 / demand_j), A_i = round(sum R_j / 1e6, 6)."""
+    from greenex_py_spark.operators.accessibility import two_step_fca
+
+    pts = [(1, 100.0, 100.0), (2, 150.0, 100.0), (3, 900.0, 900.0)]
+    greens = [
+        # gs_id, minx, miny, maxx, maxy, area, cx, cy
+        (10, 80.0, 80.0, 120.0, 120.0, 1600.0, 100.0, 100.0),
+        (11, 840.0, 840.0, 960.0, 960.0, 14400.0, 900.0, 900.0),
+        (12, 0.0, 0.0, 10.0, 10.0, 100.0, 5.0, 5.0),  # below min_area
+    ]
+    points_df = spark.createDataFrame(pts, "id long, x double, y double")
+    greens_df = spark.createDataFrame(
+        greens,
+        "gs_id long, minx double, miny double, maxx double, maxy double,"
+        " area double, cx double, cy double",
+    )
+    radius, min_area = 300.0, 400.0
+    got = {
+        r["id"]: r["fca_score"]
+        for r in two_step_fca(
+            points_df, greens_df, radius=radius, min_area=min_area, id_col="id"
+        ).collect()
+    }
+    # brute force
+    import math
+
+    cand = [
+        (pid, gid, area)
+        for pid, px, py in pts
+        for gid, _, _, _, _, area, cx, cy in greens
+        if area >= min_area and (cx - px) ** 2 + (cy - py) ** 2 <= radius**2
+    ]
+    dem = {}
+    for _, gid, _ in cand:
+        dem[gid] = dem.get(gid, 0) + 1
+    want = {pid: 0.0 for pid, _, _ in pts}
+    acc = {pid: 0 for pid, _, _ in pts}
+    for pid, gid, area in cand:
+        acc[pid] += int(math.floor(area * 1e6 / dem[gid] + 0.5))
+    for pid in acc:
+        want[pid] = round(acc[pid] / 1e6, 6)
+    assert got == pytest.approx(want, abs=1e-9)
+    # point 1+2 share green 10 (demand 2); point 3 gets green 11 alone
+    assert dem == {10: 2, 11: 1}
+    assert want[1] == pytest.approx(800.0, abs=1e-9)  # area 1600 / demand 2
+
+
+def test_idw_interpolate_hand_values(spark):
+    """Target at a cell center hits the d2==0 weight cap; a second cell
+    one cell over contributes with w=round(1e9/1e4)."""
+    from greenex_py_spark.operators.areal import idw_interpolate
+
+    cells = spark.createDataFrame(
+        [(0, 0, 1_000_000), (1, 0, 2_000_000)], "gx long, gy long, v long"
+    )
+    targets = spark.createDataFrame(
+        [(1, 50.0, 50.0), (2, 5000.0, 5000.0)], "gs_id long, cx double, cy double"
+    )
+    got = {
+        r["gs_id"]: r
+        for r in idw_interpolate(
+            cells, targets, radius=150.0, cell_size=100.0,
+            origin_x=0.0, origin_y=0.0, out_scale=1e6,
+        ).collect()
+    }
+    w0, w1 = 10**12, 10**5  # cap at d2=0; round(1e9/10000)
+    num = w0 * 1_000_000 + w1 * 2_000_000
+    den = w0 + w1
+    assert got[1]["n_samples"] == 2
+    assert got[1]["idw_v"] == pytest.approx(round(num / den / 1e6, 6), abs=1e-9)
+    assert got[2]["n_samples"] == 0 and got[2]["idw_v"] is None
+
+
+def test_flesch_hand_values(spark):
+    """206.835 - 1.015*(6/2) - 84.6*(8/6) for a 6-word 8-syllable
+    2-sentence doc."""
+    from greenex_py_spark.functions.text import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "green space is good. very good!")], "doc_id long, text string"
+    )
+    row = flesch_reading_ease(df).collect()[0]
+    assert (row["n_words"], row["n_sents"], row["n_sylls"]) == (6, 2, 8)
+    assert row["flesch"] == pytest.approx(
+        round(206.835 - 1.015 * (6 / 2) - 84.6 * (8 / 6), 6), abs=1e-9
+    )
+
+
+def test_bpe_pair_counts_hand(spark):
+    """Pair counts weighted by word frequency; single-char words drop."""
+    from greenex_py_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "abc abc x"), (2, "abc bc")], "doc_id long, text string"
+    )
+    got = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(df).collect()]
+    # abc x3 -> ab x3, bc x3; bc x1 -> bc x1  => bc:4, ab:3; "x" too short
+    assert got == [("bc", 4), ("ab", 3)]
+
+
+def test_compaction_plan_straddle(spark):
+    """A file that straddles the target boundary stays in its starting
+    bin (the FileScan-coalescer rule)."""
+    from greenex_py_spark.engine.compaction import compaction_plan
+
+    files = spark.createDataFrame(
+        [("s", 1, 3000), ("s", 2, 3000), ("s", 3, 1000), ("s", 4, 5000)],
+        "source string, file_id long, bytes long",
+    )
+    got = {
+        r["bin_id"]: r
+        for r in compaction_plan(files, target_bytes=4000.0).collect()
+    }
+    assert got[0]["n_files"] == 2 and got[0]["bin_bytes"] == 6000
+    assert got[0]["first_file"] == 1 and got[0]["last_file"] == 2
+    assert got[1]["n_files"] == 2 and got[1]["bin_bytes"] == 6000
+    assert got[1]["first_file"] == 3 and got[1]["last_file"] == 4
