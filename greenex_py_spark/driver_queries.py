@@ -2608,6 +2608,12 @@ def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     original on this layout — chains/hole cases are pytest-covered)."""
     from .operators.dissolve import dissolve_rects
 
+    return dissolve_rects(_dissolve_layer(spark))
+
+
+def _dissolve_layer(spark: SparkSession) -> DataFrame:
+    """Greenspace layer + shifted clones — shared input of q_dissolve
+    and q_dissolve_sharded so the two plans dissolve the same table."""
     g = city.greenspace_df(spark)
     clones = g.select(
         (F.col("gs_id") + 100).alias("gs_id"),
@@ -2617,7 +2623,23 @@ def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cx") + 17).alias("cx"), (F.col("cy") + 13).alias("cy"),
         "tag",
     )
-    return dissolve_rects(g.unionByName(clones))
+    return g.unionByName(clones)
+
+
+@register("q_dissolve_sharded", None)  # same closed-form oracle as q_dissolve
+def q_dissolve_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Giant-component-parallel dissolve: same output as q_dissolve,
+    different physical plan — each component's scanline union is split
+    into integer-boundary x-strips integrated independently and
+    re-summed (exact on integer layers, so the SAME closed-form oracle
+    hash-gates both plans; the component-task envelope drops from
+    O(component) to O(component/n_strips))."""
+    from .operators.dissolve import dissolve_rects_sharded
+
+    return dissolve_rects_sharded(_dissolve_layer(spark), n_strips=4)
+
+
+ORACLES["q_dissolve_sharded"] = ORACLES["q_dissolve"]
 
 
 def _dissolve_poly_oracle() -> str:
@@ -4362,6 +4384,318 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(
         files, target_bytes=_COMPACT_TARGET, partition_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_snapshot_diff — CDC between two synthesized crawl snapshots
+# ---------------------------------------------------------------------------
+
+_CDC_UPDATE_SUFFIX = " updated v2"
+
+
+@register(
+    "q_snapshot_diff",
+    f"""
+WITH s1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0),
+s2 AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 5 = 0 THEN text || '{_CDC_UPDATE_SUFFIX}'
+                       ELSE text END) AS h
+       FROM documents WHERE doc_id % 11 != 0),
+j AS (SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id, s1.h AS oh, s2.h AS nh
+      FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id),
+st AS (SELECT doc_id,
+              CASE WHEN oh IS NULL THEN 'added'
+                   WHEN nh IS NULL THEN 'deleted'
+                   WHEN oh != nh THEN 'updated'
+                   ELSE 'unchanged' END AS status,
+              nh AS new_hash
+       FROM j)
+SELECT doc_id, status, new_hash FROM st WHERE status != 'unchanged'
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two synthesized recrawl snapshots
+    (old = docs except id%7==0, new = docs except id%11==0 with id%5==0
+    contents rewritten): added/deleted/updated rows from one hash-first
+    full-outer join — payload text never crosses the shuffle, only
+    md5 digests (the CDX-new-capture / Iceberg-changelog shape)."""
+    from .engine.cdc import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    old = docs.filter(did % 7 != 0).select("doc_id", "text")
+    new = docs.filter(did % 11 != 0).select(
+        "doc_id",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(_CDC_UPDATE_SUFFIX)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# q_temperature_mix — alpha-temperature multilingual mixture weights
+# ---------------------------------------------------------------------------
+
+_TMIX_ALPHA = 0.3
+_TMIX_BUDGET = 0.5
+
+
+@register(
+    "q_temperature_mix",
+    f"""
+WITH per AS (SELECT lang AS grp, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT grp, n_docs,
+             CAST(round(pow(CAST(n_docs AS DOUBLE), {_TMIX_ALPHA}) * 1000000.0)
+                  AS BIGINT) AS tq
+      FROM per),
+s AS (SELECT grp, n_docs, tq,
+             sum(tq) OVER () AS tsum, sum(n_docs) OVER () AS total
+      FROM t)
+SELECT grp AS lang, CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(tq AS DOUBLE) / CAST(tsum AS DOUBLE), 6) AS mix_weight,
+       round(least(1.0, CAST(tq AS DOUBLE) / CAST(tsum AS DOUBLE)
+             * CAST(floor(CAST(total AS DOUBLE) * {_TMIX_BUDGET}) AS DOUBLE)
+             / n_docs), 6) AS sample_rate
+FROM s
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture (p_l = n_l^0.3 / sum,
+    the mBERT/XLM-R exponential-smoothing rebalance) with sample rates
+    realizing the mixture against a half-corpus budget — observed-count
+    counterpart of q_mix_allocation's explicit target table.  The
+    temperature terms are quantized BIGINTs so the normalizer is an
+    exact order-free sum; pow runs once per language, not per doc."""
+    from .functions.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(
+        docs, alpha=_TMIX_ALPHA, budget_factor=_TMIX_BUDGET, group_col="lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lang_entropy — per-cell Shannon language diversity (webtext × geo)
+# ---------------------------------------------------------------------------
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _lang_entropy_oracle() -> str:
+    pivots = ",\n             ".join(
+        f"sum(CASE WHEN lang = '{c}' THEN lcnt ELSE 0 END) AS n{i}"
+        for i, c in enumerate(_LANGS)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN n{i} = 0 THEN 0.0 ELSE (CAST(n{i} AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+        f" * ln(CAST(n{i} AS DOUBLE) / CAST(n_docs AS DOUBLE)) END)"
+        for i in range(len(_LANGS))
+    )
+    rich = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_LANGS))
+    )
+    return (
+        _CTE
+        + f""",
+lc AS (
+  SELECT CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy,
+         d.lang, count(*) AS lcnt
+  FROM pts p JOIN documents d USING (doc_id)
+  GROUP BY 1, 2, d.lang
+),
+g AS (SELECT gx, gy, sum(lcnt) AS n_docs,
+             {pivots}
+      FROM lc GROUP BY gx, gy)
+SELECT gx, gy, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST({rich} AS BIGINT) AS richness,
+       round(-({terms}) + 0.0, 6) AS entropy
+FROM g
+"""
+    )
+
+
+@register("q_lang_entropy", None)  # generated oracle attached below
+def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon language diversity per 100 m cell — "how multilingual is
+    this neighbourhood's corpus" (the diversity complement of
+    q_join_counts' dominant-language adjacency).  The category set is a
+    fixed ordered tuple shared with the oracle generator, so the
+    entropy sum is a fixed-length IEEE chain, not a data-ordered
+    aggregate."""
+    from .operators.spatial_stats import grid_category_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    pts = city.points_df(spark, sf_dir).join(docs, "doc_id")
+    lc = (
+        pts.select(
+            F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+            F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+            "lang",
+        )
+        .groupBy("gx", "gy", "lang")
+        .agg(F.count(F.lit(1)).alias("lcnt"))
+    )
+    return grid_category_entropy(lc, _LANGS, cat_col="lang", count_col="lcnt")
+
+
+ORACLES["q_lang_entropy"] = _lang_entropy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_e2sfca — Gaussian-decay enhanced two-step floating catchment area
+# ---------------------------------------------------------------------------
+
+_E2_SIGMA = 150.0
+
+
+@register(
+    "q_e2sfca",
+    _CTE + f""",
+cand AS (
+  SELECT p.doc_id, g.gs_id, g.area,
+         (g.cx - p.x) * (g.cx - p.x) + (g.cy - p.y) * (g.cy - p.y) AS d2
+  FROM pts p JOIN greens g
+    ON g.area >= {_FCA_MIN_AREA}
+   AND (g.cx - p.x) * (g.cx - p.x) + (g.cy - p.y) * (g.cy - p.y)
+       <= {_FCA_R * _FCA_R}
+),
+wp AS (SELECT doc_id, gs_id, area,
+              CAST(round(exp(-d2 / {2.0 * _E2_SIGMA**2}) * 1000000.0) AS BIGINT)
+                AS wq
+       FROM cand),
+wf AS (SELECT * FROM wp WHERE wq > 0),
+dm AS (SELECT doc_id, gs_id, wq, area,
+              sum(wq) OVER (PARTITION BY gs_id) AS dj
+       FROM wf),
+rr AS (SELECT doc_id, wq,
+              CAST(round(area * 1000000000000.0 / CAST(dj AS DOUBLE)) AS BIGINT)
+                AS rq
+       FROM dm),
+sc AS (SELECT doc_id, sum(CAST(wq AS HUGEINT) * rq) AS s FROM rr GROUP BY doc_id)
+SELECT p.doc_id,
+       round(coalesce(CAST(s AS DOUBLE), 0.0) / 1000000000000.0, 6) AS fca_score
+FROM (SELECT DISTINCT doc_id FROM pts) p LEFT JOIN sc USING (doc_id)
+""",
+)
+def q_e2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enhanced 2SFCA (Luo & Qi 2009): Gaussian distance decay inside
+    the catchment instead of q_2sfca's binary membership — nearer
+    greenspace counts more, both in the demand a greenspace sees and
+    the supply a point receives.  Weights and ratios are quantized
+    BIGINTs so every aggregate is an exact order-free sum; exp runs in
+    one mirrored IEEE chain per pair."""
+    from .operators.accessibility import two_step_fca_decay
+
+    return two_step_fca_decay(
+        city.points_df(spark, sf_dir),
+        city.greenspace_df(spark),
+        radius=_FCA_R,
+        sigma=_E2_SIGMA,
+        min_area=_FCA_MIN_AREA,
+        id_col="doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_postings — inverted-index build (df / tf / capped posting list)
+# ---------------------------------------------------------------------------
+
+_POSTING_CAP = 15
+
+
+@register(
+    "q_postings",
+    f"""
+WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+pairs AS (SELECT term, doc_id, count(*) AS tf FROM tk WHERE term != ''
+          GROUP BY term, doc_id),
+r AS (SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+      FROM pairs)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+       string_agg(CASE WHEN rk <= {_POSTING_CAP} THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS posting
+FROM r GROUP BY term
+""",
+)
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the corpus: per-term document
+    frequency, total term frequency, and a capped ascending posting
+    list — the index-side complement of q_bm25's scoring.  The window
+    and the final agg share the term partitioning (one exchange), and
+    the cap bounds hot-term reducer state."""
+    from .functions.retrieval import build_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_postings(docs, cap=_POSTING_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q_focal_mean — 3x3 focal statistics over tiles with halo exchange
+# ---------------------------------------------------------------------------
+
+
+def _focal_oracle() -> str:
+    """Closed-form focal oracle: the NDVI raster is a formula, so each
+    pixel's 3x3 focal sum is nine guarded formula terms — no join."""
+    npx = city.NPX
+    vterm = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + ((ix + {{dx}}) + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + ((iy + {{dy}}) + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    sums = " + ".join(
+        f"(CASE WHEN ix + {dx} BETWEEN 0 AND {npx - 1}"
+        f" AND iy + {dy} BETWEEN 0 AND {npx - 1}"
+        f" THEN {vterm.format(dx=dx, dy=dy)} ELSE 0 END)"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    cnts = " + ".join(
+        f"(CASE WHEN ix + {dx} BETWEEN 0 AND {npx - 1}"
+        f" AND iy + {dy} BETWEEN 0 AND {npx - 1} THEN 1 ELSE 0 END)"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+f AS (SELECT ix, iy, {sums} AS fsum, {cnts} AS fcnt FROM px),
+t AS (SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+             fsum, fcnt
+      FROM f)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(fsum) AS BIGINT) AS tot_focal,
+       CAST(min(fsum) AS BIGINT) AS min_focal,
+       CAST(max(fsum) AS BIGINT) AS max_focal,
+       round(CAST(sum(fsum) AS DOUBLE) / CAST(sum(fcnt) AS DOUBLE)
+             / 1000000.0, 6) AS tile_mean
+FROM t GROUP BY tx, ty
+"""
+
+
+@register("q_focal_mean", None)  # generated oracle attached below
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal statistics over the tiled NDVI raster via HALO
+    EXCHANGE — each tile ships 1-px border strips to its <=8
+    neighbours (O(perimeter) movement), assembles a padded canvas, and
+    convolves locally; per-pixel focal sums are exact quantised int64,
+    edge pixels divide by their true neighbour count (GDAL edge
+    semantics).  The oracle expands the closed-form NDVI into nine
+    guarded terms per pixel — the two sides share no code path at all."""
+    from .operators.focal import focal_tile_stats
+
+    return focal_tile_stats(city.tiles_df(spark, "ndvi"), city.grid(), quant=1e6)
+
+
+ORACLES["q_focal_mean"] = _focal_oracle()
 
 
 # ---------------------------------------------------------------------------

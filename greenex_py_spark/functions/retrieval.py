@@ -111,3 +111,46 @@ j AS (
 SELECT doc_id, round(sum(c) / 1000000.0, 6) AS score
 FROM j GROUP BY doc_id
 """
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 15,
+) -> DataFrame:
+    """[term, df, tf_total, posting] — inverted-index build, the
+    index-side complement of :func:`bm25_scores`: document frequency,
+    total term frequency, and a capped posting list (first ``cap``
+    doc ids ascending, comma-joined — the impact-ordered-prefix shape
+    real indexes store per block).
+
+    Shape: explode → (term, doc) partial counts (map-side combinable),
+    one window + regroup BOTH keyed by term so the second exchange is
+    elided (the window's partitioning satisfies the groupBy), and the
+    posting cap bounds per-term reducer state — a hot term costs
+    O(cap) memory, not O(corpus).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    pairs = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("term").orderBy(F.col(id_col))
+    ranked = pairs.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rk") <= cap, F.col(id_col))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("posting"),
+    )

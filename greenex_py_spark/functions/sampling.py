@@ -462,3 +462,54 @@ def domain_cap(
         .filter(F.col("rank") <= cap)
         .select(id_col, "domain", "score", "rank")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    budget_factor: float = 0.5,
+    group_col: str = "lang",
+    quant: float = 1e6,
+) -> DataFrame:
+    """[group, n_docs, mix_weight, sample_rate] — temperature-based
+    mixture weights p_g = n_g^alpha / sum(n_g^alpha), the standard
+    multilingual rebalancing (mBERT/XLM-R exponential smoothing,
+    alpha ~ 0.3 upsamples tail languages) — the OBSERVED-counts
+    complement of `mix_allocation`'s explicit target table.
+
+    ``sample_rate`` realizes the mixture against a document budget of
+    ``floor(total * budget_factor)``: rate_g = min(1, p_g * budget /
+    n_g), round-6 — feed it to `stratified_sample` keep rates.
+
+    Exactness: each group's temperature term is quantised to
+    ``round(n^alpha * quant)`` BIGINT so the normalising denominator is
+    an exact integer sum (order-free); p_g is then one double division.
+    ``pow`` itself is evaluated once per GROUP (a dim of languages, not
+    the corpus), with both engines' float pow agreeing on integer bases
+    well below the quantisation step.
+
+    Shape: one map-side-combined groupBy(group) count; the temperature
+    normalisation runs over the group DIM (unpartitioned window over
+    languages — bounded by language count, the side-statistics rule),
+    never over documents.
+    """
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tq = F.round(
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+        * F.lit(float(quant))
+    ).cast("long")
+    w = Window.partitionBy()
+    stats = per.withColumn("_tq", tq).withColumn(
+        "_tsum", F.sum("_tq").over(w)
+    ).withColumn("_total", F.sum("n_docs").over(w))
+    p = F.col("_tq").cast("double") / F.col("_tsum").cast("double")
+    budget = F.floor(F.col("_total").cast("double") * F.lit(float(budget_factor)))
+    rate = F.least(F.lit(1.0), p * budget.cast("double") / F.col("n_docs"))
+    return stats.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.round(p, 6).alias("mix_weight"),
+        F.round(rate, 6).alias("sample_rate"),
+    )

@@ -147,6 +147,75 @@ def two_step_fca(
     )
 
 
+def two_step_fca_decay(
+    points: DataFrame,
+    greens: DataFrame,
+    radius: float = 300.0,
+    sigma: float = 150.0,
+    min_area: float = 0.0,
+    id_col: str = "id",
+    supply_col: str = "area",
+    w_scale: float = 1_000_000.0,
+    r_scale: float = 1e12,
+    broadcast_greens: bool = True,
+) -> DataFrame:
+    """Enhanced 2SFCA (E2SFCA, Luo & Qi 2009) with a Gaussian distance
+    decay inside the catchment instead of the binary membership of
+    :func:`two_step_fca`:
+
+        w_ij = exp(-d_ij^2 / (2 sigma^2))          (0 outside radius)
+        R_j  = supply_j / sum_i w_ij
+        A_i  = sum_j w_ij * R_j
+
+    Exactness: w is quantised to ``round(exp(..) * w_scale)`` BIGINT
+    (zero-weight pairs drop), the demand sum is an exact integer, R is
+    re-quantised to ``round(supply * r_scale / D)`` BIGINT, and the
+    step-2 sum of ``w * R`` runs in DECIMAL(38,0)/HUGEINT — so the only
+    FP steps are the per-pair exp and two divisions, each a fixed IEEE
+    chain mirrored in the oracle.  Output = round(sum / r_scale, 6).
+
+    Same scale shape as :func:`two_step_fca`: cell-cover candidates,
+    demand as a window over the SAME pair frame, one groupBy(id).
+    """
+    from .spatial_join import cell_candidates
+
+    g = greens.filter(F.col("area") >= F.lit(float(min_area)))
+    cand = cell_candidates(points, g, pad=float(radius), broadcast_cover=broadcast_greens)
+    dx = F.col("cx") - F.col("x")
+    dy = F.col("cy") - F.col("y")
+    d2 = dx * dx + dy * dy
+    wq = F.round(
+        F.exp(-d2 / F.lit(2.0 * float(sigma) ** 2)) * F.lit(float(w_scale))
+    ).cast("long")
+    pairs = (
+        cand.filter(d2 <= F.lit(float(radius) ** 2))
+        .select(id_col, "gs_id", supply_col, wq.alias("wq"))
+        .filter(F.col("wq") > 0)
+    )
+    w = Window.partitionBy("gs_id")
+    dj = F.sum("wq").over(w)
+    rq = F.round(
+        F.col(supply_col) * F.lit(float(r_scale)) / dj.cast("double")
+    ).cast("long")
+    scored = (
+        pairs.withColumn("rq", rq)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("wq").cast("decimal(38,0)") * F.col("rq")).alias("_s"))
+    )
+    return (
+        points.select(id_col).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+                / F.lit(float(r_scale)),
+                6,
+            ).alias("fca_score"),
+        )
+    )
+
+
 def nearest_k(
     points: DataFrame,
     targets: DataFrame,

@@ -24,10 +24,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def rect_union_stats(rects: np.ndarray) -> tuple[float, float, float]:
-    """(area, cx, cy) of the union of axis-aligned rects (n,4) via
-    x-slab scanline with y-interval merging — exact for any overlap
-    pattern, not just pairs."""
+def rect_union_moments(rects: np.ndarray) -> tuple[float, float, float]:
+    """(area, mx, my) — UN-normalized union area and first moments of
+    axis-aligned rects (n,4) via x-slab scanline with y-interval
+    merging — exact for any overlap pattern, not just pairs.
+
+    For integer-coordinate layers every addend is a multiple of 0.25
+    and well below 2^53/4, so all three sums are EXACT doubles in any
+    accumulation order — which is what lets the sharded twin
+    (:func:`dissolve_rects_sharded`) split a component into x-strips
+    and re-sum partials bit-identically."""
     minx, miny, maxx, maxy = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
     xs = np.unique(np.concatenate([minx, maxx]))
     area = 0.0
@@ -56,6 +62,13 @@ def rect_union_stats(rects: np.ndarray) -> tuple[float, float, float]:
         area += w * h
         mx += w * (x0 + x1) / 2.0 * h
         my += w * ym
+    return area, mx, my
+
+
+def rect_union_stats(rects: np.ndarray) -> tuple[float, float, float]:
+    """(area, cx, cy) of the union of axis-aligned rects — normalized
+    form of :func:`rect_union_moments`."""
+    area, mx, my = rect_union_moments(rects)
     return area, mx / area, my / area
 
 
@@ -203,6 +216,98 @@ def dissolve_rects(polys: DataFrame, key: str = "gs_id") -> DataFrame:
         "minx double, miny double, maxx double, maxy double, tag string"
     )
     return members.groupBy("comp").applyInPandas(kernel, schema=schema)
+
+
+def dissolve_rects_sharded(
+    polys: DataFrame, key: str = "gs_id", n_strips: int = 8
+) -> DataFrame:
+    """Giant-component-parallel twin of :func:`dissolve_rects` — same
+    output, different physical plan: instead of one task per component
+    (fine for real green layers, a straggler when one component holds
+    millions of members), each component's scanline integration is
+    split into ``n_strips`` x-strips that integrate independently and
+    re-sum.
+
+    Correctness of the split: union area/moments are additive over
+    disjoint x-strips, and the union restricted to a strip equals the
+    union of the members CLIPPED to the strip.  Strip boundaries are
+    INTEGER multiples of an integer strip width, so on integer-
+    coordinate layers the clipped coordinates stay integers, every
+    partial is an exact double (see :func:`rect_union_moments`) and the
+    cross-strip re-sum is bit-identical to the single-task result —
+    the gate runs both against the same closed-form oracle.
+
+    Plan: one window over ``comp`` attaches the component x-extent, the
+    strip explode is ``sequence`` (±1 pad; empty clips drop, so a
+    floor/boundary ULP disagreement can never lose area), partials are
+    one Arrow kernel per (comp, strip), and member attributes
+    (n_members / bbox / first-tag) come from a plain columnar agg —
+    max task size shrinks from O(component) to O(component/n_strips).
+    """
+    from pyspark.sql import Window
+
+    if "tag" not in polys.columns:
+        polys = polys.withColumn("tag", F.lit(None).cast("string"))
+    e = overlap_edges(polys, key)
+    comp = connected_components(polys, e, key)
+    members = polys.join(comp, key)
+
+    w = Window.partitionBy("comp")
+    c0 = F.floor(F.min("minx").over(w)).cast("long")
+    cmax = F.ceil(F.max("maxx").over(w)).cast("long")
+    sw = F.greatest(
+        F.ceil((cmax - c0).cast("double") / F.lit(float(n_strips))).cast("long"),
+        F.lit(1),
+    )
+    m = members.withColumn("_c0", c0).withColumn("_sw", sw)
+    i0 = F.floor((F.col("minx") - F.col("_c0")) / F.col("_sw")).cast("long") - 1
+    i1 = F.floor((F.col("maxx") - F.col("_c0")) / F.col("_sw")).cast("long") + 1
+    lo = (F.col("_c0") + F.col("_i") * F.col("_sw")).cast("double")
+    hi = (F.col("_c0") + (F.col("_i") + 1) * F.col("_sw")).cast("double")
+    clipped = (
+        m.withColumn("_i", F.explode(F.sequence(i0, i1)))
+        .select(
+            "comp",
+            F.col("_i").alias("strip"),
+            F.greatest(F.col("minx"), lo).alias("minx"),
+            "miny",
+            F.least(F.col("maxx"), hi).alias("maxx"),
+            "maxy",
+        )
+        .filter(F.col("minx") < F.col("maxx"))
+    )
+
+    def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+        rects = kdf[["minx", "miny", "maxx", "maxy"]].to_numpy(float)
+        area, mx, my = rect_union_moments(rects)
+        return pd.DataFrame(
+            {
+                "comp": [int(kdf["comp"].iloc[0])],
+                "strip": [int(kdf["strip"].iloc[0])],
+                "area": [area], "mx": [mx], "my": [my],
+            }
+        )
+
+    partials = clipped.groupBy("comp", "strip").applyInPandas(
+        kernel, schema="comp long, strip long, area double, mx double, my double"
+    )
+    stats = partials.groupBy("comp").agg(
+        F.sum("area").alias("area"), F.sum("mx").alias("mx"), F.sum("my").alias("my")
+    )
+    attrs = members.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+        F.min_by("tag", F.col(key)).alias("tag"),
+    )
+    return attrs.join(stats, "comp").select(
+        F.col("comp").alias("component"),
+        "n_members",
+        "area",
+        (F.col("mx") / F.col("area")).alias("cx"),
+        (F.col("my") / F.col("area")).alias("cy"),
+        "minx", "miny", "maxx", "maxy", "tag",
+    )
 
 
 # ---------------------------------------------------------------------------

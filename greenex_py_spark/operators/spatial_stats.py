@@ -925,3 +925,59 @@ def general_g(
             6,
         ).alias("expected_g"),
     )
+
+
+def grid_category_entropy(
+    cells: DataFrame,
+    categories: tuple[str, ...],
+    cat_col: str = "lang",
+    count_col: str = "lcnt",
+) -> DataFrame:
+    """[gx, gy, n_docs, richness, entropy] — Shannon diversity of a
+    categorical variable per grid cell (geographic LANGUAGE DIVERSITY
+    when fed per-cell language counts: the webtext x geo cross, the
+    diversity complement of q_join_counts' dominant-category adjacency).
+
+        H = -sum_c p_c ln p_c,   p_c = n_c / n
+
+    Exactness: the category set is a FIXED ORDERED tuple, so the
+    entropy sum is a fixed-length expression chain (t_1 + t_2 + ...),
+    not a data-ordered aggregate — both engines evaluate the identical
+    IEEE chain and round-6 agrees (the ln/exp portability precedent of
+    the NDVI sin/cos oracle).  Zero-count categories contribute an
+    exact 0 term.
+
+    Shape: one conditional-sum pivot per category over a single
+    groupBy(gx, gy) — map-side combinable, category count is a
+    constant, no second pass, no window.
+    """
+    aggs = [
+        F.sum(
+            F.when(F.col(cat_col) == c, F.col(count_col)).otherwise(F.lit(0))
+        ).alias(f"_n{i}")
+        for i, c in enumerate(categories)
+    ]
+    g = cells.groupBy("gx", "gy").agg(
+        F.sum(count_col).alias("n_docs"), *aggs
+    )
+    n = F.col("n_docs").cast("double")
+    terms = []
+    rich = None
+    for i in range(len(categories)):
+        nc = F.col(f"_n{i}")
+        p = nc.cast("double") / n
+        terms.append(F.when(nc == 0, F.lit(0.0)).otherwise(p * F.log(p)))
+        r = F.when(nc > 0, F.lit(1)).otherwise(F.lit(0))
+        rich = r if rich is None else rich + r
+    h = terms[0]
+    for t in terms[1:]:
+        h = h + t
+    return g.select(
+        "gx",
+        "gy",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        rich.cast("long").alias("richness"),
+        # + 0.0 flushes IEEE -0.0 (single-category cells negate an exact
+        # 0 sum) so both engines hash the same "0.0"
+        F.round(-h + F.lit(0.0), 6).alias("entropy"),
+    )

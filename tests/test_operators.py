@@ -2030,3 +2030,212 @@ def test_compaction_plan_straddle(spark):
     assert got[0]["first_file"] == 1 and got[0]["last_file"] == 2
     assert got[1]["n_files"] == 2 and got[1]["bin_bytes"] == 6000
     assert got[1]["first_file"] == 3 and got[1]["last_file"] == 4
+
+
+def test_snapshot_diff_statuses(spark):
+    """added / deleted / updated classified correctly; unchanged rows
+    never reach the output; payload text never joins (hash-first)."""
+    from greenex_py_spark.engine.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2]["status"] == "updated" and got[2]["new_hash"] is not None
+    assert got[3]["status"] == "deleted" and got[3]["new_hash"] is None
+    assert got[4]["status"] == "added" and got[4]["new_hash"] is not None
+
+
+def test_temperature_mix_hand(spark):
+    """alpha=0.5 over counts (16, 4): weights 2/3 and 1/3, budget 10."""
+    from greenex_py_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "en") for i in range(16)] + [(100 + i, "nl") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: r
+        for r in temperature_mix(df, alpha=0.5, budget_factor=0.5).collect()
+    }
+    # tq: round(4*1e6)=4e6, round(2*1e6)=2e6 -> p = 2/3, 1/3; budget = 10
+    assert got["en"]["n_docs"] == 16 and got["nl"]["n_docs"] == 4
+    assert got["en"]["mix_weight"] == pytest.approx(round(4e6 / 6e6, 6), abs=1e-9)
+    assert got["nl"]["mix_weight"] == pytest.approx(round(2e6 / 6e6, 6), abs=1e-9)
+    assert got["en"]["sample_rate"] == pytest.approx(
+        round(min(1.0, (4e6 / 6e6) * 10 / 16), 6), abs=1e-9
+    )
+    assert got["nl"]["sample_rate"] == pytest.approx(
+        round(min(1.0, (2e6 / 6e6) * 10 / 4), 6), abs=1e-9
+    )
+
+
+def test_dissolve_sharded_matches_single_task(spark):
+    """A 60-member overlapping chain forms ONE giant component; the
+    x-strip sharded plan must reproduce the single-task scanline union
+    bit-for-bit on an integer-coordinate layer (plus a couple of
+    singletons to exercise the trivial strips)."""
+    import numpy as np
+
+    from greenex_py_spark.operators.dissolve import (
+        dissolve_rects,
+        dissolve_rects_sharded,
+        rect_union_stats,
+    )
+
+    rows = []
+    # chain: rect i = [7i, 0..ragged] x 13 wide -> overlaps neighbours
+    for i in range(60):
+        rows.append((i, float(7 * i), float((i * 3) % 5), float(7 * i + 13),
+                     float(10 + (i * 7) % 9), f"t{i}"))
+    # far-away singletons
+    rows.append((100, 10000.0, 0.0, 10010.0, 10.0, "s1"))
+    rows.append((101, 20000.0, 5.0, 20013.0, 11.0, "s2"))
+    polys = spark.createDataFrame(
+        rows, "gs_id long, minx double, miny double, maxx double, maxy double, tag string"
+    )
+    base = {r["component"]: r for r in dissolve_rects(polys).collect()}
+    shard = {r["component"]: r for r in
+             dissolve_rects_sharded(polys, n_strips=5).collect()}
+    assert set(base) == set(shard)
+    for comp in base:
+        b, s = base[comp], shard[comp]
+        assert (b["n_members"], b["tag"]) == (s["n_members"], s["tag"])
+        # bit-exact on integer coordinates: no tolerance
+        assert (b["area"], b["cx"], b["cy"]) == (s["area"], s["cx"], s["cy"])
+        assert (b["minx"], b["miny"], b["maxx"], b["maxy"]) == (
+            s["minx"], s["miny"], s["maxx"], s["maxy"])
+    giant = [c for c in shard if shard[c]["n_members"] == 60]
+    assert len(giant) == 1
+    # independent NumPy mirror of the giant component
+    rects = np.array([r[1:5] for r in rows[:60]], dtype=float)
+    area, cx, cy = rect_union_stats(rects)
+    g = shard[giant[0]]
+    assert g["area"] == area and g["cx"] == cx and g["cy"] == cy
+
+
+def test_grid_category_entropy_hand(spark):
+    """Uniform 2-lang cell -> ln 2; single-lang cell -> exactly 0.0
+    (not -0.0); richness counts present categories."""
+    import math
+
+    from greenex_py_spark.operators.spatial_stats import grid_category_entropy
+
+    cells = spark.createDataFrame(
+        [(0, 0, "en", 5), (0, 0, "nl", 5), (1, 0, "en", 7)],
+        "gx long, gy long, lang string, lcnt long",
+    )
+    got = {
+        (r["gx"], r["gy"]): r
+        for r in grid_category_entropy(cells, ("en", "nl")).collect()
+    }
+    assert got[(0, 0)]["n_docs"] == 10 and got[(0, 0)]["richness"] == 2
+    assert got[(0, 0)]["entropy"] == pytest.approx(round(math.log(2), 6), abs=1e-9)
+    assert got[(1, 0)]["n_docs"] == 7 and got[(1, 0)]["richness"] == 1
+    assert got[(1, 0)]["entropy"] == 0.0
+    assert str(got[(1, 0)]["entropy"]) == "0.0"  # -0.0 would hash-differ
+
+
+def test_e2sfca_matches_bruteforce(spark):
+    """Gaussian-decay E2SFCA against a Python mirror of the quantized
+    chain (wq -> dj -> rq -> sum(wq*rq)/1e12)."""
+    import math
+
+    from greenex_py_spark.operators.accessibility import two_step_fca_decay
+
+    pts = [(1, 100.0, 100.0), (2, 250.0, 100.0), (3, 5000.0, 5000.0)]
+    greens = [
+        (10, 80.0, 80.0, 120.0, 120.0, 1600.0, 100.0, 100.0),
+        (11, 4990.0, 4990.0, 5050.0, 5050.0, 3600.0, 5020.0, 5020.0),
+    ]
+    pdf = spark.createDataFrame(pts, "id long, x double, y double")
+    gdf = spark.createDataFrame(
+        greens,
+        "gs_id long, minx double, miny double, maxx double, maxy double,"
+        " area double, cx double, cy double",
+    )
+    radius, sigma = 300.0, 150.0
+    got = {
+        r["id"]: r["fca_score"]
+        for r in two_step_fca_decay(
+            pdf, gdf, radius=radius, sigma=sigma, min_area=0.0, id_col="id"
+        ).collect()
+    }
+    pairs = []
+    for pid, px, py in pts:
+        for gid, _, _, _, _, area, cx, cy in greens:
+            d2 = (cx - px) ** 2 + (cy - py) ** 2
+            if d2 <= radius**2:
+                wq = int(math.floor(math.exp(-d2 / (2 * sigma**2)) * 1e6 + 0.5))
+                if wq > 0:
+                    pairs.append((pid, gid, area, wq))
+    dj = {}
+    for _, gid, _, wq in pairs:
+        dj[gid] = dj.get(gid, 0) + wq
+    acc = {pid: 0 for pid, _, _ in pts}
+    for pid, gid, area, wq in pairs:
+        rq = int(math.floor(area * 1e12 / dj[gid] + 0.5))
+        acc[pid] += wq * rq
+    want = {pid: round(acc[pid] / 1e12, 6) for pid in acc}
+    assert got == pytest.approx(want, abs=1e-9)
+    assert want[3] > 0 and want[1] > want[2] > 0  # decay orders the scores
+
+
+def test_build_postings_hand(spark):
+    """df / tf_total / capped ascending posting list."""
+    from greenex_py_spark.functions.retrieval import build_postings
+
+    df = spark.createDataFrame(
+        [(3, "a b a"), (1, "a c"), (2, "a")], "doc_id long, text string"
+    )
+    got = {r["term"]: r for r in build_postings(df, cap=2).collect()}
+    assert got["a"]["df"] == 3 and got["a"]["tf_total"] == 4
+    assert got["a"]["posting"] == "1,2"  # cap=2, ascending doc order
+    assert got["b"]["posting"] == "3" and got["c"]["posting"] == "1"
+
+
+def test_focal_tile_stats_matches_bruteforce(spark):
+    """Halo-exchange 3x3 focal sums over a 2x2-tile raster must equal a
+    single-array NumPy brute force (incl. cross-tile windows and edge
+    neighbour counts)."""
+    import numpy as np
+
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.focal import focal_tile_stats, quantize_half_away
+
+    npx, tile = 8, 4
+    grid = GridSpec.square(0.0, 0.0, 1.0, tile, npx)
+    rng_vals = (np.arange(npx * npx, dtype=np.float64).reshape(npx, npx)
+                * 0.001 - 0.02)  # deterministic, mixed sign
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            sub = rng_vals[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            rows.append((tx, ty, tile, tile, sub.ravel().tolist()))
+    tiles = spark.createDataFrame(
+        rows, "tx long, ty long, w long, h long, px array<double>"
+    )
+    got = {(r["tx"], r["ty"]): r
+           for r in focal_tile_stats(tiles, grid, quant=1e6).collect()}
+    q = quantize_half_away(rng_vals, 1e6)
+    fsum = np.zeros((npx, npx), dtype=np.int64)
+    fcnt = np.zeros((npx, npx), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ys, xs = slice(max(0, dy), npx + min(0, dy)), slice(max(0, dx), npx + min(0, dx))
+            yd, xd = slice(max(0, -dy), npx + min(0, -dy)), slice(max(0, -dx), npx + min(0, -dx))
+            fsum[yd, xd] += q[ys, xs]
+            fcnt[yd, xd] += 1
+    for ty in range(2):
+        for tx in range(2):
+            fs = fsum[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            fc = fcnt[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            r = got[(tx, ty)]
+            assert r["n_px"] == tile * tile
+            assert r["tot_focal"] == int(fs.sum())
+            assert r["min_focal"] == int(fs.min())
+            assert r["max_focal"] == int(fs.max())
+            assert r["tile_mean"] == pytest.approx(
+                round(fs.sum() / fc.sum() / 1e6, 6), abs=1e-9)
