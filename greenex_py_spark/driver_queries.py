@@ -4699,6 +4699,184 @@ ORACLES["q_focal_mean"] = _focal_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_haversine_nn — geodesic nearest gazetteer place (WGS84 lat/lon)
+# ---------------------------------------------------------------------------
+
+# shared gazetteer: (name, lat, lon) inside the synthetic 1 deg x 1.5 deg box
+_GEO_PLACES: tuple[tuple[str, float, float], ...] = (
+    ("alpha", 51.05, 4.10),
+    ("bravo", 51.12, 4.95),
+    ("charlie", 51.25, 4.40),
+    ("delta", 51.33, 5.20),
+    ("echo", 51.48, 4.05),
+    ("foxtrot", 51.55, 4.72),
+    ("golf", 51.62, 5.35),
+    ("hotel", 51.78, 4.30),
+    ("india", 51.85, 5.05),
+    ("juliet", 51.95, 4.60),
+)
+
+
+def _haversine_oracle() -> str:
+    from .geo.geodesic import EARTH_R_M, RAD_PER_DEG
+
+    vals = ", ".join(f"('{n}', {la}, {lo})" for n, la, lo in _GEO_PLACES)
+    rad = repr(RAD_PER_DEG)
+    sdp = f"sin((plat * {rad} - lat * {rad}) / 2.0)"
+    sdl = f"sin((plon - lon) * {rad} / 2.0)"
+    h = f"{sdp} * {sdp} + cos(lat * {rad}) * cos(plat * {rad}) * {sdl} * {sdl}"
+    dist = f"round({repr(2.0 * EARTH_R_M)} * asin(sqrt({h})), 3)"
+    return (
+        _CTE
+        + f""",
+pl AS (SELECT * FROM (VALUES {vals}) AS t(name, plat, plon)),
+pp AS (SELECT doc_id,
+              51.0 + (y - {city.Y0}) / {city.EXTENT} AS lat,
+              4.0 + (x - {city.X0}) / {city.EXTENT} * 1.5 AS lon
+       FROM pts),
+d AS (SELECT doc_id, name, {dist} AS dist_m FROM pp, pl)
+SELECT doc_id, name, dist_m FROM d
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist_m, name) = 1
+"""
+    )
+
+
+@register("q_haversine_nn", None)  # generated oracle attached below
+def q_haversine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic nearest-gazetteer-place per document over synthetic
+    WGS84 lat/lon (the great-circle complement of the engine's planar
+    kNN — global corpora carry lat/lon before any metric projection):
+    one codegen haversine chain against a broadcast place dim, argmin
+    as a min-struct with (round-3 dist, name) total order."""
+    from .geo.geodesic import nearest_geodesic
+
+    pts = city.points_df(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(51.0) + (F.col("y") - city.Y0) / city.EXTENT).alias("lat"),
+        (F.lit(4.0) + (F.col("x") - city.X0) / city.EXTENT * 1.5).alias("lon"),
+    )
+    places = spark.createDataFrame(
+        list(_GEO_PLACES), "name string, plat double, plon double"
+    )
+    return nearest_geodesic(pts, places, id_col="doc_id")
+
+
+ORACLES["q_haversine_nn"] = _haversine_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_knox — space-time interaction (Knox test) over geocoded events
+# ---------------------------------------------------------------------------
+
+_KNOX_DELTA = 500.0
+_KNOX_TAU_US = 300_000_000  # 5 minutes
+
+_KNOX_ENT_SQL = f"""
+ent AS (SELECT DISTINCT user_id AS ent,
+               {city.X0} + ((user_id * 48271) % 1000000) / 1000000.0 * {city.EXTENT} AS x,
+               {city.Y0} + ((user_id * 16807 + 12345) % 1000000) / 1000000.0 * {city.EXTENT} AS y
+        FROM events)
+"""
+
+
+@register(
+    "q_knox",
+    f"""
+WITH ue AS (SELECT event_id AS eid, user_id AS ent, epoch_us(ts) AS t FROM events),
+{_KNOX_ENT_SQL.strip()},
+per AS (SELECT ent, count(*) AS n_ev FROM ue GROUP BY ent),
+ep AS (SELECT a.ent AS ea, b.ent AS eb
+       FROM ent a JOIN ent b
+         ON a.ent < b.ent
+        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {_KNOX_DELTA * _KNOX_DELTA}),
+nsx AS (SELECT coalesce(sum(na.n_ev * nb.n_ev), 0) AS v
+        FROM ep JOIN per na ON na.ent = ep.ea JOIN per nb ON nb.ent = ep.eb),
+nsw AS (SELECT coalesce(sum(n_ev * (n_ev - 1)), 0) AS v2 FROM per),
+tp AS (SELECT a.eid AS ea, a.ent AS enta, b.eid AS eb2, b.ent AS entb
+       FROM ue a JOIN ue b
+         ON b.eid > a.eid AND b.t BETWEEN a.t - {_KNOX_TAU_US} AND a.t + {_KNOX_TAU_US}),
+ntc AS (SELECT count(*) AS nt FROM tp),
+xc AS (SELECT count(*) AS x FROM tp
+       WHERE enta = entb
+          OR EXISTS (SELECT 1 FROM ep
+                     WHERE (ep.ea = tp.enta AND ep.eb = tp.entb)
+                        OR (ep.ea = tp.entb AND ep.eb = tp.enta))),
+nn AS (SELECT count(*) AS n FROM ue)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(n * (n - 1) / 2 AS BIGINT) AS np_pairs,
+       CAST(v + v2 / 2 AS BIGINT) AS ns_pairs,
+       CAST(nt AS BIGINT) AS nt_pairs,
+       CAST(x AS BIGINT) AS x_pairs,
+       round(CAST(x AS DOUBLE) * CAST(n * (n - 1) / 2 AS DOUBLE)
+             / CAST(v + v2 / 2 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS knox_ratio
+FROM nn, nsx, nsw, ntc, xc
+""",
+)
+def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction over events located at their user's
+    deterministic home coordinates: are event pairs close in space ALSO
+    close in time beyond independence?  All four pair counts are exact
+    integers (time pairs from a bucket equi-join, space pairs from the
+    user-dim distance table — never all-pairs over events); the single
+    FP step is the final ratio, round-6."""
+    from .operators.spacetime import knox_statistic
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    uid = F.col("user_id")
+    entities = events.select("user_id").distinct().select(
+        "user_id",
+        (city.X0 + ((uid * 48271) % 1000000) / 1000000.0 * city.EXTENT).alias("x"),
+        (city.Y0 + ((uid * 16807 + 12345) % 1000000) / 1000000.0 * city.EXTENT).alias("y"),
+    )
+    return knox_statistic(
+        events, entities, delta=_KNOX_DELTA, tau_us=_KNOX_TAU_US
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_benford — leading-digit (Benford) audit of the event value feed
+# ---------------------------------------------------------------------------
+
+
+def _benford_oracle() -> str:
+    from .functions.audit import leading_digit_sql
+
+    dg = leading_digit_sql("c")
+    return f"""
+WITH q AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS c
+           FROM events WHERE value > 0),
+per AS (SELECT {dg} AS digit, count(*) AS n FROM q GROUP BY 1),
+t AS (SELECT digit, n, sum(n) OVER () AS total FROM per)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 100.0, 6) AS obs_pct,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 100.0, 6) AS exp_pct,
+       round((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+              - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) * 100.0, 6) AS dev_pct
+FROM t
+"""
+
+
+@register("q_benford", None)  # generated oracle attached below
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the event value feed — the
+    forensic data-quality screen for scraped numeric columns.  The
+    leading digit comes from an exact integer CASE chain (values
+    quantised to cents first; NO log10 on the digit path — libm
+    disagreement at exact powers of ten would mis-digit), so the
+    9-row output is exact counts plus round-6 shares."""
+    from .functions.audit import benford_digits
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return benford_digits(events, value_col="value", scale=100.0)
+
+
+ORACLES["q_benford"] = _benford_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

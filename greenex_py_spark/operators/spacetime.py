@@ -1,0 +1,188 @@
+"""Space-time interaction statistics (Knox test).
+
+The engine has pure-space statistics (Moran/Geary/Ripley over the cell
+grid) and pure-time operators (sessionization, event windows); the
+classic SPACE-TIME question — "do events that happen close together in
+space also happen close together in time?" (disease-cluster /
+burst-detection shape, Knox 1964) — needs both at once:
+
+    X    = # unordered event pairs with  d <= delta  AND  |dt| <= tau
+    E[X] = Ns * Nt / Np      (independence expectation)
+    Np   = n(n-1)/2,  Ns = space-close pairs,  Nt = time-close pairs
+
+``knox_statistic`` computes all four counts EXACTLY (integers), so the
+only FP step is the final ratio X/E — one multiply/divide chain +
+round-6, engine-portable.
+
+Scale shape — never all-pairs:
+- time-close pairs come from a TIME-BUCKET equi-join (bucket width =
+  tau; a qualifying pair is at most one bucket apart, so each event
+  joins buckets b and b+1 only) — O(n * rate * tau), the 1-D twin of
+  the spatial cell join;
+- space-close pairs never touch the event table: events are located at
+  their entity's (user's) coordinates, so Ns aggregates per-entity
+  event counts n_u against the ENTITY-pair distance table (entities
+  are dimension-sized; for point-located events the spatial cell join
+  takes over) — Ns = sum n_u*n_v over close entity pairs
+  + sum C(n_u, 2) within-entity (d = 0);
+- X reuses the time-bucket pair stream with the entity-distance test
+  applied via two broadcast joins of the (entity, x, y) dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["knox_statistic"]
+
+
+def knox_statistic(
+    events: DataFrame,
+    entities: DataFrame,
+    delta: float,
+    tau_us: int,
+    id_col: str = "event_id",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row: [n_events, np_pairs, ns_pairs, nt_pairs, x_pairs,
+    knox_ratio] over events located at their entity's coordinates.
+
+    ``events``: [id, entity, ts]; ``entities``: [entity, x, y]
+    (broadcast dim).  ``tau_us`` in microseconds of the raw timestamp;
+    closeness is ``<= delta`` / ``<= tau_us`` inclusive; pairs are
+    unordered and distinct by (id_a < id_b).
+    """
+    # unix_micros is an exact integer (a double round-trip through
+    # seconds would be off-by-one-microsecond at the band edge).  The
+    # NTZ→TZ cast may shift by the session timezone, but the statistic
+    # only ever uses DIFFERENCES of t, which any constant shift cancels
+    # (bucket boundaries move, yet a |dt|<=tau pair is at most one
+    # bucket apart under any offset, and pairs dedup by id).
+    ev = events.select(
+        F.col(id_col).alias("eid"),
+        F.col(entity_col).alias("ent"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+    )
+
+    # ---- per-entity event counts (the only corpus-wide aggregate) ----
+    # localCheckpoint materializes the two entity-sized dims so their
+    # many consumers below re-read ~1e3 rows instead of re-scanning the
+    # event table per reference (the no-CSE rule; without this the plan
+    # carries 24 parquet scans)
+    per = ev.groupBy("ent").agg(F.count(F.lit(1)).alias("n_ev")).localCheckpoint()
+    ents = entities.localCheckpoint()
+
+    # ---- entity-pair distance dim (entities << events) ----
+    a = ents.select(
+        F.col(entity_col).alias("ent_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = ents.select(
+        F.col(entity_col).alias("ent_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    close = (dx * dx + dy * dy) <= F.lit(float(delta) ** 2)
+    epairs = (
+        a.join(F.broadcast(b), F.col("ent_a") < F.col("ent_b"))
+        .filter(close)
+        .select("ent_a", "ent_b")
+    )
+
+    # Ns: cross-entity close pairs weighted by event-count products,
+    # plus within-entity pairs (distance 0 <= delta always)
+    na = per.select(F.col("ent").alias("ent_a"), F.col("n_ev").alias("n_a"))
+    nb = per.select(F.col("ent").alias("ent_b"), F.col("n_ev").alias("n_b"))
+    ns_cross = (
+        epairs.join(F.broadcast(na), "ent_a")
+        .join(F.broadcast(nb), "ent_b")
+        .agg(F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0)).alias("v"))
+    )
+    ns_within = per.agg(
+        F.coalesce(
+            F.sum(F.col("n_ev") * (F.col("n_ev") - 1)), F.lit(0)
+        ).alias("v2")
+    )
+
+    # ---- time-bucket pair stream: |dt| <= tau pairs, each exactly once
+    # (no-CSE rule: the banded join is evaluated ONCE — the space flag
+    # rides along as a column and nt/x come from a single aggregate)
+    tau = int(tau_us)
+    eb = ev.withColumn("bkt", F.floor(F.col("t") / F.lit(tau)).cast("long"))
+    left = eb.select(
+        F.col("eid").alias("eid_a"), F.col("ent").alias("ent_a"),
+        F.col("t").alias("ta"), F.col("bkt"),
+    )
+    # the right side fans out to its own bucket and both neighbours via
+    # ONE explode (id order is independent of time order, so a
+    # qualifying pair can sit one bucket apart in either direction);
+    # a pair matching through two copies collapses in the dedup.
+    right = eb.select(
+        F.col("eid").alias("eid_b"), F.col("ent").alias("ent_b"),
+        F.col("t").alias("tb"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
+    )
+    tp = (
+        left.join(right, "bkt")
+        .filter(
+            (F.col("eid_a") < F.col("eid_b"))
+            & (F.abs(F.col("ta") - F.col("tb")) <= F.lit(tau))
+        )
+    )
+    tpairs = tp.select("eid_a", "eid_b", "ent_a", "ent_b").dropDuplicates(
+        ["eid_a", "eid_b"]
+    )
+
+    # space flag: same entity, or a close entity pair in either
+    # orientation (epairs is distinct, so the left join has multiplicity 1)
+    ek = epairs.select(
+        F.concat_ws("|", "ent_a", "ent_b").alias("ck")
+    ).unionByName(
+        epairs.select(F.concat_ws("|", "ent_b", "ent_a").alias("ck"))
+    ).withColumn("sp", F.lit(1))
+    counts = (
+        tpairs.withColumn("ck", F.concat_ws("|", "ent_a", "ent_b"))
+        .join(F.broadcast(ek), "ck", "left")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ent_a") == F.col("ent_b")) | (F.col("sp") == 1),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("xx"),
+        )
+    )
+
+    n_tot = per.agg(F.sum("n_ev").alias("n"))
+
+    row = n_tot.crossJoin(ns_cross).crossJoin(ns_within).crossJoin(counts)
+    n = F.col("n").cast("long")
+    np_pairs = (n * (n - 1) / F.lit(2)).cast("long")
+    ns = (F.col("v") + (F.col("v2") / F.lit(2)).cast("long")).cast("long")
+    ratio = F.round(
+        F.col("x_pairs").cast("double")
+        * F.col("np_pairs").cast("double")
+        / F.col("ns_pairs").cast("double")
+        / F.col("nt_pairs").cast("double"),
+        6,
+    )
+    return (
+        row.select(
+            n.alias("n_events"),
+            np_pairs.alias("np_pairs"),
+            ns.alias("ns_pairs"),
+            F.col("nt").cast("long").alias("nt_pairs"),
+            F.col("xx").cast("long").alias("x_pairs"),
+        )
+        .select(
+            "n_events", "np_pairs", "ns_pairs", "nt_pairs", "x_pairs",
+            ratio.alias("knox_ratio"),
+        )
+    )

@@ -2239,3 +2239,84 @@ def test_focal_tile_stats_matches_bruteforce(spark):
             assert r["max_focal"] == int(fs.max())
             assert r["tile_mean"] == pytest.approx(
                 round(fs.sum() / fc.sum() / 1e6, 6), abs=1e-9)
+
+
+def test_haversine_nearest_hand(spark):
+    """1 degree of longitude at the equator ~= 111.19 km on the IUGG
+    sphere; the argmin picks the closer place with name tiebreak."""
+    import math
+
+    from greenex_py_spark.geo.geodesic import EARTH_R_M, nearest_geodesic
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "doc_id long, lat double, lon double"
+    )
+    places = spark.createDataFrame(
+        [("near", 0.0, 1.0), ("far", 0.0, 2.0), ("aaa", 0.0, 1.0)],
+        "name string, plat double, plon double",
+    )
+    row = nearest_geodesic(pts, places).collect()[0]
+    want = 2 * EARTH_R_M * math.asin(math.sin(math.radians(1.0) / 2))
+    assert row["name"] == "aaa"  # tie with "near" broken by name asc
+    assert row["dist_m"] == pytest.approx(want, abs=0.001)  # engine rounds 3dp
+    assert abs(row["dist_m"] - 111194.93) < 1.0
+
+
+def test_knox_matches_bruteforce(spark):
+    """Knox counts vs an O(n^2) Python brute force on a small synthetic
+    event set with known co-located users."""
+    from datetime import datetime, timedelta
+
+    from greenex_py_spark.operators.spacetime import knox_statistic
+
+    base = datetime(2024, 1, 1)
+    # users 1,2 co-located; user 3 far away
+    ev = []
+    for i in range(30):
+        ev.append((i, 1 + i % 3, base + timedelta(seconds=37 * i)))
+    events = spark.createDataFrame(ev, "event_id long, user_id long, ts timestamp")
+    ents = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 100.0, 0.0), (3, 99999.0, 0.0)],
+        "user_id long, x double, y double",
+    )
+    delta, tau_us = 500.0, 60_000_000
+    row = knox_statistic(events, ents, delta=delta, tau_us=tau_us).collect()[0]
+    coords = {1: (0.0, 0.0), 2: (100.0, 0.0), 3: (99999.0, 0.0)}
+    n = len(ev)
+    ns = nt = x = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (ia, ua, ta), (ib, ub, tb) = ev[i], ev[j]
+            dsp = (coords[ua][0] - coords[ub][0]) ** 2 + (coords[ua][1] - coords[ub][1]) ** 2
+            sp = dsp <= delta**2
+            tm = abs((ta - tb).total_seconds()) * 1e6 <= tau_us
+            ns += sp
+            nt += tm
+            x += sp and tm
+    assert row["n_events"] == n
+    assert row["np_pairs"] == n * (n - 1) // 2
+    assert row["ns_pairs"] == ns
+    assert row["nt_pairs"] == nt
+    assert row["x_pairs"] == x
+    assert row["knox_ratio"] == pytest.approx(
+        round(x * (n * (n - 1) // 2) / ns / nt, 6), abs=1e-9
+    )
+
+
+def test_benford_digits_hand(spark):
+    """Leading digits via the integer CASE chain, incl. exact powers of
+    ten (the log10 trap) and sub-1 values; zero/negatives drop."""
+    from greenex_py_spark.functions.audit import benford_digits
+
+    vals = [100.00, 10.00, 1.00, 0.10, 193.42, 25.0, 0.0, 2.99, 999.99]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {r["digit"]: r["n"] for r in benford_digits(df).collect()}
+    # cents: 10000, 1000, 100, 10, 19342, 2500, (drop), 299, 99999
+    assert got == {1: 5, 2: 2, 9: 1}
+    rows = {r["digit"]: r for r in benford_digits(df).collect()}
+    assert rows[1]["obs_pct"] == pytest.approx(round(5 / 8 * 100, 6), abs=1e-9)
+    import math
+
+    assert rows[1]["exp_pct"] == pytest.approx(
+        round(math.log10(2) * 100, 6), abs=1e-9
+    )
