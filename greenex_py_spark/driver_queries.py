@@ -4877,6 +4877,144 @@ ORACLES["q_benford"] = _benford_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_incremental_rollup — IVM: base rollup + CDC delta == from-scratch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_incremental_rollup",
+    f"""
+WITH s2 AS (SELECT doc_id, source,
+                   CASE WHEN doc_id % 5 = 0 THEN text || '{_CDC_UPDATE_SUFFIX}'
+                        ELSE text END AS t
+            FROM documents WHERE doc_id % 11 != 0)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(t)) AS BIGINT) AS tot_weight
+FROM s2 GROUP BY source
+""",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the q_snapshot_diff snapshots:
+    the per-source rollup of the NEW snapshot computed as base(old) +
+    change-row contributions only — the oracle recomputes it from
+    scratch, so the hash match PROVES base + delta == scratch while the
+    engine's delta aggregation touched only the diff."""
+    from .engine.cdc import incremental_rollup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    old = docs.filter(did % 7 != 0).select(
+        "doc_id", "source", "text", F.length("text").alias("w")
+    )
+    nt = F.when(
+        did % 5 == 0, F.concat(F.col("text"), F.lit(_CDC_UPDATE_SUFFIX))
+    ).otherwise(F.col("text"))
+    new = docs.filter(did % 11 != 0).select(
+        "doc_id", "source", nt.alias("text"), F.length(nt).alias("w")
+    )
+    return incremental_rollup(
+        old, new, key_col="doc_id", group_col="source",
+        weight_col="w", value_col="text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_auc — Mann-Whitney AUC with exact tie handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_auc",
+    """
+WITH s AS (SELECT len(string_split(text, ' ')) AS score,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+           FROM documents),
+g AS (SELECT score, count(*) AS cnt, sum(label) AS pos FROM s GROUP BY score),
+o AS (SELECT score, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM g),
+t AS (SELECT sum(CAST(pos AS HUGEINT) * (2 * cumb + cnt + 1)) AS r2,
+             sum(pos) AS npos, sum(cnt) AS n
+      FROM o)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(n - npos AS BIGINT) AS n_neg,
+       round(CAST(r2 - CAST(npos AS HUGEINT) * (npos + 1) AS DOUBLE)
+             / 2.0 / CAST(npos AS DOUBLE) / CAST(n - npos AS DOUBLE), 6) AS auc
+FROM t
+""",
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of document length against the English label via the
+    Mann-Whitney rank statistic with EXACT average-rank tie handling
+    (20..79-token scores over thousands of docs — ties dominate, the
+    hard case): the doubled rank sum stays integer, the engine ranks
+    through the two-level bucket cumsum (no full-domain sort task), and
+    the oracle uses the naive single window."""
+    from .functions.audit import auc_mann_whitney
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    return auc_mann_whitney(s, bucket_scale=0.125)
+
+
+# ---------------------------------------------------------------------------
+# q_normalize_text — accent folding + whitespace collapse
+# ---------------------------------------------------------------------------
+
+_NORM_SUFFIXES: tuple[str, ...] = (
+    " café crème",
+    "  naïve  señor ",
+    " zürich  ",
+    "",
+)
+
+
+def _normalize_oracle() -> str:
+    from .functions.text import ACCENT_FROM, ACCENT_TO
+
+    suffix = (
+        "CASE doc_id % 4 "
+        + " ".join(
+            f"WHEN {i} THEN '{s}'" for i, s in enumerate(_NORM_SUFFIXES[:-1])
+        )
+        + f" ELSE '{_NORM_SUFFIXES[-1]}' END"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, text || {suffix} AS t FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(translate(t, '{ACCENT_FROM}', '{ACCENT_TO}'),
+                           '\\s+', ' ', 'g')) AS norm
+FROM a
+"""
+
+
+@register("q_normalize_text", None)  # generated oracle attached below
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding (single shared-table translate) + whitespace-run
+    collapse + trim over doc_id-planted accented suffixes — the
+    crawl-side normalization stage between mojibake repair and
+    tokenization."""
+    from .functions.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 4 == 0, F.lit(_NORM_SUFFIXES[0]))
+        .when(did % 4 == 1, F.lit(_NORM_SUFFIXES[1]))
+        .when(did % 4 == 2, F.lit(_NORM_SUFFIXES[2]))
+        .otherwise(F.lit(_NORM_SUFFIXES[3]))
+    )
+    v = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return normalize_text(v)
+
+
+ORACLES["q_normalize_text"] = _normalize_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

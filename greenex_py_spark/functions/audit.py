@@ -88,3 +88,72 @@ def benford_digits(
         F.round(exp * F.lit(100.0), 6).alias("exp_pct"),
         F.round((obs - exp) * F.lit(100.0), 6).alias("dev_pct"),
     )
+
+
+def auc_mann_whitney(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_scale: float = 1.0,
+) -> DataFrame:
+    """One row [n_pos, n_neg, auc] — ROC AUC of ``score_col`` against a
+    0/1 ``label_col`` via the Mann-Whitney rank statistic with EXACT
+    tie handling: classifier-vs-heuristic agreement checks are a stock
+    curation-pipeline evaluation, and ties dominate real quality scores.
+
+        AUC = (R+ - n+(n+ + 1)/2) / (n+ n-)
+
+    where R+ uses AVERAGE ranks for tied scores.  Everything stays
+    integer: per score group g with c_g members (p_g positive) below
+    which B_g members rank, the doubled rank sum is
+
+        2 R+ = sum_g p_g * (2 B_g + c_g + 1)        (exact)
+
+    so the only FP step is one final division chain, round-6.
+
+    Shape: groupBy(score) then the house TWO-LEVEL rank — per-bucket
+    totals cumsum'd over a bucket-count-sized window, bases broadcast
+    back, within-bucket window per bucket — no task ever sorts the full
+    score domain (``bucket_scale`` controls bucket width).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    g = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    ).withColumn("_bkt", F.floor(s * F.lit(float(bucket_scale))).cast("long"))
+    bt = g.groupBy("_bkt").agg(F.sum("cnt").alias("bc"))
+    bw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = bt.withColumn("base", F.coalesce(F.sum("bc").over(bw), F.lit(0)))
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = (
+        g.join(F.broadcast(bases.select("_bkt", "base")), "_bkt")
+        .withColumn("cum_in", F.coalesce(F.sum("cnt").over(ww), F.lit(0)))
+    )
+    contrib = F.col("pos").cast("decimal(38,0)") * (
+        F.lit(2) * (F.col("base") + F.col("cum_in")) + F.col("cnt") + F.lit(1)
+    )
+    t = j.agg(
+        F.sum(contrib).alias("r2"),
+        F.sum("pos").alias("npos"),
+        F.sum("cnt").alias("n"),
+    )
+    npos = F.col("npos").cast("long")
+    nneg = (F.col("n") - F.col("npos")).cast("long")
+    u2 = F.col("r2") - F.col("npos").cast("decimal(38,0)") * (F.col("npos") + 1)
+    return t.select(
+        npos.alias("n_pos"),
+        nneg.alias("n_neg"),
+        F.round(
+            u2.cast("double")
+            / F.lit(2.0)
+            / npos.cast("double")
+            / nneg.cast("double"),
+            6,
+        ).alias("auc"),
+    )

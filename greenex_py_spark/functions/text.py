@@ -964,3 +964,23 @@ def zipf_slope(
         ),
         F.count("*").alias("n_terms"),
     )
+
+
+# accent-fold table (single codepoint -> ASCII, so one translate() call
+# suffices in both engines); shared by the operator and the oracle
+ACCENT_FROM = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ"
+ACCENT_TO = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, norm] — crawl-side text normalization: accent folding via a
+    single shared-table ``translate`` (one codepoint -> one ASCII char,
+    the NFD-strip core for Latin scripts), whitespace runs collapsed to
+    one space, ends trimmed.  Pure codegen; the companion of
+    `fix_mojibake` (bytes-level repair) one stage later in the pipeline.
+    """
+    t = F.translate(F.col(text_col), ACCENT_FROM, ACCENT_TO)
+    t = F.regexp_replace(t, r"\s+", " ")
+    return df.select(id_col, F.trim(t).alias("norm"))

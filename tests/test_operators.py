@@ -2320,3 +2320,77 @@ def test_benford_digits_hand(spark):
     assert rows[1]["exp_pct"] == pytest.approx(
         round(math.log10(2) * 100, 6), abs=1e-9
     )
+
+
+def test_incremental_rollup_matches_scratch(spark):
+    """base(old) + delta(changes) must equal the from-scratch rollup of
+    the new snapshot, incl. adds, deletes, updates, and a group move."""
+    from greenex_py_spark.engine.cdc import incremental_rollup
+
+    old = spark.createDataFrame(
+        [(1, "a", "x", 1), (2, "a", "yy", 2), (3, "b", "zzz", 3), (5, "b", "q", 1)],
+        "doc_id long, source string, text string, w long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "x", 1),        # unchanged
+            (2, "a", "yyyy", 4),     # updated (longer)
+            (4, "b", "new", 3),      # added
+            (5, "a", "q", 1),        # group move b -> a
+        ],                            # 3 deleted
+        "doc_id long, source string, text string, w long",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["tot_weight"])
+        for r in incremental_rollup(
+            old, new, key_col="doc_id", group_col="source",
+            weight_col="w", value_col="text",
+        ).collect()
+    }
+    scratch = {
+        r["source"]: (r["n_docs"], r["tot_weight"])
+        for r in new.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("w").alias("tot_weight"))
+        .collect()
+    }
+    assert got == scratch == {"a": (3, 6), "b": (1, 3)}
+
+
+def test_auc_mann_whitney_vs_sklearn_free(spark):
+    """AUC with heavy ties vs a direct average-rank computation."""
+    rows = [
+        (1.0, 1), (1.0, 0), (2.0, 1), (2.0, 1), (2.0, 0),
+        (3.0, 0), (3.0, 1), (4.0, 1),
+    ]
+    from greenex_py_spark.functions.audit import auc_mann_whitney
+
+    df = spark.createDataFrame(rows, "score double, label long")
+    got = auc_mann_whitney(df, bucket_scale=1.0).collect()[0]
+    # average-rank brute force
+    scores = sorted(r[0] for r in rows)
+    pos = 0
+    r_pos = 0.0
+    seen = 0
+    for s in sorted(set(scores)):
+        c = scores.count(s)
+        avg_rank = seen + (c + 1) / 2
+        p = sum(1 for sc, lb in rows if sc == s and lb == 1)
+        r_pos += p * avg_rank
+        pos += p
+        seen += c
+    neg = len(rows) - pos
+    auc = (r_pos - pos * (pos + 1) / 2) / (pos * neg)
+    assert (got["n_pos"], got["n_neg"]) == (pos, neg)
+    assert got["auc"] == pytest.approx(round(auc, 6), abs=1e-9)
+
+
+def test_normalize_text_hand(spark):
+    from greenex_py_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Café  crème   naïve "), (2, "zürich señor")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["norm"] for r in normalize_text(df).collect()}
+    assert got[1] == "Cafe creme naive"  # case preserved, accents folded
+    assert got[2] == "zurich senor"
