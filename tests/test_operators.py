@@ -2394,3 +2394,63 @@ def test_normalize_text_hand(spark):
     got = {r["doc_id"]: r["norm"] for r in normalize_text(df).collect()}
     assert got[1] == "Cafe creme naive"  # case preserved, accents folded
     assert got[2] == "zurich senor"
+
+
+def test_host_link_graph_hand(spark):
+    """Resolution rules: absolute, protocol-relative, root-relative,
+    and the fragment/mailto/javascript/empty drops."""
+    from greenex_py_spark.functions.links import host_link_graph
+
+    html = (
+        '<html><A HREF="https://B.Example/x">t</A>'
+        '<a href="//cdn.example/l">c</a>'
+        '<a class="z" href="/self/page.html">s</a>'
+        '<a href="#top">f</a><a href="mailto:a@b.c">m</a>'
+        '<a href="javascript:void(0)">j</a><a href="">e</a>'
+        '<a href="rel.html">r</a></html>'
+    )
+    df = spark.createDataFrame(
+        [("https://src.example/p/1", bytearray(html, "utf-8"))],
+        "url string, html binary",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_link_graph(df).collect()
+    }
+    assert got == {
+        ("src.example", "b.example"): 1,
+        ("src.example", "cdn.example"): 1,
+        ("src.example", "src.example"): 2,  # root-relative + page-relative
+    }
+
+
+def test_nearest_edge_projection_and_clamp(spark):
+    """Mid-segment projection, endpoint clamp, tiebreak, and the exact
+    full-scan fallback for a point outside the snap bound."""
+    from greenex_py_spark.operators.snap import nearest_edge
+
+    segs = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 100.0, 0.0),   # horizontal
+            (2, 0.0, 0.0, 0.0, 100.0),   # vertical
+        ],
+        "edge_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 50.0, 3.0),     # mid-segment on edge 1: t=0.5, d=3
+            (2, 103.0, 4.0),    # beyond the end: clamp t=1, d=5 (3-4-5)
+            (3, 2.0, 2.0),      # equidistant from both edges -> edge 1
+            (4, 5000.0, 0.0),   # far outside the bound -> fallback, t=1
+        ],
+        "doc_id long, x double, y double",
+    )
+    got = {
+        r["doc_id"]: (r["edge_id"], r["snap_dist"], r["t_frac"])
+        for r in nearest_edge(pts, segs, max_snap_dist=50.0).collect()
+    }
+    assert got[1] == (1, 3.0, 0.5)
+    assert got[2] == (1, 5.0, 1.0)
+    assert got[3] == (1, 2.0, 0.02)
+    assert got[4] == (1, 4900.0, 1.0)
+    assert len(got) == 4
