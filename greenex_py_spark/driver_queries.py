@@ -5183,6 +5183,81 @@ ORACLES["q_nearest_edge"] = ORACLES["q_nearest_edge"].format(
 
 
 # ---------------------------------------------------------------------------
+# q_chunk_windows — overlapping token windows (RAG/embedding splitter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chunk_windows",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, ((len(toks) - 1) // 24) + 1)) AS k
+      FROM t),
+c AS (SELECT doc_id, CAST(k AS INT) AS chunk_id, k * 24 AS s,
+             least(32, n - k * 24) AS take, toks
+      FROM e)
+SELECT doc_id, chunk_id, CAST(take AS INT) AS n_tok,
+       array_to_string(list_slice(toks, s + 1, s + take), ' ') AS chunk
+FROM c
+""",
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows every 24 tokens (the RAG /
+    embedding-ingestion splitter; natural shorter tail kept): token
+    array materialized ONCE per row, window starts fanned out by
+    posexplode(sequence), slice() with column-typed bounds — shuffle-
+    free map-side fan-out; the oracle mirrors it with range()/unnest +
+    list_slice (end-index form)."""
+    from .functions.text import chunk_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_windows(docs, win=32, stride=24)
+
+
+# ---------------------------------------------------------------------------
+# q_oov_rate — vocabulary coverage against a corpus-derived vocab
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_oov_rate",
+    """
+WITH d AS (SELECT doc_id,
+                  text || ' uniq' || CAST(doc_id AS VARCHAR)
+                       || ' rare' || CAST(doc_id % 300 AS VARCHAR) AS t
+           FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
+v AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) >= 5),
+j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN v ON t.tok = v.tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM j GROUP BY doc_id
+""",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV fraction against the corpus-derived vocabulary
+    (count >= 5): every doc carries a planted always-unique token
+    (guaranteed OOV) and a shared `rare{doc_id%300}` token whose
+    count crosses the threshold only at the larger SFs — so the
+    tri-scale sweep exercises BOTH branches of the vocab join.  The
+    vocabulary is corpus-sized and deliberately NOT broadcast (the
+    r02 bigram-LM verdict item): AQE picks the join strategy."""
+    from .functions.text import oov_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" uniq"), did.cast("string"),
+        F.lit(" rare"), (did % 300).cast("string"),
+    )
+    return oov_rate(docs.select("doc_id", t.alias("text")), min_count=5)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -984,3 +984,91 @@ def normalize_text(
     t = F.translate(F.col(text_col), ACCENT_FROM, ACCENT_TO)
     t = F.regexp_replace(t, r"\s+", " ")
     return df.select(id_col, F.trim(t).alias("norm"))
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """[id, chunk_id, n_tok, chunk] — overlapping token windows (the
+    RAG / embedding-ingestion splitter): window ``win`` tokens long,
+    starts every ``stride`` tokens, last window keeps its natural
+    (shorter) tail.  chunk_id = start // stride.
+
+    Shape: the token array is MATERIALIZED once per row (withColumn)
+    before any array op — never re-split per window (the interpreted-HOF
+    rule) — then one ``posexplode(sequence(...))`` fans out window
+    starts and ``slice()`` takes column-typed (start, length), all
+    JVM-side.  Fan-out factor is ~n_tok/stride (bounded by the doc
+    length cap upstream), and chunks inherit the document partitioning,
+    so the op is shuffle-free map-side work.
+    """
+    if win <= 0 or stride <= 0:
+        raise ValueError("win and stride must be positive")
+    t = df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
+    n = F.size(F.col("_toks"))
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int") * stride, F.lit(stride))
+    e = t.select(
+        id_col,
+        F.col("_toks"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    take = F.least(F.lit(win), F.col("_n") - F.col("_start"))
+    return e.select(
+        id_col,
+        F.col("chunk_id"),
+        take.alias("n_tok"),
+        F.array_join(F.slice(F.col("_toks"), F.col("_start") + 1, take), " ").alias(
+            "chunk"
+        ),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """[id, n_tok, n_oov, oov_rate] — out-of-vocabulary fraction per
+    document against a CORPUS-DERIVED vocabulary (tokens with global
+    count >= ``min_count``): the tokenizer-coverage health metric run
+    before committing to a vocab/tokenizer at corpus scale.
+
+    Scale shape: the vocabulary grows with the corpus, so it is NOT
+    broadcast (the bigram-LM lesson, functions/text.py r02 verdict) —
+    the probe joins it on the token key and AQE picks the join; both
+    sides are already token-partitioned from their shared explode, and
+    the final per-doc aggregate is two-phase.  round-6 on the one FP
+    division only.
+    """
+    tok = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("tok", F.lit(1).alias("_known"))
+    )
+    j = tok.join(vocab, "tok", "left")
+    oov = F.when(F.col("_known").isNull(), 1).otherwise(0)
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(oov).cast("long").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tok"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )

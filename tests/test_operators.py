@@ -2454,3 +2454,41 @@ def test_nearest_edge_projection_and_clamp(spark):
     assert got[3] == (1, 2.0, 0.02)
     assert got[4] == (1, 4900.0, 1.0)
     assert len(got) == 4
+
+
+def test_chunk_windows_hand(spark):
+    """Window/stride arithmetic incl. the shorter natural tail and a
+    doc shorter than one window."""
+    from greenex_py_spark.functions.text import chunk_windows
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tok"], r["chunk"])
+        for r in chunk_windows(df, win=4, stride=3).collect()
+    )
+    assert got == [
+        (1, 0, 4, "0 1 2 3"),
+        (1, 1, 4, "3 4 5 6"),
+        (1, 2, 4, "6 7 8 9"),
+        (1, 3, 1, "9"),
+        (2, 0, 2, "a b"),
+    ]
+
+
+def test_oov_rate_threshold(spark):
+    """Tokens at/below the count threshold classify correctly."""
+    from greenex_py_spark.functions.text import oov_rate
+
+    # "a" appears 3x (in-vocab at min_count=3), "b" 2x (OOV), "z" 1x
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate(df, min_count=3).collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 2, round(2 / 3, 6))
