@@ -5258,6 +5258,111 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_street_density — line-in-cell clipped length per grid cell
+# ---------------------------------------------------------------------------
+
+# 260 m cells offset 13 m so NO lattice street lies exactly on a cell
+# boundary (60k + 13 is never 0 mod 200): the closed-interval clip's
+# credit-both-cells boundary case stays out of the gate data
+_SD_SIZE = 260.0
+
+
+def _street_density_oracle() -> str:
+    from .geo.cells import CELL_BASE
+
+    ax = ("x", "y")
+    parts = []
+    for a, p, c in (("x", "x1", "cx0"), ("y", "y1", "cy0")):
+        d = f"d{a}"
+        lo, hi = c, f"{c} + {_SD_SIZE}"
+        parts.append(
+            f"CASE WHEN {d} <> 0 THEN least(({lo} - {p}) / {d}, ({hi} - {p}) / {d}) "
+            f"ELSE CASE WHEN {p} >= {lo} AND {p} <= {hi} THEN -1e30 ELSE 1e30 END END AS t{a}en,\n"
+            f"CASE WHEN {d} <> 0 THEN greatest(({lo} - {p}) / {d}, ({hi} - {p}) / {d}) "
+            f"ELSE CASE WHEN {p} >= {lo} AND {p} <= {hi} THEN 1e30 ELSE -1e30 END END AS t{a}ex"
+        )
+    assert ax  # silence linters
+    return f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2601)),
+ed AS (SELECT i AS src, i + 1 AS dst FROM ids WHERE i % 51 < 50
+       UNION ALL
+       SELECT i AS src, i + 51 AS dst FROM ids WHERE i // 51 < 50),
+pts AS ({city.points_sql()}),
+seg AS (SELECT {city.X0} + (src % 51) * 200.0 AS x1,
+               {city.Y0} + (src // 51) * 200.0 AS y1,
+               {city.X0} + (dst % 51) * 200.0 AS x2,
+               {city.Y0} + (dst // 51) * 200.0 AS y2
+        FROM ed
+        UNION ALL
+        SELECT x AS x1, y AS y1,
+               x + (37 + doc_id % 50) AS x2, y + (23 + doc_id % 70) AS y2
+        FROM pts),
+g AS (SELECT *,
+        CAST(floor((least(x1, x2) - {city.X0 + 13.0}) / {_SD_SIZE}) AS BIGINT) AS gx0,
+        CAST(floor((greatest(x1, x2) - {city.X0 + 13.0}) / {_SD_SIZE}) AS BIGINT) AS gx1,
+        CAST(floor((least(y1, y2) - {city.Y0 + 13.0}) / {_SD_SIZE}) AS BIGINT) AS gy0,
+        CAST(floor((greatest(y1, y2) - {city.Y0 + 13.0}) / {_SD_SIZE}) AS BIGINT) AS gy1
+      FROM seg),
+e1 AS (SELECT *, unnest(range(gy0, gy1 + 1)) AS gy FROM g),
+e2 AS (SELECT *, unnest(range(gx0, gx1 + 1)) AS gx FROM e1),
+c AS (SELECT gy, gx, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+             {city.X0 + 13.0} + gx * {_SD_SIZE} AS cx0,
+             {city.Y0 + 13.0} + gy * {_SD_SIZE} AS cy0
+      FROM e2),
+t AS (SELECT gy, gx, dx, dy,
+{parts[0]},
+{parts[1]}
+      FROM c),
+q AS (SELECT gy * {CELL_BASE} + gx AS cell,
+             CAST(round(greatest(0.0, least(1.0, txex, tyex)
+                                      - greatest(0.0, txen, tyen))
+                        * sqrt(dx * dx + dy * dy) * 1000000.0) AS BIGINT) AS lq
+      FROM t)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_segments,
+       round(CAST(sum(lq) AS BIGINT) / 1000000.0, 6) AS street_len
+FROM q WHERE lq > 0 GROUP BY cell
+"""
+
+
+@register("q_street_density", None)  # generated oracle attached below
+def q_street_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Street length per 260 m grid cell over the 51x51 lattice via the
+    closed-form Liang-Barsky parametric clip — the LINE counterpart of
+    the polygon zonal family (walkability covariate next to NDVI /
+    landcover): lengths quantized to integer micrometers so per-cell
+    sums are exact order-free integer aggregations; the grid is offset
+    13 m so no street lies exactly on a cell boundary."""
+    from .data.city_fixture import network_dfs
+    from .operators.streets import street_length_per_cell
+
+    _, edges = network_dfs(spark)
+    seg = edges.filter(F.col("src") < F.col("dst")).select(
+        (F.col("src") * 100000 + F.col("dst")).alias("edge_id"),
+        F.col("geom_xs")[0].alias("x1"),
+        F.col("geom_ys")[0].alias("y1"),
+        F.col("geom_xs")[1].alias("x2"),
+        F.col("geom_ys")[1].alias("y2"),
+    )
+    # per-document diagonal "GPS trace" segments: scale with SF and
+    # exercise the oblique-clip branches the axis-aligned lattice can't
+    pts = city.points_df(spark, sf_dir)
+    did = F.col("doc_id")
+    traces = pts.select(
+        (F.lit(1000000000) + did).alias("edge_id"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        (F.col("x") + (37 + did % 50)).alias("x2"),
+        (F.col("y") + (23 + did % 70)).alias("y2"),
+    )
+    return street_length_per_cell(
+        seg.unionByName(traces), size=_SD_SIZE, ox=city.X0 + 13.0, oy=city.Y0 + 13.0
+    )
+
+
+ORACLES["q_street_density"] = _street_density_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -2492,3 +2492,27 @@ def test_oov_rate_threshold(spark):
     }
     assert got[1] == (3, 1, round(1 / 3, 6))
     assert got[2] == (3, 2, round(2 / 3, 6))
+
+
+def test_street_length_per_cell_clip(spark):
+    """Diagonal clip across a cell boundary, full containment, and the
+    closed-interval both-cells boundary credit."""
+    from greenex_py_spark.geo.cells import CELL_BASE
+    from greenex_py_spark.operators.streets import street_length_per_cell
+
+    segs = spark.createDataFrame(
+        [
+            (1, 2.0, 2.0, 8.0, 8.0),      # inside cell (0,0), len 6*sqrt2
+            (2, 5.0, 5.0, 15.0, 5.0),     # horizontal across x=10: 5 + 5
+            (3, 0.0, 10.0, 10.0, 10.0),   # ON the y=10 boundary: both rows
+        ],
+        "edge_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    rows = street_length_per_cell(segs, size=10.0, ox=0.0, oy=0.0).collect()
+    got = {r["cell"]: (r["n_segments"], r["street_len"]) for r in rows}
+    s2 = round(6 * 2**0.5, 6)
+    # boundary-lying segment 3 goes to the UPPER row only (floor cover)
+    assert got[0] == (2, round(s2 + 5.0, 6))              # cell (0,0)
+    assert got[1] == (1, 5.0)                             # cell (1,0) crossing credit
+    assert got[CELL_BASE] == (1, 10.0)                    # cell (0,1) boundary owner
+    assert len(got) == 3
