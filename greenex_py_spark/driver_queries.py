@@ -5363,6 +5363,123 @@ ORACLES["q_street_density"] = _street_density_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_warc_headers — WARC record-envelope parsing at scan speed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_warc_headers",
+    r"""
+WITH k AS (SELECT chr(13) || chr(10) AS nl),
+w AS (SELECT doc_id, text,
+        'WARC/1.0' || nl
+        || CASE WHEN doc_id % 2 = 0 THEN 'WARC-Type: response'
+                ELSE 'warc-type: response' END || nl
+        || 'WARC-Target-URI: https://host' || CAST(doc_id % 97 AS VARCHAR)
+        || '.example/p/' || CAST(doc_id AS VARCHAR) || nl
+        || 'Content-Type: text/html; charset=UTF-8' || nl
+        || CASE WHEN doc_id % 3 = 0 THEN 'content-length: '
+                ELSE 'Content-Length: ' END
+        || CAST(n_chars AS VARCHAR) || nl || nl || text AS rec
+      FROM documents, k)
+SELECT doc_id,
+       regexp_extract(rec, '(?i)\r\nwarc-type: *([^\r\n]*)', 1) AS warc_type,
+       regexp_extract(rec, '(?i)\r\nwarc-target-uri: *([^\r\n]*)', 1)
+         AS target_uri,
+       regexp_extract(rec, '(?i)\r\ncontent-type: *([^\r\n]*)', 1)
+         AS content_type,
+       CAST(regexp_extract(rec, '(?i)\r\ncontent-length: *([^\r\n]*)', 1)
+            AS BIGINT) AS content_length,
+       md5(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1)) AS body_md5,
+       md5(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1)) = md5(text)
+         AS matches_text
+FROM w
+""",
+)
+def q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC envelope parsing over planted Common-Crawl-style records
+    (CRLF header lines, case-alternating header names to exercise the
+    RFC case-insensitivity, Content-Length from n_chars): pure-codegen
+    regexp extraction at scan speed, and the body survives
+    BYTE-IDENTICAL — matches_text proves body == text for every row,
+    the per-row invariant the pipeline carries end-to-end."""
+    from .functions.warc import parse_warc_headers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    nl = "\r\n"
+    rec = F.concat(
+        F.lit("WARC/1.0" + nl),
+        F.when(did % 2 == 0, F.lit("WARC-Type: response")).otherwise(
+            F.lit("warc-type: response")
+        ),
+        F.lit(nl + "WARC-Target-URI: https://host"),
+        (did % 97).cast("string"),
+        F.lit(".example/p/"),
+        did.cast("string"),
+        F.lit(nl + "Content-Type: text/html; charset=UTF-8" + nl),
+        F.when(did % 3 == 0, F.lit("content-length: ")).otherwise(
+            F.lit("Content-Length: ")
+        ),
+        F.col("n_chars").cast("string"),
+        F.lit(nl + nl),
+        F.col("text"),
+    )
+    recs = docs.select(
+        "doc_id", "text", F.encode(rec, "UTF-8").alias("record")
+    )
+    out = parse_warc_headers(recs)
+    return out.join(
+        recs.select("doc_id", F.md5(F.col("text")).alias("_tm")), "doc_id"
+    ).select(
+        "doc_id", "warc_type", "target_uri", "content_type",
+        "content_length", "body_md5",
+        (F.col("body_md5") == F.col("_tm")).alias("matches_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_od_matrix — origin→destination cell flows from event trajectories
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_od_matrix",
+    f"""
+WITH pos AS (SELECT user_id, ts, event_id,
+    {city.X0} + ((event_id * 48271) % 1000000) / 1000000.0 * {city.EXTENT} AS x,
+    {city.Y0} + ((event_id * 16807 + 12345) % 1000000) / 1000000.0 * {city.EXTENT} AS y
+  FROM events),
+c AS (SELECT user_id, ts, event_id, {city.cell_expr_sql("x", "y")} AS cell
+      FROM pos),
+l AS (SELECT cell,
+             lag(cell) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS o
+      FROM c)
+SELECT o AS o_cell, cell AS d_cell, CAST(count(*) AS BIGINT) AS n_moves
+FROM l WHERE o IS NOT NULL GROUP BY o, cell
+""",
+)
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell→cell movement flows: events geocoded with the house LCG
+    placement, per-user trajectories ordered by (ts, event_id) — the
+    unique id breaks equal-timestamp ties identically in both engines —
+    consecutive positions folded to directed (origin, destination) cell
+    pairs and counted.  The flow-mapping / commuter-corridor shape over
+    the events stream."""
+    from .operators.spacetime import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    pos = ev.select(
+        "user_id", "ts", "event_id",
+        (F.lit(city.X0) + ((eid * 48271) % 1000000) / 1000000.0 * city.EXTENT).alias("x"),
+        (F.lit(city.Y0) + ((eid * 16807 + 12345) % 1000000) / 1000000.0 * city.EXTENT).alias("y"),
+    )
+    return od_flows(city.with_cell(pos).drop("x", "y"))
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["knox_statistic"]
+__all__ = ["knox_statistic", "od_flows"]
 
 
 def knox_statistic(
@@ -185,4 +185,39 @@ def knox_statistic(
             "n_events", "np_pairs", "ns_pairs", "nt_pairs", "x_pairs",
             ratio.alias("knox_ratio"),
         )
+    )
+
+
+def od_flows(
+    df,
+    entity_col: str = "user_id",
+    cell_col: str = "cell",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+):
+    """[o_cell, d_cell, n_moves] — origin→destination flow matrix over
+    per-entity trajectories: consecutive positions under the TOTAL
+    order ``order_cols`` (include a unique id after the timestamp —
+    equal-ts ties must break identically everywhere) become one move,
+    counted per directed cell pair.  Stationary moves (o == d) are
+    kept; flow-mapping consumers decide their own diagonal policy.
+
+    Shape: one shuffle partitions trajectories by entity for the lag
+    window (per-task state = one entity's trajectory — bounded by
+    session length, not corpus size), one two-phase aggregate on the
+    (o, d) pair.  Hot pairs (commuter corridors) are absorbed by
+    map-side combine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        df.select(entity_col, cell_col, *order_cols)
+        .withColumn("_o", F.lag(F.col(cell_col)).over(w))
+        .filter(F.col("_o").isNotNull())
+        .groupBy(
+            F.col("_o").alias("o_cell"), F.col(cell_col).alias("d_cell")
+        )
+        .agg(F.count(F.lit(1)).alias("n_moves"))
     )

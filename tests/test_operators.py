@@ -2516,3 +2516,47 @@ def test_street_length_per_cell_clip(spark):
     assert got[1] == (1, 5.0)                             # cell (1,0) crossing credit
     assert got[CELL_BASE] == (1, 10.0)                    # cell (0,1) boundary owner
     assert len(got) == 3
+
+
+def test_parse_warc_headers_hand(spark):
+    from greenex_py_spark.functions.warc import parse_warc_headers
+    import hashlib
+
+    rec = (
+        "WARC/1.0\r\nwarc-type: request\r\n"
+        "WARC-Target-URI: https://x.example/\r\n"
+        "Content-Type: text/plain\r\ncontent-LENGTH: 11\r\n\r\n"
+        "hello\r\nbody"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(rec, "utf-8"))], "doc_id long, record binary"
+    )
+    r = parse_warc_headers(df).collect()[0]
+    assert r["warc_type"] == "request"
+    assert r["target_uri"] == "https://x.example/"
+    assert r["content_type"] == "text/plain"
+    assert r["content_length"] == 11
+    # body = everything after the FIRST blank line, incl. its own CRLF
+    assert r["body_md5"] == hashlib.md5(b"hello\r\nbody").hexdigest()
+
+
+def test_od_flows_hand(spark):
+    """Consecutive-pair folding, per-entity isolation, tie-break by the
+    secondary order column, stationary moves kept."""
+    from greenex_py_spark.operators.spacetime import od_flows
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, 10), (1, t0, 2, 20), (1, t0, 3, 20),  # same-ts: by event_id
+        (2, t0, 4, 30), (2, dt.datetime(2026, 1, 2), 5, 10),
+        (3, t0, 6, 99),                                   # single event: no move
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, cell long"
+    )
+    got = {
+        (r["o_cell"], r["d_cell"]): r["n_moves"]
+        for r in od_flows(df).collect()
+    }
+    assert got == {(10, 20): 1, (20, 20): 1, (30, 10): 1}
