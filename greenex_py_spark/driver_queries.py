@@ -5480,6 +5480,86 @@ def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_emerging_hotspots — Mann-Kendall trend over per-day cell activity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_emerging_hotspots",
+    f"""
+WITH pos AS (SELECT event_id, ts,
+    {city.X0} + ((event_id * 48271) % 1000000) / 1000000.0 * {city.EXTENT} AS x,
+    {city.Y0} + ((event_id * 16807 + 12345) % 1000000) / 1000000.0 * {city.EXTENT} AS y
+  FROM events),
+g AS (SELECT CAST(floor((x - {city.X0}) / 1000.0) AS BIGINT) AS gx,
+             CAST(floor((y - {city.Y0}) / 1000.0) AS BIGINT) AS gy,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b
+      FROM pos),
+cnt AS (SELECT gx, gy, b, count(*) AS v FROM g GROUP BY gx, gy, b),
+keys AS (SELECT DISTINCT gx, gy FROM cnt),
+bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(30)),
+dense AS (SELECT k.gx, k.gy, bins.b, COALESCE(cnt.v, 0) AS v
+          FROM keys k CROSS JOIN bins
+          LEFT JOIN cnt ON cnt.gx = k.gx AND cnt.gy = k.gy AND cnt.b = bins.b),
+s AS (SELECT a.gx, a.gy,
+             CAST(SUM(CASE WHEN p.v > a.v THEN 1
+                           WHEN p.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM dense a JOIN dense p
+        ON a.gx = p.gx AND a.gy = p.gy AND a.b < p.b
+      GROUP BY a.gx, a.gy),
+t AS (SELECT gx, gy,
+             CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS ties
+      FROM (SELECT gx, gy, v, count(*) AS tt
+            FROM dense GROUP BY gx, gy, v) q
+      GROUP BY gx, gy),
+j AS (SELECT s.gx, s.gy, s_stat,
+             CAST(56550 - ties AS BIGINT) AS var_num
+      FROM s JOIN t ON s.gx = t.gx AND s.gy = t.gy),
+z AS (SELECT gx, gy, s_stat, var_num,
+             round(CASE WHEN s_stat > 0
+                          THEN (s_stat - 1) / sqrt(var_num / 18.0)
+                        WHEN s_stat < 0
+                          THEN (s_stat + 1) / sqrt(var_num / 18.0)
+                        ELSE 0.0 END + 0.0, 6) AS mk_z
+      FROM j)
+SELECT gx, gy, s_stat, var_num, mk_z,
+       CASE WHEN mk_z >= 1.96 THEN 'increasing'
+            WHEN mk_z <= -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM z
+""",
+)
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot core (ESRI space-time-cube shape): events
+    geocoded to 1 km cells, binned per day (30 dense bins, absent days
+    zero-filled), Mann-Kendall S / tie-adjusted variance / z computed
+    per cell — all integers until one sqrt+divide — and labelled
+    increasing / decreasing / none on the ROUNDED z."""
+    from .operators.spatial_stats import mann_kendall_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    pos = ev.select(
+        "ts",
+        (F.lit(city.X0) + ((eid * 48271) % 1000000) / 1000000.0 * city.EXTENT).alias("x"),
+        (F.lit(city.Y0) + ((eid * 16807 + 12345) % 1000000) / 1000000.0 * city.EXTENT).alias("y"),
+    )
+    cnt = (
+        pos.select(
+            F.floor((F.col("x") - city.X0) / 1000.0).cast("long").alias("gx"),
+            F.floor((F.col("y") - city.Y0) / 1000.0).cast("long").alias("gy"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("b"),
+        )
+        .groupBy("gx", "gy", "b")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return mann_kendall_trend(
+        cnt, key_cols=("gx", "gy"), bin_col="b", val_col="v", n_bins=30
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

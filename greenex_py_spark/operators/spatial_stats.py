@@ -981,3 +981,95 @@ def grid_category_entropy(
         # 0 sum) so both engines hash the same "0.0"
         F.round(-h + F.lit(0.0), 6).alias("entropy"),
     )
+
+
+def mann_kendall_trend(
+    cells: DataFrame,
+    key_cols: tuple[str, ...] = ("gx", "gy"),
+    bin_col: str = "bin",
+    val_col: str = "v",
+    n_bins: int = 30,
+    hot_z: float = 1.96,
+) -> DataFrame:
+    """[*key, s_stat, var_num, mk_z, trend] — Mann-Kendall monotonic
+    trend per key over a DENSE time-bin series (ESRI "emerging hot
+    spot" core: is this cell's activity rising or falling?).
+
+    Input rows are the OCCUPIED (key, bin, value) triples; bins
+    [0, n_bins) are zero-filled per occupied key before pairing, so
+    absence counts as zero activity (the emerging-from-nothing case).
+
+        S    = sum over bin pairs i<j of sign(v_j - v_i)   (exact int)
+        VarS = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18    (tie-adjusted)
+        z    = (S -/+ 1) / sqrt(var_num / 18.0),  z = 0 when S = 0
+
+    Everything is integer until the single sqrt+divide (round-6);
+    trend labels compare the ROUNDED z to ±hot_z so the label can
+    never disagree with the printed score.
+
+    Shape: the bin dim (n_bins rows) is broadcast for the dense fill;
+    the pair join is a self-equi-join on the key — per-task work is
+    O(n_bins²) with n_bins bounded by the analysis window, never by
+    the corpus; one final per-key aggregate.  A cell with no
+    variation (all bins tied) gets z = 0 via the S = 0 branch.
+    """
+    kc = list(key_cols)
+    c = cells.select(
+        *kc,
+        F.col(bin_col).cast("long").alias("_b"),
+        F.col(val_col).cast("long").alias("_v"),
+    )
+    spark = cells.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").alias("_b"))
+    keys = c.select(*kc).distinct()
+    dense = (
+        keys.crossJoin(F.broadcast(bins))
+        .join(c, kc + ["_b"], "left")
+        .select(*kc, "_b", F.coalesce(F.col("_v"), F.lit(0)).alias("_v"))
+    )
+    a = dense.select(*kc, F.col("_b").alias("_b1"), F.col("_v").alias("_v1"))
+    b = dense.select(*kc, F.col("_b").alias("_b2"), F.col("_v").alias("_v2"))
+    sgn = (
+        F.when(F.col("_v2") > F.col("_v1"), 1)
+        .when(F.col("_v2") < F.col("_v1"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, kc)
+        .filter(F.col("_b1") < F.col("_b2"))
+        .groupBy(*kc)
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    t = (
+        dense.groupBy(*kc, "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*kc)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).cast("long").alias("_ties")
+        )
+    )
+    n = n_bins
+    base = n * (n - 1) * (2 * n + 5)
+    j = s.join(t, kc)
+    var_num = (F.lit(base) - F.col("_ties")).cast("long")
+    sd = F.sqrt(var_num.cast("double") / 18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    zr = F.round(z + F.lit(0.0), 6)
+    trend = (
+        F.when(zr >= hot_z, F.lit("increasing"))
+        .when(zr <= -hot_z, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+    )
+    return j.select(
+        *kc,
+        "s_stat",
+        var_num.alias("var_num"),
+        zr.alias("mk_z"),
+        trend.alias("trend"),
+    )

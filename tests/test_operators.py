@@ -2560,3 +2560,42 @@ def test_od_flows_hand(spark):
         for r in od_flows(df).collect()
     }
     assert got == {(10, 20): 1, (20, 20): 1, (30, 10): 1}
+
+
+def test_mann_kendall_hand(spark):
+    """S, tie-adjusted variance, and z against a brute-force MK."""
+    from greenex_py_spark.operators.spatial_stats import mann_kendall_trend
+    import math
+
+    # key 1: strictly increasing; key 2: flat (all ties -> S=0, z=0);
+    # key 3: occupied bins only at 0 and 4 -> zero-fill drives ties
+    rows = (
+        [(1, b, b + 1) for b in range(5)]
+        + [(2, b, 7) for b in range(5)]
+        + [(3, 0, 3), (3, 4, 9)]
+    )
+    df = spark.createDataFrame(rows, "k long, bin long, v long")
+    got = {
+        r["k"]: (r["s_stat"], r["var_num"], r["mk_z"], r["trend"])
+        for r in mann_kendall_trend(
+            df, key_cols=("k",), n_bins=5, hot_z=1.96
+        ).collect()
+    }
+    base = 5 * 4 * 15  # n(n-1)(2n+5), n=5
+    # key 1: all 10 pairs increasing
+    assert got[1][:2] == (10, base)
+    assert got[1][2] == round(9 / math.sqrt(base / 18.0), 6)
+    assert got[1][3] == "increasing"
+    # key 2: all tied -> S=0, var_num = base - 5*4*15 = 0, z=0
+    assert got[2] == (0, 0, 0.0, "none")
+    # key 3: values [3,0,0,0,9]: S = pairs... brute force:
+    vals = [3, 0, 0, 0, 9]
+    s = sum(
+        (v2 > v1) - (v2 < v1)
+        for i, v1 in enumerate(vals)
+        for v2 in vals[i + 1:]
+    )
+    ties = 3 * 2 * 11  # three zeros tied
+    var_num = base - ties
+    z = round((s - 1) / math.sqrt(var_num / 18.0), 6) if s > 0 else 0.0
+    assert got[3] == (s, var_num, z, "none" if abs(z) < 1.96 else "increasing")
