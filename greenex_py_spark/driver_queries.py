@@ -5560,6 +5560,83 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_street_orientation — length-weighted bearing histogram, no atan2
+# ---------------------------------------------------------------------------
+
+
+def _street_orientation_oracle() -> str:
+    from .operators.streets import orientation_thresholds
+
+    terms = " + ".join(
+        f"CASE WHEN dy * {c!r} - dx * {s!r} >= 0 THEN 1 ELSE 0 END"
+        for c, s in orientation_thresholds()
+    )
+    return f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2601)),
+ed AS (SELECT i AS src, i + 1 AS dst FROM ids WHERE i % 51 < 50
+       UNION ALL
+       SELECT i AS src, i + 51 AS dst FROM ids WHERE i // 51 < 50),
+pts AS ({city.points_sql()}),
+seg AS (SELECT {city.X0} + (src % 51) * 200.0 AS x1,
+               {city.Y0} + (src // 51) * 200.0 AS y1,
+               {city.X0} + (dst % 51) * 200.0 AS x2,
+               {city.Y0} + (dst // 51) * 200.0 AS y2
+        FROM ed
+        UNION ALL
+        SELECT x AS x1, y AS y1,
+               x + (37 + doc_id % 50) AS x2, y + (23 + doc_id % 70) AS y2
+        FROM pts),
+n AS (SELECT CASE WHEN (y2 - y1) < 0 OR ((y2 - y1) = 0 AND (x2 - x1) < 0)
+                  THEN -(x2 - x1) ELSE x2 - x1 END AS dx,
+             CASE WHEN (y2 - y1) < 0 OR ((y2 - y1) = 0 AND (x2 - x1) < 0)
+                  THEN -(y2 - y1) ELSE y2 - y1 END AS dy
+      FROM seg WHERE NOT (x2 - x1 = 0 AND y2 - y1 = 0)),
+b AS (SELECT ({terms}) AS bin,
+             CAST(round(sqrt(dx * dx + dy * dy) * 1000000.0) AS BIGINT) AS lq
+      FROM n),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(lq) AS BIGINT) AS len
+      FROM b GROUP BY bin)
+SELECT bin, n_segments,
+       round(CAST(len AS DOUBLE)
+             / (SELECT CAST(sum(lq) AS BIGINT) FROM b), 6) AS len_share
+FROM g
+"""
+
+
+@register("q_street_orientation", None)  # generated oracle attached below
+def q_street_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boeing-style length-weighted street-bearing histogram (10° bins,
+    undirected) over lattice + per-doc diagonal traces: bin = count of
+    half-plane threshold tests passed (shared cos/sin literals — NO
+    atan2, whose JVM-vs-libm ulp differences would flip bins at the
+    exact axis bearings a lattice is full of); micrometer-exact
+    length sums, one round-6 share division."""
+    from .data.city_fixture import network_dfs
+    from .operators.streets import street_orientation_hist
+
+    _, edges = network_dfs(spark)
+    seg = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("geom_xs")[0].alias("x1"),
+        F.col("geom_ys")[0].alias("y1"),
+        F.col("geom_xs")[1].alias("x2"),
+        F.col("geom_ys")[1].alias("y2"),
+    )
+    pts = city.points_df(spark, sf_dir)
+    did = F.col("doc_id")
+    traces = pts.select(
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        (F.col("x") + (37 + did % 50)).alias("x2"),
+        (F.col("y") + (23 + did % 70)).alias("y2"),
+    )
+    return street_orientation_hist(seg.unionByName(traces))
+
+
+ORACLES["q_street_orientation"] = _street_orientation_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

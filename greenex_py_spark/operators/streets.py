@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from ..geo.cells import CELL_BASE
 
-__all__ = ["street_length_per_cell"]
+__all__ = [
+    "street_length_per_cell",
+    "street_orientation_hist",
+    "orientation_thresholds",
+    "N_ORIENT_BINS",
+]
 
 _INF = 1.0e30
 
@@ -103,4 +108,64 @@ def street_length_per_cell(
             F.count(F.lit(1)).alias("n_segments"),
             F.round(F.sum("_lq") / 1.0e6, 6).alias("street_len"),
         )
+    )
+
+
+import math
+
+# undirected-bearing bin edges at 10° steps: (cos, sin) literal pairs —
+# Python float repr round-trips, so the oracle's decimal literals parse
+# to the SAME doubles and the threshold tests agree bit-for-bit
+N_ORIENT_BINS = 18
+
+
+def orientation_thresholds() -> list[tuple[float, float]]:
+    return [
+        (math.cos(math.radians(10 * k)), math.sin(math.radians(10 * k)))
+        for k in range(1, N_ORIENT_BINS)
+    ]
+
+
+def street_orientation_hist(segments: DataFrame) -> DataFrame:
+    """[bin, n_segments, len_share] — length-weighted undirected street
+    bearing histogram in 10° bins (Boeing 2019 street-orientation
+    order, the urban-form covariate): bearing θ ∈ [0°, 180°) from the
+    +x axis after flipping each segment into the upper half-plane.
+
+    NO atan2 anywhere (libm disagreement between JVM and C would flip
+    bins at the exact axis bearings a street lattice is full of): the
+    bin index is the count of half-plane tests passed,
+
+        θ ≥ t_k  ⇔  dy·cos(t_k) − dx·sin(t_k) ≥ 0      (dy ≥ 0)
+
+    with (cos, sin) literals shared with the oracle.  Lengths are
+    quantized to integer micrometers so the per-bin sums are exact;
+    the share division is the single FP step (round-6), computed
+    against an unpartitioned-window total (the house side-statistics
+    pattern — no join-back).  Zero-length segments are dropped.
+    """
+    s = segments.select("x1", "y1", "x2", "y2")
+    dx0 = F.col("x2") - F.col("x1")
+    dy0 = F.col("y2") - F.col("y1")
+    flip = (dy0 < 0) | ((dy0 == 0) & (dx0 < 0))
+    dx = F.when(flip, -dx0).otherwise(dx0)
+    dy = F.when(flip, -dy0).otherwise(dy0)
+    bin_expr = None
+    for c, sn in orientation_thresholds():
+        term = F.when(dy * F.lit(c) - dx * F.lit(sn) >= 0, 1).otherwise(0)
+        bin_expr = term if bin_expr is None else bin_expr + term
+    len_q = F.round(F.sqrt(dx * dx + dy * dy) * 1.0e6, 0).cast("long")
+    from pyspark.sql import Window
+
+    g = (
+        s.filter((dx0 != 0) | (dy0 != 0))
+        .select(bin_expr.alias("bin"), len_q.alias("_lq"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_segments"), F.sum("_lq").alias("_len"))
+    )
+    total = F.sum("_len").over(Window.partitionBy())
+    return g.select(
+        "bin",
+        "n_segments",
+        F.round(F.col("_len").cast("double") / total, 6).alias("len_share"),
     )

@@ -2599,3 +2599,30 @@ def test_mann_kendall_hand(spark):
     var_num = base - ties
     z = round((s - 1) / math.sqrt(var_num / 18.0), 6) if s > 0 else 0.0
     assert got[3] == (s, var_num, z, "none" if abs(z) < 1.96 else "increasing")
+
+
+def test_street_orientation_bins(spark):
+    """Axis bearings land in bins 0 and 9 exactly; 45° in bin 4;
+    a 170°-ish bearing (dx<0 after flip normalization) in bin 17;
+    length weighting checks out."""
+    from greenex_py_spark.operators.streets import street_orientation_hist
+
+    segs = spark.createDataFrame(
+        [
+            (0.0, 0.0, 10.0, 0.0),     # θ=0   -> bin 0, len 10
+            (5.0, 5.0, 5.0, 25.0),     # θ=90  -> bin 9, len 20
+            (0.0, 0.0, 10.0, 10.0),    # θ=45  -> bin 4
+            (10.0, 0.0, 0.0, 2.0),     # θ≈169 -> bin 16 (after flip dy>0)
+            (1.0, 1.0, 1.0, 1.0),      # zero-length: dropped
+        ],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    got = {
+        r["bin"]: (r["n_segments"], r["len_share"])
+        for r in street_orientation_hist(segs).collect()
+    }
+    assert set(got) == {0, 9, 4, 16}
+    total = 10 + 20 + 10 * 2**0.5 + (104) ** 0.5
+    assert got[0] == (1, round(10 / total, 6))
+    assert got[9][0] == 1 and abs(got[9][1] - 20 / total) < 2e-6
+    assert got[4][0] == 1
