@@ -5637,6 +5637,53 @@ ORACLES["q_street_orientation"] = _street_orientation_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_huff_shares — truncated Huff gravity market shares
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_huff_shares",
+    f"""
+WITH pts AS ({city.points_sql()}),
+gs_ids AS ({city.gs_ids_sql()}),
+gs AS ({city.greenspace_sql()}),
+c AS (SELECT p.doc_id, g.gs_id,
+             CAST(round(g.area
+                        / greatest((p.x - g.cx) * (p.x - g.cx)
+                                   + (p.y - g.cy) * (p.y - g.cy), 1.0)
+                        * 1000000000.0) AS BIGINT) AS wq
+      FROM pts p, gs g
+      WHERE (p.x - g.cx) * (p.x - g.cx)
+            + (p.y - g.cy) * (p.y - g.cy) <= 9000000.0),
+w AS (SELECT doc_id, gs_id, wq,
+             CAST(sum(wq) OVER (PARTITION BY doc_id) AS BIGINT) AS den,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM c),
+p2 AS (SELECT doc_id, gs_id, round(CAST(wq AS DOUBLE) / den, 6) AS p,
+              CAST(n AS BIGINT) AS n_considered
+       FROM w),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY p DESC, gs_id) AS rn
+      FROM p2)
+SELECT doc_id, gs_id, p AS p_top, n_considered FROM r WHERE rn = 1
+""",
+)
+def q_huff_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Huff gravity model over the greenspace layer: each
+    point splits patronage among facilities within 3 km by area/d²
+    (d² clamped ≥ 1), keeping the argmax facility and its share.
+    Gravity terms are integer-quantized BEFORE the per-point
+    normalizer so the denominator is an exact order-free sum; the
+    facility layer is a broadcast dim (the gazetteer assumption,
+    documented swap to cell-cover join at planetary scale)."""
+    from .operators.accessibility import huff_shares
+
+    pts = city.points_df(spark, sf_dir)
+    gs = city.greenspace_df(spark)
+    return huff_shares(pts, gs, radius=3000.0)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

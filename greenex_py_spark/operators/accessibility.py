@@ -315,3 +315,72 @@ def shortest_distance_greenspace_exact(
             F.coalesce(F.least(F.col("min_dist"), td), td).alias("distance_to_greenspace"),
         )
     )
+
+
+def huff_shares(
+    points: DataFrame,
+    facilities: DataFrame,
+    id_col: str = "doc_id",
+    fac_col: str = "gs_id",
+    attr_col: str = "area",
+    radius: float = 3000.0,
+    scale: float = 1.0e9,
+) -> DataFrame:
+    """[id, fac, p_top, n_considered] — truncated Huff gravity model
+    (Huff 1963, the market-share complement of 2SFCA): each point
+    splits its patronage across facilities within ``radius`` by
+
+        p_ij = A_j / d_ij²  /  Σ_k A_k / d_ik²      (d² clamped ≥ 1 m²)
+
+    and the output keeps the argmax facility with its probability.
+
+    Engine exactness: the gravity terms are quantized to integers
+    (``round(A/d² · scale)``) BEFORE the per-point normalizer sum, so
+    the denominator is an order-free exact integer sum — the only FP
+    steps are the one quantizing round and the final division (round-6,
+    then ranked under a (p desc, fac asc) total order).
+
+    Scale shape: facilities are a metadata-sized dim next to the point
+    corpus (same assumption as the gazetteer in nearest_geodesic) —
+    broadcast cross join, radius filter, one unpartitioned-per-point
+    window pair.  Swap the broadcast for the cell-cover equi-join if
+    the facility layer ever outgrows a dim.
+    """
+    from pyspark.sql import Window
+
+    fac = facilities.select(
+        F.col(fac_col),
+        F.col("cx").alias("_fx"),
+        F.col("cy").alias("_fy"),
+        F.col(attr_col).cast("double").alias("_a"),
+    )
+    dx = F.col("x") - F.col("_fx")
+    dy = F.col("y") - F.col("_fy")
+    d2 = F.greatest(dx * dx + dy * dy, F.lit(1.0))
+    wq = F.round(F.col("_a") / d2 * F.lit(scale), 0).cast("long")
+    cand = (
+        points.select(id_col, "x", "y")
+        .join(F.broadcast(fac))
+        .filter(dx * dx + dy * dy <= F.lit(radius * radius))
+        .select(id_col, F.col(fac_col), wq.alias("_wq"))
+    )
+    wsum = Window.partitionBy(id_col)
+    rank = Window.partitionBy(id_col).orderBy(
+        F.col("p").desc(), F.col(fac_col).asc()
+    )
+    return (
+        cand.withColumn("_den", F.sum("_wq").over(wsum))
+        .withColumn("_n", F.count(F.lit(1)).over(wsum))
+        .withColumn(
+            "p",
+            F.round(F.col("_wq").cast("double") / F.col("_den"), 6),
+        )
+        .withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col(fac_col),
+            F.col("p").alias("p_top"),
+            F.col("_n").cast("long").alias("n_considered"),
+        )
+    )

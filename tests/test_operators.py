@@ -2626,3 +2626,23 @@ def test_street_orientation_bins(spark):
     assert got[0] == (1, round(10 / total, 6))
     assert got[9][0] == 1 and abs(got[9][1] - 20 / total) < 2e-6
     assert got[4][0] == 1
+
+
+def test_huff_shares_hand(spark):
+    """Share arithmetic, radius truncation, d² clamp, argmax tiebreak."""
+    from greenex_py_spark.operators.accessibility import huff_shares
+
+    fac = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 400.0),   # d=100 -> w = 400/1e4
+            (2, 200.0, 0.0, 400.0),   # d=200 -> w = 400/4e4 (quarter)
+            (3, 9000.0, 0.0, 1e6),    # outside 3km radius: excluded
+            (4, 0.0, 0.0, 50.0),      # d=0 -> clamp d2=1 -> w = 50
+        ],
+        "gs_id long, cx double, cy double, area double",
+    )
+    pts = spark.createDataFrame([(7, 0.0, 0.0)], "doc_id long, x double, y double")
+    r = huff_shares(pts, fac, radius=3000.0).collect()[0]
+    w1, w2, w4 = 400 / 1e4, 400 / 4e4, 50.0
+    assert (r["doc_id"], r["gs_id"], r["n_considered"]) == (7, 4, 3)
+    assert r["p_top"] == round(w4 / (w1 + w2 + w4), 6)
