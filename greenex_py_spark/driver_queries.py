@@ -5684,6 +5684,51 @@ def q_huff_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_hilbert_layout — Hilbert-curve write-layout audit (Morton's sibling)
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_oracle() -> str:
+    from .engine.layout import hilbert_sql_ctes
+
+    return (
+        _CTE
+        + f""",
+{_POINT_CELLS_SQL.strip()},
+{hilbert_sql_ctes('d', order=7)}
+SELECT hd >> 6 AS file_id, count(*) AS n_rows,
+       count(DISTINCT gy * {city.CELL_BASE} + gx) AS n_cells,
+       max(gx) - min(gx) + 1 AS gx_span, max(gy) - min(gy) + 1 AS gy_span,
+       min(hd) AS hmin, max(hd) AS hmax
+FROM h7 GROUP BY 1
+"""
+    )
+
+
+@register("q_hilbert_layout", None)  # generated oracle attached below
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve write-layout audit — the locality-tighter sibling
+    of q_zorder_layout (Iceberg 1.4+ OPTIMIZE's other curve): the
+    classic per-bit rotate/reflect walk as a FIXED 7-round integer
+    state machine, rendered for Spark as a chained projection and for
+    the oracle as chained CTE levels from the SAME generator
+    (engine/layout.hilbert_sql_ctes).  Same static curve-range binning
+    and per-file locality report as the Morton twin, so the two
+    layouts are directly comparable file-for-file."""
+    from .engine.layout import hilbert_layout_stats
+
+    pts = city.points_df(spark, sf_dir)
+    cells = pts.select(
+        F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+        F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+    )
+    return hilbert_layout_stats(cells, shift=6, order=7)
+
+
+ORACLES["q_hilbert_layout"] = _hilbert_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_layout_stats", "ZORDER_SQL"]
+__all__ = [
+    "zorder_key", "zorder_layout_stats", "ZORDER_SQL",
+    "with_hilbert_key", "hilbert_sql_ctes", "hilbert_layout_stats",
+]
 
 _MASKS = (
     (16, 0x0000FFFF0000FFFF),
@@ -100,5 +103,124 @@ def zorder_layout_stats(
             (F.max("gy") - F.min("gy") + 1).alias("gy_span"),
             F.min("zkey").alias("zmin"),
             F.max("zkey").alias("zmax"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the locality-tighter sibling of the Morton key
+# ---------------------------------------------------------------------------
+#
+# Morton order has worst-case locality breaks at power-of-two seams (the
+# curve jumps a quadrant); the Hilbert curve never jumps, so curve-range
+# files cover tighter bboxes — Iceberg 1.4+ OPTIMIZE supports exactly
+# this swap.  The classic per-bit rotate/reflect walk (Wikipedia's
+# xy2d) is a FIXED ``order``-round integer state machine, so both
+# engines render it from the same generator: Spark as a chained
+# projection (one withColumns round per bit — whole-stage codegen folds
+# it into straight-line locals), DuckDB as chained CTE levels.  All
+# integer ops — exact everywhere.  Inputs must lie in [0, 2^order).
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    out: str = "hkey",
+    order: int = 7,
+) -> DataFrame:
+    df = (
+        df.withColumn("_hx", F.col(gx_col).cast("long"))
+        .withColumn("_hy", F.col(gy_col).cast("long"))
+        .withColumn(out, F.lit(0).cast("long"))
+    )
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) != 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) != 0, 1).otherwise(0)
+        df = df.withColumn("_rx", rx).withColumn("_ry", ry)
+        q = (
+            F.when((F.col("_rx") == 0) & (F.col("_ry") == 0), 0)
+            .when(F.col("_rx") == 0, 1)
+            .when(F.col("_ry") == 0, 3)
+            .otherwise(2)
+        )
+        new_x = (
+            F.when(F.col("_ry") == 1, F.col("_hx"))
+            .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy"))
+            .otherwise(F.col("_hy"))
+        )
+        new_y = (
+            F.when(F.col("_ry") == 1, F.col("_hy"))
+            .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx"))
+            .otherwise(F.col("_hx"))
+        )
+        df = (
+            df.withColumn(out, F.col(out) + F.lit(s * s) * q)
+            .withColumn("_nx", new_x)
+            .withColumn("_ny", new_y)
+            .drop("_hx", "_hy", "_rx", "_ry")
+            .withColumnRenamed("_nx", "_hx")
+            .withColumnRenamed("_ny", "_hy")
+        )
+    return df.drop("_hx", "_hy")
+
+
+def hilbert_sql_ctes(base_cte: str, order: int = 7) -> str:
+    """Chained-CTE SQL twin of ``with_hilbert_key`` (same state
+    machine, same round constants): ``base_cte`` must expose (gx, gy);
+    the last CTE ``h{order}`` exposes (gx, gy, hd) with hd = the
+    Hilbert index of the ORIGINAL coords."""
+    lines = [
+        f"h0 AS (SELECT gx, gy, gx AS hx, gy AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM {base_cte})"
+    ]
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        rx = f"(CASE WHEN (hx & {s}) <> 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) <> 0 THEN 1 ELSE 0 END)"
+        q = (
+            f"CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 0 THEN 3 ELSE 2 END"
+        )
+        new_x = (
+            f"CASE WHEN {ry} = 1 THEN hx "
+            f"WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END"
+        )
+        new_y = (
+            f"CASE WHEN {ry} = 1 THEN hy "
+            f"WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END"
+        )
+        lines.append(
+            f"h{i + 1} AS (SELECT gx, gy, {new_x} AS hx, {new_y} AS hy, "
+            f"hd + {s * s} * ({q}) AS hd FROM h{i})"
+        )
+    return ",\n".join(lines)
+
+
+def hilbert_layout_stats(
+    rows: DataFrame,
+    shift: int,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    order: int = 7,
+) -> DataFrame:
+    """[file_id, n_rows, n_cells, gx_span, gy_span, hmin, hmax] — the
+    Hilbert twin of ``zorder_layout_stats`` (same static curve-range
+    binning, same per-file locality report)."""
+    keyed = with_hilbert_key(
+        rows.select(F.col(gx_col).alias("gx"), F.col(gy_col).alias("gy")),
+        order=order,
+    )
+    return (
+        keyed.withColumn("file_id", F.shiftright(F.col("hkey"), shift))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("gx", "gy").alias("n_cells"),
+            (F.max("gx") - F.min("gx") + 1).alias("gx_span"),
+            (F.max("gy") - F.min("gy") + 1).alias("gy_span"),
+            F.min("hkey").alias("hmin"),
+            F.max("hkey").alias("hmax"),
         )
     )

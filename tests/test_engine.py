@@ -552,3 +552,34 @@ def test_web_corpus_pipeline_end_to_end_and_resume(spark, tmp_path):
 
     _, stats3 = run_web_corpus_pipeline(spark, pages, str(tmp_path / "s"), "fp-B")
     assert not any(s["resumed"] for s in stats3)
+
+
+def _xy2d_ref(order, x, y):
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    """Engine Hilbert index == the classic xy2d on a full 16x16 grid
+    (bijective onto 0..255, unit-step adjacency implied by equality)."""
+    from greenex_py_spark.engine.layout import with_hilbert_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "gx long, gy long")
+    got = {
+        (r["gx"], r["gy"]): r["hkey"]
+        for r in with_hilbert_key(df, order=4).collect()
+    }
+    for (x, y), hd in got.items():
+        assert hd == _xy2d_ref(4, x, y), (x, y)
+    assert sorted(got.values()) == list(range(256))
