@@ -5729,6 +5729,53 @@ ORACLES["q_hilbert_layout"] = _hilbert_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_spatial_moments — per-source geographic footprint (SDE core)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_spatial_moments",
+    f"""
+WITH pts AS ({city.points_sql()}),
+j AS (SELECT d.source, CAST(round(p.x * 1000000.0) AS BIGINT) AS xq,
+             CAST(round(p.y * 1000000.0) AS BIGINT) AS yq
+      FROM pts p JOIN documents d ON d.doc_id = p.doc_id),
+a AS (SELECT source, count(*) AS n,
+             sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+             sum(CAST(yq AS HUGEINT) * yq) AS syy,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxy
+      FROM j GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n,
+  round(CAST(sx AS DOUBLE) / n / 1000000.0, 6) AS mean_x,
+  round(CAST(sy AS DOUBLE) / n / 1000000.0, 6) AS mean_y,
+  round(CAST(n * sxx - sx * sx AS DOUBLE) / n / n / 1000000000000.0
+        + 0.0, 6) AS var_x,
+  round(CAST(n * syy - sy * sy AS DOUBLE) / n / n / 1000000000000.0
+        + 0.0, 6) AS var_y,
+  round(CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 1000000000000.0
+        + 0.0, 6) AS cov_xy
+FROM a
+""",
+)
+def q_spatial_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source geographic footprint: mean centre + covariance of
+    each domain's geocoded pages (the standard-deviational-ellipse
+    core — which sources publish locally vs city-wide, the webtext×geo
+    cross).  Micrometer-quantized exact DECIMAL/HUGEINT sums; centered
+    second moments via the integer numerator (n·Sxx − Sx²) so there is
+    NO floating-point cancellation; one division chain de-scaled to m²
+    before round-6."""
+    from .operators.spatial_stats import spatial_moments
+
+    pts = city.points_df(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return spatial_moments(pts.join(docs, "doc_id"), group_col="source")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

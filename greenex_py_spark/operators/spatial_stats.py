@@ -1073,3 +1073,60 @@ def mann_kendall_trend(
         zr.alias("mk_z"),
         trend.alias("trend"),
     )
+
+
+def spatial_moments(
+    points: DataFrame,
+    group_col: str = "source",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """[group, n, mean_x, mean_y, var_x, var_y, cov_xy] — per-group
+    spatial first/second moments (the standard-deviational-ellipse
+    core: mean centre + covariance of a group's geographic footprint —
+    which domains publish locally vs globally, the webtext×geo cross).
+
+    Engine exactness: coordinates quantized to integer micrometers at
+    the scan, all sums exact DECIMAL(38,0)/HUGEINT, and the centered
+    second moments use the house integer-numerator form
+
+        var = (n·Sxx − Sx²) / n²        (numerator EXACT — no
+                                         catastrophic cancellation in
+                                         floating point)
+
+    then ONE cast-to-double division chain, de-scaled by 1e12 (µm² →
+    m², the SCALE_AUDIT large-magnitude-round lesson) before round-6.
+    Population (not sample) variance, matching the zonal A1 family.
+    Shape: one two-phase aggregate on the group key; nothing else.
+    """
+    xq = F.round(F.col(x_col) * 1.0e6, 0).cast("long")
+    yq = F.round(F.col(y_col) * 1.0e6, 0).cast("long")
+    q = points.select(
+        F.col(group_col).alias("grp"),
+        xq.cast(_DEC).alias("_x"),
+        yq.cast(_DEC).alias("_y"),
+    )
+    a = q.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("_n")
+    nd = n.cast("double")
+
+    def _ctr(s2, s1a, s1b):
+        num = (n * F.col(s2) - F.col(s1a) * F.col(s1b)).cast("double")
+        return F.round(num / nd / nd / 1.0e12 + F.lit(0.0), 6)
+
+    return a.select(
+        F.col("grp").alias(group_col),
+        n.cast("long").alias("n"),
+        F.round(F.col("_sx").cast("double") / nd / 1.0e6, 6).alias("mean_x"),
+        F.round(F.col("_sy").cast("double") / nd / 1.0e6, 6).alias("mean_y"),
+        _ctr("_sxx", "_sx", "_sx").alias("var_x"),
+        _ctr("_syy", "_sy", "_sy").alias("var_y"),
+        _ctr("_sxy", "_sx", "_sy").alias("cov_xy"),
+    )

@@ -2646,3 +2646,27 @@ def test_huff_shares_hand(spark):
     w1, w2, w4 = 400 / 1e4, 400 / 4e4, 50.0
     assert (r["doc_id"], r["gs_id"], r["n_considered"]) == (7, 4, 3)
     assert r["p_top"] == round(w4 / (w1 + w2 + w4), 6)
+
+
+def test_spatial_moments_hand(spark):
+    """Population moments against NumPy on a small cluster."""
+    import numpy as np
+    from greenex_py_spark.operators.spatial_stats import spatial_moments
+
+    xs = [0.0, 10.0, 20.0, 30.5]
+    ys = [5.0, 5.0, 11.25, 7.5]
+    rows = [("a", x, y) for x, y in zip(xs, ys)] + [("b", 100.0, 200.0)]
+    df = spark.createDataFrame(rows, "source string, x double, y double")
+    got = {r["source"]: r for r in spatial_moments(df).collect()}
+    def r6(v):  # HALF_UP like both engines (banker's round() differs at .5)
+        from decimal import Decimal, ROUND_HALF_UP
+        return float(Decimal(repr(float(v))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    a = got["a"]
+    assert a["n"] == 4
+    assert a["mean_x"] == r6(np.mean(xs))
+    assert a["var_x"] == r6(np.var(xs))
+    assert a["var_y"] == r6(np.var(ys))
+    assert a["cov_xy"] == r6(np.mean(np.multiply(xs, ys)) - np.mean(xs) * np.mean(ys))
+    b = got["b"]
+    assert (b["n"], b["var_x"], b["var_y"], b["cov_xy"]) == (1, 0.0, 0.0, 0.0)
