@@ -5776,6 +5776,58 @@ def q_spatial_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_knn_accuracy — embedding-quality eval by kNN majority-vote labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_knn_accuracy",
+    f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id % 37 = 0),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round({_DOT.format(a='q.embedding', b='c.embedding')}
+               / ({_NRM.format(a='q.embedding')}
+                  * {_NRM.format(a='c.embedding')}), 6) AS sim
+  FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id ASC) AS rank
+  FROM p
+),
+v AS (SELECT r.q_id, e.label AS nl, count(*) AS c
+      FROM r JOIN embeddings e ON e.vec_id = r.n_id
+      WHERE r.rank <= 10 GROUP BY r.q_id, e.label),
+w AS (SELECT q_id, nl,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY c DESC, nl ASC) AS rn
+      FROM v),
+j AS (SELECT q.label AS label,
+             CASE WHEN w.nl = q.label THEN 1 ELSE 0 END AS ok
+      FROM w JOIN q ON q.vec_id = w.q_id WHERE w.rn = 1)
+SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS accuracy
+FROM j GROUP BY label
+""",
+)
+def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: every 37th vector's label predicted by
+    majority vote over its exact cosine top-10 neighbours (self
+    excluded, integer votes under a (count desc, label asc) total
+    order), accuracy per true label — the eval a pipeline runs before
+    trusting an embedding column for semantic dedup; brute-force SQL
+    twin."""
+    from .functions.similarity import knn_label_accuracy
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_label_accuracy(emb.filter(F.col("vec_id") % 37 == 0), emb, k=10)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -519,3 +519,66 @@ dups AS (
 SELECT m.vec_id, m.cid AS cluster, d.dup_of
 FROM afinal m LEFT JOIN dups d ON d.id = m.vec_id"""
     )
+
+
+def knn_label_accuracy(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """[label, n_queries, n_correct, accuracy] — kNN-classifier label
+    agreement: each query's label predicted by MAJORITY VOTE over its
+    exact cosine top-k neighbours (self excluded), scored against its
+    own label, aggregated per true label.  The standard embedding-
+    quality / ANN-recall proxy eval a curation pipeline runs before
+    trusting an embedding column for semantic dedup.
+
+    Vote counts are exact integers under a (count desc, label asc)
+    total order; the only FP is the round-6 sim ranking inherited from
+    :func:`cosine_topk` and the final accuracy division (round-6).
+    Shape: cosine_topk's broadcast-queries BLAS kernel, then the tiny
+    (q·k)-row result joins the corpus label column on the vector id —
+    AQE picks the join; the label side is a column-pruned scan.
+    """
+    tk = cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    lab = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        tk.join(lab, "n_id")
+        .groupBy("q_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_c").desc(), F.col("_nl").asc()
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("q_id", F.col("_nl").alias("_pred"))
+    )
+    truth = queries.select(
+        F.col(id_col).alias("q_id"), F.col(label_col).alias("label")
+    )
+    ok = F.when(F.col("_pred") == F.col("label"), 1).otherwise(0)
+    return (
+        pred.join(truth, "q_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(ok).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries"), 6
+            ).alias("accuracy"),
+        )
+    )

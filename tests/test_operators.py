@@ -2670,3 +2670,31 @@ def test_spatial_moments_hand(spark):
     assert a["cov_xy"] == r6(np.mean(np.multiply(xs, ys)) - np.mean(xs) * np.mean(ys))
     b = got["b"]
     assert (b["n"], b["var_x"], b["var_y"], b["cov_xy"]) == (1, 0.0, 0.0, 0.0)
+
+
+def test_knn_label_accuracy_hand(spark):
+    """Majority vote with tiebreak and self-exclusion on a toy set."""
+    from greenex_py_spark.functions.similarity import knn_label_accuracy
+
+    # 2-D embeddings: cluster A near (1,0) label 1, cluster B near (0,1)
+    # label 2; query 100 sits in cluster A -> predicted 1 (correct);
+    # query 101 sits between but nearer B -> predicted 2 vs true 1 (wrong)
+    rows = [
+        (100, [1.0, 0.0], 1),
+        (101, [0.6, 0.8], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.95, 0.05], 1),
+        (3, [0.1, 0.9], 2),
+        (4, [0.05, 0.95], 2),
+        (5, [0.15, 0.85], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        r["label"]: (r["n_queries"], r["n_correct"], r["accuracy"])
+        for r in knn_label_accuracy(
+            df.filter(F.col("vec_id") >= 100), df, k=3
+        ).collect()
+    }
+    # query 100 top-3: vecs 2,1 (label 1) + 101 (label 1) -> pred 1 ✓
+    # query 101 top-3: 3,5 (label 2), 100 (label 1) -> pred 2 ✗
+    assert got == {1: (2, 1, 0.5)}
