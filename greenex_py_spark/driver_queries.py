@@ -5828,6 +5828,50 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_salient_terms — tf-idf terms that distinguish each source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salient_terms",
+    """
+WITH d AS (SELECT source, text || ' marker_' || source AS t FROM documents),
+tok AS (SELECT source AS grp, unnest(string_split(t, ' ')) AS term FROM d),
+tf AS (SELECT grp, term, count(*) AS tf FROM tok GROUP BY grp, term
+       HAVING count(*) >= 3),
+gdf AS (SELECT term, count(*) AS df_groups FROM tf GROUP BY term),
+ng AS (SELECT count(DISTINCT source) AS g FROM documents),
+s AS (SELECT grp, term, tf, df_groups,
+             round(tf * ln(CAST(g AS DOUBLE) / df_groups), 6) AS score
+      FROM tf JOIN gdf USING (term) CROSS JOIN ng),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+SELECT grp AS source, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df_groups AS BIGINT) AS df_groups, score,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per source (domain profiling / corpus-card
+    summaries) over text with a planted per-source marker token: tf/df
+    exact integers, hapax tail pruned before the idf join (the bound
+    that keeps the term table corpus-scale-safe), ln once per
+    surviving pair, round-6 before the (score desc, term asc) rank."""
+    from .functions.text import salient_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "source",
+        F.concat(F.col("text"), F.lit(" marker_"), F.col("source")).alias(
+            "text"
+        ),
+    )
+    return salient_terms(d, top_k=5, min_tf=3)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

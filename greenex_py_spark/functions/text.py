@@ -1072,3 +1072,60 @@ def oov_rate(
             ),
         )
     )
+
+
+def salient_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_tf: int = 3,
+) -> DataFrame:
+    """[group, term, tf, df_groups, score, rank] — the top-k tf-idf
+    terms that DISTINGUISH each group (domain profiling / corpus-card
+    summaries): tf = term count within the group, idf = ln(G / df) over
+    the G groups, score = tf·idf.
+
+    ``min_tf`` prunes the hapax tail BEFORE the idf join, which is what
+    keeps the per-group term table bounded at corpus scale (tf ≥ k
+    survivors per group are at most group_tokens/k).  tf and df are
+    exact integers; ln runs once per surviving (group, term) on both
+    engines (same libm-class call the entropy/zipf family already
+    relies on), and the score is rounded to 6 dp BEFORE the (score
+    desc, term asc) ranking.  Shape: one explode + two two-phase
+    aggregates sharing the term key, one window per group.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = (
+        tok.groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    gdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_groups"))
+    n_groups = df.select(group_col).distinct().count()
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(gdf, "term")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(float(n_groups)) / F.col("df_groups")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term", "tf", "df_groups", "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

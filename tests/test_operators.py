@@ -2698,3 +2698,25 @@ def test_knn_label_accuracy_hand(spark):
     # query 100 top-3: vecs 2,1 (label 1) + 101 (label 1) -> pred 1 ✓
     # query 101 top-3: 3,5 (label 2), 100 (label 1) -> pred 2 ✗
     assert got == {1: (2, 1, 0.5)}
+
+
+def test_salient_terms_hand(spark):
+    """Group-unique terms out-score shared ones; min_tf prunes."""
+    import math
+    from greenex_py_spark.functions.text import salient_terms
+
+    rows = (
+        [(f"g1", "alpha alpha alpha common common common")] * 1
+        + [("g2", "beta beta beta common common common")]
+        + [("g2", "rare")]  # tf=1 < min_tf: pruned
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source"], r["term"]): (r["tf"], r["df_groups"], r["score"], r["rank"])
+        for r in salient_terms(df, top_k=2, min_tf=3).collect()
+    }
+    ln2 = round(3 * math.log(2.0), 6)
+    assert got[("g1", "alpha")] == (3, 1, ln2, 1)
+    assert got[("g2", "beta")] == (3, 1, ln2, 1)
+    assert got[("g1", "common")] == (3, 2, 0.0, 2)
+    assert ("g2", "rare") not in got
