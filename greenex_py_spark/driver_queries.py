@@ -5872,6 +5872,65 @@ def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_fuzzy_match — blocked Levenshtein record linkage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fuzzy_match",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+c AS (SELECT doc_id AS c_id,
+             array_to_string(list_slice(tk, 1, 4), ' ') AS c_text,
+             tk[3] || '|' || tk[4] AS block
+      FROM toks),
+v AS (SELECT doc_id + 10000000 AS q_id,
+             CASE WHEN doc_id % 8 = 0
+                  THEN substr(array_to_string(list_slice(tk, 1, 4), ' '), 2)
+                  ELSE 'X' || array_to_string(list_slice(tk, 1, 4), ' ')
+             END AS q_text,
+             tk[3] || '|' || tk[4] AS block
+      FROM toks WHERE doc_id % 4 = 0),
+j AS (SELECT q_id, c_id, levenshtein(q_text, c_text) AS dist
+      FROM v JOIN c USING (block)
+      WHERE levenshtein(q_text, c_text) <= 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist, c_id) AS rn
+      FROM j)
+SELECT q_id, c_id, CAST(dist AS BIGINT) AS dist FROM r WHERE rn = 1
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (title/citation matching): every
+    4th doc's 4-token title gets a planted typo (leading char dropped
+    or prepended), blocking on the UNTOUCHED 3rd|4th tokens, best
+    Levenshtein ≤ 2 match under a (dist, c_id) total order — exact
+    integer distances from the engines' built-in levenshtein; the
+    quadratic distance only ever runs inside blocks."""
+    from .functions.dedup import fuzzy_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    title = F.array_join(F.slice(F.col("tk"), 1, 4), " ")
+    block = F.concat(
+        F.element_at(F.col("tk"), 3), F.lit("|"), F.element_at(F.col("tk"), 4)
+    )
+    canon = toks.select(
+        F.col("doc_id").alias("c_id"), title.alias("c_text"),
+        block.alias("block"),
+    )
+    did = F.col("doc_id")
+    typo = F.when(did % 8 == 0, F.substring(title, 2, 1 << 30)).otherwise(
+        F.concat(F.lit("X"), title)
+    )
+    variants = toks.filter(did % 4 == 0).select(
+        (did + 10000000).alias("q_id"), typo.alias("q_text"),
+        block.alias("block"),
+    )
+    return fuzzy_match(variants, canon, max_dist=2)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

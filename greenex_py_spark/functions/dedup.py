@@ -793,3 +793,50 @@ def bloom_prefilter(
             F.coalesce("probably_seen", F.lit(False)).alias("probably_seen"),
         )
     )
+
+
+def fuzzy_match(
+    left: DataFrame,
+    right: DataFrame,
+    block_col: str = "block",
+    left_id: str = "q_id",
+    right_id: str = "c_id",
+    left_text: str = "q_text",
+    right_text: str = "c_text",
+    max_dist: int = 2,
+) -> DataFrame:
+    """[left_id, right_id, dist] — blocked fuzzy record linkage: within
+    each block, the best (Levenshtein ≤ max_dist) right-side match per
+    left row under a (dist asc, right_id asc) total order.  The
+    title/citation-matching stage of a curation pipeline.
+
+    Levenshtein is a built-in on BOTH engines (unit edit costs,
+    char-level) so distances are exact integers — no FP anywhere.
+
+    Scale shape: the candidate space is the BLOCK join, never the
+    cross product — blocking-key design (length bands, untouched-token
+    keys, phonetic codes) bounds per-block fan-out exactly like the
+    LSH band join in minhash_near_duplicates; the quadratic-cost
+    levenshtein only runs inside blocks.  One shuffle on the block
+    key, one per-left window.
+    """
+    from pyspark.sql import Window
+
+    lt = left.select(
+        F.col(left_id), F.col(block_col), F.col(left_text).alias("_qt")
+    )
+    rt = right.select(
+        F.col(right_id), F.col(block_col), F.col(right_text).alias("_ct")
+    )
+    d = F.levenshtein(F.col("_qt"), F.col("_ct"))
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("dist").asc(), F.col(right_id).asc()
+    )
+    return (
+        lt.join(rt, block_col)
+        .withColumn("dist", d)
+        .filter(F.col("dist") <= max_dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(left_id, right_id, F.col("dist").cast("long").alias("dist"))
+    )

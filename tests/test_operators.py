@@ -2720,3 +2720,28 @@ def test_salient_terms_hand(spark):
     assert got[("g2", "beta")] == (3, 1, ln2, 1)
     assert got[("g1", "common")] == (3, 2, 0.0, 2)
     assert ("g2", "rare") not in got
+
+
+def test_fuzzy_match_hand(spark):
+    """Best-match selection, distance cap, and block isolation."""
+    from greenex_py_spark.functions.dedup import fuzzy_match
+
+    canon = spark.createDataFrame(
+        [
+            (1, "kitten small", "b1"),
+            (2, "sitten small", "b1"),   # 1 edit from kitten
+            (3, "kitten small", "b2"),   # right text, WRONG block
+            (4, "zzzzzz zzzzz", "b1"),   # far: filtered by cap
+        ],
+        "c_id long, c_text string, block string",
+    )
+    qs = spark.createDataFrame(
+        [(10, "mitten small", "b1"), (11, "qqqqq qqqqq", "b1")],
+        "q_id long, q_text string, block string",
+    )
+    got = {
+        r["q_id"]: (r["c_id"], r["dist"])
+        for r in fuzzy_match(qs, canon, max_dist=2).collect()
+    }
+    # mitten->kitten and mitten->sitten are both dist 1: tiebreak c_id
+    assert got == {10: (1, 1)}  # q 11 has no match within 2
