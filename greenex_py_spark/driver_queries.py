@@ -5931,6 +5931,76 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_terrain_slope — Horn-method gradient over tiles (halo exchange)
+# ---------------------------------------------------------------------------
+
+
+def _slope_oracle() -> str:
+    """Closed-form Horn oracle: interior pixels only (no guards), the
+    same 9 formula terms the kernel's padded canvas sees."""
+    npx = city.NPX
+    quant = 1e6
+
+    def v(dx: int, dy: int) -> str:
+        return (
+            "CAST(round(("
+            + city.NDVI_SQL.format(
+                px_x=f"{city.X0} + ((ix + {dx}) + 0.5) * {city.RES}",
+                px_y=f"{city.Y0} + ((iy + {dy}) + 0.5) * {city.RES}",
+            )
+            + f") * {quant}) AS BIGINT)"
+        )
+
+    nx = (
+        f"({v(1, -1)} + 2 * {v(1, 0)} + {v(1, 1)})"
+        f" - ({v(-1, -1)} + 2 * {v(-1, 0)} + {v(-1, 1)})"
+    )
+    ny = (
+        f"({v(-1, 1)} + 2 * {v(0, 1)} + {v(1, 1)})"
+        f" - ({v(-1, -1)} + 2 * {v(0, -1)} + {v(1, -1)})"
+    )
+    thr = int(round(0.01 * 8.0 * city.RES * quant))
+    denom = 8.0 * city.RES * quant
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+),
+g AS (SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+             ({nx}) AS nx, ({ny}) AS ny
+      FROM px),
+r AS (SELECT tx, ty, nx * nx + ny * ny AS rr2 FROM g)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(count(*) FILTER (rr2 > {thr * thr}) AS BIGINT) AS n_steep,
+       CAST(max(rr2) AS BIGINT) AS max_rr2,
+       round(sqrt(CAST(max(rr2) AS DOUBLE)) / {denom!r}, 6) AS max_rise_run
+FROM r GROUP BY tx, ty
+"""
+
+
+@register("q_terrain_slope", None)  # generated oracle attached below
+def q_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn-method surface gradient (gdaldem-slope semantics) over the
+    tiled raster via the SAME halo exchange as q_focal_mean: nx/ny/rr2
+    exact int64 on quantised pixels, interior-only (full 3x3 after
+    cross-tile halos), steep-pixel counts by exact integer threshold
+    compare, and the single sqrt+divide runs in Catalyst.  The oracle
+    expands the closed-form surface into the nine Horn terms per
+    interior pixel — the two sides share no code path."""
+    from .operators.focal import slope_tile_stats
+
+    return slope_tile_stats(
+        city.tiles_df(spark, "ndvi"), city.grid(), quant=1e6,
+        steep_rise_run=0.01,
+    )
+
+
+ORACLES["q_terrain_slope"] = _slope_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

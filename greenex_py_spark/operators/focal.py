@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..geo.grid import GridSpec
 
-__all__ = ["focal_tile_stats", "quantize_half_away"]
+__all__ = ["focal_tile_stats", "slope_tile_stats", "quantize_half_away"]
 
 
 def quantize_half_away(v: np.ndarray, quant: float) -> np.ndarray:
@@ -41,24 +41,10 @@ def quantize_half_away(v: np.ndarray, quant: float) -> np.ndarray:
     return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
 
 
-def focal_tile_stats(
-    tiles: DataFrame,
-    grid: GridSpec,
-    quant: float = 1e6,
-) -> DataFrame:
-    """[tx, ty, n_px, tot_focal, min_focal, max_focal, tile_mean] —
-    per-tile summary of the 3x3 focal surface over a quantised tile
-    raster.
-
-    Per pixel: ``focal_sum`` = exact int64 sum of the <=9 in-raster
-    neighbours (edge pixels see fewer — the neighbour count divides,
-    GDAL/ArcGIS edge semantics).  The per-tile outputs are all exact
-    integers (total / min / max of focal sums, total neighbour count)
-    plus ``tile_mean = tot_focal / tot_cnt / quant`` round-6 — the one
-    FP step, evaluated in Catalyst so it is the same division+round
-    chain the oracle runs.  Raster-sized results stay on the
-    executors; only tile-count rows return.
-    """
+def _halo_parts(tiles: DataFrame, grid: GridSpec, quant: float) -> DataFrame:
+    """Core + 1-px border strips per tile (the halo exchange's map
+    side), shared by every focal-family operator: <= 9 parts per tile,
+    values quantised int64 on the producer."""
     tile_px = grid.tile_px
     n_tx, n_ty = grid.n_tiles_x, grid.n_tiles_y
 
@@ -105,7 +91,47 @@ def focal_tile_stats(
                         )
             yield pd.DataFrame(rows)
 
-    parts = tiles.mapInPandas(emit_parts, schema=part_schema)
+    return tiles.mapInPandas(emit_parts, schema=part_schema)
+
+
+def _assemble_canvas(kdf: pd.DataFrame, grid: GridSpec):
+    """(tx, ty, canvas, mask, w, h) from one tile's gathered parts."""
+    tile_px = grid.tile_px
+    tx, ty = int(kdf["dtx"].iloc[0]), int(kdf["dty"].iloc[0])
+    gx0, gy0 = tx * tile_px, ty * tile_px
+    w = min(tile_px, grid.npx_x - gx0)
+    h = min(tile_px, grid.npx_y - gy0)
+    canvas = np.zeros((h + 2, w + 2), dtype=np.int64)
+    mask = np.zeros((h + 2, w + 2), dtype=np.int64)
+    for p in kdf.itertuples():
+        pw, ph = int(p.pw), int(p.ph)
+        sub = np.asarray(p.vals, dtype=np.int64).reshape(ph, pw)
+        ox = int(p.ix0) - gx0 + 1
+        oy = int(p.iy0) - gy0 + 1
+        canvas[oy:oy + ph, ox:ox + pw] = sub
+        mask[oy:oy + ph, ox:ox + pw] = 1
+    return tx, ty, canvas, mask, w, h
+
+
+def focal_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+) -> DataFrame:
+    """[tx, ty, n_px, tot_focal, min_focal, max_focal, tile_mean] —
+    per-tile summary of the 3x3 focal surface over a quantised tile
+    raster.
+
+    Per pixel: ``focal_sum`` = exact int64 sum of the <=9 in-raster
+    neighbours (edge pixels see fewer — the neighbour count divides,
+    GDAL/ArcGIS edge semantics).  The per-tile outputs are all exact
+    integers (total / min / max of focal sums, total neighbour count)
+    plus ``tile_mean = tot_focal / tot_cnt / quant`` round-6 — the one
+    FP step, evaluated in Catalyst so it is the same division+round
+    chain the oracle runs.  Raster-sized results stay on the
+    executors; only tile-count rows return.
+    """
+    parts = _halo_parts(tiles, grid, quant)
 
     out_schema = (
         "tx long, ty long, n_px long, tot_focal long, tot_cnt long, "
@@ -113,19 +139,7 @@ def focal_tile_stats(
     )
 
     def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
-        tx, ty = int(kdf["dtx"].iloc[0]), int(kdf["dty"].iloc[0])
-        gx0, gy0 = tx * tile_px, ty * tile_px
-        w = min(tile_px, grid.npx_x - gx0)
-        h = min(tile_px, grid.npx_y - gy0)
-        canvas = np.zeros((h + 2, w + 2), dtype=np.int64)
-        mask = np.zeros((h + 2, w + 2), dtype=np.int64)
-        for p in kdf.itertuples():
-            pw, ph = int(p.pw), int(p.ph)
-            sub = np.asarray(p.vals, dtype=np.int64).reshape(ph, pw)
-            ox = int(p.ix0) - gx0 + 1
-            oy = int(p.iy0) - gy0 + 1
-            canvas[oy:oy + ph, ox:ox + pw] = sub
-            mask[oy:oy + ph, ox:ox + pw] = 1
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
         fsum = np.zeros((h, w), dtype=np.int64)
         fcnt = np.zeros((h, w), dtype=np.int64)
         for dy in (0, 1, 2):
@@ -153,4 +167,71 @@ def focal_tile_stats(
             / F.lit(float(quant)),
             6,
         ).alias("tile_mean"),
+    )
+
+
+def slope_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+    steep_rise_run: float = 0.01,
+) -> DataFrame:
+    """[tx, ty, n_interior, n_steep, max_rr2, max_rise_run] — Horn-
+    method surface gradient per tile (gdaldem-slope semantics, the
+    standard DSM derivative) over the SAME halo exchange as
+    ``focal_tile_stats``:
+
+        nx = (z_ne + 2 z_e + z_se) − (z_nw + 2 z_w + z_sw)
+        ny = (z_sw + 2 z_s + z_se) − (z_nw + 2 z_n + z_ne)
+        rise/run = sqrt(nx² + ny²) / (8 · res · quant)
+
+    Only INTERIOR pixels (full 3x3 neighbourhood after cross-tile
+    halos — i.e. everything but the raster border) contribute.  nx, ny
+    and rr2 = nx²+ny² are exact int64 on quantised values;
+    ``n_steep`` counts pixels with rr2 strictly above the squared
+    integer threshold (exact compare, no FP), and the single FP step —
+    sqrt(max_rr2)/(8·res·quant), round-6 — runs in Catalyst so it is
+    the same chain the oracle evaluates.
+    """
+    thr = int(round(steep_rise_run * 8.0 * grid.res * quant))
+    thr2 = thr * thr
+
+    out_schema = (
+        "tx long, ty long, n_interior long, n_steep long, max_rr2 long"
+    )
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        full = np.ones((h, w), dtype=bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                full &= mask[dy:dy + h, dx:dx + w] == 1
+        c = canvas
+        nx = (
+            (c[0:h, 2:w + 2] + 2 * c[1:h + 1, 2:w + 2] + c[2:h + 2, 2:w + 2])
+            - (c[0:h, 0:w] + 2 * c[1:h + 1, 0:w] + c[2:h + 2, 0:w])
+        )
+        ny = (
+            (c[2:h + 2, 0:w] + 2 * c[2:h + 2, 1:w + 1] + c[2:h + 2, 2:w + 2])
+            - (c[0:h, 0:w] + 2 * c[0:h, 1:w + 1] + c[0:h, 2:w + 2])
+        )
+        rr2 = nx * nx + ny * ny
+        rr2_in = rr2[full]
+        n_int = int(full.sum())
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty], "n_interior": [n_int],
+                "n_steep": [int((rr2_in > thr2).sum()) if n_int else 0],
+                "max_rr2": [int(rr2_in.max()) if n_int else 0],
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    stats = parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+    denom = 8.0 * grid.res * quant
+    return stats.select(
+        "tx", "ty", "n_interior", "n_steep", "max_rr2",
+        F.round(
+            F.sqrt(F.col("max_rr2").cast("double")) / F.lit(denom), 6
+        ).alias("max_rise_run"),
     )

@@ -2745,3 +2745,52 @@ def test_fuzzy_match_hand(spark):
     }
     # mitten->kitten and mitten->sitten are both dist 1: tiebreak c_id
     assert got == {10: (1, 1)}  # q 11 has no match within 2
+
+
+def test_slope_tile_stats_cross_tile(spark):
+    """Horn nx/ny against NumPy brute force on a tiny 2-tile raster,
+    incl. a gradient that lives exactly on the tile seam."""
+    import numpy as np
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.focal import slope_tile_stats
+
+    # 8x4 raster, two 4x4 tiles; z = x^2 + 3y (curvature across the seam)
+    w_all, h_all = 8, 4
+    z = np.array(
+        [[float(x * x + 3 * y) for x in range(w_all)] for y in range(h_all)]
+    )
+    grid = GridSpec(origin_x=0.0, origin_y=0.0, res=1.0, tile_px=4,
+                    npx_x=w_all, npx_y=h_all)
+    rows = []
+    for tx in range(2):
+        sub = z[:, tx * 4:(tx + 1) * 4]
+        rows.append((tx, 0, 4, 4, [float(v) for v in sub.ravel()]))
+    tiles = spark.createDataFrame(
+        rows, "tx long, ty long, w long, h long, px array<double>"
+    )
+    got = {
+        (r["tx"], r["ty"]): r
+        for r in slope_tile_stats(tiles, grid, quant=1e6,
+                                  steep_rise_run=2.0).collect()
+    }
+    # brute force over interior pixels
+    q = np.round(z * 1e6).astype(np.int64)
+    exp = {}
+    for tx in range(2):
+        rr2s = []
+        for y in range(1, h_all - 1):
+            for x in range(max(1, tx * 4), min(w_all - 1, (tx + 1) * 4)):
+                if not (tx * 4 <= x < (tx + 1) * 4):
+                    continue
+                nx = int(q[y-1, x+1] + 2*q[y, x+1] + q[y+1, x+1]
+                         - q[y-1, x-1] - 2*q[y, x-1] - q[y+1, x-1])
+                ny = int(q[y+1, x-1] + 2*q[y+1, x] + q[y+1, x+1]
+                         - q[y-1, x-1] - 2*q[y-1, x] - q[y-1, x+1])
+                rr2s.append(nx * nx + ny * ny)
+        thr = int(round(2.0 * 8 * 1.0 * 1e6))
+        exp[tx] = (len(rr2s), sum(1 for v in rr2s if v > thr * thr),
+                   max(rr2s))
+    for tx in range(2):
+        r = got[(tx, 0)]
+        assert (r["n_interior"], r["n_steep"], r["max_rr2"]) == exp[tx], tx
+        assert r["max_rise_run"] == round((exp[tx][2] ** 0.5) / 8e6, 6)
