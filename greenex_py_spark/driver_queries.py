@@ -6001,6 +6001,160 @@ ORACLES["q_terrain_slope"] = _slope_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_length_gini — per-source doc-length inequality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_length_gini",
+    """
+WITH c AS (SELECT source AS grp, n_chars AS v FROM documents),
+bv AS (SELECT grp, v, count(*) AS c FROM c GROUP BY grp, v),
+rk AS (SELECT grp, v, c,
+              coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base,
+              sum(c) OVER (PARTITION BY grp) AS n,
+              sum(CAST(c AS HUGEINT) * v) OVER (PARTITION BY grp) AS total
+       FROM bv),
+nm AS (SELECT grp, n, total,
+              sum(CAST(c AS HUGEINT) * (2 * base + c - n) * v) AS gnum
+       FROM rk GROUP BY grp, n, total)
+SELECT grp AS source, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+       round(CAST(gnum AS DOUBLE)
+             / nullif(CAST(n AS DOUBLE) * CAST(total AS DOUBLE), 0.0)
+             + 0.0, 6) AS gini
+FROM nm
+""",
+)
+def q_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document length (burstiness / boilerplate
+    audit): the exact tie-block construction of q_gini_exposure,
+    partitioned per group — distinct-value cumsum, DECIMAL/HUGEINT
+    numerator, group totals as within-group window sums (no
+    join-back), one division + round-6."""
+    from .functions.audit import gini_by_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gini_by_group(docs, group_col="source", val_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q_robots_filter — longest-match robots.txt path rules
+# ---------------------------------------------------------------------------
+
+# (rule_id, prefix, allow) — rule 0 is the default-allow catch-all;
+# rules 1/2 exercise the longest-match override, 3/4 the allow-wins tie
+_ROBOTS_RULES: tuple[tuple[int, str, bool], ...] = (
+    (0, "", True),
+    (1, "/private/", False),
+    (2, "/private/public/", True),
+    (3, "/mixed/", False),
+    (4, "/mixed/", True),
+    (5, "/tmp", False),
+)
+
+_ROBOTS_PATHS: tuple[str, ...] = (
+    "/private/a",
+    "/private/public/x",
+    "/mixed/page",
+    "/tmp9/file",
+    "/blog/post",
+    "/private",
+)
+
+
+def _robots_oracle() -> str:
+    rules = ", ".join(
+        f"({rid}, '{p}', {str(a).lower()})" for rid, p, a in _ROBOTS_RULES
+    )
+    paths = (
+        "CASE doc_id % 6 "
+        + " ".join(
+            f"WHEN {i} THEN '{p}'" for i, p in enumerate(_ROBOTS_PATHS[:-1])
+        )
+        + f" ELSE '{_ROBOTS_PATHS[-1]}' END"
+    )
+    return f"""
+WITH rules(rule_id, prefix, allow) AS (VALUES {rules}),
+u AS (SELECT doc_id, {paths} AS path FROM documents),
+m AS (SELECT doc_id, path, allow AS allowed, rule_id,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY length(prefix) DESC, allow DESC, rule_id ASC) AS rn
+      FROM u JOIN rules ON starts_with(path, prefix))
+SELECT doc_id, path, allowed, CAST(rule_id AS BIGINT) AS rule_id
+FROM m WHERE rn = 1
+""".replace("starts_with(path, prefix)",
+            "substr(path, 1, length(prefix)) = prefix")
+
+
+@register("q_robots_filter", None)  # generated oracle attached below
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt path filtering, Google longest-match-wins semantics
+    (allow wins exact-length ties; empty-prefix catch-all makes
+    default-allow fall out of the same ranking — no join-back):
+    planted paths exercise the nested allow-inside-disallow, the tie,
+    and the no-slash prefix ('/tmp' matching '/tmp9/...')."""
+    from .functions.dedup import robots_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 6 == 0, F.lit(_ROBOTS_PATHS[0]))
+        .when(did % 6 == 1, F.lit(_ROBOTS_PATHS[1]))
+        .when(did % 6 == 2, F.lit(_ROBOTS_PATHS[2]))
+        .when(did % 6 == 3, F.lit(_ROBOTS_PATHS[3]))
+        .when(did % 6 == 4, F.lit(_ROBOTS_PATHS[4]))
+        .otherwise(F.lit(_ROBOTS_PATHS[5]))
+    )
+    urls = docs.select("doc_id", path.alias("path"))
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES), "rule_id long, prefix string, allow boolean"
+    )
+    return robots_filter(urls, rules)
+
+
+ORACLES["q_robots_filter"] = _robots_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_budget_allocation — largest-remainder crawl-budget apportionment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_budget_allocation",
+    """
+WITH c AS (SELECT source AS k, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT k, n,
+             sum(n) OVER () AS tot
+      FROM c),
+b AS (SELECT k, n, (1000 * n) // tot AS base, (1000 * n) % tot AS rem,
+             tot
+      FROM t),
+r AS (SELECT k, n, base, rem,
+             1000 - sum(base) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, k ASC) AS rk
+      FROM b)
+SELECT k AS source, CAST(n AS BIGINT) AS n,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM r
+""",
+)
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1000-unit crawl
+    budget across sources proportional to doc counts — exact integer
+    arithmetic (BIGINT `div`, never a double quotient), quotas sum to
+    the budget by construction; the scheduler-facing quota plan."""
+    from .functions.sampling import apportion_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return apportion_budget(counts, key_col="source", count_col="n_docs",
+                            budget=1000)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

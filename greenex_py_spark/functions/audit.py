@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_DEC = "decimal(38,0)"
+
 __all__ = ["benford_digits", "leading_digit_expr", "LEADING_DIGIT_LEVELS"]
 
 # thresholds for the log-free leading-digit chain: ints < 10^10
@@ -156,4 +158,64 @@ def auc_mann_whitney(
             / nneg.cast("double"),
             6,
         ).alias("auc"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    val_col: str = "n_chars",
+) -> DataFrame:
+    """[group, n, total, gini] — per-group Gini of a non-negative
+    integer value (doc-length inequality per domain: the burstiness /
+    boilerplate-detection audit — a domain whose length Gini spikes is
+    templating or mixing content classes).
+
+    Same exact construction as spatial_stats.gini_exposure, partitioned
+    by group: per DISTINCT value a tie block of count c starting at
+    rank base contributes c·(2·base + c − n)·v, all DECIMAL(38,0); the
+    per-group (n, total) ride along as unpartitioned-within-group
+    window sums (no join-back), and the only FP is the final division
+    + round-6.  No task ever sorts a full group — only its distinct
+    values.
+    """
+    from pyspark.sql import Window
+
+    c = df.select(
+        F.col(group_col).alias("grp"), F.col(val_col).cast("long").alias("v")
+    )
+    by_v = c.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("grp")
+    cd = F.col("c").cast(_DEC)
+    vd = F.col("v").cast(_DEC)
+    ranked = by_v.select(
+        "grp", "v", "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("base"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(cd * vd).over(wall).alias("total"),
+    )
+    num = ranked.groupBy("grp", "n", "total").agg(
+        F.sum(
+            cd * (2 * F.col("base").cast(_DEC) + cd - F.col("n").cast(_DEC)) * vd
+        ).alias("gnum")
+    )
+    gini = F.round(
+        F.col("gnum").cast("double")
+        / F.nullif(
+            F.col("n").cast("double") * F.col("total").cast("double"),
+            F.lit(0.0),
+        )
+        + F.lit(0.0),
+        6,
+    )
+    return num.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        gini.alias("gini"),
     )

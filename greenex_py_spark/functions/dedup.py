@@ -840,3 +840,43 @@ def fuzzy_match(
         .filter(F.col("_rn") == 1)
         .select(left_id, right_id, F.col("dist").cast("long").alias("dist"))
     )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    path_col: str = "path",
+) -> DataFrame:
+    """[id, path, allowed, rule_id] — robots.txt path filtering under
+    Google's longest-match-wins semantics (allow wins exact-length
+    ties): ``rules`` is (rule_id, prefix, allow) PATH-PREFIX rules (the
+    ``*``/``$`` wildcard forms are a documented non-goal of this tier).
+
+    Include a (rule_id=0, prefix='', allow=true) catch-all in ``rules``
+    — the empty prefix matches everything and loses every tie, which
+    makes the default-allow case fall out of the SAME ranking instead
+    of a join-back (the anti-join-re-evaluation rule).
+
+    Shape: rules are a per-host metadata dim — broadcast cross join,
+    startswith filter, one per-url window under the
+    (prefix_len desc, allow desc, rule_id asc) total order.
+    """
+    from pyspark.sql import Window
+
+    r = rules.select(
+        "rule_id", "prefix", F.col("allow").cast("boolean").alias("allow"),
+        F.length("prefix").alias("_plen"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_plen").desc(), F.col("allow").desc(), F.col("rule_id").asc()
+    )
+    return (
+        urls.select(id_col, path_col)
+        .join(F.broadcast(r))
+        .filter(F.col(path_col).startswith(F.col("prefix")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, path_col, "allow", "rule_id")
+        .withColumnRenamed("allow", "allowed")
+    )

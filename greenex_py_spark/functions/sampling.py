@@ -513,3 +513,44 @@ def temperature_mix(
         F.round(p, 6).alias("mix_weight"),
         F.round(rate, 6).alias("sample_rate"),
     )
+
+
+def apportion_budget(
+    df: DataFrame,
+    key_col: str = "source",
+    count_col: str = "n_docs",
+    budget: int = 1000,
+) -> DataFrame:
+    """[key, n, quota] — largest-remainder (Hamilton) apportionment of
+    an integer crawl/sampling budget across keys proportional to their
+    counts: base_i = floor(B·n_i / N), then the B − Σbase leftover
+    units go to the largest remainders (B·n_i mod N, ties by key asc).
+    Exactly sums to B, all integer arithmetic — the quota plan a
+    recrawl scheduler or per-domain sampler executes.
+
+    Shape: the input is already an aggregated per-key table (a dim next
+    to the corpus), so the unpartitioned windows (total N, leftover
+    rank) run over key-count rows, not documents.
+    """
+    from pyspark.sql import Window
+
+    c = df.select(
+        F.col(key_col).alias("k"), F.col(count_col).cast("long").alias("n")
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(F.col("rem").desc(), F.col("k").asc())
+    b = F.lit(int(budget))
+    t = c.withColumn("tot", F.sum("n").over(wall))
+    # `div` is true INTEGER division on BIGINT (a double `/` + cast can
+    # be off by one at near-integer quotients)
+    t = t.withColumn(
+        "base", F.expr(f"(CAST({int(budget)} AS BIGINT) * n) div tot")
+    ).withColumn("rem", (b * F.col("n")) % F.col("tot"))
+    t = t.withColumn("left", b - F.sum("base").over(wall)) \
+         .withColumn("rk", F.row_number().over(wrank))
+    quota = F.col("base") + F.when(F.col("rk") <= F.col("left"), 1).otherwise(0)
+    return t.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n"),
+        quota.cast("long").alias("quota"),
+    )

@@ -2794,3 +2794,56 @@ def test_slope_tile_stats_cross_tile(spark):
         r = got[(tx, 0)]
         assert (r["n_interior"], r["n_steep"], r["max_rr2"]) == exp[tx], tx
         assert r["max_rise_run"] == round((exp[tx][2] ** 0.5) / 8e6, 6)
+
+
+def test_gini_by_group_hand(spark):
+    """Per-group Gini vs the O(n²) mean-absolute-difference definition,
+    incl. ties and a perfectly equal group (gini 0)."""
+    from greenex_py_spark.functions.audit import gini_by_group
+
+    rows = [("a", v) for v in (1, 1, 2, 6)] + [("b", 5), ("b", 5)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r["source"]: (r["n"], r["total"], r["gini"])
+           for r in gini_by_group(df).collect()}
+
+    def brute(vals):
+        n, s = len(vals), sum(vals)
+        mad = sum(abs(a - b) for a in vals for b in vals)
+        return round(mad / (2 * n * s), 6)
+
+    assert got["a"] == (4, 10, brute([1, 1, 2, 6]))
+    assert got["b"] == (2, 10, 0.0)
+
+
+def test_robots_filter_semantics(spark):
+    """Longest match wins; allow beats disallow on exact ties; empty
+    catch-all defaults to allow."""
+    from greenex_py_spark.functions.dedup import robots_filter
+
+    rules = spark.createDataFrame(
+        [(0, "", True), (1, "/a/", False), (2, "/a/b/", True),
+         (3, "/t/", False), (4, "/t/", True)],
+        "rule_id long, prefix string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [(1, "/a/x"), (2, "/a/b/y"), (3, "/t/z"), (4, "/free")],
+        "doc_id long, path string",
+    )
+    got = {r["doc_id"]: (r["allowed"], r["rule_id"])
+           for r in robots_filter(urls, rules).collect()}
+    assert got == {1: (False, 1), 2: (True, 2), 3: (True, 4), 4: (True, 0)}
+
+
+def test_apportion_budget_exact(spark):
+    """Quotas sum to the budget; leftovers go to largest remainders."""
+    from greenex_py_spark.functions.sampling import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3)], "source string, n_docs long"
+    )
+    got = {r["source"]: r["quota"]
+           for r in apportion_budget(df, budget=10).collect()}
+    # shares 50/11≈4.54, 30/11≈2.727(×2): bases 4,2,2 leftover 2 ->
+    # remainders: a:6, b:8, c:8 -> b,c get +1
+    assert got == {"a": 4, "b": 3, "c": 3}
+    assert sum(got.values()) == 10
