@@ -6155,6 +6155,96 @@ def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_quadrat_csr — quadrat-count complete-spatial-randomness test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quadrat_csr",
+    f"""
+WITH pts AS ({city.points_sql()}),
+q AS (SELECT least({10 - 1}, greatest(0,
+        CAST(floor((x - {city.X0}) / {city.EXTENT / 10}) AS BIGINT))) AS qx,
+             least({10 - 1}, greatest(0,
+        CAST(floor((y - {city.Y0}) / {city.EXTENT / 10}) AS BIGINT))) AS qy
+      FROM pts),
+c AS (SELECT qx, qy, count(*) AS o FROM q GROUP BY qx, qy),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(sum(o * o) AS BIGINT) AS soq
+      FROM c)
+SELECT n AS n_points, CAST(100 AS BIGINT) AS n_quadrats,
+       round(CAST(100 * soq AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(n AS DOUBLE), 6) AS chi2,
+       round(CAST(soq AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(n AS DOUBLE) / 100.0, 6) AS vmr
+FROM t
+""",
+)
+def q_quadrat_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat-count CSR test over the geocoded points (10×10 equal
+    quadrats; the urban-core planting makes χ²/VMR scream 'clustered'):
+    ΣO² and N exact integers, each statistic one division chain +
+    round-6 — the χ² companion of q_ripleys_k."""
+    from .operators.spatial_stats import quadrat_csr
+
+    pts = city.points_df(spark, sf_dir)
+    return quadrat_csr(
+        pts, origin=(city.X0, city.Y0), extent=city.EXTENT, k_side=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_novelty — cross-snapshot 5-gram freshness per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_novelty",
+    f"""
+WITH o1 AS (SELECT string_split(text, ' ') AS tk FROM documents
+            WHERE doc_id % 7 != 0),
+o2 AS (SELECT tk, unnest(range(0, len(tk) - 4)) AS i
+       FROM o1 WHERE len(tk) >= 5),
+og AS (SELECT DISTINCT
+         md5(array_to_string(list_slice(tk, i + 1, i + 5), ' ')) AS g
+       FROM o2),
+n1 AS (SELECT source,
+              string_split(CASE WHEN doc_id % 5 = 0
+                                THEN text || '{_CDC_UPDATE_SUFFIX}'
+                                ELSE text END, ' ') AS tk
+       FROM documents WHERE doc_id % 11 != 0),
+n2 AS (SELECT source, tk, unnest(range(0, len(tk) - 4)) AS i
+       FROM n1 WHERE len(tk) >= 5),
+ng AS (SELECT DISTINCT source,
+         md5(array_to_string(list_slice(tk, i + 1, i + 5), ' ')) AS g
+       FROM n2),
+j AS (SELECT ng.source, CASE WHEN og.g IS NULL THEN 1 ELSE 0 END AS novel
+      FROM ng LEFT JOIN og ON ng.g = og.g)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(novel) AS BIGINT) AS n_novel,
+       round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM j GROUP BY source
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram freshness of the CDC new snapshot vs the old one, per
+    source (the recrawl boilerplate-vs-new-text signal): distinct gram
+    md5 digests only cross the shuffle, novelty is a left-join flag
+    (the new-gram subtree evaluates once), updated docs contribute
+    novel tail grams."""
+    from .functions.text import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    old = docs.filter(did % 7 != 0).select("source", "text")
+    nt = F.when(
+        did % 5 == 0, F.concat(F.col("text"), F.lit(_CDC_UPDATE_SUFFIX))
+    ).otherwise(F.col("text"))
+    new = docs.filter(did % 11 != 0).select("source", nt.alias("text"))
+    return ngram_novelty(old, new, n=5)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1129,3 +1129,55 @@ def salient_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ngram_novelty(
+    old: DataFrame,
+    new: DataFrame,
+    n: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """[group, n_grams, n_novel, novelty_rate] — what fraction of the
+    NEW snapshot's distinct word n-grams were never seen in the old
+    snapshot (per group, against the GLOBAL old gram set): the
+    freshness metric an incremental recrawl uses to decide whether a
+    domain is producing new text or re-serving boilerplate.
+
+    Grams travel as md5 digests (payload text never crosses the
+    shuffle — the CDC hash-first rule); novelty is a LEFT join flag,
+    not an anti-join, so the expensive new-gram subtree is evaluated
+    once.  Docs shorter than n tokens contribute nothing (guarded —
+    Spark's sequence() would otherwise run DESCENDING on a negative
+    span and fabricate grams).
+    """
+    def grams(df, keep_group: bool):
+        cols = [F.col(group_col)] if keep_group else []
+        t = df.select(*cols, F.split(F.col(text_col), " ").alias("_tk"))
+        t = t.filter(F.size("_tk") >= n)
+        e = t.select(
+            *cols, "_tk",
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("_tk") - n)
+            ).alias("_p", "_i"),
+        )
+        g = F.md5(F.array_join(F.slice(F.col("_tk"), F.col("_i") + 1, n), " "))
+        return e.select(*cols, g.alias("g"))
+
+    old_g = grams(old, False).distinct().withColumn("_seen", F.lit(1))
+    new_g = grams(new, True).distinct()
+    novel = F.when(F.col("_seen").isNull(), 1).otherwise(0)
+    return (
+        new_g.join(old_g, "g", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            group_col, "n_grams", "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty_rate"),
+        )
+    )

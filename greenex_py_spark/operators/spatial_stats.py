@@ -1130,3 +1130,59 @@ def spatial_moments(
         _ctr("_syy", "_sy", "_sy").alias("var_y"),
         _ctr("_sxy", "_sx", "_sy").alias("cov_xy"),
     )
+
+
+def quadrat_csr(
+    points: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    origin: tuple[float, float] = (0.0, 0.0),
+    extent: float = 1.0,
+    k_side: int = 10,
+) -> DataFrame:
+    """One row [n_points, n_quadrats, chi2, vmr] — quadrat-count test
+    of complete spatial randomness (the classic χ² companion of
+    Ripley's K): the extent is cut into k_side² equal quadrats, and
+    with O_i the per-quadrat counts (EMPTY quadrats included — they
+    contribute 0 to ΣO² and are accounted for by the fixed k),
+
+        χ²  = k·ΣO²/N − N            (algebraic form of Σ(O−E)²/E)
+        VMR = ΣO²/N − N/k            (variance-mean ratio; 1 ⇔ Poisson)
+
+    ΣO² and N are exact integers; each statistic is ONE division chain
+    + round-6.  Points outside the extent are clamped into the border
+    quadrats (floor-clamp), so N is the full point count.
+    Shape: one two-phase aggregate on the quadrat key, then a 1-row
+    reduction — nothing driver-side.
+    """
+    ox, oy = origin
+    side = extent / k_side
+    gx = F.least(
+        F.lit(k_side - 1),
+        F.greatest(F.lit(0), F.floor((F.col(x_col) - ox) / side).cast("long")),
+    )
+    gy = F.least(
+        F.lit(k_side - 1),
+        F.greatest(F.lit(0), F.floor((F.col(y_col) - oy) / side).cast("long")),
+    )
+    counts = (
+        points.select(gx.alias("qx"), gy.alias("qy"))
+        .groupBy("qx", "qy")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    k = k_side * k_side
+    t = counts.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("soq"),
+    )
+    nd = F.col("n").cast("double")
+    chi2 = F.round((F.lit(k) * F.col("soq")).cast("double") / nd - nd, 6)
+    vmr = F.round(
+        F.col("soq").cast("double") / nd - nd / F.lit(float(k)), 6
+    )
+    return t.select(
+        F.col("n").alias("n_points"),
+        F.lit(k).cast("long").alias("n_quadrats"),
+        chi2.alias("chi2"),
+        vmr.alias("vmr"),
+    )

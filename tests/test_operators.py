@@ -2847,3 +2847,45 @@ def test_apportion_budget_exact(spark):
     # remainders: a:6, b:8, c:8 -> b,c get +1
     assert got == {"a": 4, "b": 3, "c": 3}
     assert sum(got.values()) == 10
+
+
+def test_quadrat_csr_hand(spark):
+    """χ²/VMR against the definition on a 2x2 grid, incl. empty
+    quadrats and border clamping."""
+    from greenex_py_spark.operators.spatial_stats import quadrat_csr
+
+    # 2x2 quadrats over [0,10)²: counts (2,1,0,1) after one clamped pt
+    pts = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (7.0, 1.0), (12.0, 12.0)],
+        "x double, y double",
+    )
+    r = quadrat_csr(pts, origin=(0.0, 0.0), extent=10.0, k_side=2).collect()[0]
+    counts = [2, 1, 0, 1]
+    n, k = 4, 4
+    e = n / k
+    chi2 = sum((o - e) ** 2 / e for o in counts)
+    mean = n / k
+    var = sum((o - mean) ** 2 for o in counts) / k
+    assert r["n_points"] == 4 and r["n_quadrats"] == 4
+    assert r["chi2"] == round(chi2, 6)
+    assert r["vmr"] == round(var / mean, 6)
+
+
+def test_ngram_novelty_hand(spark):
+    """Novel-vs-seen gram classification and the short-doc guard."""
+    from greenex_py_spark.functions.text import ngram_novelty
+
+    old = spark.createDataFrame(
+        [("s", "a b c d")], "source string, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            ("s", "a b c d"),     # grams: "a b c" (seen), "b c d" (seen)
+            ("s", "x y z w"),     # "x y z", "y z w": novel
+            ("s", "p q"),         # shorter than n: contributes nothing
+        ],
+        "source string, text string",
+    )
+    r = ngram_novelty(old, new, n=3).collect()[0]
+    assert (r["n_grams"], r["n_novel"]) == (4, 2)
+    assert r["novelty_rate"] == 0.5
