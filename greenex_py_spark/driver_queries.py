@@ -6245,6 +6245,123 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_funnel / q_retention / q_cube_rollup — event-stream product analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    """
+WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS us FROM events),
+e1 AS (SELECT *, min(CASE WHEN et = 'view' THEN us END)
+                 OVER (PARTITION BY user_id) AS t1 FROM e),
+e2 AS (SELECT *, min(CASE WHEN et = 'click' AND us >= t1
+                          AND us <= t1 + 21600000000 THEN us END)
+                 OVER (PARTITION BY user_id) AS t2 FROM e1),
+e3 AS (SELECT *, min(CASE WHEN et = 'purchase' AND us >= t2
+                          AND us <= t2 + 86400000000 THEN us END)
+                 OVER (PARTITION BY user_id) AS t3 FROM e2),
+p AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM e3 GROUP BY user_id),
+t AS (SELECT count(*) AS n_users,
+             sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+             sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+             sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3
+      FROM p)
+SELECT CAST(n_users AS BIGINT) AS n_users, CAST(s1 AS BIGINT) AS s1,
+       CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+       round(CAST(s2 AS DOUBLE) / nullif(CAST(s1 AS DOUBLE), 0.0), 6)
+         AS conv_12,
+       round(CAST(s3 AS DOUBLE) / nullif(CAST(s2 AS DOUBLE), 0.0), 6)
+         AS conv_23,
+       round(CAST(s3 AS DOUBLE) / nullif(CAST(s1 AS DOUBLE), 0.0), 6)
+         AS conv_13
+FROM t
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered conversion funnel view → click (≤6 h) →
+    purchase (≤24 h): every per-user step time is a window aggregate
+    over the SAME user partitioning — one shuffle, no join-backs;
+    timestamps as exact epoch-µs integers, divisions round-6."""
+    from .operators.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev)
+
+
+@register(
+    "q_retention",
+    """
+WITH e AS (SELECT user_id AS u,
+                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+           FROM events),
+f AS (SELECT u, min(d) AS c0 FROM e GROUP BY u),
+a AS (SELECT DISTINCT e.u, f.c0, e.d - f.c0 AS off FROM e JOIN f USING (u)),
+p AS (SELECT c0, off, count(*) AS n_active FROM a GROUP BY c0, off),
+w AS (SELECT c0, off, n_active,
+             max(CASE WHEN off = 0 THEN n_active END)
+               OVER (PARTITION BY c0) AS cohort_n
+      FROM p)
+SELECT c0 AS cohort_day, off AS day_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_n AS BIGINT) AS cohort_n,
+       round(CAST(n_active AS DOUBLE) / CAST(cohort_n AS DOUBLE), 6)
+         AS retention
+FROM w
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle retention cohorts (cohort = first active day): distinct
+    (user, offset) activity, cohort sizes as within-cohort window maxes
+    (no join-back), exact integers + one round-6 division."""
+    from .operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
+@register(
+    "q_cube_rollup",
+    """
+WITH e AS (SELECT event_type,
+                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                    AS dow,
+                  CAST(round(value * 1000000.0) AS BIGINT) AS vq
+           FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vq) AS BIGINT) AS val_sum_q
+FROM e GROUP BY CUBE (event_type, dow)
+""",
+)
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup of event counts and quantized value sums over
+    (event_type, day-of-week) — day index from a portable datediff-mod
+    (Spark dayofweek is 1-based-Sunday, DuckDB 0-based: neither is
+    used); values integer-quantized BEFORE the sum so every cube cell
+    is exact; Catalyst expands the cube into one Expand + two-phase
+    aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01")) % 7).alias("dow"),
+        F.round(F.col("value") * 1.0e6, 0).cast("long").alias("vq"),
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vq").alias("val_sum_q"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n",
+            "val_sum_q",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -2889,3 +2889,50 @@ def test_ngram_novelty_hand(spark):
     r = ngram_novelty(old, new, n=3).collect()[0]
     assert (r["n_grams"], r["n_novel"]) == (4, 2)
     assert r["novelty_rate"] == 0.5
+
+
+def test_funnel_counts_hand(spark):
+    """Ordering and deadline semantics: click before view doesn't
+    count; purchase past the 24h window doesn't count."""
+    import datetime as dt
+    from greenex_py_spark.operators.funnel import funnel_counts
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1: full ordered funnel inside windows
+        (1, "view", t0), (1, "click", t0 + 2 * h), (1, "purchase", t0 + 5 * h),
+        # u2: click BEFORE view -> stops at s1
+        (2, "click", t0), (2, "view", t0 + h),
+        # u3: purchase 30h after click -> misses the 24h deadline
+        (3, "view", t0), (3, "click", t0 + h), (3, "purchase", t0 + 31 * h),
+        # u4: never views
+        (4, "purchase", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = funnel_counts(df).collect()[0]
+    assert (r["n_users"], r["s1"], r["s2"], r["s3"]) == (4, 3, 2, 1)
+    assert r["conv_12"] == round(2 / 3, 6)
+    assert r["conv_13"] == round(1 / 3, 6)
+
+
+def test_retention_cohorts_hand(spark):
+    import datetime as dt
+    from greenex_py_spark.operators.funnel import retention_cohorts
+
+    d0 = dt.datetime(2024, 1, 1, 10, 0)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, d0), (1, d0 + day), (1, d0 + day),        # dup same day
+        (2, d0), (2, d0 + 2 * day),
+        (3, d0 + day),                                 # later cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["n_active"], r["cohort_n"], r["retention"])
+        for r in retention_cohorts(df).collect()
+    }
+    assert got[(0, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (1, 2, 0.5)
+    assert got[(0, 2)] == (1, 2, 0.5)
+    assert got[(1, 0)] == (1, 1, 1.0)
