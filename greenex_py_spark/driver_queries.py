@@ -6362,6 +6362,54 @@ def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_balanced_sample — systematic sampling along the Hilbert curve
+# ---------------------------------------------------------------------------
+
+
+def _balanced_sample_oracle() -> str:
+    from .engine.layout import hilbert_sql_ctes
+
+    return (
+        _CTE
+        + f""",
+dd AS (
+  SELECT doc_id,
+         CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy
+  FROM pts
+),
+{hilbert_sql_ctes('dd', order=7, carry=('doc_id',))},
+r AS (SELECT doc_id, hd AS hkey,
+             row_number() OVER (ORDER BY hd, doc_id) - 1 AS pos
+      FROM h7)
+SELECT doc_id, hkey, CAST(pos AS BIGINT) AS pos FROM r WHERE pos % 10 = 0
+"""
+    )
+
+
+@register("q_balanced_sample", None)  # generated oracle attached below
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic spatially balanced sample (the GRTS idea): points
+    ordered along the Hilbert curve, every 10th taken — consecutive
+    positions are spatially spread because the curve never jumps,
+    unlike an id-hash sample that can clump in the urban core.  Global
+    positions via the house two-level bucket rank (no full-corpus
+    sort task); ties break by id in both engines."""
+    from .functions.sampling import balanced_spatial_sample
+
+    pts = city.points_df(spark, sf_dir)
+    cells = pts.select(
+        "doc_id",
+        F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+        F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+    )
+    return balanced_spatial_sample(cells, every=10, order=7)
+
+
+ORACLES["q_balanced_sample"] = _balanced_sample_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

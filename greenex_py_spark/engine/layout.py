@@ -166,13 +166,17 @@ def with_hilbert_key(
     return df.drop("_hx", "_hy")
 
 
-def hilbert_sql_ctes(base_cte: str, order: int = 7) -> str:
+def hilbert_sql_ctes(
+    base_cte: str, order: int = 7, carry: tuple[str, ...] = ()
+) -> str:
     """Chained-CTE SQL twin of ``with_hilbert_key`` (same state
-    machine, same round constants): ``base_cte`` must expose (gx, gy);
-    the last CTE ``h{order}`` exposes (gx, gy, hd) with hd = the
-    Hilbert index of the ORIGINAL coords."""
+    machine, same round constants): ``base_cte`` must expose (gx, gy)
+    plus any ``carry`` passthrough columns; the last CTE ``h{order}``
+    exposes (carry..., gx, gy, hd) with hd = the Hilbert index of the
+    ORIGINAL coords."""
+    cols = "".join(f"{c}, " for c in carry)
     lines = [
-        f"h0 AS (SELECT gx, gy, gx AS hx, gy AS hy, "
+        f"h0 AS (SELECT {cols}gx, gy, gx AS hx, gy AS hy, "
         f"CAST(0 AS BIGINT) AS hd FROM {base_cte})"
     ]
     for i in range(order):
@@ -192,7 +196,7 @@ def hilbert_sql_ctes(base_cte: str, order: int = 7) -> str:
             f"WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END"
         )
         lines.append(
-            f"h{i + 1} AS (SELECT gx, gy, {new_x} AS hx, {new_y} AS hy, "
+            f"h{i + 1} AS (SELECT {cols}gx, gy, {new_x} AS hx, {new_y} AS hy, "
             f"hd + {s * s} * ({q}) AS hd FROM h{i})"
         )
     return ",\n".join(lines)

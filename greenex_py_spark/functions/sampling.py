@@ -554,3 +554,49 @@ def apportion_budget(
         F.col("n").alias("n"),
         quota.cast("long").alias("quota"),
     )
+
+
+def balanced_spatial_sample(
+    points: DataFrame,
+    id_col: str = "doc_id",
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    every: int = 10,
+    order: int = 7,
+    bucket_shift: int = 6,
+) -> DataFrame:
+    """[id, hkey, pos] — systematic spatially balanced sample (the
+    GRTS idea): points ordered along the Hilbert curve, every
+    ``every``-th taken.  Because the curve never jumps, consecutive
+    sample positions are spatially spread — a uniform id-hash sample
+    can clump in dense cells, this one cannot.
+
+    The global position uses the house TWO-LEVEL rank (bucket =
+    hkey >> bucket_shift; per-bucket counts cumsum'd over the
+    bucket-count-sized window, within-bucket row_number) so no task
+    ever sorts the full corpus.  Ties (same cell) break by id — a
+    total order both engines share.  All integer arithmetic.
+    """
+    from pyspark.sql import Window
+    from ..engine.layout import with_hilbert_key
+
+    keyed = with_hilbert_key(
+        points.select(
+            F.col(id_col), F.col(gx_col).alias("gx"), F.col(gy_col).alias("gy")
+        ),
+        order=order,
+    ).select(id_col, "hkey")
+    b = keyed.withColumn("_bkt", F.shiftright(F.col("hkey"), bucket_shift))
+    bt = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = bt.withColumn("_base", F.coalesce(F.sum("_bc").over(wb), F.lit(0)))
+    ww = Window.partitionBy("_bkt").orderBy(
+        F.col("hkey").asc(), F.col(id_col).asc()
+    )
+    pos = F.col("_base") + F.row_number().over(ww) - 1
+    return (
+        b.join(F.broadcast(bases.select("_bkt", "_base")), "_bkt")
+        .withColumn("pos", pos.cast("long"))
+        .filter(F.col("pos") % every == 0)
+        .select(id_col, "hkey", "pos")
+    )

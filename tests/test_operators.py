@@ -2936,3 +2936,22 @@ def test_retention_cohorts_hand(spark):
     assert got[(0, 1)] == (1, 2, 0.5)
     assert got[(0, 2)] == (1, 2, 0.5)
     assert got[(1, 0)] == (1, 1, 1.0)
+
+
+def test_balanced_spatial_sample_positions(spark):
+    """Two-level global rank == a direct sort rank; every-k selection."""
+    from greenex_py_spark.functions.sampling import balanced_spatial_sample
+    from greenex_py_spark.engine.layout import with_hilbert_key
+
+    rows = [(i, i % 13, (i * 7) % 13) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, gx long, gy long")
+    got = {r["doc_id"]: (r["hkey"], r["pos"]) for r in
+           balanced_spatial_sample(df, every=7, order=4).collect()}
+    keyed = sorted(
+        ((r["hkey"], r["doc_id"]) for r in
+         with_hilbert_key(df, order=4).collect()),
+    )
+    expect = {
+        did: (hk, pos) for pos, (hk, did) in enumerate(keyed) if pos % 7 == 0
+    }
+    assert got == expect
