@@ -6410,6 +6410,52 @@ ORACLES["q_balanced_sample"] = _balanced_sample_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_cross_k — bivariate Ripley's K: corpus vs greenspace centroids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cross_k",
+    f"""
+WITH pts AS ({city.points_sql()}),
+gs_ids AS ({city.gs_ids_sql()}),
+gs AS ({city.greenspace_sql()}),
+pr AS (
+  SELECT (a.x - g.cx) * (a.x - g.cx) + (a.y - g.cy) * (a.y - g.cy) AS d2
+  FROM pts a JOIN gs g
+    ON g.cx BETWEEN a.x - 300 AND a.x + 300
+   AND g.cy BETWEEN a.y - 300 AND a.y + 300
+),
+s AS (SELECT CAST(unnest([100, 200, 300]) AS DOUBLE) AS r),
+na AS (SELECT count(*) AS na FROM pts),
+nb AS (SELECT count(*) AS nb FROM gs),
+cr AS (SELECT s.r, count(*) FILTER (WHERE pr.d2 <= s.r * s.r) AS n_pairs
+       FROM s JOIN pr ON true GROUP BY s.r)
+SELECT r, n_pairs,
+       round(100.0 * CAST(n_pairs AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS k_hat
+FROM cr, na, nb
+""",
+)
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate (cross) Ripley's K between the geocoded corpus and
+    greenspace centroids at r = 100/200/300 m — "does the corpus
+    cluster around greenspace beyond independence?", the attraction
+    companion of q_ripleys_k; same bounded cell k-ring pair production,
+    area in km² so k_hat rounds portably; the oracle's banded IEJoin
+    mirrors the ring join pair-for-pair."""
+    from .operators.spatial_stats import cross_k
+
+    gs = city.greenspace_df(spark).select(
+        F.col("cx").alias("x"), F.col("cy").alias("y")
+    )
+    return cross_k(
+        city.points_df(spark, sf_dir), gs,
+        radii=[100.0, 200.0, 300.0], area=100.0, cell_size=300.0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

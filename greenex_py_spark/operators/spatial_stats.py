@@ -1186,3 +1186,76 @@ def quadrat_csr(
         chi2.alias("chi2"),
         vmr.alias("vmr"),
     )
+
+
+def cross_k(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    radii: list[float],
+    area: float,
+    cell_size: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """[r, n_pairs, k_hat] — bivariate (cross) Ripley's K between two
+    point processes (Lotwick & Silverman 1982, no edge correction):
+
+        K_ab(r) = area * n_pairs(r) / (n_a * n_b)
+
+    with n_pairs the (a, b) pairs within r — "does the corpus cluster
+    AROUND greenspace beyond chance?", the attraction/repulsion
+    companion of the univariate :func:`ripleys_k` (CSR-independence
+    baseline: K_ab(r) = pi r^2).
+
+    Same bounded cell k-ring pair production as ripleys_k (the a side
+    explodes its ring, b keeps its home cell — every cross pair within
+    max_r produced exactly once); per-radius counts are conditional
+    sums in ONE aggregate; pass ``area`` pre-de-scaled (km²) so k_hat
+    rounds portably.
+    """
+    k = int(-(-max(radii) // cell_size))  # ceil
+    def keyed(df, prefix):
+        return df.select(
+            F.col(x_col).alias(f"{prefix}x"),
+            F.col(y_col).alias(f"{prefix}y"),
+            F.floor(F.col(x_col) / cell_size).cast("long").alias("gx"),
+            F.floor(F.col(y_col) / cell_size).cast("long").alias("gy"),
+        )
+    a = keyed(points_a, "a")
+    b = keyed(points_b, "b")
+    ring = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    sh = a.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gx") + dx).alias("gx"),
+                        (F.col("gy") + dy).alias("gy"),
+                    )
+                    for dx, dy in ring
+                ]
+            )
+        ).alias("c"),
+        "ax", "ay",
+    ).select("c.gx", "c.gy", "ax", "ay")
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = sh.join(b, ["gx", "gy"]).select(d2.alias("d2"))
+    counts = pairs.agg(
+        *[
+            F.count(F.when(F.col("d2") <= float(r) * float(r), 1)).alias(f"c{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    na = points_a.agg(F.count("*").alias("na"))
+    nb = points_b.agg(F.count("*").alias("nb"))
+    stack = ", ".join(f"{float(r)}D, c{i}" for i, r in enumerate(radii))
+    out = counts.crossJoin(na).crossJoin(nb).select(
+        F.expr(f"stack({len(radii)}, {stack}) AS (r, n_pairs)"), "na", "nb"
+    )
+    kraw = (
+        F.lit(float(area)) * F.col("n_pairs").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return out.select("r", "n_pairs", F.round(kraw, 6).alias("k_hat"))

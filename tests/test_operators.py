@@ -2955,3 +2955,24 @@ def test_balanced_spatial_sample_positions(spark):
         did: (hk, pos) for pos, (hk, did) in enumerate(keyed) if pos % 7 == 0
     }
     assert got == expect
+
+
+def test_cross_k_brute_force(spark):
+    """Cross-K pair counts vs O(n·m) brute force, incl. a pair at
+    exactly r (<= boundary) and one beyond max_r."""
+    from greenex_py_spark.operators.spatial_stats import cross_k
+
+    pa = [(0.0, 0.0), (50.0, 0.0), (500.0, 500.0)]
+    pb = [(100.0, 0.0), (0.0, 30.0), (900.0, 900.0)]
+    a = spark.createDataFrame(pa, "x double, y double")
+    b = spark.createDataFrame(pb, "x double, y double")
+    got = {r["r"]: (r["n_pairs"], r["k_hat"])
+           for r in cross_k(a, b, radii=[100.0, 200.0], area=1.0,
+                            cell_size=100.0).collect()}
+    for r in (100.0, 200.0):
+        n = sum(
+            1 for ax, ay in pa for bx, by in pb
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= r * r
+        )
+        assert got[r][0] == n, r
+        assert got[r][1] == round(1.0 * n / (3 * 3), 6)
