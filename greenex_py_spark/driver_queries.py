@@ -6456,6 +6456,73 @@ def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_raster_pyramid — overview pyramid with exact mass conservation
+# ---------------------------------------------------------------------------
+
+
+def _pyramid_oracle() -> str:
+    npx = city.NPX
+    vterm = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    t1 = city.TILE_PX // 2
+    t2 = city.TILE_PX // 4
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+base AS (SELECT ix, iy, {vterm} AS v FROM px),
+l1 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, sum(v) AS v
+       FROM base GROUP BY 1, 2),
+l2 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, sum(v) AS v
+       FROM l1 GROUP BY 1, 2),
+s1 AS (SELECT 1 AS level, ix // {t1} AS tx, iy // {t1} AS ty,
+              count(*) AS n_px, sum(v) AS tot_q,
+              min(v) AS min_pool, max(v) AS max_pool
+       FROM l1 GROUP BY 2, 3),
+s2 AS (SELECT 2 AS level, ix // {t2} AS tx, iy // {t2} AS ty,
+              count(*) AS n_px, sum(v) AS tot_q,
+              min(v) AS min_pool, max(v) AS max_pool
+       FROM l2 GROUP BY 2, 3),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+SELECT CAST(level AS BIGINT) AS level, CAST(tx AS BIGINT) AS tx,
+       CAST(ty AS BIGINT) AS ty, CAST(n_px AS BIGINT) AS n_px,
+       CAST(tot_q AS BIGINT) AS tot_q,
+       CAST(min_pool AS BIGINT) AS min_pool,
+       CAST(max_pool AS BIGINT) AS max_pool,
+       round(CAST(tot_q AS DOUBLE)
+             / (CAST(n_px AS DOUBLE)
+                * pow(4.0, CAST(level AS DOUBLE)) * 1000000.0), 6)
+         AS level_mean
+FROM u
+""".replace("pow(", "power(")
+
+
+@register("q_raster_pyramid", None)  # generated oracle attached below
+def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level overview pyramid (COG overviews): level-L pixels are
+    exact integer sums of their 2^L-block, so mass is conserved per
+    tile while min/max coarsen; fixture tile origins/dims divide by 4,
+    so per-tile pooling equals global pooling with ZERO shuffles (one
+    mapInPandas); the oracle pools globally by index-halving CTEs —
+    no shared code path."""
+    from .operators.focal import pyramid_tile_stats
+
+    return pyramid_tile_stats(
+        city.tiles_df(spark, "ndvi"), city.grid(), levels=2, quant=1e6
+    )
+
+
+ORACLES["q_raster_pyramid"] = _pyramid_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 from ..geo.grid import GridSpec
 
-__all__ = ["focal_tile_stats", "slope_tile_stats", "quantize_half_away"]
+__all__ = [
+    "focal_tile_stats", "slope_tile_stats", "pyramid_tile_stats",
+    "quantize_half_away",
+]
 
 
 def quantize_half_away(v: np.ndarray, quant: float) -> np.ndarray:
@@ -234,4 +237,65 @@ def slope_tile_stats(
         F.round(
             F.sqrt(F.col("max_rr2").cast("double")) / F.lit(denom), 6
         ).alias("max_rise_run"),
+    )
+
+
+def pyramid_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    levels: int = 2,
+    quant: float = 1e6,
+) -> DataFrame:
+    """[level, tx, ty, n_px, tot_q, min_pool, max_pool, level_mean] —
+    overview-pyramid construction (COG/ZYX overview semantics): level-L
+    pixels are EXACT integer sums of their 2^L x 2^L base block, so
+    pooling conserves mass (tot_q is level-invariant per tile — the
+    gate's conservation property) while min/max genuinely coarsen.
+
+    Requires tile origins and dims divisible by 2^levels (the fixture's
+    256-px tiles with a 232-px remainder satisfy it for levels<=2), so
+    per-tile pooling equals global pooling with NO halo exchange —
+    zero shuffles: one mapInPandas emits every level's stats straight
+    from the tile, and the single FP step (mean de-quantization) runs
+    in Catalyst.
+    """
+    for lv in range(1, levels + 1):
+        step = 1 << lv
+        if grid.tile_px % step:
+            raise ValueError("tile_px must divide by 2^levels")
+
+    out_schema = (
+        "level long, tx long, ty long, n_px long, tot_q long, "
+        "min_pool long, max_pool long"
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                w, h = int(t.w), int(t.h)
+                arr = quantize_half_away(
+                    np.asarray(t.px, dtype=np.float64).reshape(h, w), quant
+                )
+                cur = arr
+                for lv in range(1, levels + 1):
+                    hh, ww = cur.shape
+                    cur = cur.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3))
+                    rows.append(
+                        {
+                            "level": lv, "tx": int(t.tx), "ty": int(t.ty),
+                            "n_px": int(cur.size),
+                            "tot_q": int(cur.sum()),
+                            "min_pool": int(cur.min()),
+                            "max_pool": int(cur.max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    stats = tiles.mapInPandas(emit, schema=out_schema)
+    denom = F.col("n_px").cast("double") * F.pow(
+        F.lit(4.0), F.col("level").cast("double")
+    ) * F.lit(float(quant))
+    return stats.withColumn(
+        "level_mean", F.round(F.col("tot_q").cast("double") / denom, 6)
     )

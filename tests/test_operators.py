@@ -2976,3 +2976,30 @@ def test_cross_k_brute_force(spark):
         )
         assert got[r][0] == n, r
         assert got[r][1] == round(1.0 * n / (3 * 3), 6)
+
+
+def test_pyramid_tile_stats_conservation(spark):
+    """Pooling conserves tot_q across levels; min/max coarsen; values
+    match NumPy block sums."""
+    import numpy as np
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.focal import pyramid_tile_stats
+
+    h = w = 8
+    z = np.arange(h * w, dtype=np.float64).reshape(h, w) / 7.0
+    grid = GridSpec(origin_x=0.0, origin_y=0.0, res=1.0, tile_px=8,
+                    npx_x=w, npx_y=h)
+    tiles = spark.createDataFrame(
+        [(0, 0, w, h, [float(v) for v in z.ravel()])],
+        "tx long, ty long, w long, h long, px array<double>",
+    )
+    got = {r["level"]: r for r in
+           pyramid_tile_stats(tiles, grid, levels=2, quant=1e6).collect()}
+    q = np.round(z * 1e6)  # ties-away irrelevant here (no .5 cases)
+    l1 = q.reshape(4, 2, 4, 2).sum(axis=(1, 3))
+    l2 = l1.reshape(2, 2, 2, 2).sum(axis=(1, 3))
+    assert got[1]["tot_q"] == got[2]["tot_q"] == int(q.sum())
+    assert (got[1]["n_px"], got[2]["n_px"]) == (16, 4)
+    assert got[1]["min_pool"] == int(l1.min())
+    assert got[2]["max_pool"] == int(l2.max())
+    assert got[2]["level_mean"] == round(float(l2.sum()) / (4 * 16 * 1e6), 6)
