@@ -5019,10 +5019,10 @@ ORACLES["q_normalize_text"] = _normalize_oracle()
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_link_graph",
-    r"""
-WITH p AS (
+# planted crawl pages -> resolved host edges: the SHARED oracle CTE body
+# for every link-graph-family query (q_link_graph and the graph-statistics
+# queries below all render from this one string so they cannot drift)
+_LINK_GRAPH_CTE = r"""p AS (
   SELECT doc_id,
     'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/p/'
       || CAST(doc_id AS VARCHAR) AS url,
@@ -5054,6 +5054,12 @@ r AS (SELECT src_host,
       FROM e
       WHERE NOT (href = ''
                  OR regexp_matches(href, '(?i)^(#|mailto:|javascript:)')))
+"""
+
+
+@register(
+    "q_link_graph",
+    "WITH " + _LINK_GRAPH_CTE + """
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM r GROUP BY src_host, dst_host
 """,
@@ -5070,6 +5076,11 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same planted markup.  Pure codegen: zero UDFs."""
     from .functions.links import host_link_graph
 
+    return host_link_graph(_link_pages_df(spark, sf_dir))
+
+
+def _link_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _LINK_GRAPH_CTE's planted pages (url, html)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
 
@@ -5104,10 +5115,9 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<html><body>"), a_abs, a_rel, a_cdn, a_frag, a_mail, a_empty,
         F.col("text"), F.lit("</body></html>"),
     )
-    pages = docs.select(
+    return docs.select(
         url.alias("url"), F.encode(page, "UTF-8").alias("html")
     )
-    return host_link_graph(pages)
 
 
 # ---------------------------------------------------------------------------
@@ -6520,6 +6530,114 @@ def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_raster_pyramid"] = _pyramid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_graph_reciprocity / q_degree_assortativity / q_triangles — webgraph stats
+# ---------------------------------------------------------------------------
+
+# distinct directed host edges, self-loops dropped — shared by all three
+_LINK_EDGE_CTE = (
+    _LINK_GRAPH_CTE
+    + """,
+le AS (SELECT DISTINCT src_host AS s, dst_host AS d FROM r
+       WHERE src_host <> dst_host),
+und AS (SELECT DISTINCT least(s, d) AS ua, greatest(s, d) AS ub FROM le),
+bo AS (SELECT ua AS a, ub AS b FROM und
+       UNION ALL SELECT ub AS a, ua AS b FROM und),
+deg AS (SELECT a, count(*) AS dg FROM bo GROUP BY a)"""
+)
+
+
+@register(
+    "q_graph_reciprocity",
+    "WITH " + _LINK_EDGE_CTE + """
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN rv.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocal,
+       round(CAST(sum(CASE WHEN rv.s IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS reciprocity
+FROM le LEFT JOIN le rv ON rv.s = le.d AND rv.d = le.s
+""",
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the extracted host graph (link-farm
+    signal): distinct self-loop-free edges, ONE co-partitioned
+    reversed-key self-join, exact counts + round-6."""
+    from .functions.graph import graph_reciprocity
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return graph_reciprocity(edges)
+
+
+@register(
+    "q_degree_assortativity",
+    "WITH " + _LINK_EDGE_CTE + """,
+j AS (SELECT CAST(dx.dg AS HUGEINT) AS x, CAST(dy.dg AS HUGEINT) AS y
+      FROM bo JOIN deg dx ON dx.a = bo.a JOIN deg dy ON dy.a = bo.b),
+st AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx, sum(y) AS sy,
+              sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       FROM j)
+SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       round(CAST(m * sxy - sx * sy AS DOUBLE)
+             / nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 0.0)
+             + 0.0, 6) AS assortativity
+FROM st
+""",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the undirected host graph (do hub
+    hosts link to hubs?): integer-numerator correlation over exact
+    DECIMAL/HUGEINT moment sums (the SLX/Cramer convention — zero FP
+    cancellation), one sqrt+division round-6."""
+    from .functions.graph import degree_assortativity
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
+@register(
+    "q_triangles",
+    "WITH " + _LINK_EDGE_CTE + """,
+o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ua < ub)
+                  THEN ua ELSE ub END AS x,
+             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ua < ub)
+                  THEN ub ELSE ua END AS y,
+             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ua < ub)
+                  THEN db.dg ELSE da.dg END AS yd
+      FROM und JOIN deg da ON da.a = ua JOIN deg db ON db.a = ub),
+cand AS (SELECT w1.y AS x, w2.y AS y
+         FROM o w1 JOIN o w2 ON w1.x = w2.x
+          AND (w1.yd < w2.yd OR (w1.yd = w2.yd AND w1.y < w2.y))),
+tri AS (SELECT sum(CASE WHEN o.x IS NOT NULL THEN 1 ELSE 0 END) AS t
+        FROM cand LEFT JOIN o ON o.x = cand.x AND o.y = cand.y),
+wg AS (SELECT sum(CAST(dg AS HUGEINT) * (dg - 1) // 2) AS w FROM deg)
+SELECT CAST(t AS BIGINT) AS n_triangles, CAST(w AS BIGINT) AS n_wedges,
+       round(3.0 * CAST(t AS DOUBLE) / nullif(CAST(w AS DOUBLE), 0.0)
+             + 0.0, 6) AS global_clustering
+FROM tri, wg
+""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering of the undirected host
+    graph via degree-ordered edge orientation (each triangle counted
+    once at its lowest-(degree,id) vertex; oriented out-degree bounded
+    O(sqrt m) — the Suri-Vassilvitskii shape that keeps the pivot join
+    polynomial at webgraph scale); wedges from exact degree sums."""
+    from .functions.graph import triangle_stats
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return triangle_stats(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -156,3 +156,179 @@ def pagerank_oracle_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, r AS rank FROM r{n_iters}"
     )
+
+
+def graph_reciprocity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row [n_edges, n_reciprocal, reciprocity] — fraction of
+    directed edges whose reverse edge also exists (webgraph health /
+    link-farm signal: organic link graphs are weakly reciprocal,
+    mutual-linking rings are not).  Self-loops excluded; duplicate
+    edges collapsed first.  Exact integer counts + one round-6
+    division.  Shape: distinct → ONE self-equi-join on the reversed
+    key (co-partitioned: both sides hash the same columns) → one 1-row
+    aggregate.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"),
+                   F.lit(1).alias("_r"))
+    j = e.join(rev, ["s", "d"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long")
+        .alias("n_reciprocal"),
+    ).select(
+        "n_edges", "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6
+        ).alias("reciprocity"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row [n_edges, assortativity] — Pearson correlation of the
+    endpoint UNDIRECTED degrees across undirected edges (Newman 2002):
+    do hubs link to hubs?  Edges are undirected/simple (self-loops
+    dropped, (a,b)≡(b,a) collapsed); each edge contributes BOTH
+    orientations to the correlation, the standard symmetric treatment.
+
+    Exactness: degrees are integers, all five moment sums are exact
+    DECIMAL(38,0), and the correlation uses the integer-numerator form
+    (m·Σxy − Σx·Σy) / sqrt((m·Σxx − Σx²)(m·Σyy − Σy²)) — one sqrt +
+    one division, round-6 (the SLX/Cramer convention; zero FP
+    cancellation).  Shape: two degree joins on the endpoint keys
+    (co-partitioned with the degree aggregate), one 1-row reduction.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    dec = "decimal(38,0)"
+    j = (
+        both.join(deg.select(F.col("a"), F.col("deg").alias("dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("dy")), "b"
+        )
+        .select(
+            F.col("dx").cast(dec).alias("x"), F.col("dy").cast(dec).alias("y")
+        )
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            num / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0.0)) + F.lit(0.0),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row [n_triangles, n_wedges, global_clustering] — exact
+    triangle count + global clustering coefficient (3·triangles /
+    wedges) of the undirected simple graph.
+
+    The standard distributed count: orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one (a total order,
+    so each triangle is counted EXACTLY once at its lowest-order
+    vertex), self-join the oriented list on the pivot, and close
+    against the oriented edge set.  Oriented out-degree is bounded by
+    O(sqrt(m)) on any graph, which is what keeps the pivot join's
+    fan-out polynomial at webgraph scale (the Suri-Vassilvitskii
+    bound).  Wedges = Σ d(d−1)/2 over undirected degrees.  All
+    integers; one round-6 division.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # orient by (degree, id): lower endpoint -> higher endpoint
+    d1 = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+    d2 = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
+    o = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .join(d1, "u").join(d2, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("x"), F.col("v").alias("y"),
+                    F.col("dv").alias("yd"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("x"), F.col("u").alias("y"),
+                    F.col("du").alias("yd"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.x", "e.y", "e.yd")
+    )
+    # wedges at the pivot x: pairs of oriented out-neighbours, emitted
+    # in the SAME (degree, id) order the orientation uses — ordering by
+    # id alone would miss triangles whose closing edge runs id-backwards
+    w1 = o.select(F.col("x"), F.col("y").alias("y1"), F.col("yd").alias("e1"))
+    w2 = o.select(F.col("x"), F.col("y").alias("y2"), F.col("yd").alias("e2"))
+    cand = (
+        w1.join(w2, "x")
+        .filter(
+            (F.col("e1") < F.col("e2"))
+            | ((F.col("e1") == F.col("e2")) & (F.col("y1") < F.col("y2")))
+        )
+        .select(F.col("y1").alias("x"), F.col("y2").alias("y"))
+    )
+    tri = cand.join(
+        o.select("x", "y").withColumn("_hit", F.lit(1)), ["x", "y"], "left"
+    ).agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("t"))
+    wedges = deg.agg(
+        F.sum(F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("w")
+    )
+    return tri.crossJoin(wedges).select(
+        F.col("t").alias("n_triangles"),
+        F.col("w").alias("n_wedges"),
+        F.round(
+            3.0 * F.col("t").cast("double")
+            / F.nullif(F.col("w").cast("double"), F.lit(0.0))
+            + F.lit(0.0),
+            6,
+        ).alias("global_clustering"),
+    )

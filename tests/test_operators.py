@@ -3003,3 +3003,65 @@ def test_pyramid_tile_stats_conservation(spark):
     assert got[1]["min_pool"] == int(l1.min())
     assert got[2]["max_pool"] == int(l2.max())
     assert got[2]["level_mean"] == round(float(l2.sum()) / (4 * 16 * 1e6), 6)
+
+
+def _tri_brute(edges):
+    import itertools
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b); adj[b].add(a)
+    tris = sum(
+        1 for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in nodes)
+    return tris, wedges
+
+
+def test_graph_stats_brute_force(spark):
+    """Reciprocity, assortativity, and triangles vs brute force on a
+    small graph with a hub (degree-orientation edge case included)."""
+    from greenex_py_spark.functions.graph import (
+        degree_assortativity, graph_reciprocity, triangle_stats,
+    )
+
+    edges = [
+        (1, 2), (2, 1),          # reciprocal pair
+        (1, 3), (2, 3),          # triangle 1-2-3
+        (3, 4), (4, 5), (3, 5),  # triangle 3-4-5
+        (3, 3),                  # self-loop: dropped
+        (5, 6),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = graph_reciprocity(df).collect()[0]
+    # distinct non-loop directed edges: 8; reciprocal: (1,2),(2,1)
+    assert (r["n_edges"], r["n_reciprocal"]) == (8, 2)
+    assert r["reciprocity"] == 0.25
+
+    t = triangle_stats(df).collect()[0]
+    tris, wedges = _tri_brute(edges)
+    assert (t["n_triangles"], t["n_wedges"]) == (tris, wedges)
+    assert t["global_clustering"] == round(3 * tris / wedges, 6)
+
+    a = degree_assortativity(df).collect()[0]
+    # brute-force Pearson over both orientations
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = {}
+    for x, y in und:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    xs, ys = [], []
+    for x, y in und:
+        xs += [deg[x], deg[y]]
+        ys += [deg[y], deg[x]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(u * v for u, v in zip(xs, ys))
+    num = m * sxy - sx * sy
+    den = ((m * sxx - sx * sx) ** 0.5) * ((m * syy - sy * sy) ** 0.5)
+    assert a["n_edges"] == len(und)
+    assert a["assortativity"] == round(num / den, 6)
