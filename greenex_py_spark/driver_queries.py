@@ -6641,6 +6641,48 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_source_similarity — pairwise vocabulary Jaccard between sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_source_similarity",
+    """
+WITH v AS (SELECT DISTINCT source AS g, unnest(string_split(
+             text || ' marker_' || source, ' ')) AS tok
+           FROM documents),
+sizes AS (SELECT g, count(*) AS nv FROM v GROUP BY g),
+inter AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_common
+          FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g
+          GROUP BY a.g, b.g)
+SELECT ga AS src_a, gb AS src_b,
+       CAST(sa.nv AS BIGINT) AS n_a, CAST(sb.nv AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.nv + sb.nv - n_common AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.g = ga JOIN sizes sb ON sb.g = gb
+""",
+)
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (domain-similarity
+    matrix) over text with the per-source marker planted (so no pair
+    ever reaches jaccard 1.0): the distinct (group, token) table
+    self-joins on the token key — per-token fan-out bounded by groups²
+    regardless of corpus size — exact counts, inclusion-exclusion
+    union, one round-6 division."""
+    from .functions.text import source_vocab_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "source",
+        F.concat(F.col("text"), F.lit(" marker_"), F.col("source")).alias(
+            "text"
+        ),
+    )
+    return source_vocab_jaccard(d)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1181,3 +1181,48 @@ def ngram_novelty(
             ).alias("novelty_rate"),
         )
     )
+
+
+def source_vocab_jaccard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """[src_a, src_b, n_a, n_b, n_common, jaccard] — pairwise
+    vocabulary overlap between groups (corpus-comparison / domain-
+    similarity matrix; which sources speak the same language?).
+
+    Shape: the distinct (group, token) table self-joins on the TOKEN
+    key, so per-token fan-out is bounded by groups² regardless of
+    corpus size — the output and all intermediate pair state scale
+    with the (tiny) group dim, never the corpus; group vocabulary
+    sizes ride in via two broadcast joins of the groups-sized dim.
+    Counts exact; union by inclusion-exclusion; one round-6 division.
+    """
+    v = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).distinct()
+    sizes = v.groupBy("g").agg(F.count(F.lit(1)).alias("nv"))
+    a = v.select(F.col("g").alias("ga"), "tok")
+    b = v.select(F.col("g").alias("gb"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("ga"), F.col("nv").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("gb"), F.col("nv").alias("n_b"))
+    u = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(sa), "ga")
+        .join(F.broadcast(sb), "gb")
+        .select(
+            F.col("ga").alias("src_a"),
+            F.col("gb").alias("src_b"),
+            "n_a", "n_b", "n_common",
+            F.round(F.col("n_common").cast("double") / u.cast("double"), 6)
+            .alias("jaccard"),
+        )
+    )

@@ -3065,3 +3065,18 @@ def test_graph_stats_brute_force(spark):
     den = ((m * sxx - sx * sx) ** 0.5) * ((m * syy - sy * sy) ** 0.5)
     assert a["n_edges"] == len(und)
     assert a["assortativity"] == round(num / den, 6)
+
+
+def test_source_vocab_jaccard_hand(spark):
+    from greenex_py_spark.functions.text import source_vocab_jaccard
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("a", "x q"), ("b", "x y w"), ("c", "unique only")],
+        "source string, text string",
+    )
+    got = {(r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+           for r in source_vocab_jaccard(df).collect()}
+    # a vocab {x,y,z,q} (4), b {x,y,w} (3): common {x,y}=2, union 5
+    assert got[("a", "b")] == (4, 3, 2, 0.4)
+    # disjoint pairs produce NO row (inner join) — documented shape
+    assert ("a", "c") not in got and ("b", "c") not in got
