@@ -6683,6 +6683,55 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_markov_entropy — per-state successor entropy of the event chain
+# ---------------------------------------------------------------------------
+
+_EVENT_STATES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
+
+
+def _markov_entropy_oracle() -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN t = '{s}' THEN 1 ELSE 0 END) AS n{i}"
+        for i, s in enumerate(_EVENT_STATES)
+    )
+    terms = " + ".join(
+        f"CASE WHEN n{i} = 0 THEN 0.0 "
+        f"ELSE (CAST(n{i} AS DOUBLE) / CAST(n_trans AS DOUBLE)) "
+        f"* ln(CAST(n{i} AS DOUBLE) / CAST(n_trans AS DOUBLE)) END"
+        for i in range(len(_EVENT_STATES))
+    )
+    return f"""
+WITH tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS f,
+                   event_type AS t
+            FROM events),
+g AS (SELECT f AS state, count(*) AS n_trans,
+             {sums}
+      FROM tr WHERE f IS NOT NULL GROUP BY f)
+SELECT state, CAST(n_trans AS BIGINT) AS n_trans,
+       round(-({terms}) + 0.0, 6) AS entropy
+FROM g
+"""
+
+
+@register("q_markov_entropy", None)  # generated oracle attached below
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state successor entropy of the event Markov chain
+    (behavioural predictability; ln(5) = uniform): transitions from one
+    per-user lag window under the (ts, event_id) total order, entropy
+    as a FIXED 5-term expression chain over the known state alphabet
+    (the grid_category_entropy precedent) — both engines evaluate the
+    identical IEEE chain, -0.0 flushed before round-6."""
+    from .operators.funnel import markov_transition_entropy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_transition_entropy(ev, states=_EVENT_STATES)
+
+
+ORACLES["q_markov_entropy"] = _markov_entropy_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

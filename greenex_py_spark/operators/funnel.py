@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_counts", "retention_cohorts"]
+__all__ = ["funnel_counts", "retention_cohorts", "markov_transition_entropy"]
 
 
 def funnel_counts(
@@ -123,4 +123,53 @@ def retention_cohorts(
         F.round(
             F.col("n_active").cast("double") / F.col("cohort_n"), 6
         ).alias("retention"),
+    )
+
+
+def markov_transition_entropy(
+    events: DataFrame,
+    states: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """[state, n_trans, entropy] — per-state Shannon entropy of the
+    next-event distribution over a FIXED state alphabet (behavioural
+    predictability: a state whose successor entropy collapses is a
+    scripted/bot flow; ln(|states|) means uniform).
+
+    Transitions come from one per-user lag window under a (ts, unique
+    id) total order (the od_flows convention).  Because ``states`` is a
+    fixed ordered tuple, the entropy is a FIXED-LENGTH expression chain
+    over the conditional-sum pivot (the grid_category_entropy
+    precedent) — both engines evaluate the identical IEEE chain; zero
+    counts contribute an exact 0 term and -0.0 is flushed before
+    round-6.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    tr = (
+        events.select(user_col, F.col(type_col).alias("_to"), *order_cols)
+        .withColumn("_from", F.lag(F.col("_to")).over(w))
+        .filter(F.col("_from").isNotNull())
+    )
+    aggs = [
+        F.sum(F.when(F.col("_to") == s, 1).otherwise(0)).alias(f"_n{i}")
+        for i, s in enumerate(states)
+    ]
+    g = tr.groupBy(F.col("_from").alias("state")).agg(
+        F.count(F.lit(1)).alias("n_trans"), *aggs
+    )
+    n = F.col("n_trans").cast("double")
+    h = None
+    for i in range(len(states)):
+        nc = F.col(f"_n{i}")
+        p = nc.cast("double") / n
+        t = F.when(nc == 0, F.lit(0.0)).otherwise(p * F.log(p))
+        h = t if h is None else h + t
+    return g.select(
+        "state",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.round(-h + F.lit(0.0), 6).alias("entropy"),
     )

@@ -3080,3 +3080,28 @@ def test_source_vocab_jaccard_hand(spark):
     assert got[("a", "b")] == (4, 3, 2, 0.4)
     # disjoint pairs produce NO row (inner join) — documented shape
     assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_markov_transition_entropy_hand(spark):
+    """Deterministic successor -> entropy 0; uniform pair -> ln 2."""
+    import datetime as dt
+    import math
+    from greenex_py_spark.operators.funnel import markov_transition_entropy
+
+    t0 = dt.datetime(2026, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    # user 1: a->b, b->a, a->b  (a always ->b: H(a)=0; b->a only: H(b)=0)
+    # user 2: a->b, b->c        (now a: {b,b}=0; b: {a,c} uniform -> ln2)
+    seq1 = ["a", "b", "a", "b"]
+    seq2 = ["a", "b", "c"]
+    rows = [(1, s, t0 + i * sec, i) for i, s in enumerate(seq1)]
+    rows += [(2, s, t0 + i * sec, 100 + i) for i, s in enumerate(seq2)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {r["state"]: (r["n_trans"], r["entropy"])
+           for r in markov_transition_entropy(
+               df, states=("a", "b", "c")).collect()}
+    assert got["a"] == (3, 0.0)            # a -> b every time
+    # b is the source of 2 transitions: b->a (user 1), b->c (user 2)
+    assert got["b"] == (2, round(math.log(2.0), 6))
