@@ -6732,6 +6732,63 @@ ORACLES["q_markov_entropy"] = _markov_entropy_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_bitext_candidates — URL-structure language-pair mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bitext_candidates",
+    """
+WITH u AS (SELECT doc_id,
+             'https://h' || CAST((doc_id // 3) % 40 AS VARCHAR)
+             || '.example/'
+             || CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                ELSE 'de' END
+             || '/p' || CAST(doc_id // 3 AS VARCHAR) || '.html' AS url
+           FROM documents
+           WHERE NOT (doc_id % 3 = 1 AND (doc_id // 3) % 4 = 0)),
+m AS (SELECT doc_id,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 1)
+               AS host,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 2)
+               AS lang,
+             regexp_extract(url, '^https?://([^/]+)/([a-z]{2})/(.*)$', 3)
+               AS path
+      FROM u),
+ea AS (SELECT host, path, min(doc_id) AS id_a FROM m
+       WHERE lang = 'en' GROUP BY host, path),
+eb AS (SELECT host, path, min(doc_id) AS id_b FROM m
+       WHERE lang = 'fr' GROUP BY host, path)
+SELECT host, path, id_a, id_b FROM ea JOIN eb USING (host, path)
+""",
+)
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining by URL structure (ParaCrawl first pass): planted
+    /en/ and /fr/ URL twins share (host, tail-path) — one regexp split
+    + a KEY equi-join, never a similarity scan; every 4th group's fr
+    twin is withheld so unpaired pages prove the inner-join contract;
+    /de/ pages same-path prove language slicing."""
+    from .functions.links import bitext_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    grp = (did / 3).cast("long")
+    lang = (
+        F.when(did % 3 == 0, F.lit("en"))
+        .when(did % 3 == 1, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    url = F.concat(
+        F.lit("https://h"), (grp % 40).cast("string"), F.lit(".example/"),
+        lang, F.lit("/p"), grp.cast("string"), F.lit(".html"),
+    )
+    pages = docs.filter(~((did % 3 == 1) & (grp % 4 == 0))).select(
+        "doc_id", url.alias("url")
+    )
+    return bitext_candidates(pages)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["HREF_PATTERN", "extract_outlinks", "host_link_graph"]
+__all__ = [
+    "HREF_PATTERN", "LANG_PATH_PATTERN",
+    "extract_outlinks", "host_link_graph", "bitext_candidates",
+]
 
 # anchor hrefs out of raw markup: lazy scan to the first href attribute
 # of each <a ...> tag; double-quoted values only (the planted corpus and
@@ -80,3 +83,40 @@ def host_link_graph(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+LANG_PATH_PATTERN = r"^https?://([^/]+)/([a-z]{2})/(.*)$"
+
+
+def bitext_candidates(
+    pages: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    lang_a: str = "en",
+    lang_b: str = "fr",
+) -> DataFrame:
+    """[host, path, id_a, id_b] — bitext mining by URL structure (the
+    WMT/ParaCrawl first pass): pages whose URLs differ ONLY in the
+    /{lang}/ path segment are translation candidates.  One regexp
+    splits (host, lang, tail); the two language slices equi-join on
+    (host, tail) — a key join, never a similarity scan; downstream
+    alignment (sentence-level) consumes these pairs.
+
+    Duplicate URLs per (host, lang, tail) are collapsed to the min id
+    so the join stays 1:1 and deterministic.
+    """
+    m = pages.select(
+        F.col(id_col),
+        F.regexp_extract(F.col(url_col), LANG_PATH_PATTERN, 1).alias("host"),
+        F.regexp_extract(F.col(url_col), LANG_PATH_PATTERN, 2).alias("lang"),
+        F.regexp_extract(F.col(url_col), LANG_PATH_PATTERN, 3).alias("path"),
+    ).filter(F.col("host") != "")
+
+    def side(lang, out):
+        return (
+            m.filter(F.col("lang") == lang)
+            .groupBy("host", "path")
+            .agg(F.min(id_col).alias(out))
+        )
+
+    return side(lang_a, "id_a").join(side(lang_b, "id_b"), ["host", "path"])

@@ -3105,3 +3105,23 @@ def test_markov_transition_entropy_hand(spark):
     assert got["a"] == (3, 0.0)            # a -> b every time
     # b is the source of 2 transitions: b->a (user 1), b->c (user 2)
     assert got["b"] == (2, round(math.log(2.0), 6))
+
+
+def test_bitext_candidates_hand(spark):
+    from greenex_py_spark.functions.links import bitext_candidates
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example/en/x.html"),
+            (2, "https://a.example/fr/x.html"),     # pairs with 1
+            (3, "https://a.example/de/x.html"),     # wrong lang
+            (4, "https://b.example/fr/x.html"),     # wrong host
+            (5, "https://a.example/en/y.html"),     # no fr twin
+            (6, "https://a.example/noslash"),       # no lang segment
+            (7, "https://a.example/en/x.html"),     # dup -> min id wins
+        ],
+        "doc_id long, url string",
+    )
+    got = [(r["host"], r["path"], r["id_a"], r["id_b"])
+           for r in bitext_candidates(pages).collect()]
+    assert got == [("a.example", "x.html", 1, 2)]
