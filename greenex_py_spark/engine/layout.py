@@ -115,11 +115,15 @@ def zorder_layout_stats(
 # curve jumps a quadrant); the Hilbert curve never jumps, so curve-range
 # files cover tighter bboxes — Iceberg 1.4+ OPTIMIZE supports exactly
 # this swap.  The classic per-bit rotate/reflect walk (Wikipedia's
-# xy2d) is a FIXED ``order``-round integer state machine, so both
-# engines render it from the same generator: Spark as a chained
-# projection (one withColumns round per bit — whole-stage codegen folds
-# it into straight-line locals), DuckDB as chained CTE levels.  All
-# integer ops — exact everywhere.  Inputs must lie in [0, 2^order).
+# xy2d) is a FIXED ``order``-round integer state machine.  The engine
+# side runs it as a VECTORIZED Arrow kernel (geo/cells.hilbert_xy2d —
+# the morton_cell NumPy-twin pattern): a chained-column codegen version
+# was measured 40x slower because Catalyst's CollapseProject merges the
+# per-round projections into ONE exponentially-expanded expression tree
+# (each round's x/y reference the previous round's twice — 2^order
+# blowup; BENCH note).  The DuckDB oracle keeps the chained-CTE form
+# (hilbert_sql_ctes), which materializes per level and stays linear.
+# All integer ops — exact everywhere.  Inputs must lie in [0, 2^order).
 
 
 def with_hilbert_key(
@@ -129,41 +133,28 @@ def with_hilbert_key(
     out: str = "hkey",
     order: int = 7,
 ) -> DataFrame:
-    df = (
-        df.withColumn("_hx", F.col(gx_col).cast("long"))
-        .withColumn("_hy", F.col(gy_col).cast("long"))
-        .withColumn(out, F.lit(0).cast("long"))
-    )
-    for i in range(order):
-        s = 1 << (order - 1 - i)
-        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) != 0, 1).otherwise(0)
-        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) != 0, 1).otherwise(0)
-        df = df.withColumn("_rx", rx).withColumn("_ry", ry)
-        q = (
-            F.when((F.col("_rx") == 0) & (F.col("_ry") == 0), 0)
-            .when(F.col("_rx") == 0, 1)
-            .when(F.col("_ry") == 0, 3)
-            .otherwise(2)
-        )
-        new_x = (
-            F.when(F.col("_ry") == 1, F.col("_hx"))
-            .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy"))
-            .otherwise(F.col("_hy"))
-        )
-        new_y = (
-            F.when(F.col("_ry") == 1, F.col("_hy"))
-            .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx"))
-            .otherwise(F.col("_hx"))
-        )
-        df = (
-            df.withColumn(out, F.col(out) + F.lit(s * s) * q)
-            .withColumn("_nx", new_x)
-            .withColumn("_ny", new_y)
-            .drop("_hx", "_hy", "_rx", "_ry")
-            .withColumnRenamed("_nx", "_hx")
-            .withColumnRenamed("_ny", "_hy")
-        )
-    return df.drop("_hx", "_hy")
+    """Append ``out`` = Hilbert index of (gx, gy) — one Arrow batch
+    kernel per partition, all other columns pass through untouched."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..geo.cells import hilbert_xy2d
+
+    # fresh StructType — StructType.add would MUTATE the DataFrame's
+    # cached schema and desync it from the JVM plan
+    schema = StructType(list(df.schema.fields) + [StructField(out, LongType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = hilbert_xy2d(
+                order,
+                pdf[gx_col].to_numpy(np.int64),
+                pdf[gy_col].to_numpy(np.int64),
+            )
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def hilbert_sql_ctes(

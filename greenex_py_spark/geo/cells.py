@@ -131,3 +131,25 @@ def morton_cell(x: np.ndarray, y: np.ndarray, size: float = CELL_SIZE,
         return v
 
     return (_part(gx) | (_part(gy) << np.uint64(1))).astype(np.int64)
+
+
+def hilbert_xy2d(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert index (classic per-bit rotate/reflect walk)
+    of int64 grid coords in [0, 2^order) — the NumPy twin of
+    engine/layout.hilbert_sql_ctes (same state machine, same round
+    constants; cross-checked against it by the layout tests)."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
