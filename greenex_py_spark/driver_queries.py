@@ -6789,6 +6789,55 @@ def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_colocation — co-location quotient of language categories
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_colocation",
+    f"""
+WITH pts AS ({city.points_sql()}),
+p AS (SELECT p.doc_id, d.lang, p.x, p.y
+      FROM pts p JOIN documents d ON d.doc_id = p.doc_id),
+pr AS (SELECT a.doc_id, a.lang AS cat_a, b.lang AS cat_b,
+              row_number() OVER (
+                PARTITION BY a.doc_id
+                ORDER BY (a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y), b.doc_id) AS rn
+       FROM p a JOIN p b ON b.doc_id != a.doc_id),
+nn AS (SELECT cat_a, cat_b FROM pr WHERE rn = 1),
+c AS (SELECT cat_a, cat_b, count(*) AS c_ab FROM nn GROUP BY cat_a, cat_b),
+sz AS (SELECT lang, count(*) AS n FROM p GROUP BY lang),
+nt AS (SELECT count(*) AS n_tot FROM p)
+SELECT cat_a, cat_b, CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(c_ab AS BIGINT) AS c_ab,
+       round(CAST(c_ab * (n_tot - 1) AS DOUBLE)
+             / CAST(na.n * (nb.n - CASE WHEN cat_a = cat_b THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6) AS clq
+FROM c JOIN sz na ON na.lang = cat_a JOIN sz nb ON nb.lang = cat_b
+CROSS JOIN nt
+""",
+)
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location quotient between language categories over the
+    geocoded corpus ("is an English page's nearest neighbour another
+    English page beyond chance?"): exact-d² 1-NN (never sqrt — sqrt
+    compresses distinct d² and would flip id tiebreaks) via the
+    bounded cell tier + one fallback where the MISSED side is the
+    broadcast; CLQ as an exact integer ratio, one round-6 division.
+    The oracle is the brute-force all-pairs window."""
+    from .operators.spatial_stats import colocation_quotient
+
+    pts = city.points_df(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return colocation_quotient(
+        pts.join(docs, "doc_id"), cat_col="lang", nn_bound=300.0
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1259,3 +1259,85 @@ def cross_k(
         / (F.col("na").cast("double") * F.col("nb").cast("double"))
     )
     return out.select("r", "n_pairs", F.round(kraw, 6).alias("k_hat"))
+
+
+def colocation_quotient(
+    points: DataFrame,
+    cat_col: str = "lang",
+    id_col: str = "doc_id",
+    nn_bound: float = 300.0,
+) -> DataFrame:
+    """[cat_a, cat_b, n_a, n_b, c_ab, clq] — co-location quotient
+    (Leslie & Kronenfeld 2011): for each category pair, how often is an
+    A point's nearest neighbour a B point, relative to B's share of the
+    rest of the pattern?
+
+        CLQ_ab = (C_ab / N_a) / (N_b' / (N-1)),  N_b' = N_b - [a = b]
+               = C_ab · (N-1) / (N_a · N_b')          (integer ratio!)
+
+    The 1-NN is ranked on the EXACT squared distance (never sqrt —
+    IEEE sqrt compresses distinct d² onto equal doubles, which would
+    flip id-tiebreaks against the oracle) with id as tiebreak, found by
+    the house bounded tier: the b side replicates to the cells its
+    ``nn_bound`` pad covers, candidates beyond the bound are discarded
+    (the pad guarantee makes an in-bound best provably global), and the
+    rare out-of-bound remainder takes ONE exact fallback tier — the
+    MISSED side is what gets broadcast against the corpus, never the
+    reverse.  All counts integer; one round-6 division.
+    """
+    from pyspark.sql import Window
+
+    from .spatial_join import bbox_cover_cells, with_point_cell
+
+    p = points.select(id_col, cat_col, "x", "y")
+    b = p.select(
+        F.col(id_col).alias("nid"), F.col(cat_col).alias("cat_b"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    cover = bbox_cover_cells(
+        b.withColumn("minx", F.col("bx")).withColumn("miny", F.col("by"))
+        .withColumn("maxx", F.col("bx")).withColumn("maxy", F.col("by")),
+        pad=nn_bound,
+    ).drop("minx", "miny", "maxx", "maxy")
+    a = with_point_cell(p)
+    d2 = (F.col("bx") - F.col("x")) * (F.col("bx") - F.col("x")) + (
+        F.col("by") - F.col("y")
+    ) * (F.col("by") - F.col("y"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("nid").asc())
+    bounded = (
+        a.join(cover, "cell")
+        .filter(F.col("nid") != F.col(id_col))
+        .withColumn("_d2", d2)
+        .filter(F.col("_d2") <= nn_bound * nn_bound)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col(cat_col).alias("cat_a"), "cat_b")
+    )
+    missed = a.join(bounded.select(id_col), id_col, "left_anti")
+    fallback = (
+        F.broadcast(missed.select(id_col, cat_col, "x", "y"))
+        .join(b, F.col("nid") != F.col(id_col))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col(cat_col).alias("cat_a"), "cat_b")
+    )
+    nn = bounded.unionByName(fallback)
+    c_ab = nn.groupBy("cat_a", "cat_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    sizes = p.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n"))
+    n_tot = p.count()
+    na = sizes.select(F.col(cat_col).alias("cat_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(cat_col).alias("cat_b"), F.col("n").alias("n_b"))
+    nb_eff = F.col("n_b") - F.when(F.col("cat_a") == F.col("cat_b"), 1).otherwise(0)
+    return (
+        c_ab.join(F.broadcast(na), "cat_a")
+        .join(F.broadcast(nb), "cat_b")
+        .select(
+            "cat_a", "cat_b", "n_a", "n_b", "c_ab",
+            F.round(
+                (F.col("c_ab") * F.lit(int(n_tot) - 1)).cast("double")
+                / (F.col("n_a") * nb_eff).cast("double"),
+                6,
+            ).alias("clq"),
+        )
+    )

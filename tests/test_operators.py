@@ -3125,3 +3125,27 @@ def test_bitext_candidates_hand(spark):
     got = [(r["host"], r["path"], r["id_a"], r["id_b"])
            for r in bitext_candidates(pages).collect()]
     assert got == [("a.example", "x.html", 1, 2)]
+
+
+def test_colocation_quotient_hand(spark):
+    """CLQ against hand-computed NN categories, incl. a far point that
+    exercises the fallback tier and the self-pair N_b' correction."""
+    from greenex_py_spark.operators.spatial_stats import colocation_quotient
+
+    rows = [
+        (1, "en", 0.0, 0.0),
+        (2, "en", 10.0, 0.0),      # NN of 1 and 2: each other (en)
+        (3, "fr", 12.0, 0.0),      # NN: 2 (en)
+        (4, "fr", 5000.0, 0.0),    # isolated -> fallback; NN: 3 (fr)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, x double, y double")
+    got = {
+        (r["cat_a"], r["cat_b"]): (r["n_a"], r["n_b"], r["c_ab"], r["clq"])
+        for r in colocation_quotient(df, nn_bound=50.0).collect()
+    }
+    # NN map: 1->2(en), 2->3(fr, d=2 beats 1 at d=10), 3->2(en), 4->3(fr)
+    n = 4
+    assert got[("en", "en")] == (2, 2, 1, round(1 * (n - 1) / (2 * 1), 6))
+    assert got[("en", "fr")] == (2, 2, 1, round(1 * (n - 1) / (2 * 2), 6))
+    assert got[("fr", "en")] == (2, 2, 1, round(1 * (n - 1) / (2 * 2), 6))
+    assert got[("fr", "fr")] == (2, 2, 1, round(1 * (n - 1) / (2 * 1), 6))
