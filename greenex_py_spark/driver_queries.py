@@ -6838,6 +6838,69 @@ def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_label_prop — semi-supervised host categorization over the link graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_label_prop",
+    "WITH " + _LINK_EDGE_CTE + """,
+seeds AS (SELECT a AS node,
+                 'c' || CAST(CAST(regexp_extract(a, '([0-9]+)', 1) AS BIGINT)
+                             % 3 AS VARCHAR) AS label
+          FROM (SELECT DISTINCT a FROM bo) n
+          WHERE CAST(regexp_extract(a, '([0-9]+)', 1) AS BIGINT) % 4 = 0),
+v1 AS (SELECT bo.a, l.label, count(*) AS c
+       FROM bo JOIN seeds l ON l.node = bo.b GROUP BY bo.a, l.label),
+n1 AS (SELECT a AS node, label FROM
+        (SELECT a, label,
+                row_number() OVER (PARTITION BY a
+                                   ORDER BY c DESC, label ASC) AS rn
+         FROM v1) q WHERE rn = 1),
+l1 AS (SELECT * FROM seeds
+       UNION ALL
+       SELECT * FROM n1 WHERE node NOT IN (SELECT node FROM seeds)),
+v2 AS (SELECT bo.a, l.label, count(*) AS c
+       FROM bo JOIN l1 l ON l.node = bo.b GROUP BY bo.a, l.label),
+n2 AS (SELECT a AS node, label FROM
+        (SELECT a, label,
+                row_number() OVER (PARTITION BY a
+                                   ORDER BY c DESC, label ASC) AS rn
+         FROM v2) q WHERE rn = 1),
+l2 AS (SELECT * FROM seeds
+       UNION ALL
+       SELECT * FROM n2 WHERE node NOT IN (SELECT node FROM seeds))
+SELECT node AS host, label FROM l2
+""",
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised host categorization: every 4th host (by its
+    numeric part) is seeded with a class, two clamped synchronous
+    label-propagation rounds spread the labels over the undirected
+    host graph under a (count desc, label asc) majority order — the
+    webgraph topic/spam-classification shape; the oracle renders one
+    CTE level per round from the SAME shared planted-graph CTE."""
+    from .functions.graph import label_propagation
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    nodes = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    ).distinct()
+    num = F.regexp_extract(F.col("node"), r"([0-9]+)", 1).cast("long")
+    seeds = nodes.filter(num % 4 == 0).select(
+        "node", F.concat(F.lit("c"), (num % 3).cast("string")).alias("label")
+    )
+    out = label_propagation(edges, seeds, rounds=2)
+    return out.select(F.col("node").alias("host"), "label")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

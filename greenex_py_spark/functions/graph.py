@@ -332,3 +332,61 @@ def triangle_stats(
             6,
         ).alias("global_clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """[node, label] — semi-supervised label propagation (Zhu &
+    Ghahramani) over the undirected simple graph: each SYNCHRONOUS
+    round relabels every non-seed node with the majority label of its
+    labelled neighbours under a (count desc, label asc) total order;
+    seeds are CLAMPED.  Nodes that never see a labelled neighbour stay
+    unlabelled (absent).  Fixed ``rounds`` keeps the op deterministic
+    and SQL-twinnable (one CTE level per round).
+
+    Shape: one vote join + two-phase majority per round on the node
+    key; the frontier frame is localCheckpoint'd per round (the
+    iterative-lineage rule) and the seed clamp's anti-join runs
+    against the checkpointed frame, never a live subtree.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    bo = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    sd = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    )
+    labels = sd.localCheckpoint()
+    w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        votes = (
+            bo.join(labels, bo["b"] == labels["node"])
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+        )
+        labels = (
+            sd.unionByName(new.join(sd.select("node"), "node", "left_anti"))
+            .localCheckpoint()
+        )
+    return labels.select(F.col("node").alias(node_col), F.col("label").alias(label_col))

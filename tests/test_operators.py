@@ -3149,3 +3149,24 @@ def test_colocation_quotient_hand(spark):
     assert got[("en", "fr")] == (2, 2, 1, round(1 * (n - 1) / (2 * 2), 6))
     assert got[("fr", "en")] == (2, 2, 1, round(1 * (n - 1) / (2 * 2), 6))
     assert got[("fr", "fr")] == (2, 2, 1, round(1 * (n - 1) / (2 * 1), 6))
+
+
+def test_label_propagation_hand(spark):
+    """Seed clamping, majority with (count, label) tiebreak, and
+    two-round spread to a node with no labelled neighbour in round 1."""
+    from greenex_py_spark.functions.graph import label_propagation
+
+    # path: 1(seed A) - 2 - 3 - 4(seed B); 5 isolated-ish via 4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "A"), (4, "B")], "node long, label string"
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, seeds, rounds=2).collect()}
+    # round 1: 2<-A, 3<-B, 5<-B; round 2: 2 votes {A(1), B(3's B)} -> tie
+    # A/B -> 'A' (label asc); 3 votes {2's A, 4's B} -> tie -> 'A'
+    assert got[1] == "A" and got[4] == "B"   # clamped
+    assert got[5] == "B"
+    assert got[2] == "A" and got[3] == "A"
