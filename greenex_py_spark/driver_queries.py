@@ -6901,6 +6901,62 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_theil — Theil-T inequality decomposition of doc length by source
+# ---------------------------------------------------------------------------
+
+_TQ = "1000000000000.0"  # per-term quantizer (1e12)
+
+
+@register(
+    "q_theil",
+    f"""
+WITH c AS (SELECT source AS g, n_chars AS v FROM documents),
+by0 AS (SELECT g, v, count(*) AS c FROM c GROUP BY g, v),
+by1 AS (SELECT g, v, c,
+               sum(c * v) OVER (PARTITION BY g) AS xg,
+               sum(c) OVER (PARTITION BY g) AS ng,
+               sum(c * v) OVER () AS x,
+               sum(c) OVER () AS n
+        FROM by0),
+t AS (SELECT
+        sum(CAST(round((CAST(c * v AS DOUBLE) / CAST(x AS DOUBLE))
+            * ln(CAST(v AS DOUBLE)
+                 / (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+            * {_TQ}) AS BIGINT)) AS tt,
+        sum(CAST(round((CAST(c * v AS DOUBLE) / CAST(x AS DOUBLE))
+            * ln(CAST(v AS DOUBLE)
+                 / (CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE)))
+            * {_TQ}) AS BIGINT)) AS tw,
+        max(n) AS n_docs
+      FROM by1),
+gd AS (SELECT DISTINCT g, xg, ng, x, n FROM by1),
+tb AS (SELECT sum(CAST(round((CAST(xg AS DOUBLE) / CAST(x AS DOUBLE))
+            * ln((CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE))
+                 / (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+            * {_TQ}) AS BIGINT)) AS tb
+      FROM gd)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(tt AS DOUBLE) / {_TQ} + 0.0, 6) AS t_total,
+       round(CAST(tw AS DOUBLE) / {_TQ} + 0.0, 6) AS t_within,
+       round(CAST(tb AS DOUBLE) / {_TQ} + 0.0, 6) AS t_between
+FROM t, tb
+""",
+)
+def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of document length with the between/within-
+    source decomposition (is length inequality a between-domain or
+    within-domain phenomenon? T_total = within + between): per-term
+    doubles rendered from identical trees and quantized to integers
+    (·1e12) BEFORE the sums, so aggregation is order-free and libm ln
+    ulp noise is invisible at round-6; totals/means ride as window
+    sums, no join-backs."""
+    from .functions.audit import theil_decomposition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return theil_decomposition(docs, group_col="source", val_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

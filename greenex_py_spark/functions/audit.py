@@ -219,3 +219,74 @@ def gini_by_group(
         F.col("total").cast("long").alias("total"),
         gini.alias("gini"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str = "source",
+    val_col: str = "n_chars",
+) -> DataFrame:
+    """One row [n_docs, t_total, t_within, t_between] — Theil-T
+    inequality of a positive integer value with the classic
+    between/within-group decomposition (is length inequality a
+    between-domain or within-domain phenomenon?):
+
+        T_total   = Σ (x/X) ln(x/μ)
+        T_within  = Σ_g Σ_{x∈g} (x/X) ln(x/μ_g)
+        T_between = Σ_g (X_g/X) ln(μ_g/μ)     (T_total = within+between)
+
+    Engine exactness: terms are grouped by DISTINCT (group, value) with
+    integer counts; every per-term double is rendered from the SAME
+    expression tree in both engines and quantized to an integer
+    (·1e12, round) BEFORE the sum, so the aggregate is order-free and a
+    1-ulp libm ln disagreement moves the sum by ±1e-12 — invisible at
+    round-6.  Totals/means ride along as window sums (no join-backs).
+    """
+    from pyspark.sql import Window
+
+    c = df.select(
+        F.col(group_col).alias("g"), F.col(val_col).cast("long").alias("v")
+    )
+    by = c.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wg = Window.partitionBy("g")
+    wall = Window.partitionBy()
+    by = (
+        by.withColumn("xg", F.sum(F.col("c") * F.col("v")).over(wg))
+        .withColumn("ng", F.sum("c").over(wg))
+        .withColumn("x", F.sum(F.col("c") * F.col("v")).over(wall))
+        .withColumn("n", F.sum("c").over(wall))
+    )
+    xd = F.col("x").cast("double")
+    mu = xd / F.col("n").cast("double")
+    mug = F.col("xg").cast("double") / F.col("ng").cast("double")
+    share = (F.col("c") * F.col("v")).cast("double") / xd
+    q = lambda e: F.round(e * 1.0e12, 0).cast("long")  # noqa: E731
+    t = by.agg(
+        F.sum(q(share * F.log(F.col("v").cast("double") / mu))).alias("tt"),
+        F.sum(q(share * F.log(F.col("v").cast("double") / mug))).alias("tw"),
+        F.max("n").alias("n_docs"),
+    )
+    # between: one term per group, same quantize contract
+    gd = by.select("g", "xg", "ng", "x", "n").distinct()
+    xgd = F.col("xg").cast("double")
+    tb = gd.select(
+        q(
+            (xgd / F.col("x").cast("double"))
+            * F.log(
+                (xgd / F.col("ng").cast("double"))
+                / (F.col("x").cast("double") / F.col("n").cast("double"))
+            )
+        ).alias("tb_q")
+    ).agg(F.sum("tb_q").alias("tb"))
+    dq = lambda cname: F.round(  # noqa: E731
+        F.col(cname).cast("double") / 1.0e12 + F.lit(0.0), 6
+    )
+    return (
+        t.crossJoin(tb)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            dq("tt").alias("t_total"),
+            dq("tw").alias("t_within"),
+            dq("tb").alias("t_between"),
+        )
+    )

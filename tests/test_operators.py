@@ -3170,3 +3170,30 @@ def test_label_propagation_hand(spark):
     assert got[1] == "A" and got[4] == "B"   # clamped
     assert got[5] == "B"
     assert got[2] == "A" and got[3] == "A"
+
+
+def test_theil_decomposition_hand(spark):
+    """Theil-T and decomposition identity vs a NumPy brute force."""
+    import numpy as np
+    from greenex_py_spark.functions.audit import theil_decomposition
+
+    rows = [("a", 10), ("a", 10), ("a", 40), ("b", 100), ("b", 20), ("b", 20)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    r = theil_decomposition(df).collect()[0]
+    x = np.array([v for _, v in rows], dtype=float)
+    mu = x.mean()
+    t_tot = float(np.sum((x / x.sum()) * np.log(x / mu)))
+    groups = {"a": np.array([10.0, 10, 40]), "b": np.array([100.0, 20, 20])}
+    X = x.sum()
+    t_w = sum(
+        float(np.sum((g / X) * np.log(g / g.mean())))
+        for g in groups.values()
+    )
+    t_b = sum(
+        float(g.sum() / X * np.log(g.mean() / mu)) for g in groups.values()
+    )
+    assert r["n_docs"] == 6
+    assert abs(r["t_total"] - t_tot) < 2e-6
+    assert abs(r["t_within"] - t_w) < 2e-6
+    assert abs(r["t_between"] - t_b) < 2e-6
+    assert abs(r["t_total"] - (r["t_within"] + r["t_between"])) < 1e-5
