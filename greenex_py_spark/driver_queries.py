@@ -6957,6 +6957,67 @@ def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_hits — Kleinberg hubs/authorities over the host graph
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(n_iters: int = 2) -> str:
+    pico = "1000000000000.0"
+    parts = [
+        "nodes AS (SELECT s AS node FROM le UNION SELECT d FROM le)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "h0 AS (SELECT node, round(1.0 / n, 9) AS h FROM nodes, nn)",
+    ]
+    for i in range(n_iters):
+        parts += [
+            f"ar{i} AS (SELECT le.d AS node, "
+            f"sum(CAST(round(h{i}.h * {pico}) AS BIGINT)) AS ar "
+            f"FROM le JOIN h{i} ON h{i}.node = le.s GROUP BY le.d)",
+            f"sa{i} AS (SELECT sum(ar) AS sa FROM ar{i})",
+            f"a{i} AS (SELECT nodes.node, "
+            f"round(CAST(coalesce(ar, 0) AS DOUBLE) / CAST(sa AS DOUBLE), 9)"
+            f" AS a FROM nodes LEFT JOIN ar{i} ON ar{i}.node = nodes.node "
+            f"CROSS JOIN sa{i})",
+            f"hr{i} AS (SELECT le.s AS node, "
+            f"sum(CAST(round(a{i}.a * {pico}) AS BIGINT)) AS hr "
+            f"FROM le JOIN a{i} ON a{i}.node = le.d GROUP BY le.s)",
+            f"sh{i} AS (SELECT sum(hr) AS sh FROM hr{i})",
+            f"h{i + 1} AS (SELECT nodes.node, "
+            f"round(CAST(coalesce(hr, 0) AS DOUBLE) / CAST(sh AS DOUBLE), 9)"
+            f" AS h FROM nodes LEFT JOIN hr{i} ON hr{i}.node = nodes.node "
+            f"CROSS JOIN sh{i})",
+        ]
+    body = ",\n".join(parts)
+    last = n_iters
+    return (
+        "WITH " + _LINK_EDGE_CTE + ",\n" + body + f"""
+SELECT h{last}.node AS host, h AS hub, a AS authority
+FROM h{last} JOIN a{n_iters - 1} ON a{n_iters - 1}.node = h{last}.node
+"""
+    )
+
+
+@register("q_hits", None)  # generated oracle attached below
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the extracted host graph (self-loops
+    dropped to match the shared `le` edge CTE): 2 quantized rounds
+    from the uniform hub start, L1 normalizers as EXACT pico-int sums
+    (the pagerank contract), one double division + round-9 per score;
+    the oracle renders one CTE pair per round from the same params."""
+    from .functions.graph import hits
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    out = hits(edges, n_iters=2)
+    return out.select(F.col("node").alias("host"), "hub", "authority")
+
+
+ORACLES["q_hits"] = _hits_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

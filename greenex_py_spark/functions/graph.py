@@ -390,3 +390,79 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select(F.col("node").alias(node_col), F.col("label").alias(label_col))
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """[node, hub, authority] — HITS (Kleinberg) after ``n_iters``
+    quantized rounds from the uniform hub start, L1-normalized (the
+    sqrt of the textbook L2 norm is replaced by a sum so every
+    normalizer is an EXACT integer: contributions are rounded to
+    pico-ints before summing — the pagerank contract — and each score
+    is one double division + round-9).  Authorities aggregate incoming
+    hub mass, hubs aggregate outgoing authority mass; nodes missing a
+    side score exactly 0.0.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    h = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("h"))
+    a = None
+    for _ in range(n_iters):
+        hq = F.round(F.col("h") * PICO).cast("long")
+        araw = (
+            e.join(h, e["src"] == h["node"])
+            .select("dst", hq.alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("ar"))
+        )
+        sa = araw.agg(F.sum("ar").alias("sa"))
+        a = (
+            nodes.join(araw, nodes["node"] == araw["dst"], "left")
+            .crossJoin(F.broadcast(sa))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("ar"), F.lit(0)).cast("double")
+                    / F.col("sa").cast("double"),
+                    9,
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        aq = F.round(F.col("a") * PICO).cast("long")
+        hraw = (
+            e.join(a, e["dst"] == a["node"])
+            .select("src", aq.alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("hr"))
+        )
+        sh = hraw.agg(F.sum("hr").alias("sh"))
+        h = (
+            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+            .crossJoin(F.broadcast(sh))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("hr"), F.lit(0)).cast("double")
+                    / F.col("sh").cast("double"),
+                    9,
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        h.join(a, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )

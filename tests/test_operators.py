@@ -3197,3 +3197,32 @@ def test_theil_decomposition_hand(spark):
     assert abs(r["t_within"] - t_w) < 2e-6
     assert abs(r["t_between"] - t_b) < 2e-6
     assert abs(r["t_total"] - (r["t_within"] + r["t_between"])) < 1e-5
+
+
+def test_hits_quantized_vs_python(spark):
+    """Engine HITS == an independent pure-Python replica of the same
+    quantized L1 algorithm on a small digraph."""
+    from greenex_py_spark.functions.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, n_iters=2).collect()}
+
+    nodes = sorted({v for e in edges for v in e})
+    PICO = 1_000_000_000_000.0
+    h = {v: round(1.0 / len(nodes), 9) for v in nodes}
+    a = {}
+    for _ in range(2):
+        ar = {v: 0 for v in nodes}
+        for s, d in edges:
+            ar[d] += int(round(h[s] * PICO))
+        sa = sum(ar.values())
+        a = {v: round(ar[v] / sa, 9) for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for s, d in edges:
+            hr[s] += int(round(a[d] * PICO))
+        sh = sum(hr.values())
+        h = {v: round(hr[v] / sh, 9) for v in nodes}
+    for v in nodes:
+        assert got[v] == (h[v], a[v]), v
