@@ -5373,6 +5373,87 @@ ORACLES["q_street_density"] = _street_density_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_road_sample — viewshed road sampling (linspace scheme) gate
+# ---------------------------------------------------------------------------
+
+
+def _road_sample_oracle() -> str:
+    return f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2601)),
+ed AS (SELECT i AS src, i + 1 AS dst FROM ids WHERE i % 51 < 50
+       UNION ALL
+       SELECT i AS src, i + 51 AS dst FROM ids WHERE i // 51 < 50),
+pts AS ({city.points_sql()}),
+seg AS (SELECT src * 100000 + dst AS edge_id,
+               {city.X0} + (src % 51) * 200.0 AS x1,
+               {city.Y0} + (src // 51) * 200.0 AS y1,
+               {city.X0} + (dst % 51) * 200.0 AS x2,
+               {city.Y0} + (dst // 51) * 200.0 AS y2
+        FROM ed
+        UNION ALL
+        SELECT 1000000000 + doc_id AS edge_id, x AS x1, y AS y1,
+               x + (37 + doc_id % 50) AS x2, y + (23 + doc_id % 70) AS y2
+        FROM pts),
+s2 AS (SELECT *, sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS L
+       FROM seg),
+s3 AS (SELECT *, CAST(floor(L / {_RS_DIST}) AS BIGINT) + 1 AS n FROM s2),
+e AS (SELECT *, unnest(range(n)) AS sp_id FROM s3),
+d AS (SELECT *,
+        CASE WHEN sp_id = n - 1 THEN L
+             ELSE CAST(sp_id AS DOUBLE) * (L / CAST(n - 1 AS DOUBLE)) END
+          AS dist
+      FROM e),
+t AS (SELECT *, dist / L AS tt FROM d)
+SELECT edge_id, sp_id,
+       round(CASE WHEN n = 1 THEN (x1 + x2) / 2
+                  ELSE x1 + tt * (x2 - x1) END, 6) AS x,
+       round(CASE WHEN n = 1 THEN (y1 + y2) / 2
+                  ELSE y1 + tt * (y2 - y1) END, 6) AS y
+FROM t
+"""
+
+
+_RS_DIST = 50.0
+
+
+@register("q_road_sample", None)  # generated oracle attached below
+def q_road_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road sample points for the streetview/viewshed stage — the
+    reference samples `int(len/d)+1` linspace points per edge within
+    the PoI buffer, centroid when shorter than sample_dist
+    (GreenExp/visibility.py:568-589).  Gate runs the pure-codegen twin
+    of geo.kernels.interpolate_linspace over the SAME lattice+trace
+    segment fixture as q_street_density (oblique SF-scaling traces
+    exercise the irrational-length / centroid branches the 200 m
+    lattice cannot); the oracle replicates NumPy's linspace FP order
+    (d_k = k*(L/(n-1)), last slot = L) step for step."""
+    from .data.city_fixture import network_dfs
+    from .operators.streets import sample_points_linspace
+
+    _, edges = network_dfs(spark)
+    seg = edges.filter(F.col("src") < F.col("dst")).select(
+        (F.col("src") * 100000 + F.col("dst")).alias("edge_id"),
+        F.col("geom_xs")[0].alias("x1"),
+        F.col("geom_ys")[0].alias("y1"),
+        F.col("geom_xs")[1].alias("x2"),
+        F.col("geom_ys")[1].alias("y2"),
+    )
+    pts = city.points_df(spark, sf_dir)
+    did = F.col("doc_id")
+    traces = pts.select(
+        (F.lit(1000000000) + did).alias("edge_id"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        (F.col("x") + (37 + did % 50)).alias("x2"),
+        (F.col("y") + (23 + did % 70)).alias("y2"),
+    )
+    return sample_points_linspace(seg.unionByName(traces), sample_dist=_RS_DIST)
+
+
+ORACLES["q_road_sample"] = _road_sample_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q_warc_headers — WARC record-envelope parsing at scan speed
 # ---------------------------------------------------------------------------
 

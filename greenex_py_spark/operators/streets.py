@@ -38,6 +38,7 @@ __all__ = [
     "street_length_per_cell",
     "street_orientation_hist",
     "orientation_thresholds",
+    "sample_points_linspace",
     "N_ORIENT_BINS",
 ]
 
@@ -168,4 +169,73 @@ def street_orientation_hist(segments: DataFrame) -> DataFrame:
         "bin",
         "n_segments",
         F.round(F.col("_len").cast("double") / total, 6).alias("len_share"),
+    )
+
+
+def sample_points_linspace(
+    segments: DataFrame,
+    sample_dist: float,
+) -> DataFrame:
+    """[edge_id, sp_id, x, y] — the viewshed road-sampling scheme
+    (GreenExp/visibility.py:568-589) as a PURE-CODEGEN twin of
+    ``geo.kernels.interpolate_linspace`` for 2-point segments:
+
+    * length ``L < sample_dist`` → ONE point, the segment centroid
+      (shapely ``LineString.centroid`` of a 2-vertex line,
+      visibility.py:581);
+    * else ``n = int(L / sample_dist) + 1`` points at
+      ``np.linspace(0, L, n)`` distances (visibility.py:584-586) —
+      BOTH endpoints included, replicated FP-exactly as
+      ``d_k = k · (L / (n−1))`` with ``d_{n−1} = L`` (NumPy writes the
+      stop value into the last slot), then ``t = d_k / L``,
+      ``x = x1 + t·(x2−x1)``.
+
+    Every arithmetic step is a single IEEE double op rendered
+    identically in the DuckDB oracle, so the match is bit-exact; the
+    kernel twin differs only in ``np.hypot`` vs ``sqrt(dx²+dy²)`` for
+    L (≤1 ulp, observable only when L sits within that ulp of a
+    ``sample_dist`` multiple — excluded by the fixture and asserted
+    ≈ in tests/test_operators.test_sample_points_linspace_vs_kernel).
+
+    Scale shape: map-side ``sequence``+``posexplode`` only (bounded by
+    n per segment), zero shuffles, zero Python — the sampling stage of
+    a planet-scale streetview pipeline is embarrassingly parallel and
+    this keeps it inside WholeStageCodegen.
+
+    Coordinates are round-6 (micrometer) — safe at 1e5..1e7 magnitude
+    per BENCH/SCALE_AUDIT.md's round-portability bound.
+    """
+    s = segments.select("edge_id", "x1", "y1", "x2", "y2")
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    length = F.sqrt(dx * dx + dy * dy)
+    n = (F.floor(length / sample_dist) + 1).cast("long")
+    e = (
+        s.withColumn("_L", length)
+        .withColumn("_n", n)
+        .select(
+            "edge_id", "x1", "y1", "x2", "y2", "_L", "_n",
+            F.posexplode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)),
+        )
+        .withColumnRenamed("pos", "sp_id")
+    )
+    k = F.col("sp_id").cast("double")
+    last = F.col("sp_id") == F.col("_n") - 1
+    dist = F.when(last, F.col("_L")).otherwise(
+        k * (F.col("_L") / (F.col("_n") - 1).cast("double"))
+    )
+    t = dist / F.col("_L")
+    dxe = F.col("x2") - F.col("x1")
+    dye = F.col("y2") - F.col("y1")
+    px = F.when(F.col("_n") == 1, (F.col("x1") + F.col("x2")) / 2).otherwise(
+        F.col("x1") + t * dxe
+    )
+    py = F.when(F.col("_n") == 1, (F.col("y1") + F.col("y2")) / 2).otherwise(
+        F.col("y1") + t * dye
+    )
+    return e.select(
+        "edge_id",
+        F.col("sp_id").cast("long").alias("sp_id"),
+        F.round(px, 6).alias("x"),
+        F.round(py, 6).alias("y"),
     )

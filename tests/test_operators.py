@@ -3226,3 +3226,45 @@ def test_hits_quantized_vs_python(spark):
         h = {v: round(hr[v] / sh, 9) for v in nodes}
     for v in nodes:
         assert got[v] == (h[v], a[v]), v
+
+
+def test_sample_points_linspace_vs_kernel(spark):
+    """Codegen road-sampling twin == geo.kernels.interpolate_linspace
+    (+ the operator's centroid branch) on lattice and oblique segments."""
+    import numpy as np
+
+    from greenex_py_spark.geo import kernels
+    from greenex_py_spark.operators.streets import sample_points_linspace
+
+    rng = np.random.RandomState(7)
+    segs = [(0, 0.0, 0.0, 200.0, 0.0)]  # lattice edge: exact 0.25 steps
+    for i in range(1, 40):
+        x1, y1 = rng.uniform(0, 1000, 2)
+        dx, dy = rng.uniform(-120, 120, 2)
+        segs.append((i, float(x1), float(y1), float(x1 + dx), float(y1 + dy)))
+    df = spark.createDataFrame(
+        segs, "edge_id long, x1 double, y1 double, x2 double, y2 double"
+    )
+    got = {
+        (r["edge_id"], r["sp_id"]): (r["x"], r["y"])
+        for r in sample_points_linspace(df, 50.0).collect()
+    }
+    n_rows = 0
+    for eid, x1, y1, x2, y2 in segs:
+        L = float(np.hypot(x2 - x1, y2 - y1))
+        if L < 50.0:
+            want = np.array([[(x1 + x2) / 2, (y1 + y2) / 2]])
+        else:
+            want = kernels.interpolate_linspace(
+                np.array([x1, x2]), np.array([y1, y2]), 50.0
+            )
+        for k, (wx, wy) in enumerate(want):
+            gx, gy = got[(eid, k)]
+            assert abs(gx - round(wx, 6)) < 2e-6, (eid, k)
+            assert abs(gy - round(wy, 6)) < 2e-6, (eid, k)
+            n_rows += 1
+    assert n_rows == len(got)
+    # lattice edge: exact quarter points, endpoints included
+    assert [got[(0, k)] for k in range(5)] == [
+        (0.0, 0.0), (50.0, 0.0), (100.0, 0.0), (150.0, 0.0), (200.0, 0.0)
+    ]
