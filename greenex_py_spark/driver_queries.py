@@ -5454,6 +5454,152 @@ ORACLES["q_road_sample"] = _road_sample_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_hillshade — trig-free Lambertian hillshade over tiles (halo exchange)
+# ---------------------------------------------------------------------------
+
+
+def _horn_terms_sql(quant: float = 1e6) -> tuple[str, str]:
+    """(nx, ny) Horn-gradient SQL strings over quantised NDVI pixels —
+    shared by the slope-family oracles (literal-offset form)."""
+
+    def v(dx: int, dy: int) -> str:
+        return (
+            "CAST(round(("
+            + city.NDVI_SQL.format(
+                px_x=f"{city.X0} + ((ix + {dx}) + 0.5) * {city.RES}",
+                px_y=f"{city.Y0} + ((iy + {dy}) + 0.5) * {city.RES}",
+            )
+            + f") * {quant}) AS BIGINT)"
+        )
+
+    nx = (
+        f"({v(1, -1)} + 2 * {v(1, 0)} + {v(1, 1)})"
+        f" - ({v(-1, -1)} + 2 * {v(-1, 0)} + {v(-1, 1)})"
+    )
+    ny = (
+        f"({v(-1, 1)} + 2 * {v(0, 1)} + {v(1, 1)})"
+        f" - ({v(-1, -1)} + 2 * {v(0, -1)} + {v(1, -1)})"
+    )
+    return nx, ny
+
+
+def _hillshade_oracle() -> str:
+    from .operators.focal import hillshade_constants
+
+    npx = city.NPX
+    c0, lx, ly, d2 = hillshade_constants(city.RES, 1e6)
+    nx, ny = _horn_terms_sql()
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+),
+g AS (SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+             ({nx}) AS nx, ({ny}) AS ny
+      FROM px),
+h AS (SELECT tx, ty,
+        CAST(floor(greatest(
+          255.0 * ((({c0!r} - {lx!r} * CAST(nx AS DOUBLE))
+                    - {ly!r} * CAST(ny AS DOUBLE))
+                   / sqrt(({d2!r} + CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))
+                          + CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE))),
+          0.0) + 0.5) AS BIGINT) AS hs
+      FROM g)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(sum(hs) AS BIGINT) AS sum_hs,
+       min(hs) AS min_hs, max(hs) AS max_hs,
+       round(CAST(CAST(sum(hs) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_hs
+FROM h GROUP BY tx, ty
+"""
+
+
+@register("q_hillshade", None)  # generated oracle attached below
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambertian hillshade per tile (gdaldem-hillshade semantics —
+    the map-rendering companion the reference delegates to matplotlib,
+    GreenExp/visibility.py:214-231) over the SAME halo exchange as
+    q_terrain_slope.  Trig runs ONCE on four driver-side scalars
+    (operators/focal.py:hillshade_constants); per pixel only
+    correctly-rounded IEEE primitives execute in a fixed association
+    order, so the NumPy kernel and the DuckDB oracle produce
+    bit-identical int grey levels and exact per-tile sums."""
+    from .operators.focal import hillshade_tile_stats
+
+    return hillshade_tile_stats(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+ORACLES["q_hillshade"] = _hillshade_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_flow_direction — D8 steepest-descent histogram over tiles
+# ---------------------------------------------------------------------------
+
+
+def _flow_direction_oracle() -> str:
+    npx = city.NPX
+    vq = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + ((ix + dx) + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + ((iy + dy) + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    vc = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+),
+dirs(code, dx, dy, w) AS (VALUES
+  (1, 1, 0, 2), (2, 1, 1, 1), (4, 0, 1, 2), (8, -1, 1, 1),
+  (16, -1, 0, 2), (32, -1, -1, 1), (64, 0, -1, 2), (128, 1, -1, 1)),
+cand AS (SELECT ix, iy, code, w, ({vc}) - ({vq}) AS dz
+         FROM px CROSS JOIN dirs),
+best AS (SELECT ix, iy, max(dz * dz * w * 256 + (255 - code)) AS k
+         FROM cand WHERE dz > 0 GROUP BY ix, iy),
+f AS (SELECT px.ix // {city.TILE_PX} AS tx, px.iy // {city.TILE_PX} AS ty,
+             coalesce(255 - (b.k % 256), 0) AS code
+      FROM px LEFT JOIN best b ON b.ix = px.ix AND b.iy = px.iy)
+SELECT tx, ty, CAST(code AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM f GROUP BY tx, ty, code
+"""
+
+
+@register("q_flow_direction", None)  # generated oracle attached below
+def q_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 steepest-descent flow-direction histogram per tile — the
+    hydrology primitive under flow accumulation / watershed tools,
+    exact-integer end to end: the cardinal-vs-diagonal drop compare
+    ``dz_c/res`` vs ``dz_d/(res·√2)`` is the int64 compare
+    ``2·dz_c² > dz_d²`` (no nonzero integer solves 2a² = b², so a
+    cardinal and a diagonal can never tie at dz>0), ESRI-code-ascending
+    tiebreak, code 0 for flats/pits.  The oracle unnests the 8
+    candidate drops per pixel and packs the argmax into a single
+    ``key·256 + (255−code)`` max — the two sides share no code path."""
+    from .operators.focal import flow_direction_counts
+
+    return flow_direction_counts(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+ORACLES["q_flow_direction"] = _flow_direction_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q_warc_headers — WARC record-envelope parsing at scan speed
 # ---------------------------------------------------------------------------
 

@@ -33,7 +33,9 @@ from ..geo.grid import GridSpec
 
 __all__ = [
     "focal_tile_stats", "slope_tile_stats", "pyramid_tile_stats",
-    "quantize_half_away",
+    "hillshade_tile_stats", "flow_direction_counts",
+    "aspect_octant_counts", "ruggedness_tile_stats",
+    "octant_case_sql", "quantize_half_away",
 ]
 
 
@@ -238,6 +240,187 @@ def slope_tile_stats(
             F.sqrt(F.col("max_rr2").cast("double")) / F.lit(denom), 6
         ).alias("max_rise_run"),
     )
+
+
+def hillshade_constants(
+    res: float,
+    quant: float,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> tuple[float, float, float, float]:
+    """(C0, LX, LY, D2) — the four double constants of the trig-free
+    hillshade chain, computed ONCE on the driver so both engines see
+    the identical literals (repr round-trips doubles exactly).
+
+    Light unit vector for sun azimuth ``az`` (clockwise from grid
+    north = +y) at ``alt`` above the horizon:
+    ``L = (cos(alt)·sin(az), cos(alt)·cos(az), sin(alt))``; the surface
+    normal from quantised Horn gradients (nx, ny int64, denominator
+    ``D = 8·res·quant``) is ``(−nx, −ny, D)/‖·‖``, so
+
+        hs = 255 · max(0, (C0 − LX·nx − LY·ny) / sqrt(D² + nx² + ny²))
+
+    with ``C0 = Lz·D``.  Every per-pixel op is a correctly-rounded
+    IEEE-754 primitive (*, −, +, /, sqrt, max, floor) in a FIXED
+    association order — no libm transcendental runs per pixel, so
+    NumPy, Catalyst and DuckDB produce bit-identical doubles and the
+    rounded int hillshade is engine-portable (the project-wide
+    portability contract; trig happens only here, on four scalars).
+    """
+    import math
+
+    z = math.radians(90.0 - altitude_deg)
+    az = math.radians(azimuth_deg)
+    d = 8.0 * res * quant
+    lx = math.sin(z) * math.sin(az)
+    ly = math.sin(z) * math.cos(az)
+    c0 = math.cos(z) * d
+    return c0, lx, ly, d * d
+
+
+def hillshade_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> DataFrame:
+    """[tx, ty, n_interior, sum_hs, min_hs, max_hs, mean_hs] —
+    Lambertian hillshade (gdaldem-hillshade semantics: Horn gradients,
+    255 grey levels, sun at ``azimuth/altitude``) per tile over the
+    SAME halo exchange as ``slope_tile_stats``.
+
+    Per interior pixel: nx/ny exact int64, then the trig-free chain of
+    ``hillshade_constants`` evaluated in NumPy in the documented
+    association order and rounded half-up to an int grey level —
+    bit-portable because only correctly-rounded IEEE primitives run
+    per pixel.  Per-tile sum/min/max of the int grey levels are exact;
+    the one remaining division (mean_hs) runs in Catalyst.
+
+    The reference shades nothing itself (it plots rasters via
+    matplotlib, e.g. GreenExp/visibility.py:214-231); this is the
+    standard DSM-derivative companion to the Horn slope the viewshed
+    family needs, kept tile-local so 100 TB of raster never leaves the
+    executors — O(perimeter) halo traffic, one tile-keyed shuffle.
+    """
+    c0, lx, ly, d2 = hillshade_constants(
+        grid.res, quant, azimuth_deg, altitude_deg
+    )
+
+    out_schema = (
+        "tx long, ty long, n_interior long, sum_hs long, "
+        "min_hs long, max_hs long"
+    )
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        full = np.ones((h, w), dtype=bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                full &= mask[dy:dy + h, dx:dx + w] == 1
+        c = canvas
+        nx = (
+            (c[0:h, 2:w + 2] + 2 * c[1:h + 1, 2:w + 2] + c[2:h + 2, 2:w + 2])
+            - (c[0:h, 0:w] + 2 * c[1:h + 1, 0:w] + c[2:h + 2, 0:w])
+        )
+        ny = (
+            (c[2:h + 2, 0:w] + 2 * c[2:h + 2, 1:w + 1] + c[2:h + 2, 2:w + 2])
+            - (c[0:h, 0:w] + 2 * c[0:h, 1:w + 1] + c[0:h, 2:w + 2])
+        )
+        dnx = nx[full].astype(np.float64)
+        dny = ny[full].astype(np.float64)
+        n_int = int(full.sum())
+        if not n_int:
+            return pd.DataFrame(
+                {"tx": [tx], "ty": [ty], "n_interior": [0],
+                 "sum_hs": [0], "min_hs": [0], "max_hs": [0]}
+            )
+        # fixed association order — mirrored verbatim in the oracle SQL
+        num = (c0 - lx * dnx) - ly * dny
+        den = np.sqrt((d2 + dnx * dnx) + dny * dny)
+        hs = np.floor(np.maximum(255.0 * (num / den), 0.0) + 0.5).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty], "n_interior": [n_int],
+                "sum_hs": [int(hs.sum())],
+                "min_hs": [int(hs.min())], "max_hs": [int(hs.max())],
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    stats = parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+    return stats.select(
+        "tx", "ty", "n_interior", "sum_hs", "min_hs", "max_hs",
+        F.round(
+            F.col("sum_hs").cast("double")
+            / F.col("n_interior").cast("double"),
+            6,
+        ).alias("mean_hs"),
+    )
+
+
+# D8 directions in ESRI code-ascending order: (code, dx, dy, diag?).
+# dy is in GRID axis orientation (iy grows northwards in the fixture),
+# so "S" here means iy−1; the codes are a fixed enumeration, not a
+# compass claim.
+_D8 = (
+    (1, 1, 0, False), (2, 1, 1, True), (4, 0, 1, False), (8, -1, 1, True),
+    (16, -1, 0, False), (32, -1, -1, True), (64, 0, -1, False),
+    (128, 1, -1, True),
+)
+
+
+def flow_direction_counts(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+) -> DataFrame:
+    """[tx, ty, code, n_px] — D8 steepest-descent flow direction
+    histogram per tile (the hydrology primitive under flow
+    accumulation / watershed delineation), exact-integer end to end.
+
+    Per interior pixel the drop to neighbour i is
+    ``dz_i / dist_i`` with ``dist ∈ {res, res·√2}``; comparing
+    ``dz_a/1`` against ``dz_b/√2`` for positive drops is the exact
+    int64 compare ``2·dz_a² > dz_b²`` (a cardinal and a diagonal can
+    never tie at dz>0 — ``2a² = b²`` has no nonzero integer solutions),
+    so no FP enters the argmax.  Equal-geometry ties break by ESRI
+    code ascending; pixels with no strictly positive drop get code 0
+    (flat/pit).  One halo exchange, one tile-keyed shuffle, ≤ 9 rows
+    per tile out.
+    """
+    out_schema = "tx long, ty long, code long, n_px long"
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        full = np.ones((h, w), dtype=bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                full &= mask[dy:dy + h, dx:dx + w] == 1
+        z = canvas[1:h + 1, 1:w + 1]
+        best_key = np.full((h, w), -1, dtype=np.int64)
+        best_code = np.zeros((h, w), dtype=np.int64)
+        for code, dx, dy, diag in _D8:
+            nb = canvas[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            dz = z - nb
+            key = dz * dz * (1 if diag else 2)
+            key = np.where(dz > 0, key, np.int64(-1))
+            upd = key > best_key  # strict: earlier (smaller) code wins ties
+            best_key = np.where(upd, key, best_key)
+            best_code = np.where(upd, code, best_code)
+        codes, counts = np.unique(best_code[full], return_counts=True)
+        return pd.DataFrame(
+            {
+                "tx": tx, "ty": ty,
+                "code": codes.astype(np.int64),
+                "n_px": counts.astype(np.int64),
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    return parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
 
 
 def pyramid_tile_stats(

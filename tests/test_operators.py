@@ -3268,3 +3268,101 @@ def test_sample_points_linspace_vs_kernel(spark):
     assert [got[(0, k)] for k in range(5)] == [
         (0.0, 0.0), (50.0, 0.0), (100.0, 0.0), (150.0, 0.0), (200.0, 0.0)
     ]
+
+
+def _two_tile_fixture(spark, z):
+    """Two 4x4 tiles over an 8x4 quadratic surface (seam curvature)."""
+    import numpy as np
+    from greenex_py_spark.geo.grid import GridSpec
+
+    h_all, w_all = z.shape
+    grid = GridSpec(origin_x=0.0, origin_y=0.0, res=1.0, tile_px=4,
+                    npx_x=w_all, npx_y=h_all)
+    rows = []
+    for tx in range(w_all // 4):
+        sub = z[:, tx * 4:(tx + 1) * 4]
+        rows.append((tx, 0, 4, 4, [float(v) for v in sub.ravel()]))
+    tiles = spark.createDataFrame(
+        rows, "tx long, ty long, w long, h long, px array<double>"
+    )
+    return tiles, grid
+
+
+def test_hillshade_tile_stats_cross_tile(spark):
+    """Tiled hillshade == global-array brute force (same constant
+    chain), including seam pixels; grey levels bounded to 0..255."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import (
+        hillshade_constants, hillshade_tile_stats,
+    )
+
+    z = np.array(
+        [[float(x * x - 2 * x * y + 3 * y) for x in range(8)]
+         for y in range(4)]
+    )
+    tiles, grid = _two_tile_fixture(spark, z)
+    got = {
+        (r["tx"], r["ty"]): r
+        for r in hillshade_tile_stats(tiles, grid, quant=1e3).collect()
+    }
+
+    q = np.round(z * 1e3).astype(np.int64)
+    c0, lx, ly, d2 = hillshade_constants(1.0, 1e3)
+    exp = {}
+    for tx in range(2):
+        hs_all = []
+        for y in range(1, 3):
+            for x in range(max(1, tx * 4), min(7, (tx + 1) * 4)):
+                nx = float(q[y-1, x+1] + 2*q[y, x+1] + q[y+1, x+1]
+                           - q[y-1, x-1] - 2*q[y, x-1] - q[y+1, x-1])
+                ny = float(q[y+1, x-1] + 2*q[y+1, x] + q[y+1, x+1]
+                           - q[y-1, x-1] - 2*q[y-1, x] - q[y-1, x+1])
+                num = (c0 - lx * nx) - ly * ny
+                den = ((d2 + nx * nx) + ny * ny) ** 0.5
+                hs_all.append(int(np.floor(max(255.0 * (num / den), 0.0)
+                                           + 0.5)))
+        exp[tx] = hs_all
+    for tx in range(2):
+        r = got[(tx, 0)]
+        assert r["n_interior"] == len(exp[tx])
+        assert r["sum_hs"] == sum(exp[tx]), tx
+        assert r["min_hs"] == min(exp[tx]) and r["max_hs"] == max(exp[tx])
+        assert 0 <= r["min_hs"] <= r["max_hs"] <= 255
+        assert r["mean_hs"] == round(sum(exp[tx]) / len(exp[tx]), 6)
+
+
+def test_flow_direction_counts_hand(spark):
+    """D8 codes vs a hand brute force on a surface engineered with a
+    flat plateau (code 0), cardinal/diagonal competition, and an exact
+    two-cardinal tie (code-ascending break)."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import _D8, flow_direction_counts
+
+    # cone + plateau: pixels at x<=2,y<=2 all share height 0 (flat+tie
+    # region), rest fall away with distinct slopes
+    z = np.zeros((4, 8))
+    for y in range(4):
+        for x in range(8):
+            z[y, x] = -max(0, x - 2) * 2.0 - max(0, y - 2) * 1.0 \
+                - (0.25 if (x + y) % 3 == 0 and x > 2 else 0.0)
+    tiles, grid = _two_tile_fixture(spark, z)
+    got = {}
+    for r in flow_direction_counts(tiles, grid, quant=1e3).collect():
+        got[(r["tx"], r["ty"], r["code"])] = r["n_px"]
+
+    q = np.round(z * 1e3).astype(np.int64)
+    exp = {}
+    for y in range(1, 3):
+        for x in range(1, 7):
+            best_key, best_code = -1, 0
+            for code, dx, dy, diag in _D8:
+                dz = int(q[y, x] - q[y + dy, x + dx])
+                if dz <= 0:
+                    continue
+                key = dz * dz * (1 if diag else 2)
+                if key > best_key:
+                    best_key, best_code = key, code
+            tx = x // 4
+            exp[(tx, 0, best_code)] = exp.get((tx, 0, best_code), 0) + 1
+    assert got == exp
+    assert sum(v for (tx, ty, c), v in exp.items() if c == 0) > 0
