@@ -5600,6 +5600,244 @@ ORACLES["q_flow_direction"] = _flow_direction_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_aspect — steepest-descent octant histogram over tiles
+# ---------------------------------------------------------------------------
+
+
+def _aspect_oracle() -> str:
+    from .operators.focal import octant_case_sql
+
+    npx = city.NPX
+    nx, ny = _horn_terms_sql()
+    case = octant_case_sql("-nx", "-ny")
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+),
+g AS (SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+             ({nx}) AS nx, ({ny}) AS ny
+      FROM px),
+o AS (SELECT tx, ty, {case} AS octant FROM g)
+SELECT tx, ty, CAST(octant AS BIGINT) AS octant,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM o GROUP BY tx, ty, octant
+"""
+
+
+@register("q_aspect", None)  # generated oracle attached below
+def q_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect histogram per tile in eight 45°-wide octants of the
+    steepest-DESCENT direction (gdaldem-aspect's binned companion —
+    the reference plots rasters but derives no aspect,
+    GreenExp/visibility.py:214-231).  Bin edges sit on exact 45°
+    multiples so every boundary decision is an int64 sign/magnitude
+    compare on the Horn gradients — no trig, no FP anywhere; the
+    engine kernel and this oracle render the SAME rule table
+    (operators/focal.py:_OCTANT_RULES) so they cannot drift."""
+    from .operators.focal import aspect_octant_counts
+
+    return aspect_octant_counts(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+ORACLES["q_aspect"] = _aspect_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_ruggedness — TPI / TRI / roughness terrain texture over tiles
+# ---------------------------------------------------------------------------
+
+
+def _ruggedness_oracle(quant: float = 1e6) -> str:
+    npx = city.NPX
+
+    def v(dx: int, dy: int) -> str:
+        return (
+            "CAST(round(("
+            + city.NDVI_SQL.format(
+                px_x=f"{city.X0} + ((ix + {dx}) + 0.5) * {city.RES}",
+                px_y=f"{city.Y0} + ((iy + {dy}) + 0.5) * {city.RES}",
+            )
+            + f") * {quant}) AS BIGINT)"
+        )
+
+    offs = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)]
+    zcols = ", ".join(
+        f"({v(dx, dy)}) AS z{i}" for i, (dx, dy) in enumerate(offs)
+    )
+    nine = ", ".join(["z"] + [f"z{i}" for i in range(8)])
+    tpi8 = "8 * z - (" + " + ".join(f"z{i}" for i in range(8)) + ")"
+    tri = " + ".join(f"abs(z - z{i})" for i in range(8))
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+),
+vals AS (SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+                ({v(0, 0)}) AS z, {zcols}
+         FROM px),
+t AS (SELECT tx, ty, ({tpi8}) AS tpi8, ({tri}) AS tri,
+             greatest({nine}) - least({nine}) AS rough
+      FROM vals)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(count(*) FILTER (WHERE tpi8 > 0) AS BIGINT) AS n_ridge,
+       CAST(sum(tri) AS BIGINT) AS sum_tri,
+       max(tri) AS max_tri, max(rough) AS max_rough,
+       round((CAST(CAST(sum(tri) AS BIGINT) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) / {quant!r}, 6) AS mean_tri
+FROM t GROUP BY tx, ty
+"""
+
+
+@register("q_ruggedness", None)  # generated oracle attached below
+def q_ruggedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson TPI / Riley TRI / roughness terrain-texture triple per
+    tile — the DSM texture screen a viewshed pipeline runs before
+    paying for ray casts (flat tiles skip straight to the GVI ratio).
+    Every per-pixel statistic is exact int64 on quantised pixels
+    (TPI kept as 8·z − Σnb to avoid the /8); the single division
+    (mean_tri) runs in Catalyst mirroring the oracle's chain."""
+    from .operators.focal import ruggedness_tile_stats
+
+    return ruggedness_tile_stats(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+ORACLES["q_ruggedness"] = _ruggedness_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_euler_green — Euler-characteristic patch topology of the green mask
+# ---------------------------------------------------------------------------
+
+
+def _euler_oracle(quant: float = 1e6) -> str:
+    npx = city.NPX
+
+    def mq(x_expr: str, y_expr: str) -> str:
+        q = (
+            "CAST(round(("
+            + city.NDVI_SQL.format(
+                px_x=f"{city.X0} + (({x_expr}) + 0.5) * {city.RES}",
+                px_y=f"{city.Y0} + (({y_expr}) + 0.5) * {city.RES}",
+            )
+            + f") * {quant}) AS BIGINT)"
+        )
+        return (
+            f"(CASE WHEN ({x_expr}) BETWEEN 0 AND {npx - 1}"
+            f" AND ({y_expr}) BETWEEN 0 AND {npx - 1}"
+            f" AND ({q}) > 0 THEN 1 ELSE 0 END)"
+        )
+
+    nw = npx + 1
+    return f"""
+WITH wins AS (
+  SELECT i % {nw} - 1 AS wx, i // {nw} - 1 AS wy
+  FROM (SELECT unnest(generate_series(0, {nw * nw - 1})) AS i)
+),
+quad AS (SELECT least(wx + 1, {npx - 1}) // {city.TILE_PX} AS tx,
+                least(wy + 1, {npx - 1}) // {city.TILE_PX} AS ty,
+                {mq('wx', 'wy')} AS a, {mq('wx + 1', 'wy')} AS b,
+                {mq('wx', 'wy + 1')} AS c, {mq('wx + 1', 'wy + 1')} AS d
+         FROM wins),
+wagg AS (SELECT tx, ty,
+           CAST(count(*) FILTER (WHERE a + b + c + d = 1) AS BIGINT) AS c1,
+           CAST(count(*) FILTER (WHERE a + b + c + d = 3) AS BIGINT) AS c3,
+           CAST(count(*) FILTER (WHERE a + b + c + d = 2
+                                 AND ((a = 1 AND d = 1)
+                                      OR (b = 1 AND c = 1))) AS BIGINT) AS cd
+         FROM quad GROUP BY tx, ty),
+px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+pagg AS (SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+                CAST(count(*) FILTER (WHERE {mq('ix', 'iy')} = 1)
+                     AS BIGINT) AS n_green
+         FROM px GROUP BY tx, ty)
+SELECT w.tx, w.ty, p.n_green, w.c1, w.c3, w.cd,
+       w.c1 - w.c3 + 2 * w.cd AS euler_term
+FROM wagg w JOIN pagg p ON p.tx = w.tx AND p.ty = w.ty
+"""
+
+
+@register("q_euler_green", None)  # generated oracle attached below
+def q_euler_green(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch TOPOLOGY of the green mask (quantised NDVI > 0) without a
+    label-merge: Gray's-algorithm 2×2 quad counts per tile, whose
+    global sum / 4 is the 4-connectivity Euler number = #green patches
+    − #holes (scikit-image ``euler_number`` semantics).  Every window
+    of the zero-padded mask is owned by exactly ONE tile, so the
+    statistic is perfectly distributive — the landscape-ecology
+    fragmentation metric a 100 TB raster can actually afford.  The
+    oracle enumerates all (npx+1)² windows independently; the engine
+    runs one halo exchange."""
+    from .operators.focal import euler_tile_stats
+
+    return euler_tile_stats(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+ORACLES["q_euler_green"] = _euler_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_anchor_text — per-destination-host anchor-text index
+# ---------------------------------------------------------------------------
+
+
+_ANCHOR_RE_SQL = r'(?i)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
+
+
+@register(
+    "q_anchor_text",
+    "WITH " + _LINK_GRAPH_CTE + f""",
+ea AS (SELECT lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS src_host,
+              unnest(regexp_extract_all(page, '{_ANCHOR_RE_SQL}', 1)) AS href,
+              unnest(regexp_extract_all(page, '{_ANCHOR_RE_SQL}', 2)) AS anchor
+       FROM p),
+ra AS (SELECT CASE WHEN regexp_matches(href, '(?i)^https?://')
+                     THEN lower(regexp_extract(href,
+                            '(?i)^https?://([^/]+)', 1))
+                   WHEN href LIKE '//%'
+                     THEN lower(regexp_extract(href, '^//([^/]+)', 1))
+                   ELSE src_host END AS dst_host,
+              anchor
+       FROM ea
+       WHERE NOT (href = ''
+                  OR regexp_matches(href, '(?i)^(#|mailto:|javascript:)'))),
+ca AS (SELECT dst_host, anchor, count(*) AS cnt
+       FROM ra GROUP BY dst_host, anchor),
+wa AS (SELECT dst_host, anchor, cnt,
+              row_number() OVER (PARTITION BY dst_host
+                                 ORDER BY cnt DESC, anchor) AS rn,
+              sum(cnt) OVER (PARTITION BY dst_host) AS tot,
+              count(*) OVER (PARTITION BY dst_host) AS ntex
+       FROM ca)
+SELECT dst_host, CAST(tot AS BIGINT) AS n_anchors,
+       CAST(ntex AS BIGINT) AS n_texts,
+       anchor AS top_anchor, CAST(cnt AS BIGINT) AS top_n
+FROM wa WHERE rn = 1
+""",
+)
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index per destination host over the SAME planted
+    crawl pages as q_link_graph: the (href, text) pairs come out of
+    one two-group regex run twice and zipped positionally, hrefs
+    resolve by the shared CASE rules, and the per-host top anchor is
+    a window argmax with a deterministic text-ascending tiebreak —
+    what OTHER pages call a host, the classic search/quality
+    relevance signal mined from crawls.  Pure codegen + one window;
+    no UDFs."""
+    from .functions.links import anchor_text_profile
+
+    return anchor_text_profile(_link_pages_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # q_warc_headers — WARC record-envelope parsing at scan speed
 # ---------------------------------------------------------------------------
 

@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "HREF_PATTERN", "LANG_PATH_PATTERN",
-    "extract_outlinks", "host_link_graph", "bitext_candidates",
+    "HREF_PATTERN", "ANCHOR_PATTERN", "LANG_PATH_PATTERN",
+    "extract_outlinks", "host_link_graph", "anchor_text_profile",
+    "bitext_candidates",
 ]
 
 # anchor hrefs out of raw markup: lazy scan to the first href attribute
@@ -82,6 +83,80 @@ def host_link_graph(
         extract_outlinks(df, url_col=url_col, html_col=html_col)
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+# closed anchors with their visible text: group 1 = href, group 2 =
+# the text run up to the first child tag (nested markup inside <a> is a
+# documented non-goal of the regex tier, same contract as HREF_PATTERN)
+ANCHOR_PATTERN = r'(?i)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_text_profile(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """[dst_host, n_anchors, n_texts, top_anchor, top_n] — the
+    anchor-text index per destination host (the strongest relevance
+    signal search/quality pipelines mine from a crawl: what OTHER
+    pages call this host).
+
+    One regex run twice for its two capture groups, zipped
+    positionally (identical pattern → identical match list, so the
+    arrays always align), href-resolution rules shared with
+    ``extract_outlinks``; then a two-phase count on
+    (dst_host, anchor) and a window argmax — ties broken by anchor
+    text ascending so the result is deterministic.  Pure codegen until
+    the final window; anchor-text cardinality per host is crawl-bounded
+    (map-side combine absorbs hot hosts before the shuffle).
+    """
+    page = F.decode(F.col(html_col), "UTF-8")
+    src = F.lower(F.regexp_extract(F.col(url_col), _ABS_HOST, 1))
+    pat = F.lit(ANCHOR_PATTERN)
+    e = df.select(
+        src.alias("src_host"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(page, pat, F.lit(1)).alias("href"),
+                F.regexp_extract_all(page, pat, F.lit(2)).alias("anchor"),
+            )
+        ).alias("p"),
+    ).select(
+        "src_host",
+        F.col("p.href").alias("href"),
+        F.col("p.anchor").alias("anchor"),
+    )
+    h = F.col("href")
+    dst = (
+        F.when(
+            h.rlike("(?i)" + _ABS_HOST),
+            F.lower(F.regexp_extract(h, "(?i)" + _ABS_HOST, 1)),
+        )
+        .when(h.startswith("//"), F.lower(F.regexp_extract(h, r"^//([^/]+)", 1)))
+        .otherwise(F.col("src_host"))
+    )
+    c = (
+        e.filter(~((h == "") | h.rlike(_DROP)))
+        .select(dst.alias("dst_host"), "anchor")
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst_host")
+    ranked = c.select(
+        "dst_host", "anchor", "cnt",
+        F.row_number()
+        .over(w.orderBy(F.col("cnt").desc(), F.col("anchor").asc()))
+        .alias("rn"),
+        F.sum("cnt").over(w).alias("n_anchors"),
+        F.count(F.lit(1)).over(w).alias("n_texts"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "dst_host",
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("n_texts").cast("long").alias("n_texts"),
+        F.col("anchor").alias("top_anchor"),
+        F.col("cnt").cast("long").alias("top_n"),
     )
 
 

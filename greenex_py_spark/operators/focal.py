@@ -34,7 +34,7 @@ from ..geo.grid import GridSpec
 __all__ = [
     "focal_tile_stats", "slope_tile_stats", "pyramid_tile_stats",
     "hillshade_tile_stats", "flow_direction_counts",
-    "aspect_octant_counts", "ruggedness_tile_stats",
+    "aspect_octant_counts", "ruggedness_tile_stats", "euler_tile_stats",
     "octant_case_sql", "quantize_half_away",
 ]
 
@@ -421,6 +421,248 @@ def flow_direction_counts(
 
     parts = _halo_parts(tiles, grid, quant)
     return parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+
+
+# 45°-wide aspect octants with bin edges at exact multiples of 45° —
+# every boundary test is an int64 sign/magnitude compare (edges at
+# 22.5° would need tan(22.5°), an irrational; these need none).  Bin k
+# covers descent azimuth [45k, 45(k+1)) measured counter-clockwise
+# from +x in GRID axes (iy grows north in the fixture).  The (cond,
+# code) rows are DISJOINT and EXHAUSTIVE over (u,v) != (0,0), so CASE
+# order does not matter and np.select / SQL CASE agree bit-for-bit.
+# Shared by the NumPy kernel and the SQL oracle via octant_case_sql.
+_OCTANT_RULES = (
+    ("u > 0 AND v >= 0 AND v < u", 0),     # [0, 45)
+    ("u > 0 AND v >= u", 1),               # [45, 90)
+    ("u <= 0 AND v > 0 AND v > -u", 2),    # [90, 135)
+    ("u < 0 AND v > 0 AND v <= -u", 3),    # [135, 180)
+    ("u < 0 AND v <= 0 AND v > u", 4),     # [180, 225)
+    ("u < 0 AND v <= u", 5),               # [225, 270)
+    ("u >= 0 AND v < 0 AND -v > u", 6),    # [270, 315)
+    ("u > 0 AND v < 0 AND -v <= u", 7),    # [315, 360)
+)
+
+
+def octant_case_sql(u_expr: str, v_expr: str) -> str:
+    """SQL CASE selecting the 45° octant of vector (u, v) — flat
+    (0,0) maps to -1.  Renders _OCTANT_RULES so the oracle cannot
+    drift from the NumPy kernel."""
+    def subst(cond: str) -> str:
+        # two-pass via a sentinel so an operand expression containing
+        # the letter "u"/"v" can never be re-substituted
+        return (
+            cond.replace("u", "\x00").replace("v", f"({v_expr})")
+            .replace("\x00", f"({u_expr})")
+        )
+
+    whens = "\n".join(
+        f"  WHEN {subst(cond)} THEN {code}" for cond, code in _OCTANT_RULES
+    )
+    return (
+        f"CASE WHEN ({u_expr}) = 0 AND ({v_expr}) = 0 THEN -1\n{whens}\n"
+        "  ELSE -2 END"
+    )
+
+
+def _octant_of(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """NumPy twin of octant_case_sql: int64 octant codes, -1 = flat."""
+    conds = [(u == 0) & (v == 0)]
+    codes = [-1]
+    for cond, code in _OCTANT_RULES:
+        m = np.ones(u.shape, dtype=bool)
+        for term in cond.split(" AND "):
+            # each term is ONE comparison ("v < u", "-v > u") — no
+            # precedence pitfalls; the rule table stays authoritative
+            m &= eval(term, {"u": u, "v": v})  # noqa: S307 - literal table
+        conds.append(m)
+        codes.append(code)
+    return np.select(conds, codes, default=-2).astype(np.int64)
+
+
+def aspect_octant_counts(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+) -> DataFrame:
+    """[tx, ty, octant, n_px] — aspect (steepest-DESCENT direction)
+    histogram per tile in eight 45° octants, gdaldem-aspect's binned
+    companion, exact-integer end to end.
+
+    The descent vector is (u, v) = (-nx, -ny) from the Horn gradients
+    of ``slope_tile_stats`` (exact int64 on quantised pixels); the
+    octant is a pure sign/magnitude decision tree (_OCTANT_RULES) with
+    bin edges on exact 45° multiples, so no trig — and no FP at all —
+    executes anywhere.  Flat pixels (nx = ny = 0) report octant -1.
+    One halo exchange, one tile-keyed shuffle, <= 9 rows per tile out.
+    """
+    out_schema = "tx long, ty long, octant long, n_px long"
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        full = np.ones((h, w), dtype=bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                full &= mask[dy:dy + h, dx:dx + w] == 1
+        c = canvas
+        nx = (
+            (c[0:h, 2:w + 2] + 2 * c[1:h + 1, 2:w + 2] + c[2:h + 2, 2:w + 2])
+            - (c[0:h, 0:w] + 2 * c[1:h + 1, 0:w] + c[2:h + 2, 0:w])
+        )
+        ny = (
+            (c[2:h + 2, 0:w] + 2 * c[2:h + 2, 1:w + 1] + c[2:h + 2, 2:w + 2])
+            - (c[0:h, 0:w] + 2 * c[0:h, 1:w + 1] + c[0:h, 2:w + 2])
+        )
+        oct_ = _octant_of(-nx[full], -ny[full])
+        codes, counts = np.unique(oct_, return_counts=True)
+        return pd.DataFrame(
+            {
+                "tx": tx, "ty": ty,
+                "octant": codes.astype(np.int64),
+                "n_px": counts.astype(np.int64),
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    return parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+
+
+def ruggedness_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+) -> DataFrame:
+    """[tx, ty, n_interior, n_ridge, sum_tri, max_tri, max_rough,
+    mean_tri] — the Wilson/Riley terrain-texture triple per tile,
+    exact-integer per pixel:
+
+      * TPI (topographic position index), kept as the integer
+        ``tpi8 = 8·z − Σ(8 neighbours)`` (×8 avoids the /8 division);
+        ``n_ridge`` counts pixels strictly above their neighbourhood
+        mean (tpi8 > 0).
+      * TRI (terrain ruggedness index) ``tri = Σ|z − nb|`` — summed
+        and maxed exactly per tile.
+      * roughness ``= max − min`` of the 3×3 window, maxed per tile.
+
+    The one FP step (mean_tri = sum_tri / n / quant, round-6) runs in
+    Catalyst.  Same halo exchange, same single tile-keyed shuffle as
+    the rest of the focal family; interior-pixel semantics match
+    slope_tile_stats.
+    """
+    out_schema = (
+        "tx long, ty long, n_interior long, n_ridge long, "
+        "sum_tri long, max_tri long, max_rough long"
+    )
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        full = np.ones((h, w), dtype=bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                full &= mask[dy:dy + h, dx:dx + w] == 1
+        z = canvas[1:h + 1, 1:w + 1]
+        tpi8 = 8 * z.copy()
+        tri = np.zeros((h, w), dtype=np.int64)
+        wmax = z.copy()
+        wmin = z.copy()
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dx == 1 and dy == 1:
+                    continue
+                nb = canvas[dy:dy + h, dx:dx + w]
+                tpi8 -= nb
+                tri += np.abs(z - nb)
+                np.maximum(wmax, nb, out=wmax)
+                np.minimum(wmin, nb, out=wmin)
+        n_int = int(full.sum())
+        if not n_int:
+            return pd.DataFrame(
+                {"tx": [tx], "ty": [ty], "n_interior": [0], "n_ridge": [0],
+                 "sum_tri": [0], "max_tri": [0], "max_rough": [0]}
+            )
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty], "n_interior": [n_int],
+                "n_ridge": [int((tpi8[full] > 0).sum())],
+                "sum_tri": [int(tri[full].sum())],
+                "max_tri": [int(tri[full].max())],
+                "max_rough": [int((wmax - wmin)[full].max())],
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    stats = parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+    return stats.select(
+        "tx", "ty", "n_interior", "n_ridge", "sum_tri", "max_tri",
+        "max_rough",
+        F.round(
+            F.col("sum_tri").cast("double")
+            / F.col("n_interior").cast("double")
+            / F.lit(float(quant)),
+            6,
+        ).alias("mean_tri"),
+    )
+
+
+def euler_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+    threshold_q: int = 0,
+) -> DataFrame:
+    """[tx, ty, n_green, c1, c3, cd, euler_term] — Gray's-algorithm
+    quad counts of the greenness mask (quantised value strictly above
+    ``threshold_q``) per tile; globally,
+
+        4-connectivity Euler number (#components − #holes)
+          = Σ euler_term / 4,   euler_term = c1 − c3 + 2·cd
+
+    where over every 2×2 window of the zero-padded mask c1/c3 count
+    windows with exactly one/three foreground pixels and cd counts the
+    two diagonal patterns.  The Euler number is the only patch-count
+    statistic that is PERFECTLY distributive over tiles — each window
+    is owned by exactly one tile (the tile of its bottom-right pixel,
+    clamped at the raster edge so border-padding windows are owned
+    too), so patch topology over 100 TB of raster needs one halo
+    exchange and integer partial sums, never a global label-merge.
+    scikit-image ``euler_number`` semantics; all counts exact int64.
+    """
+    out_schema = (
+        "tx long, ty long, n_green long, c1 long, c3 long, cd long"
+    )
+    n_tx, n_ty = grid.n_tiles_x, grid.n_tiles_y
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        m = (canvas > threshold_q).astype(np.int64)  # halo/out-of-raster = 0
+        # windows whose top-left CANVAS coord is (cx, cy): bottom-right
+        # pixel is global (gx0-1+cx+1, gy0-1+cy+1) — in-tile for
+        # cx in [0, w-1]; the raster-edge tiles also own the padding
+        # column/row of windows hanging past the last pixel
+        ex = w + (1 if tx == n_tx - 1 else 0)
+        ey = h + (1 if ty == n_ty - 1 else 0)
+        a = m[0:ey, 0:ex]
+        b = m[0:ey, 1:ex + 1]
+        c = m[1:ey + 1, 0:ex]
+        d = m[1:ey + 1, 1:ex + 1]
+        s = a + b + c + d
+        cd = int((((a == 1) & (d == 1) & (s == 2)).sum())
+                 + (((b == 1) & (c == 1) & (s == 2)).sum()))
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty],
+                "n_green": [int(m[1:h + 1, 1:w + 1].sum())],
+                "c1": [int((s == 1).sum())],
+                "c3": [int((s == 3).sum())],
+                "cd": [cd],
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    stats = parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+    return stats.select(
+        "tx", "ty", "n_green", "c1", "c3", "cd",
+        (F.col("c1") - F.col("c3") + 2 * F.col("cd")).alias("euler_term"),
+    )
 
 
 def pyramid_tile_stats(

@@ -3366,3 +3366,178 @@ def test_flow_direction_counts_hand(spark):
             exp[(tx, 0, best_code)] = exp.get((tx, 0, best_code), 0) + 1
     assert got == exp
     assert sum(v for (tx, ty, c), v in exp.items() if c == 0) > 0
+
+
+def test_octant_rules_vs_atan2():
+    """The shared octant rule table == floor(atan2/45°) binning for
+    every integer vector in a dense grid (all sign/boundary cases:
+    v==u, v==-u, axes) — the exactness contract both engines render."""
+    import math
+
+    import numpy as np
+    from greenex_py_spark.operators.focal import _octant_of
+
+    span = np.arange(-4, 5, dtype=np.int64)
+    u, v = np.meshgrid(span, span)
+    u, v = u.ravel(), v.ravel()
+    got = _octant_of(u, v)
+    for ui, vi, gi in zip(u.tolist(), v.tolist(), got.tolist()):
+        if ui == 0 and vi == 0:
+            assert gi == -1
+        else:
+            ang = math.degrees(math.atan2(vi, ui)) % 360.0
+            assert gi == int(ang // 45.0), (ui, vi, ang)
+    assert -2 not in set(got.tolist())
+
+
+def test_aspect_octant_counts_cross_tile(spark):
+    """Tiled aspect histogram == global-array brute force, including
+    seam pixels whose Horn window spans both tiles."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import (
+        _octant_of, aspect_octant_counts,
+    )
+
+    z = np.array(
+        [[float(x * y - 3 * x + 2 * y) for x in range(8)] for y in range(4)]
+    )
+    tiles, grid = _two_tile_fixture(spark, z)
+    got = {}
+    for r in aspect_octant_counts(tiles, grid, quant=1e3).collect():
+        got[(r["tx"], r["ty"], r["octant"])] = r["n_px"]
+
+    q = np.round(z * 1e3).astype(np.int64)
+    exp = {}
+    for y in range(1, 3):
+        for x in range(1, 7):
+            nx = int(q[y-1, x+1] + 2*q[y, x+1] + q[y+1, x+1]
+                     - q[y-1, x-1] - 2*q[y, x-1] - q[y+1, x-1])
+            ny = int(q[y+1, x-1] + 2*q[y+1, x] + q[y+1, x+1]
+                     - q[y-1, x-1] - 2*q[y-1, x] - q[y-1, x+1])
+            o = int(_octant_of(np.array([-nx]), np.array([-ny]))[0])
+            k = (x // 4, 0, o)
+            exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+def test_ruggedness_tile_stats_hand(spark):
+    """TPI/TRI/roughness per tile vs brute force; a constant column
+    forces flat pixels (tpi8 == 0 is NOT a ridge)."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import ruggedness_tile_stats
+
+    z = np.array(
+        [[float(abs(x - 3) * 2 + (y if x > 4 else 0)) for x in range(8)]
+         for y in range(4)]
+    )
+    tiles, grid = _two_tile_fixture(spark, z)
+    got = {
+        (r["tx"], r["ty"]): r
+        for r in ruggedness_tile_stats(tiles, grid, quant=1e3).collect()
+    }
+
+    q = np.round(z * 1e3).astype(np.int64)
+    stats = {}
+    for y in range(1, 3):
+        for x in range(1, 7):
+            win = q[y-1:y+2, x-1:x+2]
+            tpi8 = int(8 * q[y, x] - (win.sum() - q[y, x]))
+            tri = int(np.abs(q[y, x] - win).sum())
+            rough = int(win.max() - win.min())
+            s = stats.setdefault(x // 4, {"n": 0, "ridge": 0, "sum_tri": 0,
+                                          "max_tri": 0, "max_rough": 0})
+            s["n"] += 1
+            s["ridge"] += int(tpi8 > 0)
+            s["sum_tri"] += tri
+            s["max_tri"] = max(s["max_tri"], tri)
+            s["max_rough"] = max(s["max_rough"], rough)
+    for tx, s in stats.items():
+        r = got[(tx, 0)]
+        assert r["n_interior"] == s["n"]
+        assert r["n_ridge"] == s["ridge"]
+        assert r["sum_tri"] == s["sum_tri"]
+        assert r["max_tri"] == s["max_tri"]
+        assert r["max_rough"] == s["max_rough"]
+        assert r["mean_tri"] == round(s["sum_tri"] / s["n"] / 1e3, 6)
+
+
+def test_anchor_text_profile_hand(spark):
+    """(href, text) zip alignment, drop rules, count/argmax with the
+    text-ascending tiebreak."""
+    from greenex_py_spark.functions.links import anchor_text_profile
+
+    html = (
+        '<html><A HREF="https://B.Example/x">Beta</A>'
+        '<a href="https://b.example/y">Alpha</a>'
+        '<a href="https://b.example/z">Alpha</a>'
+        '<a href="//cdn.example/l">cdn lib</a>'
+        '<a class="z" href="/self/page.html">home</a>'
+        '<a href="#top">skipme</a><a href="mailto:a@b.c">m</a>'
+        '<a href="">e</a></html>'
+    )
+    df = spark.createDataFrame(
+        [("https://src.example/p/1", bytearray(html, "utf-8"))],
+        "url string, html binary",
+    )
+    got = {r["dst_host"]: r for r in anchor_text_profile(df).collect()}
+    assert set(got) == {"b.example", "cdn.example", "src.example"}
+    b = got["b.example"]
+    assert (b["n_anchors"], b["n_texts"]) == (3, 2)
+    assert (b["top_anchor"], b["top_n"]) == ("Alpha", 2)
+    assert got["cdn.example"]["top_anchor"] == "cdn lib"
+    assert got["src.example"]["n_anchors"] == 1
+
+
+def _gray_counts(m):
+    """Whole-array Gray quad counts over the zero-padded mask."""
+    import numpy as np
+
+    p = np.zeros((m.shape[0] + 2, m.shape[1] + 2), dtype=np.int64)
+    p[1:-1, 1:-1] = m
+    a, b = p[:-1, :-1], p[:-1, 1:]
+    c, d = p[1:, :-1], p[1:, 1:]
+    s = a + b + c + d
+    cd = int((((a == 1) & (d == 1) & (s == 2)).sum())
+             + (((b == 1) & (c == 1) & (s == 2)).sum()))
+    return int((s == 1).sum()), int((s == 3).sum()), cd
+
+
+def test_euler_tile_stats_ring_topology(spark):
+    """A seam-spanning ring with a hole plus an isolated pixel:
+    Euler = components - holes = 2 - 1 = 1; per-tile partials sum to
+    the whole-array Gray counts."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import euler_tile_stats
+
+    mask = np.zeros((4, 8), dtype=np.int64)
+    mask[1, 1:6] = 1
+    mask[3, 1:6] = 1
+    mask[2, 1] = mask[2, 5] = 1     # ring rows 1-3, hole at (2, 2..4)
+    mask[2, 7] = 1                  # isolated pixel in tile 1
+    z = np.where(mask == 1, 1.0, -1.0)
+    tiles, grid = _two_tile_fixture(spark, z)
+    rows = euler_tile_stats(tiles, grid, quant=1e3).collect()
+    assert sum(r["n_green"] for r in rows) == int(mask.sum())
+    assert sum(r["euler_term"] for r in rows) % 4 == 0
+    assert sum(r["euler_term"] for r in rows) // 4 == 1
+    c1, c3, cd = _gray_counts(mask)
+    assert (sum(r["c1"] for r in rows), sum(r["c3"] for r in rows),
+            sum(r["cd"] for r in rows)) == (c1, c3, cd)
+
+
+def test_euler_tile_stats_random_masks(spark):
+    """Tiled quad-count partials == whole-array counts for random
+    masks (window-ownership partition is exact, seams included)."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import euler_tile_stats
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        mask = (rng.rand(4, 8) < 0.5).astype(np.int64)
+        z = np.where(mask == 1, 1.0, -1.0)
+        tiles, grid = _two_tile_fixture(spark, z)
+        rows = euler_tile_stats(tiles, grid, quant=1e3).collect()
+        c1, c3, cd = _gray_counts(mask)
+        assert (sum(r["c1"] for r in rows), sum(r["c3"] for r in rows),
+                sum(r["cd"] for r in rows)) == (c1, c3, cd), trial
+        assert sum(r["n_green"] for r in rows) == int(mask.sum())
