@@ -5785,6 +5785,246 @@ ORACLES["q_euler_green"] = _euler_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_edge_density — green-mask perimeter per tile (FRAGSTATS edge metric)
+# ---------------------------------------------------------------------------
+
+
+def _edge_density_oracle(quant: float = 1e6) -> str:
+    npx = city.NPX
+
+    def mq(x_expr: str, y_expr: str) -> str:
+        q = (
+            "CAST(round(("
+            + city.NDVI_SQL.format(
+                px_x=f"{city.X0} + (({x_expr}) + 0.5) * {city.RES}",
+                px_y=f"{city.Y0} + (({y_expr}) + 0.5) * {city.RES}",
+            )
+            + f") * {quant}) AS BIGINT)"
+        )
+        return (
+            f"(CASE WHEN ({x_expr}) BETWEEN 0 AND {npx - 1}"
+            f" AND ({y_expr}) BETWEEN 0 AND {npx - 1}"
+            f" AND ({q}) > 0 THEN 1 ELSE 0 END)"
+        )
+
+    nw = npx + 1
+    return f"""
+WITH hp AS (
+  SELECT i % {nw} - 1 AS hx, i // {nw} AS hy
+  FROM (SELECT unnest(generate_series(0, {nw * npx - 1})) AS i)
+),
+ha AS (SELECT least(hx + 1, {npx - 1}) // {city.TILE_PX} AS tx,
+              hy // {city.TILE_PX} AS ty,
+              CAST(count(*) FILTER (
+                WHERE {mq('hx', 'hy')} <> {mq('hx + 1', 'hy')}
+              ) AS BIGINT) AS h_edges
+       FROM hp GROUP BY tx, ty),
+vp AS (
+  SELECT i % {npx} AS vx, i // {npx} - 1 AS vy
+  FROM (SELECT unnest(generate_series(0, {npx * nw - 1})) AS i)
+),
+va AS (SELECT vx // {city.TILE_PX} AS tx,
+              least(vy + 1, {npx - 1}) // {city.TILE_PX} AS ty,
+              CAST(count(*) FILTER (
+                WHERE {mq('vx', 'vy')} <> {mq('vx', 'vy + 1')}
+              ) AS BIGINT) AS v_edges
+       FROM vp GROUP BY tx, ty)
+SELECT h.tx, h.ty, h.h_edges, v.v_edges,
+       h.h_edges + v.v_edges AS n_edges,
+       round(CAST(h.h_edges + v.v_edges AS DOUBLE) * {city.RES!r}, 6)
+         AS perim_m
+FROM ha h JOIN va v ON v.tx = h.tx AND v.ty = h.ty
+"""
+
+
+@register("q_edge_density", None)  # generated oracle attached below
+def q_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-mask boundary length per tile — the count of 4-adjacent
+    (green, non-green) pixel pairs (raster border zero-padded) times
+    the 10 m pixel size.  Together with q_mean_ndvi's area terms and
+    q_euler_green's patch topology this is the FRAGSTATS core
+    (area / perimeter / fragmentation), every term an exact int64
+    partial sum over tiles with each adjacency owned by exactly one
+    tile.  The oracle enumerates all horizontal and vertical pairs
+    independently; the engine runs the shared halo exchange."""
+    from .operators.focal import edge_density_tile_stats
+
+    return edge_density_tile_stats(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+ORACLES["q_edge_density"] = _edge_density_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_window_stream — watermarked tumbling-window streaming aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_stream",
+    """
+WITH cutoff AS (SELECT max(ts) - INTERVAL 2 DAY AS wm FROM events),
+w AS (SELECT event_type, date_trunc('day', ts) AS ws FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(ws + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS win_end,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM w, cutoff
+WHERE ws + INTERVAL 1 DAY <= wm
+GROUP BY ws, event_type
+""",
+)
+def q_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate in the gate: two
+    AvailableNow drains of the event table (the second — an empty
+    delta file — advances the watermark past the last closed windows
+    and flushes them from the state store), append-mode semantics: a
+    window reaches the sink iff its end <= final watermark
+    (max event time − 2 days).  The oracle is the batch twin —
+    date_trunc GROUP BY plus the same closure predicate — so the
+    streaming state machine is hash-checked against closed-form SQL.
+    Session timezone is UTC (greenex_py_spark/session.py), making
+    Spark's epoch-aligned 1-day windows equal date_trunc('day')."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import windowed_event_counts
+    from .streaming.sessionize import EVENT_SCHEMA
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"q_window_stream_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(8).write.parquet(src)
+    windowed_event_counts(spark, src, sink, ckpt)
+    # empty delta: one more micro-batch in which the watermark-closed
+    # windows are evicted from state into the sink
+    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    windowed_event_counts(spark, src, sink, ckpt)
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_interval_join — bucketed point-in-interval join on the event stream
+# ---------------------------------------------------------------------------
+
+
+_IV_EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC
+_IV_N = 40
+
+
+@register(
+    "q_interval_join",
+    f"""
+WITH iv AS (
+  SELECT i AS iv_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 17 HOUR AS s,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 17 HOUR
+           + (i % 5 + 1) * INTERVAL 1 HOUR AS e,
+         'w' || CAST(i % 3 AS VARCHAR) AS tag
+  FROM (SELECT unnest(generate_series(0, {_IV_N - 1})) AS i)
+)
+SELECT iv.iv_id, iv.tag, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(ev.value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_vq
+FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+GROUP BY iv.iv_id, iv.tag
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (events × planted campaign windows:
+    40 closed-form intervals, 1-5 h long, every 17 h) via the bucketed
+    equi-join of operators/interval.py — a hash join on the day
+    bucket plus a residual range filter, never the
+    BroadcastNestedLoopJoin Spark would pick for a raw BETWEEN join.
+    Values are quantised to int64 before summing so the aggregate is
+    order-free; the oracle runs the naive range join directly."""
+    from .operators.interval import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iid = F.col("id")
+    iv = spark.range(_IV_N).select(
+        iid.alias("iv_id"),
+        F.timestamp_seconds(F.lit(_IV_EPOCH0) + iid * 17 * 3600).alias("s"),
+        F.timestamp_seconds(
+            F.lit(_IV_EPOCH0) + iid * 17 * 3600 + (iid % 5 + 1) * 3600
+        ).alias("e"),
+        F.concat(F.lit("w"), (iid % 3).cast("string")).alias("tag"),
+    )
+    j = interval_join(ev, iv, ts_col="ts", start_col="s", end_col="e")
+    return j.groupBy("iv_id", "tag").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sum_vq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_focal_majority — 3×3 modal filter on the landcover raster
+# ---------------------------------------------------------------------------
+
+
+def _focal_majority_oracle() -> str:
+    npx = city.NPX
+    cls_nb = city.LC_SQL.format(ix="ix + dx", iy="iy + dy")
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+offs(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),
+                        (-1,1),(0,1),(1,1)),
+nb AS (SELECT ix, iy, ({cls_nb}) AS cls
+       FROM px CROSS JOIN offs
+       WHERE ix + dx BETWEEN 0 AND {npx - 1}
+         AND iy + dy BETWEEN 0 AND {npx - 1}),
+cnts AS (SELECT ix, iy, cls, count(*) AS cnt
+         FROM nb GROUP BY ix, iy, cls),
+md AS (SELECT ix, iy, max(cnt * 128 + (127 - cls)) AS k
+       FROM cnts GROUP BY ix, iy)
+SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+       CAST(127 - (k % 128) AS BIGINT) AS mode_class,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM md GROUP BY tx, ty, mode_class
+"""
+
+
+@register("q_focal_majority", None)  # generated oracle attached below
+def q_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal MAJORITY filter over the categorical landcover raster
+    (ArcGIS Focal Statistics MAJORITY / GRASS r.neighbors mode — the
+    salt-and-pepper smoothing pass before zonal landcover stats such
+    as q_landcover_pct), histogrammed per tile.  Ties break to the
+    smallest class code; edge pixels see fewer neighbours.  Exact
+    integer counts end to end; the oracle packs the per-pixel argmax
+    into one ``cnt·128 + (127 − class)`` max while the engine runs
+    per-class shifted adds over the shared halo canvas — the two
+    sides share no code path."""
+    from .operators.focal import majority_tile_counts
+
+    return majority_tile_counts(
+        city.tiles_df(spark, "landcover"), city.grid(),
+        class_values=list(city.LC_CLASSES), quant=1.0,
+    )
+
+
+ORACLES["q_focal_majority"] = _focal_majority_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q_anchor_text — per-destination-host anchor-text index
 # ---------------------------------------------------------------------------
 

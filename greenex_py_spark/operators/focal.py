@@ -35,6 +35,7 @@ __all__ = [
     "focal_tile_stats", "slope_tile_stats", "pyramid_tile_stats",
     "hillshade_tile_stats", "flow_direction_counts",
     "aspect_octant_counts", "ruggedness_tile_stats", "euler_tile_stats",
+    "edge_density_tile_stats", "majority_tile_counts",
     "octant_case_sql", "quantize_half_away",
 ]
 
@@ -663,6 +664,110 @@ def euler_tile_stats(
         "tx", "ty", "n_green", "c1", "c3", "cd",
         (F.col("c1") - F.col("c3") + 2 * F.col("cd")).alias("euler_term"),
     )
+
+
+def edge_density_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+    threshold_q: int = 0,
+) -> DataFrame:
+    """[tx, ty, h_edges, v_edges, n_edges, perim_m] — green-mask
+    boundary length per tile: the count of 4-adjacent (foreground,
+    background) pixel pairs, zero-padded at the raster border, times
+    the pixel size.  With ``n_green`` (area) and the Euler number
+    (``euler_tile_stats``) this completes the FRAGSTATS core triple —
+    area / perimeter / patch topology — every term distributive over
+    tiles: each adjacency is owned by exactly one tile (the tile of
+    its right/upper pixel, clamped at the raster edge), so landscape
+    fragmentation over 100 TB of raster is one halo exchange and
+    integer partial sums.  Counts exact int64; the single multiply by
+    ``res`` runs in Catalyst.
+    """
+    out_schema = "tx long, ty long, h_edges long, v_edges long"
+    n_tx, n_ty = grid.n_tiles_x, grid.n_tiles_y
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        m = (canvas > threshold_q).astype(np.int64)
+        ex = w + (1 if tx == n_tx - 1 else 0)
+        ey = h + (1 if ty == n_ty - 1 else 0)
+        # horizontal pairs: left pixel at canvas cx in [0, ex-1], rows
+        # are this tile's real rows (cy in [1, h])
+        hl = m[1:h + 1, 0:ex]
+        hr = m[1:h + 1, 1:ex + 1]
+        # vertical pairs: lower pixel at canvas cy in [0, ey-1]
+        vl = m[0:ey, 1:w + 1]
+        vu = m[1:ey + 1, 1:w + 1]
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty],
+                "h_edges": [int((hl != hr).sum())],
+                "v_edges": [int((vl != vu).sum())],
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    stats = parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+    return stats.select(
+        "tx", "ty", "h_edges", "v_edges",
+        (F.col("h_edges") + F.col("v_edges")).alias("n_edges"),
+        F.round(
+            (F.col("h_edges") + F.col("v_edges")).cast("double")
+            * F.lit(float(grid.res)),
+            6,
+        ).alias("perim_m"),
+    )
+
+
+def majority_tile_counts(
+    tiles: DataFrame,
+    grid: GridSpec,
+    class_values: list[int],
+    quant: float = 1.0,
+) -> DataFrame:
+    """[tx, ty, mode_class, n_px] — 3×3 focal MAJORITY (modal) filter
+    over a categorical raster, histogrammed per tile: the standard
+    landcover smoothing pass (ArcGIS Focal Statistics MAJORITY /
+    GRASS r.neighbors mode) that removes salt-and-pepper
+    classification noise before zonal stats.
+
+    Per pixel the mode of the <= 9 in-raster window classes; ties
+    break to the SMALLEST class code (deterministic, engine-portable —
+    ArcGIS's NODATA-on-tie would erase data).  Edge pixels see fewer
+    neighbours (GDAL edge semantics, same as focal_tile_stats).
+    ``class_values`` is the categorical domain (a dim-sized list, e.g.
+    a landcover legend — passed explicitly, operators never import
+    fixtures); counts are exact integers end to end, so there is no
+    FP anywhere.  Same single halo exchange as the rest of the family.
+    """
+    out_schema = "tx long, ty long, mode_class long, n_px long"
+    classes = sorted(int(c) for c in class_values)
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        best_cnt = np.zeros((h, w), dtype=np.int64)
+        best_cls = np.full((h, w), np.int64(classes[0]), dtype=np.int64)
+        for cls in classes:  # ascending: strict > keeps the smallest on tie
+            cnt = np.zeros((h, w), dtype=np.int64)
+            hit = ((canvas == cls) & (mask == 1)).astype(np.int64)
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    cnt += hit[dy:dy + h, dx:dx + w]
+            upd = cnt > best_cnt
+            best_cnt = np.where(upd, cnt, best_cnt)
+            best_cls = np.where(upd, cls, best_cls)
+        codes, counts = np.unique(best_cls, return_counts=True)
+        return pd.DataFrame(
+            {
+                "tx": tx, "ty": ty,
+                "mode_class": codes.astype(np.int64),
+                "n_px": counts.astype(np.int64),
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    return parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
 
 
 def pyramid_tile_stats(

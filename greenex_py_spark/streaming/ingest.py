@@ -74,3 +74,44 @@ def windowed_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> None:
+    """Watermarked tumbling-window counts per event type over the
+    event stream (append mode): only windows the final watermark has
+    CLOSED reach the sink — late events inside the 2-day horizon still
+    land in their true window, later ones are dropped.  This is the
+    canonical Structured-Streaming windowed aggregate (partial aggs in
+    the state store, one shuffle on the window/type key); the batch
+    twin is a date_trunc GROUP BY, which is exactly what the gate
+    oracle runs plus the watermark closure rule.
+    """
+    from .sessionize import EVENT_SCHEMA
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type", "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

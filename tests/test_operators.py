@@ -3541,3 +3541,100 @@ def test_euler_tile_stats_random_masks(spark):
         assert (sum(r["c1"] for r in rows), sum(r["c3"] for r in rows),
                 sum(r["cd"] for r in rows)) == (c1, c3, cd), trial
         assert sum(r["n_green"] for r in rows) == int(mask.sum())
+
+
+def test_edge_density_tile_stats(spark):
+    """Adjacency-pair partials == whole-array perimeter count for the
+    ring fixture and random masks (pair ownership exact at seams and
+    the padded border)."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import edge_density_tile_stats
+
+    def brute(mask):
+        p = np.zeros((mask.shape[0] + 2, mask.shape[1] + 2), dtype=np.int64)
+        p[1:-1, 1:-1] = mask
+        hor = int((p[:, :-1] != p[:, 1:])[1:-1, :].sum())
+        ver = int((p[:-1, :] != p[1:, :])[:, 1:-1].sum())
+        return hor, ver
+
+    rng = np.random.RandomState(11)
+    masks = [(rng.rand(4, 8) < 0.5).astype(np.int64) for _ in range(2)]
+    ring = np.zeros((4, 8), dtype=np.int64)
+    ring[1:4, 1:6] = 1
+    ring[2, 2:5] = 0
+    masks.append(ring)
+    for i, mask in enumerate(masks):
+        z = np.where(mask == 1, 1.0, -1.0)
+        tiles, grid = _two_tile_fixture(spark, z)
+        rows = edge_density_tile_stats(tiles, grid, quant=1e3).collect()
+        hor, ver = brute(mask)
+        assert (sum(r["h_edges"] for r in rows),
+                sum(r["v_edges"] for r in rows)) == (hor, ver), i
+        for r in rows:
+            assert r["n_edges"] == r["h_edges"] + r["v_edges"]
+            assert r["perim_m"] == round(float(r["n_edges"]) * grid.res, 6)
+
+
+def test_interval_join_boundaries(spark):
+    """End-exclusive semantics, bucket-spanning intervals, and the
+    one-bucket-per-event no-dup guarantee."""
+    import datetime as dt
+
+    from greenex_py_spark.operators.interval import interval_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def t(h, m=0, s=0, us=0):
+        return T0 + dt.timedelta(hours=h, minutes=m, seconds=s,
+                                 microseconds=us)
+
+    ev = spark.createDataFrame(
+        [(1, t(0)), (2, t(5)), (3, t(30)), (4, t(26)),
+         (5, t(30, 0, 0, 1)), (6, t(23, 59, 59, 999999))],
+        "eid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, t(0), t(6)),      # ev1 at start (incl), ev2 inside
+         (11, t(20), t(30)),    # spans the day boundary; ev3 at end EXCL
+         (12, t(29), t(31))],   # ev3 at 30 inside, ev5 just after
+        "iv_id long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["eid"], r["iv_id"])
+        for r in interval_join(ev, iv, ts_col="ts").collect()
+    )
+    assert got == [(1, 10), (2, 10), (3, 12), (4, 11), (5, 12), (6, 11)]
+
+
+def test_majority_tile_counts_hand(spark):
+    """Modal filter vs brute force on a planted categorical raster
+    with engineered ties (smallest class wins) and edge windows."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import majority_tile_counts
+
+    classes = [0, 10, 30]
+    z = np.array(
+        [[float(classes[(x + 2 * y) % 3]) for x in range(8)]
+         for y in range(4)]
+    )
+    tiles, grid = _two_tile_fixture(spark, z)
+    got = {}
+    for r in majority_tile_counts(tiles, grid, classes, quant=1.0).collect():
+        got[(r["tx"], r["ty"], r["mode_class"])] = r["n_px"]
+
+    c = z.astype(np.int64)
+    exp = {}
+    for y in range(4):
+        for x in range(8):
+            best_cnt, best_cls = 0, classes[0]
+            for cls in classes:
+                cnt = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if 0 <= y + dy < 4 and 0 <= x + dx < 8:
+                            cnt += int(c[y + dy, x + dx] == cls)
+                if cnt > best_cnt:
+                    best_cnt, best_cls = cnt, cls
+            k = (x // 4, 0, best_cls)
+            exp[k] = exp.get(k, 0) + 1
+    assert got == exp
