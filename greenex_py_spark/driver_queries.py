@@ -6025,6 +6025,58 @@ ORACLES["q_focal_majority"] = _focal_majority_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_gram_cov — exact distributed Gram / covariance screen on embeddings
+# ---------------------------------------------------------------------------
+
+
+def _gram_cov_oracle(k: int = 20, quant: float = 1e6) -> str:
+    dim = _embedding_dim()
+    return f"""
+WITH x AS (SELECT vec_id, i - 1 AS di,
+                  -- cast BEFORE the multiply: FLOAT * DOUBLE runs in
+                  -- float32 in DuckDB and flips quantisation boundaries
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * {quant!r})
+                       AS BIGINT) AS xq
+           FROM embeddings,
+                (SELECT unnest(generate_series(1, {dim})) AS i) dims),
+nn AS (SELECT count(*) AS n FROM embeddings),
+s AS (SELECT di, CAST(sum(xq) AS BIGINT) AS sx FROM x GROUP BY di),
+p AS (SELECT a.di AS di, b.di AS dj,
+             CAST(sum(a.xq * b.xq) AS BIGINT) AS sxy
+      FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.di > a.di
+      GROUP BY a.di, b.di),
+c AS (SELECT p.di, p.dj, p.sxy,
+             nn.n * p.sxy - sa.sx * sb.sx AS cov_num
+      FROM p CROSS JOIN nn
+      JOIN s sa ON sa.di = p.di
+      JOIN s sb ON sb.di = p.dj),
+r AS (SELECT di, dj, sxy, cov_num,
+             row_number() OVER (ORDER BY abs(cov_num) DESC, di, dj) AS rank
+      FROM c)
+SELECT di, dj, sxy, cov_num, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+@register("q_gram_cov", None)  # generated oracle attached below
+def q_gram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 dimension pairs of the embedding store by |covariance| —
+    the feature-correlation screen before whitening/PCA — via exact
+    integer Gram partials: each Arrow batch reduces to one O(d²)
+    partial (XᵀX upper triangle + sums + count) so raw vectors never
+    shuffle; the covariance numerator n·Σxy − Σx·Σy is exact int64,
+    order-free on both engines.  The oracle unnests components and
+    runs the naive pair join — no shared code path."""
+    from .functions.similarity import gram_covariance_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return gram_covariance_topk(emb, dim=_embedding_dim())
+
+
+ORACLES["q_gram_cov"] = _gram_cov_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q_anchor_text — per-destination-host anchor-text index
 # ---------------------------------------------------------------------------
 

@@ -582,3 +582,89 @@ def knn_label_accuracy(
             ).alias("accuracy"),
         )
     )
+
+
+def gram_covariance_topk(
+    emb: DataFrame,
+    dim: int,
+    quant: float = 1e6,
+    k: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[di, dj, sxy, cov_num, rank] — the top-k dimension PAIRS of the
+    embedding matrix by |covariance|, via exact distributed Gram
+    aggregation: the feature-correlation screen run before whitening /
+    PCA / feature pruning of an embedding store.
+
+    Shape is the textbook one for second-moment statistics at scale:
+    every Arrow batch reduces its rows to ONE d(d−1)/2 + d + 1-sized
+    integer partial (upper-triangle XᵀX, per-dim sums, count) inside
+    ``mapInPandas``, so raw vectors never shuffle — only O(d²) partials
+    per task do, and the single groupBy is map-side combinable.  On
+    quantised int64 components every partial and the covariance
+    numerator ``n·Σxy − Σx·Σy`` are exact (no FP, no order
+    sensitivity); magnitudes stay under 2^63 for |x|·quant ≲ 1e6 and
+    n ≲ 1e6 — beyond that swap the partials to float64/HUGEINT, the
+    plan is unchanged.  Ranking ties break by (di, dj) ascending.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim)
+    iu, ju = np.triu_indices(d, 1)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            s = x * quant
+            xq = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+            g = xq.T @ xq  # (d, d) exact int64
+            sx = xq.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "di": np.concatenate([iu, np.arange(d), [-1]]),
+                    "dj": np.concatenate([ju, np.full(d, -1), [-1]]),
+                    "v": np.concatenate([g[iu, ju], sx, [len(pdf)]]),
+                }
+            )
+
+    agg = (
+        emb.select(vec_col)
+        .mapInPandas(partials, schema="di long, dj long, v long")
+        .groupBy("di", "dj")
+        .agg(F.sum("v").alias("v"))
+        # the d²-sized aggregate feeds THREE branches below (pairs +
+        # two sum lookups + n); without a checkpoint Catalyst re-runs
+        # the full embedding scan once per branch (no subtree CSE)
+        .localCheckpoint()
+    )
+    pairs = agg.filter(F.col("dj") >= 0).select(
+        "di", "dj", F.col("v").alias("sxy")
+    )
+    sums = agg.filter((F.col("di") >= 0) & (F.col("dj") == -1)).select(
+        F.col("di").alias("d"), F.col("v").alias("sx")
+    )
+    n = agg.filter(F.col("di") == -1).select(F.col("v").alias("n"))
+    c = (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(sums).withColumnRenamed("sx", "sa"),
+              F.col("di") == F.col("d")).drop("d")
+        .join(F.broadcast(sums).withColumnRenamed("sx", "sb"),
+              F.col("dj") == F.col("d")).drop("d")
+        .select(
+            "di", "dj", "sxy",
+            (F.col("n") * F.col("sxy") - F.col("sa") * F.col("sb")).alias(
+                "cov_num"
+            ),
+        )
+    )
+    w = Window.orderBy(F.abs(F.col("cov_num")).desc(), "di", "dj")
+    return (
+        c.select("di", "dj", "sxy", "cov_num",
+                 F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -3638,3 +3638,34 @@ def test_majority_tile_counts_hand(spark):
             k = (x // 4, 0, best_cls)
             exp[k] = exp.get(k, 0) + 1
     assert got == exp
+
+
+def test_gram_covariance_topk_hand(spark):
+    """Exact covariance numerators vs a NumPy brute force on a small
+    planted matrix (multi-partition: partial Gram merge is exercised)."""
+    import numpy as np
+    from greenex_py_spark.functions.similarity import gram_covariance_topk
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(40, 5).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    got = {
+        (r["di"], r["dj"]): (r["sxy"], r["cov_num"], r["rank"])
+        for r in gram_covariance_topk(df, dim=5, quant=1e6, k=10).collect()
+    }
+    s = x.astype(np.float64) * 1e6
+    xq = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+    g = xq.T @ xq
+    sx = xq.sum(axis=0)
+    n = len(x)
+    exp = {}
+    for i in range(5):
+        for j in range(i + 1, 5):
+            exp[(i, j)] = (int(g[i, j]), int(n * g[i, j] - sx[i] * sx[j]))
+    ranked = sorted(exp, key=lambda k: (-abs(exp[k][1]), k))
+    assert len(got) == 10
+    for rk, key in enumerate(ranked, start=1):
+        assert got[key] == (exp[key][0], exp[key][1], rk)
