@@ -6077,6 +6077,59 @@ ORACLES["q_gram_cov"] = _gram_cov_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_hex_bin — H3-style hexagonal cell assignment + density
+# ---------------------------------------------------------------------------
+
+
+_HEX_SIZE = 400.0  # hex circumradius, m
+
+
+def _hex_bin_oracle() -> str:
+    from .geo.cells import hex_cell_sql
+
+    hq, hr = hex_cell_sql("x", "y", _HEX_SIZE)
+    return f"""
+WITH pts AS ({city.points_sql()}),
+h AS (SELECT {hq} AS hq, {hr} AS hr,
+             CASE WHEN doc_id % 10 < 6 THEN 1 ELSE 0 END AS core
+      FROM pts)
+SELECT hq, hr, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(core) AS BIGINT) AS n_core
+FROM h GROUP BY hq, hr
+"""
+
+
+@register("q_hex_bin", None)  # generated oracle attached below
+def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell density of the geocoded corpus points — the
+    H3-style binning of the north star (planar axial lattice; true
+    icosahedral H3 needs the h3 lib, absent here — join/agg shapes are
+    identical).  Cell assignment is cube rounding rendered from ONE
+    constant set into both engines (geo/cells.py:hex_cell_cols /
+    hex_cell_sql) — every per-row op a correctly-rounded IEEE
+    primitive in fixed order, so the int cell ids are bit-identical.
+    Pure codegen: no UDF, one map-side-combinable aggregate."""
+    from .geo.cells import hex_cell_cols
+
+    pts = city.points_df(spark, sf_dir)
+    hq, hr = hex_cell_cols(F.col("x"), F.col("y"), _HEX_SIZE)
+    return (
+        pts.select(
+            hq, hr,
+            F.when(F.col("doc_id") % 10 < 6, F.lit(1)).otherwise(F.lit(0)).alias("core"),
+        )
+        .groupBy("hq", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum("core").cast("long").alias("n_core"),
+        )
+    )
+
+
+ORACLES["q_hex_bin"] = _hex_bin_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q_anchor_text — per-destination-host anchor-text index
 # ---------------------------------------------------------------------------
 

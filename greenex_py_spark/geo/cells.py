@@ -153,3 +153,65 @@ def hilbert_xy2d(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
         s >>= 1
     return d
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (H3-style axial grid on the projected plane)
+# ---------------------------------------------------------------------------
+
+# axial-transform constants for a pointy-top hex lattice of circumradius
+# ``size``:  qf = (x·HEX_QX − y·HEX_QY) / size,  rf = y·HEX_RY / size.
+# Computed once here and rendered with repr() into the SQL oracle, so
+# both engines evaluate the identical correctly-rounded double chain
+# (the same no-per-row-transcendentals contract as hillshade_constants).
+HEX_QX = 0.5773502691896257  # sqrt(3)/3
+HEX_QY = 1.0 / 3.0
+HEX_RY = 2.0 / 3.0
+
+
+def hex_cell_cols(x_col, y_col, size: float):
+    """(hq, hr) Spark Columns — axial hex coordinates of each point via
+    cube rounding (Red Blob Games' canonical algorithm), entirely in
+    Catalyst codegen: fractional axial coords, floor(·+0.5) per cube
+    axis, then the largest-residual axis is recomputed from the other
+    two so hq+hr+hs == 0 holds exactly.  Every op is a correctly-
+    rounded IEEE primitive in a fixed association order, so the SQL
+    twin (:func:`hex_cell_sql`) is bit-identical — ties in the residual
+    comparison resolve the same way on both engines.
+
+    This is the planar stand-in for H3 cell assignment (the true H3
+    icosahedral projection needs the h3 lib, absent in the sandbox);
+    downstream join/agg shapes are identical.
+    """
+    from pyspark.sql import functions as F
+
+    xf = (x_col * F.lit(HEX_QX) - y_col * F.lit(HEX_QY)) / F.lit(float(size))
+    zf = y_col * F.lit(HEX_RY) / F.lit(float(size))
+    yf = -xf - zf
+    rx = F.floor(xf + F.lit(0.5)).cast("double")
+    ry = F.floor(yf + F.lit(0.5)).cast("double")
+    rz = F.floor(zf + F.lit(0.5)).cast("double")
+    dx, dy, dz = F.abs(rx - xf), F.abs(ry - yf), F.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    hq = F.when(fix_x, -ry - rz).otherwise(rx)
+    hr = F.when(~fix_x & ~(dy > dz), -rx - ry).otherwise(rz)
+    return hq.cast("long").alias("hq"), hr.cast("long").alias("hr")
+
+
+def hex_cell_sql(x: str, y: str, size: float) -> tuple[str, str]:
+    """SQL twin of :func:`hex_cell_cols` — (hq_expr, hr_expr) rendered
+    from the same constants with the same association order."""
+    xf = f"((({x}) * {HEX_QX!r} - ({y}) * {HEX_QY!r}) / {float(size)!r})"
+    zf = f"(({y}) * {HEX_RY!r} / {float(size)!r})"
+    yf = f"(-{xf} - {zf})"
+    rx = f"CAST(floor({xf} + 0.5) AS DOUBLE)"
+    ry = f"CAST(floor({yf} + 0.5) AS DOUBLE)"
+    rz = f"CAST(floor({zf} + 0.5) AS DOUBLE)"
+    dx, dy, dz = (f"abs({rx} - {xf})", f"abs({ry} - {yf})", f"abs({rz} - {zf})")
+    fix_x = f"({dx} > {dy} AND {dx} > {dz})"
+    hq = f"CAST(CASE WHEN {fix_x} THEN -{ry} - {rz} ELSE {rx} END AS BIGINT)"
+    hr = (
+        f"CAST(CASE WHEN NOT {fix_x} AND NOT ({dy} > {dz})"
+        f" THEN -{rx} - {ry} ELSE {rz} END AS BIGINT)"
+    )
+    return hq, hr

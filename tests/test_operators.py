@@ -3669,3 +3669,33 @@ def test_gram_covariance_topk_hand(spark):
     assert len(got) == 10
     for rk, key in enumerate(ranked, start=1):
         assert got[key] == (exp[key][0], exp[key][1], rk)
+
+
+def test_hex_cell_nearest_center(spark):
+    """Cube-rounded hex assignment == nearest hex center (Euclidean)
+    for random points — the geometric contract of the axial lattice."""
+    import numpy as np
+    from greenex_py_spark.geo.cells import HEX_QX, HEX_QY, HEX_RY, hex_cell_cols
+    from pyspark.sql import functions as F
+
+    size = 10.0
+    rng = np.random.RandomState(5)
+    xs = rng.uniform(-100, 100, 300)
+    ys = rng.uniform(-100, 100, 300)
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "pid long, x double, y double",
+    )
+    hq, hr = hex_cell_cols(F.col("x"), F.col("y"), size)
+    got = {r["pid"]: (r["hq"], r["hr"]) for r in df.select("pid", hq, hr).collect()}
+
+    # hex center of axial (q, r): x = size*sqrt(3)*(q + r/2), y = size*3/2*r
+    s3 = 3.0 ** 0.5
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        q0, r0 = got[i]
+        d0 = (x - size * s3 * (q0 + r0 / 2)) ** 2 + (y - size * 1.5 * r0) ** 2
+        for dq in (-1, 0, 1):
+            for dr in (-1, 0, 1):
+                q, r = q0 + dq, r0 + dr
+                d = (x - size * s3 * (q + r / 2)) ** 2 + (y - size * 1.5 * r) ** 2
+                assert d0 <= d + 1e-9, (i, x, y, (q0, r0), (q, r))
