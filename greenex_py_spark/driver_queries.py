@@ -6130,6 +6130,91 @@ ORACLES["q_hex_bin"] = _hex_bin_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_resample_bilinear — R2 with the bilinear kernel on an offset grid
+# ---------------------------------------------------------------------------
+
+_RB_OX, _RB_OY, _RB_RES, _RB_NPX, _RB_TPX = 6.0, 9.0, 7.0, 500, 128
+
+# ORACLE PRECONDITION (same shape as q_resample's): the oracle evaluates
+# the 2×2 stencil unconditionally, the engine emits NaN when any of the
+# 4 source neighbours is outside the raster — so the target grid must
+# keep every stencil inside: first center >= half a source px past the
+# left/bottom source CENTER row, last center < the right/top one.
+for _off, _n in ((_RB_OX, _RB_NPX), (_RB_OY, _RB_NPX)):
+    assert _off + 0.5 * _RB_RES >= 0.5 * city.RES, "q_resample_bilinear stencil underrun"
+    assert _off + (_n - 0.5) * _RB_RES <= (city.NPX - 0.5) * city.RES, (
+        "q_resample_bilinear stencil overrun"
+    )
+
+
+def _rb_oracle() -> str:
+    u = f"((({city.X0 + _RB_OX} + (i.range + 0.5) * {_RB_RES}) - {city.X0}) / {city.RES} - 0.5)"
+    v = f"((({city.Y0 + _RB_OY} + (j.range + 0.5) * {_RB_RES}) - {city.Y0}) / {city.RES} - 0.5)"
+
+    def val(io: str, jo: str) -> str:
+        return city.NDVI_SQL.format(
+            px_x=f"{city.X0} + ((i0 + {io}) + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + ((j0 + {jo}) + 0.5) * {city.RES}",
+        )
+
+    return f"""
+WITH g AS (
+  SELECT CAST(i.range // {_RB_TPX} AS BIGINT) AS tx,
+         CAST(j.range // {_RB_TPX} AS BIGINT) AS ty,
+         CAST(floor({u}) AS BIGINT) AS i0,
+         CAST(floor({v}) AS BIGINT) AS j0,
+         {u} - floor({u}) AS fx,
+         {v} - floor({v}) AS fy
+  FROM range({_RB_NPX}) i, range({_RB_NPX}) j
+),
+b AS (
+  SELECT tx, ty,
+         ((1.0 - fy) * ((1.0 - fx) * ({val('0', '0')}) + fx * ({val('1', '0')}))
+          + fy * ((1.0 - fx) * ({val('0', '1')}) + fx * ({val('1', '1')}))) AS val
+  FROM g
+)
+SELECT tx, ty,
+       CAST(sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS checksum_e6,
+       count(*) AS n_px
+FROM b GROUP BY tx, ty
+"""
+
+
+@register("q_resample_bilinear", None)  # generated oracle attached below
+def q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 with the BILINEAR kernel (gdal.Warp -r bilinear companion to
+    q_resample's nearest gather): the 10 m NDVI raster interpolated
+    onto a 7 m grid offset by (6, 9) m, per-target-tile quantized
+    integer checksums.  The mixing chain (top/bot/val association
+    order) is rendered identically in the Arrow kernel and this
+    oracle; fractional offsets fx/fy are exact doubles on both
+    engines, so agreement is ulp-level before the 1e-6 quantize."""
+    from .geo.grid import GridSpec
+    from .operators.resample import resample_bilinear
+
+    tiles = city.tiles_df(spark, "ndvi")
+    dst = GridSpec(
+        city.X0 + _RB_OX, city.Y0 + _RB_OY, _RB_RES, _RB_TPX, _RB_NPX, _RB_NPX
+    )
+    out = resample_bilinear(tiles, dst, src_grid=city.grid())
+    return (
+        out.select(
+            F.col("tx").cast("long").alias("tx"),
+            F.col("ty").cast("long").alias("ty"),
+            F.explode("px").alias("v"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(F.floor(F.col("v") * 1000000 + 0.5).cast("long")).alias("checksum_e6"),
+            F.count("*").alias("n_px"),
+        )
+    )
+
+
+ORACLES["q_resample_bilinear"] = _rb_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q_anchor_text — per-destination-host anchor-text index
 # ---------------------------------------------------------------------------
 

@@ -230,3 +230,140 @@ def resample_nearest(
         "res double, w int, h int, px array<double>"
     )
     return joined.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
+
+
+def resample_bilinear(
+    src_tiles: DataFrame,
+    dst_grid: GridSpec,
+    src_grid: GridSpec | None = None,
+    layer: str | None = None,
+) -> DataFrame:
+    """Source tile table → target tile table, BILINEAR kernel (the
+    gdal.Warp -r bilinear companion to :func:`resample_nearest`):
+    each target pixel center interpolates the 4 surrounding source
+    pixel CENTERS with the fixed association order
+
+        top = (1-fx)·v00 + fx·v10;  bot = (1-fx)·v01 + fx·v11
+        val = (1-fy)·top + fy·bot
+
+    (mirrored verbatim in the gate oracle — only correctly-rounded
+    IEEE ops, so both engines agree to the last ulp given equal source
+    values).  Target centers whose 2×2 source neighbourhood is not
+    fully inside the raster yield NaN (no edge clamping — the oracle
+    contract; GDAL would clamp, documented divergence).
+
+    Plan shape = resample_nearest's halo-free gather: target tiles
+    enumerate from ``spark.range``, explode to the source tiles their
+    padded bbox overlaps (pad 1.5 source px: the 2×2 stencil reaches
+    one source pixel beyond the bbox), one equi-join, one Arrow kernel
+    per target tile assembling a local source canvas and doing four
+    fancy-indexed gathers.  Identity CRS only (compose a transform by
+    regridding through an intermediate grid with resample_nearest).
+    """
+    spark = src_tiles.sparkSession
+    if layer is not None and "layer" in src_tiles.columns:
+        src_tiles = src_tiles.filter(F.col("layer") == layer)
+    src_grid = src_grid or GridSpec.from_tiles(src_tiles)
+    sg, dg = src_grid, dst_grid
+
+    n_dst = dg.n_tiles_x * dg.n_tiles_y
+    base = spark.range(n_dst).select(
+        (F.col("id") % dg.n_tiles_x).cast("int").alias("tx"),
+        (F.col("id") / dg.n_tiles_x).cast("int").alias("ty"),
+    )
+    w = F.least(F.lit(dg.tile_px), F.lit(dg.npx_x) - F.col("tx") * dg.tile_px)
+    h = F.least(F.lit(dg.tile_px), F.lit(dg.npx_y) - F.col("ty") * dg.tile_px)
+    dst = base.select(
+        "tx", "ty", w.alias("w"), h.alias("h"),
+        (F.lit(dg.origin_x) + F.col("tx") * F.lit(dg.tile_m)).alias("x0"),
+        (F.lit(dg.origin_y) + F.col("ty") * F.lit(dg.tile_m)).alias("y0"),
+    )
+    pad = sg.res * 1.5
+    stx0 = F.greatest(F.lit(0), F.floor((F.col("x0") - pad - sg.origin_x) / sg.tile_m)).cast("int")
+    stx1 = F.least(
+        F.lit(sg.n_tiles_x - 1),
+        F.floor((F.col("x0") + F.col("w") * dg.res + pad - sg.origin_x) / sg.tile_m),
+    ).cast("int")
+    sty0 = F.greatest(F.lit(0), F.floor((F.col("y0") - pad - sg.origin_y) / sg.tile_m)).cast("int")
+    sty1 = F.least(
+        F.lit(sg.n_tiles_y - 1),
+        F.floor((F.col("y0") + F.col("h") * dg.res + pad - sg.origin_y) / sg.tile_m),
+    ).cast("int")
+    spanned = (
+        dst.withColumn("sty", F.explode(F.sequence(sty0, F.greatest(sty0, sty1))))
+        .withColumn("stx", F.explode(F.sequence(stx0, F.greatest(stx0, stx1))))
+    )
+    src = src_tiles.select(
+        F.col("tx").alias("stx"), F.col("ty").alias("sty"),
+        F.col("w").alias("sw"), F.col("h").alias("sh"), F.col("px").alias("spx"),
+    )
+    joined = spanned.join(src, ["stx", "sty"], "left")
+
+    out_layer = layer or "bilinear"
+    tile_px = dg.tile_px
+
+    def kernel(kdf: pd.DataFrame) -> pd.DataFrame:
+        t = kdf.iloc[0]
+        tw, th = int(t["w"]), int(t["h"])
+        gx = t["tx"] * tile_px + np.arange(tw)
+        gy = t["ty"] * tile_px + np.arange(th)
+        cx = dg.origin_x + (gx + 0.5) * dg.res
+        cy = dg.origin_y + (gy + 0.5) * dg.res
+        u = (cx - sg.origin_x) / sg.res - 0.5
+        v = (cy - sg.origin_y) / sg.res - 0.5
+        i0 = np.floor(u).astype(np.int64)
+        j0 = np.floor(v).astype(np.int64)
+        fx = u - i0
+        fy = v - j0
+        imin, imax = int(i0.min()), int(i0.max()) + 1
+        jmin, jmax = int(j0.min()), int(j0.max()) + 1
+        canvas = np.full((jmax - jmin + 1, imax - imin + 1), np.nan)
+        for srow in kdf.itertuples(index=False):
+            if srow.spx is None:
+                continue
+            arr = np.asarray(srow.spx, dtype=np.float64).reshape(
+                int(srow.sh), int(srow.sw)
+            )
+            gx0 = int(srow.stx) * sg.tile_px
+            gy0 = int(srow.sty) * sg.tile_px
+            ci0 = max(imin, gx0)
+            ci1 = min(imax + 1, gx0 + int(srow.sw))
+            cj0 = max(jmin, gy0)
+            cj1 = min(jmax + 1, gy0 + int(srow.sh))
+            if ci0 < ci1 and cj0 < cj1:
+                canvas[cj0 - jmin:cj1 - jmin, ci0 - imin:ci1 - imin] = (
+                    arr[cj0 - gy0:cj1 - gy0, ci0 - gx0:ci1 - gx0]
+                )
+        # mask source indices outside the raster (NaN contract)
+        bad_i = (i0 < 0) | (i0 + 1 > sg.npx_x - 1)
+        bad_j = (j0 < 0) | (j0 + 1 > sg.npx_y - 1)
+        ii = np.clip(i0 - imin, 0, canvas.shape[1] - 2)
+        jj = np.clip(j0 - jmin, 0, canvas.shape[0] - 2)
+        v00 = canvas[np.ix_(jj, ii)]
+        v10 = canvas[np.ix_(jj, ii + 1)]
+        v01 = canvas[np.ix_(jj + 1, ii)]
+        v11 = canvas[np.ix_(jj + 1, ii + 1)]
+        fxr = fx[None, :]
+        fyr = fy[:, None]
+        top = (1.0 - fxr) * v00 + fxr * v10
+        bot = (1.0 - fxr) * v01 + fxr * v11
+        out = (1.0 - fyr) * top + fyr * bot
+        out[bad_j, :] = np.nan
+        out[:, bad_i] = np.nan
+        return pd.DataFrame(
+            [
+                {
+                    "layer": out_layer,
+                    "tx": int(t["tx"]), "ty": int(t["ty"]),
+                    "x0": float(t["x0"]), "y0": float(t["y0"]),
+                    "res": dg.res, "w": tw, "h": th,
+                    "px": out.ravel(),
+                }
+            ]
+        )
+
+    schema = (
+        "layer string, tx int, ty int, x0 double, y0 double, "
+        "res double, w int, h int, px array<double>"
+    )
+    return joined.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)

@@ -3699,3 +3699,53 @@ def test_hex_cell_nearest_center(spark):
                 q, r = q0 + dq, r0 + dr
                 d = (x - size * s3 * (q + r / 2)) ** 2 + (y - size * 1.5 * r) ** 2
                 assert d0 <= d + 1e-9, (i, x, y, (q0, r0), (q, r))
+
+
+def test_resample_bilinear_affine_and_edges(spark):
+    """Bilinear interpolation reproduces an affine surface exactly at
+    interior target centers and yields NaN where the 2x2 stencil
+    leaves the source raster."""
+    import math
+
+    import numpy as np
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.resample import resample_bilinear
+
+    sg = GridSpec(0.0, 0.0, 10.0, 4, 8, 8)  # 8x8 source, 2x2 tiles of 4px
+
+    def zval(cx, cy):
+        return 0.25 * cx - 0.125 * cy + 3.0
+
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            ix = tx * 4 + np.arange(4)
+            iy = ty * 4 + np.arange(4)
+            cx = (ix + 0.5) * 10.0
+            cy = (iy + 0.5) * 10.0
+            vals = zval(cx[None, :], cy[:, None])
+            rows.append((tx, ty, 4, 4, [float(v) for v in vals.ravel()]))
+    src = spark.createDataFrame(
+        rows, "tx long, ty long, w long, h long, px array<double>"
+    )
+    # 7 m target grid offset so early centers UNDERRUN the source
+    # center lattice (stencil off-raster -> NaN)
+    dg = GridSpec(1.0, 2.0, 7.0, 8, 10, 10)
+    out = {}
+    for r in resample_bilinear(src, dg, src_grid=sg).collect():
+        arr = np.asarray(r["px"], dtype=np.float64).reshape(r["h"], r["w"])
+        out[(r["tx"], r["ty"])] = arr
+    assert set(out) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    full = np.block([[out[(0, 0)], out[(1, 0)]], [out[(0, 1)], out[(1, 1)]]])
+    for j in range(10):
+        for i in range(10):
+            cx = 1.0 + (i + 0.5) * 7.0
+            cy = 2.0 + (j + 0.5) * 7.0
+            u = cx / 10.0 - 0.5
+            v = cy / 10.0 - 0.5
+            inside = 0 <= math.floor(u) <= 6 and 0 <= math.floor(v) <= 6
+            if inside:
+                assert abs(full[j, i] - zval(cx, cy)) < 1e-9, (i, j)
+            else:
+                assert math.isnan(full[j, i]), (i, j)
+    assert np.isnan(full).sum() > 0  # the edge contract was exercised
