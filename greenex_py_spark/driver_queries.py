@@ -6215,6 +6215,91 @@ ORACLES["q_resample_bilinear"] = _rb_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_clark_evans — nearest-neighbour aggregation index of the corpus points
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_clark_evans",
+    f"""
+WITH pts AS ({city.points_sql()}),
+pr AS (SELECT a.doc_id,
+              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+              row_number() OVER (
+                PARTITION BY a.doc_id
+                ORDER BY (a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y), b.doc_id) AS rn
+       FROM pts a JOIN pts b ON b.doc_id != a.doc_id),
+nn AS (SELECT CAST(floor(sqrt(d2) * 1000000.0 + 0.5) AS BIGINT) AS dq
+       FROM pr WHERE rn = 1),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pts,
+              CAST(sum(dq) AS BIGINT) AS sum_dq FROM nn)
+SELECT n_pts, sum_dq,
+       round((CAST(sum_dq AS DOUBLE) / CAST(n_pts AS DOUBLE) / 1000000.0)
+             / (0.5 * sqrt({city.EXTENT * city.EXTENT!r}
+                           / CAST(n_pts AS DOUBLE))), 6) AS r_ce
+FROM ag
+""",
+)
+def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark & Evans nearest-neighbour index of the geocoded corpus —
+    the one-number clustered-vs-dispersed verdict (R << 1 here: 60% of
+    pages geocode into the 1 km urban core).  Completes the
+    point-pattern family next to quadrat CSR and Ripley's K.  1-NN by
+    the bounded cell tier with exact-d² ranking; each distance
+    quantised floor(sqrt·1e6+0.5) (IEEE sqrt is correctly rounded →
+    engine-portable int) and summed exactly; the oracle runs the
+    brute-force all-pairs window."""
+    from .operators.spatial_stats import clark_evans
+
+    pts = city.points_df(spark, sf_dir)
+    return clark_evans(pts, area=city.EXTENT * city.EXTENT, nn_bound=300.0)
+
+
+# ---------------------------------------------------------------------------
+# q_skyline — Pareto frontier of documents on (length, vocabulary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skyline",
+    """
+WITH m AS (SELECT doc_id, n_chars,
+                  CAST(length(list_distinct(string_split(text, ' ')))
+                       AS BIGINT) AS n_uniq
+           FROM documents),
+g AS (SELECT n_chars, max(n_uniq) AS ymax FROM m GROUP BY n_chars),
+f AS (SELECT n_chars, ymax,
+             max(ymax) OVER (ORDER BY n_chars DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev
+      FROM g)
+SELECT m.doc_id, m.n_chars, m.n_uniq
+FROM m JOIN f ON f.n_chars = m.n_chars AND m.n_uniq = f.ymax
+WHERE f.prev IS NULL OR f.ymax > f.prev
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) selection of documents maximising
+    (n_chars, distinct-token count) — the dominance-based shortlist a
+    curation pipeline runs when it refuses to pick weights between
+    quality axes (Börzsönyi et al., ICDE 2001).  2-D case needs no
+    pairwise join: two map-side aggregates + one window over the
+    frontier-sized distinct-x set (operators/skyline.py); integer
+    metrics make dominance engine-exact.  The oracle mirrors the
+    closed-form window characterisation."""
+    from .operators.skyline import skyline_2d
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = docs.select(
+        "doc_id", "n_chars",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long").alias("n_uniq"),
+    )
+    return skyline_2d(m, "n_chars", "n_uniq")
+
+
+# ---------------------------------------------------------------------------
 # q_anchor_text — per-destination-host anchor-text index
 # ---------------------------------------------------------------------------
 

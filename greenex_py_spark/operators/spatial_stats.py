@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morans_i", "getis_ord_gi", "gini_exposure", "semivariogram"]
+__all__ = ["morans_i", "getis_ord_gi", "gini_exposure", "semivariogram", "clark_evans"]
 
 _DEC = "decimal(38,0)"
 
@@ -1340,4 +1340,76 @@ def colocation_quotient(
                 6,
             ).alias("clq"),
         )
+    )
+
+
+def clark_evans(
+    points: DataFrame,
+    area: float,
+    id_col: str = "doc_id",
+    nn_bound: float = 300.0,
+) -> DataFrame:
+    """[n_pts, sum_dq, r_ce] — Clark & Evans (1954) nearest-neighbour
+    index, the classic one-number aggregation-vs-dispersion test that
+    complements the quadrat CSR counts (quadrat_csr) and Ripley's K:
+
+        R = mean(1-NN distance) / (0.5 · sqrt(area / n))
+
+    R < 1 clustered, ≈ 1 CSR, → 2.149 perfectly dispersed.
+
+    The 1-NN distance comes from the house bounded cell tier (same
+    shape as colocation_quotient: in-bound candidates provably global,
+    one exact broadcast fallback for the rare missed points, ranked on
+    exact d² with id tiebreak).  Each distance is quantised
+    ``floor(sqrt(d²)·1e6 + 0.5)`` — IEEE sqrt is correctly rounded, so
+    the int is engine-portable — then summed exactly; the two divisions
+    (mean, ratio) run in Catalyst in the same association order the
+    oracle renders.
+    """
+    from pyspark.sql import Window
+
+    from .spatial_join import bbox_cover_cells, with_point_cell
+
+    p = points.select(id_col, "x", "y")
+    b = p.select(
+        F.col(id_col).alias("nid"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    cover = bbox_cover_cells(
+        b.withColumn("minx", F.col("bx")).withColumn("miny", F.col("by"))
+        .withColumn("maxx", F.col("bx")).withColumn("maxy", F.col("by")),
+        pad=nn_bound,
+    ).drop("minx", "miny", "maxx", "maxy")
+    a = with_point_cell(p)
+    d2 = (F.col("bx") - F.col("x")) * (F.col("bx") - F.col("x")) + (
+        F.col("by") - F.col("y")
+    ) * (F.col("by") - F.col("y"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("nid").asc())
+    bounded = (
+        a.join(cover, "cell")
+        .filter(F.col("nid") != F.col(id_col))
+        .withColumn("_d2", d2)
+        .filter(F.col("_d2") <= nn_bound * nn_bound)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_d2")
+    )
+    missed = a.join(bounded.select(id_col), id_col, "left_anti")
+    fallback = (
+        F.broadcast(missed.select(id_col, "x", "y"))
+        .join(b, F.col("nid") != F.col(id_col))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_d2")
+    )
+    nn = bounded.unionByName(fallback)
+    dq = F.floor(F.sqrt(F.col("_d2")) * 1000000.0 + F.lit(0.5)).cast("long")
+    agg = nn.agg(
+        F.count(F.lit(1)).alias("n_pts"), F.sum(dq).alias("sum_dq")
+    )
+    mean_d = F.col("sum_dq").cast("double") / F.col("n_pts").cast("double") / F.lit(1000000.0)
+    expected = 0.5 * F.sqrt(F.lit(float(area)) / F.col("n_pts").cast("double"))
+    return agg.select(
+        "n_pts", "sum_dq", F.round(mean_d / expected, 6).alias("r_ce")
     )

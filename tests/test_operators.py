@@ -3749,3 +3749,25 @@ def test_resample_bilinear_affine_and_edges(spark):
             else:
                 assert math.isnan(full[j, i]), (i, j)
     assert np.isnan(full).sum() > 0  # the edge contract was exercised
+
+
+def test_skyline_2d_vs_brute_force(spark):
+    """Window skyline == NOT-EXISTS dominance brute force, including
+    duplicate points and equal-coordinate ties."""
+    import numpy as np
+    from greenex_py_spark.operators.skyline import skyline_2d
+
+    rng = np.random.RandomState(13)
+    pts = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.randint(0, 12, 60), rng.randint(0, 12, 60)))]
+    pts += [(100, 11, 11), (101, 11, 11)]  # duplicate maximal points
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = sorted(r["pid"] for r in skyline_2d(df, "x", "y").collect())
+    exp = sorted(
+        p[0] for p in pts
+        if not any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in pts
+        )
+    )
+    assert got == exp and 100 in got and 101 in got
