@@ -7998,6 +7998,193 @@ ORACLES["q_hits"] = _hits_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_zonal_median — EXACT distributed zonal quantiles (median + IQR) of the
+# raw (un-clamped) NDVI raster per point buffer
+# ---------------------------------------------------------------------------
+
+_ZQ_SCALE = 1_000_000.0
+
+
+@register(
+    "q_zonal_median",
+    _CTE + _pixel_cte(_NDVI_R) + f"""
+, qv AS (
+  SELECT doc_id,
+         CAST(floor(({city.NDVI_SQL.format(px_x='cx', px_y='cy')}) * {_ZQ_SCALE}
+                    + 0.5) AS BIGINT) AS q
+  FROM pxin
+), cnts AS (
+  SELECT doc_id, q, CAST(count(*) AS BIGINT) AS cnt FROM qv GROUP BY doc_id, q
+), cum AS (
+  SELECT doc_id, q, cnt,
+         sum(cnt) OVER (PARTITION BY doc_id) AS n,
+         sum(cnt) OVER (PARTITION BY doc_id ORDER BY q
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cnts
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_px,
+       min(CASE WHEN cum >= CAST(ceil(n * 0.25) AS BIGINT) THEN q END)
+         / {_ZQ_SCALE} AS p25,
+       (min(CASE WHEN cum >= CAST(floor((n + 1) / 2) AS BIGINT) THEN q END)
+        + min(CASE WHEN cum >= CAST(floor(n / 2) + 1 AS BIGINT) THEN q END))
+         / (2.0 * {_ZQ_SCALE}) AS median,
+       min(CASE WHEN cum >= CAST(ceil(n * 0.75) AS BIGINT) THEN q END)
+         / {_ZQ_SCALE} AS p75
+FROM cum GROUP BY doc_id
+""",
+)
+def q_zonal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-buffer NDVI median/IQR — the robust-statistics twin of
+    q_mean_ndvi (reference computes only mean/std, availability.py:289;
+    robust zonal summaries are the standard extension).  Exactness comes
+    from the value-histogram design: pixels quantize to 1e-6 integer
+    buckets inside the tile kernel, only (id, bucket, count) rows
+    shuffle (bounded by value domain, not raster size), and order
+    statistics read off a per-zone cumulative window — no global sort,
+    no approx sketch.  The oracle mirrors the same order-statistic
+    characterisation over the raw pixel CTE."""
+    from .operators.zonal import zonal_quantiles
+
+    pts = city.points_df(spark, sf_dir)
+    tiles = city.tiles_df(spark, "ndvi")
+    return zonal_quantiles(
+        pts, tiles, radius=_NDVI_R, id_col="doc_id", scale=_ZQ_SCALE, grid=city.grid()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_voronoi_areas — discrete Voronoi tessellation: per-greenspace service
+# areas over the 100 m city grid + corpus-document allocation counts
+# ---------------------------------------------------------------------------
+
+_N_VCELLS = 10_000  # 100×100 CELL-sized analysis cells over the city
+
+
+@register(
+    "q_voronoi_areas",
+    _CTE + f"""
+, cells AS (
+  SELECT CAST(r.range AS BIGINT) AS cid,
+         {city.X0} + (CAST(r.range AS BIGINT) % 100 + 0.5) * {city.CELL} AS xc,
+         {city.Y0} + (CAST(floor(r.range / 100.0) AS BIGINT) + 0.5) * {city.CELL} AS yc
+  FROM range({_N_VCELLS}) r
+), ca AS (
+  SELECT cid, gs_id, d2,
+         row_number() OVER (PARTITION BY cid ORDER BY d2, gs_id) AS rn
+  FROM (SELECT c.cid, g.gs_id,
+               (c.xc - g.cx) * (c.xc - g.cx) + (c.yc - g.cy) * (c.yc - g.cy) AS d2
+        FROM cells c, greens g)
+), cagg AS (
+  SELECT gs_id, CAST(count(*) AS BIGINT) AS n_cells,
+         count(*) * {city.CELL * city.CELL} / 1000000.0 AS area_km2,
+         sum(d2) AS sum_d2
+  FROM ca WHERE rn = 1 GROUP BY gs_id
+), pa AS (
+  SELECT doc_id, gs_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, gs_id) AS rn
+  FROM (SELECT p.doc_id, g.gs_id,
+               (p.x - g.cx) * (p.x - g.cx) + (p.y - g.cy) * (p.y - g.cy) AS d2
+        FROM pts p, greens g)
+), pagg AS (
+  SELECT gs_id, CAST(count(*) AS BIGINT) AS n_docs FROM pa WHERE rn = 1 GROUP BY gs_id
+)
+SELECT g.gs_id,
+       coalesce(c.n_cells, 0) AS n_cells,
+       coalesce(c.area_km2, 0.0) AS area_km2,
+       coalesce(c.sum_d2, 0.0) AS sum_d2,
+       coalesce(p.n_docs, 0) AS n_docs
+FROM greens g
+LEFT JOIN cagg c ON g.gs_id = c.gs_id
+LEFT JOIN pagg p ON g.gs_id = p.gs_id
+""",
+)
+def q_voronoi_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-sampled Voronoi service areas of the greenspaces (which park
+    is nearest from every 100 m block) + how many corpus documents each
+    park serves — the areal complement of q_accessibility's point-wise
+    nearest distance (reference keeps only the distance,
+    accessibility.py:118-160).  Sites are a broadcast dim; both argmins
+    are map-side min(struct(d2, id)) in codegen; cell-center/centroid
+    coordinates sit on the quarter-integer lattice so every d² and its
+    per-site sum are IEEE-exact (order-free, engine-portable)."""
+    from .operators.voronoi import discrete_voronoi_assign, voronoi_service_areas
+
+    greens = city.greenspace_df(spark)
+    rng = spark.range(_N_VCELLS).withColumnRenamed("id", "cid")
+    cid = F.col("cid")
+    cells = rng.select(
+        "cid",
+        (F.lit(city.X0) + (cid % 100 + 0.5) * city.CELL).alias("xc"),
+        (F.lit(city.Y0) + (F.floor(cid / 100.0).cast("bigint") + 0.5) * city.CELL).alias("yc"),
+    )
+    cagg = voronoi_service_areas(cells, greens, cell_area_m2=city.CELL * city.CELL)
+    pts = city.points_df(spark, sf_dir)
+    pagg = (
+        discrete_voronoi_assign(
+            pts, greens, cell_id="doc_id", cell_xy=("x", "y")
+        )
+        .groupBy("gs_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        greens.select("gs_id")
+        .join(cagg, "gs_id", "left")
+        .join(pagg, "gs_id", "left")
+        .select(
+            "gs_id",
+            F.coalesce("n_cells", F.lit(0)).alias("n_cells"),
+            F.coalesce("area_km2", F.lit(0.0)).alias("area_km2"),
+            F.coalesce("sum_d2", F.lit(0.0)).alias("sum_d2"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_countmin — Count-Min sketch point estimates for the exact top-20
+# tokens (deterministic md5 row-hashes ⇒ the overcount itself is exact)
+# ---------------------------------------------------------------------------
+
+
+def _countmin_oracle() -> str:
+    from .functions.sketches import count_min_sql
+
+    return count_min_sql(
+        "SELECT unnest(string_split(text, ' ')) AS value FROM documents"
+    )
+
+
+@register("q_countmin", None)  # generated oracle attached below
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimation (Cormode–Muthukrishnan 2005) over the
+    corpus token stream, probed at the exact global top-20 — completes
+    the sketch family (KMV, HLL, Bloom, heavy hitters).  The sketch
+    build shuffles ≤ depth·width=768 partials per task regardless of
+    vocabulary size (the 100 TB shape: no per-token state); the probe
+    join broadcasts the 768-row sketch.  Deterministic md5 row-hashes
+    make est and overcount engine-exact, so the oracle checks the
+    sketch's collision arithmetic, not just its inputs."""
+    from .functions.sketches import count_min_estimate, heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("value"))
+    top = heavy_hitters(toks, "value", k=20)
+    est = count_min_estimate(toks, top.select("value"))
+    return (
+        top.select("value", F.col("n").alias("exact_n"))
+        .join(est, "value")
+        .select(
+            "value", "exact_n", "est",
+            (F.col("est") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+ORACLES["q_countmin"] = _countmin_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

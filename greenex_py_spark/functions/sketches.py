@@ -123,6 +123,114 @@ def heavy_hitters(
     )
 
 
+# Count-Min sketch: depth × width counter matrix over a portable
+# md5-derived row hash; point estimate = min over rows (Cormode &
+# Muthukrishnan 2005).  Deterministic hashing makes the OVERestimate
+# itself exactly reproducible, so the sketch — not just the exact
+# counts — has a DuckDB oracle.
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+
+
+def _cms_bucket(value_col, r: int, width: int):
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(r)), F.col(value_col))), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """[r, b, c] — the CMS counter matrix (depth·width rows, total).
+
+    Scale shape: each value row map-side explodes to ``depth`` (row,
+    bucket) pairs and the groupBy's partial aggregation collapses them
+    to ≤ depth·width partials per task before the shuffle — the sketch
+    build never carries vocabulary-sized state (the whole point vs an
+    exact count at 100 TB: no per-token shuffle, a 768-row result)."""
+    arr = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("r"),
+                 _cms_bucket(value_col, r, width).alias("b"))
+        for r in range(depth)
+    ])
+    rb = df.select(F.explode(arr).alias("e")).select("e.r", "e.b")
+    return rb.groupBy("r", "b").agg(F.count("*").alias("c"))
+
+
+def count_min_estimate(
+    df: DataFrame,
+    probes: DataFrame,
+    value_col: str = "value",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """[value, est] — CMS point estimates for each probe value.
+
+    ``est = min over rows r of sketch[r][h_r(value)]`` — an upper bound
+    on the true count, exact when no collision hits all rows.  The
+    sketch (depth·width rows) is broadcast; probes stay distributed."""
+    sketch = count_min_sketch(df, value_col, depth, width)
+    parr = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("r"),
+                 _cms_bucket(value_col, r, width).alias("b"))
+        for r in range(depth)
+    ])
+    prb = probes.select(F.col(value_col).alias("value"),
+                        F.explode(parr).alias("e")).select("value", "e.r", "e.b")
+    return (
+        prb.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("value")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def count_min_sql(
+    toks_sql: str,
+    value_expr: str = "value",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin: same md5 row-hash, same min-over-rows estimate, with
+    the probe set = exact global top-``top_k`` tokens."""
+    bucket = (
+        f"CAST(CAST(('0x' || substr(md5(CAST(cr.range AS VARCHAR) || ':' || {value_expr}),"
+        f" 1, 8)) AS UBIGINT) % {width} AS BIGINT)"
+    )
+    return f"""
+WITH toks AS ({toks_sql}),
+rb AS (
+  SELECT CAST(cr.range AS INT) AS r, {bucket} AS b
+  FROM toks, range({depth}) cr
+),
+sketch AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY r, b),
+cnt AS (SELECT {value_expr} AS value, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY {value_expr}),
+top AS (
+  SELECT value, n, row_number() OVER (ORDER BY n DESC, value ASC) AS rnk
+  FROM cnt QUALIFY rnk <= {top_k}
+),
+pe AS (
+  SELECT t.value, t.n, CAST(cr.range AS INT) AS r,
+         CAST(CAST(('0x' || substr(md5(CAST(cr.range AS VARCHAR) || ':' || t.value),
+              1, 8)) AS UBIGINT) % {width} AS BIGINT) AS b
+  FROM top t, range({depth}) cr
+)
+SELECT pe.value, CAST(max(pe.n) AS BIGINT) AS exact_n,
+       CAST(min(s.c) AS BIGINT) AS est,
+       CAST(min(s.c) - max(pe.n) AS BIGINT) AS overcount
+FROM pe JOIN sketch s ON s.r = pe.r AND s.b = pe.b
+GROUP BY pe.value
+"""
+
+
 # HLL: m = 2^8 buckets from the first 2 md5 hex chars; rho from the next
 # 13 hex chars (52 bits).  All arithmetic below is integer-exact until
 # ONE final double division/log, so the estimator itself (not just its

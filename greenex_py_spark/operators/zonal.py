@@ -52,7 +52,8 @@ def _with_tile_span(points: DataFrame, radius: float, id_col: str, grid: GridSpe
 
 
 def _circle_mask_stats(left: pd.DataFrame, right: pd.DataFrame, radius: float,
-                       clip_min0: bool, classes: bool) -> pd.DataFrame:
+                       clip_min0: bool, classes: bool,
+                       quantize_scale: float | None = None) -> pd.DataFrame:
     """Per-(tile,point) partials. ``left`` = points, ``right`` = the tile."""
     if len(left) == 0 or len(right) == 0:
         cols = (["id", "cls", "cnt"] if classes else ["id", "s", "s2", "n"])
@@ -81,7 +82,13 @@ def _circle_mask_stats(left: pd.DataFrame, right: pd.DataFrame, radius: float,
             continue
         v = px[j0:j1 + 1, i0:i1 + 1][m]
         if classes:
-            vi = v.astype(np.int64)
+            if quantize_scale is not None:
+                # continuous values → fixed-precision integer buckets
+                # (floor(v·scale + 0.5): IEEE-exact for |v·scale| < 2^52,
+                # the same quantizer the SQL oracles use)
+                vi = np.floor(v * quantize_scale + 0.5).astype(np.int64)
+            else:
+                vi = v.astype(np.int64)
             if len(vi) and vi.min() >= 0 and vi.max() < 65536:
                 # bincount histogram ~10× np.unique on small class codes
                 cnts = np.bincount(vi)
@@ -174,6 +181,77 @@ def zonal_class_percentages(
         "id", *[F.coalesce(F.col(str(v)), F.lit("0.0%")).alias(f"{col_prefix}{v}") for v in class_values]
     )
     return renamed.withColumnRenamed("id", id_col)
+
+
+def zonal_quantiles(
+    points: DataFrame,
+    tiles: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    scale: float = 1e6,
+    grid: GridSpec | None = None,
+) -> DataFrame:
+    """[id, n_px, p25, median, p75] — EXACT distributed zonal quantiles.
+
+    Exact medians cannot be combined from (sum, sumsq) partials, and
+    approx-percentile sketches are not oracle-checkable, so this takes
+    the classic value-histogram route: quantize each in-buffer pixel to
+    a fixed-precision integer bucket ``floor(v·scale + 0.5)`` inside the
+    tile-local Arrow kernel, shuffle only ``(id, bucket, count)`` rows,
+    and read the order statistics off a per-id cumulative-count window.
+
+    Scale design: shuffle volume is O(distinct buckets per zone) —
+    bounded by min(buffer pixel count, value-domain/precision), NOT by
+    raster size, and entirely independent of the number of zones.  The
+    window partitions by zone id, so no global sort ever happens.  The
+    result is *exact* for the quantized values (1e-6 buckets on a [-1,1]
+    NDVI domain ⇒ quantization error ≤ 5e-7, below the 6-dp reporting
+    precision).
+
+    Semantics: median = mean of the lower/upper middle order statistics
+    (statistics.median / numpy.median convention); p25/p75 are
+    nearest-rank ``ceil(p·n)`` (Hyndman–Fan type 1).  No clip(min=0) —
+    unlike :func:`zonal_mean_std` (availability.py:289 clamps for the
+    reference's NDVI mean), quantiles describe the raw distribution.
+    """
+    from pyspark.sql import Window
+
+    grid = grid or GridSpec.from_tiles(tiles)
+    spanned = _with_tile_span(points, radius, id_col, grid).withColumnRenamed(id_col, "id")
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _circle_mask_stats(left, right, radius, clip_min0=False,
+                                  classes=True, quantize_scale=scale)
+
+    partials = (
+        spanned.groupBy("tx", "ty")
+        .cogroup(tiles.groupBy("tx", "ty"))
+        .applyInPandas(kernel, schema="id long, cls long, cnt long")
+    )
+    counts = partials.groupBy("id", "cls").agg(F.sum("cnt").alias("cnt"))
+    w_all = Window.partitionBy("id")
+    w_cum = Window.partitionBy("id").orderBy("cls").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "id", "cls", "cnt",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    n = F.col("n")
+    k_lo = F.floor((n + 1) / 2)          # lower middle
+    k_hi = F.floor(n / 2) + 1            # upper middle
+    k25 = F.ceil(n * 0.25).cast("long")
+    k75 = F.ceil(n * 0.75).cast("long")
+    q = F.col("cls")
+    out = cum.groupBy("id").agg(
+        F.first("n").alias("n_px"),
+        (F.min(F.when(F.col("cum") >= k25, q)) / scale).alias("p25"),
+        ((F.min(F.when(F.col("cum") >= k_lo, q))
+          + F.min(F.when(F.col("cum") >= k_hi, q))) / (2.0 * scale)).alias("median"),
+        (F.min(F.when(F.col("cum") >= k75, q)) / scale).alias("p75"),
+    )
+    return out.withColumnRenamed("id", id_col)
 
 
 def cover_percentage_square(

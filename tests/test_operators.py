@@ -3771,3 +3771,83 @@ def test_skyline_2d_vs_brute_force(spark):
         )
     )
     assert got == exp and 100 in got and 101 in got
+
+
+def test_zonal_quantiles_vs_numpy_brute_force(spark, sf_dir):
+    """Distributed value-histogram quantiles == NumPy order statistics
+    over the same quantized in-buffer pixels (first 8 points)."""
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.operators.zonal import zonal_quantiles
+
+    radius, scale = 300.0, 1e6
+    pts = city.points_df(spark, sf_dir).orderBy("doc_id").limit(8)
+    tiles = city.tiles_df(spark, "ndvi")
+    got = (
+        zonal_quantiles(pts, tiles, radius=radius, id_col="doc_id",
+                        scale=scale, grid=city.grid())
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for doc_id, x, y in pts.collect():
+        span = int(radius / city.RES) + 1
+        ix0 = int(np.floor((x - city.X0) / city.RES))
+        iy0 = int(np.floor((y - city.Y0) / city.RES))
+        ix = np.arange(max(0, ix0 - span), min(city.NPX, ix0 + span + 1))
+        iy = np.arange(max(0, iy0 - span), min(city.NPX, iy0 + span + 1))
+        cx = city.X0 + (ix + 0.5) * city.RES
+        cy = city.Y0 + (iy + 0.5) * city.RES
+        m = (cx[None, :] - x) ** 2 + (cy[:, None] - y) ** 2 <= radius * radius
+        v = city.ndvi_value(cx[None, :], cy[:, None]) + np.zeros((len(iy), len(ix)))
+        q = np.sort(np.floor(v[m] * scale + 0.5).astype(np.int64))
+        n = len(q)
+        row = got.loc[doc_id]
+        assert row["n_px"] == n
+        med = (q[(n + 1) // 2 - 1] + q[n // 2]) / (2.0 * scale)
+        assert row["median"] == med
+        assert row["p25"] == q[int(np.ceil(n * 0.25)) - 1] / scale
+        assert row["p75"] == q[int(np.ceil(n * 0.75)) - 1] / scale
+
+
+def test_discrete_voronoi_ties_and_brute_force(spark):
+    """Broadcast argmin == NumPy lexicographic (d2, id) argmin; an exact
+    equidistant tie resolves to the lowest site id in both."""
+    from greenex_py_spark.operators.voronoi import discrete_voronoi_assign
+
+    sites = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 10.0, 0.0), (2, 0.0, 10.0)],
+        "gs_id long, cx double, cy double",
+    )
+    cells = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            (x, y) for x in range(0, 11, 2) for y in range(0, 11, 2))],
+        "cid long, xc double, yc double",
+    )
+    got = {r["cid"]: (r["gs_id"], r["d2"])
+           for r in discrete_voronoi_assign(cells, sites).collect()}
+    s = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    for r in cells.collect():
+        d2 = (s[:, 0] - r["xc"]) ** 2 + (s[:, 1] - r["yc"]) ** 2
+        best = min(range(3), key=lambda k: (d2[k], k))
+        assert got[r["cid"]] == (best, d2[best])
+    # the exact tie point (5, 5) is equidistant from all three sites
+    assert got[(5 // 2) * 6 + 5 // 2][0] in (0, 1, 2)
+
+
+def test_count_min_upper_bound_and_exactness(spark):
+    """CMS estimates dominate exact counts; with a vocab far smaller
+    than the width most probes are collision-free and exact; the sketch
+    is never larger than depth × width."""
+    from greenex_py_spark.functions.sketches import (
+        CMS_DEPTH, CMS_WIDTH, count_min_estimate, count_min_sketch)
+
+    rows = [(f"tok{i % 7}",) for i in range(700)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, "value string")
+    exact = {r["value"]: r["count"]
+             for r in df.groupBy("value").count().collect()}
+    probes = spark.createDataFrame([(v,) for v in exact], "value string")
+    est = {r["value"]: r["est"]
+           for r in count_min_estimate(df, probes).collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
+    # 8 values in 256 buckets × 3 rows: at least one row collision-free
+    assert sum(est[v] == exact[v] for v in exact) >= 6
+    assert count_min_sketch(df, "value").count() <= CMS_DEPTH * CMS_WIDTH
