@@ -8185,6 +8185,113 @@ ORACLES["q_countmin"] = _countmin_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_power_iteration — dominant principal direction of the embedding Gram
+# matrix: distributed exact-integer Gram + two in-registry matvec steps
+# ---------------------------------------------------------------------------
+
+
+def _power_iteration_oracle(quant: float = 1e6, g_scale: float = 1e7,
+                            u_scale: float = 1e6) -> str:
+    dim = _embedding_dim()
+    qz = lambda c: f"CAST(sign({c}) * floor(abs({c}) + 0.5) AS BIGINT)"  # noqa: E731
+    cg = f"CAST(v AS DOUBLE) / CAST(mg.m AS DOUBLE) * {g_scale!r}"
+    c1 = f"CAST(y AS DOUBLE) / CAST(m1.m AS DOUBLE) * {u_scale!r}"
+    c2 = f"CAST(y AS DOUBLE) / CAST(m2.m AS DOUBLE) * {u_scale!r}"
+    return f"""
+WITH x AS (SELECT vec_id, i - 1 AS di,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * {quant!r})
+                       AS BIGINT) AS xq
+           FROM embeddings,
+                (SELECT unnest(generate_series(1, {dim})) AS i) dims),
+g AS (SELECT a.di AS di, b.di AS dj, CAST(sum(a.xq * b.xq) AS BIGINT) AS v
+      FROM x a JOIN x b ON b.vec_id = a.vec_id GROUP BY a.di, b.di),
+mg AS (SELECT max(abs(v)) AS m FROM g),
+gn AS (SELECT di, dj, {qz(cg)} AS v FROM g, mg),
+y1 AS (SELECT di, CAST(sum(v * {int(u_scale)}) AS BIGINT) AS y
+       FROM gn GROUP BY di),
+m1 AS (SELECT max(abs(y)) AS m FROM y1),
+u1 AS (SELECT di, {qz(c1)} AS u FROM y1, m1),
+y2 AS (SELECT gn.di, CAST(sum(gn.v * u1.u) AS BIGINT) AS y
+       FROM gn JOIN u1 ON u1.di = gn.dj GROUP BY gn.di),
+m2 AS (SELECT max(abs(y)) AS m FROM y2),
+u2 AS (SELECT di, {qz(c2)} AS u FROM y2, m2)
+SELECT u1.di AS di, u1.u AS u1, u2.u AS u2
+FROM u1 JOIN u2 ON u2.di = u1.di
+"""
+
+
+@register("q_power_iteration", None)  # generated oracle attached below
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward the top eigenvector of the
+    embedding Gram matrix — the spectral screen (dominant PCA direction
+    / energy axis) that follows q_gram_cov's covariance scan.  The
+    corpus-sized work is one exact-int64 Gram reduction (O(d²) partial
+    per Arrow batch, vectors never shuffle); iteration then runs on the
+    d²-row aggregate via broadcast matvecs, localCheckpoint per round.
+    Renormalizing G and each iterate to bounded integers keeps every
+    matvec product exact (< 2^63), so both engines agree bit-for-bit —
+    the oracle re-derives the same iterates from an unnest self-join."""
+    from .functions.similarity import gram_power_iteration
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return gram_power_iteration(emb, dim=_embedding_dim())
+
+
+ORACLES["q_power_iteration"] = _power_iteration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_chi2 — chi-square independence test: event_type × user cohort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chi2",
+    """
+WITH e AS (SELECT event_type AS a, CAST(user_id % 4 AS BIGINT) AS b FROM events),
+obs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs FROM e GROUP BY a, b),
+grid AS (SELECT da.a, db.b, coalesce(o.obs, 0) AS obs
+         FROM (SELECT DISTINCT a FROM obs) da
+         CROSS JOIN (SELECT DISTINCT b FROM obs) db
+         LEFT JOIN obs o ON o.a = da.a AND o.b = db.b),
+m AS (SELECT a, b, obs,
+             CAST(sum(obs) OVER (PARTITION BY a) AS BIGINT) AS rt,
+             CAST(sum(obs) OVER (PARTITION BY b) AS BIGINT) AS ct,
+             CAST(sum(obs) OVER () AS BIGINT) AS nn
+      FROM grid),
+x AS (SELECT a, b, obs,
+             CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE) AS exp0
+      FROM m),
+q AS (SELECT a, b, obs, exp0,
+             CAST(floor((CAST(obs AS DOUBLE) - exp0) * (CAST(obs AS DOUBLE) - exp0)
+                        / exp0 * 1000000.0 + 0.5) AS BIGINT) AS cq
+      FROM x),
+d AS (SELECT count(DISTINCT a) AS na, count(DISTINCT b) AS nb FROM grid)
+SELECT a, b, obs, round(exp0, 6) AS exp, cq / 1000000.0 AS contrib,
+       CAST(sum(cq) OVER () AS BIGINT) / 1000000.0 AS chi2,
+       CAST((d.na - 1) * (d.nb - 1) AS BIGINT) AS dof
+FROM q, d
+""",
+)
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a user
+    cohort (user_id mod 4) — the A/B-analysis primitive over the event
+    stream.  One corpus-sized groupBy; margins come from unpartitioned
+    window sums over the dim-sized completed contingency table (zero
+    cells restored by a distinct-levels cross join so expected mass is
+    conserved); the statistic is an exact integer sum of 1e-6-quantized
+    contributions, immune to FP summation order."""
+    from .functions.stats import chi2_independence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("a"),
+        (F.col("user_id") % 4).cast("long").alias("b"),
+    )
+    return chi2_independence(e, "a", "b")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -668,3 +668,96 @@ def gram_covariance_topk(
                  F.row_number().over(w).cast("long").alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def gram_power_iteration(
+    emb: DataFrame,
+    dim: int,
+    quant: float = 1e6,
+    g_scale: float = 1e7,
+    u_scale: float = 1e6,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[di, u1, u2] — the dominant principal direction of the embedding
+    second-moment (Gram) matrix after ``iters``=2 power-iteration steps
+    from the all-ones start, components quantized to ``u_scale``.
+
+    The distributed part is the same exact-integer Gram reduction as
+    :func:`gram_covariance_topk` (one O(d²) int64 partial per Arrow
+    batch, raw vectors never shuffle); the iteration then runs over the
+    d²-row aggregate as broadcast-joined matvecs, so per-step cost is
+    O(d²) regardless of corpus size.  Engine-exactness: G is exact
+    int64; it is renormalized once to ≤ ``g_scale`` integers and each
+    iterate to ≤ ``u_scale`` integers (round-half-away), keeping every
+    matvec product ≤ g_scale·u_scale·d < 2^63 in exact integer
+    arithmetic — the only FP ops are the two scalar divisions by the
+    max-|component|, identical expressions in both engines.  Each round
+    localCheckpoints (lineage-growth convention, CLAUDE.md)."""
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            s = x * quant
+            xq = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+            g = xq.T @ xq  # (d, d) exact int64, full symmetric matrix
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {"di": ii.ravel(), "dj": jj.ravel(), "v": g.ravel()}
+            )
+
+    g = (
+        emb.select(vec_col)
+        .mapInPandas(partials, schema="di long, dj long, v long")
+        .groupBy("di", "dj")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint()
+    )
+    maxg = g.agg(F.max(F.abs(F.col("v"))).alias("mg"))
+
+    def _qz(c):
+        return (F.signum(c) * F.floor(F.abs(c) + 0.5)).cast("long")
+
+    gn = (
+        g.crossJoin(F.broadcast(maxg))
+        .select(
+            "di", "dj",
+            _qz(F.col("v").cast("double") / F.col("mg").cast("double") * g_scale)
+            .alias("v"),
+        )
+        .localCheckpoint()
+    )
+    spark = emb.sparkSession
+    u = spark.range(d).select(
+        F.col("id").alias("dj"), F.lit(int(u_scale)).alias("u")
+    )
+    iterates = []
+    for _ in range(iters):
+        y = (
+            gn.join(F.broadcast(u), "dj")
+            .groupBy("di")
+            .agg(F.sum(F.col("v") * F.col("u")).alias("y"))
+        )
+        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        u = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                F.col("di").alias("dj"),
+                _qz(F.col("y").cast("double") / F.col("m").cast("double") * u_scale)
+                .alias("u"),
+            )
+            .localCheckpoint()
+        )
+        iterates.append(u)
+    out = iterates[0].select(F.col("dj").alias("di"), F.col("u").alias("u1"))
+    for t, ut in enumerate(iterates[1:], start=2):
+        out = out.join(
+            ut.select(F.col("dj").alias("di"), F.col("u").alias(f"u{t}")), "di"
+        )
+    return out

@@ -3851,3 +3851,59 @@ def test_count_min_upper_bound_and_exactness(spark):
     # 8 values in 256 buckets × 3 rows: at least one row collision-free
     assert sum(est[v] == exact[v] for v in exact) >= 6
     assert count_min_sketch(df, "value").count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_power_iteration_mirrors_numpy_and_converges(spark):
+    """Engine iterates == a NumPy mirror of the same quantized
+    algorithm, and after 2 steps the direction aligns with the true
+    dominant eigenvector of the Gram matrix."""
+    from greenex_py_spark.functions.similarity import gram_power_iteration
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    X = np.outer(rng.randn(120), base) + 0.1 * rng.randn(120, 8)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = (gram_power_iteration(df, dim=8)
+           .toPandas().set_index("di").sort_index())
+
+    # NumPy mirror (same quantizers, same float32 ingest)
+    xq = np.asarray(np.sign(X.astype(np.float32).astype(np.float64) * 1e6)
+                    * np.floor(np.abs(X.astype(np.float32).astype(np.float64) * 1e6) + 0.5),
+                    dtype=np.int64)
+    G = xq.T @ xq
+    c = G / np.abs(G).max() * 1e7
+    gn = (np.sign(c) * np.floor(np.abs(c) + 0.5)).astype(np.int64)
+    u = np.full(8, 10**6, dtype=np.int64)
+    us = []
+    for _ in range(2):
+        y = gn @ u
+        cy = y / np.abs(y).max() * 1e6
+        u = (np.sign(cy) * np.floor(np.abs(cy) + 0.5)).astype(np.int64)
+        us.append(u.copy())
+    assert list(got["u1"]) == list(us[0])
+    assert list(got["u2"]) == list(us[1])
+
+    evals, evecs = np.linalg.eigh(G.astype(np.float64))
+    top = evecs[:, np.argmax(evals)]
+    v = us[1] / np.linalg.norm(us[1])
+    assert abs(float(v @ top)) > 0.99
+
+
+def test_chi2_independence_hand_2x2(spark):
+    """2×2 table → the closed-form N(ad−bc)² / (r1 r2 c1 c2) statistic,
+    zero-observation cell restored with its expected-count contribution."""
+    from greenex_py_spark.functions.stats import chi2_independence
+
+    a, b, c, d = 10, 20, 30, 0  # one empty cell
+    rows = ([("x", 0)] * a + [("x", 1)] * b + [("y", 0)] * c + [("y", 1)] * d)
+    df = spark.createDataFrame(rows, "a string, b long")
+    out = chi2_independence(df, "a", "b").toPandas()
+    assert len(out) == 4 and out["dof"].iloc[0] == 1
+    n = a + b + c + d
+    expected = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert abs(out["chi2"].iloc[0] - expected) < 1e-5
+    cell = out.set_index(["a", "b"])
+    assert cell.loc[("y", 1), "obs"] == 0
+    assert abs(cell.loc[("y", 1), "exp"] - (c + d) * (b + d) / n) < 1e-9
+    assert abs(out["contrib"].sum() - out["chi2"].iloc[0]) < 1e-5
