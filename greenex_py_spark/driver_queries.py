@@ -8292,6 +8292,81 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_marching_squares — contour-cell case histogram of the NDVI 0.5
+# iso-level (midpoint marching squares over the tile halo exchange)
+# ---------------------------------------------------------------------------
+
+_MS_THR_Q = 500_000  # iso-level 0.5 on 1e-6-quantized NDVI
+
+
+def _marching_squares_oracle(quant: float = 1e6) -> str:
+    from .operators.focal import MS_SEGMENTS
+
+    npx = city.NPX
+
+    def bit(x_expr: str, y_expr: str) -> str:
+        q = (
+            "CAST(round(("
+            + city.NDVI_SQL.format(
+                px_x=f"{city.X0} + (({x_expr}) + 0.5) * {city.RES}",
+                px_y=f"{city.Y0} + (({y_expr}) + 0.5) * {city.RES}",
+            )
+            + f") * {quant}) AS BIGINT)"
+        )
+        return f"(CASE WHEN ({q}) > {_MS_THR_Q} THEN 1 ELSE 0 END)"
+
+    nw = npx - 1
+    seg_case = " ".join(
+        f"WHEN {c} THEN {s}" for c, s in enumerate(MS_SEGMENTS) if s != 1
+    )
+    return f"""
+WITH wins AS (
+  SELECT i % {nw} AS wx, i // {nw} AS wy
+  FROM (SELECT unnest(generate_series(0, {nw * nw - 1})) AS i)
+),
+q AS (
+  SELECT {bit('wx', 'wy')} + 2 * {bit('wx + 1', 'wy')}
+         + 4 * {bit('wx', 'wy + 1')} + 8 * {bit('wx + 1', 'wy + 1')} AS case_id
+  FROM wins
+)
+SELECT case_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) * (CASE case_id {seg_case} ELSE 1 END) AS BIGINT) AS n_segments
+FROM q GROUP BY case_id
+"""
+
+
+@register("q_marching_squares", None)  # generated oracle attached below
+def q_marching_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares classification of the NDVI 0.5 contour: global
+    16-case histogram + total midpoint-rule segment count.  The engine
+    runs the tile-distributive form (each 2×2 window owned by its
+    lower-left pixel's tile, corners via the 1-px halo exchange —
+    contour extraction over 100 TB of raster with O(perimeter) traffic
+    and no stitching); the oracle classifies every window directly from
+    the closed-form raster.  Iso-side tests are exact-int64 compares on
+    quantised values, so the case of every window is engine-portable."""
+    from .operators.focal import MS_SEGMENTS, marching_squares_counts
+
+    tiles = city.tiles_df(spark, "ndvi")
+    per_tile = marching_squares_counts(
+        tiles, city.grid(), quant=1e6, threshold_q=_MS_THR_Q
+    )
+    lut = F.array(*[F.lit(s) for s in MS_SEGMENTS])
+    return (
+        per_tile.groupBy("case_id")
+        .agg(F.sum("n_win").alias("n_windows"))
+        .select(
+            "case_id", "n_windows",
+            (F.col("n_windows")
+             * F.element_at(lut, F.col("case_id").cast("int") + 1)).alias("n_segments"),
+        )
+    )
+
+
+ORACLES["q_marching_squares"] = _marching_squares_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

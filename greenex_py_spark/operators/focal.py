@@ -36,8 +36,14 @@ __all__ = [
     "hillshade_tile_stats", "flow_direction_counts",
     "aspect_octant_counts", "ruggedness_tile_stats", "euler_tile_stats",
     "edge_density_tile_stats", "majority_tile_counts",
+    "marching_squares_counts", "MS_SEGMENTS",
     "octant_case_sql", "quantize_half_away",
 ]
+
+# midpoint marching-squares segment count per 2×2 case (bit0 = LL,
+# bit1 = LR, bit2 = UL, bit3 = UR): saddle cases 6 (LR+UL) and 9
+# (LL+UR) carry two segments, full/empty none, everything else one.
+MS_SEGMENTS = (0, 1, 1, 1, 1, 1, 2, 1, 1, 2, 1, 1, 1, 1, 1, 0)
 
 
 def quantize_half_away(v: np.ndarray, quant: float) -> np.ndarray:
@@ -763,6 +769,55 @@ def majority_tile_counts(
                 "tx": tx, "ty": ty,
                 "mode_class": codes.astype(np.int64),
                 "n_px": counts.astype(np.int64),
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    return parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+
+
+def marching_squares_counts(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+    threshold_q: int = 0,
+) -> DataFrame:
+    """[tx, ty, case_id, n_win] — marching-squares contour-cell
+    classification of the iso-level ``threshold_q`` (on quantised
+    values, strictly greater = inside): the contour-extraction
+    primitive (Lorensen & Cline's 2-D case) counted per 16-way case.
+
+    Windows sit between pixel CENTERS (corners = 4 adjacent pixels,
+    bit0 = lower-left … bit3 = upper-right); only interior windows with
+    all four corners in-raster classify, and each window is owned by
+    exactly one tile (its lower-left pixel's), so the case histogram —
+    and with :data:`MS_SEGMENTS` the total contour-segment count — is
+    perfectly distributive over tiles: one halo exchange, integer
+    counts, no global stitching.  The threshold compare runs on exact
+    int64 quantised values, so an engine pair can never disagree about
+    which side of the iso-level a pixel falls."""
+    out_schema = "tx long, ty long, case_id long, n_win long"
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        m = canvas > threshold_q
+        ok = mask == 1
+        valid = (
+            ok[1:h + 1, 1:w + 1] & ok[1:h + 1, 2:w + 2]
+            & ok[2:h + 2, 1:w + 1] & ok[2:h + 2, 2:w + 2]
+        )
+        case = (
+            m[1:h + 1, 1:w + 1].astype(np.int64)
+            + 2 * m[1:h + 1, 2:w + 2]
+            + 4 * m[2:h + 2, 1:w + 1]
+            + 8 * m[2:h + 2, 2:w + 2]
+        )
+        codes, counts = np.unique(case[valid], return_counts=True)
+        return pd.DataFrame(
+            {
+                "tx": tx, "ty": ty,
+                "case_id": codes.astype(np.int64),
+                "n_win": counts.astype(np.int64),
             }
         )
 

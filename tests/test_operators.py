@@ -3907,3 +3907,30 @@ def test_chi2_independence_hand_2x2(spark):
     assert cell.loc[("y", 1), "obs"] == 0
     assert abs(cell.loc[("y", 1), "exp"] - (c + d) * (b + d) / n) < 1e-9
     assert abs(out["contrib"].sum() - out["chi2"].iloc[0]) < 1e-5
+
+
+def test_marching_squares_vs_full_raster(spark):
+    """Tile-distributed case histogram == single-array NumPy
+    classification of the whole raster (cross-tile windows included)."""
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.operators.focal import (
+        MS_SEGMENTS, marching_squares_counts, quantize_half_away)
+
+    thr = 500_000
+    tiles = city.tiles_df(spark, "ndvi")
+    got = (
+        marching_squares_counts(tiles, city.grid(), quant=1e6, threshold_q=thr)
+        .groupBy("case_id").agg(F.sum("n_win").alias("n"))
+        .toPandas().set_index("case_id")["n"].to_dict()
+    )
+    ix = np.arange(city.NPX)
+    px_x = city.X0 + (ix + 0.5) * city.RES
+    px_y = city.Y0 + (ix + 0.5) * city.RES
+    m = quantize_half_away(
+        city.ndvi_value(px_x[None, :], px_y[:, None]), 1e6) > thr
+    case = (m[:-1, :-1].astype(np.int64) + 2 * m[:-1, 1:]
+            + 4 * m[1:, :-1] + 8 * m[1:, 1:])
+    codes, counts = np.unique(case, return_counts=True)
+    assert got == dict(zip(codes.tolist(), counts.tolist()))
+    assert sum(got.values()) == (city.NPX - 1) ** 2
+    assert len(MS_SEGMENTS) == 16
