@@ -8367,6 +8367,110 @@ ORACLES["q_marching_squares"] = _marching_squares_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_jaro_linkage — blocked Jaro-Winkler record linkage (the prefix-
+# weighted complement of q_fuzzy_match's Levenshtein)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_jaro_linkage",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+c AS (SELECT doc_id AS c_id,
+             array_to_string(list_slice(tk, 1, 4), ' ') AS c_text,
+             tk[3] || '|' || tk[4] AS block
+      FROM toks),
+v AS (SELECT doc_id + 10000000 AS q_id,
+             CASE WHEN doc_id % 8 = 0
+                  THEN substr(array_to_string(list_slice(tk, 1, 4), ' '), 2)
+                  ELSE 'X' || array_to_string(list_slice(tk, 1, 4), ' ')
+             END AS q_text,
+             tk[3] || '|' || tk[4] AS block
+      FROM toks WHERE doc_id % 4 = 0),
+j AS (SELECT q_id, c_id,
+             round(jaro_winkler_similarity(q_text, c_text), 6) AS sim
+      FROM v JOIN c USING (block)),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, c_id) AS rn
+      FROM j WHERE sim >= 0.8)
+SELECT q_id, c_id, sim FROM r WHERE rn = 1
+""",
+)
+def q_jaro_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro-Winkler linkage over the same planted-typo titles
+    as q_fuzzy_match: best match per variant by (sim desc, id), sim ≥
+    0.8, ranked on 6-dp-rounded values.  The Arrow kernel's JW doubles
+    are bit-identical to DuckDB's ``jaro_winkler_similarity`` builtin
+    (fuzz-verified over 120k random pairs) — a genuinely independent
+    oracle, not a mirrored formula.  Quadratic string work stays inside
+    blocking-key groups; one block-key shuffle, one window."""
+    from .functions.dedup import jaro_winkler_linkage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    title = F.array_join(F.slice(F.col("tk"), 1, 4), " ")
+    block = F.concat(
+        F.element_at(F.col("tk"), 3), F.lit("|"), F.element_at(F.col("tk"), 4)
+    )
+    canon = toks.select(
+        F.col("doc_id").alias("c_id"), title.alias("c_text"), block.alias("block")
+    )
+    did = F.col("doc_id")
+    typo = F.when(did % 8 == 0, F.substring(title, 2, 1 << 30)).otherwise(
+        F.concat(F.lit("X"), title)
+    )
+    variants = toks.filter(did % 4 == 0).select(
+        (did + 10000000).alias("q_id"), typo.alias("q_text"), block.alias("block")
+    )
+    return jaro_winkler_linkage(variants, canon, min_sim=0.8)
+
+
+# ---------------------------------------------------------------------------
+# q_spearman — rank correlation between document length and vocabulary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_spearman",
+    """
+WITH m AS (SELECT doc_id, n_chars,
+                  CAST(length(list_distinct(string_split(text, ' ')))
+                       AS BIGINT) AS n_uniq
+           FROM documents),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS ra,
+             row_number() OVER (ORDER BY n_uniq, doc_id) AS rb
+      FROM m),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+      FROM r)
+SELECT n, sum_d2,
+       round(1.0 - CAST(6 * sum_d2 AS DOUBLE)
+                   / CAST(n * (n * n - 1) AS DOUBLE), 6) AS rho
+FROM s
+""",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length (n_chars) and
+    vocabulary size (distinct tokens) — the monotone-association check
+    a curation pipeline runs between quality signals before mixing
+    them.  Ranks come from the two-phase distributed global rank
+    (engine/rank.py: range partition + local row_number + broadcast
+    offsets — NO single-task global window), ties broken by doc_id so
+    every rank is distinct and the closed form is exact; Σd² is an
+    exact int64 sum, the one division mirrored in both engines."""
+    from .engine.rank import spearman_rho
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = docs.select(
+        "doc_id", "n_chars",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long").alias("n_uniq"),
+    )
+    return spearman_rho(m, "n_chars", "n_uniq", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

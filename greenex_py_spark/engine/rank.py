@@ -1,0 +1,73 @@
+"""Distributed global ranking — row_number over a TOTAL order without
+the single-task trap.
+
+``Window.orderBy(...)`` with no partition key funnels the whole table
+through one task; the scalable form is the classic two-phase rank:
+range-partition on the order key, rank locally within each (sorted,
+non-overlapping) partition, and add broadcast cumulative partition
+offsets.  Ranks are boundary-independent — whatever boundaries the
+range partitioner samples, a total order gives every row exactly one
+global position — so the result is deterministic even though the
+sampled boundaries are not part of the contract.
+
+The caller MUST pass a total order (include a unique id as the last
+key); with duplicate keys the split across a partition boundary would
+otherwise be sampler-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """+ ``out_col`` — 1-based global row_number under the total order
+    ``order_cols``.  Two range shuffles, no global sort task."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        with_pid.withColumn("_lr", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lr") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_col: str,
+) -> DataFrame:
+    """[n, sum_d2, rho] — Spearman rank correlation between two columns
+    under deterministic total orders (ties broken by ``id_col``, the
+    standard competition-free convention that keeps every rank distinct
+    so the closed form ``rho = 1 − 6Σd²/(n(n²−1))`` is exact).
+
+    Both rankings use the two-phase :func:`global_rank`; Σd² is an
+    exact int64 sum (order-free), and the single FP step — one division
+    — is the identical expression in both engines."""
+    ra = global_rank(df.select(id_col, col_a), [col_a, id_col], "ra")
+    rb = global_rank(df.select(id_col, col_b), [col_b, id_col], "rb")
+    j = ra.select(id_col, "ra").join(rb.select(id_col, "rb"), id_col)
+    d = F.col("ra") - F.col("rb")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum(d * d).alias("sum_d2"),
+    )
+    n = F.col("n")
+    rho = 1.0 - (6 * F.col("sum_d2")).cast("double") / (n * (n * n - 1)).cast("double")
+    return agg.select("n", "sum_d2", F.round(rho, 6).alias("rho"))

@@ -3934,3 +3934,63 @@ def test_marching_squares_vs_full_raster(spark):
     assert got == dict(zip(codes.tolist(), counts.tolist()))
     assert sum(got.values()) == (city.NPX - 1) ** 2
     assert len(MS_SEGMENTS) == 16
+
+
+def test_jaro_winkler_matches_duckdb_bitwise():
+    """Engine JW == DuckDB's builtin bit-for-bit on textbook pairs and
+    a random fuzz (the gate oracle's independence rests on this)."""
+    import random
+
+    import duckdb
+
+    from greenex_py_spark.functions.dedup import jaro_winkler
+
+    con = duckdb.connect()
+    hand = [("martha", "marhta"), ("dixon", "dicksonx"), ("ab", "ba"),
+            ("d", "d"), ("", "abc"), ("jellyfish", "smellyfish")]
+    random.seed(3)
+    fuzz = [
+        ("".join(random.choice("abcd") for _ in range(random.randint(0, 12))),
+         "".join(random.choice("abcd") for _ in range(random.randint(0, 12))))
+        for _ in range(3000)
+    ]
+    for a, b in hand + fuzz:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == want, (a, b)
+
+
+def test_global_rank_and_spearman_vs_scipy_free_formula(spark):
+    """Two-phase distributed rank == single-window rank on a shuffled
+    frame with duplicate keys; Spearman matches the hand formula on a
+    known permutation (and is 1.0 on identical orders)."""
+    from greenex_py_spark.engine.rank import global_rank, spearman_rho
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 20, 300)  # heavy duplicates
+    df = spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(7)
+    got = {r["id"]: r["rank"]
+           for r in global_rank(df, ["v", "id"], "rank").collect()}
+    order = sorted(range(300), key=lambda i: (vals[i], i))
+    assert got == {i: k + 1 for k, i in enumerate(order)}
+
+    b = rng.permutation(300)
+    df2 = spark.createDataFrame(
+        [(int(i), int(vals[i]), int(b[i])) for i in range(300)],
+        "id long, a long, b long",
+    )
+    row = spearman_rho(df2, "a", "b", "id").collect()[0]
+    ra = np.empty(300, dtype=np.int64)
+    ra[np.lexsort((np.arange(300), vals))] = np.arange(1, 301)
+    rb = np.empty(300, dtype=np.int64)
+    rb[np.lexsort((np.arange(300), b))] = np.arange(1, 301)
+    sd2 = int(((ra - rb) ** 2).sum())
+    assert row["sum_d2"] == sd2
+    assert abs(row["rho"] - (1 - 6 * sd2 / (300 * (300**2 - 1)))) < 1e-6
+    same = spearman_rho(
+        df2.select("id", "a", F.col("a").alias("c")), "a", "c", "id"
+    ).collect()[0]
+    assert same["rho"] == 1.0
