@@ -8471,6 +8471,54 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_weighted_sample — PPS systematic sampling by document length
+# ---------------------------------------------------------------------------
+
+_WS_M = 100
+
+
+@register(
+    "q_weighted_sample",
+    f"""
+WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+                  CAST(sum(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+           FROM documents),
+t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tt FROM documents),
+x AS (SELECT doc_id, wt, cum, cum - wt AS cwp, tt FROM c, t),
+h AS (SELECT doc_id, wt, cum,
+             least({_WS_M}, CASE WHEN 2 * {_WS_M} * cum > tt
+                  THEN (2 * {_WS_M} * cum - tt - 1) // (2 * tt) + 1 ELSE 0 END)
+           - least({_WS_M}, CASE WHEN 2 * {_WS_M} * cwp > tt
+                  THEN (2 * {_WS_M} * cwp - tt - 1) // (2 * tt) + 1 ELSE 0 END)
+             AS n_hits
+      FROM x)
+SELECT doc_id, wt, cum, CAST(n_hits AS BIGINT) AS n_hits
+FROM h WHERE n_hits > 0
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic (PPS) sampling of ~{m} documents with
+    inclusion probability ∝ length — the token-budgeted corpus
+    subsampling primitive (selecting by doc count biases against long
+    documents; PPS by n_chars samples by token mass).  Prefix sums via
+    the two-phase distributed cumsum, point membership via guarded
+    integer division — zero FP, exact at any scale/skew; the oracle
+    mirrors the integer formula over a plain window.""".replace(
+        "{m}", str(_WS_M)
+    )
+    from .functions.sampling import weighted_systematic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("long").alias("wt")
+    )
+    return weighted_systematic_sample(
+        docs, weight_col="wt", m=_WS_M, order_cols=["doc_id"]
+    ).select("doc_id", "wt", "cum", "n_hits")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

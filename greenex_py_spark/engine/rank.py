@@ -46,6 +46,38 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """+ ``out_col`` — inclusive prefix sum of ``val_col`` under the
+    total order ``order_cols``, by the same two-phase shape as
+    :func:`global_rank`: per-range-partition local cumsum + broadcast
+    partition-total offsets.  Exact for integer values (the intended
+    use); no single-task global window anywhere."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("_pid").orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = with_pid.groupBy("_pid").agg(F.sum(val_col).alias("_tot"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        with_pid.withColumn("_lc", F.sum(val_col).over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lc") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lc", "_off")
+    )
+
+
 def spearman_rho(
     df: DataFrame,
     col_a: str,

@@ -600,3 +600,46 @@ def balanced_spatial_sample(
         .filter(F.col("pos") % every == 0)
         .select(id_col, "hkey", "pos")
     )
+
+
+def weighted_systematic_sample(
+    df,
+    weight_col: str,
+    m: int,
+    order_cols: list[str],
+) -> "DataFrame":
+    """[*df.columns, cum, n_hits] — weighted systematic (PPS) sampling
+    (Madow 1949): lay every row's weight as an interval along the
+    ``order_cols`` total order and keep rows whose interval contains a
+    selection point ``p_j = (2j+1)·T/(2m)`` (the m mid-placed points).
+    Inclusion probability ∝ weight; rows heavier than the skip T/m can
+    be hit multiple times (``n_hits`` is the PPS multiplicity).
+
+    Exactness: the prefix sum is the two-phase distributed cumsum
+    (engine/rank.py — no single-task window) and point membership is a
+    pure integer-rational comparison ``(2j+1)·T < 2·m·v`` evaluated via
+    guarded integer division, so there is NO floating point anywhere —
+    both engines agree exactly, any corpus size, any weight skew."""
+    from pyspark.sql import functions as F
+
+    from ..engine.rank import global_cumsum
+
+    cum = global_cumsum(df, order_cols, weight_col, out_col="cum")
+    total = cum.agg(F.sum(F.col(weight_col)).alias("_t"))
+    x = cum.crossJoin(F.broadcast(total))
+
+    def npts(v):
+        # points p_j < v, j in [0, m):  c = floor((2mv - T - 1)/(2T)) + 1
+        raw = F.expr(f"(2 * {m} * ({v}) - _t - 1) div (2 * _t) + 1")
+        return F.least(
+            F.lit(m).cast("long"),
+            F.when(2 * m * F.col(v) > F.col("_t"), raw).otherwise(F.lit(0)),
+        )
+
+    x = x.withColumn("_cwp", F.col("cum") - F.col(weight_col))
+    hits = npts("cum") - npts("_cwp")
+    return (
+        x.withColumn("n_hits", hits.cast("long"))
+        .filter(F.col("n_hits") > 0)
+        .drop("_t", "_cwp")
+    )

@@ -3994,3 +3994,35 @@ def test_global_rank_and_spearman_vs_scipy_free_formula(spark):
         df2.select("id", "a", F.col("a").alias("c")), "a", "c", "id"
     ).collect()[0]
     assert same["rho"] == 1.0
+
+
+def test_weighted_systematic_sample_exact_pps(spark):
+    """Engine selection == exact-rational brute force; Σ n_hits == m;
+    a row heavier than the skip is hit multiple times."""
+    from fractions import Fraction
+
+    from greenex_py_spark.functions.sampling import weighted_systematic_sample
+
+    rng = np.random.RandomState(5)
+    w = rng.randint(1, 50, 200)
+    w[17] = 2000  # heavier than T/m -> multiple hits
+    df = spark.createDataFrame(
+        [(int(i), int(x)) for i, x in enumerate(w)], "doc_id long, wt long"
+    ).repartition(5)
+    m = 40
+    got = {r["doc_id"]: r["n_hits"]
+           for r in weighted_systematic_sample(
+               df, "wt", m, ["doc_id"]).collect()}
+    T = int(w.sum())
+    cum = np.cumsum(w)
+    exp = {}
+    for j in range(m):
+        p = Fraction((2 * j + 1) * T, 2 * m)
+        i = int(np.searchsorted(cum, float(p), side="right"))
+        # exact boundary: p in [cum[i-1], cum[i]) -> row i
+        while Fraction(int(cum[i])) <= p:
+            i += 1
+        exp[i] = exp.get(i, 0) + 1
+    assert got == exp
+    assert sum(got.values()) == m
+    assert got.get(17, 0) >= 2
