@@ -8519,6 +8519,52 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_stream_dedup — streaming exactly-once dedup of a replayed event feed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_dedup",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once repair: the event feed is written
+    twice-overlapping (a full copy plus a replay of every 3rd event)
+    and drained through ``dropDuplicatesWithinWatermark`` on event_id —
+    bounded state (keys live only inside the duplicate horizon), append
+    sink.  The oracle is plain per-type counts/cent-sums over the clean
+    table: the gate passes iff the stream collapsed every replica."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import dedup_event_stream
+
+    base = os.path.join(tempfile.gettempdir(), f"q_stream_dedup_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.coalesce(4).write.parquet(src)
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    dedup_event_stream(spark, src, sink, ckpt)
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -76,6 +76,41 @@ def windowed_counts(
     q.awaitTermination()
 
 
+def dedup_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "30 days",
+) -> None:
+    """Streaming exactly-once key dedup: ``dropDuplicatesWithinWatermark``
+    over the event stream — the at-least-once→exactly-once repair stage
+    every replayed/overlapping crawl or event feed needs.  State holds
+    one entry per key only until the watermark passes its event time +
+    delay, so memory is bounded by the duplicate horizon, not stream
+    length (the unbounded-state trap of plain ``dropDuplicates`` on a
+    stream).  Duplicates inside one micro-batch and across batches
+    within the horizon are both collapsed; the batch twin is DISTINCT
+    on the key, which is exactly what the gate oracle runs."""
+    from .sessionize import EVENT_SCHEMA
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(key_cols or ["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(
     spark: SparkSession,
     source_dir: str,

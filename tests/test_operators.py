@@ -4026,3 +4026,30 @@ def test_weighted_systematic_sample_exact_pps(spark):
     assert got == exp
     assert sum(got.values()) == m
     assert got.get(17, 0) >= 2
+
+
+def test_stream_dedup_cross_run_replay(spark, tmp_path):
+    """Replayed events are collapsed exactly-once both within one drain
+    and across a checkpoint-resumed second drain (state persists)."""
+    from greenex_py_spark.streaming.ingest import dedup_event_stream
+    from greenex_py_spark.streaming.sessionize import EVENT_SCHEMA
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).filter(F.col("event_id") < 300)
+    ev.coalesce(2).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    dedup_event_stream(spark, src, sink, ckpt)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 300
+    # second run: replay 100 old events (cross-run dups) + 50 new ones
+    ev2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).filter((F.col("event_id") >= 300) & (F.col("event_id") < 350))
+    ev.filter(F.col("event_id") < 100).coalesce(1).write.mode("append").parquet(src)
+    ev2.coalesce(1).write.mode("append").parquet(src)
+    dedup_event_stream(spark, src, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 350
+    assert out.select("event_id").distinct().count() == 350
