@@ -8565,6 +8565,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_welch_ttest — Welch two-sample test: purchase vs error event values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_welch_ttest",
+    """
+WITH e AS (SELECT event_type AS g,
+                  CAST(round(value * 100.0) AS BIGINT) AS vq
+           FROM events WHERE event_type IN ('purchase', 'error')),
+a AS (SELECT
+        CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN g = 'purchase' THEN vq ELSE 0 END) AS BIGINT) AS s_a,
+        CAST(sum(CASE WHEN g = 'error' THEN vq ELSE 0 END) AS BIGINT) AS s_b,
+        CAST(sum(CASE WHEN g = 'purchase' THEN vq * vq ELSE 0 END) AS BIGINT) AS q_a,
+        CAST(sum(CASE WHEN g = 'error' THEN vq * vq ELSE 0 END) AS BIGINT) AS q_b
+      FROM e),
+d AS (SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+             (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+               / CAST(n_a AS DOUBLE) AS ua,
+             (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+               / CAST(n_b AS DOUBLE) AS ub
+      FROM a)
+SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(ua + ub), 6) AS t_stat,
+       round((ua + ub) * (ua + ub)
+             / (ua * ua / (CAST(n_a AS DOUBLE) - 1.0)
+                + ub * ub / (CAST(n_b AS DOUBLE) - 1.0)), 3) AS dof
+FROM d
+""",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between purchase and error event
+    values (quantized to cents on ingest) — the continuous-outcome
+    experiment readout next to q_chi2.  Six exact int64 sums in one
+    map-side-combinable aggregation; t and the Welch–Satterthwaite dof
+    assemble from those integers through identical FP expressions in
+    both engines."""
+    from .functions.stats import welch_ttest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100.0).cast("long").alias("vq"),
+    )
+    return welch_ttest(ev, "g", "vq", "purchase", "error")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -19,6 +19,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_q_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """[n_a, n_b, mean_a, mean_b, t_stat, dof] — Welch's unequal-
+    variance t-test between two groups over a PRE-QUANTIZED integer
+    value column (the caller fixes the measurement precision, e.g.
+    cents): every aggregate is an exact int64 sum (n, Σv, Σv²), so the
+    one expression that assembles t and the Welch–Satterthwaite dof
+    from those six integers is identical in both engines.  Sample
+    variance is ddof=1 via the cancellation-safe form
+    (Σv² − (Σv)²/n)/(n−1).  Single map-side-combinable aggregation —
+    the continuous-outcome companion to :func:`chi2_independence`.
+    """
+    g = F.col(group_col)
+    agg = df.filter(g.isin([group_a, group_b])).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(g == group_a, F.col(value_q_col)).otherwise(0)).alias("s_a"),
+        F.sum(F.when(g == group_b, F.col(value_q_col)).otherwise(0)).alias("s_b"),
+        F.sum(F.when(g == group_a, F.col(value_q_col) * F.col(value_q_col))
+              .otherwise(0)).alias("q_a"),
+        F.sum(F.when(g == group_b, F.col(value_q_col) * F.col(value_q_col))
+              .otherwise(0)).alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    qa, qb = F.col("q_a").cast("double"), F.col("q_b").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1.0)
+    vb = (qb - sb * sb / nb) / (nb - 1.0)
+    ua, ub = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(ua + ub)
+    dof = (ua + ub) * (ua + ub) / (
+        ua * ua / (na - 1.0) + ub * ub / (nb - 1.0)
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 3).alias("dof"),
+    )
+
+
 def chi2_independence(
     df: DataFrame,
     col_a: str,

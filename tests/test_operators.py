@@ -4053,3 +4053,24 @@ def test_stream_dedup_cross_run_replay(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 350
     assert out.select("event_id").distinct().count() == 350
+
+
+def test_welch_ttest_hand_values(spark):
+    """Welch t and dof match the textbook formulas on a hand dataset
+    with unequal variances and sizes."""
+    from greenex_py_spark.functions.stats import welch_ttest
+
+    a = [10, 12, 14, 16, 18, 20]          # mean 15, var 14
+    b = [30, 31, 29, 32, 28]              # mean 30, var 2.5
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, vq long")
+    row = welch_ttest(df, "g", "vq", "A", "B").collect()[0]
+    ma, mb = np.mean(a), np.mean(b)
+    ua = np.var(a, ddof=1) / len(a)
+    ub = np.var(b, ddof=1) / len(b)
+    t = (ma - mb) / np.sqrt(ua + ub)
+    dof = (ua + ub) ** 2 / (ua**2 / (len(a) - 1) + ub**2 / (len(b) - 1))
+    assert row["n_a"] == 6 and row["n_b"] == 5
+    assert abs(row["mean_a"] - ma) < 1e-9 and abs(row["mean_b"] - mb) < 1e-9
+    assert abs(row["t_stat"] - t) < 1e-6
+    assert abs(row["dof"] - dof) < 1e-3
