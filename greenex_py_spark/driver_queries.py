@@ -8618,6 +8618,62 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_rbo — rank-biased overlap between the BM25 and tf-idf rankings
+# ---------------------------------------------------------------------------
+
+_RBO_K, _RBO_P = 20, 0.9
+
+
+def _rbo_oracle() -> str:
+    from .functions.retrieval import bm25_oracle_sql, rbo_weights, tfidf_oracle_sql
+
+    vals = ", ".join(
+        f"({d}, {w!r})" for d, w in rbo_weights(_RBO_K, _RBO_P)
+    )
+    return f"""
+WITH ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+  FROM ({bm25_oracle_sql(_BM25_TERMS)}) QUALIFY ra <= {_RBO_K}
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+  FROM ({tfidf_oracle_sql(_BM25_TERMS)}) QUALIFY rb <= {_RBO_K}
+),
+e AS (SELECT greatest(ra.ra, rb.rb) AS entry FROM ra JOIN rb USING (doc_id)),
+w(d, wd) AS (VALUES {vals}),
+x AS (SELECT d, wd, count(e.entry) AS x_d
+      FROM w LEFT JOIN e ON e.entry <= w.d GROUP BY d, wd)
+SELECT CAST(d AS BIGINT) AS d, CAST(x_d AS BIGINT) AS x_d,
+       CAST(sum(CAST(floor(wd * CAST(x_d AS DOUBLE) / CAST(d AS DOUBLE)
+                           * 1000000000.0 + 0.5) AS BIGINT)) OVER ()
+            AS BIGINT) / 1000000000.0 AS rbo
+FROM x
+"""
+
+
+@register("q_rbo", None)  # generated oracle attached below
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated @20, p=0.9)
+    between the BM25 and plain-tf·idf top-20 rankings for the same
+    query — the ranking-agreement eval a pipeline runs when swapping
+    retrieval scorers.  Per-depth overlap X_d from the two rank joins
+    (dim-sized after the top-k windows); geometric weights are driver
+    literals (no per-row pow) and the weighted sum is an exact integer
+    sum of 1e-9-quantized terms."""
+    from .functions.retrieval import bm25_scores, rbo_overlap, tfidf_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rbo_overlap(
+        bm25_scores(docs, _BM25_TERMS),
+        tfidf_query_scores(docs, _BM25_TERMS),
+        k=_RBO_K, p=_RBO_P,
+    )
+
+
+ORACLES["q_rbo"] = _rbo_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

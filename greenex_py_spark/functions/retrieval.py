@@ -154,3 +154,115 @@ def build_postings(
             ",",
         ).alias("posting"),
     )
+
+
+def tfidf_query_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, score] — plain tf·idf query scoring (idf = ln((N+1)/(df+1)),
+    no length normalization): the zero-parameter baseline BM25 is
+    usually compared against.  Same sliver-shaped plan as
+    :func:`bm25_scores` (map-side term filter, dim-sized df table,
+    micro-int contribution sums)."""
+    t = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    scalars = t.agg(F.count("*").alias("n_docs"))
+    toks = t.select("_id", F.explode("_toks").alias("term")).filter(
+        F.col("term").isin(*query_terms)
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(scalars))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    micro = F.round(F.col("tf") * idf * 1000000.0).cast("long")
+    return (
+        joined.select("_id", micro.alias("_c"))
+        .groupBy("_id")
+        .agg(F.round(F.sum("_c") / 1000000.0, 6).alias("score"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def tfidf_oracle_sql(query_terms: list[str], table: str = "documents") -> str:
+    """DuckDB twin of :func:`tfidf_query_scores` (shared-formula
+    convention)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM {table}),
+sc AS (SELECT count(*) AS n_docs FROM t),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+j AS (
+  SELECT tf.doc_id,
+         CAST(round(tf.tf * ln((sc.n_docs + 1.0) / (dfreq.df + 1.0))
+                    * 1000000.0) AS BIGINT) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN sc
+)
+SELECT doc_id, round(sum(c) / 1000000.0, 6) AS score
+FROM j GROUP BY doc_id
+"""
+
+
+def rbo_weights(k: int, p: float) -> list[tuple[int, float]]:
+    """[(d, (1−p)·p^(d−1))] computed ONCE on the driver — both engines
+    consume the same double literals, so no per-row pow() portability
+    risk exists anywhere in the RBO chain."""
+    return [(d, (1.0 - p) * p ** (d - 1)) for d in range(1, k + 1)]
+
+
+def rbo_overlap(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 20,
+    p: float = 0.9,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """[d, x_d, rbo] — truncated rank-biased overlap (Webber, Moffat &
+    Zobel 2010) between two top-k rankings: X_d = |A_{1..d} ∩ B_{1..d}|
+    and RBO@k = (1−p)·Σ_d p^(d−1)·X_d/d, the top-weighted agreement
+    measure for comparing two retrieval/quality orderings.
+
+    Determinism: both inputs carry 6-dp-rounded scores, ranks break
+    ties by id, the geometric weights are driver-computed literals, and
+    the weighted sum is an exact integer sum of 1e-9-quantized terms —
+    engine-portable end to end.  Everything after the two top-k windows
+    is dim-sized (≤ k rows)."""
+    from pyspark.sql import Window
+
+    spark = rank_a.sparkSession
+
+    def topk(df, out):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return (
+            df.withColumn(out, F.row_number().over(w))
+            .filter(F.col(out) <= k)
+            .select(id_col, out)
+        )
+
+    j = topk(rank_a, "ra").join(topk(rank_b, "rb"), id_col)
+    entries = j.select(F.greatest("ra", "rb").alias("entry"))
+    depths = spark.createDataFrame(rbo_weights(k, p), "d int, wd double")
+    x = (
+        depths.join(F.broadcast(entries), F.col("entry") <= F.col("d"), "left")
+        .groupBy("d", "wd")
+        .agg(F.count("entry").alias("x_d"))
+    )
+    term = F.floor(
+        F.col("wd") * F.col("x_d").cast("double") / F.col("d").cast("double")
+        * 1e9 + 0.5
+    ).cast("long")
+    w_all = Window.partitionBy()
+    return (
+        x.withColumn("_t", term)
+        .withColumn("rbo", F.sum("_t").over(w_all) / 1e9)
+        .select(F.col("d").cast("long").alias("d"), "x_d", "rbo")
+    )

@@ -4074,3 +4074,34 @@ def test_welch_ttest_hand_values(spark):
     assert abs(row["mean_a"] - ma) < 1e-9 and abs(row["mean_b"] - mb) < 1e-9
     assert abs(row["t_stat"] - t) < 1e-6
     assert abs(row["dof"] - dof) < 1e-3
+
+
+def test_rbo_identical_disjoint_and_hand_case(spark):
+    """RBO is 1 for identical rankings, 0 for disjoint ones, and
+    matches the hand formula on a partial overlap."""
+    from greenex_py_spark.functions.retrieval import rbo_overlap, rbo_weights
+
+    k, p = 5, 0.9
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "doc_id long, score double"
+    )
+    same = rbo_overlap(a, a, k=k, p=p).collect()
+    assert all(abs(r["rbo"] - sum(w for _, w in rbo_weights(k, p))) < 1e-8
+               for r in same)  # X_d = d for identical lists
+    b = spark.createDataFrame(
+        [(100 + i, float(100 - i)) for i in range(10)],
+        "doc_id long, score double",
+    )
+    disj = rbo_overlap(a, b, k=k, p=p).collect()
+    assert all(r["rbo"] == 0.0 and r["x_d"] == 0 for r in disj)
+    # hand case: b reverses the top-5 of a -> overlap grows as
+    # X = [0, 0, 1, 3, 5] at depths 1..5 (max(ra, rb) = max(r, 6-r))
+    c = spark.createDataFrame(
+        [(i, float(100 + i)) for i in range(5)], "doc_id long, score double"
+    )
+    out = {r["d"]: (r["x_d"], r["rbo"]) for r in
+           rbo_overlap(a, c, k=k, p=p).collect()}
+    assert [out[d][0] for d in range(1, 6)] == [0, 0, 1, 3, 5]
+    want = sum((1 - p) * p ** (d - 1) * x / d
+               for d, x in zip(range(1, 6), [0, 0, 1, 3, 5]))
+    assert abs(out[1][1] - want) < 1e-8
