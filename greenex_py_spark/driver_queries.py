@@ -8674,6 +8674,75 @@ ORACLES["q_rbo"] = _rbo_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_cusum_drift — integer CUSUM change-point scan over daily volumes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cusum_drift",
+    """
+WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1),
+s AS (SELECT day, n_events,
+             CAST(sum(n_events) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pre,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(sum(n_events) OVER () AS BIGINT) AS tot,
+             CAST(count(*) OVER () AS BIGINT) AS nd
+      FROM d),
+c AS (SELECT day, n_events, nd * pre - i * tot AS cusum_scaled FROM s),
+m AS (SELECT day, n_events, cusum_scaled,
+             max(abs(cusum_scaled)) OVER () AS mx
+      FROM c),
+g AS (SELECT day, n_events, cusum_scaled,
+             min(CASE WHEN abs(cusum_scaled) = mx THEN day END) OVER () AS chg
+      FROM m)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_events, cusum_scaled,
+       day IS NOT DISTINCT FROM chg AS is_change_point
+FROM g
+""",
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over daily event volume — the snapshot
+    drift detector a pipeline runs between crawl ingests.  The centered
+    cumulative sum is kept EXACT by scaling with the day count
+    (n_days·prefix − i·total, all int64 — no mean division ever
+    happens), so the argmax day (ties → earliest) is engine-portable;
+    the day table after the one corpus-sized groupBy is dim-sized, so
+    the ordered windows cost nothing."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    s = d.select(
+        "day", "n_events",
+        F.sum("n_events").over(w_cum).alias("pre"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.sum("n_events").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("nd"),
+    )
+    c = s.select(
+        "day", "n_events",
+        (F.col("nd") * F.col("pre") - F.col("i") * F.col("tot")).alias("cusum_scaled"),
+    )
+    mx = F.max(F.abs(F.col("cusum_scaled"))).over(w_all)
+    chg = F.min(
+        F.when(F.abs(F.col("cusum_scaled")) == mx, F.col("day"))
+    ).over(w_all)
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events", "cusum_scaled",
+        F.col("day").eqNullSafe(chg).alias("is_change_point"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

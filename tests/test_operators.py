@@ -4105,3 +4105,36 @@ def test_rbo_identical_disjoint_and_hand_case(spark):
     want = sum((1 - p) * p ** (d - 1) * x / d
                for d, x in zip(range(1, 6), [0, 0, 1, 3, 5]))
     assert abs(out[1][1] - want) < 1e-8
+
+
+def test_cusum_drift_detects_planted_shift(spark):
+    """On a series with a level shift at day 20 of 40, the scaled CUSUM
+    argmax lands exactly on the last pre-shift day, and the scaled
+    values match the exact formula n·prefix − i·total."""
+    import datetime
+
+    from greenex_py_spark.driver_queries import q_cusum_drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(40):
+        n = 10 if day < 20 else 30
+        for k in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day, minutes=k),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    import os
+    import tempfile
+    p = os.path.join(tempfile.mkdtemp(), "events.parquet")
+    df.write.parquet(p)
+    out = q_cusum_drift(spark, os.path.dirname(p)).toPandas()
+    counts = np.array([10] * 20 + [30] * 20, dtype=np.int64)
+    pre = np.cumsum(counts)
+    scaled = 40 * pre - np.arange(1, 41) * counts.sum()
+    assert list(out.sort_values("day")["cusum_scaled"]) == scaled.tolist()
+    chg = out[out["is_change_point"]]
+    assert len(chg) == 1 and chg["day"].iloc[0] == "2024-01-20"
