@@ -8743,6 +8743,92 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_simplify_track — one-pass Visvalingam effective-area polyline filter
+# ---------------------------------------------------------------------------
+
+_VW_TRACKS = 16
+_VW_AREA_Q = 5_000  # keep vertices with 2·area ≥ 50 m² (q = ×100)
+
+
+@register(
+    "q_simplify_track",
+    f"""
+WITH p AS (
+  SELECT doc_id % {_VW_TRACKS} AS track_id, doc_id // {_VW_TRACKS} AS seq,
+         {city.X0} + (doc_id // {_VW_TRACKS}) * 10.0
+           + ((doc_id * 48271) % 1000) / 1000.0 * 6.0 AS x,
+         {city.Y0} + (doc_id % {_VW_TRACKS}) * 500.0
+           + sin((doc_id // {_VW_TRACKS}) / 20.0) * 300.0
+           + ((doc_id * 16807) % 1000) / 1000.0 * 6.0 AS y
+  FROM documents
+),
+n AS (
+  SELECT track_id, seq, x, y,
+         lag(x)  OVER w AS xp, lag(y)  OVER w AS yp,
+         lead(x) OVER w AS xn, lead(y) OVER w AS yn
+  FROM p WINDOW w AS (PARTITION BY track_id ORDER BY seq)
+),
+a AS (
+  SELECT track_id, seq, x, y,
+         CASE WHEN xp IS NULL OR xn IS NULL THEN -1
+              ELSE CAST(floor(abs((xp - x) * (yn - y) - (xn - x) * (yp - y))
+                              * 100.0 + 0.5) AS BIGINT) END AS area_q
+  FROM n
+)
+SELECT track_id, seq, round(x, 6) AS x, round(y, 6) AS y, area_q
+FROM a WHERE area_q = -1 OR area_q >= {_VW_AREA_Q}
+""",
+)
+def q_simplify_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Visvalingam–Whyatt polyline simplification of 16
+    deterministic GPS-like tracks (doc_id → track/seq, sinusoidal drift
+    + LCG jitter): a vertex survives iff its effective triangle area
+    (×2, quantized ×100 to int) clears the threshold; endpoints always
+    survive.  Pure codegen lag/lead windows PARTITIONED PER TRACK — the
+    scale unit of trajectory data, so a 100 TB GPS corpus simplifies
+    with per-track parallelism and no global sort.  (The classic
+    iterative VW re-ranks after each removal; the one-pass filter is
+    the standard streaming variant and is what this operator
+    implements, stated openly.)  Cross products evaluate identically in
+    both engines, so the integer threshold compare is portable."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    seq = (did / _VW_TRACKS).cast("long")
+    p = docs.select(
+        (did % _VW_TRACKS).alias("track_id"),
+        seq.alias("seq"),
+        (F.lit(city.X0) + seq * 10.0
+         + ((did * 48271) % 1000) / 1000.0 * 6.0).alias("x"),
+        (F.lit(city.Y0) + (did % _VW_TRACKS) * 500.0
+         + F.sin(seq / 20.0) * 300.0
+         + ((did * 16807) % 1000) / 1000.0 * 6.0).alias("y"),
+    )
+    w = Window.partitionBy("track_id").orderBy("seq")
+    n = p.select(
+        "track_id", "seq", "x", "y",
+        F.lag("x").over(w).alias("xp"), F.lag("y").over(w).alias("yp"),
+        F.lead("x").over(w).alias("xn"), F.lead("y").over(w).alias("yn"),
+    )
+    a2 = F.abs(
+        (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("y"))
+        - (F.col("xn") - F.col("x")) * (F.col("yp") - F.col("y"))
+    )
+    area_q = F.when(
+        F.col("xp").isNull() | F.col("xn").isNull(), F.lit(-1).cast("long")
+    ).otherwise(F.floor(a2 * 100.0 + 0.5).cast("long"))
+    return (
+        n.withColumn("area_q", area_q)
+        .filter((F.col("area_q") == -1) | (F.col("area_q") >= _VW_AREA_Q))
+        .select(
+            "track_id", "seq",
+            F.round("x", 6).alias("x"), F.round("y", 6).alias("y"), "area_q",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -4138,3 +4138,37 @@ def test_cusum_drift_detects_planted_shift(spark):
     assert list(out.sort_values("day")["cusum_scaled"]) == scaled.tolist()
     chg = out[out["is_change_point"]]
     assert len(chg) == 1 and chg["day"].iloc[0] == "2024-01-20"
+
+
+def test_simplify_track_numpy_mirror(spark, sf_dir):
+    """Kept-vertex set == a NumPy mirror of the one-pass effective-area
+    filter (endpoints always kept, interior kept iff area_q >= thr)."""
+    from greenex_py_spark.driver_queries import _VW_AREA_Q, _VW_TRACKS, q_simplify_track
+
+    got = q_simplify_track(spark, sf_dir).toPandas()
+    doc_ids = np.sort(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").toPandas()["doc_id"].to_numpy()
+    )
+    tr = doc_ids % _VW_TRACKS
+    seq = doc_ids // _VW_TRACKS
+    x = 100000.0 + seq * 10.0 + ((doc_ids * 48271) % 1000) / 1000.0 * 6.0
+    y = (450000.0 + tr * 500.0 + np.sin(seq / 20.0) * 300.0
+         + ((doc_ids * 16807) % 1000) / 1000.0 * 6.0)
+    exp = set()
+    for t in range(_VW_TRACKS):
+        m = tr == t
+        xs, ys, ss = x[m], y[m], seq[m]
+        o = np.argsort(ss)
+        xs, ys, ss = xs[o], ys[o], ss[o]
+        for i in range(len(ss)):
+            if i == 0 or i == len(ss) - 1:
+                exp.add((t, int(ss[i]), -1))
+                continue
+            a2 = abs((xs[i-1]-xs[i])*(ys[i+1]-ys[i])
+                     - (xs[i+1]-xs[i])*(ys[i-1]-ys[i]))
+            aq = int(np.floor(a2 * 100.0 + 0.5))
+            if aq >= _VW_AREA_Q:
+                exp.add((t, int(ss[i]), aq))
+    assert set(zip(got["track_id"], got["seq"], got["area_q"])) == exp
+    assert (got["area_q"] == -1).sum() == 2 * _VW_TRACKS
