@@ -8829,6 +8829,53 @@ def q_simplify_track(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_ks_test — two-sample Kolmogorov–Smirnov: src0 lengths vs the rest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ks_test",
+    """
+WITH c AS (SELECT n_chars AS v,
+                  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c_a,
+                  CAST(sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c_b
+           FROM documents GROUP BY n_chars),
+s AS (SELECT v,
+             CAST(sum(c_a) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_a,
+             CAST(sum(c_b) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_b,
+             CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+             CAST(sum(c_b) OVER () AS BIGINT) AS n_b
+      FROM c),
+d AS (SELECT v, n_a, n_b, abs(n_b * cum_a - n_a * cum_b) AS dd FROM s),
+m AS (SELECT v, n_a, n_b, dd, max(dd) OVER () AS mx FROM d)
+SELECT n_a, n_b, CAST(max(dd) AS BIGINT) AS d_scaled,
+       CAST(min(v) AS BIGINT) AS v_at_max,
+       round(CAST(max(dd) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat
+FROM m WHERE dd = mx GROUP BY n_a, n_b
+""",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test: does the src0 source draw document lengths
+    from the same distribution as the rest of the corpus?  The
+    source-shift detector that complements q_cusum_drift (time) and
+    q_welch_ttest (means).  Distances stay exact int64 — the sup is
+    max|n_b·cumA − n_a·cumB| over the value-domain-sized count table;
+    one corpus-sized groupBy, one final division."""
+    from .functions.stats import ks_two_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    return ks_two_sample(docs, "source", "v", "src0")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -19,6 +19,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+) -> DataFrame:
+    """[n_a, n_b, d_scaled, v_at_max, d_stat] — two-sample Kolmogorov–
+    Smirnov distance between group ``group_a`` and the rest over an
+    INTEGER value column, exact end to end: per-value conditional
+    counts (one corpus-sized groupBy), cumulative counts over the
+    value-domain-sized table, and the sup-distance kept scaled as
+    ``D·n_a·n_b = max|n_b·cum_a − n_a·cum_b|`` in int64 — the single
+    division happens once at the end.  ``v_at_max`` is the smallest
+    value attaining the sup (deterministic tie-break)."""
+    g = F.col(group_col)
+    counts = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(g != group_a, 1).otherwise(0)).alias("c_b"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = counts.select(
+        "v",
+        F.sum("c_a").over(w_cum).alias("cum_a"),
+        F.sum("c_b").over(w_cum).alias("cum_b"),
+        F.sum("c_a").over(w_all).alias("n_a"),
+        F.sum("c_b").over(w_all).alias("n_b"),
+    )
+    d = F.abs(F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b"))
+    c = c.withColumn("_d", d).withColumn("_mx", F.max("_d").over(w_all))
+    return (
+        c.filter(F.col("_d") == F.col("_mx"))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max("_d").alias("d_scaled"),
+            F.min("v").alias("v_at_max"),
+        )
+        .select(
+            "n_a", "n_b", "d_scaled", "v_at_max",
+            F.round(
+                F.col("d_scaled").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("d_stat"),
+        )
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     group_col: str,

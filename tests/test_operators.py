@@ -4172,3 +4172,24 @@ def test_simplify_track_numpy_mirror(spark, sf_dir):
                 exp.add((t, int(ss[i]), aq))
     assert set(zip(got["track_id"], got["seq"], got["area_q"])) == exp
     assert (got["area_q"] == -1).sum() == 2 * _VW_TRACKS
+
+
+def test_ks_two_sample_matches_scipy_style_brute(spark):
+    """KS distance matches the brute-force sup over empirical CDFs on
+    a planted distribution shift."""
+    from greenex_py_spark.functions.stats import ks_two_sample
+
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 50, 400)        # uniform-ish
+    b = rng.randint(20, 70, 300)       # shifted
+    rows = [("A", int(v)) for v in a] + [("B", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    row = ks_two_sample(df, "g", "v", "A").collect()[0]
+    vs = np.unique(np.concatenate([a, b]))
+    ca = np.array([(a <= v).sum() for v in vs], dtype=np.int64)
+    cb = np.array([(b <= v).sum() for v in vs], dtype=np.int64)
+    dd = np.abs(len(b) * ca - len(a) * cb)
+    assert row["n_a"] == 400 and row["n_b"] == 300
+    assert row["d_scaled"] == int(dd.max())
+    assert row["v_at_max"] == int(vs[np.argmax(dd)])
+    assert abs(row["d_stat"] - dd.max() / (400 * 300)) < 1e-9
