@@ -8876,6 +8876,89 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_js_divergence — Jensen–Shannon divergence between the src0 unigram
+# distribution and the rest of the corpus (content-level source shift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_js_divergence",
+    """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+c AS (SELECT t,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM toks GROUP BY t),
+tt AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+              CAST(count(*) AS BIGINT) AS nv
+       FROM c),
+x AS (SELECT nv, ta, tb,
+             CAST(round((
+               0.5 * (CASE WHEN a > 0 THEN
+                 (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                 * ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                      / ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                          + CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0))
+                 ELSE 0.0 END)
+               + 0.5 * (CASE WHEN b > 0 THEN
+                 (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                 * ln((CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                      / ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                          + CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0))
+                 ELSE 0.0 END)
+             ) * 1000000000.0) AS BIGINT) AS cq
+      FROM c, tt)
+SELECT nv AS n_vocab, ta AS tok_a, tb AS tok_b,
+       round(CAST(sum(cq) AS BIGINT) / 1000000000.0, 6) AS jsd
+FROM x GROUP BY nv, ta, tb
+""",
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between src0's unigram distribution
+    and the rest — the CONTENT-level source-shift detector next to
+    q_ks_test's length-level one (0 = same distribution, ln 2 =
+    disjoint support).  One vocabulary groupBy; per-token contributions
+    quantize to 1e-9 integers before the sum (FP order can't move the
+    6-dp result), and the smoothed mixture M = (P+Q)/2 makes every log
+    finite without add-k distortion."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    src = F.col("source") == "src0"
+    c = toks.groupBy("t").agg(
+        F.sum(F.when(src, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~src, 1).otherwise(0)).alias("b"),
+    )
+    w_all = Window.partitionBy()
+    c = c.select(
+        "a", "b",
+        F.sum("a").over(w_all).alias("ta"),
+        F.sum("b").over(w_all).alias("tb"),
+        F.count("*").over(w_all).alias("nv"),
+    )
+    p = F.col("a").cast("double") / F.col("ta").cast("double")
+    q = F.col("b").cast("double") / F.col("tb").cast("double")
+    m = (p + q) / 2.0
+    term = (
+        0.5 * F.when(F.col("a") > 0, p * F.log(p / m)).otherwise(0.0)
+        + 0.5 * F.when(F.col("b") > 0, q * F.log(q / m)).otherwise(0.0)
+    )
+    cq = F.round(term * 1e9).cast("long")
+    return (
+        c.withColumn("cq", cq)
+        .groupBy(
+            F.col("nv").alias("n_vocab"),
+            F.col("ta").alias("tok_a"),
+            F.col("tb").alias("tok_b"),
+        )
+        .agg(F.round(F.sum("cq") / 1e9, 6).alias("jsd"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -4193,3 +4193,32 @@ def test_ks_two_sample_matches_scipy_style_brute(spark):
     assert row["d_scaled"] == int(dd.max())
     assert row["v_at_max"] == int(vs[np.argmax(dd)])
     assert abs(row["d_stat"] - dd.max() / (400 * 300)) < 1e-9
+
+
+def test_js_divergence_bounds_and_hand_values(spark, tmp_path):
+    """JSD(P,P)=0; disjoint vocabularies give ln 2; a hand mixture
+    matches the closed-form value."""
+    import math
+    import os
+
+    from greenex_py_spark.driver_queries import q_js_divergence
+
+    def run(rows):
+        p = str(tmp_path / f"d{len(rows)}_{abs(hash(str(rows))) % 997}")
+        os.makedirs(p, exist_ok=True)
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string, n_chars long"
+        ).write.mode("overwrite").parquet(p + "/documents.parquet")
+        return q_js_divergence(spark, p).collect()[0]
+
+    same = run([(0, "src0", "a b c", 5), (1, "src1", "a b c", 5)])
+    assert same["jsd"] == 0.0
+    disj = run([(0, "src0", "a a b", 5), (1, "src1", "x y z", 5)])
+    assert abs(disj["jsd"] - math.log(2)) < 1e-6
+    # P = {a:1}, Q = {a:.5, b:.5} -> JSD = 0.5*ln(4/3) + 0.25*ln(3) ... compute directly
+    mix = run([(0, "src0", "a a", 5), (1, "src1", "a b", 5)])
+    pa, qa, qb = 1.0, 0.5, 0.5
+    ma, mb = (pa + qa) / 2, (0.0 + qb) / 2
+    want = 0.5 * (pa * math.log(pa / ma)) + 0.5 * (
+        qa * math.log(qa / ma) + qb * math.log(qb / mb))
+    assert abs(mix["jsd"] - want) < 1e-6
