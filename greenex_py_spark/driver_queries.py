@@ -8959,6 +8959,43 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_ring_profile — distance-decay NDVI gradient in 100 m rings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ring_profile",
+    _CTE + _pixel_cte(_NDVI_R) + f"""
+, rp AS (
+  SELECT doc_id,
+         CAST(floor(sqrt((cx - x) * (cx - x) + (cy - y) * (cy - y))
+              / 100.0) AS BIGINT) AS ring,
+         greatest({city.NDVI_SQL.format(px_x='cx', px_y='cy')}, 0.0) AS v
+  FROM (SELECT pxin.*, p.x, p.y FROM pxin JOIN pts p USING (doc_id))
+)
+SELECT doc_id, ring, CAST(count(*) AS BIGINT) AS n_px,
+       round(sum(v) / count(*), 3) AS mean_v
+FROM rp WHERE ring < 3 GROUP BY doc_id, ring
+""",
+)
+def q_ring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-decay exposure profile: clamped NDVI mean per 100 m
+    concentric ring (0–300 m) around every point — the gradient version
+    of q_mean_ndvi's flat buffer (availability.py:289 computes one
+    number; exposure studies fit decay curves on exactly these bands).
+    Same tile-cogroup partials, keyed by (id, ring); IEEE sqrt makes
+    band assignment engine-portable."""
+    from .operators.zonal import zonal_ring_profile
+
+    pts = city.points_df(spark, sf_dir)
+    tiles = city.tiles_df(spark, "ndvi")
+    return zonal_ring_profile(
+        pts, tiles, radius=_NDVI_R, ring_width=100.0, id_col="doc_id",
+        grid=city.grid(),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

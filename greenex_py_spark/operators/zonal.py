@@ -183,6 +183,80 @@ def zonal_class_percentages(
     return renamed.withColumnRenamed("id", id_col)
 
 
+def zonal_ring_profile(
+    points: DataFrame,
+    tiles: DataFrame,
+    radius: float,
+    ring_width: float,
+    id_col: str = "id",
+    clip_min0: bool = True,
+    grid: GridSpec | None = None,
+) -> DataFrame:
+    """[id, ring, n_px, mean_v] — zonal mean by concentric distance
+    band (ring = floor(dist/ring_width)): the distance-decay exposure
+    GRADIENT around each point, where the reference computes only one
+    flat buffer mean (availability.py:289).  Same cogroup/partial shape
+    as :func:`zonal_mean_std` — the kernel just keys partials by ring;
+    ring membership uses IEEE sqrt (correctly rounded in every engine)
+    so band assignment is portable.  Shuffle = (id, ring) partials."""
+    import numpy as np
+
+    grid = grid or GridSpec.from_tiles(tiles)
+    spanned = _with_tile_span(points, radius, id_col, grid).withColumnRenamed(id_col, "id")
+    n_rings = int(np.ceil(radius / ring_width))
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({c: [] for c in ["id", "ring", "s", "n"]})
+        t = right.iloc[0]
+        w, h, res = int(t["w"]), int(t["h"]), float(t["res"])
+        x0, y0 = float(t["x0"]), float(t["y0"])
+        px = np.asarray(t["px"], dtype=np.float64).reshape(h, w)
+        out = []
+        r2 = radius * radius
+        for pid, x, y in zip(
+            left["id"].to_numpy(np.int64),
+            left["x"].to_numpy(np.float64),
+            left["y"].to_numpy(np.float64),
+        ):
+            i0 = max(0, int(np.floor((x - radius - x0) / res - 0.5)))
+            i1 = min(w - 1, int(np.floor((x + radius - x0) / res)))
+            j0 = max(0, int(np.floor((y - radius - y0) / res - 0.5)))
+            j1 = min(h - 1, int(np.floor((y + radius - y0) / res)))
+            if i1 < i0 or j1 < j0:
+                continue
+            cx = x0 + (np.arange(i0, i1 + 1) + 0.5) * res
+            cy = y0 + (np.arange(j0, j1 + 1) + 0.5) * res
+            d2 = (cx[None, :] - x) ** 2 + (cy[:, None] - y) ** 2
+            m = d2 <= r2
+            if not m.any():
+                continue
+            v = px[j0:j1 + 1, i0:i1 + 1][m]
+            if clip_min0:
+                v = np.maximum(v, 0.0)
+            ring = np.floor(np.sqrt(d2[m]) / ring_width).astype(np.int64)
+            for rk in np.unique(ring):
+                sel = ring == rk
+                out.append((pid, int(rk), float(v[sel].sum()), int(sel.sum())))
+        cols = ["id", "ring", "s", "n"]
+        return pd.DataFrame(out, columns=cols) if out else pd.DataFrame({c: [] for c in cols})
+
+    partials = (
+        spanned.groupBy("tx", "ty")
+        .cogroup(tiles.groupBy("tx", "ty"))
+        .applyInPandas(kernel, schema="id long, ring long, s double, n long")
+    )
+    return (
+        partials.filter(F.col("ring") < n_rings)
+        .groupBy("id", "ring")
+        .agg(
+            F.sum("n").alias("n_px"),
+            F.round(F.sum("s") / F.sum("n"), 3).alias("mean_v"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def zonal_quantiles(
     points: DataFrame,
     tiles: DataFrame,

@@ -4222,3 +4222,29 @@ def test_js_divergence_bounds_and_hand_values(spark, tmp_path):
     want = 0.5 * (pa * math.log(pa / ma)) + 0.5 * (
         qa * math.log(qa / ma) + qb * math.log(qb / mb))
     assert abs(mix["jsd"] - want) < 1e-6
+
+
+def test_ring_profile_partitions_buffer_exactly(spark, sf_dir):
+    """Ring pixel counts partition the flat-buffer count, and ring
+    means recombine to the flat-buffer mean (same clamp semantics)."""
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.operators.zonal import zonal_mean_std, zonal_ring_profile
+
+    pts = city.points_df(spark, sf_dir).orderBy("doc_id").limit(6)
+    tiles = city.tiles_df(spark, "ndvi")
+    rings = zonal_ring_profile(
+        pts, tiles, radius=300.0, ring_width=100.0, id_col="doc_id",
+        grid=city.grid(),
+    ).toPandas()
+    flat = zonal_mean_std(
+        pts, tiles, radius=300.0, id_col="doc_id", grid=city.grid()
+    ).toPandas().set_index("doc_id")
+    g = rings.groupby("doc_id")
+    for doc_id, sub in g:
+        # ring 3 (dist exactly 300) is excluded; counts must still sum
+        # to within that sliver of the flat buffer
+        n_flat_expected = sub["n_px"].sum()
+        mean_recombined = (sub["mean_v"] * sub["n_px"]).sum() / n_flat_expected
+        assert abs(mean_recombined - flat.loc[doc_id, "mean_NDVI"]) < 2e-3
+        assert set(sub["ring"]) <= {0, 1, 2}
+        assert (sub["n_px"] > 0).all()
