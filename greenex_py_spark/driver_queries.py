@@ -8996,6 +8996,58 @@ def q_ring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_attribution — last-touch attribution of purchase events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution",
+    """
+WITH s AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(ts) AS t,
+         lag(event_type) OVER w AS prev_type,
+         lag(epoch_us(ts)) OVER w AS prev_t
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT coalesce(prev_type, '(first)') AS touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(coalesce(t - prev_t, 0)) AS BIGINT) AS sum_gap_us
+FROM s WHERE event_type = 'purchase'
+GROUP BY coalesce(prev_type, '(first)')
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: which event type immediately precedes
+    each purchase in the same user's stream, with the exact total
+    microsecond gap — the conversion-path primitive next to q_funnel.
+    One per-user window (lag over ts, event_id tie-break); gaps are
+    exact int64 epoch-microsecond differences, so no FP anywhere."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the cast's session-tz offset is a constant
+    # that cancels in the gap difference (the only thing emitted)
+    em = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = ev.select(
+        "event_type",
+        em.alias("t"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag(em).over(w).alias("prev_t"),
+    )
+    return (
+        s.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("prev_type", F.lit("(first)")).alias("touch"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.coalesce(F.col("t") - F.col("prev_t"), F.lit(0)))
+            .alias("sum_gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -4248,3 +4248,36 @@ def test_ring_profile_partitions_buffer_exactly(spark, sf_dir):
         assert abs(mean_recombined - flat.loc[doc_id, "mean_NDVI"]) < 2e-3
         assert set(sub["ring"]) <= {0, 1, 2}
         assert (sub["n_px"] > 0).all()
+
+
+def test_attribution_hand_sequence(spark, tmp_path):
+    """Last-touch attribution on a hand-built user stream: first-event
+    purchases map to '(first)', gaps are exact microseconds."""
+    import datetime
+    import os
+
+    from greenex_py_spark.driver_queries import q_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, sec):
+        return (i, t0 + datetime.timedelta(seconds=sec), u, typ, 1.0, "{}")
+
+    rows = [
+        ev(0, 1, "purchase", 0),          # first event -> (first)
+        ev(1, 1, "view", 10),
+        ev(2, 1, "purchase", 13),          # prev view, gap 3s
+        ev(3, 2, "click", 5),
+        ev(4, 2, "purchase", 6),           # prev click, gap 1s
+        ev(5, 2, "purchase", 8),           # prev purchase, gap 2s
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string")
+    p = str(tmp_path / "attr")
+    os.makedirs(p, exist_ok=True)
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    out = {r["touch"]: (r["n_purchases"], r["sum_gap_us"])
+           for r in q_attribution(spark, p).collect()}
+    assert out == {"(first)": (1, 0), "view": (1, 3_000_000),
+                   "click": (1, 1_000_000), "purchase": (1, 2_000_000)}
