@@ -9048,6 +9048,134 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_shipping_priority / q_local_supplier_volume — TPC-H Q3/Q5 shapes over
+# the relational fixture tables (join-agg-topk + 6-way star join)
+# ---------------------------------------------------------------------------
+
+_Q3_CUT = "1998-06-01"
+
+
+@register(
+    "q_shipping_priority",
+    f"""
+WITH j AS (
+  SELECT l.l_orderkey,
+         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+              AS BIGINT) AS cents,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+    AND l.l_shipdate > TIMESTAMP '{_Q3_CUT}'
+),
+g AS (
+  SELECT l_orderkey, CAST(sum(cents) AS BIGINT) AS revenue_cents,
+         o_orderdate, o_orderpriority
+  FROM j GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, revenue_cents, o_orderdate, o_orderpriority
+FROM (SELECT *, row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey)
+             AS rn FROM g)
+WHERE rn <= 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered
+    customer⋈orders⋈lineitem, unshipped revenue per order, top-10 —
+    the join-agg-topk pattern that proves predicate pushdown, join
+    ordering and partial aggregation on the relational fixtures.
+    Revenue quantizes to cents per line BEFORE summing (exact int64,
+    order-free); ranking ties break by order key."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < _Q3_CUT
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > _Q3_CUT
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    g = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-way star join —
+    region/nation dims broadcast, the customer-nation = supplier-nation
+    co-location predicate, cent-exact revenue per nation.  Exercises
+    multi-join reordering + dim broadcast on the relational fixtures;
+    at 100 TB the fact-side joins shuffle on their keys and AQE picks
+    broadcast for every dim."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

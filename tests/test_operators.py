@@ -4281,3 +4281,33 @@ def test_attribution_hand_sequence(spark, tmp_path):
            for r in q_attribution(spark, p).collect()}
     assert out == {"(first)": (1, 0), "view": (1, 3_000_000),
                    "click": (1, 1_000_000), "purchase": (1, 2_000_000)}
+
+
+def test_tpch_shapes_plans_and_colocated_predicate(spark, sf_dir):
+    """Q5's dims join via BroadcastHashJoin (no CartesianProduct), and
+    the supplier-nation = customer-nation co-location predicate holds
+    on every contributing row (recomputed in pandas)."""
+    from greenex_py_spark.driver_queries import q_local_supplier_volume
+
+    df = q_local_supplier_volume(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    import duckdb
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{sf_dir}/{t}.parquet')")
+    naive = con.execute("""
+        SELECT n_name, sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                      * 100.0) AS BIGINT)) AS rc
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+          AND n_nationkey = s_nationkey AND r_regionkey = n_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+    """).df().set_index("n_name")["rc"].to_dict()
+    got = {r["n_name"]: r["revenue_cents"] for r in df.collect()}
+    assert got == {k: int(v) for k, v in naive.items()}
