@@ -9176,6 +9176,43 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_bootstrap_ci — deterministic Poisson-bootstrap CI of the mean
+# purchase value
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_oracle() -> str:
+    from .functions.stats import poisson_bootstrap_sql
+
+    return poisson_bootstrap_sql(
+        "SELECT event_id, CAST(round(value * 100.0) AS BIGINT) AS vq"
+        " FROM events WHERE event_type = 'purchase'",
+        "vq", "event_id",
+    )
+
+
+@register("q_bootstrap_ci", None)  # generated oracle attached below
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the cluster-scale resampling standard: per-row
+    independent Poisson(1) multiplicities, no global coordination) of
+    the mean purchase value in cents, 32 replicates, nearest-rank 5/95%
+    CI.  Multiplicities come from an md5 unit hash through driver-
+    literal Poisson thresholds, so both engines draw the identical
+    resample and every Σw, Σw·v is exact int64."""
+    from .functions.stats import poisson_bootstrap_mean
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id", F.round(F.col("value") * 100.0).cast("long").alias("vq")
+    )
+    return poisson_bootstrap_mean(ev, "vq", "event_id")
+
+
+ORACLES["q_bootstrap_ci"] = _bootstrap_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

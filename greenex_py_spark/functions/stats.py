@@ -19,6 +19,124 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Poisson(1) inverse-CDF thresholds (cumulative P(X <= k)), k = 0..8;
+# u above the last threshold maps to 9.  Driver-computed literals shared
+# verbatim with the generated SQL so both engines draw identical counts.
+POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988835468463,
+)
+_BOOT_HEX = 12
+_BOOT_DENOM = float(16 ** _BOOT_HEX)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_q_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+) -> DataFrame:
+    """[b, n_eff, mean_v, ci_lo, ci_hi] — deterministic Poisson
+    bootstrap of the mean of a pre-quantized integer value column: the
+    standard resampling scheme at cluster scale (per-row independent
+    Poisson(1) multiplicities ≈ multinomial resampling, so no global
+    coordination — one map-side weight per (row, replicate), exact
+    int64 Σw and Σw·v per replicate).  Randomness is an md5 unit hash
+    of (replicate, id) pushed through driver-literal Poisson(1)
+    thresholds, so both engines draw the identical resample.  ci_lo/hi
+    are the nearest-rank 5th/95th percentile replicate means (ranked on
+    the 6-dp-rounded mean with replicate tie-break)."""
+    reps = df.sparkSession.range(n_replicates).select(
+        F.col("id").alias("b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("b").cast("string"),
+                                  F.col(id_col).cast("string"))),
+                1, _BOOT_HEX,
+            ),
+            16, 10,
+        ).cast("double") + 1.0
+    ) / _BOOT_DENOM
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u <= POISSON1_CDF[k], k).otherwise(w)
+    x = df.select(id_col, value_q_col).crossJoin(F.broadcast(reps))
+    agg = (
+        x.withColumn("_w", w.cast("long"))
+        .groupBy("b")
+        .agg(
+            F.sum("_w").alias("n_eff"),
+            F.sum(F.col("_w") * F.col(value_q_col)).alias("_sv"),
+        )
+        .select(
+            "b", "n_eff",
+            F.round(
+                F.col("_sv").cast("double") / F.col("n_eff").cast("double"), 6
+            ).alias("mean_v"),
+        )
+    )
+    w_all = Window.partitionBy()
+    rn = F.row_number().over(Window.orderBy(F.col("mean_v"), F.col("b")))
+    k_lo = max(1, int(0.05 * n_replicates))
+    k_hi = max(1, int(0.95 * n_replicates))
+    ranked = agg.withColumn("_rn", rn)
+    return ranked.select(
+        "b", "n_eff", "mean_v",
+        F.min(F.when(F.col("_rn") == k_lo, F.col("mean_v"))).over(w_all)
+        .alias("ci_lo"),
+        F.min(F.when(F.col("_rn") == k_hi, F.col("mean_v"))).over(w_all)
+        .alias("ci_hi"),
+    )
+
+
+def poisson_bootstrap_sql(
+    table_sql: str,
+    value_q_expr: str,
+    id_expr: str,
+    n_replicates: int = 32,
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_mean` (generated from
+    the same threshold literals)."""
+    whens = " ".join(
+        f"WHEN u <= {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    k_lo = max(1, int(0.05 * n_replicates))
+    k_hi = max(1, int(0.95 * n_replicates))
+    return f"""
+WITH src AS ({table_sql}),
+reps AS (SELECT CAST(r.range AS BIGINT) AS b FROM range({n_replicates}) r),
+x AS (
+  SELECT b,
+         (CAST(CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+               CAST({id_expr} AS VARCHAR)), 1, {_BOOT_HEX})) AS UBIGINT)
+           AS DOUBLE) + 1.0) / {_BOOT_DENOM!r} AS u,
+         {value_q_expr} AS vq
+  FROM src, reps
+),
+agg AS (
+  SELECT b,
+         CAST(sum(CASE {whens} ELSE {len(POISSON1_CDF)} END) AS BIGINT)
+           AS n_eff,
+         CAST(sum((CASE {whens} ELSE {len(POISSON1_CDF)} END) * vq)
+              AS BIGINT) AS sv
+  FROM x GROUP BY b
+),
+m AS (
+  SELECT b, n_eff,
+         round(CAST(sv AS DOUBLE) / CAST(n_eff AS DOUBLE), 6) AS mean_v
+  FROM agg
+),
+r AS (SELECT *, row_number() OVER (ORDER BY mean_v, b) AS rn FROM m)
+SELECT b, n_eff, mean_v,
+       min(CASE WHEN rn = {k_lo} THEN mean_v END) OVER () AS ci_lo,
+       min(CASE WHEN rn = {k_hi} THEN mean_v END) OVER () AS ci_hi
+FROM r
+"""
+
+
 def ks_two_sample(
     df: DataFrame,
     group_col: str,

@@ -4311,3 +4311,25 @@ def test_tpch_shapes_plans_and_colocated_predicate(spark, sf_dir):
     """).df().set_index("n_name")["rc"].to_dict()
     got = {r["n_name"]: r["revenue_cents"] for r in df.collect()}
     assert got == {k: int(v) for k, v in naive.items()}
+
+
+def test_poisson_bootstrap_statistical_sanity(spark):
+    """Replicate multiplicities average ~1 (Poisson(1)), the CI
+    brackets the sample mean, and replicate draws are deterministic
+    across runs."""
+    from greenex_py_spark.functions.stats import poisson_bootstrap_mean
+
+    rng = np.random.RandomState(2)
+    vals = rng.randint(50, 150, 500)
+    df = spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(vals)], "id long, vq long"
+    )
+    out = poisson_bootstrap_mean(df, "vq", "id").toPandas()
+    assert len(out) == 32
+    assert abs(out["n_eff"].mean() - 500) < 500 * 0.12  # ~1 per row
+    mu = vals.mean()
+    lo, hi = out["ci_lo"].iloc[0], out["ci_hi"].iloc[0]
+    assert lo <= mu <= hi and lo < hi
+    out2 = poisson_bootstrap_mean(df, "vq", "id").toPandas()
+    assert out.sort_values("b")["mean_v"].tolist() == \
+        out2.sort_values("b")["mean_v"].tolist()
