@@ -154,7 +154,11 @@ def run_bench() -> dict:
     }
     spark.stop()
     # persist per-stage metrics next to the driver's BENCH_r{N}.json
-    # (north_rule: row-count/latency metrics surface)
+    # (north_rule: row-count/latency metrics surface).  Scaling-mode
+    # subprocesses skip the write — they run the flagship only and would
+    # clobber the full-registry file bench_variance.py reads.
+    if os.environ.get("SPARK_GRAFT_NO_PERSIST"):
+        return out
     try:
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "last_bench.json"), "w") as f:
@@ -178,7 +182,8 @@ def run_scaling() -> None:
     """
     results = {}
     for cores in (2, 8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
+                   SPARK_GRAFT_NO_PERSIST="1")
         env.setdefault("SPARK_GRAFT_BENCH_DOCS", "64000000")
         env.setdefault("SPARK_GRAFT_SKIP_SF_QUERIES", "1")
         env.setdefault("SPARK_GRAFT_SKIP_SALTED", "1")

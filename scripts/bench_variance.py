@@ -96,9 +96,12 @@ def main() -> None:
         "are the feature, not a plan regression; q_bigram_logprob's "
         "large improvement is the vocab-broadcast removal (VERDICT r02 "
         "#1).  Cross-check against the round's earlier same-code runs "
-        "before reading any other REGRESSED row as real: a 62-entry run "
-        "at 16:35 UTC showed 0 regressions on identical plans, so rows "
-        "that flip between runs are co-tenant load, not code.",
+        "before reading any other REGRESSED row as real: repeated "
+        "same-code runs this round flipped different rows in and out of "
+        "REGRESSED each time (an earlier 62-entry run showed 0), so "
+        "rows that flip between runs are co-tenant load, not code — "
+        "only a delta that reproduces across runs AND coincides with a "
+        "plan-inventory change is a real regression.",
     ]
     out = os.path.join(REPO, "BENCH", "VARIANCE.md")
     with open(out, "w") as f:
