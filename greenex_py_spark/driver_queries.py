@@ -9213,6 +9213,172 @@ ORACLES["q_bootstrap_ci"] = _bootstrap_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_stream_join — watermarked stream-stream view→purchase join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_join",
+    """
+SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_gap_us,
+       CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_users
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+GROUP BY day
+""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time join in the gate: the view and purchase
+    feeds are written to two directories and drained through the
+    watermarked inner join of streaming/join.py (key = user_id,
+    purchase within [view_ts, view_ts + 1 h], 2 h watermarks bounding
+    the state store).  Inner-join emission is eager so one AvailableNow
+    drain is complete — no closing empty delta needed.  The sink is
+    rolled up per purchase day (pair count, exact µs gap sum, distinct
+    converting users); the oracle is the identical batch range join,
+    so the streaming join's match set is hash-checked end-to-end."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.join import stream_stream_join
+
+    base = os.path.join(tempfile.gettempdir(), f"q_stream_join_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    srcl, srcr, sink, ckpt = (
+        os.path.join(base, d) for d in ("views", "purchases", "sink", "ckpt")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.filter(F.col("event_type") == "view").coalesce(4).write.parquet(srcl)
+    ev.filter(F.col("event_type") == "purchase").coalesce(4).write.parquet(srcr)
+    stream_stream_join(spark, srcl, srcr, sink, ckpt)
+    out = spark.read.parquet(sink)
+    return out.groupBy(
+        F.date_format(F.date_trunc("day", "r_ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("sum_gap_us"),
+        F.countDistinct("k").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_convex_hull — per-district convex hull of geocoded documents
+# ---------------------------------------------------------------------------
+
+_HULL_CAP = 48  # hash-ranked per-block point cap (bounds kernel AND O(n³) oracle)
+
+
+def _convex_hull_oracle() -> str:
+    # integer-quantized coords (exact: the geocoder emits k/100-metre
+    # grid positions) → O(n³) hull-edge characterization, collinear
+    # boundary points included (the LCG geocoder makes arithmetic
+    # doc-id progressions collinear routinely, so a strictly-left rule
+    # is ambiguous on these fixtures): a directed pair (a,b) is a hull
+    # edge iff NO other sampled point lies strictly right of a→b AND
+    # none lies strictly between a and b on the segment (consecutive
+    # boundary vertices only).  Summing the edge cross products about
+    # the origin gives the exact doubled CCW area; degenerate (zero
+    # area) blocks drop via HAVING, matching the kernel.
+    return f"""{_CTE},
+q AS (
+  SELECT doc_id,
+         CAST(floor((x - {city.X0}) / 1000.0) AS BIGINT) AS blk_x,
+         CAST(floor((y - {city.Y0}) / 1000.0) AS BIGINT) AS blk_y,
+         CAST(round((x - {city.X0}) * 100.0) AS BIGINT) AS qx,
+         CAST(round((y - {city.Y0}) * 100.0) AS BIGINT) AS qy
+  FROM pts
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY blk_x, blk_y
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM q
+),
+s AS (SELECT DISTINCT blk_x, blk_y, qx, qy FROM r WHERE rn <= {_HULL_CAP}),
+e AS (
+  SELECT a.blk_x, a.blk_y,
+         a.qx AS ax, a.qy AS ay, b.qx AS ex, b.qy AS ey
+  FROM s a JOIN s b
+    ON a.blk_x = b.blk_x AND a.blk_y = b.blk_y
+   AND (a.qx <> b.qx OR a.qy <> b.qy)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s c
+    WHERE c.blk_x = a.blk_x AND c.blk_y = a.blk_y
+      AND (c.qx <> a.qx OR c.qy <> a.qy)
+      AND (c.qx <> b.qx OR c.qy <> b.qy)
+      AND ((b.qx - a.qx) * (c.qy - a.qy)
+             - (b.qy - a.qy) * (c.qx - a.qx) < 0
+           OR ((b.qx - a.qx) * (c.qy - a.qy)
+                 - (b.qy - a.qy) * (c.qx - a.qx) = 0
+               AND (c.qx - a.qx) * (b.qx - a.qx)
+                   + (c.qy - a.qy) * (b.qy - a.qy) > 0
+               AND (c.qx - b.qx) * (a.qx - b.qx)
+                   + (c.qy - b.qy) * (a.qy - b.qy) > 0))
+  )
+),
+n AS (
+  SELECT blk_x, blk_y, CAST(count(*) AS BIGINT) AS n_pts
+  FROM s GROUP BY blk_x, blk_y
+)
+SELECT n.blk_x, n.blk_y, n.n_pts,
+       CAST(count(*) AS BIGINT) AS n_hull,
+       CAST(sum(ax * ey - ay * ex) AS BIGINT) AS area2,
+       CAST(sum(CAST(floor(sqrt(CAST((ex - ax) * (ex - ax)
+              + (ey - ay) * (ey - ay) AS DOUBLE)) + 0.5) AS BIGINT))
+            AS BIGINT) AS perim_q
+FROM e JOIN n ON e.blk_x = n.blk_x AND e.blk_y = n.blk_y
+GROUP BY n.blk_x, n.blk_y, n.n_pts
+HAVING CAST(sum(ax * ey - ay * ex) AS BIGINT) > 0
+"""
+
+
+@register("q_convex_hull", _convex_hull_oracle())
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """District footprints: per 1-km block, the convex hull of the
+    block's geocoded documents (hash-ranked cap of 48 points/block
+    bounding both the Arrow kernel and the O(n³) oracle), reported as
+    exact integer statistics — distinct sampled points, hull boundary
+    vertex count (collinear included: the LCG geocoder makes doc-id
+    progressions collinear routinely), doubled shoelace area,
+    integer-rounded perimeter.  Coordinates quantize to the geocoder's
+    exact 1-cm grid so every orientation test is int64 arithmetic in
+    BOTH engines; degenerate (zero-area) blocks drop on both sides.
+    Kernel: operators/hull.py monotone chain (two-level refinement
+    documented there for un-capped corpora)."""
+    from pyspark.sql.window import Window
+
+    from .operators.hull import convex_hull_stats
+
+    pts = city.points_df(spark, sf_dir)
+    q = pts.select(
+        "doc_id",
+        F.floor((F.col("x") - city.X0) / 1000.0).cast("long").alias("blk_x"),
+        F.floor((F.col("y") - city.Y0) / 1000.0).cast("long").alias("blk_y"),
+        F.round((F.col("x") - city.X0) * 100.0).cast("long").alias("qx"),
+        F.round((F.col("y") - city.Y0) * 100.0).cast("long").alias("qy"),
+    )
+    w = Window.partitionBy("blk_x", "blk_y").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    s = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HULL_CAP)
+        .select("blk_x", "blk_y", "qx", "qy")
+        .dropDuplicates()
+    )
+    return convex_hull_stats(s, ["blk_x", "blk_y"], "qx", "qy")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -583,3 +583,60 @@ def test_hilbert_key_matches_reference_walk(spark):
     for (x, y), hd in got.items():
         assert hd == _xy2d_ref(4, x, y), (x, y)
     assert sorted(got.values()) == list(range(256))
+
+
+def test_stream_stream_join_matches_batch_across_runs(spark, tmp_path):
+    """Watermarked inner stream-stream join: a right-side event arriving
+    in a LATER AvailableNow run still joins a left row from the first
+    run (join state survives in the checkpoint), a pair beyond the
+    1-hour horizon never emits, and an unmatched key emits nothing —
+    the exact match set of the batch range join."""
+    import os
+
+    import pandas as pd
+
+    from greenex_py_spark.streaming.join import stream_stream_join
+
+    srcl = str(tmp_path / "l")
+    srcr = str(tmp_path / "r")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(srcl)
+    os.makedirs(srcr)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[2] for r in rows]),
+                "user_id": [r[1] for r in rows],
+                "event_type": "e",
+                "value": 1.0,
+                "props": "",
+            }
+        )
+
+    def write(df, d):
+        spark.createDataFrame(df, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    # run 1: two views, one purchase (matches view 10 within the hour)
+    write(mk([(10, 1, "2023-06-01 10:00:00"),
+              (11, 2, "2023-06-01 10:00:00")]), srcl)
+    write(mk([(20, 1, "2023-06-01 10:30:00")]), srcr)
+    stream_stream_join(spark, srcl, srcr, sink, ckpt)
+    first = spark.read.parquet(sink).collect()
+    assert {(r.l_id, r.r_id) for r in first} == {(10, 20)}
+
+    # run 2: right-side delta only — user 2 converts 45 min after a
+    # run-1 view (cross-run state match), user 1 again at +90 min
+    # (beyond the horizon), user 3 has no view at all
+    write(mk([(21, 2, "2023-06-01 10:45:00"),
+              (22, 1, "2023-06-01 11:30:00"),
+              (23, 3, "2023-06-01 10:10:00")]), srcr)
+    stream_stream_join(spark, srcl, srcr, sink, ckpt)
+    got = {(r.l_id, r.r_id) for r in spark.read.parquet(sink).collect()}
+    assert got == {(10, 20), (11, 21)}

@@ -267,3 +267,91 @@ def test_polygons_intersect_cases():
     # cross shape: edges cross but no vertex inside
     thin_h = [np.array([[-1, 0.9], [3, 0.9], [3, 1.1], [-1, 1.1]])]
     assert K.polygons_intersect(sq, thin_h)
+
+
+def test_hull_stats_matches_bruteforce_strict_edges():
+    """Monotone-chain hull stats == the O(n³) edge oracle (the exact
+    rule the gate SQL runs: no point strictly right, none strictly
+    between — collinear boundary vertices included), on random AND
+    structured-collinear integer point sets."""
+    import numpy as np
+
+    from greenex_py_spark.operators.hull import hull_stats_rows
+
+    rng = np.random.default_rng(7)
+
+    def brute(pts):
+        n = len(pts)
+        edges = []
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                a, b = pts[i], pts[j]
+                ok = True
+                for k in range(n):
+                    if k in (i, j):
+                        continue
+                    c = pts[k]
+                    cr = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (
+                        c[0] - a[0]
+                    )
+                    between = (
+                        cr == 0
+                        and (c[0] - a[0]) * (b[0] - a[0])
+                        + (c[1] - a[1]) * (b[1] - a[1]) > 0
+                        and (c[0] - b[0]) * (a[0] - b[0])
+                        + (c[1] - b[1]) * (a[1] - b[1]) > 0
+                    )
+                    if cr < 0 or between:
+                        ok = False
+                        break
+                if ok:
+                    edges.append((a, b))
+        if n < 3 or not edges:
+            return None
+        area2 = sum(int(a[0]) * int(b[1]) - int(a[1]) * int(b[0])
+                    for a, b in edges)
+        if area2 <= 0:
+            return None
+        perim = sum(
+            int(np.floor(np.sqrt(float((b[0] - a[0]) ** 2
+                                       + (b[1] - a[1]) ** 2)) + 0.5))
+            for a, b in edges
+        )
+        return n, len(edges), area2, perim
+
+    # hand case: unit-ish square plus interior point
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [5, 5]], dtype=np.int64)
+    sq = np.unique(sq, axis=0)
+    assert hull_stats_rows(sq) == (5, 4, 200, 40) == brute(sq)
+
+    # collinear midpoints ON the boundary count as hull vertices
+    sqm = np.unique(np.array(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [5, 0], [0, 5]], dtype=np.int64
+    ), axis=0)
+    assert hull_stats_rows(sqm) == (6, 6, 200, 40) == brute(sqm)
+
+    # degenerate: < 3 points and fully collinear → both sides None
+    for pts in ([[0, 0], [5, 5]], [[0, 0], [3, 3], [7, 7], [9, 9]]):
+        u = np.unique(np.array(pts, dtype=np.int64), axis=0)
+        assert hull_stats_rows(u) is None and brute(u) is None
+
+    # LCG-style structured sets: arithmetic progressions → collinear
+    # triples everywhere (the fixture-geocoder regime)
+    for salt in range(4):
+        base = rng.integers(0, 1_000_000, size=2)
+        step = rng.integers(-5_000, 5_000, size=2)
+        prog = np.array([base + k * step for k in range(6)])
+        extra = rng.integers(0, 1_000_000, size=(6, 2))
+        pts = np.unique(np.vstack([prog, extra]), axis=0).astype(np.int64)
+        assert hull_stats_rows(pts) == brute(pts), (salt, pts)
+
+    for n in (3, 5, 17, 40):
+        for _ in range(8):
+            pts = np.unique(
+                rng.integers(0, 1_000_000, size=(n, 2)), axis=0
+            ).astype(np.int64)
+            got = hull_stats_rows(pts)
+            want = brute(pts)
+            assert got == want, (pts, got, want)
