@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["RAD_PER_DEG", "EARTH_R_M", "haversine_m", "nearest_geodesic"]
+__all__ = ["RAD_PER_DEG", "EARTH_R_M", "haversine_m", "nearest_geodesic",
+           "spherical_rect_area_m2"]
 
 RAD_PER_DEG = 0.017453292519943295  # pi / 180, one shared double
 EARTH_R_M = 6371000.8  # IUGG mean Earth radius, metres
@@ -66,4 +67,23 @@ def nearest_geodesic(
         id_col,
         F.col("_dn.name").alias("name"),
         F.col("_dn.dist_m").alias("dist_m"),
+    )
+
+
+def spherical_rect_area_m2(
+    minlon: Column, minlat: Column, maxlon: Column, maxlat: Column
+) -> Column:
+    """Exact sphere area (m²) of a lat/lon-aligned rectangle: the
+    Chamberlain–Duquette ring sum collapses for aligned edges to
+
+        A = R² · Δλ · (sin φmax − sin φmin)
+
+    (the two meridian edges contribute 0; each parallel edge
+    contributes Δλ·(2 + 2·sin φ)/2).  Pure codegen — one fixed IEEE
+    chain mirrored literally by the SQL oracle, shared RAD_PER_DEG
+    literal, no dialect trig helpers."""
+    return (
+        F.lit(EARTH_R_M * EARTH_R_M)
+        * ((maxlon - minlon) * F.lit(RAD_PER_DEG))
+        * (F.sin(maxlat * F.lit(RAD_PER_DEG)) - F.sin(minlat * F.lit(RAD_PER_DEG)))
     )

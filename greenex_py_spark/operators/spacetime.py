@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["knox_statistic", "od_flows"]
+__all__ = ["knox_statistic", "od_flows", "staypoints"]
 
 
 def knox_statistic(
@@ -220,4 +220,72 @@ def od_flows(
             F.col("_o").alias("o_cell"), F.col(cell_col).alias("d_cell")
         )
         .agg(F.count(F.lit(1)).alias("n_moves"))
+    )
+
+
+def staypoints(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "qx",
+    y_col: str = "qy",
+    id_col: str = "event_id",
+    dist_q: int = 60,
+    max_gap_us: int = 48 * 3600 * 1_000_000,
+    min_pts: int = 2,
+) -> DataFrame:
+    """[entity, stay_start, stay_end, n_events, sum_qx, sum_qy] —
+    stay-point (dwell) segmentation of per-entity trajectories: a stay
+    is a maximal run of consecutive fixes (under the (ts, id) total
+    order) in which each step moves at most ``dist_q`` integer units
+    AND arrives within ``max_gap_us`` of the previous fix; runs shorter
+    than ``min_pts`` are discarded.  The consecutive-step criterion is
+    the streaming-friendly variant of Li et al. 2008's anchor scan
+    (which needs an O(window²) lookahead); both segment dense GPS
+    tracks identically when the sampling interval is below the gap.
+
+    Exactness: coordinates must be integers (quantize upstream), so the
+    step test is an int64 squared-distance compare and the centroid
+    numerators (sum_qx / sum_qy) are exact — consumers divide by
+    n_events at display time.  Timestamps pass through untouched.
+
+    Shape: one shuffle partitions fixes by entity for the lag window
+    (per-task state = one entity's trajectory), then the island
+    aggregation reuses the SAME partitioning — Catalyst collapses both
+    windows and the groupBy into a single exchange.  Gaps-and-islands:
+    ``island = running sum of break flags``, the standard
+    no-self-join segmentation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    dx = F.col(x_col) - F.lag(x_col).over(w)
+    dy = F.col(y_col) - F.lag(y_col).over(w)
+    ust = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = ust - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+    brk = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (dx * dx + dy * dy > dist_q * dist_q)
+        | (gap > max_gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wcum = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = df.withColumn("_brk", brk).withColumn(
+        "_island", F.sum("_brk").over(wcum)
+    )
+    return (
+        seg.groupBy(entity_col, "_island")
+        .agg(
+            F.min(ts_col).alias("stay_start"),
+            F.max(ts_col).alias("stay_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(x_col).alias("sum_qx"),
+            F.sum(y_col).alias("sum_qy"),
+        )
+        .filter(F.col("n_events") >= min_pts)
+        .drop("_island")
     )

@@ -4333,3 +4333,69 @@ def test_poisson_bootstrap_statistical_sanity(spark):
     out2 = poisson_bootstrap_mean(df, "vq", "id").toPandas()
     assert out.sort_values("b")["mean_v"].tolist() == \
         out2.sort_values("b")["mean_v"].tolist()
+
+
+def test_staypoints_hand_trajectory(spark):
+    """Gaps-and-islands dwell segmentation: distance break, time-gap
+    break, min_pts filter, and exact centroid numerators on a
+    hand-built two-user trajectory."""
+    import pandas as pd
+
+    from greenex_py_spark.operators.spacetime import staypoints
+
+    rows = [
+        # user 1: 3 fixes at ~home (steps <= 60), then jump 5000 away,
+        # then a lone fix after a 3-day gap back near home
+        (1, 1, "2024-01-01 08:00:00", 100, 100),
+        (2, 1, "2024-01-01 09:00:00", 140, 120),
+        (3, 1, "2024-01-01 20:00:00", 150, 90),
+        (4, 1, "2024-01-01 21:00:00", 5000, 5000),
+        (5, 1, "2024-01-05 08:00:00", 110, 105),
+        # user 2: two fixes 40 apart -> one 2-event stay
+        (6, 2, "2024-01-02 10:00:00", 0, 0),
+        (7, 2, "2024-01-02 11:00:00", 40, 0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "qx", "qy"])
+        .assign(ts=lambda d: pd.to_datetime(d.ts)),
+        schema="event_id long, user_id long, ts timestamp, qx long, qy long",
+    )
+    got = {
+        (r.user_id, r.n_events, r.sum_qx, r.sum_qy)
+        for r in staypoints(df, dist_q=60, min_pts=2).collect()
+    }
+    # user 1 keeps only the first 3-fix stay (jump breaks on distance;
+    # the post-gap fix is a singleton dropped by min_pts); user 2 keeps
+    # its pair
+    assert got == {(1, 3, 390, 310), (2, 2, 40, 0)}
+
+
+def test_spherical_rect_area_sphere_and_planar_limits(spark):
+    """Chamberlain–Duquette collapsed rect area: the full sphere comes
+    out as 4πR², and a 0.01° rect near 52°N matches the planar
+    R²·Δλ·Δφ·cos(φ_mid) approximation to < 1e-6 relative."""
+    import math
+
+    from greenex_py_spark.geo.geodesic import (
+        EARTH_R_M, RAD_PER_DEG, spherical_rect_area_m2,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, -90.0, 360.0, 90.0), (4.0, 52.0, 4.01, 52.01)],
+        "lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    a = [
+        r.a
+        for r in df.select(
+            spherical_rect_area_m2(
+                F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1")
+            ).alias("a")
+        ).collect()
+    ]
+    assert abs(a[0] - 4.0 * math.pi * EARTH_R_M**2) / a[0] < 1e-12
+    planar = (
+        EARTH_R_M**2
+        * (0.01 * RAD_PER_DEG) ** 2
+        * math.cos(52.005 * RAD_PER_DEG)
+    )
+    assert abs(a[1] - planar) / planar < 1e-6
