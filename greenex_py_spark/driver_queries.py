@@ -9531,6 +9531,82 @@ def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_flow_accum — D8 flow accumulation over the macro-coarsened raster
+# ---------------------------------------------------------------------------
+
+_FA_FACTOR = 20  # 1000-px raster → 50×50 macro blocks
+
+
+def _flow_accum_oracle() -> str:
+    from .operators.hydro import D8_DIRS
+
+    npx = city.NPX
+    vq = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    dirs = ", ".join(f"({c}, {dx}, {dy}, {w})" for c, dx, dy, w in D8_DIRS)
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+blk AS (
+  SELECT ix // {_FA_FACTOR} AS mx, iy // {_FA_FACTOR} AS my,
+         sum({vq}) AS zq
+  FROM px GROUP BY 1, 2
+),
+dirs(code, dx, dy, w) AS (VALUES {dirs}),
+cand AS (
+  SELECT b.mx, b.my, d.code, d.w, n.mx AS nmx, n.my AS nmy,
+         b.zq - n.zq AS dz
+  FROM blk b JOIN dirs d ON true
+  JOIN blk n ON n.mx = b.mx + d.dx AND n.my = b.my + d.dy
+  WHERE b.zq - n.zq > 0
+),
+down AS (
+  SELECT mx, my, nmx, nmy FROM (
+    SELECT c.*, row_number() OVER (
+        PARTITION BY mx, my ORDER BY dz * dz * w DESC, code ASC) AS rn
+    FROM cand c) WHERE rn = 1
+),
+walk AS (
+  SELECT mx AS smx, my AS smy, mx, my FROM blk
+  UNION ALL
+  SELECT w.smx, w.smy, d.nmx, d.nmy
+  FROM walk w JOIN down d ON d.mx = w.mx AND d.my = w.my
+)
+SELECT mx, my, CAST(count(*) AS BIGINT) AS acc
+FROM walk GROUP BY mx, my
+"""
+
+
+@register("q_flow_accum", _flow_accum_oracle())
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation (upstream drainage count, self included)
+    over 20×20-px macro blocks of the NDVI surface-as-DEM: per-tile
+    partial block sums (no shuffle) → two-phase macro aggregate →
+    exact-int D8 pointers (dz²·{2,1} comparator, code-asc ties) →
+    pointer-doubling transitive closure in ⌈log₂ L⌉ join rounds with
+    per-round localCheckpoint (operators/hydro.py).  The oracle walks
+    the SAME pointer graph with a recursive CTE — every (source, cell)
+    path pair counted once; strictly-positive drops make the graph
+    acyclic so both sides terminate.  Raster-only: the result is
+    fixture-constant across SFs like the rest of the terrain family."""
+    from .operators.hydro import d8_downstream, flow_accumulation, macro_cells
+
+    cells = macro_cells(
+        city.tiles_df(spark, "ndvi"), city.grid(), factor=_FA_FACTOR
+    ).localCheckpoint()
+    down = d8_downstream(cells)
+    return flow_accumulation(cells, down)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

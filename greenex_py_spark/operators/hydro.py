@@ -1,0 +1,173 @@
+"""D8 flow accumulation over a macro-coarsened raster.
+
+Completes the terrain family (slope / aspect / hillshade /
+flow-direction, operators/focal.py) with the classic hydrology
+aggregate: for every cell, the number of cells whose steepest-descent
+D8 path drains through it (itself included).  The reference plots
+rasters but derives no hydrology (GreenExp/visibility.py:214-231 stops
+at elevation); accumulation is the standard next step in every terrain
+stack (ArcGIS FlowAccumulation, GRASS r.watershed).
+
+Scale design — three stages, each bounded:
+
+1. **Macro coarsening** (``macro_cells``): tiles → per-tile PARTIAL
+   block sums (``mapInPandas``, no shuffle) → one two-phase
+   ``groupBy(mx, my).sum`` — the block-sum raster is
+   ``factor²``-smaller than the pixel raster and the elevation proxy
+   stays an exact int64 (sum of half-away-quantized pixels; strictly
+   monotone in the block mean, so D8 picks identical neighbours).
+2. **D8 pointers** (``d8_downstream``): 8-offset equi-join on the
+   macro grid + a per-cell window argmax.  The drop comparison
+   ``dz_c/res`` vs ``dz_d/(res·√2)`` is the exact int64 key
+   ``dz²·{2,1}`` (2a² = b² has no nonzero integer solutions, so
+   cardinal/diagonal never tie at dz > 0; operators/focal.py
+   establishes the trick), ESRI-code-ascending tiebreak.  Strictly
+   positive drops only ⇒ the pointer graph is acyclic by construction.
+3. **Accumulation by pointer doubling** (``flow_accumulation``):
+   upstream counts are |{u : v on u's path}| = a transitive closure of
+   a FUNCTIONAL graph, computed in ⌈log₂ L⌉ rounds (L = longest flow
+   path) of jump-squaring — not L sequential sweeps: R ← R ∪ J∘R,
+   J ← J∘J.  Every round is two hash joins keyed by cell;
+   ``localCheckpoint`` per round caps plan lineage (CLAUDE.md
+   iterative-loop mandate).  Pair-set size = Σ path lengths — the same
+   budget the oracle's recursive walk materializes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geo.grid import GridSpec
+from .focal import quantize_half_away
+
+__all__ = ["D8_DIRS", "macro_cells", "d8_downstream", "flow_accumulation"]
+
+# (esri_code, dx, dy, weight): weight 2 for cardinal, 1 for diagonal —
+# the exact-integer D8 comparator shared with focal.flow_direction_counts
+D8_DIRS = (
+    (1, 1, 0, 2), (2, 1, 1, 1), (4, 0, 1, 2), (8, -1, 1, 1),
+    (16, -1, 0, 2), (32, -1, -1, 1), (64, 0, -1, 2), (128, 1, -1, 1),
+)
+
+
+def macro_cells(
+    tiles: DataFrame, grid: GridSpec, factor: int, quant: float = 1e6
+) -> DataFrame:
+    """[mx, my, zq] — ``factor×factor``-block sums of the half-away
+    quantized raster.  Tile edges need not align with block edges:
+    each tile emits partial sums for every block it overlaps (bounded:
+    ≤ (tile_px/factor + 1)² rows/tile), then one two-phase aggregate
+    combines them."""
+    tile_px = grid.tile_px
+
+    def parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for t in pdf.itertuples():
+                w, h = int(t.w), int(t.h)
+                arr = quantize_half_away(
+                    np.asarray(t.px, dtype=np.float64).reshape(h, w), quant
+                )
+                gx0 = int(t.tx) * tile_px
+                gy0 = int(t.ty) * tile_px
+                mx = (gx0 + np.arange(w)) // factor
+                my = (gy0 + np.arange(h)) // factor
+                # dense per-tile accumulator over the covered block range
+                mx0, my0 = int(mx[0]), int(my[0])
+                acc = np.zeros(
+                    (int(my[-1]) - my0 + 1, int(mx[-1]) - mx0 + 1),
+                    dtype=np.int64,
+                )
+                np.add.at(acc, (my[:, None] - my0, mx[None, :] - mx0), arr)
+                bys, bxs = np.nonzero(np.ones_like(acc, dtype=bool))
+                for by, bx in zip(bys, bxs):
+                    rows.append(
+                        {"mx": mx0 + int(bx), "my": my0 + int(by),
+                         "zq_part": int(acc[by, bx])}
+                    )
+            yield pd.DataFrame(rows)
+
+    p = tiles.mapInPandas(parts, schema="mx long, my long, zq_part long")
+    return p.groupBy("mx", "my").agg(F.sum("zq_part").alias("zq"))
+
+
+def d8_downstream(cells: DataFrame) -> DataFrame:
+    """[mx, my, nmx, nmy] — each cell's steepest strictly-descending D8
+    neighbour (absent for pits/flats; off-grid neighbours drop in the
+    equi-join).  Exact-int comparator key dz²·weight, ESRI code
+    ascending on geometric ties."""
+    from pyspark.sql import Window
+
+    spark = cells.sparkSession
+    dirs = spark.createDataFrame(
+        list(D8_DIRS), "code long, dx long, dy long, w long"
+    )
+    nb = cells.select(
+        F.col("mx").alias("nmx"), F.col("my").alias("nmy"),
+        F.col("zq").alias("nzq"),
+    )
+    cand = (
+        cells.crossJoin(F.broadcast(dirs))
+        .withColumn("nmx", F.col("mx") + F.col("dx"))
+        .withColumn("nmy", F.col("my") + F.col("dy"))
+        .join(nb, ["nmx", "nmy"])
+        .withColumn("dz", F.col("zq") - F.col("nzq"))
+        .filter(F.col("dz") > 0)
+    )
+    win = Window.partitionBy("mx", "my").orderBy(
+        (F.col("dz") * F.col("dz") * F.col("w")).desc(), F.col("code").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("mx", "my", "nmx", "nmy")
+    )
+
+
+def flow_accumulation(cells: DataFrame, down: DataFrame) -> DataFrame:
+    """[mx, my, acc] — D8 flow accumulation (upstream cell count,
+    self included) by pointer-doubling transitive closure of the
+    functional downstream graph: ⌈log₂ L⌉ rounds of two hash joins,
+    ``localCheckpoint`` per round."""
+    edges = down.select(
+        F.col("mx").alias("ux"), F.col("my").alias("uy"),
+        F.col("nmx").alias("vx"), F.col("nmy").alias("vy"),
+    ).localCheckpoint()
+    reach = edges
+    jump = edges
+    while True:
+        mid = jump.select(
+            F.col("ux").alias("jux"), F.col("uy").alias("juy"),
+            F.col("vx").alias("mx_"), F.col("vy").alias("my_"),
+        )
+        ext = mid.join(
+            reach,
+            (F.col("mx_") == F.col("ux")) & (F.col("my_") == F.col("uy")),
+        ).select(
+            F.col("jux").alias("ux"), F.col("juy").alias("uy"), "vx", "vy"
+        )
+        new_reach = reach.unionByName(ext).dropDuplicates(
+            ["ux", "uy", "vx", "vy"]
+        ).localCheckpoint()
+        jump = mid.join(
+            jump,
+            (F.col("mx_") == F.col("ux")) & (F.col("my_") == F.col("uy")),
+        ).select(
+            F.col("jux").alias("ux"), F.col("juy").alias("uy"), "vx", "vy"
+        ).localCheckpoint()
+        grown = new_reach.count() > reach.count()
+        reach = new_reach
+        if jump.isEmpty() or not grown:
+            break
+    ups = reach.groupBy(
+        F.col("vx").alias("mx"), F.col("vy").alias("my")
+    ).agg(F.count(F.lit(1)).alias("n_up"))
+    return cells.join(ups, ["mx", "my"], "left").select(
+        "mx", "my",
+        (F.coalesce(F.col("n_up"), F.lit(0)) + 1).alias("acc"),
+    )

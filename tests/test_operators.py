@@ -4399,3 +4399,56 @@ def test_spherical_rect_area_sphere_and_planar_limits(spark):
         * math.cos(52.005 * RAD_PER_DEG)
     )
     assert abs(a[1] - planar) / planar < 1e-6
+
+
+def test_d8_flow_accumulation_hand_graph(spark):
+    """Pointer-doubling accumulation on hand-built macro grids: a
+    descending chain accumulates 1..n into the pit; two branches
+    joining double-count into the confluence; a flat pair stays at 1."""
+    from greenex_py_spark.operators.hydro import (
+        d8_downstream, flow_accumulation,
+    )
+
+    # chain: (0,0) 40 > (1,0) 30 > (2,0) 20 > (3,0) 10
+    # branch: (1,1) 35 drains diagonally? nearest lower is (1,0)/(2,0):
+    # dz to (1,0)=5 cardinal key 2*25=50; to (2,0)=15 diagonal key 225
+    # -> picks (2,0).  flats: (9,9)=7,(9,8)=7 -> no pointer, acc 1.
+    rows = [(0, 0, 40), (1, 0, 30), (2, 0, 20), (3, 0, 10),
+            (1, 1, 35), (9, 9, 7), (9, 8, 7)]
+    cells = spark.createDataFrame(rows, "mx long, my long, zq long")
+    down = {(r.mx, r.my): (r.nmx, r.nmy) for r in d8_downstream(cells).collect()}
+    assert down == {(0, 0): (1, 0), (1, 0): (2, 0), (2, 0): (3, 0),
+                    (1, 1): (2, 0)}
+    acc = {(r.mx, r.my): r.acc
+           for r in flow_accumulation(cells, d8_downstream(cells)).collect()}
+    assert acc == {(0, 0): 1, (1, 0): 2, (2, 0): 4, (3, 0): 5,
+                   (1, 1): 1, (9, 9): 1, (9, 8): 1}
+
+
+def test_macro_cells_match_numpy_block_sums(spark):
+    """Per-tile partial block sums reassemble to the exact NumPy
+    block-sum of the full quantized raster (tile edges at 256 px are
+    deliberately unaligned with the 20-px blocks)."""
+    import numpy as np
+
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.operators.focal import quantize_half_away
+    from greenex_py_spark.operators.hydro import macro_cells
+
+    got = {
+        (r.mx, r.my): r.zq
+        for r in macro_cells(
+            city.tiles_df(spark, "ndvi"), city.grid(), factor=20
+        ).collect()
+    }
+    ix = np.arange(city.NPX)
+    vals = quantize_half_away(
+        city.ndvi_value(
+            (city.X0 + (ix[None, :] + 0.5) * city.RES),
+            (city.Y0 + (ix[:, None] + 0.5) * city.RES),
+        ),
+        1e6,
+    )
+    blocks = vals.reshape(50, 20, 50, 20).sum(axis=(1, 3))
+    want = {(mx, my): int(blocks[my, mx]) for my in range(50) for mx in range(50)}
+    assert got == want
