@@ -9607,6 +9607,62 @@ def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_kcore — k-core of the host graph by recursive peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_MAXIT = 120  # ≥ node count (97 hosts + 11 CDNs) ⇒ safely past the
+                    # fixpoint; the recursive term re-emits the converged
+                    # set each round so iter=_KCORE_MAXIT IS the core
+
+
+@register(
+    "q_kcore",
+    "WITH RECURSIVE " + _LINK_GRAPH_CTE + f""",
+und AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM r WHERE src_host <> dst_host
+),
+du AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+peel(iter, node) AS (
+  SELECT 0, a FROM (SELECT DISTINCT a FROM du)
+  UNION ALL
+  SELECT p.iter + 1, e.a
+  FROM peel p JOIN du e ON e.b = p.node
+  WHERE p.iter < {_KCORE_MAXIT}
+  GROUP BY p.iter, e.a
+  HAVING count(*) >= {_KCORE_K}
+),
+core AS (SELECT node FROM peel WHERE iter = {_KCORE_MAXIT})
+SELECT e.a AS host, CAST(count(*) AS BIGINT) AS core_deg
+FROM du e JOIN core c1 ON e.a = c1.node JOIN core c2 ON e.b = c2.node
+GROUP BY e.a
+""",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the undirected host graph (hosts + CDN
+    hosts from the planted anchor markup): the maximal subgraph where
+    every host keeps ≥ 3 distinct neighbours — the classic
+    link-farm/seed-set density filter next to PageRank/HITS.  Peeling
+    runs as a monotone fixpoint (one hash join + map-side-combinable
+    count per round, removed hosts provably never re-qualify —
+    functions/graph.py ``kcore_membership``); the oracle executes the
+    SAME step under DuckDB's recursive-CTE working-table semantics,
+    over-iterating to a node-count bound so the final iteration is the
+    converged core.  Output: each core member with its inside-core
+    degree."""
+    from .functions.graph import kcore_membership
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    out = kcore_membership(
+        edges, k=_KCORE_K, src_col="src_host", dst_col="dst_host"
+    )
+    return out.select(F.col("node").alias("host"), "core_deg")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

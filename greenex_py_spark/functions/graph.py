@@ -466,3 +466,64 @@ def hits(
         h.join(a, "node")
         .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
     )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """[node, core_deg] — the k-core of the undirected simple graph
+    (maximal subgraph where every vertex keeps degree ≥ k), with each
+    member's degree inside the core.
+
+    Peeling as a monotone fixpoint: alive₀ = all vertices,
+    aliveⱼ₊₁ = {v : #(neighbours ∩ aliveⱼ) ≥ k}.  A removed vertex can
+    never re-qualify (alive only shrinks, so its alive-neighbour count
+    only falls), which is what lets each round be ONE hash join + one
+    two-phase count — no second membership join — and lets the DuckDB
+    oracle run the same step under recursive-CTE working-table
+    semantics.  Rounds = peeling depth (all sub-k vertices drop
+    simultaneously), far below the vertex-count worst case;
+    ``localCheckpoint`` per round caps plan lineage (CLAUDE.md).
+
+    Scale: every round shuffles by vertex id only; degree counting is
+    map-side combinable.  State = the alive vertex set, shrinking
+    monotonically.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    alive = both.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    n = alive.count()
+    for _ in range(max_rounds):
+        nxt = (
+            both.join(alive, both["b"] == alive["node"])
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint()
+        )
+        m = nxt.count()
+        alive = nxt
+        if m == n:
+            break
+        n = m
+    core1 = alive.select(F.col("node").alias("a"))
+    core2 = alive.select(F.col("node").alias("b"))
+    return (
+        both.join(core1, "a").join(core2, "b")
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )

@@ -4452,3 +4452,30 @@ def test_macro_cells_match_numpy_block_sums(spark):
     blocks = vals.reshape(50, 20, 50, 20).sum(axis=(1, 3))
     want = {(mx, my): int(blocks[my, mx]) for my in range(50) for mx in range(50)}
     assert got == want
+
+
+def test_kcore_peeling_cascade(spark):
+    """k-core peeling: a path tail peels away over multiple rounds
+    (both ends inward), leaving exactly the triangle as the 2-core;
+    pendant vertices never survive a 3-core of twin 4-cliques."""
+    from greenex_py_spark.functions.graph import kcore_membership
+
+    # triangle {a,b,c} with a 6-vertex path tail hanging off c
+    tri_path = [("a", "b"), ("b", "c"), ("c", "a"),
+                ("c", "p1"), ("p1", "p2"), ("p2", "p3"),
+                ("p3", "p4"), ("p4", "p5"), ("p5", "p6")]
+    e1 = spark.createDataFrame(tri_path, "src string, dst string")
+    got = {(r.node, r.core_deg)
+           for r in kcore_membership(e1, k=2).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+    # two 4-cliques sharing vertex s, plus a pendant on each clique
+    cl = []
+    for grp in (["s", "x1", "x2", "x3"], ["s", "y1", "y2", "y3"]):
+        cl += [(u, v) for i, u in enumerate(grp) for v in grp[i + 1:]]
+    cl += [("x1", "px"), ("y1", "py")]
+    e2 = spark.createDataFrame(cl, "src string, dst string")
+    got = {(r.node, r.core_deg)
+           for r in kcore_membership(e2, k=3).collect()}
+    assert got == {("s", 6), ("x1", 3), ("x2", 3), ("x3", 3),
+                   ("y1", 3), ("y2", 3), ("y3", 3)}
