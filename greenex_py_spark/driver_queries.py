@@ -9663,6 +9663,92 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_watershed — terminal-pit labels + basin sizes over the macro grid
+# ---------------------------------------------------------------------------
+
+
+def _watershed_oracle() -> str:
+    from .operators.hydro import D8_DIRS
+
+    npx = city.NPX
+    vq = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    dirs = ", ".join(f"({c}, {dx}, {dy}, {w})" for c, dx, dy, w in D8_DIRS)
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+blk AS (
+  SELECT ix // {_FA_FACTOR} AS mx, iy // {_FA_FACTOR} AS my,
+         sum({vq}) AS zq
+  FROM px GROUP BY 1, 2
+),
+dirs(code, dx, dy, w) AS (VALUES {dirs}),
+cand AS (
+  SELECT b.mx, b.my, d.code, d.w, n.mx AS nmx, n.my AS nmy,
+         b.zq - n.zq AS dz
+  FROM blk b JOIN dirs d ON true
+  JOIN blk n ON n.mx = b.mx + d.dx AND n.my = b.my + d.dy
+  WHERE b.zq - n.zq > 0
+),
+down AS (
+  SELECT mx, my, nmx, nmy FROM (
+    SELECT c.*, row_number() OVER (
+        PARTITION BY mx, my ORDER BY dz * dz * w DESC, code ASC) AS rn
+    FROM cand c) WHERE rn = 1
+),
+walk AS (
+  SELECT mx, my, mx AS cx, my AS cy FROM blk
+  UNION ALL
+  SELECT w.mx, w.my, d.nmx, d.nmy
+  FROM walk w JOIN down d ON d.mx = w.cx AND d.my = w.cy
+),
+lab AS (
+  SELECT w.mx, w.my, w.cx AS pmx, w.cy AS pmy
+  FROM walk w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM down d WHERE d.mx = w.cx AND d.my = w.cy)
+)
+SELECT mx, my, pmx, pmy,
+       CAST(count(*) OVER (PARTITION BY pmx, pmy) AS BIGINT) AS basin_n
+FROM lab
+"""
+
+
+@register("q_watershed", _watershed_oracle())
+def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed delineation over the same macro D8 pointer graph as
+    q_flow_accum: every cell labelled with its terminal pit by pointer
+    SQUARING (pt ← pt∘pt with pits as fixed points — ⌈log₂ L⌉
+    self-joins, never an L-step walk; operators/hydro.py
+    ``watershed_labels``), plus the basin size via a window over the
+    pit label.  The oracle's recursive walk follows the same pointers
+    to exhaustion and keeps each cell's terminal row (the one with no
+    downstream pointer) — GRASS r.watershed semantics at macro scale.
+    Raster-only, fixture-constant across SFs."""
+    from pyspark.sql import Window
+
+    from .operators.hydro import d8_downstream, macro_cells, watershed_labels
+
+    cells = macro_cells(
+        city.tiles_df(spark, "ndvi"), city.grid(), factor=_FA_FACTOR
+    ).localCheckpoint()
+    lab = watershed_labels(cells, d8_downstream(cells))
+    wb = Window.partitionBy("pmx", "pmy")
+    return lab.select(
+        "mx", "my", "pmx", "pmy",
+        F.count(F.lit(1)).over(wb).alias("basin_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

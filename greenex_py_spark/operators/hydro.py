@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 from ..geo.grid import GridSpec
 from .focal import quantize_half_away
 
-__all__ = ["D8_DIRS", "macro_cells", "d8_downstream", "flow_accumulation"]
+__all__ = ["D8_DIRS", "macro_cells", "d8_downstream", "flow_accumulation",
+           "watershed_labels"]
 
 # (esri_code, dx, dy, weight): weight 2 for cardinal, 1 for diagonal —
 # the exact-integer D8 comparator shared with focal.flow_direction_counts
@@ -170,4 +171,41 @@ def flow_accumulation(cells: DataFrame, down: DataFrame) -> DataFrame:
     return cells.join(ups, ["mx", "my"], "left").select(
         "mx", "my",
         (F.coalesce(F.col("n_up"), F.lit(0)) + 1).alias("acc"),
+    )
+
+
+def watershed_labels(cells: DataFrame, down: DataFrame) -> DataFrame:
+    """[mx, my, pmx, pmy] — each cell labelled with its terminal pit
+    (the D8 path's endpoint; pits label themselves).  Pointer squaring:
+    pt(u) ← pt(pt(u)) with pits as fixed points converges to the
+    terminal in ⌈log₂ L⌉ rounds — one self-join per round keyed by
+    cell, ``localCheckpoint`` per round; no per-path sequential walk
+    anywhere."""
+    pt = cells.join(down, ["mx", "my"], "left").select(
+        "mx", "my",
+        F.coalesce(F.col("nmx"), F.col("mx")).alias("px"),
+        F.coalesce(F.col("nmy"), F.col("my")).alias("py"),
+    ).localCheckpoint()
+    while True:
+        a, b = pt.alias("a"), pt.alias("b")
+        nxt = a.join(
+            b,
+            (F.col("a.px") == F.col("b.mx"))
+            & (F.col("a.py") == F.col("b.my")),
+        ).select(
+            F.col("a.mx").alias("mx"), F.col("a.my").alias("my"),
+            F.col("b.px").alias("px"), F.col("b.py").alias("py"),
+        ).localCheckpoint()
+        changed = (
+            nxt.join(pt, ["mx", "my"])
+            .filter(
+                (nxt["px"] != pt["px"]) | (nxt["py"] != pt["py"])
+            )
+            .count()
+        )
+        pt = nxt
+        if changed == 0:
+            break
+    return pt.select(
+        "mx", "my", F.col("px").alias("pmx"), F.col("py").alias("pmy")
     )

@@ -4479,3 +4479,22 @@ def test_kcore_peeling_cascade(spark):
            for r in kcore_membership(e2, k=3).collect()}
     assert got == {("s", 6), ("x1", 3), ("x2", 3), ("x3", 3),
                    ("y1", 3), ("y2", 3), ("y3", 3)}
+
+
+def test_watershed_labels_hand_graph(spark):
+    """Pointer-squaring watershed labels: two chains draining to
+    different pits plus a confluence, and a pit labelling itself."""
+    from greenex_py_spark.operators.hydro import (
+        d8_downstream, watershed_labels,
+    )
+
+    # basin A: (0,0)40 > (1,0)30 > (2,0)20 > (3,0)10 (pit)
+    # basin B: (7,7)9 > (8,8)5 (pit); isolated flat (5,5) labels itself
+    rows = [(0, 0, 40), (1, 0, 30), (2, 0, 20), (3, 0, 10),
+            (7, 7, 9), (8, 8, 5), (5, 5, 3)]
+    cells = spark.createDataFrame(rows, "mx long, my long, zq long")
+    lab = {(r.mx, r.my): (r.pmx, r.pmy)
+           for r in watershed_labels(cells, d8_downstream(cells)).collect()}
+    assert lab == {(0, 0): (3, 0), (1, 0): (3, 0), (2, 0): (3, 0),
+                   (3, 0): (3, 0), (7, 7): (8, 8), (8, 8): (8, 8),
+                   (5, 5): (5, 5)}
