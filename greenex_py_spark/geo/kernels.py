@@ -447,22 +447,24 @@ def polygon_union_stats(polys: list[list[np.ndarray]]) -> tuple[float, float, fl
                     merged[-1] = (pl, e_hi, yhi)
             else:
                 merged.append((e_lo, e_hi, yhi))
+        # integrate in slab-centred coordinates u = x − xm (odd ∫u du
+        # vanishes): raw power differences (x1³ − x0³) carry ~ulp(x³)
+        # absolute error which, multiplied by m² ~ (h/w_sliver)² of a
+        # near-vertical edge, once produced metre-scale moment noise in
+        # sliver slabs far from the origin (hypothesis seed 8831);
+        # centred, every term is O(actual y / slab width).
         w1 = x1 - x0
-        w2 = 0.5 * (x1 * x1 - x0 * x0)
-        w3 = (x1 * x1 * x1 - x0 * x0 * x0) / 3.0
+        u2 = w1 * w1 * w1 / 12.0  # ∫ u² du over [−w1/2, w1/2]
         for e_lo, e_hi, _ in merged:
-            dc = c[e_hi] - c[e_lo]
-            dm = m[e_hi] - m[e_lo]
-            area += dc * w1 + dm * w2
-            mx += dc * w2 + dm * w3
-            # ∫ (hi² − lo²)/2 dx with h = c_h + m_h·x
-            ch, mh = c[e_hi], m[e_hi]
-            cl, ml = c[e_lo], m[e_lo]
-            my += 0.5 * (
-                (ch * ch - cl * cl) * w1
-                + 2.0 * (ch * mh - cl * ml) * w2
-                + (mh * mh - ml * ml) * w3
-            )
+            yh = c[e_hi] + m[e_hi] * xm
+            yl = c[e_lo] + m[e_lo] * xm
+            mh, ml = m[e_hi], m[e_lo]
+            d = yh - yl
+            dm = mh - ml
+            area += d * w1
+            mx += xm * d * w1 + dm * u2
+            # ∫ (hi² − lo²)/2 dx with h = y_h + m_h·u
+            my += 0.5 * ((yh * yh - yl * yl) * w1 + (mh * mh - ml * ml) * u2)
     if area <= 0.0:
         return 0.0, float("nan"), float("nan")
     return float(area), float(mx / area), float(my / area)

@@ -148,6 +148,7 @@ def test_distance_consistent_with_membership(seed):
 @given(st.integers(0, 10_000))
 @example(seed=6214).via("discovered failure")
 @example(seed=6063).via("discovered failure")
+@example(seed=5412).via("discovered failure")
 def test_polygon_union_translation_and_monotone(seed):
     """polygon_union_stats invariances over random rotated-rect pairs:
     translation shifts the centroid exactly and preserves area; the
@@ -169,16 +170,14 @@ def test_polygon_union_translation_and_monotone(seed):
     assert max(w1 * h1, w2 * h2) - 1e-6 <= a <= w1 * h1 + w2 * h2 + 1e-6
     dx, dy = 1234.5, -987.25
     a2, cx2, cy2 = kernels.polygon_union_stats([[ra + [dx, dy]], [rb + [dx, dy]]])
-    # translation changes FP conditioning (moment cancellation): the
-    # slab third moments grow as coord^3 (~2e9 at the shifted ~1.3e3
-    # range), so eps-level term rounding can move the centroid by
-    # eps * coord^3 / area ~ 1e-3 m (seed 6063 measured 0.99 mm).
-    # Agree to 2 mm — far below geometric meaning at metre scale; the
-    # kernel keeps raw coordinates because its outputs are hash-locked
-    # by the dissolve oracles.
-    np.testing.assert_allclose(a2, a, rtol=1e-9, atol=2e-3)
-    np.testing.assert_allclose(cx2, cx + dx, rtol=0, atol=2e-3)
-    np.testing.assert_allclose(cy2, cy + dy, rtol=0, atol=2e-3)
+    # the kernel integrates each slab in centred coordinates
+    # (u = x − xm), so translation error stays at ulp scale even for
+    # near-axis-aligned sliver slabs — the raw-power formulation it
+    # replaced drifted up to 0.46 m here (seeds 6063/5412/8831, where
+    # (x1³ − x0³)/3 rounding was amplified by the sliver edge's m²)
+    np.testing.assert_allclose(a2, a, rtol=1e-9, atol=1e-6)
+    np.testing.assert_allclose(cx2, cx + dx, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(cy2, cy + dy, rtol=0, atol=1e-6)
 
 
 @settings(max_examples=30, deadline=None)
@@ -201,3 +200,50 @@ def test_projection_roundtrip_property(seed):
         lo, la = P.to_wgs84(E, N, epsg)
         np.testing.assert_allclose(lo, lon, atol=2e-7)
         np.testing.assert_allclose(la, lat, atol=2e-7)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000))
+@example(seed=8831).via("discovered failure")
+def test_polygon_union_matches_pixel_oracle(seed):
+    """Slab-union (area, cx, cy) vs a 1200² point-sampling oracle on
+    the same rect pair — absolute truth check, not just invariance
+    (the translation test can't see an error that is itself
+    translation-covariant)."""
+    rng = np.random.default_rng(seed)
+
+    def rect(c, w, h, deg):
+        th = np.radians(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        base = np.array(
+            [[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]]
+        )
+        return base @ R.T + c
+
+    c1 = rng.uniform(0, 50, 2)
+    c2 = c1 + rng.uniform(-30, 30, 2)
+    w1, h1, w2, h2 = rng.uniform(10, 60, 4)
+    t1, t2 = rng.uniform(0, 180, 2)
+    ra, rb = rect(c1, w1, h1, t1), rect(c2, w2, h2, t2)
+    a, cx, cy = kernels.polygon_union_stats([[ra], [rb]])
+    rings = [kernels.ensure_ccw(ra), kernels.ensure_ccw(rb)]
+    x0 = min(r[:, 0].min() for r in rings) - 1.0
+    x1 = max(r[:, 0].max() for r in rings) + 1.0
+    y0 = min(r[:, 1].min() for r in rings) - 1.0
+    y1 = max(r[:, 1].max() for r in rings) + 1.0
+    n = 1200
+    xs = x0 + (np.arange(n) + 0.5) * (x1 - x0) / n
+    ys = y0 + (np.arange(n) + 0.5) * (y1 - y0) / n
+    X, Y = np.meshgrid(xs, ys)
+    ins = np.zeros(X.shape, dtype=bool)
+    for r in rings:
+        ins |= kernels.points_in_ring(
+            X.ravel(), Y.ravel(), r
+        ).reshape(X.shape)
+    cell = ((x1 - x0) / n) * ((y1 - y0) / n)
+    a_pix = cell * ins.sum()
+    # sampling resolution: boundary cells ~ perimeter / cell side
+    tol = 4.0 * max(x1 - x0, y1 - y0) * max(x1 - x0, y1 - y0) / n
+    np.testing.assert_allclose(a, a_pix, atol=tol)
+    np.testing.assert_allclose(cx, X[ins].mean(), atol=tol)
+    np.testing.assert_allclose(cy, Y[ins].mean(), atol=tol)
