@@ -9749,6 +9749,96 @@ def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_holt_forecast — Holt linear smoothing of per-type daily volumes
+# ---------------------------------------------------------------------------
+
+
+def _holt_oracle() -> str:
+    from .functions.timeseries import (
+        HOLT_ALPHA, HOLT_BETA, HOLT_OMA, HOLT_OMB,
+    )
+
+    ln = f"{HOLT_ALPHA!r} * CAST(c.y AS DOUBLE) + {HOLT_OMA!r} * (h.l + h.b)"
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d FROM events
+),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (
+  SELECT g, date_diff('day', d0.dmin, d) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM e, d0 GROUP BY 1, 2
+),
+grid AS (
+  SELECT gs.g, i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT DISTINCT g FROM e) gs
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.g = gs.g AND c.t = i.t
+),
+hw(t, g, l, b, sse) AS (
+  SELECT 0, g0.g, CAST(g0.y AS DOUBLE),
+         CAST(g1.y AS DOUBLE) - CAST(g0.y AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  FROM grid g0 JOIN grid g1 ON g1.g = g0.g AND g0.t = 0 AND g1.t = 1
+  UNION ALL
+  SELECT h.t + 1, h.g,
+         {ln},
+         {HOLT_BETA!r} * (({ln}) - h.l) + {HOLT_OMB!r} * h.b,
+         h.sse + (CAST(c.y AS DOUBLE) - (h.l + h.b))
+               * (CAST(c.y AS DOUBLE) - (h.l + h.b))
+  FROM hw h JOIN grid c ON c.g = h.g AND c.t = h.t + 1
+)
+SELECT g, CAST(t + 1 AS BIGINT) AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast1, round(sse, 6) AS sse
+FROM hw WHERE t = (SELECT tmax FROM d0)
+"""
+
+
+@register("q_holt_forecast", _holt_oracle())
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day volume forecast per event stream: per-day counting is
+    an ordinary two-phase aggregate over the dense calendar grid
+    (gaps filled with 0 on BOTH sides), then Holt's linear recursion
+    runs inside one Arrow kernel per series
+    (functions/timeseries.py) — thousands of series smooth in
+    parallel with per-task state bounded by the calendar.  The oracle
+    replays the identical recursion (shared α/1−α/β/1−β literals,
+    same operation order) as a DuckDB recursive CTE advancing all
+    series in lockstep, so level/trend/forecast/SSE agree to the
+    round-6 hash."""
+    from .functions.timeseries import holt_linear
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select("g", F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        e.select("g").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+        )
+        .join(cnt, ["g", "t"], "left")
+        .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return holt_linear(grid)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -4498,3 +4498,33 @@ def test_watershed_labels_hand_graph(spark):
     assert lab == {(0, 0): (3, 0), (1, 0): (3, 0), (2, 0): (3, 0),
                    (3, 0): (3, 0), (7, 7): (8, 8), (8, 8): (8, 8),
                    (5, 5): (5, 5)}
+
+
+def test_holt_linear_matches_reference_recursion(spark):
+    """Arrow Holt kernel == an inline scalar reference on a hand
+    series (trend capture: forecast overshoots a ramp's last point),
+    and a constant series keeps level=const, trend=0, sse=0."""
+    from greenex_py_spark.functions.timeseries import (
+        HOLT_ALPHA, HOLT_BETA, HOLT_OMA, HOLT_OMB, holt_linear,
+    )
+
+    ys = [10.0, 12.0, 15.0, 13.0, 18.0]
+    level, trend, sse = ys[0], ys[1] - ys[0], 0.0
+    for y in ys[1:]:
+        prev, pred = level, level + trend
+        sse += (y - pred) ** 2
+        level = HOLT_ALPHA * y + HOLT_OMA * pred
+        trend = HOLT_BETA * (level - prev) + HOLT_OMB * trend
+    rows = [("ramp", t, int(y)) for t, y in enumerate(ys)]
+    rows += [("flat", t, 7) for t in range(5)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    got = {r.g: r for r in holt_linear(df).collect()}
+    assert got["ramp"].n_days == 5
+    assert got["ramp"].level == round(level, 6)
+    assert got["ramp"].trend == round(trend, 6)
+    assert got["ramp"].forecast1 == round(level + trend, 6)
+    assert got["ramp"].sse == round(sse, 6)
+    assert (got["flat"].level, got["flat"].trend, got["flat"].sse) == (7.0, 0.0, 0.0)
+    # single-point series: no two-point init -> dropped
+    one = spark.createDataFrame([("solo", 0, 3)], "g string, t long, y long")
+    assert holt_linear(one).count() == 0
