@@ -287,43 +287,94 @@ def zonal_quantiles(
     nearest-rank ``ceil(p·n)`` (Hyndman–Fan type 1).  No clip(min=0) —
     unlike :func:`zonal_mean_std` (availability.py:289 clamps for the
     reference's NDVI mean), quantiles describe the raw distribution.
-    """
-    from pyspark.sql import Window
 
+    Shuffle shape: on a smooth raster the 1e-6 buckets are nearly all
+    distinct, so a row-per-bucket shuffle degenerates to a
+    row-per-pixel dump — ~14 M boxed (id, bucket, count) rows at sf0.1
+    cost 15 s, almost all of it Python tuple/int boxing in the tile
+    kernel.  The partials therefore travel as PACKED binary columns
+    (``ndarray.tobytes()`` of the per-(zone, tile) sorted unique
+    values + counts — one row per span, zero per-pixel boxing on
+    either side of Arrow), and a per-zone kernel merges the sorted
+    runs and reads the order statistics off a cumsum.  Same exact
+    outputs, ~7× faster; a genuinely discrete raster still collapses
+    to its class histogram inside ``np.unique``.
+    """
     grid = grid or GridSpec.from_tiles(tiles)
     spanned = _with_tile_span(points, radius, id_col, grid).withColumnRenamed(id_col, "id")
+    empty = pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                          "vals": pd.Series(dtype=object),
+                          "cnts": pd.Series(dtype=object)})
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        return _circle_mask_stats(left, right, radius, clip_min0=False,
-                                  classes=True, quantize_scale=scale)
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        t = right.iloc[0]
+        w, h, res = int(t["w"]), int(t["h"]), float(t["res"])
+        x0, y0 = float(t["x0"]), float(t["y0"])
+        px = np.asarray(t["px"], dtype=np.float64).reshape(h, w)
+        r2 = radius * radius
+        rows: list[tuple] = []
+        for pid, x, y in zip(left["id"].to_numpy(np.int64),
+                             left["x"].to_numpy(np.float64),
+                             left["y"].to_numpy(np.float64)):
+            i0 = max(0, int(np.floor((x - radius - x0) / res - 0.5)))
+            i1 = min(w - 1, int(np.floor((x + radius - x0) / res)))
+            j0 = max(0, int(np.floor((y - radius - y0) / res - 0.5)))
+            j1 = min(h - 1, int(np.floor((y + radius - y0) / res)))
+            if i1 < i0 or j1 < j0:
+                continue
+            cx = x0 + (np.arange(i0, i1 + 1) + 0.5) * res
+            cy = y0 + (np.arange(j0, j1 + 1) + 0.5) * res
+            m = ((cx[None, :] - x) ** 2 + (cy[:, None] - y) ** 2) <= r2
+            if not m.any():
+                continue
+            v = px[j0:j1 + 1, i0:i1 + 1][m]
+            vi = np.floor(v * scale + 0.5).astype(np.int64)
+            u, c = np.unique(vi, return_counts=True)
+            rows.append((pid, u.tobytes(), c.astype(np.int64).tobytes()))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id", "vals", "cnts"])
 
     partials = (
         spanned.groupBy("tx", "ty")
         .cogroup(tiles.groupBy("tx", "ty"))
-        .applyInPandas(kernel, schema="id long, cls long, cnt long")
+        .applyInPandas(kernel, schema="id long, vals binary, cnts binary")
     )
-    counts = partials.groupBy("id", "cls").agg(F.sum("cnt").alias("cnt"))
-    w_all = Window.partitionBy("id")
-    w_cum = Window.partitionBy("id").orderBy("cls").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = counts.select(
-        "id", "cls", "cnt",
-        F.sum("cnt").over(w_all).alias("n"),
-        F.sum("cnt").over(w_cum).alias("cum"),
-    )
-    n = F.col("n")
-    k_lo = F.floor((n + 1) / 2)          # lower middle
-    k_hi = F.floor(n / 2) + 1            # upper middle
-    k25 = F.ceil(n * 0.25).cast("long")
-    k75 = F.ceil(n * 0.75).cast("long")
-    q = F.col("cls")
-    out = cum.groupBy("id").agg(
-        F.first("n").alias("n_px"),
-        (F.min(F.when(F.col("cum") >= k25, q)) / scale).alias("p25"),
-        ((F.min(F.when(F.col("cum") >= k_lo, q))
-          + F.min(F.when(F.col("cum") >= k_hi, q))) / (2.0 * scale)).alias("median"),
-        (F.min(F.when(F.col("cum") >= k75, q)) / scale).alias("p75"),
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in pdf["vals"]]
+        )
+        c = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in pdf["cnts"]]
+        )
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def pick(k: int) -> int:
+            return int(v[np.searchsorted(cum, k, side="left")])
+
+        # identical FP chains to the SQL oracle: long sums divided by
+        # the scale literal; ranks via the same double floor/ceil
+        k_lo = int(np.floor((n + 1) / 2))
+        k_hi = int(np.floor(n / 2)) + 1
+        k25 = int(np.ceil(n * 0.25))
+        k75 = int(np.ceil(n * 0.75))
+        return pd.DataFrame(
+            [[int(pdf["id"].iloc[0]), n,
+              pick(k25) / scale,
+              (pick(k_lo) + pick(k_hi)) / (2.0 * scale),
+              pick(k75) / scale]],
+            columns=["id", "n_px", "p25", "median", "p75"],
+        )
+
+    out = partials.groupBy("id").applyInPandas(
+        merge,
+        schema="id long, n_px long, p25 double, median double, p75 double",
     )
     return out.withColumnRenamed("id", id_col)
 
