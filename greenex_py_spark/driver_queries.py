@@ -9839,6 +9839,66 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_geohash — base32 geohash binning of geocoded documents
+# ---------------------------------------------------------------------------
+
+_GH_PRECISION = 6
+
+
+def _geohash_oracle() -> str:
+    from .engine.layout import geohash_chars_sql, geohash_key_sql
+
+    key = geohash_key_sql("lon", "lat", _GH_PRECISION)
+    chars = geohash_chars_sql("ghk", _GH_PRECISION)
+    return f"""{_CTE},
+ll AS (
+  SELECT doc_id,
+         4.0 + (x - {city.X0}) / 66000.0 AS lon,
+         52.0 + (y - {city.Y0}) / 111000.0 AS lat
+  FROM pts
+),
+k AS (SELECT doc_id, {key} AS ghk FROM ll)
+SELECT {chars} AS gh, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM k GROUP BY gh
+"""
+
+
+@register("q_geohash", _geohash_oracle())
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-6 binning of the geocoded corpus on WGS84 (same city →
+    lat/lon mapping as q_geodesic_area): quantize → the SAME Morton
+    interleave as q_zorder_layout (geohash IS a Z-order key read 5
+    bits at a time, engine/layout.py) → base32 chunks, all pure
+    codegen, then a two-phase count per bin.  Validated against
+    published geohashes (NYC → dr5regw); the oracle renders the same
+    masks/alphabet from the shared module so the two sides cannot
+    drift."""
+    from .engine.layout import (
+        geohash_from_key, geohash_quantize, zorder_key,
+    )
+
+    pts = city.points_df(spark, sf_dir)
+    ll = pts.select(
+        "doc_id",
+        (F.lit(4.0) + (F.col("x") - city.X0) / 66000.0).alias("lon"),
+        (F.lit(52.0) + (F.col("y") - city.Y0) / 111000.0).alias("lat"),
+    )
+    lon_q, lat_q = geohash_quantize(
+        F.col("lon"), F.col("lat"), _GH_PRECISION
+    )
+    k = ll.withColumn("ghk", zorder_key(lon_q, lat_q))
+    return (
+        k.select("doc_id", geohash_from_key(F.col("ghk"), _GH_PRECISION).alias("gh"))
+        .groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

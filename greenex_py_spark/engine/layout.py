@@ -219,3 +219,65 @@ def hilbert_layout_stats(
             F.max("hkey").alias("hmax"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash: the base32 rendering of the SAME Morton key space
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_quantize(lon: Column, lat: Column, precision: int = 7):
+    """(lon_q, lat_q) integer cells for a ``precision``-char geohash.
+    Standard geohash bit budget: ⌈5p/2⌉ lon bits, ⌊5p/2⌋ lat bits; the
+    quantizer floor((v − min)/range · 2^bits) is ONE shared FP chain
+    (division before multiply) mirrored by :func:`geohash_sql`."""
+    lon_bits = (5 * precision + 1) // 2
+    lat_bits = (5 * precision) // 2
+    lon_q = F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)).cast("long")
+    lat_q = F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)).cast("long")
+    return lon_q, lat_q
+
+
+def geohash_from_key(key: Column, precision: int = 7) -> Column:
+    """Base32 geohash string from the interleaved key (lon in even LSB
+    positions, lat in odd — exactly :func:`zorder_key`(lon_q, lat_q):
+    geohash IS a Morton code read 5 bits at a time).  ``key`` must be a
+    materialized column reference, not a deep expression — the 5-bit
+    chunks reference it ``precision`` times."""
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            (F.shiftrightunsigned(key, 5 * (precision - 1 - i))
+             .bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1,
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_key_sql(lon_expr: str, lat_expr: str, precision: int = 7) -> str:
+    """DuckDB twin of quantize + interleave: the geohash integer key.
+    ``lon_expr``/``lat_expr`` must be simple column references (the
+    spread expansion repeats them textually)."""
+    lon_bits = (5 * precision + 1) // 2
+    lat_bits = (5 * precision) // 2
+    lon_q = (f"CAST(floor((({lon_expr}) + 180.0) / 360.0 * "
+             f"{float(1 << lon_bits)!r}) AS BIGINT)")
+    lat_q = (f"CAST(floor((({lat_expr}) + 90.0) / 180.0 * "
+             f"{float(1 << lat_bits)!r}) AS BIGINT)")
+    return zorder_sql(lon_q, lat_q)
+
+
+def geohash_chars_sql(key_ref: str, precision: int = 7) -> str:
+    """Base32 rendering given a SIMPLE reference to the key column
+    (bind the key in a prior CTE — the chunks reference it
+    ``precision`` times)."""
+    return "(" + " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST((({key_ref} >> {5 * (precision - 1 - i)}) & 31) + 1 "
+        f"AS INTEGER), 1)"
+        for i in range(precision)
+    ) + ")"

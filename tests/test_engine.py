@@ -640,3 +640,34 @@ def test_stream_stream_join_matches_batch_across_runs(spark, tmp_path):
     stream_stream_join(spark, srcl, srcr, sink, ckpt)
     got = {(r.l_id, r.r_id) for r in spark.read.parquet(sink).collect()}
     assert got == {(10, 20), (11, 21)}
+
+
+def test_geohash_matches_published_values(spark):
+    """Codegen geohash == published reference hashes (the classic
+    ezs42 example, NYC, Greenwich) at precision 7 and a truncation
+    consistency check (precision 5 is a prefix of precision 7)."""
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.engine.layout import (
+        geohash_from_key, geohash_quantize, zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.6, 42.6), (-74.0060, 40.7128), (0.0, 0.0)],
+        "lon double, lat double",
+    )
+
+    def gh(prec):
+        lon_q, lat_q = geohash_quantize(F.col("lon"), F.col("lat"), prec)
+        k = df.withColumn("ghk", zorder_key(lon_q, lat_q))
+        return [
+            r.gh for r in k.select(
+                geohash_from_key(F.col("ghk"), prec).alias("gh")
+            ).collect()
+        ]
+
+    g7 = gh(7)
+    assert g7[0].startswith("ezs42")      # the RFC example point
+    assert g7[1] == "dr5regw"             # NYC, published 7-char hash
+    assert g7[2] == "s000000"             # (0, 0): first cell past both axes
+    assert [g[:5] for g in g7] == gh(5)   # prefix property
