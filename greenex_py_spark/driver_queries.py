@@ -9899,6 +9899,131 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_map_match — HMM (Viterbi) map matching of GPS tracks to the lattice
+# ---------------------------------------------------------------------------
+
+_MM_TRACKS = 8
+
+
+def _map_match_oracle() -> str:
+    from .operators.mapmatch import PACK, TRANS_PENALTY
+
+    x0, y0 = city.X0, city.Y0
+    packed = (
+        f"min((f.cost + CASE WHEN f.edge = c.edge_id THEN 0 "
+        f"ELSE {TRANS_PENALTY} END) * {PACK} + f.edge)"
+    )
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT doc_id, doc_id % {_MM_TRACKS} AS track, doc_id // {_MM_TRACKS} AS t,
+         {x0} + (doc_id // {_MM_TRACKS} * 40) % 9800 + 20
+              + ((doc_id * 131) % 41 - 20) AS x,
+         {y0} + ((doc_id % {_MM_TRACKS}) * 6 + 2) * 200
+              + ((doc_id * 211) % 81 - 40) AS y
+  FROM documents
+),
+ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2601)),
+ed AS (SELECT i AS src, i + 1 AS dst FROM ids WHERE i % 51 < 50
+       UNION ALL
+       SELECT i AS src, i + 51 AS dst FROM ids WHERE i // 51 < 50),
+seg AS (SELECT src * 100000 + dst AS edge_id,
+               {x0} + (src % 51) * 200.0 AS x1,
+               {y0} + (src // 51) * 200.0 AS y1,
+               {x0} + (dst % 51) * 200.0 AS x2,
+               {y0} + (dst // 51) * 200.0 AS y2
+        FROM ed),
+c1 AS (SELECT p.track, p.t, s.edge_id, p.x, p.y, s.x1, s.y1,
+              s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy
+       FROM p, seg s),
+c2 AS (SELECT track, t, edge_id, x, y, x1, y1, dx, dy,
+              CASE WHEN dx * dx + dy * dy = 0 THEN 0.0
+                   ELSE least(greatest(((x - x1) * dx + (y - y1) * dy)
+                                       / (dx * dx + dy * dy), 0.0), 1.0)
+              END AS tt
+       FROM c1),
+cc AS (SELECT track, t, edge_id,
+              CAST(floor(((x - (x1 + tt * dx)) * (x - (x1 + tt * dx))
+                        + (y - (y1 + tt * dy)) * (y - (y1 + tt * dy)))
+                         * 100.0 + 0.5) AS BIGINT) AS emis
+       FROM c2),
+cand AS MATERIALIZED (SELECT track, t, edge_id, emis FROM
+         (SELECT *, row_number() OVER (PARTITION BY track, t
+                                       ORDER BY emis, edge_id) AS rn
+          FROM cc) WHERE rn <= 3),
+fwd(track, t, edge, cost, prev) AS (
+  SELECT track, t, edge_id, emis, CAST(-1 AS BIGINT) FROM cand WHERE t = 0
+  UNION ALL
+  SELECT c.track, c.t, c.edge_id,
+         {packed} // {PACK} + c.emis,
+         {packed} % {PACK}
+  FROM fwd f JOIN cand c ON c.track = f.track AND c.t = f.t + 1
+  GROUP BY c.track, c.t, c.edge_id, c.emis
+),
+fwd2 AS MATERIALIZED (SELECT * FROM fwd),
+best AS (SELECT track, t, edge, prev FROM
+         (SELECT *, row_number() OVER (PARTITION BY track
+                                       ORDER BY t DESC, cost, edge) AS rn
+          FROM fwd2) WHERE rn = 1),
+bt(track, t, edge, prev) AS (
+  SELECT track, t, edge, prev FROM best
+  UNION ALL
+  SELECT f.track, f.t, f.edge, f.prev
+  FROM bt JOIN fwd2 f
+    ON f.track = bt.track AND f.t = bt.t - 1 AND f.edge = bt.prev
+  WHERE bt.t > 0
+)
+SELECT track, t, CAST(edge AS BIGINT) AS edge_id FROM bt
+"""
+
+
+@register("q_map_match", _map_match_oracle())
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (Newson–Krumm shape, constant edge-switch
+    transition penalty) of 8 deterministic GPS tracks — each walks an
+    E-W lattice row with ±20/±40 m LCG jitter, so near intersections
+    the crossing street is momentarily NEARER and pointwise snapping
+    flaps; Viterbi continuity recovers the row.  Candidates: top-3
+    segments per fix via the bounded cell join (provably exact on a
+    200 m lattice, operators/snap.candidate_edges), emission = exact
+    0.1 m² integer d²; the per-track DP and its DuckDB twin share the
+    packed-argmin key (cost·PACK + prev_edge) so every
+    tie resolves identically — a dynamic program hash-checked across
+    engines (forward recursive CTE + backtrace recursive CTE).
+    Kernel: operators/mapmatch.viterbi_match, one Arrow task per
+    track."""
+    from .data.city_fixture import network_dfs
+    from .operators.mapmatch import viterbi_match
+    from .operators.snap import candidate_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    pts = docs.select(
+        "doc_id",
+        (did % _MM_TRACKS).alias("track"),
+        (did / _MM_TRACKS).cast("long").alias("t"),
+        (F.lit(city.X0) + ((did / _MM_TRACKS).cast("long") * 40) % 9800
+         + 20 + ((did * 131) % 41 - 20)).cast("double").alias("x"),
+        (F.lit(city.Y0) + ((did % _MM_TRACKS) * 6 + 2) * 200
+         + ((did * 211) % 81 - 40)).cast("double").alias("y"),
+    )
+    _, edges = network_dfs(spark)
+    seg = edges.filter(F.col("src") < F.col("dst")).select(
+        (F.col("src") * 100000 + F.col("dst")).alias("edge_id"),
+        F.col("geom_xs")[0].alias("x1"),
+        F.col("geom_ys")[0].alias("y1"),
+        F.col("geom_xs")[1].alias("x2"),
+        F.col("geom_ys")[1].alias("y2"),
+    )
+    cand = candidate_edges(pts, seg, id_col="doc_id", k=3,
+                           max_snap_dist=300.0)
+    cand = cand.join(pts.select("doc_id", "track", "t"), "doc_id").select(
+        "track", "t", F.col("edge_id").alias("edge"), "emis"
+    )
+    out = viterbi_match(cand)
+    return out.select("track", "t", F.col("edge").alias("edge_id"))
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -4528,3 +4528,36 @@ def test_holt_linear_matches_reference_recursion(spark):
     # single-point series: no two-point init -> dropped
     one = spark.createDataFrame([("solo", 0, 3)], "g string, t long, y long")
     assert holt_linear(one).count() == 0
+
+
+def test_viterbi_match_recovers_continuity(spark):
+    """Hand-built candidate sets where the pointwise-nearest edge flaps
+    at t=1: Viterbi keeps the continuous edge (switch penalty beats a
+    small emission gain), but follows when the evidence is decisive
+    (a long run on a new edge)."""
+    from greenex_py_spark.operators.mapmatch import viterbi_match
+
+    rows = [
+        # t=0: edge 1 clearly best
+        (0, 0, 1, 100), (0, 0, 2, 40000),
+        # t=1: edge 2 momentarily nearer by 10k < 2·25k round-trip
+        # penalty -> a dip to 2 and back can never pay; stay on 1
+        (0, 1, 1, 11000), (0, 1, 2, 1000),
+        # t=2..4: edge 1 clearly best again
+        (0, 2, 1, 100), (0, 2, 2, 90000),
+        (0, 3, 1, 100), (0, 3, 2, 90000),
+        (0, 4, 1, 100), (0, 4, 2, 90000),
+        # track 1: edge 2 wins from t=1 on -> switch once, back-dated
+        # to the earliest beneficial fix
+        (1, 0, 1, 100), (1, 0, 2, 40000),
+        (1, 1, 1, 11000), (1, 1, 2, 1000),
+        (1, 2, 1, 90000), (1, 2, 2, 100),
+        (1, 3, 1, 90000), (1, 3, 2, 100),
+    ]
+    df = spark.createDataFrame(rows, "track long, t long, edge long, emis long")
+    out = viterbi_match(df).collect()
+    got0 = {r.t: r.edge for r in out if r.track == 0}
+    got1 = {r.t: r.edge for r in out if r.track == 1}
+    # pointwise snap would flap on track 0 (1,2,1,1,1); Viterbi holds 1
+    assert got0 == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+    assert got1 == {0: 1, 1: 2, 2: 2, 3: 2}
