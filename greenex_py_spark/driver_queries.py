@@ -7621,6 +7621,44 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_adamic_adar — common-neighbour link prediction over the host graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_adamic_adar",
+    "WITH " + _LINK_EDGE_CTE + """,
+pv AS (SELECT bo.a AS z, bo.b AS y,
+              1.0 / ln(CAST(deg.dg AS DOUBLE)) AS w
+       FROM bo JOIN deg ON deg.a = bo.a),
+pr AS (SELECT p1.y AS a, p2.y AS b,
+              CAST(count(*) AS BIGINT) AS n_common, sum(p1.w) AS score
+       FROM pv p1 JOIN pv p2 ON p1.z = p2.z AND p1.y < p2.y
+       GROUP BY 1, 2)
+SELECT pr.a AS host_a, pr.b AS host_b, pr.n_common,
+       round(pr.score + 0.0, 6) AS aa_score
+FROM pr LEFT JOIN und ON und.ua = pr.a AND und.ub = pr.b
+WHERE und.ua IS NULL
+""",
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the extracted host graph
+    (which unlinked host pairs share weighty common neighbours —
+    the crawl-frontier expansion signal).  Pivot-on-the-common-
+    neighbour pair generation with the 1/ln(deg) weight attached
+    BEFORE the fan-out, one grouped sum, LEFT ANTI against the edge
+    set; the hub cap (``max_degree``) documented in
+    functions/graph.py is OFF here so the oracle is exact."""
+    from .functions.graph import adamic_adar
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return adamic_adar(edges)
+
+
+# ---------------------------------------------------------------------------
 # q_source_similarity — pairwise vocabulary Jaccard between sources
 # ---------------------------------------------------------------------------
 
@@ -9836,6 +9874,107 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
     )
     return holt_linear(grid)
+
+
+# ---------------------------------------------------------------------------
+# q_acf_volume — lag-k autocorrelation of per-type daily event volumes
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_oracle() -> str:
+    ks = range(1, _ACF_MAX_LAG + 1)
+    lag_cols = ",\n         ".join(f"lag(y, {k}) OVER w AS l{k}" for k in ks)
+    agg_cols = ",\n         ".join(
+        f"CAST(sum(y * l{k}) AS BIGINT) AS sp{k},\n         "
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN y END) AS BIGINT) AS h{k},\n         "
+        f"CAST(sum(l{k}) AS BIGINT) AS tl{k}"
+        for k in ks
+    )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT g, n, s, syy, CAST({k} AS BIGINT) AS k, "
+        f"sp{k} AS sp, h{k} AS h, tl{k} AS tl FROM agg"
+        for k in ks
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d FROM events
+),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (
+  SELECT g, date_diff('day', d0.dmin, d) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM e, d0 GROUP BY 1, 2
+),
+grid AS (
+  SELECT gs.g, i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT DISTINCT g FROM e) gs
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.g = gs.g AND c.t = i.t
+),
+lg AS (
+  SELECT g, y,
+         {lag_cols}
+  FROM grid WINDOW w AS (PARTITION BY g ORDER BY t)
+),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         {agg_cols}
+  FROM lg GROUP BY g
+),
+ks AS (
+  {unions}
+)
+SELECT g, k AS lag_k, n AS n_days, n - k AS n_pairs,
+       round(CASE WHEN n * (n * syy - s * s) <> 0
+                  THEN CAST(n * n * sp - n * s * (h + tl)
+                            + (n - k) * s * s AS DOUBLE)
+                       / CAST(n * (n * syy - s * s) AS DOUBLE)
+             END + 0.0, 6) AS acf
+FROM ks WHERE n > k
+"""
+
+
+@register("q_acf_volume", _acf_oracle())
+def q_acf_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of per-type daily event volume (the
+    weekly-seasonality / burst-persistence readout next to
+    q_cusum_drift and q_holt_forecast).  Same dense zero-filled
+    calendar grid as q_holt_forecast on BOTH sides; the estimator is
+    kept all-integer (n²-scaled centering, functions/timeseries.py
+    ``acf_lags``) so the two engines divide the same two int64s —
+    one round-6, no Python kernels, one per-series window pass."""
+    from .functions.timeseries import acf_lags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select("g", F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        e.select("g").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+        )
+        .join(cnt, ["g", "t"], "left")
+        .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return acf_lags(grid, max_lag=_ACF_MAX_LAG)
 
 
 # ---------------------------------------------------------------------------

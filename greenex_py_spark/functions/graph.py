@@ -527,3 +527,71 @@ def kcore_membership(
         .groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """[host_a, host_b, n_common, aa_score] — Adamic–Adar
+    link-prediction score Σ_z 1/ln(deg z) over the common neighbours z
+    of every NON-adjacent pair in the undirected simple graph (which
+    hosts *should* link but don't — the crawl-frontier / related-domain
+    signal next to the descriptive webgraph stats).
+
+    Shape: pivot on the shared neighbour — each node z emits its
+    neighbour pairs once (y1 < y2), weight 1/ln(deg z) computed BEFORE
+    the pair fan-out, then one groupBy(a,b) sum and a LEFT ANTI join
+    against the edge set drops the already-linked pairs.  The fan-out
+    is Σ deg(z)², the irreducible cost of exact common-neighbour
+    counting; at webgraph scale pass ``max_degree`` to skip hub pivots
+    — a documented approximation that only discards the lowest-weight
+    terms (a hub contributes 1/ln(deg) → 0 and pairs *everything*, so
+    the cap is also where ~all the cost lives).
+
+    Exactness: common neighbours have deg ≥ 2 so ln > 0; each weight
+    is one double division and the per-pair sum spans ≤ |V| terms of
+    magnitude ≤ 1/ln 2, so the engine-order-dependent summation error
+    sits ~1e-13 — far inside the round-6 contract (the
+    q_markov_entropy ln() convention).
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("dg"))
+    piv = (
+        both.select(F.col("a").alias("z"), F.col("b").alias("y"))
+        .join(deg.select(F.col("a").alias("z"), "dg"), "z")
+    )
+    if max_degree is not None:
+        piv = piv.filter(F.col("dg") <= max_degree)
+    piv = piv.select(
+        "z", "y", (F.lit(1.0) / F.log(F.col("dg").cast("double"))).alias("w")
+    )
+    p1 = piv.select("z", F.col("y").alias("a"), "w")
+    p2 = piv.select("z", F.col("y").alias("b"))
+    sc = (
+        p1.join(p2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w").alias("score"),
+        )
+    )
+    return sc.join(und, ["a", "b"], "left_anti").select(
+        F.col("a").alias("host_a"),
+        F.col("b").alias("host_b"),
+        "n_common",
+        F.round(F.col("score") + F.lit(0.0), 6).alias("aa_score"),
+    )

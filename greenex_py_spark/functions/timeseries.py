@@ -29,7 +29,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["HOLT_ALPHA", "HOLT_OMA", "HOLT_BETA", "HOLT_OMB", "holt_linear"]
+__all__ = [
+    "HOLT_ALPHA", "HOLT_OMA", "HOLT_BETA", "HOLT_OMB",
+    "holt_linear", "acf_lags",
+]
 
 HOLT_ALPHA = 0.3
 HOLT_OMA = 0.7   # 1 − α as its own literal (shared with the oracle)
@@ -79,3 +82,88 @@ def holt_linear(
         )
 
     return df.groupBy(series_col).applyInPandas(_kernel, schema=schema)
+
+
+def acf_lags(
+    df: DataFrame,
+    max_lag: int = 7,
+    series_col: str = "g",
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """[series, lag_k, n_days, n_pairs, acf] — sample autocorrelation
+    r_k of each DENSE integer series for k = 1..max_lag (weekly
+    seasonality / burst persistence readout over daily ingest volumes).
+
+    Exactness contract: with S = Σy, SP_k = Σ y_t·y_{t−k},
+    H_k = Σ_{t≥k} y_t and T_k = Σ_{t≥k} y_{t−k}, the standard
+    full-series-mean estimator scales to the all-integer pair
+
+        A_k = n²·SP_k − n·S·(H_k+T_k) + (n−k)·S²     (n² × numerator)
+        B   = n·(n·Σy² − S²)                          (n² × denominator)
+
+    so both engines divide the SAME two int64s and round-6 once
+    (CUSUM's scaled-centering convention).  int64 envelope:
+    n²·SP_k ≤ n³·ymax² — safe through ~1500 days × 1M events/day;
+    beyond that promote the sums to decimal, the shape is unchanged.
+
+    Distributed shape: the only corpus-sized work is the upstream
+    per-day count; here each series' calendar vector flows through ONE
+    per-series window (lag 1..K in a single pass, no self-join) and a
+    grouped integer aggregate — days × series is dim-sized at any
+    corpus scale.  Pure codegen, no Python kernels.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(series_col).orderBy(t_col)
+    ks = range(1, max_lag + 1)
+    d = df.select(
+        F.col(series_col).alias("g"),
+        F.col(t_col).alias("t"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    d = d.select(
+        "g", "y", *[F.lag("y", k).over(w).alias(f"l{k}") for k in ks]
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ]
+    for k in ks:
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.col("y") * lk).alias(f"sp{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("y"))).alias(f"h{k}"),
+            F.sum(lk).alias(f"tl{k}"),
+        ]
+    a = d.groupBy("g").agg(*aggs)
+    per_k = F.array(*[
+        F.struct(
+            F.lit(k).cast("long").alias("k"),
+            F.col(f"sp{k}").alias("sp"),
+            F.col(f"h{k}").alias("h"),
+            F.col(f"tl{k}").alias("tl"),
+        )
+        for k in ks
+    ])
+    e = a.select(
+        "g", "n", "s", "syy", F.explode(per_k).alias("kk")
+    ).select("g", "n", "s", "syy", "kk.k", "kk.sp", "kk.h", "kk.tl")
+    num = (
+        F.col("n") * F.col("n") * F.col("sp")
+        - F.col("n") * F.col("s") * (F.col("h") + F.col("tl"))
+        + (F.col("n") - F.col("k")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * (F.col("n") * F.col("syy") - F.col("s") * F.col("s"))
+    return e.where(F.col("n") > F.col("k")).select(
+        "g",
+        F.col("k").alias("lag_k"),
+        F.col("n").alias("n_days"),
+        (F.col("n") - F.col("k")).alias("n_pairs"),
+        F.round(
+            F.when(den != 0, num.cast("double") / den.cast("double"))
+            + F.lit(0.0),
+            6,
+        ).alias("acf"),
+    )

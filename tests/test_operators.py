@@ -4561,3 +4561,62 @@ def test_viterbi_match_recovers_continuity(spark):
     # pointwise snap would flap on track 0 (1,2,1,1,1); Viterbi holds 1
     assert got0 == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
     assert got1 == {0: 1, 1: 2, 2: 2, 3: 2}
+
+
+def test_acf_lags_matches_numpy_reference(spark):
+    """Integer-scaled ACF == the textbook full-mean estimator computed
+    in float NumPy on two hand series; lags >= n emit nothing and a
+    constant series (zero variance) yields null acf."""
+    import numpy as np
+
+    from greenex_py_spark.functions.timeseries import acf_lags
+
+    rng = np.random.RandomState(7)
+    ys = {"a": rng.randint(0, 50, size=12), "b": rng.randint(0, 9, size=5)}
+    rows = [(g, int(t), int(y)) for g, arr in ys.items()
+            for t, y in enumerate(arr)]
+    rows += [("flat", t, 4) for t in range(6)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    got = {(r.g, r.lag_k): r for r in acf_lags(df, max_lag=7).collect()}
+
+    for g, arr in ys.items():
+        n, mu = len(arr), arr.mean()
+        den = ((arr - mu) ** 2).sum()
+        for k in range(1, min(7, n - 1) + 1):
+            want = ((arr[k:] - mu) * (arr[:-k] - mu)).sum() / den
+            r = got[(g, k)]
+            assert r.n_days == n and r.n_pairs == n - k
+            assert abs(r.acf - want) < 1e-6, (g, k, r.acf, want)
+    # lag >= series length never emitted
+    assert (("b", 5) not in got) and (("b", 4) in got)
+    # zero-variance series: denominator 0 -> null, not NaN/Inf
+    assert got[("flat", 1)].acf is None
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path a-b-c-d plus hub e linked to a,b,c: scores verified against
+    the hand formula; adjacent pairs never emitted; the max_degree cap
+    drops hub-pivoted pairs only."""
+    import math
+
+    from greenex_py_spark.functions.graph import adamic_adar
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("e", "a"), ("e", "b"), ("e", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.host_a, r.host_b): r for r in adamic_adar(df).collect()}
+    # degrees: a=2 b=3 c=3 d=1 e=3; only b/c/e ever pivot a pair
+    w = {n: 1.0 / math.log(d) for n, d in
+         {"b": 3, "c": 3, "e": 3}.items()}
+    expect = {
+        ("a", "c"): (2, w["b"] + w["e"]),   # via b and e
+        ("b", "d"): (1, w["c"]),            # via c
+        ("d", "e"): (1, w["c"]),            # via c
+    }
+    assert set(got) == set(expect)
+    for k, (nc, sc) in expect.items():
+        assert got[k].n_common == nc
+        assert abs(got[k].aa_score - sc) < 1e-6
+    # hub cap max_degree=2: only pivots a (deg 2) / d (deg 1) survive;
+    # a's sole pair (b, e) is adjacent -> anti-joined away -> empty
+    assert adamic_adar(df, max_degree=2).count() == 0
