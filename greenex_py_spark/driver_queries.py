@@ -8509,6 +8509,61 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_kendall_tau — tie-corrected rank correlation via the joint histogram
+# ---------------------------------------------------------------------------
+
+_KT_BUCKET = 16
+
+
+@register(
+    "q_kendall_tau",
+    f"""
+WITH m AS (SELECT n_chars // {_KT_BUCKET} AS x,
+                  length(text) - length(replace(text, ' ', '')) AS y
+           FROM documents),
+cell AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c FROM m GROUP BY x, y),
+cd AS (SELECT coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c END),
+                       CAST(0 AS HUGEINT)) AS cc,
+              coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c END),
+                       CAST(0 AS HUGEINT)) AS dd
+       FROM cell a JOIN cell b ON a.x < b.x),
+tot AS (SELECT sum(c) AS n, sum(c) * (sum(c) - 1) AS n0 FROM cell),
+t1 AS (SELECT sum(t * (t - 1)) AS n1
+       FROM (SELECT sum(c) AS t FROM cell GROUP BY x)),
+t2 AS (SELECT sum(t * (t - 1)) AS n2
+       FROM (SELECT sum(c) AS t FROM cell GROUP BY y))
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(cc AS BIGINT) AS n_concordant,
+       CAST(dd AS BIGINT) AS n_discordant,
+       round(2.0 * CAST(cc - dd AS DOUBLE)
+             / nullif(sqrt(CAST(n0 - n1 AS DOUBLE))
+                      * sqrt(CAST(n0 - n2 AS DOUBLE)), 0.0)
+             + 0.0, 6) AS tau_b
+FROM cd, tot, t1, t2
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between bucketed document length (n_chars/16) and
+    whitespace token count — the tie-aware companion to q_spearman.
+    The statistic is computed ENTIRELY from the joint histogram (one
+    corpus-sized groupBy, then an O(k²) dim-sized histogram self-join
+    — never n² pairs), with 2×-scaled integer tie terms so no halving
+    happens before the final sqrt (functions/stats.py
+    ``kendall_tau_b``)."""
+    from .functions.stats import kendall_tau_b
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = docs.select(
+        F.floor(F.col("n_chars") / _KT_BUCKET).cast("long").alias("x"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).cast("long").alias("y"),
+    )
+    return kendall_tau_b(m, "x", "y")
+
+
+# ---------------------------------------------------------------------------
 # q_weighted_sample — PPS systematic sampling by document length
 # ---------------------------------------------------------------------------
 
@@ -9210,6 +9265,153 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("revenue_cents"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_small_lot_revenue / q_idle_customers — TPC-H Q17/Q22 shapes
+# (aggregate-then-rejoin threshold; scalar-subquery filter + anti join)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#23"
+_Q17_MAX_SIZE = 15
+_Q22_NATIONS = (10, 11, 12, 13, 14, 15, 16)
+_Q22_CUT = "2000-08-01"  # "idle" = no order since this date (every fixture
+# customer has SOME order, so the classic no-orders-ever cut is empty)
+
+
+@register(
+    "q_small_lot_revenue",
+    f"""
+WITH p AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = '{_Q17_BRAND}' AND p_size < {_Q17_MAX_SIZE}
+),
+l AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS cents
+  FROM lineitem l JOIN p ON p.p_partkey = l.l_partkey
+),
+s AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(qty) AS BIGINT) AS sum_qty
+  FROM l GROUP BY l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(l.cents), 0) AS BIGINT) AS revenue_cents,
+       round(CAST(coalesce(sum(l.cents), 0) AS DOUBLE) / 700.0, 6)
+         AS avg_yearly
+FROM l JOIN s ON s.l_partkey = l.l_partkey
+WHERE 5 * l.qty * s.cnt < s.sum_qty
+""",
+)
+def q_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-lot revenue): per-part average quantity
+    is aggregated FROM the fact table, then joined back to filter the
+    same fact — the aggregate-then-rejoin threshold pattern (Catalyst
+    can't dedup the scan; the agg side is part-cardinality so at scale
+    it broadcasts).  The 20%-of-average cut is evaluated as the
+    integer cross-product 5·qty·cnt < Σqty (quantities are integral),
+    so no FP boundary exists; revenue quantizes to cents per line."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(
+            (F.col("p_brand") == _Q17_BRAND)
+            & (F.col("p_size") < _Q17_MAX_SIZE)
+        )
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+    s = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("qty").alias("sum_qty"),
+    )
+    j = li.join(s, "l_partkey").filter(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
+        .alias("revenue_cents"),
+    ).select(
+        "n_lines", "revenue_cents",
+        F.round(F.col("revenue_cents").cast("double") / 700.0, 6)
+        .alias("avg_yearly"),
+    )
+
+
+@register(
+    "q_idle_customers",
+    f"""
+WITH cset AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey IN {_Q22_NATIONS}
+),
+thr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(sum(bal_cents) AS BIGINT) AS sum_pos
+  FROM cset WHERE bal_cents > 0
+),
+rich AS (
+  SELECT c.* FROM cset c, thr
+  WHERE c.bal_cents * thr.n_pos > thr.sum_pos
+),
+idle AS (
+  SELECT r.* FROM rich r
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '{_Q22_CUT}') o
+    ON o.o_custkey = r.c_custkey
+  WHERE o.o_custkey IS NULL
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM idle GROUP BY c_nationkey
+""",
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers in a
+    nation subset with above-average positive balance and NO RECENT
+    orders — a scalar-subquery threshold (1-row broadcast) feeding a
+    LEFT ANTI join against the date-filtered fact table, grouped per
+    nation.  The average cut compares integer cross-products
+    (bal·n > Σbal, balances in cents) so no FP boundary; the anti
+    join shuffles on custkey at scale and the date predicate pushes
+    to the orders scan."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey").isin(*_Q22_NATIONS))
+        .select(
+            "c_custkey", "c_nationkey",
+            F.round(F.col("c_acctbal") * 100.0).cast("long")
+            .alias("bal_cents"),
+        )
+    )
+    thr = c.filter(F.col("bal_cents") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum("bal_cents").alias("sum_pos"),
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= _Q22_CUT)
+        .select("o_custkey")
+    )
+    idle = rich.join(
+        o, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.sum("bal_cents").cast("long").alias("total_bal_cents"),
     )
 
 

@@ -271,3 +271,84 @@ def chi2_independence(
         (F.sum(cq).over(Window.partitionBy()) / quant).alias("chi2"),
         ((n_a - 1) * (n_b - 1)).cast("long").alias("dof"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One row [n_docs, n_concordant, n_discordant, tau_b] — Kendall's
+    rank correlation with the tie correction (tau-b) between two
+    QUANTIZED integer columns.
+
+    The scale design is the point: a naive Kendall is O(n²) pairs (or
+    a sequential Fenwick sweep) — infeasible and un-Spark-like at
+    corpus scale.  With bucketed inputs the statistic only depends on
+    the joint histogram, so ONE corpus-sized groupBy produces the
+    (x, y, count) grid and every pair count comes from an O(k²)
+    histogram self-join (k = distinct combos, bounded by the bucket
+    grids, so the non-equi join is a broadcast nested loop over a
+    dim-sized table at any corpus size):
+
+        C = Σ c₁c₂ over x₁<x₂ ∧ y₁<y₂     (concordant)
+        D = Σ c₁c₂ over x₁<x₂ ∧ y₁>y₂     (discordant)
+        tau_b = 2(C−D) / sqrt((N0−N1)(N0−N2))
+
+    with N0 = n(n−1), N1 = Σ_x t_x(t_x−1), N2 = Σ_y t_y(t_y−1) kept at
+    2× the textbook values so everything stays integer (t(t−1) is
+    even; no halving ever happens).  All sums are exact
+    DECIMAL(38,0)/HUGEINT (the assortativity convention); one sqrt +
+    one division, round-6.
+    """
+    dec = "decimal(38,0)"
+    cell = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    a = cell.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("c").alias("c1")
+    )
+    b = cell.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("c").alias("c2")
+    )
+    cd = (
+        a.join(F.broadcast(b), F.col("x1") < F.col("x2"))
+        .agg(
+            F.sum(
+                F.when(F.col("y1") < F.col("y2"), F.col("c1") * F.col("c2"))
+            ).alias("cc"),
+            F.sum(
+                F.when(F.col("y1") > F.col("y2"), F.col("c1") * F.col("c2"))
+            ).alias("dd"),
+        )
+        .select(
+            F.coalesce(F.col("cc"), F.lit(0).cast(dec)).alias("cc"),
+            F.coalesce(F.col("dd"), F.lit(0).cast(dec)).alias("dd"),
+        )
+    )
+    tot = cell.agg(F.sum("c").alias("n")).select(
+        "n", (F.col("n") * (F.col("n") - 1)).alias("n0")
+    )
+    tx = (
+        cell.groupBy("x").agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("n1"))
+    )
+    ty = (
+        cell.groupBy("y").agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("n2"))
+    )
+    j = cd.crossJoin(tot).crossJoin(tx).crossJoin(ty)
+    den = F.sqrt((F.col("n0") - F.col("n1")).cast("double")) * F.sqrt(
+        (F.col("n0") - F.col("n2")).cast("double")
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("cc").cast("long").alias("n_concordant"),
+        F.col("dd").cast("long").alias("n_discordant"),
+        F.round(
+            F.lit(2.0) * (F.col("cc") - F.col("dd")).cast("double")
+            / F.nullif(den, F.lit(0.0))
+            + F.lit(0.0),
+            6,
+        ).alias("tau_b"),
+    )

@@ -4620,3 +4620,49 @@ def test_adamic_adar_hand_graph(spark):
     # hub cap max_degree=2: only pivots a (deg 2) / d (deg 1) survive;
     # a's sole pair (b, e) is adjacent -> anti-joined away -> empty
     assert adamic_adar(df, max_degree=2).count() == 0
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    """Histogram-join tau-b == the O(n²) textbook pair scan on a small
+    tied sample; perfectly concordant data gives exactly 1.0."""
+    import itertools
+    import math
+
+    import numpy as np
+
+    from greenex_py_spark.functions.stats import kendall_tau_b
+
+    rng = np.random.RandomState(11)
+    xs = rng.randint(0, 6, size=60)
+    ys = (xs * 2 + rng.randint(-3, 4, size=60)).clip(min=0)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+    )
+    got = kendall_tau_b(df, "x", "y").collect()[0]
+
+    c = d = tx = ty = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(zip(xs, ys), 2):
+        if x1 == x2:
+            tx += 1
+            if y1 == y2:
+                ty += 1
+            continue
+        if y1 == y2:
+            ty += 1
+        elif (x1 < x2) == (y1 < y2):
+            c += 1
+        else:
+            d += 1
+    n0 = len(xs) * (len(xs) - 1) // 2
+    # n1/n2 count ALL same-x / same-y pairs (incl. double-tied ones)
+    n1 = sum(1 for (x1, _), (x2, _) in
+             itertools.combinations(zip(xs, ys), 2) if x1 == x2)
+    n2 = sum(1 for (_, y1), (_, y2) in
+             itertools.combinations(zip(xs, ys), 2) if y1 == y2)
+    want = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert got.n_docs == 60
+    assert got.n_concordant == c and got.n_discordant == d
+    assert abs(got.tau_b - want) < 1e-6
+    mono = spark.createDataFrame([(i, i * 3) for i in range(9)],
+                                 "x long, y long")
+    assert kendall_tau_b(mono, "x", "y").collect()[0].tau_b == 1.0
