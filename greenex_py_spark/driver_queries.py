@@ -2342,6 +2342,107 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_mmr_rerank — maximal-marginal-relevance diversification of the top-k
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle(k: int = 10, n_select: int = 5) -> str:
+    """Unrolled greedy MMR: n_select explicit argmax stages (no
+    recursion — each stage is a plain window top-1 over the candidates
+    not yet picked, with m = greatest(sim to each prior pick)).  The
+    score is the literal two-multiply expression ``0.7*rel - 0.3*m``
+    in BOTH engines so the greedy argmax is FP-portable; ties break by
+    n_id ascending, mirroring the kernel's sorted-by-n_id scan with a
+    strict ``>`` comparison."""
+    stages = []
+    for t in range(1, n_select + 1):
+        if t == 1:
+            m = "0.3 * 0.0"
+            joins, notpicked = "", ""
+        else:
+            joins = "\n  ".join(
+                f"JOIN s{j} ON s{j}.q_id = c.q_id "
+                f"JOIN ps p{j} ON p{j}.q_id = c.q_id AND p{j}.a = c.n_id "
+                f"AND p{j}.b = s{j}.n_id"
+                for j in range(1, t)
+            )
+            m = "0.3 * greatest(" + ", ".join(
+                f"p{j}.sim" for j in range(1, t)
+            ) + ")"
+            notpicked = " WHERE " + " AND ".join(
+                f"c.n_id <> s{j}.n_id" for j in range(1, t)
+            )
+        stages.append(f"""s{t} AS (
+  SELECT q_id, n_id, rel, score FROM (
+    SELECT c.q_id, c.n_id, c.rel, 0.7 * c.rel - {m} AS score,
+           row_number() OVER (PARTITION BY c.q_id
+                              ORDER BY 0.7 * c.rel - {m} DESC,
+                                       c.n_id ASC) AS r
+    FROM cand c
+  {joins}{notpicked}
+  ) WHERE r = 1
+)""")
+        # ps.a <> ps.b always holds for a pick vs a survivor, so the
+        # p{{j}} joins never drop rows: c.n_id <> s{{j}}.n_id is enforced.
+    # mmr_score stays UNROUNDED: identical round-6 inputs through the
+    # identical 0.7·rel − 0.3·m expression give bit-identical doubles
+    # in both engines, while round-6 of a 7-decimal-digit product hits
+    # the Spark-HALF_UP vs binary-rounding split (similarity.mmr_rerank
+    # docstring) — the driver's round-9 hash is safe on raw doubles.
+    union = "\nUNION ALL\n".join(
+        f"SELECT q_id, n_id, CAST({t} AS BIGINT) AS mmr_rank, rel, "
+        f"score AS mmr_score FROM s{t}"
+        for t in range(1, n_select + 1)
+    )
+    stages_sql = ",\n".join(stages)
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+p0 AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round({_DOT.format(a='q.embedding', b='c.embedding')}
+               / ({_NRM.format(a='q.embedding')} * {_NRM.format(a='c.embedding')}), 6) AS sim
+  FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT q_id, n_id, sim AS rel FROM (
+    SELECT q_id, n_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+    FROM p0
+  ) WHERE rank <= {k}
+),
+cv AS (SELECT cand.q_id, cand.n_id, e.embedding AS v
+       FROM cand JOIN embeddings e ON e.vec_id = cand.n_id),
+ps AS (
+  SELECT a.q_id, a.n_id AS a, b.n_id AS b,
+         round({_DOT.format(a='a.v', b='b.v')}
+               / ({_NRM.format(a='a.v')} * {_NRM.format(a='b.v')}), 6) AS sim
+  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+),
+{stages_sql}
+{union}
+"""
+
+
+@register("q_mmr_rerank", None)  # generated oracle attached below
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of the exact cosine top-10:
+    greedily select 5 diversified neighbours per query maximising
+    λ·rel − (1−λ)·max-sim-to-selected — the standard redundancy
+    suppressor a RAG serving stage runs on its retrieval shortlist.
+    Retrieval (the corpus-scale part) IS cosine_topk; the greedy
+    recursion touches only k rows per query in one Arrow kernel.  The
+    oracle unrolls the same greedy loop into 5 window-argmax stages —
+    the two sides share no code path."""
+    from .functions.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_rerank(emb.filter(F.col("vec_id") < 10), emb, k=10, n_select=5)
+
+
+ORACLES["q_mmr_rerank"] = _mmr_oracle()
+
+
 def _sq8_oracle() -> str:
     dim = _embedding_dim()
     dq_case = (
@@ -6988,6 +7089,76 @@ def q_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_terrain_slope"] = _slope_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_curvature — Zevenbergen–Thorne profile/plan curvature classes
+# ---------------------------------------------------------------------------
+
+_CURV_QUANT = 1e5  # |terms| <= 12*(4*quant)^3 must stay inside int64
+
+
+def _curvature_oracle() -> str:
+    """Closed-form ZT oracle: the same integer sign tests the kernel
+    runs, expanded over the nine quantised surface samples."""
+    npx = city.NPX
+
+    def v(dx: int, dy: int) -> str:
+        return (
+            "CAST(round(("
+            + city.NDVI_SQL.format(
+                px_x=f"{city.X0} + ((ix + {dx}) + 0.5) * {city.RES}",
+                px_y=f"{city.Y0} + ((iy + {dy}) + 0.5) * {city.RES}",
+            )
+            + f") * {_CURV_QUANT}) AS BIGINT)"
+        )
+
+    d = f"({v(-1, 0)} + {v(1, 0)} - 2 * {v(0, 0)})"
+    e = f"({v(0, -1)} + {v(0, 1)} - 2 * {v(0, 0)})"
+    g = f"({v(1, 0)} - {v(-1, 0)})"
+    h = f"({v(0, 1)} - {v(0, -1)})"
+    f_ = f"(- {v(-1, -1)} + {v(1, -1)} + {v(-1, 1)} - {v(1, 1)})"
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+),
+t AS (SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+             {d} AS d, {e} AS e, {g} AS g, {h} AS h, {f_} AS f
+      FROM px),
+s AS (SELECT tx, ty, g = 0 AND h = 0 AS flat,
+             4 * d * g * g + 4 * e * h * h + f * g * h AS p,
+             4 * d * h * h + 4 * e * g * g - f * g * h AS pl
+      FROM t)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(count(*) FILTER (flat) AS BIGINT) AS n_flat,
+       CAST(count(*) FILTER (NOT flat AND p > 0) AS BIGINT) AS n_prof_pos,
+       CAST(count(*) FILTER (NOT flat AND p < 0) AS BIGINT) AS n_prof_neg,
+       CAST(count(*) FILTER (NOT flat AND pl > 0) AS BIGINT) AS n_plan_pos,
+       CAST(count(*) FILTER (NOT flat AND pl < 0) AS BIGINT) AS n_plan_neg
+FROM s GROUP BY tx, ty
+"""
+
+
+@register("q_curvature", None)  # generated oracle attached below
+def q_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen–Thorne profile/plan curvature landform classes per
+    tile (ridge/valley/planar texture — the terrain-family companion
+    to q_terrain_slope and q_ruggedness) over the SAME halo exchange.
+    Both classifications reduce to integer SIGN tests on the quantised
+    quadric numerators, so no FP exists anywhere; the oracle expands
+    the closed-form surface into the nine ZT terms per interior pixel
+    — the two sides share no code path."""
+    from .operators.focal import curvature_class_counts
+
+    return curvature_class_counts(
+        city.tiles_df(spark, "ndvi"), city.grid(), quant=_CURV_QUANT
+    )
+
+
+ORACLES["q_curvature"] = _curvature_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -761,3 +761,85 @@ def gram_power_iteration(
             ut.select(F.col("dj").alias("di"), F.col("u").alias(f"u{t}")), "di"
         )
     return out
+
+
+MMR_LAMBDA = 0.7
+MMR_OML = 0.3   # 1 − λ as its own literal (the Holt convention: both
+# engines must multiply by the SAME parsed double, never recompute it)
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_select: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[q_id, n_id, mmr_rank, rel, mmr_score] — maximal marginal
+    relevance diversification of the exact cosine top-k: greedily pick
+    ``n_select`` of the k candidates maximising
+
+        λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)      (m = 0 when S = ∅)
+
+    — the standard redundancy-suppressing re-rank a RAG/serving stage
+    runs on its retrieval shortlist.
+
+    Scale shape: retrieval (the corpus-sized part) IS ``cosine_topk``;
+    the greedy recursion then touches only k rows per query inside ONE
+    Arrow kernel partitioned by query (state = a k×k sim matrix,
+    independent of corpus size).  Exactness: rel and the pairwise sims
+    are round-6 BEFORE any comparison (the cosine_topk convention), and
+    the score is the identical two-multiply expression in both engines,
+    so the greedy argmax (ties → smallest id) is engine-portable.  The
+    emitted ``mmr_score`` is deliberately UNROUNDED: with round-6
+    inputs, 0.7·rel − 0.3·m is the same IEEE double everywhere, while
+    round-6 of it is NOT portable — the product has 7 decimal digits,
+    so it lands exactly on a …5 boundary whenever rel's last digit is
+    odd, where Spark's BigDecimal HALF_UP (shortest-repr based) and
+    DuckDB/NumPy binary rounding disagree (hit on real fixture data:
+    0.7×0.340915 → 0.238641 vs 0.23864).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    withv = cand.join(
+        corpus.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("_v")
+        ),
+        "n_id",
+    ).select("q_id", "n_id", F.col("sim").alias("rel"), "_v")
+
+    out_schema = (
+        "q_id long, n_id long, mmr_rank long, rel double, mmr_score double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("n_id").reset_index(drop=True)
+        n = len(pdf)
+        vm = np.stack(pdf["_v"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        nrm = np.sqrt((vm * vm).sum(axis=1))
+        ps = np.round((vm @ vm.T) / (nrm[:, None] * nrm[None, :]), 6)
+        rel = pdf["rel"].to_numpy(np.float64)
+        picked: list[int] = []
+        rows = []
+        for step in range(1, min(n_select, n) + 1):
+            best, best_score = -1, None
+            for i in range(n):
+                if i in picked:
+                    continue
+                m = max(ps[i, j] for j in picked) if picked else 0.0
+                score = MMR_LAMBDA * rel[i] - MMR_OML * m
+                if best_score is None or score > best_score:
+                    best, best_score = i, score
+            picked.append(best)
+            rows.append(
+                [int(pdf["q_id"].iloc[0]), int(pdf["n_id"].iloc[best]),
+                 step, float(rel[best]), float(best_score)]
+            )
+        return pd.DataFrame(
+            rows, columns=["q_id", "n_id", "mmr_rank", "rel", "mmr_score"]
+        )
+
+    return withv.groupBy("q_id").applyInPandas(greedy, schema=out_schema)

@@ -884,3 +884,77 @@ def pyramid_tile_stats(
     return stats.withColumn(
         "level_mean", F.round(F.col("tot_q").cast("double") / denom, 6)
     )
+
+
+def curvature_class_counts(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e5,
+) -> DataFrame:
+    """[tx, ty, n_interior, n_flat, n_prof_pos, n_prof_neg, n_plan_pos,
+    n_plan_neg] — Zevenbergen–Thorne (1987) profile/plan curvature
+    LANDFORM CLASSIFICATION per tile over the same halo exchange as
+    ``slope_tile_stats``.
+
+    With z(dx,dy) the quantised elevation at the 3×3 offsets, the ZT
+    quadric coefficients reduce (up to the positive scale 16·L⁴·q³ and
+    the positive denominator G²+H²) to the INTEGER numerators
+
+        P  = 4·d·g² + 4·e·h² + f·g·h      (∝ profile curvature)
+        PL = 4·d·h² + 4·e·g² − f·g·h      (∝ plan curvature)
+
+    where d = z(−1,0)+z(1,0)−2z₀, e = z(0,−1)+z(0,1)−2z₀,
+    g = z(1,0)−z(−1,0), h = z(0,1)−z(0,−1) and
+    f = −z(−1,−1)+z(1,−1)+z(−1,1)−z(1,1).  Both classifications are
+    therefore exact integer SIGN tests — no FP ever happens; pixels
+    with zero gradient (g = h = 0, curvature undefined) are counted as
+    ``n_flat`` and excluded from the four signed classes, and
+    zero-numerator pixels fall in neither signed class.  Sign
+    convention: P > 0 ⇔ D G² + E H² + F G H > 0 (concave along the
+    slope line in ZT's orientation); callers wanting the ESRI-negated
+    convention flip the labels.
+
+    int64 envelope: |terms| ≤ 12·(4·quant)³ — safe through quant 1e5
+    (≈ 8e17).  Interior-only like every halo operator; one tile-keyed
+    shuffle, ≤ 1 row per tile out.
+    """
+    out_schema = (
+        "tx long, ty long, n_interior long, n_flat long, "
+        "n_prof_pos long, n_prof_neg long, n_plan_pos long, n_plan_neg long"
+    )
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        full = np.ones((h, w), dtype=bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                full &= mask[dy:dy + h, dx:dx + w] == 1
+
+        def z(dx: int, dy: int) -> np.ndarray:
+            return canvas[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+        z0 = z(0, 0)
+        d = z(-1, 0) + z(1, 0) - 2 * z0
+        e = z(0, -1) + z(0, 1) - 2 * z0
+        g = z(1, 0) - z(-1, 0)
+        hh = z(0, 1) - z(0, -1)
+        f = -z(-1, -1) + z(1, -1) + z(-1, 1) - z(1, 1)
+        p = 4 * d * g * g + 4 * e * hh * hh + f * g * hh
+        pl = 4 * d * hh * hh + 4 * e * g * g - f * g * hh
+        flat = (g == 0) & (hh == 0)
+        live = full & ~flat
+        n_int = int(full.sum())
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty],
+                "n_interior": [n_int],
+                "n_flat": [int((full & flat).sum())],
+                "n_prof_pos": [int((live & (p > 0)).sum())],
+                "n_prof_neg": [int((live & (p < 0)).sum())],
+                "n_plan_pos": [int((live & (pl > 0)).sum())],
+                "n_plan_neg": [int((live & (pl < 0)).sum())],
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    return parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)

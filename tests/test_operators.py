@@ -4666,3 +4666,112 @@ def test_kendall_tau_b_matches_bruteforce(spark):
     mono = spark.createDataFrame([(i, i * 3) for i in range(9)],
                                  "x long, y long")
     assert kendall_tau_b(mono, "x", "y").collect()[0].tau_b == 1.0
+
+
+def test_curvature_class_counts_paraboloid(spark):
+    """ZT curvature sign classes against NumPy brute force on a 2-tile
+    raster holding a bowl (z = x^2 + y^2): every interior non-flat
+    pixel of a bowl is profile/plan consistent with the integer
+    numerator signs, the apex pixel (g = h = 0) counts as flat, and
+    the tile seam changes nothing."""
+    import numpy as np
+
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.focal import curvature_class_counts
+
+    w_all, h_all = 8, 4
+    cx, cy = 3, 2  # apex inside tile 0's interior
+    z = np.array(
+        [[float((x - cx) ** 2 + (y - cy) ** 2) for x in range(w_all)]
+         for y in range(h_all)]
+    )
+    grid = GridSpec(origin_x=0.0, origin_y=0.0, res=1.0, tile_px=4,
+                    npx_x=w_all, npx_y=h_all)
+    rows = []
+    for tx in range(2):
+        sub = z[:, tx * 4:(tx + 1) * 4]
+        rows.append((tx, 0, 4, 4, [float(v) for v in sub.ravel()]))
+    tiles = spark.createDataFrame(
+        rows, "tx long, ty long, w long, h long, px array<double>"
+    )
+    got = {(r.tx, r.ty): r
+           for r in curvature_class_counts(tiles, grid, quant=1e3).collect()}
+
+    q = np.round(z * 1e3).astype(np.int64)
+    exp = {}
+    for tx in range(2):
+        stats = [0, 0, 0, 0, 0, 0]  # n_int, flat, pp, pn, lp, ln
+        for y in range(1, h_all - 1):
+            for x in range(max(1, tx * 4), min(w_all - 1, tx * 4 + 4)):
+                d = int(q[y, x-1] + q[y, x+1] - 2 * q[y, x])
+                e = int(q[y-1, x] + q[y+1, x] - 2 * q[y, x])
+                g = int(q[y, x+1] - q[y, x-1])
+                h = int(q[y+1, x] - q[y-1, x])
+                f = int(-q[y-1, x-1] + q[y-1, x+1] + q[y+1, x-1]
+                        - q[y+1, x+1])
+                stats[0] += 1
+                if g == 0 and h == 0:
+                    stats[1] += 1
+                    continue
+                p = 4*d*g*g + 4*e*h*h + f*g*h
+                pl = 4*d*h*h + 4*e*g*g - f*g*h
+                stats[2] += p > 0
+                stats[3] += p < 0
+                stats[4] += pl > 0
+                stats[5] += pl < 0
+        exp[tx] = tuple(stats)
+    for tx in range(2):
+        r = got[(tx, 0)]
+        assert (r.n_interior, r.n_flat, r.n_prof_pos, r.n_prof_neg,
+                r.n_plan_pos, r.n_plan_neg) == exp[tx], tx
+    # a bowl has exactly one flat pixel (the apex) and it sits in tile 0
+    assert got[(0, 0)].n_flat == 1 and got[(1, 0)].n_flat == 0
+    # bowls are convex everywhere: d = e = 2q > 0, so P > 0 off-apex
+    assert got[(0, 0)].n_prof_neg == 0 and got[(1, 0)].n_prof_neg == 0
+
+
+def test_mmr_rerank_matches_bruteforce(spark, sf_dir):
+    """MMR greedy selection against a pure-Python re-derivation from
+    cosine_topk's own output: identical picks, ranks, and scores for
+    every query, and exactly n_select rows per query."""
+    from greenex_py_spark.functions.similarity import (
+        MMR_LAMBDA, MMR_OML, cosine_topk, mmr_rerank,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 6)
+    got = mmr_rerank(q, emb, k=8, n_select=4).toPandas()
+    assert (got.groupby("q_id").size() == 4).all()
+
+    cand = cosine_topk(q, emb, k=8).toPandas()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    for qid, grp in cand.groupby("q_id"):
+        grp = grp.sort_values("n_id").reset_index(drop=True)
+        ids = grp.n_id.to_list()
+        vm = np.stack([vecs[i] for i in ids])
+        nrm = np.sqrt((vm * vm).sum(axis=1))
+        ps = np.round((vm @ vm.T) / (nrm[:, None] * nrm[None, :]), 6)
+        rel = grp.sim.to_numpy(np.float64)
+        picked = []
+        for step in range(1, 5):
+            best, best_score = -1, None
+            for i in range(len(ids)):
+                if i in picked:
+                    continue
+                m = max(ps[i, j] for j in picked) if picked else 0.0
+                s = MMR_LAMBDA * rel[i] - MMR_OML * m
+                if best_score is None or s > best_score:
+                    best, best_score = i, s
+            picked.append(best)
+            row = got[(got.q_id == qid) & (got.mmr_rank == step)].iloc[0]
+            assert row.n_id == ids[best], (qid, step)
+            assert row.rel == rel[best], (qid, step)
+            # unrounded by design: identical IEEE expression both sides
+            assert row.mmr_score == best_score, (qid, step)
+    # rank-1 pick is always the plain top-1 by relevance (m = 0)
+    top1 = cand[cand["rank"] == 1].set_index("q_id").n_id
+    r1 = got[got.mmr_rank == 1].set_index("q_id").n_id
+    assert (top1.sort_index() == r1.sort_index()).all()
