@@ -1213,6 +1213,40 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_pagerank"] = _pagerank_oracle()
 
 
+_TRUST_SEED_MOD = 13
+
+
+@register("q_trustrank")
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (seed-personalized PageRank, 3 quantized rounds) over
+    the same deterministic doc link graph — teleport and dangling mass
+    land only on trusted seeds (doc_id % 13 = 0), the crawl-curation
+    spam demoter beside q_pagerank's global prior.  Oracle is the
+    operator's own generated unrolled-CTE SQL (pagerank convention);
+    the doc count / seed count reads are eager pre-work."""
+    from .functions.graph import doc_link_edges, trustrank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    seeds = docs.filter(F.col("doc_id") % _TRUST_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return trustrank(
+        doc_link_edges(docs, n), seeds, n_iters=3, damping=0.85
+    )
+
+
+def _trustrank_oracle() -> str:
+    from .functions.graph import trustrank_oracle_sql
+
+    return trustrank_oracle_sql(
+        n_iters=3, damping=0.85, seed_mod=_TRUST_SEED_MOD
+    )
+
+
+ORACLES["q_trustrank"] = _trustrank_oracle()
+
+
 @register(
     "q_length_quantiles",
     """
@@ -1232,6 +1266,33 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return length_quantiles(docs)
+
+
+@register(
+    "q_lexical_diversity",
+    """
+WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+bi AS (SELECT source, tk[i.range] AS w1, tk[i.range + 1] AS w2
+       FROM t, range(1, 1001) i WHERE i.range <= len(tk) - 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(DISTINCT (w1, w2)) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT (w1, w2)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS diversity
+FROM bi GROUP BY source
+""",
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-bigram ratio per source — the templated/boilerplate
+    detector (repeated transitions → 0, organic prose → 1), the
+    within-corpus counterpart of q_ngram_novelty.  Two exact int64
+    counts divide once, so the double is portable unrounded; the
+    oracle's 1000-position bigram cap rides the documented ≤79-word
+    corpus invariant (see the shingle-cap note above q_minhash_lsh)."""
+    from .functions.text import lexical_diversity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lexical_diversity(docs)
 
 
 @register(
@@ -2045,6 +2106,48 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_lang_id"] = _langid_sql()
+
+
+@register("q_cohens_kappa", None)  # generated oracle attached below
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the heuristic language-ID prediction and the
+    corpus lang label — the chance-corrected agreement eval that
+    closes the classifier loop (accuracy alone flatters a skewed label
+    mix).  κ = (A·N − S)/(N² − S) over exact int64 counts, so the two
+    engines divide the same integers; the oracle recomputes the
+    prediction through the generated stopword-score SQL and the margin
+    algebra independently."""
+    from .functions.stats import cohens_kappa
+    from .functions.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return cohens_kappa(j, "lang", "pred_lang")
+
+
+ORACLES["q_cohens_kappa"] = f"""
+WITH j AS (
+  SELECT d.lang AS ca, p.pred_lang AS cb
+  FROM documents d JOIN ({_langid_sql()}) p ON p.doc_id = d.doc_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM j
+),
+rm AS (SELECT ca AS cls, CAST(count(*) AS BIGINT) AS ra FROM j GROUP BY ca),
+cm AS (SELECT cb AS cls, CAST(count(*) AS BIGINT) AS cbn FROM j GROUP BY cb),
+pe AS (
+  SELECT CAST(coalesce(sum(ra * cbn), 0) AS BIGINT) AS s
+  FROM rm JOIN cm USING (cls)
+)
+SELECT n AS n_rows, agree AS n_agree,
+       CASE WHEN n * n <> s
+            THEN CAST(agree * n - s AS DOUBLE) / CAST(n * n - s AS DOUBLE)
+       END AS kappa
+FROM tot, pe
+"""
 
 
 # Engine/oracle asymmetries, both documented here (ADVICE r01):
@@ -8937,6 +9040,56 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_rbo"] = _rbo_oracle()
 
 
+_RRF_K, _RRF_C = 20, 60
+
+
+def _rrf_oracle() -> str:
+    from .functions.retrieval import bm25_oracle_sql, tfidf_oracle_sql
+
+    return f"""
+WITH ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+  FROM ({bm25_oracle_sql(_BM25_TERMS)}) QUALIFY ra <= {_RRF_K}
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+  FROM ({tfidf_oracle_sql(_BM25_TERMS)}) QUALIFY rb <= {_RRF_K}
+),
+f AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         CAST(ra.ra AS BIGINT) AS rank_a, CAST(rb.rb AS BIGINT) AS rank_b,
+         coalesce(1.0 / ({_RRF_C} + ra.ra), 0.0)
+         + coalesce(1.0 / ({_RRF_C} + rb.rb), 0.0) AS rrf_score
+  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM f
+"""
+
+
+@register("q_rrf_fusion", None)  # generated oracle attached below
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion of the BM25 and tf·idf top-20 for the
+    same query (RRF: Σ 1/(60+rank), missing list contributes 0) — the
+    score-free merge a retrieval stage runs between scorers whose
+    scales don't calibrate; the fused order is portable because each
+    score is the same fixed two-term double expression in both
+    engines, ties by doc_id."""
+    from .functions.retrieval import bm25_scores, rrf_fusion, tfidf_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rrf_fusion(
+        bm25_scores(docs, _BM25_TERMS),
+        tfidf_query_scores(docs, _BM25_TERMS),
+        k=_RRF_K, c=_RRF_C,
+    )
+
+
+ORACLES["q_rrf_fusion"] = _rrf_oracle()
+
+
 # ---------------------------------------------------------------------------
 # q_cusum_drift — integer CUSUM change-point scan over daily volumes
 # ---------------------------------------------------------------------------
@@ -9583,6 +9736,115 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_custs"),
         F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_order_priority / q_supplier_diversity — TPC-H Q4/Q16 shapes
+# (correlated-EXISTS semi join; anti-joined grouped distinct counting)
+# ---------------------------------------------------------------------------
+
+_Q4_LO, _Q4_HI = "1997-01-01", "1997-04-01"
+_Q4_LATE_DAYS = 45  # fixture lineitem has no commit/receipt dates, so
+# "late" = shipped more than this many days after the order date
+
+
+@register(
+    "q_order_priority",
+    f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q4_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {_Q4_LATE_DAYS} DAY)
+GROUP BY o.o_orderpriority
+""",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    with at least one line shipped late, counted per priority — the
+    correlated-EXISTS pattern, planned as a LEFT SEMI join whose
+    condition mixes the equi key with a cross-table timestamp
+    predicate (Catalyst keys the shuffle on orderkey and evaluates the
+    lateness filter inside the join).  Existence semantics mean
+    multi-late orders count once — a plain inner join + distinct would
+    pay an extra shuffle.  Timestamp arithmetic is exact in both
+    engines (+45 days on microsecond timestamps)."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= _Q4_LO) & (F.col("o_orderdate") < _Q4_HI)
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@register(
+    "q_supplier_diversity",
+    """
+SELECT p.p_brand, CAST(p.p_size // 10 AS BIGINT) AS size_bucket,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, size_bucket
+""",
+)
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): supplier and
+    part diversity per (brand, size bucket), excluding flagged
+    suppliers — a LEFT ANTI join against a dim-sized exclusion list
+    (broadcast: suppliers ≪ facts at any scale, the fixture has no
+    partsupp so lineitem provides the part-supplier pairs and
+    negative balance stands in for the complaints predicate) feeding
+    TWO grouped exact count-distincts (Catalyst's Expand: each input
+    row fans to one replica per distinct column, then two-phase
+    de-dup + count — still a single shuffle on the group key)."""
+    excl = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(excl),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand",
+        F.expr("CAST(p_size DIV 10 AS BIGINT)").alias("size_bucket"),
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "size_bucket")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        )
     )
 
 
@@ -10348,6 +10610,98 @@ def q_acf_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
     )
     return acf_lags(grid, max_lag=_ACF_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# q_volume_anomaly — same-weekday z-score anomalies on daily volumes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_volume_anomaly",
+    """
+WITH e AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d FROM events
+),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (
+  SELECT g, date_diff('day', d0.dmin, d) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM e, d0 GROUP BY 1, 2
+),
+grid AS (
+  SELECT gs.g, i.t, coalesce(c.y, 0) AS y,
+         strftime(d0.dmin + INTERVAL (i.t) DAY, '%Y-%m-%d') AS day,
+         (date_diff('day', DATE '1970-01-01', d0.dmin) + i.t) % 7 AS dow
+  FROM (SELECT DISTINCT g FROM e) gs
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  CROSS JOIN d0
+  LEFT JOIN cnt c ON c.g = gs.g AND c.t = i.t
+),
+ww AS (
+  SELECT g, day, y,
+         CAST(count(*) OVER w AS BIGINT) AS c,
+         CAST(sum(y) OVER w AS BIGINT) AS s,
+         CAST(sum(y * y) OVER w AS BIGINT) AS ss
+  FROM grid WINDOW w AS (PARTITION BY g, dow)
+)
+SELECT g, day, y AS n_events,
+       CASE WHEN c * ss - s * s > 0
+            THEN CAST(y * c - s AS DOUBLE)
+                 / sqrt(CAST(c * ss - s * s AS DOUBLE))
+       END AS z,
+       CAST((y * c - s) * (y * c - s) > 4 * (c * ss - s * s)
+            AS BIGINT) AS is_anomaly
+FROM ww
+""",
+)
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-weekday z-score on per-type daily event volume (the
+    ingest-ops anomaly alarm beside q_cusum_drift: a Tuesday is judged
+    only against Tuesdays, so weekly seasonality never trips it).
+    Same dense zero-filled calendar grid as q_acf_volume on BOTH sides
+    — a silent day IS the anomaly; the estimator is all-integer until
+    one final division (functions/timeseries.dow_volume_anomaly) and
+    the |z|>2 flag is decided entirely in integers."""
+    from .functions.timeseries import dow_volume_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select("g", F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        e.select("g").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g", "dmin",
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+        )
+        .join(cnt, ["g", "t"], "left")
+        .select(
+            "g",
+            F.date_format(
+                F.date_add(F.col("dmin"), F.col("t")), "yyyy-MM-dd"
+            ).alias("day"),
+            (
+                (F.datediff(F.col("dmin"), F.lit("1970-01-01")) + F.col("t"))
+                % 7
+            ).alias("dow"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    return dow_volume_anomaly(grid, z_thresh=2)
 
 
 # ---------------------------------------------------------------------------

@@ -595,3 +595,151 @@ def adamic_adar(
         "n_common",
         F.round(F.col("score") + F.lit(0.0), 6).alias("aa_score"),
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """[node, rank] — TrustRank (Gyöngyi et al. 2004): PageRank whose
+    teleport AND dangling mass land only on a trusted seed set — the
+    crawl-curation spam demoter (pages reachable from trusted hosts
+    keep rank; link-farm islands starve).  Same pico-int quantization
+    contract as ``pagerank`` (contributions rounded to 1e-12 before
+    the per-node sum, rank re-rounded to 9 dp per round) so the
+    unrolled DuckDB oracle hash-matches; start vector is uniform over
+    the seeds, 0 elsewhere.
+
+    Scale shape per iteration: identical to pagerank — one src-keyed
+    equi-join, one dst-keyed integer sum, one 1-row dangling scalar —
+    plus a broadcast seed-flag join (seeds are dim-sized by
+    definition: a curated trust list, not the corpus).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        nodes.join(
+            F.broadcast(sd.withColumn("_s", F.lit(1))), "node", "left"
+        )
+        .select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    ns = nodes.agg(F.sum("is_seed")).collect()[0][0]
+    if not ns:
+        raise ValueError("trustrank: no seed appears in the graph")
+    od = e.groupBy("src").agg(F.count("*").alias("od"))
+    eo = e.join(od, "src").localCheckpoint()
+    ranks = nodes.select(
+        "node", "is_seed",
+        F.when(F.col("is_seed") == 1, F.round(F.lit(1.0 / ns), 9))
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    )
+    base = (1.0 - damping) / ns
+    for _ in range(n_iters):
+        contrib = eo.join(ranks, eo["src"] == ranks["node"]).select(
+            "dst",
+            F.round(F.col("r") / F.col("od") * PICO).cast("long").alias("c"),
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        dang = (
+            ranks.join(od, ranks["node"] == od["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("r") * PICO).cast("long")), F.lit(0)
+                ).alias("dgp")
+            )
+        )
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node", "is_seed",
+                F.round(
+                    F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(0.0)
+                    + damping * (F.coalesce("s", F.lit(0)) / PICO)
+                    + F.when(
+                        F.col("is_seed") == 1,
+                        damping * (F.col("dgp") / PICO) / ns,
+                    ).otherwise(0.0),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
+def trustrank_oracle_sql(
+    n_iters: int = 3,
+    damping: float = 0.85,
+    seed_mod: int = 13,
+    table: str = "documents",
+) -> str:
+    """The identical quantized TrustRank rounds unrolled as DuckDB CTEs
+    (same doc link graph as ``pagerank_oracle_sql``; seeds = nodes with
+    node % seed_mod = 0) — generated beside the operator so the two
+    sides cannot drift."""
+    d = damping
+    ctes = [
+        f"n AS (SELECT count(*) AS n FROM {table})",
+        f"""e0 AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % n.n AS dst FROM {table} CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % n.n FROM {table} CROSS JOIN n
+)""",
+        "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)",
+        "od AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e"
+        " UNION SELECT DISTINCT dst FROM e)",
+        f"sn AS (SELECT node, CASE WHEN node % {seed_mod} = 0 THEN 1 ELSE 0 END"
+        " AS is_seed FROM nodes)",
+        "ns AS (SELECT sum(is_seed) AS ns FROM sn)",
+        "r0 AS (SELECT node, is_seed, CASE WHEN is_seed = 1"
+        " THEN round(1.0 / ns.ns, 9) ELSE 0.0 END AS r"
+        " FROM sn CROSS JOIN ns)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(round(r{p}.r / od.od * 1000000000000.0) AS BIGINT) AS c
+  FROM e JOIN r{p} ON e.src = r{p}.node JOIN od ON od.src = e.src
+)"""
+        )
+        ctes.append(f"s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node)")
+        ctes.append(
+            f"""dg{i} AS (
+  SELECT coalesce(sum(CAST(round(r{p}.r * 1000000000000.0) AS BIGINT)), 0) AS dgp
+  FROM r{p} LEFT JOIN od ON r{p}.node = od.src WHERE od.src IS NULL
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT sn.node, sn.is_seed,
+         round(CASE WHEN sn.is_seed = 1 THEN (1.0 - {d}) / ns.ns ELSE 0.0 END
+               + {d} * (coalesce(s{i}.s, 0) / 1000000000000.0)
+               + CASE WHEN sn.is_seed = 1
+                      THEN {d} * (dg{i}.dgp / 1000000000000.0) / ns.ns
+                      ELSE 0.0 END, 9) AS r
+  FROM sn LEFT JOIN s{i} ON sn.node = s{i}.node
+  CROSS JOIN ns CROSS JOIN dg{i}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank FROM r{n_iters}"
+    )

@@ -266,3 +266,51 @@ def rbo_overlap(
         .withColumn("rbo", F.sum("_t").over(w_all) / 1e9)
         .select(F.col("d").cast("long").alias("d"), "x_d", "rbo")
     )
+
+
+def rrf_fusion(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 20,
+    c: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """[doc_id, rank_a, rank_b, rrf_score, fused_rank] — reciprocal
+    rank fusion (Cormack et al. 2009) of two top-k rankings:
+    RRF(d) = Σ_lists 1/(c + rank(d)), missing-from-list contributes 0
+    — the standard score-free combiner a retrieval stage uses to merge
+    BM25 with a second scorer (here tf·idf) without calibrating their
+    score scales.
+
+    Determinism: input scores are 6-dp-rounded upstream and ranks
+    break ties by id (the rbo_overlap convention); each RRF score is
+    the SAME two-term double expression in both engines (1/(c+ra) +
+    1/(c+rb), fixed order, no Σ reordering — only two lists), so the
+    fused ordering is engine-portable with ties broken by id.
+    Everything after the two top-k windows is ≤ 2k rows."""
+    from pyspark.sql import Window
+
+    def topk(df, out):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return (
+            df.withColumn(out, F.row_number().over(w))
+            .filter(F.col(out) <= k)
+            .select(F.col(id_col).alias(f"_{out}_id"), out)
+        )
+
+    a = topk(rank_a, "ra")
+    b = topk(rank_b, "rb")
+    j = a.join(b, a["_ra_id"] == b["_rb_id"], "full_outer").select(
+        F.coalesce(F.col("_ra_id"), F.col("_rb_id")).alias(id_col),
+        F.col("ra").cast("long").alias("rank_a"),
+        F.col("rb").cast("long").alias("rank_b"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rb")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return j.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )

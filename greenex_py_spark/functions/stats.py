@@ -352,3 +352,54 @@ def kendall_tau_b(
             6,
         ).alias("tau_b"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """[n_rows, n_agree, kappa] — Cohen's κ chance-corrected agreement
+    between two categorical labelings of the same rows (the standard
+    classifier-vs-truth or annotator-vs-annotator eval; here it closes
+    the language-ID loop: heuristic prediction vs the corpus label).
+
+    Exactness contract: with N = #rows, A = #agreements and
+    S = Σ_class row_margin·col_margin (all exact int64),
+
+        κ = (p_o − p_e) / (1 − p_e) = (A·N − S) / (N² − S)
+
+    — one division of two exact int64s, identical in both engines;
+    NULL when p_e = 1 (both sides constant, κ undefined).
+
+    Distributed shape: three corpus-sized aggregates (total + the two
+    margin groupBys — each a two-phase partial agg); the margin
+    product join runs over |classes| rows.  The margins are joined
+    inner on class name: a class absent from either side contributes
+    0 to S by construction.  int64 envelope: A·N ≤ N² — safe through
+    3·10⁹ rows; beyond that promote the two products to decimal.
+    """
+    base = df.select(F.col(col_a).alias("ca"), F.col(col_b).alias("cb"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    rm = base.groupBy(F.col("ca").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("ra")
+    )
+    cm = base.groupBy(F.col("cb").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("cbn")
+    )
+    pe = rm.join(cm, "cls").agg(
+        F.coalesce(F.sum(F.col("ra") * F.col("cbn")), F.lit(0))
+        .cast("long")
+        .alias("s")
+    )
+    nn = F.col("n") * F.col("n")
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("n").alias("n_rows"),
+        F.col("agree").alias("n_agree"),
+        F.when(
+            nn != F.col("s"),
+            (F.col("agree") * F.col("n") - F.col("s")).cast("double")
+            / (nn - F.col("s")).cast("double"),
+        ).alias("kappa"),
+    )

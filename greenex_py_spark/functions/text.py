@@ -1226,3 +1226,54 @@ def source_vocab_jaccard(
             .alias("jaccard"),
         )
     )
+
+
+def lexical_diversity(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """[group, n_bigrams, n_distinct, diversity] — distinct-bigram
+    ratio per group (the templated-content detector: boilerplate-heavy
+    sources repeat the same word transitions, pushing diversity toward
+    0, while organic prose stays near 1 — the within-corpus
+    counterpart of cross-snapshot ``ngram_novelty``).
+
+    Bigrams use the eval-once slice + arrays_zip construction (the
+    bigram_logprob convention — no interpreted HOF lambda); documents
+    under 2 tokens contribute nothing.  ``diversity`` divides two
+    exact int64 counts, so the double is engine-portable unrounded.
+
+    Distributed shape: one explode + one grouped aggregate whose
+    count-distinct is Catalyst's two-phase Expand de-dup — partial
+    per-partition de-dup happens map-side, so the shuffle carries at
+    most the distinct bigrams per group, not the corpus.
+    """
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).filter(F.size("_toks") >= 2)
+    n1 = F.size("_toks") - 1
+    bi = (
+        t.select(
+            "g",
+            F.slice("_toks", 1, n1).alias("w1s"),
+            F.slice("_toks", 2, n1).alias("w2s"),
+        )
+        .select("g", F.explode(F.arrays_zip("w1s", "w2s")).alias("p"))
+        .select("g", F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
+    )
+    return (
+        bi.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.countDistinct("w1", "w2").cast("long").alias("n_distinct"),
+        )
+        .select(
+            F.col("g").alias("source"),
+            "n_bigrams",
+            "n_distinct",
+            (
+                F.col("n_distinct").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("diversity"),
+        )
+    )

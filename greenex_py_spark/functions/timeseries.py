@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "HOLT_ALPHA", "HOLT_OMA", "HOLT_BETA", "HOLT_OMB",
-    "holt_linear", "acf_lags",
+    "holt_linear", "acf_lags", "dow_volume_anomaly",
 ]
 
 HOLT_ALPHA = 0.3
@@ -166,4 +166,65 @@ def acf_lags(
             + F.lit(0.0),
             6,
         ).alias("acf"),
+    )
+
+
+def dow_volume_anomaly(
+    df: DataFrame,
+    series_col: str = "g",
+    day_col: str = "day",
+    dow_col: str = "dow",
+    y_col: str = "y",
+    z_thresh: int = 2,
+) -> DataFrame:
+    """[series, day, n_events, z, is_anomaly] — same-weekday volume
+    z-score per daily observation (the ingest-ops anomaly readout: a
+    Tuesday is judged against the distribution of Tuesdays, so weekly
+    seasonality never trips the alarm).  Callers supply the DENSE
+    zero-filled calendar (a missing day IS the anomaly) plus the
+    weekday key; this function owns only the estimator.
+
+    Exactness contract: with per-(series, weekday) ints c = #days,
+    s = Σy, ss = Σy², the population z-score scales to
+
+        z = (y·c − s) / sqrt(c·ss − s²)
+
+    — one division of an exact int64 by the sqrt of an exact int64,
+    identical in both engines (the acf_lags scaled-centering
+    convention), NULL when the weekday group is constant (variance 0).
+    ``is_anomaly`` (|z| > z_thresh) is decided entirely in integers:
+    (y·c − s)² > z_thresh²·(c·ss − s²) — no FP boundary exists.
+
+    Distributed shape: the corpus-sized work is the upstream per-day
+    count; here one window pass over the dim-sized calendar table
+    (series × days), partitioned by (series, weekday) — no join-back.
+    int64 envelope: c·ss ≤ days·(days·ymax²) — safe through ~1500 days
+    × 1M events/day.  Pure codegen, no Python kernels.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(series_col, dow_col)
+    d = df.select(
+        F.col(series_col).alias("g"),
+        F.col(day_col).alias("day"),
+        F.col(dow_col).alias("dow"),
+        F.col(y_col).cast("long").alias("y"),
+    ).select(
+        "g", "day", "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("c"),
+        F.sum("y").over(w).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("ss"),
+    )
+    num = F.col("y") * F.col("c") - F.col("s")
+    var_n = F.col("c") * F.col("ss") - F.col("s") * F.col("s")
+    return d.select(
+        F.col("g"),
+        F.col("day"),
+        F.col("y").alias("n_events"),
+        F.when(
+            var_n > 0, num.cast("double") / F.sqrt(var_n.cast("double"))
+        ).alias("z"),
+        (num * num > F.lit(z_thresh * z_thresh) * var_n)
+        .cast("long")
+        .alias("is_anomaly"),
     )

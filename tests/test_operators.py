@@ -4775,3 +4775,151 @@ def test_mmr_rerank_matches_bruteforce(spark, sf_dir):
     top1 = cand[cand["rank"] == 1].set_index("q_id").n_id
     r1 = got[got.mmr_rank == 1].set_index("q_id").n_id
     assert (top1.sort_index() == r1.sort_index()).all()
+
+
+def test_cohens_kappa_hand_values(spark):
+    """Kappa against the textbook worked example (Cohen 1960 shape):
+    a 2x2 table with 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no gives
+    po = 0.7, pe = 0.5, kappa = 0.4; perfect agreement gives 1.0 and
+    a constant pair of labelings gives NULL (pe = 1)."""
+    from greenex_py_spark.functions.stats import cohens_kappa
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n_rows, r.n_agree) == (50, 35)
+    # (35*50 - S) / (2500 - S), S = 25*30 + 25*20 = 1250 -> 0.4 exactly
+    assert r.kappa == 0.4
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0].kappa == 1.0
+    const = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    assert cohens_kappa(const, "a", "b").collect()[0].kappa is None
+    # disjoint label sets: S = 0, kappa = A*N/N^2 = 0 (A = 0)
+    disj = spark.createDataFrame(
+        [("a", "p"), ("b", "q")], "a string, b string"
+    )
+    assert cohens_kappa(disj, "a", "b").collect()[0].kappa == 0.0
+
+
+def test_dow_volume_anomaly_plants_spike(spark):
+    """A planted 10x spike on one weekday is flagged and nothing else
+    is; z matches the NumPy population z-score per weekday group; a
+    constant weekday group yields NULL z and no flag."""
+    import numpy as np
+
+    from greenex_py_spark.functions.timeseries import dow_volume_anomaly
+
+    # 4 weeks of Mondays/Tuesdays for one series: Mondays 10,10,10,100
+    # (spike), Tuesdays constant 7 (zero variance).
+    rows = []
+    mon = [10, 10, 10, 100]
+    for w in range(4):
+        rows.append(("s", f"mon{w}", 0, mon[w]))
+        rows.append(("s", f"tue{w}", 1, 7))
+    df = spark.createDataFrame(rows, "g string, day string, dow long, y long")
+    got = {r.day: r for r in dow_volume_anomaly(df, z_thresh=1).collect()}
+    ys = np.array(mon, dtype=np.float64)
+    z_exp = (ys - ys.mean()) / ys.std()  # population std
+    for w in range(4):
+        r = got[f"mon{w}"]
+        assert abs(r.z - z_exp[w]) < 1e-12, (w, r.z, z_exp[w])
+        assert r.is_anomaly == int(abs(z_exp[w]) > 1), w
+    for w in range(4):
+        r = got[f"tue{w}"]
+        assert r.z is None and r.is_anomaly == 0
+    # the spike week is the only flagged Monday at |z| > 1... the three
+    # quiet Mondays sit at z = -0.577 each, the spike at +1.732
+    assert [got[f"mon{w}"].is_anomaly for w in range(4)] == [0, 0, 0, 1]
+
+
+def test_lexical_diversity_ratio(spark):
+    """Templated rows repeat one transition; organic rows never repeat:
+    the ratio separates them exactly, and 1-token docs are excluded."""
+    from greenex_py_spark.functions.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b", "tmpl"),     # bigrams: ab,ba,ab,ba,ab -> 2/5
+            (2, "a b", "tmpl"),             # ab -> duplicate of above
+            (3, "x y z w", "org"),          # xy,yz,zw -> 3/3
+            (4, "solo", "org"),             # excluded (<2 tokens)
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in lexical_diversity(df).collect()}
+    assert (got["tmpl"].n_bigrams, got["tmpl"].n_distinct) == (6, 2)
+    assert got["tmpl"].diversity == 2.0 / 6.0
+    assert (got["org"].n_bigrams, got["org"].n_distinct) == (3, 3)
+    assert got["org"].diversity == 1.0
+
+
+def test_trustrank_quantized_recursion(spark):
+    """TrustRank against a NumPy replication of the same pico-int
+    quantized recursion on a hand graph; nodes unreachable from the
+    seed set end at rank 0 while PageRank would give them teleport
+    mass."""
+    import numpy as np
+
+    from greenex_py_spark.functions.graph import trustrank
+
+    # 0 -> 1 -> 2 -> 0 (cycle, seed 0); 3 -> 4 (island, no seed);
+    # 2 is also dangling-free; 4 dangles.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in trustrank(edges, seeds, n_iters=3, damping=0.85).collect()
+    }
+
+    nodes = [0, 1, 2, 3, 4]
+    out = {0: [1], 1: [2], 2: [0], 3: [4], 4: []}
+    is_seed = {n: n == 0 for n in nodes}
+    ns = 1
+    r = {n: round(1.0 / ns, 9) if is_seed[n] else 0.0 for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0 for n in nodes}
+        for s in nodes:
+            for d in out[s]:
+                contrib[d] += int(np.round(r[s] / len(out[s]) * 1e12))
+        dgp = sum(int(np.round(r[n] * 1e12)) for n in nodes if not out[n])
+        r = {
+            n: round(
+                ((1.0 - 0.85) / ns if is_seed[n] else 0.0)
+                + 0.85 * (contrib[n] / 1e12)
+                + (0.85 * (dgp / 1e12) / ns if is_seed[n] else 0.0),
+                9,
+            )
+            for n in nodes
+        }
+    assert got == r
+    assert got[3] == 0.0 and got[4] == 0.0  # island starves
+    assert got[0] > got[1] > 0.0
+
+
+def test_rrf_fusion_hand_lists(spark):
+    """RRF on two hand rankings: scores are exactly 1/(60+ra)+1/(60+rb),
+    a doc present in only one list gets the single term, fused order
+    follows the sums with id tie-breaks."""
+    from greenex_py_spark.functions.retrieval import rrf_fusion
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.95), (4, 0.5)], "doc_id long, score double"
+    )
+    got = {r.doc_id: r for r in rrf_fusion(a, b, k=3, c=60).collect()}
+    assert got[2].rrf_score == 1.0 / 62 + 1.0 / 61
+    assert got[1].rrf_score == 1.0 / 61
+    assert got[3].rrf_score == 1.0 / 63
+    assert got[4].rrf_score == 1.0 / 62
+    assert got[1].rank_b is None and got[4].rank_a is None
+    order = sorted(got.values(), key=lambda r: r.fused_rank)
+    assert [r.doc_id for r in order] == [2, 1, 4, 3]
