@@ -199,6 +199,39 @@ def q_landcover_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_zonal_variety",
+    _CTE + _pixel_cte(_LC_R) + f"""
+, px AS (
+  SELECT doc_id, {_lc_cls_sql} AS cls FROM pxin
+),
+c AS (SELECT doc_id, cls, count(*) AS cnt FROM px GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY cnt DESC, cls ASC) AS rn
+      FROM c)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_px,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(max(CASE WHEN rn = 1 THEN cls END) AS BIGINT) AS majority_cls,
+       CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS majority_cnt
+FROM r GROUP BY doc_id
+""",
+)
+def q_zonal_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal variety + majority over the categorical landcover raster
+    (FRAGSTATS richness beside q_landcover_pct's percentage pivot):
+    distinct classes per 500 m buffer plus the dominant class and its
+    pixel count — all integers, argmax ties to the smaller class id on
+    both sides.  Same cell-cogrouped circle-mask kernel, so the pixel
+    membership semantics cannot drift from the A2 family."""
+    from .operators.zonal import zonal_class_variety
+
+    pts = city.points_df(spark, sf_dir)
+    tiles = city.tiles_df(spark, "landcover")
+    return zonal_class_variety(
+        pts, tiles, radius=_LC_R, id_col="doc_id", grid=city.grid()
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_project_utm — P2 projection family: WGS84 lon/lat → UTM 31N through
 # the Transverse Mercator series; oracle is the SAME series generated as
@@ -3791,6 +3824,91 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_zorder_layout"] = _zorder_oracle()
+
+
+_ZM_BBOX = (40, 59, 40, 59)  # 20x20-cell query range over the urban core
+_ZM_SHIFT, _ZM_ROWS_PER_FILE = 6, 64
+
+
+def _zonemap_oracle() -> str:
+    from .engine.layout import zorder_sql
+
+    qx0, qx1, qy0, qy1 = _ZM_BBOX
+    return (
+        _CTE
+        + f""",
+d AS (
+  SELECT doc_id,
+         CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy
+  FROM pts
+),
+k AS (
+  SELECT doc_id, gx, gy,
+         CASE WHEN gx BETWEEN {qx0} AND {qx1}
+               AND gy BETWEEN {qy0} AND {qy1} THEN 1 ELSE 0 END AS m,
+         {zorder_sql('gx', 'gy')} AS zkey
+  FROM d
+),
+fa AS (SELECT doc_id // {_ZM_ROWS_PER_FILE} AS file_id, count(*) AS n_rows,
+              sum(m) AS n_match, min(gx) AS x0, max(gx) AS x1,
+              min(gy) AS y0, max(gy) AS y1
+       FROM k GROUP BY 1),
+fz AS (SELECT zkey >> {_ZM_SHIFT} AS file_id, count(*) AS n_rows,
+              sum(m) AS n_match, min(gx) AS x0, max(gx) AS x1,
+              min(gy) AS y0, max(gy) AS y1
+       FROM k GROUP BY 1),
+ta AS (SELECT *, CASE WHEN x0 <= {qx1} AND x1 >= {qx0}
+                       AND y0 <= {qy1} AND y1 >= {qy0}
+                      THEN 1 ELSE 0 END AS t FROM fa),
+tz AS (SELECT *, CASE WHEN x0 <= {qx1} AND x1 >= {qx0}
+                       AND y0 <= {qy1} AND y1 >= {qy0}
+                      THEN 1 ELSE 0 END AS t FROM fz),
+u AS (
+  SELECT 'arrival' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(t) AS BIGINT) AS n_touched,
+         CAST(sum(t * n_rows) AS BIGINT) AS rows_scanned,
+         CAST(sum(n_match) AS BIGINT) AS rows_matched
+  FROM ta
+  UNION ALL
+  SELECT 'zorder', CAST(count(*) AS BIGINT), CAST(sum(t) AS BIGINT),
+         CAST(sum(t * n_rows) AS BIGINT), CAST(sum(n_match) AS BIGINT)
+  FROM tz
+)
+SELECT layout, n_files, n_touched, rows_scanned, rows_matched,
+       CASE WHEN rows_matched > 0
+            THEN CAST(rows_scanned AS DOUBLE) / CAST(rows_matched AS DOUBLE)
+       END AS read_amplification
+FROM u
+"""
+    )
+
+
+@register("q_zonemap_prune", None)  # generated oracle attached below
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping audit: the SAME 20×20-cell range query
+    against two write layouts — arrival order (doc_id // 64, the
+    un-clustered ingest default) vs Morton-curve ranges (zkey >> 6,
+    the OPTIMIZE ZORDER shape) — with per-file min/max of (gx, gy)
+    standing in for parquet column statistics.  The read-amplification
+    column (rows in touched files / rows actually matching) quantifies
+    exactly what curve clustering buys a 100 TB scan; the oracle
+    renders the same bit-spread key and interval tests."""
+    from .engine.layout import zonemap_prune_stats
+
+    pts = city.points_df(spark, sf_dir)
+    cells = pts.select(
+        "doc_id",
+        F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+        F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+    )
+    return zonemap_prune_stats(
+        cells, bbox=_ZM_BBOX, shift=_ZM_SHIFT,
+        rows_per_file=_ZM_ROWS_PER_FILE,
+    )
+
+
+ORACLES["q_zonemap_prune"] = _zonemap_oracle()
 
 # Bloom sizing: 2^17 bits / k=3 md5 slices.  At sf0.1 the reference side
 # inserts ~1.5e5 positions (fill ~0.67, fp ~3%) — the gate intentionally
@@ -8134,9 +8252,9 @@ def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_label_prop",
-    "WITH " + _LINK_EDGE_CTE + """,
+# the clamped two-round label-propagation CTE chain, shared by
+# q_label_prop and q_modularity so the two oracles cannot drift
+_LABEL_PROP_CTE = """
 seeds AS (SELECT a AS node,
                  'c' || CAST(CAST(regexp_extract(a, '([0-9]+)', 1) AS BIGINT)
                              % 3 AS VARCHAR) AS label
@@ -8161,7 +8279,12 @@ n2 AS (SELECT a AS node, label FROM
          FROM v2) q WHERE rn = 1),
 l2 AS (SELECT * FROM seeds
        UNION ALL
-       SELECT * FROM n2 WHERE node NOT IN (SELECT node FROM seeds))
+       SELECT * FROM n2 WHERE node NOT IN (SELECT node FROM seeds))"""
+
+
+@register(
+    "q_label_prop",
+    "WITH " + _LINK_EDGE_CTE + "," + _LABEL_PROP_CTE + """
 SELECT node AS host, label FROM l2
 """,
 )
@@ -8190,6 +8313,53 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = label_propagation(edges, seeds, rounds=2)
     return out.select(F.col("node").alias("host"), "label")
+
+
+@register(
+    "q_modularity",
+    "WITH " + _LINK_EDGE_CTE + "," + _LABEL_PROP_CTE + """,
+lab AS (SELECT deg.a AS node, deg.dg,
+               coalesce(l2.label, 'u:' || deg.a) AS lab
+        FROM deg LEFT JOIN l2 ON l2.node = deg.a),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+ei AS (SELECT CAST(sum(CASE WHEN x.lab = y.lab THEN 1 ELSE 0 END) AS BIGINT)
+         AS e_intra
+       FROM und JOIN lab x ON x.node = und.ua
+                JOIN lab y ON y.node = und.ub),
+d2 AS (SELECT CAST(sum(ds * ds) AS BIGINT) AS sd2
+       FROM (SELECT lab, sum(dg) AS ds FROM lab GROUP BY lab)),
+nc AS (SELECT CAST(count(DISTINCT lab) AS BIGINT) AS n_communities FROM lab)
+SELECT nc.n_communities, mm.m AS m_edges, ei.e_intra,
+       CAST(4 * mm.m * ei.e_intra - d2.sd2 AS DOUBLE)
+       / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+FROM nc, mm, ei, d2
+""",
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation communities over
+    the host graph — the partition-quality readout that closes the
+    q_label_prop loop (Q ≫ 0 ⇔ propagated labels track real link
+    structure).  Unlabelled hosts complete as singletons on BOTH
+    sides; Q = (4m·E − ΣD_c²)/(4m²) divides two exact int64s, and the
+    oracle re-renders the same two propagation rounds from the shared
+    CTE chain plus the margin algebra."""
+    from .functions.graph import label_propagation, modularity
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    nodes = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    ).distinct()
+    num = F.regexp_extract(F.col("node"), r"([0-9]+)", 1).cast("long")
+    seeds = nodes.filter(num % 4 == 0).select(
+        "node", F.concat(F.lit("c"), (num % 3).cast("string")).alias("label")
+    )
+    return modularity(edges, label_propagation(edges, seeds, rounds=2))
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "zorder_key", "zorder_layout_stats", "ZORDER_SQL",
     "with_hilbert_key", "hilbert_sql_ctes", "hilbert_layout_stats",
+    "zonemap_prune_stats",
 ]
 
 _MASKS = (
@@ -281,3 +282,85 @@ def geohash_chars_sql(key_ref: str, precision: int = 7) -> str:
         f"AS INTEGER), 1)"
         for i in range(precision)
     ) + ")"
+
+
+def zonemap_prune_stats(
+    rows: DataFrame,
+    bbox: tuple[int, int, int, int],
+    shift: int = 6,
+    rows_per_file: int = 64,
+    id_col: str = "doc_id",
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+) -> DataFrame:
+    """[layout, n_files, n_touched, rows_scanned, rows_matched,
+    read_amplification] — file-skipping (zone-map) effectiveness of a
+    cell-range query under two write layouts: ``arrival`` (file =
+    insertion order, id // rows_per_file — the default un-clustered
+    ingest) vs ``zorder`` (file = Morton-curve range, zkey >> shift —
+    OPTIMIZE ZORDER).  Per file the min/max of gx and gy stand in for
+    parquet column statistics; a file is touched iff its bbox overlaps
+    the query range — exactly the pruning decision a lakehouse scan
+    makes before opening a file.  ``read_amplification`` =
+    rows_scanned / rows_matched quantifies what clustering buys: on an
+    arrival layout every file overlaps a geographically-uniform query
+    range, on a curve layout only O(perimeter) files do.
+
+    All counts are exact int64 (touch is an integer interval test);
+    the amplification divides two exact int64s once (NULL when the
+    query matches nothing).  Shape: one map-side projection per
+    layout + a two-phase per-file aggregate + a 1-row rollup — the
+    file table is bounded by the file count, never the corpus.
+    """
+    qx0, qx1, qy0, qy1 = bbox
+    gx, gy = F.col(gx_col), F.col(gy_col)
+    matched = (
+        (gx >= qx0) & (gx <= qx1) & (gy >= qy0) & (gy <= qy1)
+    ).cast("long")
+    keyed = rows.select(
+        F.col(id_col).alias("_id"),
+        gx.alias("gx"), gy.alias("gy"), matched.alias("m"),
+        zorder_key(gx, gy).alias("zkey"),
+    )
+
+    def per_layout(file_id: Column, name: str) -> DataFrame:
+        files = (
+            keyed.withColumn("file_id", file_id)
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("m").alias("n_match"),
+                F.min("gx").alias("x0"), F.max("gx").alias("x1"),
+                F.min("gy").alias("y0"), F.max("gy").alias("y1"),
+            )
+            .withColumn(
+                "touched",
+                (
+                    (F.col("x0") <= qx1) & (F.col("x1") >= qx0)
+                    & (F.col("y0") <= qy1) & (F.col("y1") >= qy0)
+                ).cast("long"),
+            )
+        )
+        return files.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("touched").cast("long").alias("n_touched"),
+            F.sum(F.col("touched") * F.col("n_rows"))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matched"),
+        )
+
+    arrival = per_layout(
+        F.expr(f"CAST(_id DIV {rows_per_file} AS BIGINT)"), "arrival"
+    )
+    zord = per_layout(F.shiftright(F.col("zkey"), shift), "zorder")
+    out = arrival.unionByName(zord)
+    return out.select(
+        "layout", "n_files", "n_touched", "rows_scanned", "rows_matched",
+        F.when(
+            F.col("rows_matched") > 0,
+            F.col("rows_scanned").cast("double")
+            / F.col("rows_matched").cast("double"),
+        ).alias("read_amplification"),
+    )

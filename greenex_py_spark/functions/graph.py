@@ -743,3 +743,96 @@ def trustrank_oracle_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, r AS rank FROM r{n_iters}"
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """One row [n_communities, m_edges, e_intra, modularity] — Newman
+    modularity Q of a node partition over the undirected simple graph
+    (the community-quality readout that closes the label-propagation
+    loop: Q ≫ 0 means the propagated labels track real link
+    structure).  Nodes missing from ``communities`` become singleton
+    communities (the standard completion — they contribute only their
+    −(d/2m)² term).
+
+    Exactness contract: with m = #undirected edges, E = #intra-
+    community edges and SD2 = Σ_c (Σ_{v∈c} deg v)², all exact int64,
+
+        Q = Σ_c [e_c/m − (D_c/2m)²] = (4m·E − SD2) / (4m²)
+
+    — one division of two exact int64s, engine-portable unrounded.
+    int64 envelope: SD2 ≤ (2m)² — safe through ~10⁹ edges.
+
+    Distributed shape: dedup to the undirected edge set, one label
+    join per endpoint (communities are node-sized, edges fact-sized —
+    the joins shuffle on node), then three 1-row aggregates; no
+    driver-side state.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("ua"),
+            F.greatest(src_col, dst_col).alias("ub"),
+        )
+        .filter(F.col("ua") != F.col("ub"))
+        .distinct()
+    )
+    bo = und.unionByName(
+        und.select(F.col("ub").alias("ua"), F.col("ua").alias("ub"))
+    )
+    deg = bo.groupBy(F.col("ua").alias("node")).agg(
+        F.count(F.lit(1)).alias("dg")
+    )
+    lab = (
+        deg.join(
+            communities.select(
+                F.col(node_col).alias("node"), F.col(label_col).alias("_l")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node", "dg",
+            F.coalesce(F.col("_l"), F.concat(F.lit("u:"), F.col("node")))
+            .alias("lab"),
+        )
+        .localCheckpoint()  # reused by three branches below
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ei = (
+        und.join(lab.select(F.col("node").alias("ua"),
+                            F.col("lab").alias("la")), "ua")
+        .join(lab.select(F.col("node").alias("ub"),
+                         F.col("lab").alias("lb")), "ub")
+        .agg(
+            F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
+            .cast("long")
+            .alias("e_intra")
+        )
+    )
+    d2 = (
+        lab.groupBy("lab")
+        .agg(F.sum("dg").alias("ds"))
+        .agg(F.sum(F.col("ds") * F.col("ds")).cast("long").alias("sd2"))
+    )
+    nc = lab.agg(F.countDistinct("lab").cast("long").alias("n_communities"))
+    return (
+        nc.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(ei))
+        .crossJoin(F.broadcast(d2))
+        .select(
+            "n_communities",
+            F.col("m").alias("m_edges"),
+            "e_intra",
+            (
+                (4 * F.col("m") * F.col("e_intra") - F.col("sd2"))
+                .cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double")
+            ).alias("modularity"),
+        )
+    )

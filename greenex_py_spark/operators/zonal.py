@@ -722,3 +722,56 @@ def aoi_street_edges(
         (F.greatest("ax", "bx") + buffer_dist).alias("maxx"),
         (F.greatest("ay", "by") + buffer_dist).alias("maxy"),
     )
+
+
+def zonal_class_variety(
+    points: DataFrame,
+    tiles: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    grid: GridSpec | None = None,
+) -> DataFrame:
+    """[id, n_px, n_classes, majority_cls, majority_cnt] — zonal
+    VARIETY + MAJORITY over the categorical raster (the FRAGSTATS
+    richness companion of ``zonal_class_percentages``: how many
+    distinct landcover classes a buffer sees and which dominates).
+    Entirely integer — pixel counts, distinct-class count, and an
+    argmax decided by (count desc, class asc); no FP exists anywhere.
+
+    Shape: the SAME cell-cogrouped circle-mask kernel emits per-tile
+    (id, cls, cnt) partials; one (id, cls) two-phase sum, then a
+    per-id window argmax + single-pass aggregate over the dim-sized
+    class table (≤ |classes| rows per point).
+    """
+    from pyspark.sql import Window
+
+    grid = grid or GridSpec.from_tiles(tiles)
+    spanned = _with_tile_span(points, radius, id_col, grid).withColumnRenamed(
+        id_col, "id"
+    )
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _circle_mask_stats(left, right, radius, 0, classes=True)
+
+    partials = (
+        spanned.groupBy("tx", "ty")
+        .cogroup(tiles.groupBy("tx", "ty"))
+        .applyInPandas(kernel, schema="id long, cls long, cnt long")
+    )
+    counts = partials.groupBy("id", "cls").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("cls").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_px"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.max(F.when(F.col("rn") == 1, F.col("cls")))
+            .cast("long")
+            .alias("majority_cls"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt")))
+            .cast("long")
+            .alias("majority_cnt"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -4923,3 +4923,68 @@ def test_rrf_fusion_hand_lists(spark):
     assert got[1].rank_b is None and got[4].rank_a is None
     order = sorted(got.values(), key=lambda r: r.fused_rank)
     assert [r.doc_id for r in order] == [2, 1, 4, 3]
+
+
+def test_zonemap_prune_hand_layout(spark):
+    """File-skipping audit on a hand dataset: ids interleave two far
+    apart cell clusters so arrival files all straddle the query bbox
+    while Morton files separate them cleanly."""
+    from greenex_py_spark.engine.layout import zonemap_prune_stats
+
+    # even ids in cluster A (gx,gy ~ [0,4)), odd ids in cluster B
+    # (~[32,36)) — arrival files of 4 rows each contain both clusters.
+    rows = []
+    for i in range(32):
+        base = 0 if i % 2 == 0 else 32
+        rows.append((i, base + (i // 2) % 4, base + (i // 4) % 4))
+    df = spark.createDataFrame(rows, "doc_id long, gx long, gy long")
+    got = {
+        r.layout: r
+        for r in zonemap_prune_stats(
+            df, bbox=(0, 7, 0, 7), shift=4, rows_per_file=4
+        ).collect()
+    }
+    a, z = got["arrival"], got["zorder"]
+    # every arrival file mixes the clusters -> all touched
+    assert a.n_files == 8 and a.n_touched == 8 and a.rows_scanned == 32
+    assert a.rows_matched == 16
+    assert a.read_amplification == 2.0
+    # Morton files: cluster A fills zkeys < 2^4 (file 0 after >>4);
+    # cluster B sits at z >= 2048 — disjoint files, no false touches
+    assert z.rows_matched == 16 and z.rows_scanned == 16
+    assert z.n_touched < z.n_files
+    assert z.read_amplification == 1.0
+
+
+def test_modularity_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: the natural partition
+    gives the textbook Q = (4m·E − ΣD²)/(4m²) with m = 13, E = 12,
+    D = (13, 13); an everyone-in-one-community partition gives Q = 0;
+    a node missing from the labeling completes as a singleton."""
+    from greenex_py_spark.functions.graph import modularity
+
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((0, 4))  # bridge
+    e = spark.createDataFrame(edges, "src long, dst long")
+    com = spark.createDataFrame(
+        [(n, "a" if n < 4 else "b") for n in range(8)], "node long, label string"
+    )
+    r = modularity(e, com).collect()[0]
+    m, ei = 13, 12
+    sd2 = 13 * 13 + 13 * 13
+    assert (r.n_communities, r.m_edges, r.e_intra) == (2, m, ei)
+    assert r.modularity == (4 * m * ei - sd2) / (4 * m * m)
+    one = spark.createDataFrame(
+        [(n, "x") for n in range(8)], "node long, label string"
+    )
+    r1 = modularity(e, one).collect()[0]
+    assert r1.modularity == 0.0  # 4m·m − (2m)² = 0
+    # drop node 7 from the labeling -> singleton community, 3 communities
+    part = spark.createDataFrame(
+        [(n, "a" if n < 4 else "b") for n in range(7)], "node long, label string"
+    )
+    assert modularity(e, part).collect()[0].n_communities == 3
