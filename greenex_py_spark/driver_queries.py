@@ -572,6 +572,39 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_corpus_df(spark, sf_dir))
 
 
+@register(
+    "q_dedup_yield",
+    f"WITH {_CORPUS_SQL.strip()},\n"
+    """
+h AS (SELECT doc_id, md5(text) AS h FROM corpus),
+f AS (SELECT doc_id,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h)
+                  THEN 1 ELSE 0 END AS fst
+      FROM h),
+r AS (SELECT doc_id, fst,
+             row_number() OVER (ORDER BY doc_id) AS rnk,
+             count(*) OVER () AS n
+      FROM f)
+SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fst) AS BIGINT) AS n_new,
+       CAST(sum(fst) AS DOUBLE) / count(*) AS new_rate
+FROM r GROUP BY 1
+""",
+)
+def q_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal dedup yield by crawl-order decile over the planted
+    corpus: first-occurrence rate per rank bucket — the saturation
+    curve that says whether the next snapshot is still worth crawling
+    (the planted exact clones at doc_id+1e6 drag the late deciles
+    below 1.0 while the early ones stay pristine).  Hash-first; the
+    global rank is the two-phase range-partition form, never a
+    single-task window."""
+    from .functions.dedup import dedup_yield
+
+    return dedup_yield(_corpus_df(spark, sf_dir), n_buckets=10)
+
+
 def _url_canonical_oracle() -> str:
     from .functions.dedup import canonicalize_url_sql
 
@@ -1299,6 +1332,48 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return length_quantiles(docs)
+
+
+@register(
+    "q_grouping_sets",
+    """
+SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+       CAST(GROUPING(source) AS BIGINT) AS g_source,
+       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang))
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity corpus profile in ONE pass — per (source,
+    lang), per source, and per lang — via GROUPING SETS (the exact
+    subset CUBE can't express without wasting the grand-total and
+    single-axis extras q_cube_rollup already covers).  Catalyst plans
+    this as one Expand + a single shuffle instead of three scans;
+    GROUPING() markers disambiguate the coalesced '(all)' sentinels.
+    Counts exact int64; mean divides them once, portable unrounded."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupingSets(
+            [["source", "lang"], ["source"], ["lang"]], "source", "lang"
+        )
+        .agg(
+            F.grouping("source").cast("long").alias("g_source"),
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            "g_source", "g_lang", "n_docs", "total_chars",
+            (F.col("total_chars").cast("double") / F.col("n_docs").cast("double"))
+            .alias("mean_chars"),
+        )
+    )
 
 
 @register(
@@ -5442,6 +5517,40 @@ def _link_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_intrahost_links",
+    "WITH " + _LINK_GRAPH_CTE + """
+SELECT src_host, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self,
+       CAST(sum(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS self_ratio
+FROM r GROUP BY src_host
+""",
+)
+def q_intrahost_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host navigation profile from the raw page bytes: what
+    fraction of a host's anchors resolve back to itself (relative
+    links + absolute self-references) vs point outbound — the
+    template-navigation vs content-link signal crawl schedulers use
+    beside q_link_graph's edge list.  Two exact int64 counts divide
+    once (portable unrounded); same planted markup + resolution CASE
+    as the whole link-graph family."""
+    from .functions.links import extract_outlinks
+
+    resolved = extract_outlinks(_link_pages_df(spark, sf_dir))
+    return resolved.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.sum(
+            F.when(F.col("dst_host") == F.col("src_host"), 1).otherwise(0)
+        ).cast("long").alias("n_self"),
+    ).select(
+        "src_host", "n_links", "n_self",
+        (F.col("n_self").cast("double") / F.col("n_links").cast("double"))
+        .alias("self_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_nearest_edge — point -> nearest network segment (map-matching snap)
 # ---------------------------------------------------------------------------
@@ -6231,6 +6340,72 @@ def q_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(src)
     windowed_event_counts(spark, src, sink, ckpt)
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sliding_stream — watermarked SLIDING-window streaming aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sliding_stream",
+    """
+WITH cutoff AS (SELECT max(ts) - INTERVAL 2 DAY AS wm FROM events),
+w AS (
+  SELECT event_type,
+         date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS ws
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(ws + INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') AS win_end,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM w, cutoff
+WHERE ws + INTERVAL 2 DAY <= wm
+GROUP BY ws, event_type
+""",
+)
+def q_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregate (2-day window hopping by
+    1 day) — the overlapping-window Structured Streaming surface
+    beside q_window_stream's tumbling one: every event lands in TWO
+    windows (Spark expands before the stateful agg; state grows by
+    the overlap factor).  Same two-drain AvailableNow harness; the
+    oracle replicates the expansion with an explicit k ∈ {0,1} offset
+    cross join plus the identical closure predicate."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import windowed_event_counts
+    from .streaming.sessionize import EVENT_SCHEMA
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"q_sliding_stream_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(8).write.parquet(src)
+    windowed_event_counts(
+        spark, src, sink, ckpt, window="2 days", slide="1 day"
+    )
+    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    windowed_event_counts(
+        spark, src, sink, ckpt, window="2 days", slide="1 day"
+    )
     out = spark.read.parquet(sink)
     return out.select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),

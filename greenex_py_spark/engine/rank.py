@@ -28,10 +28,22 @@ def global_rank(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """+ ``out_col`` — 1-based global row_number under the total order
-    ``order_cols``.  Two range shuffles, no global sort task."""
+    ``order_cols``.  Two range shuffles, no global sort task.
+
+    ``with_pid`` is localCheckpoint'd because BOTH branches (the
+    offset counts and the local ranks) consume it: without the
+    materialization Catalyst may evaluate the range exchange twice,
+    and the two RangePartitioners can sample DIFFERENT boundaries
+    (AQE re-plans each subtree independently), silently skewing ranks
+    past n — caught by the tri-scale sweep at sf0.1 (q_dedup_yield
+    emitted an 11th decile); the one-evaluation guarantee is part of
+    this function's contract, not an optimization.
+    """
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    with_pid = parts.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint()
     local_w = Window.partitionBy("_pid").orderBy(*order_cols)
     counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -57,10 +69,15 @@ def global_cumsum(
     total order ``order_cols``, by the same two-phase shape as
     :func:`global_rank`: per-range-partition local cumsum + broadcast
     partition-total offsets.  Exact for integer values (the intended
-    use); no single-task global window anywhere."""
+    use); no single-task global window anywhere.  ``with_pid`` is
+    localCheckpoint'd for the same double-evaluation reason as
+    :func:`global_rank` — offsets and local cumsums must see the SAME
+    sampled range boundaries."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    with_pid = parts.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint()
     local_w = (
         Window.partitionBy("_pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

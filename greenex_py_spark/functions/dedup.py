@@ -980,3 +980,57 @@ def robots_filter(
         .select(id_col, path_col, "allow", "rule_id")
         .withColumnRenamed("allow", "allowed")
     )
+
+
+def dedup_yield(
+    df: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[bucket, n_docs, n_new, new_rate] — marginal dedup yield curve:
+    walk the corpus in id (crawl) order, split it into ``n_buckets``
+    equal rank ranges, and report per bucket how many documents are
+    FIRST occurrences of their content hash — the "is more crawling
+    still finding new content?" saturation readout a pipeline checks
+    before paying for the next snapshot.
+
+    Hash-first like ``exact_duplicates`` (the shuffle carries a 32-hex
+    digest, never text); first-occurrence = id equals the min id of
+    its hash group (one hash-partitioned window).  The global rank
+    uses the two-phase range-partition form (engine/rank.global_rank)
+    — no single-task window anywhere.  Bucket assignment and counts
+    are exact integers ((rank−1)·B div N); new_rate divides two exact
+    int64s once, portable unrounded.
+    """
+    from ..engine.rank import global_rank
+
+    h = df.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h"),
+    )
+    w = Window.partitionBy("_h")
+    f = h.select(
+        "_id",
+        (F.col("_id") == F.min("_id").over(w)).cast("long").alias("fst"),
+    )
+    ranked = global_rank(f, ["_id"], "rnk")
+    tot = f.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"CAST(((rnk - 1) * {n_buckets}) DIV _n AS BIGINT)")
+            .alias("bucket"),
+            "fst",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("fst").cast("long").alias("n_new"),
+        )
+        .select(
+            "bucket", "n_docs", "n_new",
+            (F.col("n_new").cast("double") / F.col("n_docs").cast("double"))
+            .alias("new_rate"),
+        )
+    )

@@ -118,6 +118,7 @@ def windowed_event_counts(
     checkpoint_dir: str,
     window: str = "1 day",
     watermark: str = "2 days",
+    slide: str | None = None,
 ) -> None:
     """Watermarked tumbling-window counts per event type over the
     event stream (append mode): only windows the final watermark has
@@ -127,13 +128,23 @@ def windowed_event_counts(
     the state store, one shuffle on the window/type key); the batch
     twin is a date_trunc GROUP BY, which is exactly what the gate
     oracle runs plus the watermark closure rule.
+
+    ``slide`` < ``window`` turns the tumbling aggregate into SLIDING
+    (hopping) windows: each event lands in window/slide overlapping
+    windows (Spark plans this as one generator expand before the same
+    stateful agg — state grows by the overlap factor, which is why
+    production slides are coarse).  The batch twin replicates the
+    expansion with an explicit offset cross join.
     """
     from .sessionize import EVENT_SCHEMA
 
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     agg = (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), F.col("event_type"))
+        .groupBy(win, F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("window.start").alias("win_start"),

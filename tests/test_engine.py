@@ -671,3 +671,25 @@ def test_geohash_matches_published_values(spark):
     assert g7[1] == "dr5regw"             # NYC, published 7-char hash
     assert g7[2] == "s000000"             # (0, 0): first cell past both axes
     assert [g[:5] for g in g7] == gh(5)   # prefix property
+
+
+def test_global_rank_is_exact_permutation(spark):
+    """Regression for the double-evaluation range-exchange bug (see
+    BENCH/SCALE_AUDIT.md): offsets and local ranks must come from ONE
+    materialized partitioning, so ranks are exactly 1..n under the
+    total order — no duplicates, no rank past n — and cumsum totals
+    telescope."""
+    from greenex_py_spark.engine.rank import global_cumsum, global_rank
+
+    n = 5000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % 100003).alias("k"), F.col("id").alias("uid")
+    ).repartition(16)
+    r = global_rank(df, ["k", "uid"], "rnk").toPandas()
+    assert sorted(r.rnk) == list(range(1, n + 1))
+    srt = r.sort_values(["k", "uid"]).reset_index(drop=True)
+    assert (srt.rnk == srt.index + 1).all()
+    c = global_cumsum(
+        df.withColumn("v", F.lit(1)), ["k", "uid"], "v", "cum"
+    ).toPandas()
+    assert sorted(c.cum) == list(range(1, n + 1))

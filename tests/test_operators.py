@@ -4988,3 +4988,18 @@ def test_modularity_two_cliques(spark):
         [(n, "a" if n < 4 else "b") for n in range(7)], "node long, label string"
     )
     assert modularity(e, part).collect()[0].n_communities == 3
+
+
+def test_dedup_yield_planted_curve(spark):
+    """Yield curve on a hand corpus: 20 unique docs (ids 0..19) then 20
+    exact clones (ids 100..119) in 4 buckets -> first two buckets all
+    new, last two all duplicates."""
+    from greenex_py_spark.functions.dedup import dedup_yield
+
+    rows = [(i, f"text {i}") for i in range(20)]
+    rows += [(100 + i, f"text {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.bucket: r for r in dedup_yield(df, n_buckets=4).collect()}
+    assert [got[b].n_docs for b in range(4)] == [10, 10, 10, 10]
+    assert [got[b].n_new for b in range(4)] == [10, 10, 0, 0]
+    assert got[0].new_rate == 1.0 and got[3].new_rate == 0.0
