@@ -5551,6 +5551,58 @@ def q_intrahost_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_outlink_entropy",
+    "WITH " + _LINK_GRAPH_CTE + """,
+dc AS (SELECT src_host, dst_host, count(*) AS c
+       FROM r GROUP BY src_host, dst_host),
+n AS (SELECT src_host, dst_host, c,
+             sum(c) OVER (PARTITION BY src_host) AS n
+      FROM dc),
+t AS (SELECT src_host, n,
+             CAST(floor((CAST(c AS DOUBLE) / n)
+                        * ln(CAST(c AS DOUBLE) / n) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS tq
+      FROM n)
+SELECT src_host, CAST(max(n) AS BIGINT) AS n_links,
+       CAST(count(*) AS BIGINT) AS n_dsts,
+       round(-(CAST(sum(tq) AS DOUBLE) / 1000000000.0) + 0.0, 6) AS entropy
+FROM t GROUP BY src_host
+""",
+)
+def q_outlink_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each host's outbound-destination distribution
+    (link-diversity signal: a host whose anchors all point one place is
+    a mirror/doorway, a high-entropy host is a genuine hub — beside
+    q_intrahost_links' self-ratio).  The destination set is unbounded,
+    so the fixed-chain trick can't apply; instead each p·ln p term is
+    1e-9-quantized and summed as exact integers (the JS-divergence
+    convention — FP order can never move the rounded total), with the
+    +0.0 flush before round-6 for the single-destination −0.0 case."""
+    from .functions.links import extract_outlinks
+
+    from pyspark.sql import Window
+
+    dc = (
+        extract_outlinks(_link_pages_df(spark, sf_dir))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wn = Window.partitionBy("src_host")
+    p = F.col("c").cast("double") / F.col("n")
+    t = dc.withColumn("n", F.sum("c").over(wn)).select(
+        "src_host", "n",
+        F.floor(p * F.log(p) * 1e9 + F.lit(0.5)).cast("long").alias("tq"),
+    )
+    return t.groupBy("src_host").agg(
+        F.max("n").cast("long").alias("n_links"),
+        F.count(F.lit(1)).cast("long").alias("n_dsts"),
+        F.round(
+            -(F.sum("tq").cast("double") / 1e9) + F.lit(0.0), 6
+        ).alias("entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_nearest_edge — point -> nearest network segment (map-matching snap)
 # ---------------------------------------------------------------------------
@@ -6346,6 +6398,48 @@ def q_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_pivot_unpivot",
+    f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE event_type IN {_EVENT_TYPES}
+GROUP BY 1, 2
+""",
+)
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: daily counts pivoted wide (one
+    column per event type — the report/export shape) then melted back
+    to long form with ``DataFrame.unpivot`` (Spark's UNPIVOT/stack
+    surface).  The round trip is lossless for present cells — the
+    oracle is the plain GROUP BY the composition must reproduce;
+    absent (day, type) cells surface as NULL in the wide frame and
+    are dropped on the way back, matching the grouped form exactly.
+    Pivot values are an explicit literal list, so the wide schema is
+    static and NO extra distinct-scan job runs at plan time."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin(*_EVENT_TYPES)
+    )
+    wide = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day")
+        )
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ["day"], list(_EVENT_TYPES), "event_type", "n_events"
+    )
+    return long.filter(F.col("n_events").isNotNull()).select(
+        "day", "event_type", F.col("n_events").cast("long").alias("n_events")
     )
 
 
@@ -10738,6 +10832,97 @@ SELECT mx, my, pmx, pmy,
        CAST(count(*) OVER (PARTITION BY pmx, pmy) AS BIGINT) AS basin_n
 FROM lab
 """
+
+
+_FL_CELL_M = 200.0  # macro cell side = RES 10 m × factor 20
+
+
+def _flow_length_oracle() -> str:
+    from .operators.hydro import D8_DIRS
+
+    npx = city.NPX
+    vq = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    dirs = ", ".join(f"({c}, {dx}, {dy}, {w})" for c, dx, dy, w in D8_DIRS)
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+blk AS (
+  SELECT ix // {_FA_FACTOR} AS mx, iy // {_FA_FACTOR} AS my,
+         sum({vq}) AS zq
+  FROM px GROUP BY 1, 2
+),
+dirs(code, dx, dy, w) AS (VALUES {dirs}),
+cand AS (
+  SELECT b.mx, b.my, d.code, d.w, n.mx AS nmx, n.my AS nmy,
+         b.zq - n.zq AS dz
+  FROM blk b JOIN dirs d ON true
+  JOIN blk n ON n.mx = b.mx + d.dx AND n.my = b.my + d.dy
+  WHERE b.zq - n.zq > 0
+),
+down AS (
+  SELECT mx, my, nmx, nmy FROM (
+    SELECT c.*, row_number() OVER (
+        PARTITION BY mx, my ORDER BY dz * dz * w DESC, code ASC) AS rn
+    FROM cand c) WHERE rn = 1
+),
+walk AS (
+  SELECT mx, my, mx AS cx, my AS cy,
+         CAST(0 AS BIGINT) AS st, CAST(0 AS BIGINT) AS dg
+  FROM blk
+  UNION ALL
+  SELECT w.mx, w.my, d.nmx, d.nmy, w.st + 1,
+         w.dg + CASE WHEN abs(d.nmx - w.cx) + abs(d.nmy - w.cy) = 2
+                     THEN 1 ELSE 0 END
+  FROM walk w JOIN down d ON d.mx = w.cx AND d.my = w.cy
+),
+term AS (
+  SELECT w.mx, w.my, w.st AS n_steps, w.dg AS n_diag
+  FROM walk w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM down d WHERE d.mx = w.cx AND d.my = w.cy)
+)
+SELECT mx, my, n_steps, n_diag,
+       (CAST(n_steps - n_diag AS DOUBLE)
+        + CAST(n_diag AS DOUBLE) * sqrt(2.0)) * {_FL_CELL_M} AS flow_len_m
+FROM term
+"""
+
+
+@register("q_flow_length", _flow_length_oracle())
+def q_flow_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downslope flow-path length to the terminal pit over the same
+    macro D8 pointer graph as q_flow_accum / q_watershed (GRASS
+    r.flow's length readout): EXACT integer step + diagonal counts by
+    pointer squaring with accumulators (paths are functional so sums
+    compose; ⌈log₂ L⌉ self-joins, never an L-step walk), metres
+    assembled as (orth + diag·√2)·cell through the identical FP chain
+    in both engines.  The oracle's recursive walk accumulates the same
+    two integers to exhaustion.  Raster-only, fixture-constant."""
+    from .operators.hydro import d8_downstream, flow_path_length, macro_cells
+
+    cells = macro_cells(
+        city.tiles_df(spark, "ndvi"), city.grid(), factor=_FA_FACTOR
+    ).localCheckpoint()
+    fl = flow_path_length(cells, d8_downstream(cells))
+    return fl.select(
+        "mx", "my", "n_steps", "n_diag",
+        (
+            (
+                (F.col("n_steps") - F.col("n_diag")).cast("double")
+                + F.col("n_diag").cast("double") * F.sqrt(F.lit(2.0))
+            )
+            * F.lit(_FL_CELL_M)
+        ).alias("flow_len_m"),
+    )
 
 
 @register("q_watershed", _watershed_oracle())

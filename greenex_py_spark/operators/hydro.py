@@ -46,7 +46,7 @@ from ..geo.grid import GridSpec
 from .focal import quantize_half_away
 
 __all__ = ["D8_DIRS", "macro_cells", "d8_downstream", "flow_accumulation",
-           "watershed_labels"]
+           "watershed_labels", "flow_path_length"]
 
 # (esri_code, dx, dy, weight): weight 2 for cardinal, 1 for diagonal —
 # the exact-integer D8 comparator shared with focal.flow_direction_counts
@@ -208,4 +208,57 @@ def watershed_labels(cells: DataFrame, down: DataFrame) -> DataFrame:
             break
     return pt.select(
         "mx", "my", F.col("px").alias("pmx"), F.col("py").alias("pmy")
+    )
+
+
+def flow_path_length(cells: DataFrame, down: DataFrame) -> DataFrame:
+    """[mx, my, n_steps, n_diag] — D8 downslope path length from every
+    cell to its terminal pit, as EXACT integer step counts (total
+    steps + how many were diagonal; pits emit 0/0).  Callers convert
+    to metres as (n_steps − n_diag + n_diag·√2)·cell — the only FP,
+    applied identically in both engines.
+
+    Pointer squaring with accumulators: state (ptr, steps, diags)
+    composes as ptr ← ptr∘ptr, steps ← steps_a + steps_b (paths are
+    functional, so the sum is exact) — ⌈log₂ L⌉ self-joins with
+    ``localCheckpoint`` per round, never an L-step sequential walk.
+    The GRASS r.flow "length of flow path" readout at macro scale.
+    """
+    diag = (
+        (F.abs(F.col("nmx") - F.col("mx"))
+         + F.abs(F.col("nmy") - F.col("my"))) == 2
+    )
+    pt = cells.join(down, ["mx", "my"], "left").select(
+        "mx", "my",
+        F.coalesce(F.col("nmx"), F.col("mx")).alias("px"),
+        F.coalesce(F.col("nmy"), F.col("my")).alias("py"),
+        F.when(F.col("nmx").isNotNull(), 1).otherwise(0).cast("long")
+        .alias("st"),
+        F.when(F.col("nmx").isNotNull() & diag, 1).otherwise(0).cast("long")
+        .alias("dg"),
+    ).localCheckpoint()
+    while True:
+        a, b = pt.alias("a"), pt.alias("b")
+        nxt = a.join(
+            b,
+            (F.col("a.px") == F.col("b.mx"))
+            & (F.col("a.py") == F.col("b.my")),
+        ).select(
+            F.col("a.mx").alias("mx"), F.col("a.my").alias("my"),
+            F.col("b.px").alias("px"), F.col("b.py").alias("py"),
+            (F.col("a.st") + F.col("b.st")).alias("st"),
+            (F.col("a.dg") + F.col("b.dg")).alias("dg"),
+        ).localCheckpoint()
+        changed = (
+            nxt.join(pt.select("mx", "my", F.col("st").alias("st0")),
+                     ["mx", "my"])
+            .filter(nxt["st"] != F.col("st0"))
+            .count()
+        )
+        pt = nxt
+        if changed == 0:
+            break
+    return pt.select(
+        "mx", "my",
+        F.col("st").alias("n_steps"), F.col("dg").alias("n_diag"),
     )

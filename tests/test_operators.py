@@ -5003,3 +5003,25 @@ def test_dedup_yield_planted_curve(spark):
     assert [got[b].n_docs for b in range(4)] == [10, 10, 10, 10]
     assert [got[b].n_new for b in range(4)] == [10, 10, 0, 0]
     assert got[0].new_rate == 1.0 and got[3].new_rate == 0.0
+
+
+def test_flow_path_length_hand_graph(spark):
+    """Pointer-squaring path lengths on a hand pointer graph with a
+    diagonal step and two basins: chain (0,0)->(1,0)->(2,1)->pit(3,1)
+    (second hop diagonal) and isolated pit (9,9)."""
+    from greenex_py_spark.operators.hydro import flow_path_length
+
+    cells = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 1), (2, 1, 1), (3, 1, 1), (9, 9, 1)],
+        "mx long, my long, zq long",
+    )
+    down = spark.createDataFrame(
+        [(0, 0, 1, 0), (1, 0, 2, 1), (2, 1, 3, 1)],
+        "mx long, my long, nmx long, nmy long",
+    )
+    got = {(r.mx, r.my): r for r in flow_path_length(cells, down).collect()}
+    assert (got[(0, 0)].n_steps, got[(0, 0)].n_diag) == (3, 1)
+    assert (got[(1, 0)].n_steps, got[(1, 0)].n_diag) == (2, 1)
+    assert (got[(2, 1)].n_steps, got[(2, 1)].n_diag) == (1, 0)
+    assert (got[(3, 1)].n_steps, got[(3, 1)].n_diag) == (0, 0)
+    assert (got[(9, 9)].n_steps, got[(9, 9)].n_diag) == (0, 0)
