@@ -2474,9 +2474,7 @@ _DOT = (
 _NRM = "sqrt(list_sum(list_transform({a}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
 
 
-@register(
-    "q_cosine_topk",
-    f"""
+_COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
 p AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -2490,8 +2488,10 @@ r AS (
   FROM p
 )
 SELECT q_id, n_id, sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
-""",
-)
+"""
+
+
+@register("q_cosine_topk", _COSINE_TOPK_SQL)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import cosine_topk
 
@@ -2506,9 +2506,7 @@ _IVF_CSIM = (
     + _NRM.format(a="{v}") + " * " + _NRM.format(a="c.cv") + "), 6)"
 )
 
-@register(
-    "q_ivf_ann",
-    f"""
+_IVF_ANN_SQL = f"""
 WITH v AS (SELECT vec_id, embedding FROM embeddings),
 c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
 asg0 AS (
@@ -2539,8 +2537,10 @@ r AS (
   FROM p
 )
 SELECT q_id, n_id, sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
-""",
-)
+"""
+
+
+@register("q_ivf_ann", _IVF_ANN_SQL)
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (deterministic coarse quantizer → inverted lists →
     probed exact re-rank) — the oracle-exact scale path beside the
@@ -2551,6 +2551,34 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=10, nprobe=4).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ann_recall — recall@10 of the IVF probe against the exact top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ann_recall",
+    f"""
+WITH approx AS ({_IVF_ANN_SQL}),
+exact AS ({_COSINE_TOPK_SQL})
+SELECT e.q_id,
+       CAST(count(a.n_id) AS BIGINT) AS hits,
+       round(count(a.n_id) * 1.0 / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-flat ANN vs the exact brute-force top-k — the
+    standard ANN quality gate; grades q_ivf_ann's probe quality with an
+    oracle composed verbatim from the two searches it compares."""
+    from .functions.similarity import ann_recall_at_k, cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ann_recall_at_k(ivf_topk(q, emb, k=10, nprobe=4), cosine_topk(q, emb, k=10), k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -11417,6 +11445,379 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = viterbi_match(cand)
     return out.select("track", "t", F.col("edge").alias("edge_id"))
+
+
+# ---------------------------------------------------------------------------
+# q_promo_revenue / q_disjunctive_revenue — TPC-H Q14/Q19 shapes
+# (conditional-share aggregate; multi-band disjunctive join predicate)
+# ---------------------------------------------------------------------------
+
+_Q14_START, _Q14_END = "1996-09-01", "1996-10-01"
+
+
+@register(
+    "q_promo_revenue",
+    f"""
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+              AS BIGINT) AS cents,
+         p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{_Q14_START}'
+    AND l.l_shipdate < TIMESTAMP '{_Q14_END}'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+             / CAST(sum(cents) AS DOUBLE), 6) AS promo_pct
+FROM j
+""",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one-month shipdate slice of
+    lineitem⋈part, promo share of revenue as a conditional aggregate.
+    Proves the scan-level timestamp-range pushdown (the month filter
+    reaches the parquet scan) + dim broadcast; revenue quantizes to
+    cents per line so the share is one exact int64/int64 division."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= _Q14_START) & (F.col("l_shipdate") < _Q14_END)
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(cents.alias("cents"), "p_type")
+        .agg(
+            F.sum(promo).cast("long").alias("promo_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.round(
+                F.lit(100.0) * F.sum(promo) / F.sum("cents").cast("double"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_Q19_BANDS = (
+    ("Brand#12", 1, 11, 25),
+    ("Brand#13", 10, 20, 30),
+    ("Brand#25", 20, 30, 35),
+)
+
+
+@register(
+    "q_disjunctive_revenue",
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+                                    * 100.0) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {" OR ".join(
+    f"(p.p_brand = '{b}' AND l.l_quantity BETWEEN {lo} AND {hi}"
+    f" AND p.p_size BETWEEN 1 AND {sz})" for b, lo, hi, sz in _Q19_BANDS)}
+""",
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): a three-band disjunction of
+    conjunctive brand×quantity×size predicates across the join — the
+    classic test that the optimizer still pushes the common join key
+    through an OR-of-ANDs filter instead of falling back to a cross
+    product.  Quantity bounds are integral so no FP boundary exists;
+    revenue quantizes to cents per line."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cond = None
+    for b, lo, hi, sz in _Q19_BANDS:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("l_quantity").between(lo, hi)
+            & F.col("p_size").between(1, sz)
+        )
+        cond = c if cond is None else (cond | c)
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_scd2 — slowly-changing-dimension Type-2 history from the event log
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_scd2",
+    """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+ch AS (
+  SELECT user_id, event_type AS attr, ts, event_id FROM e
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, attr,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS BIGINT)
+         AS valid_to_us,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS version,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM ch
+""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history of each user's event_type attribute
+    (Kimball versioning / Delta MERGE close-old-row shape): consecutive
+    duplicates collapse, each change opens a version with exact
+    epoch-microsecond validity bounds and an is_current flag."""
+    from .engine.cdc import scd2_history
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd2_history(ev)
+
+
+# ---------------------------------------------------------------------------
+# q_ndcg — NDCG@10 of the BM25 ranking per source slice
+# ---------------------------------------------------------------------------
+
+def _ndcg_oracle() -> str:
+    from .functions.retrieval import ndcg_oracle_sql
+
+    return ndcg_oracle_sql(_BM25_TERMS, k=10)
+
+
+@register("q_ndcg")
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against md5-derived graded relevance,
+    one row per source slice — the standard graded ranking-quality gate
+    beside the set-based ones (q_rbo, q_ann_recall).  DCG/IDCG are
+    exact int64 micro-sums (driver-literal discount weights); FP enters
+    only at the final division."""
+    from .functions.retrieval import bm25_scores, ndcg_at_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = bm25_scores(docs, _BM25_TERMS).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return ndcg_at_k(scored, k=10)
+
+
+ORACLES["q_ndcg"] = _ndcg_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_merge_upsert — MERGE INTO apply of a CDC batch, hash-proven against
+# the directly-built new snapshot (merge(old, diff(old,new)) == new)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_merge_upsert",
+    f"""
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 5 = 0 THEN text || '{_CDC_UPDATE_SUFFIX}'
+                ELSE text END) AS h
+FROM documents WHERE doc_id % 11 != 0
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg MERGE semantics: snapshot_diff's CDC rows (the
+    q_snapshot_diff synthesis) applied back onto the old snapshot must
+    reproduce the new snapshot byte-for-byte — the oracle builds the
+    new snapshot directly, so the hash match proves the round trip."""
+    from .engine.cdc import merge_apply, snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    old = docs.filter(did % 7 != 0).select("doc_id", "text")
+    new = docs.filter(did % 11 != 0).select(
+        "doc_id",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(_CDC_UPDATE_SUFFIX)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    batch = snapshot_diff(old, new).join(new, "doc_id", "left").select(
+        "doc_id", "status", "text"
+    )
+    merged = merge_apply(old, batch)
+    return merged.select("doc_id", F.md5("text").alias("h"))
+
+
+# ---------------------------------------------------------------------------
+# q_langid_prf — per-class precision/recall/F1 of the language-ID heuristic
+# ---------------------------------------------------------------------------
+
+def _langid_prf_oracle() -> str:
+    return f"""
+WITH pred AS ({_langid_sql()}),
+j AS (SELECT d.lang AS l, p.pred_lang AS p
+      FROM pred p JOIN documents d USING (doc_id)),
+cm AS (SELECT l, p, count(*) AS c FROM j GROUP BY l, p),
+cls AS (SELECT l AS class FROM cm UNION SELECT p FROM cm),
+tp AS (SELECT l AS class, c AS tp FROM cm WHERE l = p),
+pt AS (SELECT p AS class, sum(c) AS np FROM cm GROUP BY p),
+lt AS (SELECT l AS class, sum(c) AS nl FROM cm GROUP BY l),
+x AS (
+  SELECT cls.class,
+         CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+         CAST(coalesce(pt.np, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fp,
+         CAST(coalesce(lt.nl, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fn
+  FROM cls LEFT JOIN tp USING (class)
+           LEFT JOIN pt USING (class)
+           LEFT JOIN lt USING (class)
+)
+SELECT class, tp, fp, fn,
+       round(tp / nullif(CAST(tp + fp AS DOUBLE), 0.0), 6) AS precision,
+       round(tp / nullif(CAST(tp + fn AS DOUBLE), 0.0), 6) AS recall,
+       round((2 * tp) / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0), 6) AS f1
+FROM x
+"""
+
+
+@register("q_langid_prf")
+def q_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest precision/recall/F1 of the stopword language-ID
+    against the corpus lang label — the per-class companion to
+    q_cohens_kappa's single agreement number.  Exact int64 confusion
+    counts; every ratio is one integer division (F1 via 2tp/(2tp+fp+fn),
+    never 2pr/(p+r))."""
+    from .functions.stats import classification_prf
+    from .functions.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = language_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return classification_prf(pred, label_col="lang", pred_col="pred_lang")
+
+
+ORACLES["q_langid_prf"] = _langid_prf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_wilson_quality — Wilson-LB host reputation from classifier keep rates
+# ---------------------------------------------------------------------------
+
+def _wilson_oracle() -> str:
+    from .functions.stats import WILSON_Z, WILSON_Z2
+
+    return f"""
+WITH c AS ({_classifier_oracle()}),
+j AS (SELECT d.source, c.keep FROM c JOIN documents d USING (doc_id)),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM j GROUP BY source)
+SELECT source, n, k,
+       ((k / CAST(n AS DOUBLE)) + {WILSON_Z2!r} / (2.0 * CAST(n AS DOUBLE))
+        - {WILSON_Z!r} * sqrt(((k / CAST(n AS DOUBLE))
+                               * (1.0 - (k / CAST(n AS DOUBLE)))
+                               + {WILSON_Z2!r} / (4.0 * CAST(n AS DOUBLE)))
+                              / CAST(n AS DOUBLE)))
+       / (1.0 + {WILSON_Z2!r} / CAST(n AS DOUBLE)) AS wilson_lb
+FROM g
+"""
+
+
+@register("q_wilson_quality")
+def q_wilson_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower bound (z=1.96) on each source's classifier
+    keep rate — the small-sample-robust host-reputation ranking (a 2/2
+    host must not outrank a 95/100 one).  n and k are exact int64; the
+    bound is the same fixed IEEE expression tree in both engines and
+    ships unrounded (the rrf_score convention)."""
+    from .functions.stats import wilson_lower_bound
+    from .functions.text import hashed_classifier_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = hashed_classifier_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return wilson_lower_bound(scored, group_col="source", success_col="keep")
+
+
+ORACLES["q_wilson_quality"] = _wilson_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_calibration_bins — reliability diagram of the rule-based quality score
+# against the hashed classifier's keep decision
+# ---------------------------------------------------------------------------
+
+def _calibration_oracle(n_bins: int = 10) -> str:
+    # score = the 3-dp rule-based quality (micro-quantization is exact:
+    # round(qm/1000·1e6) == qm·1000); label = the classifier keep flag.
+    width = (1.0 - 0.0) / n_bins
+    return f"""
+WITH c AS ({_classifier_oracle()}),
+t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE) AS nstop,
+         (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mean_len
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         round(least(n / 64.0, 1.0)
+               * (1.0 - least(nstop / n * 4.0, 1.0))
+               * (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                       THEN 1.0 ELSE 0.5 END), 3) AS quality
+  FROM s
+),
+j AS (
+  SELECT least({n_bins - 1},
+               greatest(0, CAST(floor((q.quality - 0.0) / {width!r}) AS INT)))
+           AS bin,
+         CAST(round(q.quality * 1000000.0) AS BIGINT) AS sm,
+         CASE WHEN c.keep THEN 1 ELSE 0 END AS y
+  FROM q JOIN c USING (doc_id)
+),
+g AS (
+  SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sm) AS BIGINT) AS ssum, CAST(sum(y) AS BIGINT) AS pos
+  FROM j GROUP BY bin
+)
+SELECT bin, n,
+       ssum / (n * 1000000.0) AS mean_score,
+       pos / CAST(n AS DOUBLE) AS pos_rate,
+       abs(ssum / (n * 1000000.0) - pos / CAST(n AS DOUBLE)) AS gap
+FROM g
+"""
+
+
+@register("q_calibration_bins")
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (the ECE ingredients): decile bins of the
+    rule-based quality score vs the hashed classifier's empirical keep
+    rate — "is the cheap heuristic calibrated against the model?", the
+    standard check before a pipeline swaps one filter for the other.
+    The 3-dp score micro-quantizes exactly, so per-bin means are single
+    divisions of int64 sums."""
+    from .functions.stats import calibration_bins
+    from .functions.text import hashed_classifier_score, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = quality_score(docs).join(
+        hashed_classifier_score(docs).select("doc_id", "keep"), "doc_id"
+    )
+    return calibration_bins(df, score_col="quality", label_col="keep",
+                            n_bins=10, lo=0.0, hi=1.0)
+
+
+ORACLES["q_calibration_bins"] = _calibration_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -25,10 +25,10 @@ to inputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff", "incremental_rollup"]
+__all__ = ["snapshot_diff", "incremental_rollup", "scd2_history"]
 
 
 def snapshot_diff(
@@ -129,3 +129,79 @@ def incremental_rollup(
         .alias("tot_weight"),
     )
     return merged.filter(F.col("n_docs") > 0)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """[key, attr, valid_from_us, valid_to_us, version, is_current] —
+    slowly-changing-dimension Type-2 history built from an event log.
+
+    The warehouse-standard dimension-versioning shape (Kimball SCD2 /
+    Delta MERGE ``whenMatchedUpdate`` + close-old-row): consecutive
+    duplicate attribute values collapse into one validity interval;
+    each change opens a new version whose ``valid_from`` is the change
+    event's timestamp and whose ``valid_to`` is the next change's
+    (NULL + ``is_current`` for the open row).  Validity bounds ship as
+    exact epoch-microsecond int64s (the spacetime.py convention) so no
+    timestamp formatting crosses engines.
+
+    Determinism: event order within a key is (ts, seq) — the unique
+    sequence column breaks timestamp ties, so change detection is
+    total-ordered.  Scale shape: two windows over the SAME
+    (key)(ts, seq) sort — one shuffle by key, the change-row frame is
+    |changes| ≪ |events|.  No reference analogue (the reference has no
+    event-log surface); semantics follow Kimball's SCD Type-2.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(seq_col))
+    ch = (
+        df.select(key_col, ts_col, seq_col, attr_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(seq_col))
+    nxt = F.lead(ts_col).over(w2)
+    return ch.select(
+        F.col(key_col),
+        F.col(attr_col).alias("attr"),
+        us.alias("valid_from_us"),
+        F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def merge_apply(
+    target: DataFrame,
+    batch: DataFrame,
+    key_col: str = "doc_id",
+    value_col: str = "text",
+    status_col: str = "status",
+) -> DataFrame:
+    """[key, value] — MERGE INTO semantics: apply a CDC batch to a
+    snapshot (Delta/Iceberg ``MERGE`` / ``whenMatchedUpdate`` +
+    ``whenNotMatchedInsert`` + ``whenMatchedDelete``).
+
+    ``batch`` rows are [key, status, value] with status in
+    ('added','updated','deleted'); added/updated carry the new payload,
+    deleted rows need none.  Result = target rows whose key is absent
+    from the batch, plus the batch's upserts — so
+    ``merge_apply(old, snapshot_diff(old,new)⋈new) == new`` exactly,
+    which is how the gate hash-proves it.
+
+    Scale shape: one anti-join on the key (co-located and shuffle-free
+    on bucketed snapshots, engine/bucketing.py) + a union with the
+    change sliver.  The batch feeds two branches (anti + upserts), so
+    it is localCheckpoint-materialized per the no-CSE rule.
+    """
+    b = batch.select(key_col, status_col, value_col).localCheckpoint()
+    kept = target.select(key_col, value_col).join(
+        b.select(key_col), key_col, "left_anti"
+    )
+    ups = b.filter(F.col(status_col) != "deleted").select(key_col, value_col)
+    return kept.unionByName(ups)

@@ -21,7 +21,7 @@ FP summation order — the same trick `domain_stats` uses for its means
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -314,3 +314,119 @@ def rrf_fusion(
     return j.withColumn(
         "fused_rank", F.row_number().over(w).cast("long")
     )
+
+
+# --- NDCG@k ranking quality -------------------------------------------------
+
+import math as _math
+
+#: integer micro-weights for ranks 1..20: round(1e6 / log2(r+1)).  Shared
+#: literals between the Spark expression and the DuckDB oracle so the
+#: discount arithmetic is identical int64 on both sides (the rbo_overlap
+#: driver-literal-weights convention).
+NDCG_WEIGHTS_MICRO = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, 21)]
+
+
+def graded_relevance(id_col: str = "doc_id", n_grades: int = 4):
+    """Deterministic 0..n_grades-1 relevance grade from md5(id) — the
+    fixture-side stand-in for editorial judgments (portable: DuckDB
+    reproduces it with CAST('0x'||substr(md5(id),1,8) AS UBIGINT) % n)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_grades),
+    )
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    k: int = 10,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    n_grades: int = 4,
+) -> DataFrame:
+    """[group, dcg_micro, idcg_micro, ndcg] — NDCG@k of a scored ranking
+    against md5-derived graded relevance, one row per group slice.
+
+    DCG = Σ_{r<=k} (2^grade − 1) · w_r with w_r the integer micro-weight
+    literals above, so both DCG and the ideal DCG are exact int64 sums
+    (FP enters only at the final single division).  Ranking ties break
+    by id; the ideal ranking orders by (grade DESC, id) — both total
+    orders, so engine-portable.
+
+    Scale shape: one shuffle on the group key, two window sorts over the
+    same partitioning, one partial-aggregated groupBy — the scored
+    input is already the sliver of the corpus that matched the query.
+    """
+    if k > len(NDCG_WEIGHTS_MICRO):
+        raise ValueError(f"k={k} exceeds the {len(NDCG_WEIGHTS_MICRO)} pinned weights")
+    warr = F.array(*[F.lit(w) for w in NDCG_WEIGHTS_MICRO[:k]])
+    base = scored.select(
+        F.col(group_col), F.col(id_col), F.col(score_col)
+    ).withColumn("_g", graded_relevance(id_col, n_grades))
+    wr = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), F.col(id_col))
+    wi = Window.partitionBy(group_col).orderBy(F.col("_g").desc(), F.col(id_col))
+    gain = (F.expr("shiftleft(1L, cast(_g AS int))") - 1).cast("long")
+    r = (
+        base.withColumn("_rr", F.row_number().over(wr))
+        .withColumn("_ri", F.row_number().over(wi))
+        .withColumn("_gain", gain)
+    )
+    agg = r.groupBy(group_col).agg(
+        F.sum(
+            F.when(F.col("_rr") <= k, F.col("_gain") * F.element_at(warr, F.col("_rr")))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("dcg_micro"),
+        F.sum(
+            F.when(F.col("_ri") <= k, F.col("_gain") * F.element_at(warr, F.col("_ri")))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("idcg_micro"),
+    )
+    return agg.withColumn(
+        "ndcg",
+        F.round(
+            F.col("dcg_micro") / F.nullif(F.col("idcg_micro").cast("double"), F.lit(0.0)), 6
+        ),
+    )
+
+
+def ndcg_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    n_grades: int = 4,
+    table: str = "documents",
+) -> str:
+    """The identical NDCG@k arithmetic as DuckDB SQL over the BM25
+    oracle (generated beside the operator so the two cannot drift)."""
+    bm25 = bm25_oracle_sql(query_terms, table=table)
+    wlist = "[" + ", ".join(str(w) for w in NDCG_WEIGHTS_MICRO[:k]) + "]"
+    return f"""
+WITH scored AS ({bm25}),
+s AS (
+  SELECT d.source, sc.doc_id, sc.score,
+         CAST(CAST('0x' || substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {n_grades} AS BIGINT) AS g
+  FROM scored sc JOIN {table} d USING (doc_id)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rr,
+         row_number() OVER (PARTITION BY source ORDER BY g DESC, doc_id) AS ri
+  FROM s
+),
+a AS (
+  SELECT source,
+         sum(CASE WHEN rr <= {k}
+             THEN ((CAST(1 AS BIGINT) << CAST(g AS INT)) - 1) * ({wlist})[rr]
+             ELSE 0 END) AS dcg_micro,
+         sum(CASE WHEN ri <= {k}
+             THEN ((CAST(1 AS BIGINT) << CAST(g AS INT)) - 1) * ({wlist})[ri]
+             ELSE 0 END) AS idcg_micro
+  FROM r GROUP BY source
+)
+SELECT source, CAST(dcg_micro AS BIGINT) AS dcg_micro,
+       CAST(idcg_micro AS BIGINT) AS idcg_micro,
+       round(CAST(dcg_micro AS DOUBLE)
+             / nullif(CAST(idcg_micro AS DOUBLE), 0.0), 6) AS ndcg
+FROM a
+"""

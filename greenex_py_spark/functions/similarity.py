@@ -843,3 +843,128 @@ def mmr_rerank(
         )
 
     return withv.groupBy("q_id").applyInPandas(greedy, schema=out_schema)
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """[q_id, hits, recall] — standard ANN quality metric: per-query
+    recall@k of an approximate top-k result against the exact one.
+
+    Both inputs are ``[q_id, n_id, .., rank]`` frames (the common output
+    shape of :func:`cosine_topk` / :func:`ivf_topk` / :func:`lsh_topk`).
+    ``recall = |approx∩exact| / |exact|`` with both sets truncated to
+    rank ≤ k; queries with fewer than k true neighbours divide by the
+    achievable count, not k, so a perfect probe always scores 1.0.
+
+    Scale shape: a left-semi join on (q_id, n_id) — both sides are
+    already k·|Q| rows (tiny relative to the corpus), so the eval costs
+    nothing beyond the two searches it grades.  No reference analogue
+    (the reference has no embedding ops); standard IR recall definition.
+    """
+    a = approx.filter(F.col("rank") <= k).select("q_id", "n_id")
+    e = exact.filter(F.col("rank") <= k).select("q_id", "n_id")
+    per_q = (
+        e.join(a.withColumn("_hit", F.lit(1)), ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("k_eff"),
+        )
+    )
+    return per_q.select(
+        "q_id",
+        F.col("hits").cast("long").alias("hits"),
+        F.round(F.col("hits") / F.col("k_eff"), 6).alias("recall"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[q_id, n_id, adc, rank] — product-quantization ANN (Jégou et al.
+    2011): each vector splits into ``m`` subvectors, each encoded as its
+    nearest of ``ksub`` deterministic sub-centroids (the corpus vectors
+    with id < ksub, the ivf_topk convention — exactly reproducible, so
+    the whole operator admits an exact SQL oracle); queries score the
+    CODES via an additive lookup table, never the raw corpus vectors.
+
+    This is the memory-side scale path the IVF/LSH probes don't cover:
+    the corpus compresses to m log2(ksub)-bit codes (16 bytes/vec here
+    vs 256 raw), and search is a code-table scan joined to a per-query
+    LUT of m·ksub distances — at 100 TB the LUT broadcast is O(|Q|·m·
+    ksub) and the only corpus-sized pass is over the codes.
+
+    Determinism: every squared L2 rounds to 6 dp before any argmin
+    (ties by centroid id), and per-subspace LUT distances become exact
+    micro-ints so the ADC total is an order-free int64 sum.
+    """
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+
+    def subspaces(df, out_id):
+        slices = F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(slices).alias("j", "sv")
+        )
+
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sv"), F.col("cv"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    cent = F.broadcast(
+        subspaces(corpus.filter(F.col(id_col) < ksub), "c_id")
+        .withColumnRenamed("sv", "cv")
+    )
+    wa = Window.partitionBy("n_id", "j").orderBy(F.col("d2").asc(), F.col("c_id").asc())
+    codes = (
+        subspaces(corpus, "n_id")
+        .join(cent, "j")
+        .withColumn("d2", d2)
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("n_id", "j", F.col("c_id").alias("code"))
+    )
+    lut = (
+        subspaces(queries, "q_id")
+        .join(cent, "j")
+        .withColumn("d2", d2)
+        .select(
+            "q_id", "j", F.col("c_id").alias("code"),
+            F.round(F.col("d2") * 1_000_000.0).cast("long").alias("lm"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("lm").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_micro").asc(), F.col("n_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "n_id",
+            (F.col("adc_micro") / 1_000_000.0).alias("adc"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

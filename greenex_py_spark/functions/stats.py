@@ -403,3 +403,145 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             / (nn - F.col("s")).cast("double"),
         ).alias("kappa"),
     )
+
+
+WILSON_Z = 1.96
+WILSON_Z2 = WILSON_Z * WILSON_Z  # literal shared with the oracle SQL
+
+
+def wilson_lower_bound(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """[group, n, k, wilson_lb] — Wilson-score lower bound (z = 1.96) on
+    each group's success rate: the ranking statistic that damps
+    small-sample groups (the classic host-reputation / review-sort
+    correction — a 2/2 host must not outrank a 95/100 one).
+
+    lb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)
+
+    FP-portability: n and k are exact int64 counts and the bound is the
+    SAME fixed expression tree in both engines over them — each op
+    (÷, ×, √) is IEEE-correctly-rounded, so the result is bit-identical
+    and ships unrounded (the rrf_score convention).
+    """
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col(success_col), 1).otherwise(0)).cast("long").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k") / n
+    lb = (
+        p
+        + F.lit(WILSON_Z2) / (2.0 * n)
+        - F.lit(WILSON_Z)
+        * F.sqrt((p * (1.0 - p) + F.lit(WILSON_Z2) / (4.0 * n)) / n)
+    ) / (1.0 + F.lit(WILSON_Z2) / n)
+    return g.withColumn("wilson_lb", lb)
+
+
+def classification_prf(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """[class, tp, fp, fn, precision, recall, f1] — one-vs-rest
+    per-class precision/recall/F1 between a prediction column and a
+    label column (multi-class, classes = union of observed values).
+
+    All counts are exact int64; each ratio is ONE division of two
+    integers (F1 uses the 2·tp/(2·tp+fp+fn) form, never 2pr/(p+r), so
+    no intermediate FP composition exists).  Zero denominators yield
+    NULL.  Scale shape: one groupBy over (label, pred) — a dim-sized
+    confusion grid — then per-class sums over that grid.
+    """
+    cm = (
+        df.select(F.col(label_col).alias("_l"), F.col(pred_col).alias("_p"))
+        .groupBy("_l", "_p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds three branches below (no-CSE rule)
+    )
+    classes = (
+        cm.select(F.col("_l").alias("class"))
+        .union(cm.select(F.col("_p").alias("class")))
+        .distinct()
+    )
+    tp = cm.filter(F.col("_l") == F.col("_p")).select(
+        F.col("_l").alias("class"), F.col("c").alias("tp")
+    )
+    pred_tot = cm.groupBy(F.col("_p").alias("class")).agg(F.sum("c").alias("np"))
+    lab_tot = cm.groupBy(F.col("_l").alias("class")).agg(F.sum("c").alias("nl"))
+    j = (
+        classes.join(tp, "class", "left")
+        .join(pred_tot, "class", "left")
+        .join(lab_tot, "class", "left")
+        .select(
+            "class",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("np", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long").alias("fp"),
+            (F.coalesce("nl", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long").alias("fn"),
+        )
+    )
+    return j.select(
+        "class", "tp", "fp", "fn",
+        F.round(F.col("tp") / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)), 6).alias("precision"),
+        F.round(F.col("tp") / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)), 6).alias("recall"),
+        F.round(
+            (2 * F.col("tp"))
+            / F.nullif((2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """[bin, n, mean_score, pos_rate, gap] — reliability diagram for a
+    real-valued score against a boolean outcome: equal-width bins over
+    [lo, hi], per-bin mean score vs empirical positive rate (the ECE
+    ingredients; Σ n·gap/N is one further exact step for the caller).
+
+    FP discipline: the bin index floors the SAME double in both engines
+    (identical inputs → identical floor); per-bin score mass accumulates
+    as 1e-6-quantized int64 (order-free), so mean_score and pos_rate are
+    each ONE division of exact integers.  They ship UNROUNDED (the
+    rrf_score convention): a round-6 here once landed exactly on …5 and
+    split Spark's decimal HALF_UP from DuckDB's binary rounding
+    (BENCH/SCALE_AUDIT.md), while the raw doubles are bit-identical.
+    """
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(score_col) - lo) / F.lit(width)).cast("int")),
+    )
+    smicro = F.round(F.col(score_col) * 1_000_000.0).cast("long")
+    g = (
+        df.select(
+            b.cast("long").alias("bin"),
+            smicro.alias("_sm"),
+            F.when(F.col(label_col), 1).otherwise(0).alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_sm").alias("_ssum"),
+            F.sum("_y").cast("long").alias("_pos"),
+        )
+    )
+    mean_s = F.col("_ssum") / (F.col("n") * 1_000_000.0)
+    rate = F.col("_pos") / F.col("n").cast("double")
+    return g.select(
+        "bin", "n",
+        mean_s.alias("mean_score"),
+        rate.alias("pos_rate"),
+        F.abs(mean_s - rate).alias("gap"),
+    )

@@ -161,3 +161,51 @@ def windowed_event_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    dim: DataFrame,
+    dim_key: str = "user_id",
+    dim_attr: str = "segment",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> None:
+    """Stream-STATIC enrichment join + watermarked windowed aggregate:
+    the event stream joins a static dimension table (user → segment)
+    before the stateful count — the most common production streaming
+    shape (enrich-then-aggregate) and the one join surface the
+    stream-stream gate (q_stream_join) doesn't cover.
+
+    Spark plans the static side as a broadcast re-evaluated per
+    micro-batch, so no state accrues for the dim; only the windowed
+    counts live in the state store.  Append mode — a (window, segment)
+    row reaches the sink iff the final watermark closed it, which is
+    exactly the closure predicate the batch-twin oracle applies.
+    """
+    from .sessionize import EVENT_SCHEMA
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dim.select(dim_key, dim_attr)), dim_key)
+        .groupBy(F.window("ts", window), F.col(dim_attr))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            dim_attr, "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

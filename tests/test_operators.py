@@ -299,6 +299,37 @@ def test_ivf_ann_recall_and_determinism(spark, sf_dir):
     )
 
 
+def test_ann_recall_at_k_matches_set_arithmetic(spark, sf_dir):
+    """ann_recall_at_k equals hand-computed |approx∩exact|/k per query,
+    is 1.0 when grading exact against itself, and counts only rank<=k."""
+    import pandas as pd
+
+    from greenex_py_spark.functions.similarity import (
+        ann_recall_at_k, cosine_topk, ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, emb, k=10)
+    ivf = ivf_topk(q, emb, k=10, nprobe=4)
+    got = ann_recall_at_k(ivf, exact, k=10).toPandas().set_index("q_id")
+    ep, ip = exact.toPandas(), ivf.toPandas()
+    for qid, grp in ep.groupby("q_id"):
+        e = set(grp.n_id)
+        a = set(ip[ip.q_id == qid].n_id)
+        assert got.loc[qid, "hits"] == len(e & a)
+        assert got.loc[qid, "recall"] == round(len(e & a) / len(e), 6)
+    perfect = ann_recall_at_k(exact, exact, k=10).toPandas()
+    assert (perfect.recall == 1.0).all()
+    # k=5 truncates both sides before intersecting
+    got5 = ann_recall_at_k(ivf, exact, k=5).toPandas().set_index("q_id")
+    e5 = ep[ep["rank"] <= 5]
+    i5 = ip[ip["rank"] <= 5]
+    for qid, grp in e5.groupby("q_id"):
+        inter = set(grp.n_id) & set(i5[i5.q_id == qid].n_id)
+        assert got5.loc[qid, "hits"] == len(inter)
+
+
 def test_simhash_near_dup_hamming(spark, sf_dir):
     """Planted near-clones (one word dropped) sit within small hamming
     distance of their originals."""
@@ -5025,3 +5056,203 @@ def test_flow_path_length_hand_graph(spark):
     assert (got[(2, 1)].n_steps, got[(2, 1)].n_diag) == (1, 0)
     assert (got[(3, 1)].n_steps, got[(3, 1)].n_diag) == (0, 0)
     assert (got[(9, 9)].n_steps, got[(9, 9)].n_diag) == (0, 0)
+
+
+def test_scd2_history_hand_case(spark):
+    """SCD2 collapses consecutive duplicates, versions changes in (ts,
+    seq) order, closes each version at the next change, and flags the
+    open row; timestamp ties break by the sequence column."""
+    import datetime as dt
+
+    from greenex_py_spark.engine.cdc import scd2_history
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: A A B B A  -> versions A@0, B@20, A@40
+        (1, ts(0), 1, "A"), (1, ts(10), 2, "A"), (1, ts(20), 3, "B"),
+        (1, ts(30), 4, "B"), (1, ts(40), 5, "A"),
+        # user 2: tie at ts(0) broken by event_id: A(6) then B(7)
+        (2, ts(0), 6, "A"), (2, ts(0), 7, "B"),
+        # user 3: single event
+        (3, ts(5), 8, "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = (
+        scd2_history(df)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    us = lambda s: int((t0 + dt.timedelta(seconds=s)).timestamp() * 1_000_000)
+    exp = [
+        (1, "A", us(0), us(20), 1, False),
+        (1, "B", us(20), us(40), 2, False),
+        (1, "A", us(40), None, 3, True),
+        (2, "A", us(0), us(0), 1, False),
+        (2, "B", us(0), None, 2, True),
+        (3, "C", us(5), None, 1, True),
+    ]
+    assert len(got) == len(exp)
+    for i, (u, a, vf, vt, v, cur) in enumerate(exp):
+        r = got.iloc[i]
+        assert (r.user_id, r.attr, int(r.valid_from_us), int(r.version), bool(r.is_current)) == (u, a, vf, v, cur)
+        assert (pd.isna(r.valid_to_us) and vt is None) or int(r.valid_to_us) == vt
+    # exactly one open row per user
+    assert got.groupby("user_id").is_current.sum().eq(1).all()
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    """On the real event log: per user, version k's valid_to equals
+    version k+1's valid_from (no gaps/overlaps) and version counts are
+    consecutive from 1."""
+    from greenex_py_spark.engine.cdc import scd2_history
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = scd2_history(ev).toPandas().sort_values(["user_id", "version"])
+    for _, g in got.groupby("user_id"):
+        assert list(g.version) == list(range(1, len(g) + 1))
+        nxt = g.valid_from_us.shift(-1)
+        closed = g.valid_to_us.notna()
+        assert (g.valid_to_us[closed] == nxt[closed]).all()
+        assert g.is_current.iloc[-1] and not g.is_current.iloc[:-1].any()
+
+
+def test_ndcg_hand_parity_and_perfect_ranking(spark):
+    """ndcg_at_k equals a NumPy recomputation with the same md5 grades
+    and integer weights, and scoring BY the grade itself yields 1.0."""
+    import hashlib
+
+    from greenex_py_spark.functions.retrieval import NDCG_WEIGHTS_MICRO, ndcg_at_k
+
+    def grade(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+
+    rows = [("s1", i, float(100 - i)) for i in range(1, 26)]
+    rows += [("s2", i, float(i % 7)) for i in range(26, 41)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+    got = ndcg_at_k(df, k=10).toPandas().set_index("source")
+    import numpy as np
+
+    for src, grp in {
+        "s1": [(i, 100.0 - i) for i in range(1, 26)],
+        "s2": [(i, float(i % 7)) for i in range(26, 41)],
+    }.items():
+        ranked = sorted(grp, key=lambda t: (-t[1], t[0]))[:10]
+        dcg = sum(
+            (2 ** grade(i) - 1) * NDCG_WEIGHTS_MICRO[r]
+            for r, (i, _) in enumerate(ranked)
+        )
+        ideal = sorted(grp, key=lambda t: (-grade(t[0]), t[0]))[:10]
+        idcg = sum(
+            (2 ** grade(i) - 1) * NDCG_WEIGHTS_MICRO[r]
+            for r, (i, _) in enumerate(ideal)
+        )
+        assert got.loc[src, "dcg_micro"] == dcg
+        assert got.loc[src, "idcg_micro"] == idcg
+        assert got.loc[src, "ndcg"] == round(dcg / idcg, 6)
+    # score == grade -> the ranking IS ideal (ties both break by id)
+    perfect = spark.createDataFrame(
+        [("p", i, float(grade(i))) for i in range(1, 30)],
+        "source string, doc_id long, score double",
+    )
+    gp = ndcg_at_k(perfect, k=10).toPandas()
+    assert (gp.ndcg == 1.0).all()
+
+
+def test_merge_apply_roundtrip_and_hand_case(spark):
+    """merge_apply(old, diff(old,new) with payloads) == new exactly, and
+    a hand CDC batch applies add/update/delete correctly."""
+    from greenex_py_spark.engine.cdc import merge_apply, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, "e")], "doc_id long, text string"
+    )
+    batch = snapshot_diff(old, new).join(new, "doc_id", "left").select(
+        "doc_id", "status", "text"
+    )
+    got = merge_apply(old, batch).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = new.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+    # hand batch: delete 1, update 2, add 9
+    hand = spark.createDataFrame(
+        [(1, "deleted", None), (2, "updated", "bb"), (9, "added", "z")],
+        "doc_id long, status string, text string",
+    )
+    got2 = merge_apply(old, hand).toPandas().sort_values("doc_id")
+    assert list(got2.doc_id) == [2, 3, 4, 9]
+    assert list(got2.text) == ["bb", "c", "d", "z"]
+
+
+def test_classification_prf_hand_confusion(spark):
+    """PRF counts match a hand confusion matrix, including a class that
+    is only ever predicted (tp=0, fn=0) and one never predicted."""
+    from greenex_py_spark.functions.stats import classification_prf
+
+    rows = (
+        [("en", "en")] * 8 + [("en", "de")] * 2
+        + [("de", "de")] * 5 + [("de", "fr")] * 1
+        + [("nl", "fr")] * 3  # 'nl' never predicted, 'fr' never labeled
+    )
+    df = spark.createDataFrame(rows, "lang string, pred string")
+    got = classification_prf(df, "lang", "pred").toPandas().set_index("class")
+    assert got.loc["en"].tp == 8 and got.loc["en"].fp == 0 and got.loc["en"].fn == 2
+    assert got.loc["en"].precision == 1.0 and got.loc["en"].recall == 0.8
+    assert got.loc["de"].tp == 5 and got.loc["de"].fp == 2 and got.loc["de"].fn == 1
+    assert got.loc["de"].f1 == round(10 / 13, 6)
+    assert got.loc["fr"].tp == 0 and got.loc["fr"].fp == 4 and got.loc["fr"].fn == 0
+    assert got.loc["fr"].precision == 0.0 and pd.isna(got.loc["fr"].recall)
+    assert got.loc["nl"].tp == 0 and got.loc["nl"].fn == 3 and pd.isna(got.loc["nl"].precision)
+
+
+def test_wilson_lower_bound_hand_values(spark):
+    """Wilson LB matches the closed-form NumPy evaluation and ranks a
+    95/100 group above a 2/2 group (the small-sample correction)."""
+    import math
+
+    from greenex_py_spark.functions.stats import WILSON_Z, WILSON_Z2, wilson_lower_bound
+
+    rows = [("big", i < 95) for i in range(100)] + [("tiny", True), ("tiny", True)]
+    df = spark.createDataFrame(rows, "src string, good boolean")
+    got = wilson_lower_bound(df, "src", "good").toPandas().set_index("src")
+
+    def wlb(k, n):
+        p = k / n
+        return (p + WILSON_Z2 / (2 * n)
+                - WILSON_Z * math.sqrt((p * (1 - p) + WILSON_Z2 / (4 * n)) / n)) \
+               / (1 + WILSON_Z2 / n)
+
+    assert abs(got.loc["big"].wilson_lb - wlb(95, 100)) < 1e-12
+    assert abs(got.loc["tiny"].wilson_lb - wlb(2, 2)) < 1e-12
+    assert got.loc["big"].wilson_lb > got.loc["tiny"].wilson_lb
+
+
+def test_calibration_bins_hand_case(spark):
+    """Bin assignment, counts, integer-exact mean and rate match a hand
+    computation; out-of-range scores clamp to the edge bins."""
+    from greenex_py_spark.functions.stats import calibration_bins
+
+    rows = [
+        (0.05, True), (0.05, False),          # bin 0
+        (0.55, True), (0.551, True), (0.56, False),  # bin 5
+        (1.5, True), (-0.5, False),           # clamp to 9 and 0
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    got = (
+        calibration_bins(df, "score", "y", n_bins=10, lo=0.0, hi=1.0)
+        .toPandas().set_index("bin")
+    )
+    assert got.loc[0].n == 3 and got.loc[0].pos_rate == 1 / 3
+    exp_mean0 = (50000 + 50000 + round(-0.5 * 1e6)) / (3 * 1e6)
+    assert got.loc[0].mean_score == exp_mean0
+    assert got.loc[5].n == 3
+    assert got.loc[5].mean_score == (550000 + 551000 + 560000) / (3 * 1e6)
+    assert got.loc[5].pos_rate == 2 / 3
+    assert got.loc[9].n == 1 and got.loc[9].pos_rate == 1.0
+    assert got.loc[5].gap == abs(got.loc[5].mean_score - got.loc[5].pos_rate)
