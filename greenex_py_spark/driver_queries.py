@@ -11821,6 +11821,744 @@ ORACLES["q_calibration_bins"] = _calibration_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_anova — one-way ANOVA F across the five event types (welch scaled to G)
+# ---------------------------------------------------------------------------
+
+def _anova_oracle() -> str:
+    gs = sorted(_EVENT_TYPES)
+    cols = []
+    for i, name in enumerate(gs):
+        cols += [
+            f"CAST(sum(CASE WHEN g = '{name}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{i}",
+            f"CAST(sum(CASE WHEN g = '{name}' THEN vq ELSE 0 END) AS BIGINT) AS s_{i}",
+            f"CAST(sum(CASE WHEN g = '{name}' THEN vq * vq ELSE 0 END) AS BIGINT) AS q_{i}",
+        ]
+    idx = range(len(gs))
+    n_tot = " + ".join(f"CAST(n_{i} AS DOUBLE)" for i in idx)
+    s_tot = " + ".join(f"CAST(s_{i} AS DOUBLE)" for i in idx)
+    q_tot = " + ".join(f"CAST(q_{i} AS DOUBLE)" for i in idx)
+    sb = " + ".join(
+        f"CAST(s_{i} AS DOUBLE) * CAST(s_{i} AS DOUBLE) / CAST(n_{i} AS DOUBLE)"
+        for i in idx
+    )
+    g_cnt = len(gs)
+    return f"""
+WITH e AS (SELECT event_type AS g, CAST(round(value * 100.0) AS BIGINT) AS vq
+           FROM events WHERE event_type IN {tuple(gs)!r}),
+a AS (SELECT {', '.join(cols)} FROM e),
+d AS (SELECT ({n_tot}) AS n_tot, ({s_tot}) AS s_tot,
+             ({q_tot}) AS q_tot, ({sb}) AS sb
+      FROM a)
+SELECT CAST(n_tot AS BIGINT) AS n_total,
+       CAST({g_cnt - 1} AS BIGINT) AS df_between,
+       CAST(n_tot - {g_cnt} AS BIGINT) AS df_within,
+       sb - s_tot * s_tot / n_tot AS ss_between,
+       q_tot - sb AS ss_within,
+       ((sb - s_tot * s_tot / n_tot) / {float(g_cnt - 1)!r})
+         / ((q_tot - sb) / (n_tot - {float(g_cnt)!r})) AS f_stat
+FROM d
+"""
+
+
+@register("q_anova")
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types' cent-quantized
+    values — the G-group generalization of q_welch_ttest: 15 exact int64
+    conditional sums in one aggregation row, the cross-group Σ assembled
+    in fixed lexical order so no distributed FP reorder exists.  SS and
+    F ship unrounded (magnitudes exceed the safe-rounding envelope)."""
+    from .functions.stats import anova_oneway
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100.0).cast("long").alias("vq"),
+    )
+    return anova_oneway(ev, "g", "vq", list(_EVENT_TYPES))
+
+
+ORACLES["q_anova"] = _anova_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_pq_ann — product-quantization ADC search (the compressed-corpus path)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KSUB, _PQ_DIM = 4, 16, 64
+_PQ_SUB = _PQ_DIM // _PQ_M
+_PQ_D2 = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+)
+
+
+@register(
+    "q_pq_ann",
+    f"""
+WITH js AS (SELECT CAST(r.range AS INT) AS j FROM range({_PQ_M}) r),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+      WHERE vec_id < {_PQ_KSUB}),
+cs AS (SELECT c.c_id, js.j,
+              list_slice(c.cv, js.j * {_PQ_SUB} + 1,
+                         js.j * {_PQ_SUB} + {_PQ_SUB}) AS cv
+       FROM c, js),
+vs AS (SELECT v.vec_id AS n_id, js.j,
+              list_slice(v.embedding, js.j * {_PQ_SUB} + 1,
+                         js.j * {_PQ_SUB} + {_PQ_SUB}) AS sv
+       FROM embeddings v, js),
+asg0 AS (
+  SELECT vs.n_id, vs.j, cs.c_id,
+         {_PQ_D2.format(a='vs.sv', b='cs.cv')} AS d2
+  FROM vs JOIN cs USING (j)
+),
+asg1 AS (
+  SELECT n_id, j, c_id,
+         row_number() OVER (PARTITION BY n_id, j
+                            ORDER BY d2 ASC, c_id ASC) AS r
+  FROM asg0
+),
+codes AS (SELECT n_id, j, c_id AS code FROM asg1 WHERE r = 1),
+q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+qs AS (SELECT q.q_id, js.j,
+              list_slice(q.embedding, js.j * {_PQ_SUB} + 1,
+                         js.j * {_PQ_SUB} + {_PQ_SUB}) AS sv
+       FROM q, js),
+lut AS (
+  SELECT qs.q_id, qs.j, cs.c_id AS code,
+         CAST(round({_PQ_D2.format(a='qs.sv', b='cs.cv')} * 1000000.0)
+              AS BIGINT) AS lm
+  FROM qs JOIN cs USING (j)
+),
+adc AS (
+  SELECT lut.q_id, codes.n_id, CAST(sum(lut.lm) AS BIGINT) AS adc_micro
+  FROM codes JOIN lut ON lut.j = codes.j AND lut.code = codes.code
+  WHERE lut.q_id <> codes.n_id
+  GROUP BY lut.q_id, codes.n_id
+),
+r AS (
+  SELECT q_id, n_id, adc_micro,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_micro ASC, n_id ASC) AS rank
+  FROM adc
+)
+SELECT q_id, n_id, adc_micro / 1000000.0 AS adc, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+""",
+)
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC): m=4 subspaces × 16 deterministic
+    sub-centroids, corpus compressed to codes, queries scored via a
+    broadcast lookup table of exact micro-int distances — the
+    compressed-memory scale path beside IVF (q_ivf_ann) and sign-LSH
+    (q_lsh_ann), completing the quantized-search family with sq8."""
+    from .functions.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k=10, m=_PQ_M, ksub=_PQ_KSUB, dim=_PQ_DIM,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_enrich — stream-static enrichment join + windowed aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_enrich",
+    """
+WITH cutoff AS (SELECT max(ts) - INTERVAL 2 DAY AS wm FROM events),
+seg AS (SELECT DISTINCT user_id,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                    AS UBIGINT) % 4 AS BIGINT) AS segment
+        FROM events),
+w AS (SELECT date_trunc('day', e.ts) AS ws, s.segment
+      FROM events e JOIN seg s USING (user_id))
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(ws + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS win_end,
+       segment, CAST(count(*) AS BIGINT) AS n_events
+FROM w, cutoff
+WHERE ws + INTERVAL 1 DAY <= wm
+GROUP BY ws, segment
+""",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (the uncovered streaming join
+    shape beside q_stream_join's stream-stream one): the event stream
+    joins a broadcast user→segment dimension before the watermarked
+    tumbling-window count; same two-drain AvailableNow harness and
+    append-mode closure rule as q_window_stream, oracle = the batch
+    twin with the identical md5 segment derivation."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import enriched_windowed_counts
+    from .streaming.sessionize import EVENT_SCHEMA
+
+    base = os.path.join(tempfile.gettempdir(), f"q_stream_enrich_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = ev.select("user_id").distinct().withColumn(
+        "segment",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(4),
+        ).cast("long"),
+    )
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(8).write.parquet(src)
+    enriched_windowed_counts(spark, src, sink, ckpt, dim)
+    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    enriched_windowed_counts(spark, src, sink, ckpt, dim)
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+        F.col("segment").cast("long").alias("segment"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_json_extract — typed JSON field extraction + per-group profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_json_extract",
+    """
+WITH e AS (SELECT event_type AS grp,
+                  CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM e GROUP BY grp
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured props column
+    (from_json with an explicit schema — JVM-side, fused into the
+    column-pruned scan, never schema inference) profiled per event
+    type, with malformed/missing extractions counted as n_null rather
+    than dropped — the semi-structured surface every crawl-metadata
+    pipeline needs."""
+    from .functions.semistructured import json_field_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return json_field_stats(ev, json_col="props", field="k",
+                            group_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# q_mase — seasonal-naive vs naive forecastability (MASE) per event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mase",
+    """
+WITH e AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d FROM events
+),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (
+  SELECT g, date_diff('day', d0.dmin, d) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM e, d0 GROUP BY 1, 2
+),
+grid AS (
+  SELECT gs.g, i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT DISTINCT g FROM e) gs
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.g = gs.g AND c.t = i.t
+),
+l AS (
+  SELECT g, y,
+         lag(y, 1) OVER (PARTITION BY g ORDER BY t) AS y1,
+         lag(y, 7) OVER (PARTITION BY g ORDER BY t) AS ys
+  FROM grid
+),
+a AS (
+  SELECT g AS series, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CASE WHEN ys IS NOT NULL THEN abs(y - ys) ELSE 0 END)
+              AS BIGINT) AS sae_seasonal,
+         CAST(sum(CASE WHEN ys IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cs,
+         CAST(sum(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) ELSE 0 END)
+              AS BIGINT) AS sae_naive,
+         CAST(sum(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cn
+  FROM l GROUP BY g
+)
+SELECT series, n_days, sae_seasonal, sae_naive,
+       CASE WHEN sae_naive > 0
+            THEN (CAST(sae_seasonal AS DOUBLE) / CAST(cs AS DOUBLE))
+                 / (CAST(sae_naive AS DOUBLE) / CAST(cn AS DOUBLE))
+       END AS mase
+FROM a
+""",
+)
+def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (Hyndman & Koehler) of the seasonal-naive weekly forecast
+    against the one-step naive baseline per event-type daily volume —
+    the scale-free forecastability eval that closes the forecasting
+    loop opened by q_holt_forecast.  Same dense zero-filled calendar as
+    q_volume_anomaly on both sides; both error sums are exact int64."""
+    from .functions.timeseries import mase_seasonal_naive
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select("g", F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        e.select("g").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("g", F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"))
+        .join(cnt, ["g", "t"], "left")
+        .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return mase_seasonal_naive(grid, series_col="g", t_col="t", y_col="y",
+                               season=7)
+
+
+# ---------------------------------------------------------------------------
+# q_dq_audit — dbt-style data-quality expectation suite over the fixtures
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dq_audit",
+    """
+SELECT 'orders_custkey_ri' AS check, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'lineitem_orderkey_ri', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'customer_custkey_unique', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+       count(*) - count(DISTINCT c_custkey) = 0
+FROM customer
+UNION ALL
+SELECT 'events_value_nonneg', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value IS NULL OR NOT (value >= 0.0)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN value IS NULL OR NOT (value >= 0.0)
+                THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'documents_text_nonempty', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN text IS NULL OR length(text) = 0
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+""",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt/great-expectations-style data-quality gate: five
+    expectations (two referential-integrity left-join probes, one
+    uniqueness, one range, one non-empty) each as a single
+    map-side-combinable aggregate — the suite a 100 TB ingest runs
+    before promoting a snapshot; a NULL expectation counts as a
+    violation rather than vanishing."""
+    from pyspark.sql import Window
+
+    from .functions.audit import dq_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    checks = [
+        dq_check(
+            o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left"),
+            F.col("c_custkey").isNull(), "orders_custkey_ri",
+        ),
+        dq_check(
+            li.join(o.select("o_orderkey"),
+                    li.l_orderkey == o.o_orderkey, "left"),
+            F.col("o_orderkey").isNull(), "lineitem_orderkey_ri",
+        ),
+        dq_check(
+            # row-level extras: count(*) − count(distinct key) violations
+            c.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("c_custkey").orderBy("c_custkey")
+                ),
+            ),
+            F.col("_rn") > 1, "customer_custkey_unique",
+        ),
+        dq_check(ev, F.col("value").isNull() | ~(F.col("value") >= 0.0),
+                 "events_value_nonneg"),
+        dq_check(docs, F.col("text").isNull() | (F.length("text") == 0),
+                 "documents_text_nonempty"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q_equidepth_hist — exact equi-depth histogram (ANALYZE-statistics shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_equidepth_hist",
+    """
+WITH e AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS v, event_id AS s
+           FROM events),
+r AS (SELECT v, row_number() OVER (ORDER BY v, s) AS rk,
+             count(*) OVER () AS n
+      FROM e)
+SELECT CAST((rk - 1) * 8 // n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS BIGINT) AS lo,
+       CAST(max(v) AS BIGINT) AS hi
+FROM r GROUP BY 1
+""",
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-bucket equi-depth histogram of the cent-quantized event
+    values — the ANALYZE-TABLE optimizer-statistics shape, built on the
+    two-phase global rank (no single-task sort); bucket assignment is
+    pure int64 ``(rank−1)·B div N``."""
+    from .functions.sketches import equidepth_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.round(F.col("value") * 100.0).cast("long").alias("v"),
+        F.col("event_id").alias("s"),
+    )
+    return equidepth_histogram(ev, "v", "s", n_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_median — exact trailing-window median per event-type volume
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rolling_median",
+    """
+WITH e AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d FROM events
+),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (
+  SELECT g, date_diff('day', d0.dmin, d) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM e, d0 GROUP BY 1, 2
+),
+grid AS (
+  SELECT gs.g, i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT DISTINCT g FROM e) gs
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.g = gs.g AND c.t = i.t
+),
+l AS (
+  SELECT g AS series, CAST(t AS BIGINT) AS t, y,
+         list_sort(list(y) OVER (PARTITION BY g ORDER BY t
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           AS arr
+  FROM grid
+)
+SELECT series, t, y,
+       CAST(len(arr) AS BIGINT) AS n_win,
+       CAST(arr[CAST((len(arr) + 1) // 2 AS INT)] AS BIGINT) AS roll_median
+FROM l
+""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day trailing median of per-type daily volume over the
+    dense zero-filled calendar (the spike-proof ops smoother beside
+    q_volume_anomaly's z-alarm) — all-integer lower median, identical
+    element both engines."""
+    from .functions.timeseries import rolling_median
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select("g", F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        e.select("g").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("g", F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"))
+        .join(cnt, ["g", "t"], "left")
+        .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return rolling_median(grid, series_col="g", t_col="t", y_col="y", window=7)
+
+
+# ---------------------------------------------------------------------------
+# q_rfm — recency/frequency/monetary segmentation of purchasers
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rfm",
+    """
+WITH p AS (SELECT user_id, date_trunc('day', ts) AS d,
+                  CAST(round(value * 100.0) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+ref AS (SELECT max(d) AS rd FROM p),
+base AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(d), (SELECT rd FROM ref)) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM p GROUP BY user_id
+),
+n AS (SELECT count(*) AS n FROM base),
+r AS (SELECT user_id,
+             5 - (row_number() OVER (ORDER BY recency_days, user_id) - 1)
+                 * 5 // (SELECT n FROM n) AS r_score
+      FROM base),
+f AS (SELECT user_id,
+             5 - (row_number() OVER (ORDER BY -frequency, user_id) - 1)
+                 * 5 // (SELECT n FROM n) AS f_score
+      FROM base),
+m AS (SELECT user_id,
+             5 - (row_number() OVER (ORDER BY -monetary_cents, user_id) - 1)
+                 * 5 // (SELECT n FROM n) AS m_score
+      FROM base)
+SELECT b.user_id, b.recency_days, b.frequency, b.monetary_cents,
+       CAST(r.r_score AS BIGINT) AS r_score,
+       CAST(f.f_score AS BIGINT) AS f_score,
+       CAST(m.m_score AS BIGINT) AS m_score,
+       CAST(r.r_score AS VARCHAR) || CAST(f.f_score AS VARCHAR)
+         || CAST(m.m_score AS VARCHAR) AS segment
+FROM base b JOIN r USING (user_id) JOIN f USING (user_id)
+            JOIN m USING (user_id)
+""",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers (recency vs the stream's own
+    max-day reference, cent-exact monetary) with equi-depth quintile
+    scores via the two-phase global rank — int64 tile arithmetic, total
+    orders tie-broken by user id, 5 = best on every axis."""
+    from .operators.funnel import rfm_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rfm_segments(ev)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_upsert — foreachBatch copy-on-write MERGE sink (CDC stream)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_upsert",
+    f"""
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 5 = 0 THEN text || '{_CDC_UPDATE_SUFFIX}'
+                ELSE text END) AS h
+FROM documents WHERE doc_id % 11 != 0
+""",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_merge_upsert CDC applied THROUGH the streaming MERGE sink:
+    the diff lands as two disjoint-key batch files, foreachBatch
+    (maxFilesPerTrigger=1) merges each copy-on-write into the snapshot
+    table — the Delta streaming-MERGE pattern and the last uncovered
+    Structured-Streaming sink surface.  Oracle = the directly-built new
+    snapshot, so the hash proves stream-merge(old, diff) == new."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .engine.cdc import snapshot_diff
+    from .streaming.upsert import stream_merge_apply
+
+    base = os.path.join(tempfile.gettempdir(), f"q_stream_upsert_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, table, ckpt = (os.path.join(base, d) for d in ("src", "table", "ckpt"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    old = docs.filter(did % 7 != 0).select("doc_id", "text")
+    new = docs.filter(did % 11 != 0).select(
+        "doc_id",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(_CDC_UPDATE_SUFFIX)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    old.write.parquet(table)
+    batch = snapshot_diff(old, new).join(new, "doc_id", "left").select(
+        "doc_id", "status", "text"
+    ).localCheckpoint()  # two parity writes consume it (no-CSE rule)
+    batch.filter(did % 2 == 0).coalesce(1).write.parquet(src)
+    batch.filter(did % 2 != 0).coalesce(1).write.mode("append").parquet(src)
+    stream_merge_apply(
+        spark, src, table, ckpt,
+        schema="doc_id long, status string, text string",
+    )
+    return spark.read.parquet(table).select("doc_id", F.md5("text").alias("h"))
+
+
+# ---------------------------------------------------------------------------
+# q_mad — per-type robust location/spread (exact median + MAD)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mad",
+    """
+WITH e AS (SELECT event_type AS grp, CAST(round(value * 100.0) AS BIGINT) AS v
+           FROM events),
+h AS (SELECT grp, v, count(*) AS c FROM e GROUP BY grp, v),
+x AS (SELECT grp, v,
+             sum(c) OVER (PARTITION BY grp ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY grp) AS n
+      FROM h),
+med AS (SELECT grp, CAST(min(n) AS BIGINT) AS n, CAST(min(v) AS BIGINT)
+               AS median
+        FROM x WHERE cum >= (n + 1) // 2 GROUP BY grp),
+d AS (SELECT h.grp, abs(h.v - med.median) AS v, h.c
+      FROM h JOIN med USING (grp)),
+h2 AS (SELECT grp, v, sum(c) AS c FROM d GROUP BY grp, v),
+x2 AS (SELECT grp, v,
+              sum(c) OVER (PARTITION BY grp ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum,
+              sum(c) OVER (PARTITION BY grp) AS n
+       FROM h2),
+mad AS (SELECT grp, CAST(min(v) AS BIGINT) AS mad
+        FROM x2 WHERE cum >= (n + 1) // 2 GROUP BY grp)
+SELECT med.grp, med.n, med.median, mad.mad
+FROM med JOIN mad USING (grp)
+""",
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type median and median absolute deviation of the
+    cent-quantized event values — the robust location/spread readout a
+    single outlier cannot wreck; both medians run the value-histogram
+    shape (corpus-sized groupBy once, dim-sized windows after),
+    all-integer lower medians identical in both engines."""
+    from .functions.stats import grouped_median_mad
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100.0).cast("long").alias("v"),
+    )
+    return grouped_median_mad(ev, "grp", "v")
+
+
+# ---------------------------------------------------------------------------
+# q_theilsen — robust daily-volume trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_theilsen",
+    """
+WITH e AS (SELECT date_trunc('day', ts) AS d FROM events),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (SELECT date_diff('day', d0.dmin, d) AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM e, d0 GROUP BY 1),
+grid AS (
+  SELECT i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.t = i.t
+),
+p AS (
+  SELECT a.t AS ti, b.t AS tj,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS sl
+  FROM grid a JOIN grid b ON a.t < b.t
+),
+r AS (SELECT sl,
+             count(*) OVER (ORDER BY sl, ti, tj
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             count(*) OVER () AS np
+      FROM p),
+s AS (SELECT min(sl) AS slope, CAST(min(np) AS BIGINT) AS n_pairs
+      FROM r WHERE cum >= (np + 1) // 2),
+res AS (SELECT CAST(g.y AS DOUBLE) - s.slope * CAST(g.t AS DOUBLE) AS b,
+               g.t, s.slope, s.n_pairs
+        FROM grid g, s),
+r2 AS (SELECT b, slope, n_pairs,
+              count(*) OVER (ORDER BY b, t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum,
+              count(*) OVER () AS n
+       FROM res)
+SELECT CAST(min(n) AS BIGINT) AS n_points, min(n_pairs) AS n_pairs,
+       min(slope) AS slope, min(b) AS intercept
+FROM r2 WHERE cum >= (n + 1) // 2
+""",
+)
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of global daily event volume over the
+    dense calendar: median pairwise slope + median intercept (29%
+    breakdown — the trend line q_cusum_drift's level shifts cannot
+    bend).  The O(days²) pair join is dim×dim; every slope is one
+    exact-int division and both medians are total-order lower medians."""
+    from .functions.stats import theil_sen_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(F.date_trunc("day", F.col("ts")).alias("d"))
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t")
+        )
+        .join(cnt, ["t"], "left")
+        .select("t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return theil_sen_trend(grid)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

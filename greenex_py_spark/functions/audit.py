@@ -290,3 +290,23 @@ def theil_decomposition(
             dq("tb").alias("t_between"),
         )
     )
+
+
+def dq_check(df: DataFrame, violation: Column, name: str) -> DataFrame:
+    """[check, n_total, n_violations, pass] — one data-quality
+    expectation evaluated over a frame: count rows where ``violation``
+    holds (NULL counts as a violation — an unevaluable expectation is a
+    failing one).  Compose several with unionByName for a dbt-style
+    quality gate; each check is a single map-side-combinable aggregate,
+    so a suite over a 100 TB table is one scan per source frame."""
+    v = F.when(violation.isNull(), 1).otherwise(
+        F.when(violation, 1).otherwise(0)
+    )
+    return df.agg(
+        F.lit(name).alias("check"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(v).cast("long").alias("n_violations"),
+    ).select(
+        "check", "n_total", "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )

@@ -332,3 +332,38 @@ SELECT {g},
              END, 3) AS est_distinct
 FROM sk
 """
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    seq_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """[bucket, n, lo, hi] — exact equi-depth histogram of an integer
+    column: the optimizer-statistics shape (ANALYZE TABLE bucket
+    boundaries) built on the two-phase global rank (engine/rank.py — no
+    single-task global sort anywhere).
+
+    Bucket assignment is pure int64 arithmetic,
+    ``(rank−1)·B div N``, so no FP boundary exists; ``seq_col`` breaks
+    value ties into a total order, making the histogram deterministic
+    even on heavily duplicated columns (a tied value may legitimately
+    straddle two buckets — equi-DEPTH, not equi-width).
+    """
+    from ..engine.rank import global_rank
+
+    r = global_rank(
+        df.select(F.col(value_col).alias("_v"), F.col(seq_col).alias("_s")),
+        ["_v", "_s"],
+        out_col="_rk",
+    )
+    n = r.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    b = r.crossJoin(F.broadcast(n)).withColumn(
+        "bucket", F.expr(f"(( _rk - 1) * {n_buckets}) div _n").cast("long")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_v").cast("long").alias("lo"),
+        F.max("_v").cast("long").alias("hi"),
+    )

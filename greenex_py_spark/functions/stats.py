@@ -545,3 +545,179 @@ def calibration_bins(
         rate.alias("pos_rate"),
         F.abs(mean_s - rate).alias("gap"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_q_col: str,
+    groups: list,
+) -> DataFrame:
+    """[n_total, df_between, df_within, ss_between, ss_within, f_stat] —
+    one-way ANOVA F over a pre-quantized integer value column across an
+    EXPLICIT literal group list (the welch_ttest convention scaled to
+    G groups).
+
+    Per-group n/Σv/Σv² are exact int64 conditional sums gathered in ONE
+    map-side-combinable aggregation row; the sums over groups
+    (Σ_g s_g²/n_g etc.) are then assembled in FIXED lexical group order
+    as one expression tree, so no distributed FP reordering exists and
+    the oracle evaluates the identical chain.  SS terms and F ship
+    unrounded (they are bit-identical doubles; magnitudes here exceed
+    the O(1e9) safe-rounding envelope — BENCH/SCALE_AUDIT.md).
+    """
+    gs = sorted(groups)
+    g = F.col(group_col)
+    v = F.col(value_q_col)
+    aggs = []
+    for i, name in enumerate(gs):
+        cond = g == name
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{i}"),
+            F.sum(F.when(cond, v).otherwise(0)).cast("long").alias(f"s_{i}"),
+            F.sum(F.when(cond, v * v).otherwise(0)).cast("long").alias(f"q_{i}"),
+        ]
+    a = df.filter(g.isin(gs)).agg(*aggs)
+    nd = [F.col(f"n_{i}").cast("double") for i in range(len(gs))]
+    sd = [F.col(f"s_{i}").cast("double") for i in range(len(gs))]
+    qd = [F.col(f"q_{i}").cast("double") for i in range(len(gs))]
+    n_tot = nd[0]
+    for x in nd[1:]:
+        n_tot = n_tot + x
+    s_tot = sd[0]
+    for x in sd[1:]:
+        s_tot = s_tot + x
+    q_tot = qd[0]
+    for x in qd[1:]:
+        q_tot = q_tot + x
+    sb = sd[0] * sd[0] / nd[0]
+    for i in range(1, len(gs)):
+        sb = sb + sd[i] * sd[i] / nd[i]
+    ss_between = sb - s_tot * s_tot / n_tot
+    ss_within = q_tot - sb
+    df_b = float(len(gs) - 1)
+    f_stat = (ss_between / F.lit(df_b)) / (ss_within / (n_tot - F.lit(float(len(gs)))))
+    return a.select(
+        n_tot.cast("long").alias("n_total"),
+        F.lit(len(gs) - 1).cast("long").alias("df_between"),
+        (n_tot - len(gs)).cast("long").alias("df_within"),
+        ss_between.alias("ss_between"),
+        ss_within.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def grouped_median_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """[grp, n, median, mad] — exact per-group lower median and median
+    absolute deviation of an INTEGER value column: the robust
+    location/spread profile (a MAD survives the outliers that wreck a
+    stddev).
+
+    Both medians use the value-histogram shape (the zonal-quantile /
+    KS convention): one corpus-sized groupBy to per-(group, value)
+    counts, then cumulative windows over the dim-sized histogram —
+    never a per-row sort.  Lower median = smallest v with
+    cum ≥ (n+1) div 2, all-integer, so both engines pick the identical
+    element; deviations |v − median| are again integers, and the second
+    median runs the same machinery over the deviation histogram.
+    """
+    h = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds the median AND the deviation pass
+    )
+
+    def lower_median(hist, out):
+        wc = (
+            Window.partitionBy("grp").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wa = Window.partitionBy("grp")
+        x = hist.select(
+            "grp", "v",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wa).alias("n"),
+        )
+        return (
+            x.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("grp")
+            .agg(
+                F.min("v").cast("long").alias(out),
+                F.min(F.col("n")).cast("long").alias("n"),
+            )
+        )
+
+    med = lower_median(h, "median")
+    dev = (
+        h.join(med.select("grp", "median"), "grp")
+        .select("grp", F.abs(F.col("v") - F.col("median")).alias("v"), "c")
+        .groupBy("grp", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = lower_median(dev, "mad").select("grp", "mad")
+    return med.join(mad, "grp").select("grp", "n", "median", "mad")
+
+
+def theil_sen_trend(
+    grid: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """[n_points, n_pairs, slope, intercept] — Theil–Sen robust trend
+    of an integer daily series: the median of all pairwise slopes
+    (breakdown point 29%, the robust alternative to OLS a single
+    anomalous day cannot bend), intercept = median of y − slope·t.
+
+    The series is the DENSE daily calendar — a dim-sized table (the
+    side-statistics convention), so the O(days²) pair self-join is a
+    dim×dim product, never corpus-sized; the corpus-scale work happened
+    in the upstream per-day count.  Each slope is ONE division of exact
+    ints (identical double both engines); medians are lower medians
+    under total orders tie-broken by the pair/time key.
+    """
+    a = grid.select(F.col(t_col).alias("ti"), F.col(y_col).alias("yi"))
+    b = grid.select(F.col(t_col).alias("tj"), F.col(y_col).alias("yj"))
+    pairs = a.join(b, F.col("ti") < F.col("tj")).select(
+        "ti", "tj",
+        ((F.col("yj") - F.col("yi")).cast("double")
+         / (F.col("tj") - F.col("ti")).cast("double")).alias("sl"),
+    )
+    wc = Window.orderBy("sl", "ti", "tj").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy()
+    ranked = pairs.select(
+        "sl",
+        F.count(F.lit(1)).over(wc).alias("cum"),
+        F.count(F.lit(1)).over(wa).alias("np"),
+    )
+    slope = (
+        ranked.filter(F.col("cum") >= F.expr("(np + 1) div 2"))
+        .agg(F.min("sl").alias("slope"), F.min("np").cast("long").alias("n_pairs"))
+    )
+    resid = grid.crossJoin(F.broadcast(slope)).select(
+        (F.col(y_col).cast("double")
+         - F.col("slope") * F.col(t_col).cast("double")).alias("b"),
+        F.col(t_col).alias("t"), "slope", "n_pairs",
+    )
+    wc2 = Window.orderBy("b", "t").rowsBetween(Window.unboundedPreceding, 0)
+    wa2 = Window.partitionBy()
+    r2 = resid.select(
+        "b", "slope", "n_pairs",
+        F.count(F.lit(1)).over(wc2).alias("cum"),
+        F.count(F.lit(1)).over(wa2).alias("n"),
+    )
+    return (
+        r2.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(
+            F.min("n").cast("long").alias("n_points"),
+            F.min("n_pairs").alias("n_pairs"),
+            F.min("slope").alias("slope"),
+            F.min("b").alias("intercept"),
+        )
+    )

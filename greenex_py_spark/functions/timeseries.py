@@ -228,3 +228,100 @@ def dow_volume_anomaly(
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+def mase_seasonal_naive(
+    grid: DataFrame,
+    series_col: str = "g",
+    t_col: str = "t",
+    y_col: str = "y",
+    season: int = 7,
+) -> DataFrame:
+    """[series, n_days, sae_seasonal, sae_naive, mase] — mean absolute
+    scaled error of the seasonal-naive forecast (ŷ_t = y_{t−season})
+    against the one-step naive baseline (ŷ_t = y_{t−1}) per series:
+    the standard scale-free forecastability readout (MASE < 1 ⇔ weekly
+    seasonality beats persistence).  Hyndman & Koehler 2006.
+
+    Callers supply the DENSE zero-filled calendar grid (the
+    q_volume_anomaly convention — a missing day is a real zero, and
+    integer lags stay aligned).  Volumes are int64 counts, so both
+    absolute-error sums are exact integers; MASE is the fixed chain
+    (sae_s/cnt_s)/(sae_n/cnt_n), identical in both engines.  One window
+    sort per series over the dim-sized calendar table.
+    """
+    from pyspark.sql import Window
+
+    d = grid.select(
+        F.col(series_col).alias("series"),
+        F.col(t_col).alias("_t"),
+        F.col(y_col).alias("_y"),
+    ).select(
+        "series", "_t", "_y",
+        F.lag("_y", 1).over(
+            Window.partitionBy("series").orderBy("_t")
+        ).alias("_y1"),
+        F.lag("_y", season).over(
+            Window.partitionBy("series").orderBy("_t")
+        ).alias("_ys"),
+    )
+    agg = d.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("_ys").isNotNull(),
+                     F.abs(F.col("_y") - F.col("_ys"))).otherwise(0))
+        .cast("long").alias("sae_seasonal"),
+        F.sum(F.when(F.col("_ys").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("_cs"),
+        F.sum(F.when(F.col("_y1").isNotNull(),
+                     F.abs(F.col("_y") - F.col("_y1"))).otherwise(0))
+        .cast("long").alias("sae_naive"),
+        F.sum(F.when(F.col("_y1").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("_cn"),
+    )
+    mase = (
+        F.col("sae_seasonal").cast("double") / F.col("_cs").cast("double")
+    ) / (
+        F.col("sae_naive").cast("double") / F.col("_cn").cast("double")
+    )
+    return agg.select(
+        "series", "n_days", "sae_seasonal", "sae_naive",
+        F.when(F.col("sae_naive") > 0, mase).alias("mase"),
+    )
+
+
+def rolling_median(
+    grid: DataFrame,
+    series_col: str = "g",
+    t_col: str = "t",
+    y_col: str = "y",
+    window: int = 7,
+) -> DataFrame:
+    """[series, t, y, n_win, roll_median] — exact rolling lower-median
+    of an integer series over a trailing ``window`` (the ops-dashboard
+    smoother that, unlike a rolling mean, a single spike day cannot
+    drag).  Warm-up rows use the partial window (n_win < window).
+
+    Exactness: the window's values are collected, sorted, and indexed
+    at (n+1) div 2 — all-integer, no interpolation, so both engines
+    pick the identical element.  collect_list's nondeterministic
+    arrival order is normalized by sort_array before indexing.  One
+    window sort per series over the dim-sized calendar grid (the
+    side-statistics convention) — the corpus-sized work happened in the
+    upstream per-day count.
+    """
+    from pyspark.sql import Window
+
+    d = grid.select(
+        F.col(series_col).alias("series"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(y_col).cast("long").alias("y"),
+    ).withColumn("_arr", F.sort_array(F.collect_list("y").over(
+        Window.partitionBy("series").orderBy("t")
+        .rowsBetween(-(window - 1), 0)
+    )))
+    return d.select(
+        "series", "t", "y",
+        F.size("_arr").cast("long").alias("n_win"),
+        F.expr("element_at(_arr, cast((size(_arr) + 1) div 2 as int))")
+        .cast("long").alias("roll_median"),
+    )

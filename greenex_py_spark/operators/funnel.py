@@ -173,3 +173,82 @@ def markov_transition_entropy(
         F.col("n_trans").cast("long").alias("n_trans"),
         F.round(-h + F.lit(0.0), 6).alias("entropy"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    ref_ts=None,
+    event_filter: str = "purchase",
+    n_tiles: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """[user_id, recency_days, frequency, monetary_cents, r_score,
+    f_score, m_score, segment] — classic RFM segmentation over the
+    purchase stream: per-user recency (days since last purchase,
+    against the stream's own max-ts reference so the result is
+    time-invariant), frequency, cent-exact monetary sum, each scored
+    into ``n_tiles`` equi-depth tiles (5 = best) via the two-phase
+    global rank — no single-task window.
+
+    Determinism: every tile assignment is pure int64 arithmetic
+    (the equidepth_histogram formula ``score = T − (rank−1)·T div N``)
+    over a total order with user-id tie-break; recency ranks ascending
+    (fresher = better), frequency/monetary on the negated value
+    (bigger = better).
+    """
+    from ..engine.rank import global_rank
+
+    p = events.filter(F.col("event_type") == event_filter)
+    ref = p.agg(F.max(F.date_trunc("day", F.col(ts_col))).alias("_ref"))
+    base = (
+        p.groupBy(user_col)
+        .agg(
+            F.max(F.date_trunc("day", F.col(ts_col))).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col(value_col) * 100.0).cast("long"))
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            user_col,
+            F.datediff(F.col("_ref"), F.col("_last")).cast("long")
+            .alias("recency_days"),
+            "frequency", "monetary_cents",
+        )
+    ).localCheckpoint()  # three rank branches consume it (no-CSE rule)
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    def tile(df, order_col, out):
+        ranked = global_rank(
+            df.select(user_col, order_col),
+            [order_col, user_col],
+            out_col="_rk",
+        )
+        return ranked.crossJoin(F.broadcast(n)).select(
+            user_col,
+            (F.lit(n_tiles)
+             - F.expr(f"((_rk - 1) * {n_tiles}) div _n")).cast("long")
+            .alias(out),
+        )
+
+    r = tile(base, "recency_days", "r_score")
+    f_ = tile(base.withColumn("_negf", -F.col("frequency")), "_negf", "f_score")
+    m = tile(
+        base.withColumn("_negm", -F.col("monetary_cents")), "_negm", "m_score"
+    )
+    return (
+        base.join(r, user_col)
+        .join(f_, user_col)
+        .join(m, user_col)
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+    )

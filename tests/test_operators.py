@@ -5256,3 +5256,321 @@ def test_calibration_bins_hand_case(spark):
     assert got.loc[5].pos_rate == 2 / 3
     assert got.loc[9].n == 1 and got.loc[9].pos_rate == 1.0
     assert got.loc[5].gap == abs(got.loc[5].mean_score - got.loc[5].pos_rate)
+
+
+def test_pq_topk_hand_adc_and_determinism(spark, sf_dir):
+    """PQ codes/ADC match a NumPy reimplementation (same slicing,
+    round-6, micro-int contract) and the search is rerun-deterministic."""
+    from greenex_py_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    got = pq_topk(q, emb, k=10, m=4, ksub=16, dim=64).toPandas()
+    assert set(got.columns) == {"q_id", "n_id", "adc", "rank"}
+    assert (got.groupby("q_id")["rank"].max() == 10).all()
+
+    ep = emb.toPandas().sort_values("vec_id")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in ep.itertuples()}
+    cents = {c: vecs[c] for c in range(16)}
+    sub = 16
+
+    def d2(a, b):
+        return round(float(((a - b) ** 2).sum()), 6)
+
+    def code(v):
+        out = []
+        for j in range(4):
+            s = v[j * sub:(j + 1) * sub]
+            best = min(
+                range(16), key=lambda c: (d2(s, cents[c][j * sub:(j + 1) * sub]), c)
+            )
+            out.append(best)
+        return out
+
+    # check the ADC of a few returned pairs exactly
+    for row in got.head(20).itertuples():
+        qv, nv = vecs[int(row.q_id)], vecs[int(row.n_id)]
+        ncode = code(nv)
+        adc_micro = sum(
+            round(
+                d2(qv[j * sub:(j + 1) * sub],
+                   cents[ncode[j]][j * sub:(j + 1) * sub]) * 1_000_000
+            )
+            for j in range(4)
+        )
+        assert row.adc == adc_micro / 1_000_000.0
+    got2 = pq_topk(q, emb, k=10, m=4, ksub=16, dim=64).toPandas()
+    a = got.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = got2.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_anova_oneway_matches_numpy(spark, sf_dir):
+    """ANOVA sums/SS/F match a NumPy groupwise recomputation on the real
+    event values, and a constructed equal-means case yields F ≈ 0."""
+    from greenex_py_spark.functions.stats import anova_oneway
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100.0).cast("long").alias("vq"),
+    )
+    groups = sorted(ev.select("g").distinct().toPandas().g)
+    got = anova_oneway(ev, "g", "vq", groups).toPandas().iloc[0]
+    pdf = ev.toPandas()
+    grand = pdf.vq.sum()
+    n = len(pdf)
+    sb = sum(
+        gg.vq.sum() ** 2 / len(gg) for _, gg in pdf.groupby("g")
+    ) - grand ** 2 / n
+    sw = (pdf.vq.astype(float) ** 2).sum() - sum(
+        gg.vq.sum() ** 2 / len(gg) for _, gg in pdf.groupby("g")
+    )
+    assert got.n_total == n
+    assert got.df_between == len(groups) - 1
+    assert got.df_within == n - len(groups)
+    assert abs(got.ss_between - sb) / max(abs(sb), 1) < 1e-9
+    assert abs(got.ss_within - sw) / max(abs(sw), 1) < 1e-9
+    f = (sb / (len(groups) - 1)) / (sw / (n - len(groups)))
+    assert abs(got.f_stat - f) / f < 1e-9
+    flat = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 10), ("b", 20), ("c", 20), ("c", 10)],
+        "g string, vq long",
+    )
+    g0 = anova_oneway(flat, "g", "vq", ["a", "b", "c"]).toPandas().iloc[0]
+    assert abs(g0.f_stat) < 1e-12 and abs(g0.ss_between) < 1e-6
+
+
+def test_stream_enrich_equals_batch_twin(spark, tmp_path):
+    """The stream-static enrichment join + windowed count equals the
+    batch join/GROUP BY on the closed windows."""
+    import datetime as dt
+
+    from greenex_py_spark.streaming.ingest import enriched_windowed_counts
+
+    t0 = dt.datetime(2026, 3, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=6 * i), i % 3, "view", 1.0, "")
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    dim = spark.createDataFrame(
+        [(0, 100), (1, 200), (2, 200)], "user_id long, segment long"
+    )
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    ev.coalesce(2).write.parquet(src)
+    enriched_windowed_counts(spark, src, sink, ckpt, dim)
+    spark.createDataFrame([], ev.schema).coalesce(1).write.mode("append").parquet(src)
+    enriched_windowed_counts(spark, src, sink, ckpt, dim)
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["win_start", "segment"])
+        .reset_index(drop=True)
+    )
+    wm = max(r[1] for r in rows) - dt.timedelta(days=2)
+    from collections import Counter
+
+    cnt = Counter()
+    for _, ts, uid, *_ in rows:
+        ws = ts.replace(hour=0, minute=0, second=0)
+        if ws + dt.timedelta(days=1) <= wm:
+            cnt[(ws, 100 if uid == 0 else 200)] += 1
+    assert len(got) == len(cnt)
+    for row in got.itertuples():
+        assert cnt[(row.win_start.to_pydatetime(), row.segment)] == row.n_events
+
+
+def test_json_field_stats_malformed_and_missing(spark):
+    """Typed JSON extraction: valid values aggregate; malformed JSON and
+    missing fields count as n_null, never dropped."""
+    from greenex_py_spark.functions.semistructured import json_field_stats
+
+    rows = [
+        ("a", '{"k": 5}'), ("a", '{"k": -2}'), ("a", '{"j": 9}'),
+        ("a", "not json"), ("b", '{"k": 10}'), ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    got = json_field_stats(df).toPandas().set_index("grp")
+    assert got.loc["a"].n == 4 and got.loc["a"].n_null == 2
+    assert got.loc["a"].sum_k == 3 and got.loc["a"].min_k == -2 and got.loc["a"].max_k == 5
+    assert got.loc["b"].n == 2 and got.loc["b"].n_null == 1 and got.loc["b"].sum_k == 10
+
+
+def test_mase_seasonal_naive_hand_series(spark):
+    """MASE on a constructed weekly-periodic series: seasonal-naive
+    error 0 → MASE 0; on a constant series naive error 0 → NULL."""
+    from greenex_py_spark.functions.timeseries import mase_seasonal_naive
+
+    periodic = [(("p"), t, (t % 7) * 10) for t in range(21)]
+    constant = [(("c"), t, 5) for t in range(21)]
+    ramp = [(("r"), t, t) for t in range(21)]
+    df = spark.createDataFrame(periodic + constant + ramp, "g string, t long, y long")
+    got = mase_seasonal_naive(df).toPandas().set_index("series")
+    assert got.loc["p"].sae_seasonal == 0 and got.loc["p"].mase == 0.0
+    assert pd.isna(got.loc["c"].mase)  # naive error 0 -> undefined
+    # ramp: seasonal |y_t - y_{t-7}| = 7 each (14 terms), naive = 1 each (20)
+    assert got.loc["r"].sae_seasonal == 7 * 14 and got.loc["r"].sae_naive == 20
+    assert got.loc["r"].mase == (7 * 14 / 14) / (20 / 20)
+
+
+def test_dq_check_null_is_violation(spark):
+    """dq_check counts true and NULL violation predicates, passes only
+    at zero violations."""
+    from greenex_py_spark.functions.audit import dq_check
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (-1.0,), (None,)], "value double"
+    )
+    got = dq_check(
+        df, F.col("value").isNull() | ~(F.col("value") >= 0.0), "nonneg"
+    ).toPandas().iloc[0]
+    assert got.n_total == 4 and got.n_violations == 2 and not got["pass"]
+    ok = dq_check(df.filter(F.col("value") > 0), ~(F.col("value") >= 0.0), "ok")
+    row = ok.toPandas().iloc[0]
+    assert row.n_violations == 0 and row["pass"]
+
+
+def test_equidepth_histogram_exact_depths(spark):
+    """Buckets differ by at most one in depth, cover min..max, and
+    match a NumPy rank computation on a skewed input."""
+    from greenex_py_spark.functions.sketches import equidepth_histogram
+
+    vals = [0] * 50 + list(range(1, 31))  # heavy duplication at 0
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, s long")
+    got = equidepth_histogram(df, "v", "s", n_buckets=8).toPandas().sort_values("bucket")
+    assert list(got.bucket) == list(range(8))
+    assert got.n.sum() == len(vals)
+    assert got.n.max() - got.n.min() <= 1
+    order = sorted(rows)
+    for b, grp in enumerate(np.array_split(np.array([v for v, _ in order]), 8)):
+        row = got[got.bucket == b].iloc[0]
+        assert row.lo == grp.min() and row.hi == grp.max() and row.n == len(grp)
+
+
+def test_rolling_median_hand_series(spark):
+    """Rolling lower-median matches a NumPy recomputation including the
+    warm-up partial windows, and one spike day cannot move it."""
+    from greenex_py_spark.functions.timeseries import rolling_median
+
+    ys = [5, 5, 5, 1000, 5, 5, 5, 5, 5, 5]
+    df = spark.createDataFrame(
+        [("a", t, y) for t, y in enumerate(ys)], "g string, t long, y long"
+    )
+    got = rolling_median(df, window=7).toPandas().sort_values("t")
+    for row in got.itertuples():
+        winvals = sorted(ys[max(0, row.t - 6): row.t + 1])
+        assert row.n_win == len(winvals)
+        assert row.roll_median == winvals[(len(winvals) + 1) // 2 - 1]
+    assert (got.roll_median == 5).all()  # the spike never wins
+
+
+def test_rfm_segments_hand_check(spark, sf_dir):
+    """RFM scores are 1..5 equi-depth tiles consistent with a pandas
+    rank recomputation; segment concatenates the three scores."""
+    from greenex_py_spark.operators.funnel import rfm_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = rfm_segments(ev).toPandas().sort_values("user_id").reset_index(drop=True)
+    p = ev.filter(F.col("event_type") == "purchase").toPandas()
+    p["d"] = p.ts.dt.floor("D")
+    p["cents"] = (p.value * 100.0).round().astype("int64")
+    base = p.groupby("user_id").agg(
+        last_d=("d", "max"), frequency=("d", "size"), monetary=("cents", "sum")
+    ).reset_index()
+    ref = base.last_d.max()
+    base["recency_days"] = (ref - base["last_d"]).dt.days
+    n = len(base)
+    assert len(got) == n
+
+    def tiles(df, col, asc):
+        o = df.sort_values([col, "user_id"], ascending=[asc, True]).reset_index()
+        return {
+            int(r.user_id): 5 - (i * 5) // n for i, r in o.iterrows()
+        }
+
+    rt = tiles(base, "recency_days", True)
+    ft = tiles(base, "frequency", False)
+    mt = tiles(base, "monetary", False)
+    for row in got.itertuples():
+        u = int(row.user_id)
+        assert (row.r_score, row.f_score, row.m_score) == (rt[u], ft[u], mt[u])
+        assert row.segment == f"{rt[u]}{ft[u]}{mt[u]}"
+        assert 1 <= row.r_score <= 5
+
+
+def test_stream_merge_apply_two_batches_and_idempotent_replay(spark, tmp_path):
+    """foreachBatch MERGE: two disjoint-key CDC files apply in sequence
+    to the snapshot; a re-drain with the same checkpoint is a no-op
+    (exactly-once), and a NEW file after that still applies."""
+    from greenex_py_spark.streaming.upsert import stream_merge_apply
+
+    src, table, ckpt = (str(tmp_path / d) for d in ("src", "table", "ckpt"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    ).write.parquet(table)
+    schema = "doc_id long, status string, text string"
+    spark.createDataFrame(
+        [(2, "updated", "B"), (5, "added", "e")], schema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(3, "deleted", None)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream_merge_apply(spark, src, table, ckpt, schema)
+    got = spark.read.parquet(table).toPandas().sort_values("doc_id")
+    assert list(got.doc_id) == [1, 2, 4, 5]
+    assert list(got.text) == ["a", "B", "d", "e"]
+    # replay with the same checkpoint: nothing re-applies
+    stream_merge_apply(spark, src, table, ckpt, schema)
+    again = spark.read.parquet(table).toPandas().sort_values("doc_id")
+    assert list(again.text) == ["a", "B", "d", "e"]
+    # a genuinely new batch still lands
+    spark.createDataFrame(
+        [(1, "deleted", None)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream_merge_apply(spark, src, table, ckpt, schema)
+    final = spark.read.parquet(table).toPandas().sort_values("doc_id")
+    assert list(final.doc_id) == [2, 4, 5]
+
+
+def test_grouped_median_mad_hand_case(spark):
+    """Median/MAD match NumPy's lower-median on even and odd group
+    sizes, and an outlier moves neither."""
+    from greenex_py_spark.functions.stats import grouped_median_mad
+
+    rows = [("a", v) for v in [1, 3, 5, 7, 1000]]   # med 5, |d|=[4,2,0,2,995] -> mad 2
+    rows += [("b", v) for v in [10, 20, 30, 40]]    # lower med 20, |d|=[10,0,10,20] -> mad 10
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = grouped_median_mad(df, "grp", "v").toPandas().set_index("grp")
+    assert got.loc["a", "n"] == 5 and got.loc["a", "median"] == 5
+    assert got.loc["a", "mad"] == 2
+    assert got.loc["b", "n"] == 4 and got.loc["b", "median"] == 20
+    assert got.loc["b", "mad"] == 10
+
+
+def test_theil_sen_trend_hand_cases(spark):
+    """Exact line -> exact slope/intercept regardless of one outlier;
+    matches a NumPy median-of-pairwise-slopes recomputation."""
+    from greenex_py_spark.functions.stats import theil_sen_trend
+
+    pts = [(t, 3 * t + 7) for t in range(10)]
+    df = spark.createDataFrame(pts, "t long, y long")
+    r = theil_sen_trend(df).toPandas().iloc[0]
+    assert r.slope == 3.0 and r.intercept == 7.0
+    assert r.n_points == 10 and r.n_pairs == 45
+    # outlier at t=5 barely moves the median slope
+    pts2 = [(t, 3 * t + 7 + (500 if t == 5 else 0)) for t in range(10)]
+    df2 = spark.createDataFrame(pts2, "t long, y long")
+    r2 = theil_sen_trend(df2).toPandas().iloc[0]
+    slopes = sorted(
+        ((y2 - y1) / (t2 - t1), t1, t2)
+        for i, (t1, y1) in enumerate(pts2)
+        for (t2, y2) in pts2[i + 1:]
+    )
+    exp = slopes[(len(slopes) + 1) // 2 - 1][0]
+    assert r2.slope == exp
