@@ -12559,6 +12559,222 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_order_count_dist — TPC-H Q13 shape (outer-join count distribution)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_order_count_dist",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a join-side predicate (priority excluded INSIDE the join,
+    so zero-order customers survive with c_count = 0), then the
+    aggregate-of-an-aggregate histogram.  Exercises the outer-join
+    null-preserving count path Q3/Q5 shapes never touch.  At 100 TB
+    both aggregations are partial-agg friendly; the second groupBy's
+    key space is tiny (max orders per customer) so the final shuffle
+    is negligible."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q_large_orders — TPC-H Q18 shape (group-having semi join on the fact side)
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 300
+
+
+@register(
+    "q_large_orders",
+    f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {_Q18_QTY}
+)
+SELECT c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS totalprice_cents,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING-thresholded
+    aggregate of the fact table used as a SEMI filter back onto the
+    same fact — the group-then-rejoin pattern where the aggregate's
+    key set (orders over {_Q18_QTY} units) is tiny, so Spark/AQE can
+    broadcast it against lineitem instead of re-shuffling the fact.
+    Quantities in the fixture are integral doubles; they are cast to
+    int64 BEFORE summing so threshold and output are exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    return (
+        o.join(F.broadcast(big), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+                "totalprice_cents"
+            ),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_top_supplier — TPC-H Q15 shape (aggregate view + global-max select)
+# ---------------------------------------------------------------------------
+
+_Q15_LO, _Q15_HI = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q_top_supplier",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+    AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue view + select
+    the rows equal to the view's own global max — the scalar-subquery-
+    on-an-aggregate pattern.  The engine computes the max with an
+    unpartitioned window over the ALREADY-AGGREGATED dim-sized frame
+    (100 suppliers, one task) instead of a join-back, so the expensive
+    fact scan is evaluated exactly once (no-CSE rule, CLAUDE.md).
+    Cent-exact revenue makes 'equals max' deterministic — the FP-sum
+    tie hazard the official query carries is engineered out."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= _Q15_LO) & (F.col("l_shipdate") < _Q15_HI)
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("revenue_cents"))
+    mx = F.max("revenue_cents").over(Window.partitionBy())
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.withColumn("mx", mx)
+        .filter(F.col("revenue_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_returned_revenue — TPC-H Q10 shape (returned-item revenue top 20)
+# ---------------------------------------------------------------------------
+
+_Q10_LO, _Q10_HI = "1998-01-01", "1998-04-01"
+
+
+@register(
+    "q_returned_revenue",
+    f"""
+WITH g AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+    AND o.o_orderdate < TIMESTAMP '{_Q10_HI}'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT c_custkey, c_name, n_name, revenue_cents
+FROM (SELECT *, row_number() OVER (ORDER BY revenue_cents DESC, c_custkey)
+             AS rn FROM g)
+WHERE rn <= 20
+""",
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter-windowed
+    customer⋈orders⋈lineitem restricted to returned lines, revenue per
+    customer with the nation dim broadcast, exact top-20.  The date and
+    returnflag predicates push into both parquet scans; ranking runs
+    over the already-aggregated per-customer frame (≤ |customer| rows)
+    so the single-task top-k window is dim-sized, not fact-sized."""
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= _Q10_LO) & (F.col("o_orderdate") < _Q10_HI)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    g = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against
