@@ -1993,6 +1993,30 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_kmeans"] = _kmeans_oracle()
 
 
+def _silhouette_oracle() -> str:
+    from .functions.clustering import silhouette_oracle_sql
+
+    return silhouette_oracle_sql(k=4, iters=2, dim=_embedding_dim())
+
+
+@register("q_silhouette", None)  # oracle attached below (generated SQL)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the q_kmeans
+    clustering — the O(n·k) cluster-quality eval (a = own-centroid
+    distance, b = second-nearest, s = 1 − a/b) with per-point 1e-9
+    int-quantization before the per-cluster mean so FP summation order
+    can never move the rounded score.  Completes the clustering family
+    with its evaluation metric, sharing the Lloyd CTE chain with the
+    q_kmeans oracle so the two cannot drift."""
+    from .functions.clustering import simplified_silhouette
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simplified_silhouette(emb, k=4, iters=2)
+
+
+ORACLES["q_silhouette"] = _silhouette_oracle()
+
+
 # clone-augmented corpus shared by q_embedding_neardup / q_semdedup:
 # every vec_id < 100 gets a perturbed twin at vec_id + 1e6 (first
 # coordinate +0.05) so a planted near-dup structure exists at every SF
@@ -12772,6 +12796,444 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("c_custkey", "c_name", "n_name", "revenue_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_patch_sizes — connected-component patch-size distribution (FRAGSTATS)
+# ---------------------------------------------------------------------------
+
+
+def _patch_sizes_oracle(quant: float = 1e6) -> str:
+    npx = city.NPX
+    x = f"{city.X0} + ((i % {npx}) + 0.5) * {city.RES}"
+    y = f"{city.Y0} + ((i // {npx}) + 0.5) * {city.RES}"
+    q = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(px_x=x, px_y=y)
+        + f") * {quant}) AS BIGINT)"
+    )
+    # closed-form component key: sin(x/500) keeps one sign per
+    # half-period u = floor(x/(500π)), cos(y/500) per
+    # v = floor((y+250π)/(500π)); the quantized product is > 0 only
+    # where u+v is even, and each such (u,v) box holds exactly ONE
+    # 4-connected patch (superlevel set of a product of functions
+    # single-signed on the box) — verified against an independent BFS
+    # flood fill in tests/test_operators.test_patch_sizes_random_masks
+    # (generic masks) and at pin time for this fixture.  The ENGINE
+    # never sees this closed form: it runs the generic tile-CCL merge.
+    return f"""
+WITH g AS (
+  SELECT CAST(floor(({x}) / (500.0 * pi())) AS BIGINT) AS u,
+         CAST(floor((({y}) + 250.0 * pi()) / (500.0 * pi())) AS BIGINT) AS v
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  WHERE ({q}) > 0
+),
+patches AS (SELECT u, v, CAST(count(*) AS BIGINT) AS patch_px
+            FROM g GROUP BY u, v)
+SELECT patch_px, CAST(count(*) AS BIGINT) AS n_patches
+FROM patches GROUP BY patch_px
+"""
+
+
+@register("q_patch_sizes", None)  # generated oracle attached below
+def q_patch_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-size distribution of the green mask (quantized NDVI > 0)
+    by GENERIC distributed connected-component labelling: tile-local
+    run-length union-find (one mapInPandas, labels = min global pixel
+    index), border-pixel groupBy stitching (edges bounded by border
+    length), global merge through the adaptive component solver shared
+    with dissolve.  Completes the FRAGSTATS triple (q_euler_green
+    topology, q_edge_density perimeter, per-patch AREA here) — the
+    mean-patch-size / largest-patch-index inputs of landscape-ecology
+    fragmentation.  The oracle keys each patch by its closed-form
+    sign-box of the periodic fixture field; the engine never sees that
+    shortcut."""
+    from .operators.patches import patch_size_histogram
+
+    return patch_size_histogram(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+ORACLES["q_patch_sizes"] = _patch_sizes_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_ktruss — k-truss cohesion backbone of the host graph
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 6  # measured peeling depth ≤ 2 at every SF; 3× margin
+                    # (over-unrolling is idempotent once converged)
+
+
+def _ktruss_oracle() -> str:
+    from .functions.graph import ktruss_oracle_tail
+
+    return (
+        "WITH "
+        + _LINK_GRAPH_CTE
+        + """,
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM r WHERE src_host <> dst_host
+),
+"""
+        + ktruss_oracle_tail("e0", k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+    )
+
+
+@register("q_ktruss", None)  # generated oracle attached below
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-truss of the undirected host graph: the maximal subgraph
+    where every edge closes ≥ {k}−2 triangles inside it, each
+    surviving edge reported with its in-truss support — the
+    community-backbone filter one notch above q_kcore (vertex degree)
+    and q_triangles (global count).  The engine peels with
+    once-per-triangle oriented enumeration (Suri–Vassilvitskii
+    out-degree bound); the oracle peels the SAME fixpoint with the
+    naive |N(a)∩N(b)| join, unrolled past the measured depth —
+    structurally independent formulations of every round."""
+    from .functions.graph import ktruss_edges
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return ktruss_edges(
+        edges, k=_KTRUSS_K, src_col="src_host", dst_col="dst_host"
+    )
+
+
+ORACLES["q_ktruss"] = _ktruss_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_kruskal — Kruskal–Wallis rank-sum omnibus test across sources
+# ---------------------------------------------------------------------------
+
+
+def _kruskal_oracle() -> str:
+    from .functions.stats import kruskal_wallis_sql
+
+    return kruskal_wallis_sql("documents", "source", "n_chars")
+
+
+@register("q_kruskal", None)  # generated oracle attached below
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across sources on document length — the
+    rank-based omnibus shift test beside q_anova (means), q_welch_ttest
+    (two-sample), q_ks_test (sup-distance) and q_js_divergence
+    (distributional).  Ranks come off a value histogram (doubled
+    average ranks stay integer), per-group H terms 1e-6-quantize
+    before the cross-group sum, and the tie correction is exact
+    integer arithmetic — no per-row rank materialization anywhere."""
+    from .functions.stats import kruskal_wallis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kruskal_wallis(docs, "source", "n_chars")
+
+
+ORACLES["q_kruskal"] = _kruskal_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_nation_volume / q_market_share — TPC-H Q7/Q8 shapes
+# ---------------------------------------------------------------------------
+
+# pair chosen bilateral (rows in BOTH directions) at every SF
+_Q7_N1, _Q7_N2 = "NATION_12", "NATION_13"
+
+
+@register(
+    "q_nation_volume",
+    f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = '{_Q7_N1}' AND cn.n_name = '{_Q7_N2}')
+    OR (sn.n_name = '{_Q7_N2}' AND cn.n_name = '{_Q7_N1}'))
+GROUP BY sn.n_name, cn.n_name, l_year
+""",
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by ship year — the disjunctive cross-dimension predicate
+    over a 4-way fact join with BOTH nation dims broadcast.  The OR
+    pair filter applies after the dim joins (it references both
+    sides), but each dim join itself prunes to the two named nations
+    first — the selective-dim pushdown AQE relies on at 100 TB."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin(_Q7_N1, _Q7_N2)
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_3", "EUROPE", "PROMO"
+
+
+@register(
+    "q_market_share",
+    f"""
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+              AS BIGINT) AS cents,
+         sn.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_TYPE}'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN cents ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN cents
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE) + 0.0, 6) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's slice of a
+    region's market for one part type, by order year — the
+    conditional-sum-ratio pattern (sum(CASE)/sum) over a 7-way star.
+    Both numerator and denominator stay exact int64 cents; the single
+    double division is the same IEEE expression in both engines."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == _Q8_TYPE
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    cn = nat.select(F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_regionkey").alias("cn_reg"))
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    vol = (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("cn_reg"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    nat_cents = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, F.col("cents")).otherwise(0)
+    )
+    return vol.groupBy("o_year").agg(
+        nat_cents.cast("long").alias("nation_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.round(
+            nat_cents.cast("double") / F.sum("cents").cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_session — NATIVE session_window streaming aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_session",
+    """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g
+), sess AS (
+  SELECT user_id, sess_no,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+  FROM s GROUP BY user_id, sess_no
+), wm AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM events)
+SELECT strftime(st, '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+       strftime(en, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+       user_id, n_events
+FROM sess, wm WHERE en <= w
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN ``session_window`` streaming aggregate (vs the
+    custom applyInPandasWithState sessionizer of q_sessionize_stream):
+    two AvailableNow drains (the empty delta advances the watermark
+    and flushes closed sessions), append mode — a session reaches the
+    sink iff its end (last event + gap) ≤ final watermark.  NOTE the
+    native merge rule differs from the batch sessionizer at the exact
+    boundary: windows merge only when they strictly OVERLAP, so a gap
+    of exactly 30 min starts a NEW session (oracle uses ``>=`` where
+    q_sessionize uses ``>``)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import session_window_counts
+    from .streaming.sessionize import EVENT_SCHEMA
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"q_stream_session_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(8).write.parquet(src)
+    session_window_counts(spark, src, sink, ckpt)
+    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    session_window_counts(spark, src, sink, ckpt)
+    return spark.read.parquet(sink).select(
+        F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "sess_start"
+        ),
+        F.date_format("sess_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "sess_end"
+        ),
+        "user_id", "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_trimmed_mean — robust per-source location (symmetric 10% trim)
+# ---------------------------------------------------------------------------
+
+
+def _trimmed_mean_oracle() -> str:
+    from .functions.stats import trimmed_mean_sql
+
+    return trimmed_mean_sql("documents", "source", "n_chars", trim_pct=10)
+
+
+@register("q_trimmed_mean", None)  # generated oracle attached below
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 10%-trimmed mean of document length — the robust
+    location estimate beside q_mad's median/MAD: the ⌊n/10⌋ shortest
+    and longest docs per source drop before the mean.  Value-histogram
+    shape (one shuffle keyed by (source, value), per-GROUP cumulative
+    window); the kept mass per value is an exact integer interval
+    overlap, the numerator an exact int64."""
+    from .functions.stats import trimmed_mean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return trimmed_mean(docs, "source", "n_chars", trim_pct=10)
+
+
+ORACLES["q_trimmed_mean"] = _trimmed_mean_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_harmonic — harmonic centrality of the host graph
+# ---------------------------------------------------------------------------
+
+_HARMONIC_ROUNDS = 6  # min-plus doubling reaches diameter 2^6 = 64;
+                      # the planted host graph's diameter is far below
+                      # (over-unrolling is idempotent once converged)
+
+
+def _harmonic_oracle() -> str:
+    from .functions.graph import harmonic_oracle_tail
+
+    return (
+        "WITH "
+        + _LINK_GRAPH_CTE
+        + """,
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM r WHERE src_host <> dst_host
+),
+"""
+        + harmonic_oracle_tail("e0", rounds=_HARMONIC_ROUNDS)
+    )
+
+
+@register("q_harmonic", None)  # generated oracle attached below
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality per host (Σ 1/d to every reachable
+    host) — the disconnection-robust closeness, completing the
+    host-graph centrality family (PageRank/TrustRank/HITS/k-core/
+    k-truss).  All-pairs min-plus DOUBLING (⌈log₂ diam⌉ rounds, never
+    diam sweeps) on the dim-sized host graph; a billion-node webgraph
+    would swap in HyperBall sketches (documented in
+    functions/graph.py).  Each 1/d is the same IEEE double both
+    sides, 1e-9-quantized before the integer sum."""
+    from .functions.graph import harmonic_centrality
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return harmonic_centrality(
+        edges, src_col="src_host", dst_col="dst_host",
+        max_rounds=_HARMONIC_ROUNDS,
+    )
+
+
+ORACLES["q_harmonic"] = _harmonic_oracle()
 
 
 # ---------------------------------------------------------------------------

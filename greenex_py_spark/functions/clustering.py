@@ -51,71 +51,43 @@ def kmeans_fit_predict(
     v = df.select(
         id_col, F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("v")
     )
-    cents = v.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    cents = _lloyd_centroids(v, k, iters, id_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cid").asc())
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _sqdist(F.col("v"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("cid").alias("cluster"))
     )
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cid").asc())
-        return (
-            v.crossJoin(F.broadcast(cents_df))
-            .withColumn("_d", _sqdist(F.col("v"), F.col("cv")))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "cid", "v")
-        )
 
-    for _ in range(iters):
-        asg = assign(cents)
-        dims = asg.select("cid", F.posexplode("v").alias("pos", "val"))
-        upd = (
-            dims.groupBy("cid", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("cval"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda s: s["cval"],
-                ).alias("cv_new")
-            )
-        )
-        cents = (
-            cents.join(upd, "cid", "left")
-            .select("cid", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
-            # k rows — truncate lineage per round or Catalyst re-analysis
-            # grows super-linearly with iters (same failure mode the CC
-            # loop hit; BENCH/SCALE_AUDIT.md)
-            .localCheckpoint()
-        )
-    return assign(cents).select(id_col, F.col("cid").alias("cluster"))
+# shared round-6 squared-distance expression of the oracle chain
+_SQ = (
+    "round(list_sum(list_transform(list_zip(v.v, c.cv), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+)
 
 
-def kmeans_oracle_sql(
-    k: int = 4, iters: int = 2, dim: int = 64, table: str = "embeddings"
-) -> str:
-    """The identical quantized Lloyd rounds as one DuckDB SQL string
-    (CTE per round, unrolled) — exact-match oracle for
-    :func:`kmeans_fit_predict`."""
-    sq = (
-        "round(list_sum(list_transform(list_zip(v.v, c.cv), "
-        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
-        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
-    )
-
-    def assign_cte(name: str, cents: str) -> str:
-        return f"""{name} AS (
+def _assign_cte(name: str, cents: str) -> str:
+    return f"""{name} AS (
   SELECT vec_id, cid, v FROM (
     SELECT v.vec_id, c.cid, v.v,
-           row_number() OVER (PARTITION BY v.vec_id ORDER BY {sq} ASC, c.cid ASC) AS rn
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_SQ} ASC, c.cid ASC) AS rn
     FROM v, {cents} c) WHERE rn = 1
 )"""
 
+
+def _lloyd_ctes(k: int, iters: int, dim: int, table: str) -> list[str]:
+    """The quantized Lloyd rounds as a CTE chain ending at ``c{iters}``
+    (final centroids) — shared by the kmeans and silhouette oracles."""
     parts = [
         f"WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v FROM {table})",
         f"c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {k})",
     ]
     for it in range(iters):
-        parts.append(assign_cte(f"a{it}", f"c{it}"))
+        parts.append(_assign_cte(f"a{it}", f"c{it}"))
         parts.append(
             f"""d{it} AS (
   SELECT cid, i.range AS pos, round(avg(v[i.range]), 6) AS cval
@@ -131,5 +103,133 @@ def kmeans_oracle_sql(
   FROM c{it} c LEFT JOIN u{it} u ON u.cid = c.cid
 )"""
         )
-    parts.append(assign_cte("afinal", f"c{iters}"))
+    return parts
+
+
+def kmeans_oracle_sql(
+    k: int = 4, iters: int = 2, dim: int = 64, table: str = "embeddings"
+) -> str:
+    """The identical quantized Lloyd rounds as one DuckDB SQL string
+    (CTE per round, unrolled) — exact-match oracle for
+    :func:`kmeans_fit_predict`."""
+    parts = _lloyd_ctes(k, iters, dim, table)
+    parts.append(_assign_cte("afinal", f"c{iters}"))
     return ",\n".join(parts) + "\nSELECT vec_id, cid AS cluster FROM afinal"
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[cluster, n_points, mean_sil] — simplified (centroid-based)
+    silhouette of the quantized k-means clustering: per point
+    a = ‖x − own centroid‖, b = min over OTHER centroids, and since
+    b ≥ a always, s = (b − a)/max(a, b) = 1 − a/b (0 when b = 0).
+    The O(n·k) centroid-distance form of the O(n²) silhouette — the
+    only variant a 100 TB corpus can afford (scikit-learn's
+    "simplified silhouette"; Hruschka et al. 2004).
+
+    Determinism: a and b are sqrt of the SAME round-6 squared
+    distances the assignment ranks on (sqrt is correctly-rounded IEEE
+    — bit-identical across engines); each point's s quantizes to
+    1e-9-int BEFORE the per-cluster mean so summation order can never
+    move the rounded result (the outlink-entropy convention)."""
+    v = df.select(
+        id_col, F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("v")
+    )
+    cents = _lloyd_centroids(v, k, iters, id_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cid").asc())
+    top2 = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _sqdist(F.col("v"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("cid"))).alias("cluster"),
+            F.sqrt(F.max(F.when(F.col("_rn") == 1, F.col("_d")))).alias("a"),
+            F.sqrt(F.max(F.when(F.col("_rn") == 2, F.col("_d")))).alias("b"),
+        )
+    )
+    s = F.when(F.col("b") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.col("b")
+    )
+    q = top2.select("cluster", F.floor(s * 1e9 + F.lit(0.5)).cast("long").alias("sq"))
+    return q.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(
+            F.sum("sq").cast("double") / F.count(F.lit(1)) / 1e9 + F.lit(0.0), 6
+        ).alias("mean_sil"),
+    )
+
+
+def _lloyd_centroids(v: DataFrame, k: int, iters: int, id_col: str) -> DataFrame:
+    """[cid, cv] — final centroids after ``iters`` quantized rounds
+    (the loop body of :func:`kmeans_fit_predict`, shared)."""
+    cents = v.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cid").asc())
+    for _ in range(iters):
+        asg = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("_d", _sqdist(F.col("v"), F.col("cv")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cid", "v")
+        )
+        dims = asg.select("cid", F.posexplode("v").alias("pos", "val"))
+        upd = (
+            dims.groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv_new")
+            )
+        )
+        cents = (
+            cents.join(upd, "cid", "left")
+            .select("cid", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
+            .localCheckpoint()  # lineage cap per round (CLAUDE.md)
+        )
+    return cents
+
+
+def silhouette_oracle_sql(
+    k: int = 4, iters: int = 2, dim: int = 64, table: str = "embeddings"
+) -> str:
+    """Exact-match oracle for :func:`simplified_silhouette` — the
+    shared Lloyd CTE chain plus a rank-≤2 distance pivot."""
+    parts = _lloyd_ctes(k, iters, dim, table)
+    parts.append(
+        f"""sil AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+         sqrt(max(CASE WHEN rn = 1 THEN d END)) AS a,
+         sqrt(max(CASE WHEN rn = 2 THEN d END)) AS b
+  FROM (SELECT v.vec_id, c.cid, {_SQ} AS d,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {_SQ} ASC, c.cid ASC) AS rn
+        FROM v, c{iters} c) WHERE rn <= 2
+  GROUP BY vec_id
+)""",
+        )
+    parts.append(
+        """q AS (
+  SELECT cluster,
+         CAST(floor((CASE WHEN b = 0 THEN 0.0 ELSE (b - a) / b END)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM sil
+)""",
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT cluster, CAST(count(*) AS BIGINT) AS n_points,"
+        + "\n       round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000000.0 + 0.0, 6)"
+        + " AS mean_sil\nFROM q GROUP BY cluster"
+    )

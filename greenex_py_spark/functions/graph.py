@@ -836,3 +836,268 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """[a, b, support] — the k-truss of the undirected simple graph:
+    the maximal subgraph in which every edge closes ≥ k−2 triangles
+    WITHIN the subgraph, each surviving edge reported with its final
+    in-truss support.  The cohesion filter one notch above k-core
+    (every k-truss edge sits in the (k−1)-core, not vice versa) —
+    the standard community-backbone extractor on webgraphs.
+
+    Peeling as a monotone fixpoint on EDGES: support only falls as
+    edges drop, so a removed edge never re-qualifies, and all sub-k
+    edges drop simultaneously per round (rounds = peeling depth).
+    Per-round support counting enumerates each triangle exactly ONCE
+    via the (degree, id) orientation (the Suri–Vassilvitskii bound
+    shared with :func:`triangle_stats`: oriented out-degree is
+    O(sqrt(m)), so the pivot join's fan-out stays polynomial at
+    webgraph scale), then explodes the 3 member edges and counts —
+    never the naive |N(a) ∩ N(b)| join the DuckDB oracle runs.
+    ``localCheckpoint`` per round caps plan lineage (CLAUDE.md).
+    """
+    t = k - 2
+    alive = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = alive.count()
+
+    def supports(und: DataFrame) -> DataFrame:
+        """[a, b, support] — per-edge triangle count, each triangle
+        enumerated once at its orientation source."""
+        both = und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        d1 = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+        d2 = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
+        o = (
+            und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .join(d1, "u").join(d2, "v")
+            .select(
+                F.when(
+                    (F.col("du") < F.col("dv"))
+                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                    F.struct(
+                        F.col("u").alias("x"), F.col("v").alias("y"),
+                        F.col("dv").alias("yd"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.col("v").alias("x"), F.col("u").alias("y"),
+                        F.col("du").alias("yd"),
+                    )
+                )
+                .alias("e")
+            )
+            .select("e.x", "e.y", "e.yd")
+        ).localCheckpoint()  # three consumers below (no-CSE rule)
+        w1 = o.select(
+            F.col("x"), F.col("y").alias("p"), F.col("yd").alias("pd")
+        )
+        w2 = o.select(
+            F.col("x"), F.col("y").alias("q"), F.col("yd").alias("qd")
+        )
+        wedges = w1.join(w2, "x").filter(
+            (F.col("pd") < F.col("qd"))
+            | ((F.col("pd") == F.col("qd")) & (F.col("p") < F.col("q")))
+        )
+        tri = wedges.join(
+            o.select(F.col("x").alias("p"), F.col("y").alias("q")),
+            ["p", "q"],
+        )
+        mem = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "p").alias("a"),
+                        F.greatest("x", "p").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("x", "q").alias("a"),
+                        F.greatest("x", "q").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("p", "q").alias("a"),
+                        F.greatest("p", "q").alias("b"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+        return mem.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+
+    for _ in range(max_rounds):
+        nxt = (
+            supports(alive)
+            .filter(F.col("support") >= t)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        m = nxt.count()
+        if m == n:
+            break
+        alive, n = nxt, m
+        if m == 0:
+            break
+    return supports(alive).filter(F.col("support") >= t)
+
+
+def ktruss_oracle_tail(e0: str, k: int, rounds: int) -> str:
+    """CTE chain peeling ``e0 (a, b)`` to the k-truss by the NAIVE
+    common-neighbour count (|N(a) ∩ N(b)| join — deliberately a
+    different formulation than the engine's oriented enumeration),
+    unrolled ``rounds`` times (idempotent once converged, so
+    over-unrolling is safe; callers must over-provision vs the
+    measured peeling depth).  Returns the tail to append after the
+    CTE defining ``e0``."""
+    t = k - 2
+    parts = []
+    for i in range(rounds):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT a, b FROM e{i} "
+            f"UNION ALL SELECT b AS a, a AS b FROM e{i})"
+        )
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN n{i} x ON x.a = e.a
+  JOIN n{i} y ON y.a = e.b AND y.b = x.b
+  GROUP BY e.a, e.b HAVING count(*) >= {t}
+)"""
+        )
+    parts.append(
+        f"nf AS MATERIALIZED (SELECT a, b FROM e{rounds} "
+        f"UNION ALL SELECT b AS a, a AS b FROM e{rounds})"
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+FROM e{rounds} e
+JOIN nf x ON x.a = e.a
+JOIN nf y ON y.a = e.b AND y.b = x.b
+GROUP BY e.a, e.b"""
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """[node, n_reachable, harmonic] — exact harmonic centrality of
+    the undirected simple graph: H(u) = Σ_{v≠u, reachable} 1/d(u,v) —
+    the closeness variant that stays meaningful on disconnected
+    webgraphs (unreachable pairs contribute 0 instead of poisoning the
+    mean).
+
+    All-pairs distances by MIN-PLUS DOUBLING: D ← min(D, D ⊕ D) per
+    round, so reach doubles and convergence takes ⌈log₂ diam⌉ rounds
+    of one self-join + one min-agg (``localCheckpoint`` per round),
+    never diam sequential sweeps.  The all-pairs table is |V|² at
+    worst — the HOST graph is a dim table (hosts ≪ documents, the same
+    dim-sized argument as dissolve's driver union-find); a
+    billion-node webgraph would swap this for HyperBall/HLL
+    neighbourhood sketches, which is an approximation with a different
+    contract.  Each 1/d term is the same IEEE double in both engines,
+    1e-9-quantized before the per-node integer sum (the
+    outlink-entropy convention)."""
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    d = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .withColumn("d", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    n = d.count()
+    s = d.agg(F.sum("d")).collect()[0][0]
+    for _ in range(max_rounds):
+        l = d.select(F.col("u"), F.col("v").alias("m"), F.col("d").alias("d1"))
+        r = d.select(F.col("u").alias("m"), F.col("v"), F.col("d").alias("d2"))
+        ext = (
+            l.join(r, "m")
+            .filter(F.col("u") != F.col("v"))
+            .select("u", "v", (F.col("d1") + F.col("d2")).alias("d"))
+        )
+        nd = (
+            d.unionByName(ext)
+            .groupBy("u", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        n2 = nd.count()
+        s2 = nd.agg(F.sum("d")).collect()[0][0]
+        d = nd
+        if n2 == n and s2 == s:
+            break
+        n, s = n2, s2
+    return d.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+        F.round(
+            F.sum(
+                F.floor((F.lit(1.0) / F.col("d").cast("double")) * 1e9
+                        + F.lit(0.5)).cast("long")
+            ).cast("double") / 1e9 + F.lit(0.0),
+            6,
+        ).alias("harmonic"),
+    )
+
+
+def harmonic_oracle_tail(e0: str, rounds: int) -> str:
+    """Min-plus-doubling CTE chain over ``e0 (a, b)`` — the DuckDB
+    twin of :func:`harmonic_centrality`, unrolled ``rounds`` times
+    (idempotent once converged; callers over-provision vs
+    ⌈log₂ diam⌉).  MATERIALIZED per round — DuckDB inlines CTEs by
+    default and the chain references each round twice."""
+    parts = [
+        f"""d0 AS MATERIALIZED (
+  SELECT a AS u, b AS v, CAST(1 AS BIGINT) AS d FROM {e0}
+  UNION ALL
+  SELECT b AS u, a AS v, CAST(1 AS BIGINT) AS d FROM {e0}
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+  SELECT u, v, min(d) AS d FROM (
+    SELECT u, v, d FROM d{i}
+    UNION ALL
+    SELECT l.u, r.v, l.d + r.d AS d
+    FROM d{i} l JOIN d{i} r ON l.v = r.u
+    WHERE l.u <> r.v
+  ) GROUP BY u, v
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS n_reachable,
+       round(CAST(sum(CAST(floor((1.0 / CAST(d AS DOUBLE)) * 1000000000.0
+                                 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 + 0.0, 6) AS harmonic
+FROM d{rounds} GROUP BY u"""
+    )

@@ -721,3 +721,185 @@ def theil_sen_trend(
             F.min("b").alias("intercept"),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One row [n_groups, n, h_stat, h_tie_corrected] — the
+    Kruskal–Wallis rank-sum omnibus test (does at least one group's
+    value distribution sit higher?), the nonparametric sibling of
+    ``anova_oneway`` that completes the shift-test family
+    (KS / Welch / ANOVA / JS-divergence).
+
+    Exactness: ranks never materialize per row.  Doubled average ranks
+    are integers (2·r̄(v) = 2·#smaller + #equal + 1), computed off a
+    VALUE HISTOGRAM — one shuffle keyed by value, one dim-sized
+    cumulative window over the distinct values (the zonal-quantile
+    trick), so the per-group rank sums R2ⱼ = Σ gcnt·2r̄ are exact
+    int64.  Each group's H term R2ⱼ²/(4nⱼ) is evaluated as the same
+    IEEE expression in both engines and 1e-6-quantized BEFORE the
+    cross-group sum (summation order can never move the rounded
+    statistic); the tie correction Σ(t³−t)/(N³−N) is exact integer
+    arithmetic until one final division.  H = 12·S/(N(N+1)) − 3(N+1),
+    tie-corrected H' = H/(1 − T/(N³−N)), both round-6 with the −0.0
+    flush."""
+    d = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    gv = d.groupBy("g", "v").agg(F.count(F.lit(1)).alias("gcnt"))
+    vc = gv.groupBy("v").agg(F.sum("gcnt").alias("cnt"))
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vr = vc.select(
+        "v", "cnt",
+        (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+         + F.col("cnt") + 1).alias("r2"),
+    )
+    grp = (
+        gv.join(vr, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("gcnt").alias("n_g"),
+            F.sum(F.col("gcnt") * F.col("r2")).alias("r2_sum"),
+        )
+    )
+    term = (
+        F.col("r2_sum").cast("double") * F.col("r2_sum").cast("double")
+        / (4.0 * F.col("n_g").cast("double"))
+    )
+    s = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.floor(term * 1e6 + F.lit(0.5)).cast("long")).alias("sq"),
+    )
+    ties = vc.agg(
+        (F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt"))
+         - F.sum("cnt")).cast("long").alias("t3t")
+    )
+    nn = F.col("n").cast("double")
+    h = (
+        12.0 * (F.col("sq").cast("double") / 1e6) / (nn * (nn + 1.0))
+        - 3.0 * (nn + 1.0)
+    )
+    corr = 1.0 - F.col("t3t").cast("double") / (nn * nn * nn - nn)
+    return s.crossJoin(F.broadcast(ties)).select(
+        "n_groups", "n",
+        F.round(h + F.lit(0.0), 6).alias("h_stat"),
+        F.round(h / corr + F.lit(0.0), 6).alias("h_tie_corrected"),
+    )
+
+
+def kruskal_wallis_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`kruskal_wallis` (same histogram-rank
+    construction, same quantization points, same lexical float order)."""
+    return f"""
+WITH d AS (SELECT {group_col} AS g, {value_col} AS v FROM {table}),
+gv AS (SELECT g, v, count(*) AS gcnt FROM d GROUP BY g, v),
+vc AS (SELECT v, sum(gcnt) AS cnt FROM gv GROUP BY v),
+vr AS (SELECT v, cnt,
+              2 * coalesce(sum(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS r2
+       FROM vc),
+grp AS (SELECT g, sum(gcnt) AS n_g, sum(gcnt * vr.r2) AS r2_sum
+        FROM gv JOIN vr USING (v) GROUP BY g),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(
+               (CAST(r2_sum AS DOUBLE) * CAST(r2_sum AS DOUBLE)
+                / (4.0 * CAST(n_g AS DOUBLE))) * 1000000.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS sq
+      FROM grp),
+t AS (SELECT CAST(sum(cnt * cnt * cnt) - sum(cnt) AS BIGINT) AS t3t FROM vc)
+SELECT n_groups, n,
+       round((12.0 * (CAST(sq AS DOUBLE) / 1000000.0)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0)) + 0.0, 6) AS h_stat,
+       round(((12.0 * (CAST(sq AS DOUBLE) / 1000000.0)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+              / (1.0 - CAST(t3t AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)))) + 0.0, 6) AS h_tie_corrected
+FROM s, t
+"""
+
+
+def trimmed_mean(
+    df: DataFrame, group_col: str, value_col: str, trim_pct: int = 10
+) -> DataFrame:
+    """[g, n, n_trim, trimmed_mean] — per-group symmetric trimmed mean
+    (drop the ⌊n·pct/100⌋ lowest and highest values, average the
+    rest): the robust location estimate curation pipelines use where a
+    plain mean is hostage to outlier documents.
+
+    Same value-histogram shape as kruskal_wallis / grouped_median_mad:
+    one shuffle keyed by (group, value), a per-GROUP cumulative window
+    over the distinct values, and the kept mass per value is an exact
+    integer interval overlap — rank span [cum+1, cum+cnt] clipped to
+    [k+1, n−k].  The numerator Σ v·kept is exact int64 (integer
+    values); the single division is the same IEEE expression in both
+    engines, round-6."""
+    k_expr = (F.col("n_g") * trim_pct) / 100  # int division below
+    d = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    gv = d.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy("g")
+    t = (
+        gv.withColumn("cum", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .withColumn("n_g", F.sum("cnt").over(wg))
+        .withColumn("k", F.floor(k_expr).cast("long"))
+    )
+    lo, hi = F.col("k") + 1, F.col("n_g") - F.col("k")
+    r0, r1 = F.col("cum") + 1, F.col("cum") + F.col("cnt")
+    kept = F.greatest(
+        F.lit(0),
+        F.least(hi, r1) - F.greatest(lo, r0) + 1,
+    )
+    return (
+        t.withColumn("kept", kept)
+        .groupBy("g")
+        .agg(
+            F.max("n_g").cast("long").alias("n"),
+            F.max("k").cast("long").alias("n_trim"),
+            F.round(
+                F.sum(F.col("v") * F.col("kept")).cast("double")
+                / (F.max("n_g") - 2 * F.max("k")).cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+def trimmed_mean_sql(
+    table: str, group_col: str, value_col: str, trim_pct: int = 10
+) -> str:
+    """DuckDB twin of :func:`trimmed_mean` (same histogram, same
+    integer interval-overlap, same lexical float order)."""
+    return f"""
+WITH d AS (SELECT {group_col} AS g, {value_col} AS v FROM {table}),
+gv AS (SELECT g, v, count(*) AS cnt FROM d GROUP BY g, v),
+t AS (SELECT g, v, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n_g
+      FROM gv),
+kp AS (SELECT g, v, cnt, cum, n_g,
+              CAST(floor((n_g * {trim_pct}) / 100) AS BIGINT) AS k
+       FROM t),
+ov AS (SELECT g, v, n_g, k,
+              greatest(0, least(n_g - k, cum + cnt)
+                          - greatest(k + 1, cum + 1) + 1) AS kept
+       FROM kp)
+SELECT g, CAST(max(n_g) AS BIGINT) AS n,
+       CAST(max(k) AS BIGINT) AS n_trim,
+       round(CAST(sum(v * kept) AS DOUBLE)
+             / CAST(max(n_g) - 2 * max(k) AS DOUBLE) + 0.0, 6)
+         AS trimmed_mean
+FROM ov GROUP BY g
+"""

@@ -209,3 +209,45 @@ def enriched_windowed_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def session_window_counts(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> None:
+    """NATIVE session-window aggregate per user (append mode) — the
+    built-in ``F.session_window`` state machine, as opposed to the
+    custom ``applyInPandasWithState`` sessionizer in
+    streaming/sessionize.py: Spark merges an event into an open
+    session iff its window [t, t+gap) OVERLAPS the session (strictly
+    — a gap of exactly ``gap`` starts a NEW session, unlike the
+    ``>``-gap batch sessionizer), sets session end = last event time
+    + gap, and emits a session iff the final watermark has passed its
+    end.  State is one merged window per open (user, session); the
+    shuffle is keyed by user only."""
+    from .sessionize import EVENT_SCHEMA
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id", "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -5574,3 +5574,276 @@ def test_theil_sen_trend_hand_cases(spark):
     )
     exp = slopes[(len(slopes) + 1) // 2 - 1][0]
     assert r2.slope == exp
+
+
+def _bfs_patch_sizes(mask):
+    """Independent 4-connectivity component-size mirror (BFS flood)."""
+    from collections import deque
+
+    import numpy as np
+
+    h, w = mask.shape
+    lab = np.full(mask.shape, -1, dtype=np.int64)
+    sizes = []
+    for sy, sx in zip(*np.nonzero(mask)):
+        if lab[sy, sx] >= 0:
+            continue
+        lab[sy, sx] = len(sizes)
+        q, n = deque([(sy, sx)]), 0
+        while q:
+            y, x = q.popleft()
+            n += 1
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                yy, xx = y + dy, x + dx
+                if 0 <= yy < h and 0 <= xx < w and mask[yy, xx] \
+                        and lab[yy, xx] < 0:
+                    lab[yy, xx] = len(sizes)
+                    q.append((yy, xx))
+        sizes.append(n)
+    return sorted(sizes)
+
+
+def _tile_grid_fixture(spark, z, tile_px=4):
+    """Cut an arbitrary (h, w) array into a tile_px x tile_px tile grid."""
+    import numpy as np
+    from greenex_py_spark.geo.grid import GridSpec
+
+    h_all, w_all = z.shape
+    grid = GridSpec(origin_x=0.0, origin_y=0.0, res=1.0, tile_px=tile_px,
+                    npx_x=w_all, npx_y=h_all)
+    rows = []
+    for ty in range((h_all + tile_px - 1) // tile_px):
+        for tx in range((w_all + tile_px - 1) // tile_px):
+            sub = z[ty * tile_px:(ty + 1) * tile_px,
+                    tx * tile_px:(tx + 1) * tile_px]
+            rows.append((tx, ty, sub.shape[1], sub.shape[0],
+                         [float(v) for v in sub.ravel()]))
+    tiles = spark.createDataFrame(
+        rows, "tx long, ty long, w long, h long, px array<double>"
+    )
+    return tiles, grid
+
+
+def test_patch_sizes_random_masks(spark):
+    """Distributed tile-CCL patch sizes == independent BFS flood fill
+    for random masks spanning a 3x4 tile grid (all four border
+    directions, seam-crossing components, clipped edge tiles)."""
+    import numpy as np
+    from greenex_py_spark.operators.patches import patch_sizes, tile_patch_parts
+
+    rng = np.random.RandomState(11)
+    for trial, (h, w, p) in enumerate(
+        [(12, 16, 0.5), (12, 16, 0.7), (11, 14, 0.45), (12, 16, 1.0)]
+    ):
+        mask = (rng.rand(h, w) < p)
+        z = np.where(mask, 1.0, -1.0)
+        tiles, grid = _tile_grid_fixture(spark, z)
+        got = patch_sizes(tile_patch_parts(tiles, grid, quant=1e3))
+        got_sizes = sorted(r["n_px"] for r in got.collect())
+        assert got_sizes == _bfs_patch_sizes(mask), trial
+
+
+def test_patch_labels_are_min_pixel_index(spark):
+    """The final patch label is the component's minimum global pixel
+    index (row-major) — deterministic and content-addressed, no task
+    ids anywhere."""
+    import numpy as np
+    from greenex_py_spark.operators.patches import patch_sizes, tile_patch_parts
+
+    # one component spanning the seam between two tiles + an isolated px
+    mask = np.zeros((4, 8), dtype=bool)
+    mask[1, 2:7] = True          # crosses the tx=0/tx=1 seam
+    mask[3, 7] = True
+    z = np.where(mask, 1.0, -1.0)
+    tiles, grid = _tile_grid_fixture(spark, z)
+    got = {r["patch"]: r["n_px"]
+           for r in patch_sizes(tile_patch_parts(tiles, grid, quant=1e3)).collect()}
+    assert got == {1 * 8 + 2: 5, 3 * 8 + 7: 1}
+
+
+def test_simplified_silhouette_numpy_mirror(spark):
+    """Engine silhouette == a NumPy recomputation with the identical
+    quantization chain (round-6 sqdist, sqrt, 1e-9 int mean) on a
+    two-cluster toy set; tight clusters score near 1, the straddler
+    scores low."""
+    import numpy as np
+    from greenex_py_spark.functions.clustering import simplified_silhouette
+
+    pts = {
+        0: [0.0, 0.0], 1: [10.0, 10.0],          # init centroids (id < k)
+        2: [0.4, 0.1], 3: [-0.2, 0.3], 4: [10.1, 9.8],
+        5: [9.7, 10.2], 6: [5.0, 5.0],           # straddler
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    got = {r["cluster"]: r for r in
+           simplified_silhouette(df, k=2, iters=2).collect()}
+
+    # NumPy mirror with the same determinism devices
+    X = {i: np.array(v) for i, v in pts.items()}
+    cents = {0: X[0].copy(), 1: X[1].copy()}
+    for _ in range(2):
+        asg = {}
+        for i, x in X.items():
+            d = {c: round(float(((x - cv) ** 2).sum()), 6)
+                 for c, cv in cents.items()}
+            asg[i] = min(d, key=lambda c: (d[c], c))
+        for c in cents:
+            mem = [X[i] for i in X if asg[i] == c]
+            if mem:
+                cents[c] = np.round(np.mean(mem, axis=0), 6)
+    agg = {}
+    for i, x in X.items():
+        d = sorted(
+            (round(float(((x - cv) ** 2).sum()), 6), c)
+            for c, cv in cents.items()
+        )
+        a, b = np.sqrt(d[0][0]), np.sqrt(d[1][0])
+        s = 0.0 if b == 0 else (b - a) / b
+        sq = int(np.floor(s * 1e9 + 0.5))
+        agg.setdefault(d[0][1], []).append(sq)
+    for c, sqs in agg.items():
+        assert got[c]["n_points"] == len(sqs)
+        assert got[c]["mean_sil"] == round(sum(sqs) / len(sqs) / 1e9 + 0.0, 6)
+    # sanity: both clusters score clearly positive (the straddler's
+    # round-6-tied distances give it s = 0, pulling one mean to ~0.7)
+    assert all(got[c]["mean_sil"] > 0.5 for c in got)
+
+
+def test_ktruss_edges_hand_and_brute(spark):
+    """4-truss keeps exactly the 4-clique and drops an attached
+    triangle; a triangle chain needs TWO peel rounds to empty (the
+    mutual-support cascade); matches a brute-force peel mirror."""
+    from greenex_py_spark.functions.graph import ktruss_edges
+
+    def brute(und, t):
+        edges = {tuple(sorted(e)) for e in und}
+        while True:
+            nb = {}
+            for a, b in edges:
+                nb.setdefault(a, set()).add(b)
+                nb.setdefault(b, set()).add(a)
+            nxt = {e for e in edges
+                   if len(nb[e[0]] & nb[e[1]]) >= t}
+            if nxt == edges:
+                return {e: len(nb[e[0]] & nb[e[1]]) for e in edges}
+            edges = nxt
+            if not edges:
+                return {}
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (4, 6), (5, 6)]
+    chain = [(11, 12), (12, 13), (11, 13), (12, 14), (13, 14),
+             (13, 15), (14, 15)]
+    und = clique + tail + chain
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {(r["a"], r["b"]): r["support"]
+           for r in ktruss_edges(df, k=4, src_col="src", dst_col="dst").collect()}
+    exp = brute(und, 2)
+    assert got == exp
+    assert set(got) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    # k=3 keeps every triangle edge, with exact supports
+    got3 = {(r["a"], r["b"]): r["support"]
+            for r in ktruss_edges(df, k=3, src_col="src", dst_col="dst").collect()}
+    assert got3 == brute(und, 1)
+
+
+def test_kruskal_wallis_textbook(spark):
+    """Engine H == direct average-rank computation (ties included),
+    tie correction exact; the classic no-tie example gives the
+    textbook value."""
+    import numpy as np
+    from greenex_py_spark.functions.stats import kruskal_wallis
+
+    def direct(groups):
+        vals = sorted(v for g in groups for v in g)
+        n = len(vals)
+        # average ranks with ties
+        rank = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j] == vals[i]:
+                j += 1
+            r = (i + 1 + j) / 2.0
+            rank[vals[i]] = r
+            i = j
+        s = sum(
+            int(np.floor((sum(rank[v] for v in g) ** 2 / (4 * len(g)) * 4)
+                         * 1e6 + 0.5))
+            for g in groups
+        )  # note: engine quantizes R2²/(4n) where R2 = 2·Σr̄
+        h = 12.0 * (s / 1e6) / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+        from collections import Counter
+        t3t = sum(c ** 3 - c for c in Counter(vals).values())
+        corr = 1.0 - t3t / (float(n) ** 3 - n)
+        return round(h + 0.0, 6), round(h / corr + 0.0, 6)
+
+    groups = [[27, 2, 4, 18, 7], [20, 8, 14, 36, 21], [34, 31, 3, 23, 30]]
+    rows = [(f"g{i}", v) for i, g in enumerate(groups) for v in g]
+    df = spark.createDataFrame(rows, "src string, v long")
+    got = kruskal_wallis(df, "src", "v").collect()[0]
+    h, hc = direct(groups)
+    assert got["n_groups"] == 3 and got["n"] == 15
+    assert got["h_stat"] == h and got["h_tie_corrected"] == hc
+    assert got["h_stat"] == got["h_tie_corrected"]  # no ties -> corr = 1
+
+    groups2 = [[1, 2, 2, 3], [2, 3, 3, 4], [4, 4, 5, 5]]
+    rows2 = [(f"g{i}", v) for i, g in enumerate(groups2) for v in g]
+    got2 = kruskal_wallis(
+        spark.createDataFrame(rows2, "src string, v long"), "src", "v"
+    ).collect()[0]
+    h2, hc2 = direct(groups2)
+    assert got2["h_stat"] == h2 and got2["h_tie_corrected"] == hc2
+    assert got2["h_tie_corrected"] > got2["h_stat"]  # ties inflate H
+
+
+def test_trimmed_mean_hand(spark):
+    """k = floor(n·pct/100) values drop from EACH end; n < 10 with 10%
+    trim keeps everything (k = 0); exact interval-overlap handling of
+    ties spanning the cut."""
+    from greenex_py_spark.functions.stats import trimmed_mean
+
+    rows = [("a", v) for v in [1, 2, 2, 2, 3, 4, 5, 6, 7, 1000]]
+    rows += [("b", v) for v in [5, 5, 9]]
+    df = spark.createDataFrame(rows, "src string, v long")
+    got = {r["g"]: r for r in trimmed_mean(df, "src", "v", 10).collect()}
+    # a: n=10, k=1 -> drop one 1 and the 1000; mean of [2,2,2,3,4,5,6,7]
+    assert got["a"]["n"] == 10 and got["a"]["n_trim"] == 1
+    assert got["a"]["trimmed_mean"] == round(sum([2, 2, 2, 3, 4, 5, 6, 7]) / 8 + 0.0, 6)
+    # b: n=3, k=0 -> plain mean
+    assert got["b"]["n_trim"] == 0
+    assert got["b"]["trimmed_mean"] == round(19 / 3 + 0.0, 6)
+    # heavier trim cutting INTO a tie run: 25% of 8 -> k=2 on both ends
+    rows2 = [("c", v) for v in [1, 1, 1, 4, 4, 9, 9, 9]]
+    got2 = trimmed_mean(
+        spark.createDataFrame(rows2, "src string, v long"), "src", "v", 25
+    ).collect()[0]
+    assert got2["n_trim"] == 2
+    assert got2["trimmed_mean"] == round((1 + 4 + 4 + 9) / 4 + 0.0, 6)
+
+
+def test_harmonic_centrality_hand(spark):
+    """Path graph exact harmonic sums; disconnected component
+    contributes nothing across the cut; quantization matches the
+    1e-9 convention."""
+    from greenex_py_spark.functions.graph import harmonic_centrality
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in harmonic_centrality(df).collect()}
+
+    def h(dists):
+        return round(sum(int(np_floor(1.0 / d * 1e9 + 0.5)) for d in dists)
+                     / 1e9 + 0.0, 6)
+
+    import math
+
+    def np_floor(x):
+        return math.floor(x)
+
+    assert got[1]["n_reachable"] == 3 and got[1]["harmonic"] == h([1, 2, 3])
+    assert got[2]["n_reachable"] == 3 and got[2]["harmonic"] == h([1, 1, 2])
+    assert got[10]["n_reachable"] == 1 and got[10]["harmonic"] == h([1])
+    assert set(got) == {1, 2, 3, 4, 10, 11}
