@@ -11848,8 +11848,10 @@ ORACLES["q_calibration_bins"] = _calibration_oracle()
 # q_anova — one-way ANOVA F across the five event types (welch scaled to G)
 # ---------------------------------------------------------------------------
 
-def _anova_oracle() -> str:
-    gs = sorted(_EVENT_TYPES)
+def _anova_tail_sql(gs: list) -> str:
+    """The fixed-lexical-order ANOVA sum assembly over a CTE named
+    ``e (g, vq)`` — shared by the q_anova and q_brown_forsythe oracles
+    so the F chain cannot drift between them."""
     cols = []
     for i, name in enumerate(gs):
         cols += [
@@ -11866,10 +11868,7 @@ def _anova_oracle() -> str:
         for i in idx
     )
     g_cnt = len(gs)
-    return f"""
-WITH e AS (SELECT event_type AS g, CAST(round(value * 100.0) AS BIGINT) AS vq
-           FROM events WHERE event_type IN {tuple(gs)!r}),
-a AS (SELECT {', '.join(cols)} FROM e),
+    return f"""a AS (SELECT {', '.join(cols)} FROM e),
 d AS (SELECT ({n_tot}) AS n_tot, ({s_tot}) AS s_tot,
              ({q_tot}) AS q_tot, ({sb}) AS sb
       FROM a)
@@ -11882,6 +11881,14 @@ SELECT CAST(n_tot AS BIGINT) AS n_total,
          / ((q_tot - sb) / (n_tot - {float(g_cnt)!r})) AS f_stat
 FROM d
 """
+
+
+def _anova_oracle() -> str:
+    gs = sorted(_EVENT_TYPES)
+    return f"""
+WITH e AS (SELECT event_type AS g, CAST(round(value * 100.0) AS BIGINT) AS vq
+           FROM events WHERE event_type IN {tuple(gs)!r}),
+""" + _anova_tail_sql(gs)
 
 
 @register("q_anova")
@@ -13234,6 +13241,261 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_harmonic"] = _harmonic_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_boilerplate — jusText-style line-block main-content extraction
+# ---------------------------------------------------------------------------
+
+# five newline-delimited blocks: link-dense nav (density rule), first
+# content half, a too-short block (length rule), second content half
+# carrying an inline anchor (mixed block must SURVIVE), link-dense
+# footer long enough to pass the length rule (density rule alone kills
+# it).  Fixture text is single-line, so the block count is exactly 5.
+_BP_NAV = (
+    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></div>'
+)
+_BP_SHORT = "<p>OK</p>"
+_BP_FOOTER = (
+    '<div class="footer"><a href="/tos">Terms of service</a> '
+    '<a href="/privacy">Privacy policy</a> '
+    '<a href="/imprint">Imprint notice</a></div>'
+)
+_BP_MORE = ' <a href="/more">read more</a>'
+
+
+def _boilerplate_oracle() -> str:
+    from .functions.text import boilerplate_sql
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return (
+        f"""WITH pages AS (
+  SELECT doc_id,
+         '{q(_BP_NAV)}' || chr(10)
+         || '<p>' || substr(text, 1, n_chars // 2) || '</p>' || chr(10)
+         || '{q(_BP_SHORT)}' || chr(10)
+         || '<p>' || substr(text, n_chars // 2 + 1, n_chars)
+         || '{q(_BP_MORE)}' || '</p>' || chr(10)
+         || '{q(_BP_FOOTER)}' AS page
+  FROM documents
+),
+"""
+        + boilerplate_sql("pages")
+    )
+
+
+@register("q_boilerplate", None)  # generated oracle attached below
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-block boilerplate removal (jusText/readability class): nav
+    and footer blocks die by the INTEGER link-density test
+    (3·link_chars < text_len), a too-short block by the length rule,
+    and the two paragraph halves — one carrying an inline anchor —
+    survive and concatenate in document order.  The curation step
+    between q_html_extract's tag-strip and a DOM-aware trafilatura
+    swap-in; pure codegen per block."""
+    from .functions.text import boilerplate_blocks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BP_NAV + "\n<p>"),
+            F.expr("substring(text, 1, CAST(floor(n_chars / 2) AS INT))"),
+            F.lit("</p>\n" + _BP_SHORT + "\n<p>"),
+            F.expr(
+                "substring(text, CAST(floor(n_chars / 2) AS INT) + 1, "
+                "CAST(n_chars AS INT))"
+            ),
+            F.lit(_BP_MORE + "</p>\n" + _BP_FOOTER),
+        ).alias("page"),
+    )
+    return boilerplate_blocks(pages)
+
+
+ORACLES["q_boilerplate"] = _boilerplate_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_cost_distance — multi-source weighted distance transform to greenspace
+# ---------------------------------------------------------------------------
+
+_CD_FACTOR = 125   # 8×8 macro grid over the 1000-px city
+_CD_ROUNDS = 24    # ≥ max hop count of an optimal path on 8×8 (diameter
+                   # ~14); over-unrolling is idempotent once converged
+
+
+def _cost_distance_oracle() -> str:
+    from .operators.hydro import COST_BUCKET
+
+    npx = city.NPX
+    vq = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    dirs = ", ".join(
+        f"({dx}, {dy}, {2 if dx * dy == 0 else 3})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    )
+    parts = [
+        f"""WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+blk AS (
+  SELECT ix // {_CD_FACTOR} AS mx, iy // {_CD_FACTOR} AS my,
+         CAST(sum({vq}) AS BIGINT) AS zq
+  FROM px GROUP BY 1, 2
+),
+cc AS MATERIALIZED (
+  SELECT mx, my, zq,
+         CASE WHEN zq > 0 THEN 1
+              ELSE 2 + least(3, (-zq) // {COST_BUCKET}) END AS c
+  FROM blk
+),
+dirs(dx, dy, sw) AS (VALUES {dirs}),
+e AS MATERIALIZED (
+  SELECT a.mx, a.my, b.mx AS nmx, b.my AS nmy, (a.c + b.c) * d.sw AS w
+  FROM cc a JOIN dirs d ON true
+  JOIN cc b ON b.mx = a.mx + d.dx AND b.my = a.my + d.dy
+),
+d0 AS MATERIALIZED (
+  SELECT mx, my, CAST(0 AS BIGINT) AS d FROM cc WHERE zq > 0
+)"""
+    ]
+    for i in range(_CD_ROUNDS):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+  SELECT mx, my, min(d) AS d FROM (
+    SELECT mx, my, d FROM d{i}
+    UNION ALL
+    SELECT e.nmx, e.nmy, p.d + e.w
+    FROM d{i} p JOIN e ON e.mx = p.mx AND e.my = p.my
+  ) GROUP BY mx, my
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT c.mx, c.my, CAST(d.d AS BIGINT) AS cost
+FROM cc c LEFT JOIN d{_CD_ROUNDS} d USING (mx, my)"""
+    )
+
+
+@register("q_cost_distance", None)  # generated oracle attached below
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effort-weighted distance to the nearest green macro block —
+    the cost-surface accessibility metric (ArcGIS CostDistance /
+    GRASS r.cost) beside Euclidean q_accessibility and network
+    q_greenspace_iso: multi-source Bellman–Ford over the 8-connected
+    macro grid with integer edge weights (c(u)+c(v))·{2,3}, every
+    path cost exact int64.  The distributed stage is the factor-125
+    macro coarsening of the full raster; the relaxation is one keyed
+    hash join + min-agg per round with monotone convergence."""
+    from .operators.hydro import cost_distance, macro_cells
+
+    cells = macro_cells(
+        city.tiles_df(spark, "ndvi"), city.grid(), factor=_CD_FACTOR
+    )
+    return cost_distance(cells)
+
+
+ORACLES["q_cost_distance"] = _cost_distance_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_brown_forsythe — variance-homogeneity test (Levene, median centres)
+# ---------------------------------------------------------------------------
+
+
+def _brown_forsythe_oracle() -> str:
+    gs = sorted(_EVENT_TYPES)
+    return f"""
+WITH e0 AS (SELECT event_type AS g, CAST(round(value * 100.0) AS BIGINT) AS v
+            FROM events WHERE event_type IN {tuple(gs)!r}),
+h AS (SELECT g, v, count(*) AS c FROM e0 GROUP BY g, v),
+x AS (SELECT g, v,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM h),
+med AS (SELECT g, CAST(min(v) AS BIGINT) AS median
+        FROM x WHERE cum >= (n + 1) // 2 GROUP BY g),
+e AS (SELECT e0.g, abs(e0.v - med.median) AS vq
+      FROM e0 JOIN med USING (g)),
+""" + _anova_tail_sql(gs)
+
+
+@register("q_brown_forsythe", None)  # generated oracle attached below
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity F across the five event
+    types (Levene with MEDIAN centres — the robust default): per-group
+    lower medians off the value histogram, z = |v − median| stays
+    exact int64, then the SAME fixed-lexical-order ANOVA assembly as
+    q_anova (the oracle tail is literally shared).  Completes the
+    omnibus family: means (ANOVA), location (Kruskal–Wallis),
+    spread (here)."""
+    from .functions.stats import brown_forsythe
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100.0).cast("long").alias("vq"),
+    )
+    return brown_forsythe(ev, "g", "vq", list(_EVENT_TYPES))
+
+
+ORACLES["q_brown_forsythe"] = _brown_forsythe_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_filtered_revenue — TPC-H Q6 shape (pure scan-filter-agg pushdown probe)
+# ---------------------------------------------------------------------------
+
+_Q6_LO, _Q6_HI = "1997-01-01", "1998-01-01"
+
+
+@register(
+    "q_filtered_revenue",
+    f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+  AND l_shipdate < TIMESTAMP '{_Q6_HI}'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-filter-aggregate — date range + discount band + quantity cap
+    all push into the parquet scan, one map-side-combinable global
+    sum, zero joins and zero shuffles beyond the final single-row
+    combine.  With this, every TPC-H query expressible on the fixture
+    schema (no partsupp / shipmode / commit-receipt dates) has a gate
+    shape: Q1,3,4,5,6,7,8,10,13,14,15,16,17,18,19,22."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= _Q6_LO)
+        & (F.col("l_shipdate") < _Q6_HI)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100.0
+    ).cast("long")
+    return li.agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
 
 
 # ---------------------------------------------------------------------------

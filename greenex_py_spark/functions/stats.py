@@ -903,3 +903,31 @@ SELECT g, CAST(max(n_g) AS BIGINT) AS n,
          AS trimmed_mean
 FROM ov GROUP BY g
 """
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_q_col: str,
+    groups: list,
+) -> DataFrame:
+    """[n_total, df_between, df_within, ss_between, ss_within, f_stat]
+    — the Brown–Forsythe test of VARIANCE homogeneity (Levene with
+    median centres, the robust default): does at least one group
+    spread wider?  The companion to anova_oneway (means) and
+    kruskal_wallis (location shift) that completes the omnibus family
+    — and the guard that decides whether pooled-variance tests apply.
+
+    Composition of two already-exact pieces: per-group LOWER medians
+    off the value histogram (grouped_median_mad's shape — integer in,
+    integer out), then z = |v − median_g| stays integer and feeds the
+    fixed-lexical-order ANOVA sum assembly unchanged.  The median dim
+    (one row per group) broadcasts."""
+    med = grouped_median_mad(df, group_col, value_q_col).select(
+        F.col("grp").alias(group_col), F.col("median")
+    )
+    z = df.join(F.broadcast(med), group_col).select(
+        F.col(group_col),
+        F.abs(F.col(value_q_col) - F.col("median")).alias("z"),
+    )
+    return anova_oneway(z, group_col, "z", groups)

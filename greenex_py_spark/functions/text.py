@@ -1277,3 +1277,93 @@ def lexical_diversity(
             ).alias("diversity"),
         )
     )
+
+
+# jusText-style block classifier thresholds: a block is CONTENT iff its
+# tag-stripped text is >= _BP_MIN_LEN chars AND its link density is
+# < 1/3 — the density test runs as the INTEGER comparison
+# 3·link_chars < text_len (no division, no FP anywhere)
+_BP_MIN_LEN = 20
+_BP_ANCHOR = "(?is)<a\\b[^>]*>.*?</a\\s*>"
+
+
+def _bp_strip(col):
+    from pyspark.sql import functions as F
+
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(col, "<[^>]*>", ""), "\\s+", " ")
+    )
+
+
+def boilerplate_blocks(df, page_col: str = "page", id_col: str = "doc_id"):
+    """[id, n_blocks, n_content, content_md5] — jusText/readability-
+    class line-block boilerplate removal: the page splits into
+    newline-delimited blocks, each block classifies as content iff its
+    stripped text is long enough AND link-poor (link chars = stripped
+    length minus the anchor-removed stripped length; the 1/3-density
+    test is the exact integer comparison 3·link < len).  Kept blocks
+    concatenate in document order into the extracted main content.
+
+    One posexplode + one groupBy(id) — pure codegen per block (no
+    Python, no interpreted HOF over expensive subtrees: every regexp
+    chain runs on a materialized block column).  The step between the
+    q_html_extract tag-strip and a DOM-aware trafilatura swap-in."""
+    from pyspark.sql import functions as F
+
+    blocks = df.select(
+        id_col, F.posexplode(F.split(F.col(page_col), "\n")).alias("pos", "block")
+    )
+    b = blocks.withColumn("txt", _bp_strip(F.col("block"))).withColumn(
+        "nolink",
+        _bp_strip(F.regexp_replace(F.col("block"), _BP_ANCHOR, " ")),
+    )
+    tl = F.length("txt")
+    ll = tl - F.length("nolink")
+    m = b.withColumn(
+        "is_content",
+        (tl >= _BP_MIN_LEN) & (3 * ll < tl),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("is_content"), F.struct("pos", "txt"))
+        )
+    )
+    return m.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("is_content").cast("long")).cast("long").alias("n_content"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda s: s["txt"]), " ")
+        ).alias("content_md5"),
+    )
+
+
+def boilerplate_sql(pages_cte: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`boilerplate_blocks` over a CTE named
+    ``pages_cte`` with columns (id, page) — same strip chains, same
+    integer density test, same order-preserving concatenation."""
+    strip = (
+        "trim(regexp_replace(regexp_replace({x}, '<[^>]*>', '', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    anchor = _BP_ANCHOR.replace("\\", "\\")
+    return f"""
+lst AS (SELECT {id_col}, string_split(page, chr(10)) AS l FROM {pages_cte}),
+ix AS (SELECT {id_col}, l, generate_subscripts(l, 1) AS pos FROM lst),
+blk AS (SELECT {id_col}, pos, l[pos] AS block FROM ix),
+m AS (SELECT {id_col}, pos,
+             {strip.format(x='block')} AS txt,
+             {strip.format(x=f"regexp_replace(block, '{anchor}', ' ', 'g')")}
+               AS nolink
+      FROM blk),
+cl AS (SELECT {id_col}, pos, txt,
+              (length(txt) >= {_BP_MIN_LEN}
+               AND 3 * (length(txt) - length(nolink)) < length(txt))
+                AS is_content
+       FROM m)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(*) FILTER (WHERE is_content) AS BIGINT) AS n_content,
+       md5(coalesce(string_agg(txt, ' ' ORDER BY pos)
+                    FILTER (WHERE is_content), '')) AS content_md5
+FROM cl GROUP BY {id_col}
+"""

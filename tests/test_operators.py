@@ -5847,3 +5847,108 @@ def test_harmonic_centrality_hand(spark):
     assert got[2]["n_reachable"] == 3 and got[2]["harmonic"] == h([1, 1, 2])
     assert got[10]["n_reachable"] == 1 and got[10]["harmonic"] == h([1])
     assert set(got) == {1, 2, 3, 4, 10, 11}
+
+
+def test_boilerplate_blocks_classification(spark):
+    """Nav/footer die by link density regardless of length, short
+    blocks by length, mixed content-with-inline-anchor survives, and
+    the extracted content is the kept texts in document order."""
+    import hashlib
+    from greenex_py_spark.functions.text import boilerplate_blocks
+
+    nav = '<div><a href="/">Home page</a> <a href="/a">About this</a></div>'
+    body = "This paragraph is long enough to be kept as main content."
+    mixed = ('<p>Another real paragraph with enough words to pass '
+             '<a href="/m">more</a></p>')
+    page = "\n".join([nav, f"<p>{body}</p>", "<p>No</p>", mixed])
+    df = spark.createDataFrame([(1, page)], "doc_id long, page string")
+    r = boilerplate_blocks(df).collect()[0]
+    assert r["n_blocks"] == 4 and r["n_content"] == 2
+    expected = (body + " "
+                + "Another real paragraph with enough words to pass more")
+    assert r["content_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    # all-boilerplate page -> empty extraction, md5 of ""
+    df2 = spark.createDataFrame([(2, nav)], "doc_id long, page string")
+    r2 = boilerplate_blocks(df2).collect()[0]
+    assert r2["n_content"] == 0
+    assert r2["content_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_cost_distance_weighted_detour(spark):
+    """Multi-source weighted transform == Dijkstra mirror on a grid
+    where the diagonal detour around an expensive cell beats the
+    direct path (weighted-min, not hop-count), greens cost 0."""
+    import heapq
+    from greenex_py_spark.operators.hydro import COST_BUCKET, cost_distance
+
+    zq = {
+        (0, 0): 1, (1, 0): -4 * COST_BUCKET, (2, 0): -1,
+        (0, 1): -1, (1, 1): -1, (2, 1): -1,
+    }
+    cells = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in zq.items()], "mx long, my long, zq long"
+    )
+    got = {(r["mx"], r["my"]): r["cost"]
+           for r in cost_distance(cells).collect()}
+
+    def c(v):
+        return 1 if v > 0 else 2 + min(3, (-v) // COST_BUCKET)
+
+    # Dijkstra mirror
+    dist = {k: 0 for k, v in zq.items() if v > 0}
+    pq = [(0, k) for k in dist]
+    heapq.heapify(pq)
+    while pq:
+        d0, (x, y) = heapq.heappop(pq)
+        if d0 > dist.get((x, y), float("inf")):
+            continue
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0) or (x + dx, y + dy) not in zq:
+                    continue
+                w = (c(zq[(x, y)]) + c(zq[(x + dx, y + dy)])) \
+                    * (2 if dx * dy == 0 else 3)
+                nd = d0 + w
+                if nd < dist.get((x + dx, y + dy), float("inf")):
+                    dist[(x + dx, y + dy)] = nd
+                    heapq.heappush(pq, (nd, (x + dx, y + dy)))
+    assert got == dist
+    # the detour really is cheaper than the direct expensive path
+    assert got[(2, 0)] == 21 < 26
+
+
+def test_brown_forsythe_hand(spark):
+    """Equal-spread groups give F near 0; one wide group drives F up;
+    matches a direct median-centered ANOVA recomputation."""
+    from greenex_py_spark.functions.stats import brown_forsythe
+
+    tight = [10, 11, 12, 13, 14]
+    wide = [0, 5, 12, 19, 24]
+    rows = [("a", v) for v in tight] + [("b", v) for v in wide]
+    df = spark.createDataFrame(rows, "g string, vq long")
+    r = brown_forsythe(df, "g", "vq", ["a", "b"]).collect()[0]
+
+    def med(xs):
+        s = sorted(xs)
+        return s[(len(s) + 1) // 2 - 1]
+
+    za = [abs(v - med(tight)) for v in tight]
+    zb = [abs(v - med(wide)) for v in wide]
+    n0, s0, q0 = len(za), sum(za), sum(z * z for z in za)
+    n1, s1, q1 = len(zb), sum(zb), sum(z * z for z in zb)
+    n_tot, s_tot, q_tot = (
+        float(n0) + float(n1), float(s0) + float(s1), float(q0) + float(q1)
+    )
+    sb = float(s0) * s0 / n0 + float(s1) * s1 / n1
+    ss_b = sb - s_tot * s_tot / n_tot
+    ss_w = q_tot - sb
+    f = (ss_b / 1.0) / (ss_w / (n_tot - 2.0))
+    assert r["n_total"] == 10 and r["df_between"] == 1 and r["df_within"] == 8
+    assert r["ss_between"] == ss_b and r["ss_within"] == ss_w
+    assert r["f_stat"] == f and f > 5
+    # identical spreads (shifted copies) -> F == 0
+    rows2 = [("a", v) for v in tight] + [("b", v + 100) for v in tight]
+    r2 = brown_forsythe(
+        spark.createDataFrame(rows2, "g string, vq long"), "g", "vq", ["a", "b"]
+    ).collect()[0]
+    assert r2["f_stat"] == 0.0
