@@ -11779,9 +11779,12 @@ ORACLES["q_wilson_quality"] = _wilson_oracle()
 # against the hashed classifier's keep decision
 # ---------------------------------------------------------------------------
 
-def _calibration_oracle(n_bins: int = 10) -> str:
+def _calibration_grouped_sql(n_bins: int = 10) -> str:
     # score = the 3-dp rule-based quality (micro-quantization is exact:
     # round(qm/1000·1e6) == qm·1000); label = the classifier keep flag.
+    # Shared WITH-prefix ending at g(bin, n, ssum, pos) — used by BOTH
+    # the q_calibration_bins and q_ece oracles so the binning cannot
+    # drift between diagram and scalar.
     width = (1.0 - 0.0) / n_bins
     return f"""
 WITH c AS ({_classifier_oracle()}),
@@ -11813,11 +11816,25 @@ g AS (
   SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(sm) AS BIGINT) AS ssum, CAST(sum(y) AS BIGINT) AS pos
   FROM j GROUP BY bin
-)
+)"""
+
+
+def _calibration_oracle(n_bins: int = 10) -> str:
+    return _calibration_grouped_sql(n_bins) + """
 SELECT bin, n,
        ssum / (n * 1000000.0) AS mean_score,
        pos / CAST(n AS DOUBLE) AS pos_rate,
        abs(ssum / (n * 1000000.0) - pos / CAST(n AS DOUBLE)) AS gap
+FROM g
+"""
+
+
+def _ece_oracle(n_bins: int = 10) -> str:
+    return _calibration_grouped_sql(n_bins) + """
+SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_bins_occupied,
+       round(CAST(sum(abs(ssum - 1000000 * pos)) AS DOUBLE) / 1000000.0
+             / CAST(sum(n) AS DOUBLE) + 0.0, 6) AS ece
 FROM g
 """
 
@@ -11842,6 +11859,29 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_calibration_bins"] = _calibration_oracle()
+
+
+@register("q_ece")
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — q_calibration_bins collapsed to
+    the headline scalar, EXACT-RATIONALLY: each bin's weighted gap is
+    |ssum − 1e6·pos| / (1e6·N) so the cross-bin sum is one exact
+    integer sum and the only FP is the final division (no per-bin
+    doubles ever sum across bins).  Shares the binning CTE prefix with
+    the diagram oracle so the two cannot drift."""
+    from .functions.stats import expected_calibration_error
+    from .functions.text import hashed_classifier_score, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = quality_score(docs).join(
+        hashed_classifier_score(docs).select("doc_id", "keep"), "doc_id"
+    )
+    return expected_calibration_error(
+        df, score_col="quality", label_col="keep", n_bins=10, lo=0.0, hi=1.0
+    )
+
+
+ORACLES["q_ece"] = _ece_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -13496,6 +13536,96 @@ def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wetness — topographic wetness index ln(a / tan β) (TOPMODEL)
+# ---------------------------------------------------------------------------
+
+
+def _wetness_oracle() -> str:
+    from .operators.hydro import D8_DIRS, TWI_TAN_MIN
+
+    npx = city.NPX
+    f = _FA_FACTOR
+    zq_scale = float(f) * float(f) * 1e6
+    cell_m = float(city.RES) * float(f)
+    vq = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    dirs = ", ".join(f"({c}, {dx}, {dy}, {w})" for c, dx, dy, w in D8_DIRS)
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+blk AS (
+  SELECT ix // {f} AS mx, iy // {f} AS my, sum({vq}) AS zq
+  FROM px GROUP BY 1, 2
+),
+dirs(code, dx, dy, w) AS (VALUES {dirs}),
+cand AS (
+  SELECT b.mx, b.my, d.code, d.w, n.mx AS nmx, n.my AS nmy,
+         b.zq - n.zq AS dz
+  FROM blk b JOIN dirs d ON true
+  JOIN blk n ON n.mx = b.mx + d.dx AND n.my = b.my + d.dy
+  WHERE b.zq - n.zq > 0
+),
+down AS (
+  SELECT mx, my, nmx, nmy FROM (
+    SELECT c.*, row_number() OVER (
+        PARTITION BY mx, my ORDER BY dz * dz * w DESC, code ASC) AS rn
+    FROM cand c) WHERE rn = 1
+),
+walk AS (
+  SELECT mx AS smx, my AS smy, mx, my FROM blk
+  UNION ALL
+  SELECT w.smx, w.smy, d.nmx, d.nmy
+  FROM walk w JOIN down d ON d.mx = w.mx AND d.my = w.my
+),
+acc AS (SELECT mx, my, CAST(count(*) AS BIGINT) AS acc
+        FROM walk GROUP BY mx, my),
+tanb AS (
+  SELECT b.mx, b.my,
+         CASE WHEN d.nmx IS NULL THEN {TWI_TAN_MIN!r}
+              ELSE (CAST(b.zq - n.zq AS DOUBLE) / {zq_scale!r})
+                   / ({cell_m!r} * CASE WHEN abs(d.nmx - b.mx)
+                                            + abs(d.nmy - b.my) = 2
+                                        THEN sqrt(2.0) ELSE 1.0 END)
+         END AS tanb
+  FROM blk b LEFT JOIN down d ON d.mx = b.mx AND d.my = b.my
+             LEFT JOIN blk n ON n.mx = d.nmx AND n.my = d.nmy
+)
+SELECT a.mx, a.my, a.acc,
+       round(ln(CAST(a.acc AS DOUBLE) * {cell_m!r} / t.tanb) + 0.0, 6)
+         AS twi
+FROM acc a JOIN tanb t ON t.mx = a.mx AND t.my = a.my
+"""
+
+
+@register("q_wetness", None)  # generated oracle attached below
+def q_wetness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic wetness index ln(a / tan β) per macro cell
+    (TOPMODEL / GRASS r.topidx): the hydrology COMPOSITE built from
+    the oracle-green D8 pointers + pointer-doubling accumulation +
+    block-sum surface, with the r.topidx minimum-slope convention for
+    pits.  dz and acc stay exact int64; the only FP is one fixed
+    lexical chain (√2 via correctly-rounded sqrt) rounded 6 dp with
+    the −0.0 flush."""
+    from .operators.hydro import macro_cells, wetness_index
+
+    cells = macro_cells(
+        city.tiles_df(spark, "ndvi"), city.grid(), factor=_FA_FACTOR
+    ).localCheckpoint()
+    return wetness_index(cells, res_m=city.RES, factor=_FA_FACTOR)
+
+
+ORACLES["q_wetness"] = _wetness_oracle()
 
 
 # ---------------------------------------------------------------------------

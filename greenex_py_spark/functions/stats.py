@@ -497,6 +497,39 @@ def classification_prf(
     )
 
 
+def _calibration_grouped(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """[bin, n, _ssum, _pos] — the shared per-bin exact-int partials of
+    calibration_bins / expected_calibration_error."""
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(score_col) - lo) / F.lit(width)).cast("int")
+        ),
+    )
+    smicro = F.round(F.col(score_col) * 1_000_000.0).cast("long")
+    return (
+        df.select(
+            b.cast("long").alias("bin"),
+            smicro.alias("_sm"),
+            F.when(F.col(label_col), 1).otherwise(0).alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_sm").alias("_ssum"),
+            F.sum("_y").cast("long").alias("_pos"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,
@@ -518,25 +551,7 @@ def calibration_bins(
     split Spark's decimal HALF_UP from DuckDB's binary rounding
     (BENCH/SCALE_AUDIT.md), while the raw doubles are bit-identical.
     """
-    width = (hi - lo) / n_bins
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((F.col(score_col) - lo) / F.lit(width)).cast("int")),
-    )
-    smicro = F.round(F.col(score_col) * 1_000_000.0).cast("long")
-    g = (
-        df.select(
-            b.cast("long").alias("bin"),
-            smicro.alias("_sm"),
-            F.when(F.col(label_col), 1).otherwise(0).alias("_y"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("_sm").alias("_ssum"),
-            F.sum("_y").cast("long").alias("_pos"),
-        )
-    )
+    g = _calibration_grouped(df, score_col, label_col, n_bins, lo, hi)
     mean_s = F.col("_ssum") / (F.col("n") * 1_000_000.0)
     rate = F.col("_pos") / F.col("n").cast("double")
     return g.select(
@@ -931,3 +946,35 @@ def brown_forsythe(
         F.abs(F.col(value_q_col) - F.col("median")).alias("z"),
     )
     return anova_oneway(z, group_col, "z", groups)
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """One row [n_total, n_bins_occupied, ece] — the expected
+    calibration error Σ (nᵦ/N)·|mean_scoreᵦ − pos_rateᵦ| collapsing
+    calibration_bins to the headline scalar.
+
+    EXACT-RATIONAL assembly: with per-bin int64 partials (n, ssum =
+    Σ round(score·1e6), pos), each weighted gap is
+    |ssum − 1e6·pos| / (1e6·N) — so the cross-bin sum is one exact
+    integer sum and the ONLY floating point is the final division,
+    round-6 with the −0.0 flush.  No per-bin double ever sums across
+    bins."""
+    g = _calibration_grouped(df, score_col, label_col, n_bins, lo, hi)
+    num = F.abs(F.col("_ssum") - 1_000_000 * F.col("_pos"))
+    return g.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_occupied"),
+        F.round(
+            F.sum(num).cast("double") / 1_000_000.0
+            / F.sum("n").cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("ece"),
+    )

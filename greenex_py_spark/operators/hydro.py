@@ -101,7 +101,11 @@ def d8_downstream(cells: DataFrame) -> DataFrame:
     """[mx, my, nmx, nmy] — each cell's steepest strictly-descending D8
     neighbour (absent for pits/flats; off-grid neighbours drop in the
     equi-join).  Exact-int comparator key dz²·weight, ESRI code
-    ascending on geometric ties."""
+    ascending on geometric ties.  Envelope: |dz|²·2 must fit int64
+    (ANSI mode raises on overflow rather than corrupting the argmax),
+    i.e. |dz| ≤ ~2.1e9 — the quantized block sums stay orders of
+    magnitude below (factor²·quant·|NDVI| ≤ 4e8 at the gate's
+    factor 20)."""
     from pyspark.sql import Window
 
     spark = cells.sparkSession
@@ -348,3 +352,67 @@ def cost_distance(cells: DataFrame, max_rounds: int = 200) -> DataFrame:
     return cc.join(d, ["mx", "my"], "left").select(
         "mx", "my", F.col("d").alias("cost")
     )
+
+
+# GRASS r.topidx convention: pits (no downslope neighbour) take a
+# minimum slope instead of dividing by zero
+TWI_TAN_MIN = 0.001
+
+
+def wetness_index(
+    cells: DataFrame,
+    res_m: float,
+    factor: int,
+    quant: float = 1e6,
+) -> DataFrame:
+    """[mx, my, acc, twi] — topographic wetness index
+    ln(a / tan β): a = specific catchment area (D8 upstream count ×
+    cell size), tan β = the steepest-descent drop over its step
+    length — the classic hydrology composite (TOPMODEL; GRASS
+    r.topidx) built ENTIRELY from the already-oracle-green pieces:
+    ``d8_downstream`` pointers, ``flow_accumulation`` closure, and the
+    block-sum surface.  Pits take tan β = {tan_min} (the r.topidx
+    minimum-slope convention).
+
+    Exactness: dz and acc are exact int64 end-to-end; the only FP is
+    the final fixed chain (dz/scale)/(cell·{{1,√2}}) → ln(a/tan) →
+    round-6 with the −0.0 flush — identical lexically in both
+    engines (√2 via correctly-rounded sqrt(2.0))."""
+    down = d8_downstream(cells).localCheckpoint()  # two consumers
+    acc = flow_accumulation(cells, down)
+    nb = cells.select(
+        F.col("mx").alias("nmx"), F.col("my").alias("nmy"),
+        F.col("zq").alias("nzq"),
+    )
+    j = (
+        cells.join(down, ["mx", "my"], "left")
+        .join(nb, ["nmx", "nmy"], "left")
+    )
+    zq_scale = float(factor) * float(factor) * quant
+    cell_m = float(res_m) * float(factor)
+    diag = (
+        (F.abs(F.col("nmx") - F.col("mx"))
+         + F.abs(F.col("nmy") - F.col("my"))) == 2
+    )
+    dz_e = (F.col("zq") - F.col("nzq")).cast("double") / F.lit(zq_scale)
+    dist = F.lit(cell_m) * F.when(diag, F.sqrt(F.lit(2.0))).otherwise(
+        F.lit(1.0)
+    )
+    tan = F.when(F.col("nmx").isNull(), F.lit(TWI_TAN_MIN)).otherwise(
+        dz_e / dist
+    )
+    t = j.select("mx", "my", tan.alias("tanb"))
+    return (
+        acc.join(t, ["mx", "my"])
+        .select(
+            "mx", "my", "acc",
+            F.round(
+                F.log(F.col("acc").cast("double") * F.lit(cell_m)
+                      / F.col("tanb")) + F.lit(0.0),
+                6,
+            ).alias("twi"),
+        )
+    )
+
+
+wetness_index.__doc__ = wetness_index.__doc__.format(tan_min=TWI_TAN_MIN)

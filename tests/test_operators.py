@@ -5952,3 +5952,56 @@ def test_brown_forsythe_hand(spark):
         spark.createDataFrame(rows2, "g string, vq long"), "g", "vq", ["a", "b"]
     ).collect()[0]
     assert r2["f_stat"] == 0.0
+
+
+def test_wetness_index_hand(spark):
+    """TWI on a 3-cell slope: acc and the steepest-drop tan match a
+    direct recomputation; the terminal pit takes the r.topidx
+    minimum-slope convention."""
+    import math
+    from greenex_py_spark.operators.hydro import TWI_TAN_MIN, wetness_index
+
+    # elevations fall along x: (0,0)=30e6, (1,0)=20e6, (2,0)=5e6 (pit)
+    # (magnitudes inside the dz^2*w int64 envelope of the D8 comparator)
+    cells = spark.createDataFrame(
+        [(0, 0, 30_000_000), (1, 0, 20_000_000), (2, 0, 5_000_000)],
+        "mx long, my long, zq long",
+    )
+    f, res, quant = 20, 10.0, 1e6
+    got = {(r["mx"], r["my"]): r
+           for r in wetness_index(cells, res_m=res, factor=f).collect()}
+    scale, cell = f * f * quant, res * f
+    assert got[(0, 0)]["acc"] == 1
+    assert got[(1, 0)]["acc"] == 2
+    assert got[(2, 0)]["acc"] == 3
+    t0 = (10_000_000 / scale) / (cell * 1.0)
+    t1 = (15_000_000 / scale) / (cell * 1.0)
+    assert got[(0, 0)]["twi"] == round(math.log(1 * cell / t0) + 0.0, 6)
+    assert got[(1, 0)]["twi"] == round(math.log(2 * cell / t1) + 0.0, 6)
+    assert got[(2, 0)]["twi"] == round(
+        math.log(3 * cell / TWI_TAN_MIN) + 0.0, 6
+    )
+
+
+def test_expected_calibration_error_hand(spark):
+    """ECE == Σ (n_b/N)·|mean−rate| recomputed directly; perfectly
+    calibrated bins give 0."""
+    from greenex_py_spark.functions.stats import expected_calibration_error
+
+    # bin width 0.1 over [0,1]: scores 0.05 (bin 0) and 0.75 (bin 7)
+    rows = [(0.05, True), (0.05, False), (0.75, True), (0.75, True),
+            (0.75, False), (0.75, True)]
+    df = spark.createDataFrame(rows, "score double, keep boolean")
+    r = expected_calibration_error(
+        df, "score", "keep", n_bins=10, lo=0.0, hi=1.0
+    ).collect()[0]
+    # bin0: mean 0.05, rate 0.5 -> gap 0.45, w 2/6; bin7: mean 0.75,
+    # rate 0.75 -> gap 0 -> ece = 0.45/3
+    assert r["n_total"] == 6 and r["n_bins_occupied"] == 2
+    assert r["ece"] == round(0.45 * 2 / 6 + 0.0, 6)
+    rows2 = [(0.25, v) for v in (True, False, False, False)]
+    r2 = expected_calibration_error(
+        spark.createDataFrame(rows2, "score double, keep boolean"),
+        "score", "keep", n_bins=10, lo=0.0, hi=1.0,
+    ).collect()[0]
+    assert r2["ece"] == 0.0  # mean 0.25 == rate 1/4
