@@ -13629,6 +13629,383 @@ ORACLES["q_wetness"] = _wetness_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_holt_winters — additive weekly-seasonal smoothing per event stream
+# ---------------------------------------------------------------------------
+
+
+def _hw_oracle() -> str:
+    from .functions.timeseries import (
+        HW_ALPHA, HW_BETA, HW_GAMMA, HW_OMA, HW_OMB, HW_OMG, HW_SEASON,
+    )
+
+    m = HW_SEASON
+    # seasonal slot of the step being absorbed (t = h.t + 1)
+    so = "CASE (h.t + 1) % 7 " + " ".join(
+        f"WHEN {j} THEN h.s{j}" for j in range(m)
+    ) + " END"
+    ln = (
+        f"{HW_ALPHA!r} * (CAST(c.y AS DOUBLE) - ({so})) "
+        f"+ {HW_OMA!r} * (h.l + h.b)"
+    )
+    sn = (
+        f"{HW_GAMMA!r} * (CAST(c.y AS DOUBLE) - ({ln})) "
+        f"+ {HW_OMG!r} * ({so})"
+    )
+    s_cols = ",\n         ".join(
+        f"CASE WHEN (h.t + 1) % 7 = {j} THEN {sn} ELSE h.s{j} END"
+        for j in range(m)
+    )
+    sum1 = "CAST(sum(CASE WHEN t <= 6 THEN y ELSE 0 END) AS DOUBLE) / 7.0"
+    sum2 = (
+        "CAST(sum(CASE WHEN t BETWEEN 7 AND 13 THEN y ELSE 0 END) "
+        "AS DOUBLE) / 7.0"
+    )
+    seeds = ",\n         ".join(
+        f"CAST(max(CASE WHEN t = {j} THEN y END) AS DOUBLE) - ({sum1})"
+        f" AS s{j}"
+        for j in range(m)
+    )
+    s_next = "CASE (t + 1) % 7 " + " ".join(
+        f"WHEN {j} THEN s{j}" for j in range(m)
+    ) + " END"
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d FROM events
+),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (
+  SELECT g, date_diff('day', d0.dmin, d) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM e, d0 GROUP BY 1, 2
+),
+grid AS (
+  SELECT gs.g, i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT DISTINCT g FROM e) gs
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.g = gs.g AND c.t = i.t
+),
+seed AS (
+  SELECT g, {sum1} AS l0,
+         (({sum2}) - ({sum1})) / 7.0 AS b0,
+         {seeds}
+  FROM grid WHERE t < 14 GROUP BY g
+),
+hw(t, g, l, b, {', '.join(f's{j}' for j in range(m))}, sse) AS (
+  SELECT 6, g, l0, b0, {', '.join(f's{j}' for j in range(m))},
+         CAST(0.0 AS DOUBLE)
+  FROM seed
+  UNION ALL
+  SELECT h.t + 1, h.g,
+         {ln},
+         {HW_BETA!r} * (({ln}) - h.l) + {HW_OMB!r} * h.b,
+         {s_cols},
+         h.sse + (CAST(c.y AS DOUBLE) - (h.l + h.b + ({so})))
+               * (CAST(c.y AS DOUBLE) - (h.l + h.b + ({so})))
+  FROM hw h JOIN grid c ON c.g = h.g AND c.t = h.t + 1
+)
+SELECT g, CAST(t + 1 AS BIGINT) AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round({s_next}, 6) AS s_next,
+       round(l + b + ({s_next}), 6) AS forecast1,
+       round(sse, 6) AS sse
+FROM hw WHERE t = (SELECT tmax FROM d0)
+"""
+
+
+@register("q_holt_winters", None)  # generated oracle attached below
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE weekly-seasonal next-day forecast per
+    event stream — the seasonal completion of q_holt_forecast, whose
+    linear recursion a weekday-periodic volume systematically lags.
+    Classic two-season init, recursion from t = m, one-step-ahead SSE;
+    the heavy work is the per-day count, the recursion runs in one
+    Arrow kernel per series, and the oracle replays the identical
+    operation order (shared α/β/γ literals, per-slot CASE seasonal
+    state) as a DuckDB recursive CTE — round-6 hash-portable."""
+    from .functions.timeseries import holt_winters_additive
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select("g", F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        e.select("g").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+        )
+        .join(cnt, ["g", "t"], "left")
+        .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return holt_winters_additive(grid)
+
+
+ORACLES["q_holt_winters"] = _hw_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_otsu — automatic NDVI binarization threshold (Otsu's method)
+# ---------------------------------------------------------------------------
+
+_OTSU_QUANT = 100.0
+
+
+def _otsu_oracle() -> str:
+    npx = city.NPX
+    lvl = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + f") * {_OTSU_QUANT!r}) AS BIGINT)"
+    )
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+lv AS (SELECT {lvl} AS level FROM px),
+h AS (SELECT level, CAST(count(*) AS BIGINT) AS c FROM lv GROUP BY level),
+g AS (SELECT level, c,
+             CAST(sum(c) OVER (ORDER BY level
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+             CAST(sum(level * c) OVER (ORDER BY level
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sc,
+             CAST(sum(c) OVER () AS BIGINT) AS n,
+             CAST(sum(level * c) OVER () AS BIGINT) AS s
+      FROM h),
+sel AS (SELECT CAST(level AS BIGINT) AS thr_level,
+               cc AS n_below, n - cc AS n_above,
+               round(CAST(sc AS DOUBLE) / CAST(cc AS DOUBLE)
+                     / {_OTSU_QUANT!r} + 0.0, 6) AS mean_below,
+               round(CAST(s - sc AS DOUBLE) / CAST(n - cc AS DOUBLE)
+                     / {_OTSU_QUANT!r} + 0.0, 6) AS mean_above,
+               CAST(s * cc - n * sc AS DOUBLE)
+                 * CAST(s * cc - n * sc AS DOUBLE)
+                 / CAST(cc * (n - cc) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / ({_OTSU_QUANT!r} * {_OTSU_QUANT!r}) AS between_var
+        FROM g WHERE cc >= 1 AND cc <= n - 1)
+SELECT * FROM sel ORDER BY between_var DESC, thr_level LIMIT 1
+"""
+
+
+@register("q_otsu", None)  # generated oracle attached below
+def q_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu automatic binarization threshold of the NDVI raster —
+    the standard unsupervised vegetated/built-up cutoff upstream of
+    patch metrics and greenspace masks: argmax of between-class
+    variance over the 1e-2-quantized level histogram.  The corpus-
+    sized work is ONE mapInPandas pass reducing each tile to its
+    (level, count) rows (no pixel crosses the shuffle); cumulative and
+    total sums ride value-domain-sized windows, every product stays
+    exact int64, and the variance assembles identically in both
+    engines — the argmax over bit-identical doubles needs no rounding.
+    Oracle expands the closed-form NDVI per pixel; the two sides share
+    no code path."""
+    from .operators.threshold import otsu_threshold
+
+    return otsu_threshold(
+        city.tiles_df(spark, "ndvi"), city.grid(), quant=_OTSU_QUANT
+    )
+
+
+ORACLES["q_otsu"] = _otsu_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_local_clustering — per-host local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_local_clustering",
+    "WITH " + _LINK_EDGE_CTE + """,
+o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ua < ub)
+                  THEN ua ELSE ub END AS x,
+             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ua < ub)
+                  THEN ub ELSE ua END AS y,
+             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ua < ub)
+                  THEN db.dg ELSE da.dg END AS yd
+      FROM und JOIN deg da ON da.a = ua JOIN deg db ON db.a = ub),
+tr AS (SELECT w1.x AS p, w1.y AS v1, w2.y AS v2
+       FROM o w1 JOIN o w2 ON w1.x = w2.x
+        AND (w1.yd < w2.yd OR (w1.yd = w2.yd AND w1.y < w2.y))
+       JOIN o oc ON oc.x = w1.y AND oc.y = w2.y),
+tv AS (SELECT v, count(*) AS t FROM (
+         SELECT p AS v FROM tr
+         UNION ALL SELECT v1 AS v FROM tr
+         UNION ALL SELECT v2 AS v FROM tr) u GROUP BY v)
+SELECT deg.a AS node, CAST(deg.dg AS BIGINT) AS degree,
+       CAST(coalesce(tv.t, 0) AS BIGINT) AS n_tri,
+       round(2.0 * CAST(coalesce(tv.t, 0) AS DOUBLE)
+             / CAST(deg.dg * (deg.dg - 1) AS DOUBLE), 6) AS local_cc
+FROM deg LEFT JOIN tv ON tv.v = deg.a
+WHERE deg.dg >= 2
+""",
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host LOCAL clustering coefficient 2T(v)/(d(v)(d(v)−1)) —
+    the vertex-level companion to q_triangles' global count (same
+    degree-ordered once-per-triangle orientation, Suri–Vassilvitskii
+    oriented-out-degree bound), with the closed wedge keeping its full
+    vertex triple and exploding to the three corners.  Spam-farm
+    neighbourhoods ring-fence as near-cliques (cc→1) while organic
+    hubs stay sparse — a standard webgraph curation feature."""
+    from .functions.graph import local_clustering
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return local_clustering(edges)
+
+
+# ---------------------------------------------------------------------------
+# q_avg_precision — PR-AUC (average precision) of length vs English label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_avg_precision",
+    """
+WITH s AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+r AS (SELECT y,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+             sum(y) OVER (ORDER BY score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS pc
+      FROM s),
+t AS (SELECT CAST(sum(CASE WHEN y = 1
+                           THEN (CAST(pc AS BIGINT) * 1000000000000) // rk
+                      END) AS BIGINT) AS sc,
+             CAST(sum(y) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS n
+      FROM r)
+SELECT p AS n_pos, n AS n_docs,
+       CAST(sc AS DOUBLE) / (CAST(p AS DOUBLE) * 1000000000000.0)
+         AS avg_precision
+FROM t
+""",
+)
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (exact PR-AUC at the observed operating
+    points) of document length against the English label — the
+    head-weighted rank eval beside q_auc's global Mann–Whitney: AP =
+    (1/P)·Σ_positives pos_cum/rank under the deterministic
+    (score DESC, doc_id ASC) total order (AP is tie-order-sensitive,
+    so the id tie-break is part of the contract).  Both rank and
+    positive-rank are two-phase global_rank passes — no single-task
+    sort — and every precision term ships as the exact integer
+    (j·10¹²) div r, so the only FP step is one final division."""
+    from .functions.audit import average_precision
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    return average_precision(s, "score", "label", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_wilcoxon — Wilcoxon signed-rank over paired daily click/view volumes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_wilcoxon",
+    """
+WITH e AS (SELECT date_trunc('day', ts) AS d, event_type FROM events),
+d0 AS (SELECT min(d) AS dmin, date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (SELECT date_diff('day', d0.dmin, d) AS t,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+        FROM e, d0 GROUP BY 1),
+grid AS (SELECT i.t, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+         FROM (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+         LEFT JOIN cnt c ON c.t = i.t),
+dd AS (SELECT CAST(x - y AS BIGINT) AS d FROM grid WHERE x <> y),
+g AS (SELECT abs(d) AS ad, count(*) AS c,
+             sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS p
+      FROM dd GROUP BY 1),
+r AS (SELECT ad, c, p,
+             coalesce(sum(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      FROM g),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(p AS HUGEINT) * (2 * b + c + 1)) AS DOUBLE) AS w2,
+             CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tie
+      FROM r)
+SELECT n AS n_pairs,
+       w2 / 2.0 AS w_plus,
+       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) - w2) / 2.0 AS w_minus,
+       (2.0 * w2 - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+       / (4.0 * nullif(sqrt((2.0 * CAST(n AS DOUBLE)
+            * (CAST(n AS DOUBLE) + 1.0)
+            * (2.0 * CAST(n AS DOUBLE) + 1.0) - tie) / 48.0), 0.0))
+         AS z_value
+FROM t
+""",
+)
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of paired daily click-vs-view volumes
+    over the dense event calendar (gaps zero-filled on BOTH sides) —
+    the non-parametric PAIRED companion to q_welch_ttest (unpaired)
+    and q_auc (two-sample ranks).  Doubled average ranks keep W+/W−
+    exact halves, the Σ(c³−c) tie correction is an exact integer, and
+    z ships UNROUNDED as one identical-IEEE assembly (the round-6
+    …5-boundary lesson from BENCH/SCALE_AUDIT.md)."""
+    from .functions.stats import wilcoxon_signed_rank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(F.datediff(F.col("d"), F.col("dmin")).alias("t"), "event_type")
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .alias("y"),
+        )
+    )
+    grid = (
+        bounds.select(F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"))
+        .join(cnt, ["t"], "left")
+        .select(
+            "t",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    return wilcoxon_signed_rank(grid, "x", "y")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

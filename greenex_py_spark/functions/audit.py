@@ -161,6 +161,57 @@ def auc_mann_whitney(
     )
 
 
+def average_precision(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row [n_pos, n_docs, avg_precision] — area under the
+    precision–recall curve of ``score_col`` against a 0/1
+    ``label_col``, the rank-eval twin of :func:`auc_mann_whitney`
+    (ROC-AUC rewards global ordering; AP weights the head, which is
+    what retrieval / curation-threshold choices actually feel):
+
+        AP = (1/P) · Σ_{positives} precision@rank(pos)
+           = (1/P) · Σ_j  j / r_j
+
+    under the DETERMINISTIC total order (score DESC, id ASC) — AP is
+    order-sensitive under score ties, so the id tie-break is part of
+    the operator contract, not a convenience.
+
+    Shape: the overall rank r and the positive-only running count j are
+    both house two-phase :func:`~..engine.rank.global_rank` passes (no
+    single-task global sort); each term ships as the exact integer
+    ``(j · 10^12) div r`` (j ≤ P ≤ 10^6 keeps the product inside
+    int64), the sum is an integer, and the final AP is one double
+    division — identical IEEE in any engine.
+    """
+    from ..engine.rank import global_rank
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (-F.col(score_col).cast("long")).alias("_ns"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    ranked = global_rank(base, ["_ns", "_id"], out_col="_r")
+    pos = global_rank(
+        ranked.filter(F.col("_y") == 1), ["_ns", "_id"], out_col="_j"
+    )
+    term = F.expr("(_j * 1000000000000L) div _r")
+    t = pos.agg(
+        F.sum(term).alias("s"), F.count(F.lit(1)).alias("p")
+    ).crossJoin(base.agg(F.count(F.lit(1)).alias("n")))
+    return t.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_docs"),
+        (
+            F.col("s").cast("double")
+            / (F.col("p").cast("double") * F.lit(1000000000000.0))
+        ).alias("avg_precision"),
+    )
+
+
 def gini_by_group(
     df: DataFrame,
     group_col: str = "source",

@@ -233,6 +233,69 @@ def welch_ttest(
     )
 
 
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """One row [n_pairs, w_plus, w_minus, z_value] — Wilcoxon
+    signed-rank test over PAIRED integer observations (x_i, y_i): the
+    non-parametric paired companion to :func:`welch_ttest` (which is
+    unpaired) and the rank twin of the Mann–Whitney AUC.
+
+    Standard construction: d = x − y, zero differences dropped, |d|
+    ranked with AVERAGE ranks, W+ = Σ ranks of positive d.  Everything
+    stays integer via the same doubled-rank identity as
+    ``auc_mann_whitney`` — per |d| group g with c_g members (p_g
+    positive) and B_g members ranking below,
+
+        2·W+ = Σ_g p_g · (2·B_g + c_g + 1)          (exact)
+
+    — so W+ and W− are exact halves and the normal-approximation z
+    (with the standard tie correction Σ(c³−c)/48) assembles from four
+    integers in one identical-IEEE expression, shipped UNROUNDED:
+
+        z = (2·w2 − n(n+1)) / (4 · sqrt((2n(n+1)(2n+1) − Σ(c³−c))/48))
+
+    Shape: one groupBy(|d|) over the pairs frame, then a cumsum window
+    over the DISTINCT-|d| frame (value-domain-sized, never the corpus)
+    — the same two-level rank discipline as the AUC operator.
+    """
+    dd = df.select(
+        (F.col(x_col).cast("long") - F.col(y_col).cast("long")).alias("d")
+    ).filter(F.col("d") != 0)
+    g = dd.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("p"),
+    )
+    w_below = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("b", F.coalesce(F.sum("c").over(w_below), F.lit(0)))
+    t = r.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("b") + F.col("c") + F.lit(1))
+        ).cast("decimal(38,0)").alias("w2"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).cast("decimal(38,0)").alias("tie"),
+    )
+    n = F.col("n").cast("double")
+    w2 = F.col("w2").cast("double")
+    tie = F.col("tie").cast("double")
+    var48 = F.lit(2.0) * n * (n + 1.0) * (2.0 * n + 1.0) - tie
+    return t.select(
+        F.col("n").alias("n_pairs"),
+        (w2 / F.lit(2.0)).alias("w_plus"),
+        ((n * (n + 1.0) - w2) / F.lit(2.0)).alias("w_minus"),
+        (
+            (F.lit(2.0) * w2 - n * (n + 1.0))
+            / (F.lit(4.0) * F.nullif(F.sqrt(var48 / F.lit(48.0)), F.lit(0.0)))
+        ).alias("z_value"),
+    )
+
+
 def chi2_independence(
     df: DataFrame,
     col_a: str,

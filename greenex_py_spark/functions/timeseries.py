@@ -31,13 +31,24 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "HOLT_ALPHA", "HOLT_OMA", "HOLT_BETA", "HOLT_OMB",
-    "holt_linear", "acf_lags", "dow_volume_anomaly",
+    "HW_ALPHA", "HW_OMA", "HW_BETA", "HW_OMB", "HW_GAMMA", "HW_OMG",
+    "HW_SEASON", "holt_linear", "holt_winters_additive", "acf_lags",
+    "dow_volume_anomaly",
 ]
 
 HOLT_ALPHA = 0.3
 HOLT_OMA = 0.7   # 1 − α as its own literal (shared with the oracle)
 HOLT_BETA = 0.2
 HOLT_OMB = 0.8   # 1 − β
+
+# Holt–Winters additive (weekly season): same shared-literal contract
+HW_ALPHA = 0.5
+HW_OMA = 0.5
+HW_BETA = 0.25
+HW_OMB = 0.75
+HW_GAMMA = 0.25
+HW_OMG = 0.75
+HW_SEASON = 7
 
 
 def holt_linear(
@@ -79,6 +90,80 @@ def holt_linear(
               round(trend, 6), round(level + trend, 6), round(sse, 6)]],
             columns=[series_col, "n_days", "level", "trend",
                      "forecast1", "sse"],
+        )
+
+    return df.groupBy(series_col).applyInPandas(_kernel, schema=schema)
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    series_col: str = "g",
+    t_col: str = "t",
+    y_col: str = "y",
+    season: int = HW_SEASON,
+) -> DataFrame:
+    """[series, n_days, level, trend, s_next, forecast1, sse] —
+    Holt–Winters ADDITIVE seasonal smoothing per series over a dense
+    integer time index: the weekly-seasonality completion of
+    :func:`holt_linear` (whose linear recursion a weekday-periodic
+    volume series systematically lags).
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+
+    Classic first-two-seasons init: l₀ = mean(y₀..y_{m−1}),
+    b₀ = (mean of season 2 − mean of season 1)/m, s_i = y_i − l₀;
+    the recursion starts at t = m, one-step-ahead SSE accumulates from
+    there, and ``forecast1 = l + b + s`` for the next day's weekday
+    slot.  Series shorter than 2·m emit nothing.
+
+    Same exactness contract as Holt: the kernel and the DuckDB
+    recursive-CTE oracle evaluate the IDENTICAL operation order with
+    α/1−α/β/1−β/γ/1−γ as shared literals (integer day volumes make the
+    seed means exact), so round-6 at the end is portable.  Same
+    distributed shape too: one Arrow ``applyInPandas`` kernel per
+    series, per-task state bounded by the calendar.
+    """
+    m = int(season)
+    schema = (
+        f"{series_col} string, n_days long, level double, trend double, "
+        "s_next double, forecast1 double, sse double"
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col)
+        ys = [float(v) for v in pdf[y_col]]
+        n = len(ys)
+        cols = [series_col, "n_days", "level", "trend", "s_next",
+                "forecast1", "sse"]
+        if n < 2 * m:
+            return pd.DataFrame(columns=cols)
+        sum1 = 0.0
+        sum2 = 0.0
+        for v in ys[:m]:
+            sum1 += v
+        for v in ys[m:2 * m]:
+            sum2 += v
+        level = sum1 / float(m)
+        trend = (sum2 / float(m) - sum1 / float(m)) / float(m)
+        s = [ys[i] - level for i in range(m)]
+        sse = 0.0
+        for t in range(m, n):
+            y = ys[t]
+            so = s[t % m]
+            err = y - (level + trend + so)
+            sse = sse + err * err
+            lnew = HW_ALPHA * (y - so) + HW_OMA * (level + trend)
+            bnew = HW_BETA * (lnew - level) + HW_OMB * trend
+            s[t % m] = HW_GAMMA * (y - lnew) + HW_OMG * so
+            level, trend = lnew, bnew
+        s_next = s[n % m]
+        return pd.DataFrame(
+            [[pdf[series_col].iloc[0], n, round(level, 6), round(trend, 6),
+              round(s_next, 6), round(level + trend + s_next, 6),
+              round(sse, 6)]],
+            columns=cols,
         )
 
     return df.groupBy(series_col).applyInPandas(_kernel, schema=schema)

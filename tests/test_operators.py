@@ -6005,3 +6005,178 @@ def test_expected_calibration_error_hand(spark):
         "score", "keep", n_bins=10, lo=0.0, hi=1.0,
     ).collect()[0]
     assert r2["ece"] == 0.0  # mean 0.25 == rate 1/4
+
+
+def test_local_clustering_hand_and_bruteforce(spark):
+    """Local clustering on a hand graph, then against a set-based
+    brute force (common-neighbour intersection) on a deterministic
+    pseudo-random graph with degree ties."""
+    from greenex_py_spark.functions.graph import local_clustering
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in local_clustering(df).collect()}
+    # triangle (a,b,c); degrees a=2 b=2 c=3 d=1 (d excluded: deg < 2)
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["n_tri"] == 1 and got["a"]["local_cc"] == 1.0
+    assert got["b"]["local_cc"] == 1.0
+    assert got["c"]["degree"] == 3 and got["c"]["n_tri"] == 1
+    assert got["c"]["local_cc"] == round(2 * 1 / (3 * 2), 6)
+
+    raw = [(i % 23, (i * i + 3) % 23) for i in range(140)]
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df2 = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in raw if a != b], "src string, dst string"
+    )
+    got2 = {int(r["node"]): r for r in local_clustering(df2).collect()}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            assert v not in got2
+            continue
+        tri = sum(len(adj[u] & nb) for u in nb) // 2
+        assert got2[v]["degree"] == d
+        assert got2[v]["n_tri"] == tri
+        assert got2[v]["local_cc"] == round(2.0 * tri / (d * (d - 1)), 6)
+
+
+def test_average_precision_hand(spark):
+    """AP matches the direct precision-at-positive loop under the
+    (score DESC, id ASC) order, including score ties split by id."""
+    from greenex_py_spark.functions.audit import average_precision
+
+    rows = [  # (doc_id, score, label)
+        (1, 9, 1), (2, 9, 0), (3, 7, 1), (4, 7, 1), (5, 5, 0),
+        (6, 5, 1), (7, 3, 0), (8, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score long, label long")
+    got = average_precision(df, "score", "label", "doc_id").collect()[0]
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    s = pc = p = 0
+    for rk, (_, _, y) in enumerate(order, start=1):
+        if y == 1:
+            pc += 1
+            s += (pc * 10**12) // rk
+            p += 1
+    assert got["n_pos"] == p and got["n_docs"] == len(rows)
+    assert got["avg_precision"] == s / (p * 1e12)
+    # perfect ranking -> AP == 1
+    perf = spark.createDataFrame(
+        [(i, 100 - i, 1 if i <= 3 else 0) for i in range(1, 11)],
+        "doc_id long, score long, label long",
+    )
+    assert average_precision(perf, "score", "label", "doc_id").collect()[0][
+        "avg_precision"
+    ] == 1.0
+
+
+def test_wilcoxon_signed_rank_hand(spark):
+    """W+/W-/z against the textbook computation with |d| ties, a zero
+    difference dropped, and the tie-corrected normal z."""
+    import math
+
+    from greenex_py_spark.functions.stats import wilcoxon_signed_rank
+
+    x = [10, 14, 9, 11, 20, 7, 13, 5]
+    y = [8, 14, 12, 8, 15, 9, 10, 6]
+    rows = list(zip(x, y))
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    d = [a - b for a, b in rows if a != b]
+    ad = sorted(abs(v) for v in d)
+    ranks = {}
+    i = 0
+    while i < len(ad):
+        j = i
+        while j < len(ad) and ad[j] == ad[i]:
+            j += 1
+        ranks[ad[i]] = (i + 1 + j) / 2  # average rank of the tie run
+        i = j
+    w_plus = sum(ranks[abs(v)] for v in d if v > 0)
+    n = len(d)
+    tie = sum(
+        c**3 - c
+        for c in (sum(1 for v in ad if v == u) for u in set(ad))
+    )
+    mu = n * (n + 1) / 4
+    sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24 - tie / 48)
+    assert got["n_pairs"] == n
+    assert got["w_plus"] == w_plus
+    assert got["w_minus"] == n * (n + 1) / 2 - w_plus
+    assert abs(got["z_value"] - (w_plus - mu) / sigma) < 1e-12
+
+
+def test_holt_winters_additive_hand(spark):
+    """HW recursion against an independent dict-based replay, plus the
+    too-short-series guard."""
+    from greenex_py_spark.functions.timeseries import (
+        HW_ALPHA, HW_BETA, HW_GAMMA, holt_winters_additive,
+    )
+
+    ys = [12, 9, 14, 7, 11, 16, 5, 13, 10, 15, 8, 12, 17, 6,
+          14, 11, 16, 9, 13, 18, 7]
+    rows = [("s", t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    got = holt_winters_additive(df).collect()[0]
+    m = 7
+    lvl = sum(ys[:m]) / m
+    tr = (sum(ys[m:2 * m]) / m - sum(ys[:m]) / m) / m
+    season = {i % m: ys[i] - lvl for i in range(m)}
+    sse = 0.0
+    for t in range(m, len(ys)):
+        so = season[t % m]
+        sse += (ys[t] - (lvl + tr + so)) ** 2
+        ln = HW_ALPHA * (ys[t] - so) + (1 - HW_ALPHA) * (lvl + tr)
+        tn = HW_BETA * (ln - lvl) + (1 - HW_BETA) * tr
+        season[t % m] = HW_GAMMA * (ys[t] - ln) + (1 - HW_GAMMA) * so
+        lvl, tr = ln, tn
+    assert got["n_days"] == len(ys)
+    assert got["level"] == pytest.approx(lvl, abs=1e-6)
+    assert got["trend"] == pytest.approx(tr, abs=1e-6)
+    assert got["s_next"] == pytest.approx(season[len(ys) % m], abs=1e-6)
+    assert got["forecast1"] == pytest.approx(
+        lvl + tr + season[len(ys) % m], abs=1e-6
+    )
+    assert got["sse"] == pytest.approx(sse, abs=1e-6)
+    short = spark.createDataFrame(rows[:13], "g string, t long, y long")
+    assert holt_winters_additive(short).count() == 0
+
+
+def test_otsu_threshold_bruteforce(spark):
+    """Otsu argmax against a NumPy brute force over every candidate
+    threshold of a small two-mode raster."""
+    import pandas as pd
+
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.threshold import otsu_threshold
+
+    rng = np.arange(64, dtype=np.float64)
+    vals = np.where(rng % 3 == 0, rng / 100.0, 0.8 - rng / 200.0)
+    tiles = spark.createDataFrame(
+        pd.DataFrame(
+            [{"layer": "v", "tx": 0, "ty": 0, "x0": 0.0, "y0": 0.0,
+              "res": 1.0, "w": 8, "h": 8, "px": vals.tolist()}]
+        )
+    )
+    grid = GridSpec.square(0.0, 0.0, 1.0, 8, 8)
+    got = otsu_threshold(tiles, grid, quant=100.0).collect()[0]
+    lv = np.sign(vals * 100.0) * np.floor(np.abs(vals * 100.0) + 0.5)
+    lv = lv.astype(np.int64)
+    n, s = len(lv), lv.sum()
+    best = None
+    for t in sorted(set(lv))[:-1]:
+        c = int((lv <= t).sum())
+        sc = int(lv[lv <= t].sum())
+        var = (s * c - n * sc) ** 2 / (c * (n - c)) / n**2 / 10000.0
+        if best is None or var > best[1] + 1e-15:
+            best = (t, var, c, sc)
+    t, var, c, sc = best
+    assert got["thr_level"] == t
+    assert got["n_below"] == c and got["n_above"] == n - c
+    assert got["between_var"] == pytest.approx(var, rel=1e-12)
+    assert got["mean_below"] == round(sc / c / 100.0 + 0.0, 6)
+    assert got["mean_above"] == round((s - sc) / (n - c) / 100.0 + 0.0, 6)
