@@ -6180,3 +6180,66 @@ def test_otsu_threshold_bruteforce(spark):
     assert got["between_var"] == pytest.approx(var, rel=1e-12)
     assert got["mean_below"] == round(sc / c / 100.0 + 0.0, 6)
     assert got["mean_above"] == round((s - sc) / (n - c) / 100.0 + 0.0, 6)
+
+
+def test_waiting_suppliers_matches_exists_formulation(spark, sf_dir):
+    """The Q21-shape grouped decorrelation (one per-order aggregate)
+    must equal the textbook correlated EXISTS / NOT-EXISTS triple
+    self-join, computed independently in DuckDB."""
+    import duckdb
+
+    from greenex_py_spark.driver_queries import (
+        _Q21_LATE_DAYS,
+        _Q21_NATION,
+        q_waiting_suppliers,
+    )
+
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in q_waiting_suppliers(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{sf_dir}/{t}.parquet')")
+    want = con.execute(f"""
+        WITH late AS (
+          SELECT l.*, o.o_orderdate FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = '{_Q21_NATION}'
+          AND l1.l_shipdate > l1.o_orderdate
+                              + INTERVAL {_Q21_LATE_DAYS} DAY
+          AND EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l3.o_orderdate
+                                + INTERVAL {_Q21_LATE_DAYS} DAY)
+        GROUP BY 1
+    """).df().set_index("s_name")["numwait"].to_dict()
+    assert got == {k: int(v) for k, v in want.items()}
+    plan = q_waiting_suppliers(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_keeps_all_ties(spark, sf_dir):
+    """Q2-shape join-back keeps EVERY supplier at the per-part minimum
+    cost (no arbitrary tie-break), and every kept row IS the min of
+    its part group (recomputed in pandas)."""
+    from greenex_py_spark.driver_queries import q_min_cost_supplier
+
+    got = q_min_cost_supplier(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    per_part_min = got.groupby("p_partkey")["cost_cents"].transform("min")
+    assert (got["cost_cents"] == per_part_min).all()
+    # no duplicate (part, supplier) pairs
+    assert not got.duplicated(["p_partkey", "s_suppkey"]).any()
