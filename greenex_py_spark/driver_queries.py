@@ -14456,6 +14456,413 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_dtw_profile — banded-free exact DTW of per-user activity profiles
+# against the global profile, as a pure window-function DP
+# ---------------------------------------------------------------------------
+
+_DTW_T = 30  # fixture calendar length (days) — the DP unroll constant
+
+
+def _dtw_grid_sql() -> str:
+    return f"""
+WITH e AS (SELECT user_id AS u, date_trunc('day', ts) AS d FROM events),
+d0 AS (SELECT min(d) AS dmin FROM e),
+cnt AS (SELECT u, date_diff('day', d0.dmin, d) AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM e, d0 GROUP BY 1, 2),
+grid0 AS (
+  SELECT us.u AS g, i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT DISTINCT u FROM e) us
+  CROSS JOIN (SELECT unnest(generate_series(0, {_DTW_T - 1})) AS t) i
+  LEFT JOIN cnt c ON c.u = us.u AND c.t = i.t)
+SELECT g, t + 1 AS j,
+       CAST(round(1000000.0 * y / (sum(y) OVER (PARTITION BY g)))
+            AS BIGINT) AS q
+FROM grid0
+"""
+
+
+def _dtw_ref_sql() -> str:
+    return f"""
+WITH e AS (SELECT date_trunc('day', ts) AS d FROM events),
+d0 AS (SELECT min(d) AS dmin FROM e),
+cnt AS (SELECT date_diff('day', d0.dmin, d) AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM e, d0 GROUP BY 1),
+grid0 AS (
+  SELECT i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT unnest(generate_series(0, {_DTW_T - 1})) AS t) i
+  LEFT JOIN cnt c ON c.t = i.t)
+SELECT t + 1 AS i,
+       CAST(round(1000000.0 * y / (sum(y) OVER ())) AS BIGINT) AS r
+FROM grid0
+"""
+
+
+def _dtw_oracle() -> str:
+    from .functions.timeseries import dtw_sql
+
+    return dtw_sql(_dtw_grid_sql(), _dtw_ref_sql(), _DTW_T)
+
+
+@register("q_dtw_profile", None)  # generated oracle attached below
+def q_dtw_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dynamic-time-warping cost of every user's ppm-quantized
+    daily-activity profile against the global corpus profile — the
+    shift-tolerant "activity shape" segmentation a behavioural
+    pipeline wants where plain correlation punishes phase lag.  The
+    O(T²) DP is re-expressed as T chained window scans (cumulative
+    sum + running min per DP row — see functions/timeseries.py
+    ``dtw_to_reference`` for the min-plus prefix-scan derivation), so
+    the plan is ONE shuffle on user and T in-partition Window stages:
+    no Python kernel, no T-step join chain, per-task state bounded by
+    the calendar.  Profiles are integer ppm shares, so every DP cell
+    is an exact int64 and the DuckDB twin (same decomposition,
+    unrolled MATERIALIZED CTEs per the house rule) is bit-equal at
+    any parallelism."""
+    from pyspark.sql import Window as W
+
+    from .functions.timeseries import dtw_to_reference
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("user_id").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    bounds = e.agg(F.min("d").alias("dmin"))
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select("g", F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .filter((F.col("t") >= 0) & (F.col("t") < _DTW_T))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        e.select("g").distinct()
+        .select(
+            "g",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_DTW_T - 1))
+            ).alias("t"),
+        )
+        .join(cnt, ["g", "t"], "left")
+        .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    prof = grid.select(
+        "g",
+        (F.col("t") + 1).alias("j"),
+        F.round(
+            (F.lit(1000000.0) * F.col("y"))
+            / F.sum("y").over(W.partitionBy("g"))
+        ).cast("long").alias("q"),
+    )
+    ref = (
+        grid.groupBy("t")
+        .agg(F.sum("y").alias("Y"))
+        .select(
+            "t",
+            F.round(
+                (F.lit(1000000.0) * F.col("Y"))
+                / F.sum("Y").over(W.partitionBy())
+            ).cast("long").alias("rq"),
+        )
+    )
+    refrow = ref.agg(
+        *[
+            F.max(F.when(F.col("t") == i - 1, F.col("rq"))).alias(f"r{i}")
+            for i in range(1, _DTW_T + 1)
+        ]
+    )
+    return dtw_to_reference(
+        prof.crossJoin(F.broadcast(refrow)), _DTW_T
+    ).select(F.col("g").alias("user_id"), "dtw_cost")
+
+
+ORACLES["q_dtw_profile"] = (
+    _dtw_oracle()
+    .replace("SELECT g, CAST(d AS BIGINT) AS dtw_cost",
+             "SELECT g AS user_id, CAST(d AS BIGINT) AS dtw_cost")
+)
+
+
+# ---------------------------------------------------------------------------
+# q_permutation_test — deterministic sign-flip permutation test on the
+# paired daily click/view volumes (the resampling companion to
+# q_wilcoxon / q_welch_ttest / q_bootstrap_ci)
+# ---------------------------------------------------------------------------
+
+_PERM_PAIRS_SQL = """
+SELECT t, CAST(x - y AS BIGINT) AS d FROM (
+  WITH e AS (SELECT date_trunc('day', ts) AS dd, event_type FROM events),
+  d0 AS (SELECT min(dd) AS dmin,
+                date_diff('day', min(dd), max(dd)) AS tmax FROM e),
+  cnt AS (SELECT date_diff('day', d0.dmin, dd) AS t,
+                 sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                 sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+          FROM e, d0 GROUP BY 1)
+  SELECT i.t, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+  FROM (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.t = i.t
+)
+"""
+
+
+def _perm_oracle() -> str:
+    from .functions.stats import signflip_permutation_sql
+
+    return signflip_permutation_sql(_PERM_PAIRS_SQL)
+
+
+@register("q_permutation_test", None)  # generated oracle attached below
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test of daily click-vs-view volume
+    (B = 200 deterministic md5 replicates) over the same dense
+    zero-filled calendar as q_wilcoxon — the exact-arithmetic
+    resampling member of the paired-test family.  Everything up to
+    the final p-value is int64 (functions/stats.py
+    ``signflip_permutation_test``); the replicate dim broadcasts, so
+    the only corpus-sized work is the upstream per-day count."""
+    from .functions.stats import signflip_permutation_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("dd"), "event_type"
+    )
+    bounds = e.agg(
+        F.min("dd").alias("dmin"),
+        F.datediff(F.max("dd"), F.min("dd")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(F.datediff(F.col("dd"), F.col("dmin")).alias("t"),
+                "event_type")
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .alias("y"),
+        )
+    )
+    pairs = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t")
+        )
+        .join(cnt, ["t"], "left")
+        .select(
+            "t",
+            (F.coalesce(F.col("x"), F.lit(0))
+             - F.coalesce(F.col("y"), F.lit(0))).alias("d"),
+        )
+    )
+    return signflip_permutation_test(pairs, "d", "t")
+
+
+ORACLES["q_permutation_test"] = _perm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_ar2_fit — Yule-Walker AR(2) coefficients from the exact lag-1/2
+# autocorrelations of the global daily volume series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ar2_fit",
+    """
+WITH e AS (SELECT date_trunc('day', ts) AS d FROM events),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (SELECT date_diff('day', d0.dmin, d) AS t,
+               CAST(count(*) AS BIGINT) AS y FROM e, d0 GROUP BY 1),
+grid AS (
+  SELECT i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.t = i.t),
+lg AS (
+  SELECT y, lag(y, 1) OVER (ORDER BY t) AS l1,
+            lag(y, 2) OVER (ORDER BY t) AS l2
+  FROM grid),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(y * l1) AS BIGINT) AS sp1,
+         CAST(sum(CASE WHEN l1 IS NOT NULL THEN y END) AS BIGINT) AS h1,
+         CAST(sum(l1) AS BIGINT) AS tl1,
+         CAST(sum(y * l2) AS BIGINT) AS sp2,
+         CAST(sum(CASE WHEN l2 IS NOT NULL THEN y END) AS BIGINT) AS h2,
+         CAST(sum(l2) AS BIGINT) AS tl2
+  FROM lg),
+rr AS (
+  SELECT n,
+         round(CAST(n * n * sp1 - n * s * (h1 + tl1) + (n - 1) * s * s
+                    AS DOUBLE)
+               / CAST(n * (n * syy - s * s) AS DOUBLE) + 0.0, 6) AS r1,
+         round(CAST(n * n * sp2 - n * s * (h2 + tl2) + (n - 2) * s * s
+                    AS DOUBLE)
+               / CAST(n * (n * syy - s * s) AS DOUBLE) + 0.0, 6) AS r2
+  FROM agg)
+SELECT n AS n_days, r1, r2,
+       round(CASE WHEN 1.0 - r1 * r1 <> 0.0
+                  THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) END + 0.0, 6)
+         AS phi1,
+       round(CASE WHEN 1.0 - r1 * r1 <> 0.0
+                  THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END + 0.0, 6)
+         AS phi2
+FROM rr
+""",
+)
+def q_ar2_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit of the global daily event volume: exact
+    integer autocovariance numerators (the acf_lags n²-scaled
+    centering), one round-6 per autocorrelation, then φ₁ =
+    r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) assembled from the SAME
+    rounded r's in the SAME operation order in both engines — the
+    forecasting-model companion to q_acf_volume (which stops at the
+    correlogram) and q_holt_forecast (fixed smoothing weights)."""
+    from .functions.timeseries import acf_lags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(F.date_trunc("day", F.col("ts")).alias("d"))
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t")
+        )
+        .join(cnt, ["t"], "left")
+        .select(
+            F.lit("all").alias("g"), "t",
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    acf = acf_lags(grid, max_lag=2)
+    piv = acf.groupBy().agg(
+        F.max("n_days").alias("n_days"),
+        F.max(F.when(F.col("lag_k") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag_k") == 2, F.col("acf"))).alias("r2"),
+    )
+    den = F.lit(1.0) - F.col("r1") * F.col("r1")
+    return piv.select(
+        "n_days", "r1", "r2",
+        F.round(
+            F.when(den != 0.0,
+                   F.col("r1") * (F.lit(1.0) - F.col("r2")) / den)
+            + F.lit(0.0), 6,
+        ).alias("phi1"),
+        F.round(
+            F.when(den != 0.0,
+                   (F.col("r2") - F.col("r1") * F.col("r1")) / den)
+            + F.lit(0.0), 6,
+        ).alias("phi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_eb_shrinkage — beta-binomial empirical-Bayes smoothing of
+# per-source quality pass rates (method of moments)
+# ---------------------------------------------------------------------------
+
+_EB_MIN_CHARS = 300
+
+
+@register(
+    "q_eb_shrinkage",
+    f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_chars >= {_EB_MIN_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS k_pass
+  FROM documents GROUP BY 1),
+pq AS (
+  SELECT source, n_docs, k_pass,
+         CAST(round(1000000.0 * k_pass / n_docs) AS BIGINT) AS raw_ppm
+  FROM per),
+sc AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(raw_ppm) AS BIGINT) AS sp,
+         CAST(sum(raw_ppm * raw_ppm) AS BIGINT) AS spp
+  FROM pq),
+ab AS (
+  SELECT nd, sp, spp,
+         CAST(sp AS DOUBLE) / (nd * 1000000.0) AS mu,
+         CAST(nd * spp - sp * sp AS DOUBLE)
+           / CAST(nd * (nd - 1) AS DOUBLE) / 1000000000000.0 AS v
+  FROM sc)
+SELECT p.source, p.n_docs, p.k_pass, p.raw_ppm,
+       round(CASE WHEN ab.v > 0.0 AND ab.mu > 0.0 AND ab.mu < 1.0
+                   AND ab.mu * (1.0 - ab.mu) / ab.v - 1.0 > 0.0
+                  THEN (p.k_pass + ab.mu
+                          * (ab.mu * (1.0 - ab.mu) / ab.v - 1.0))
+                       / (p.n_docs + (ab.mu * (1.0 - ab.mu) / ab.v - 1.0))
+             END + 0.0, 6) AS shrunk_rate
+FROM pq p, ab
+""",
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) smoothing of
+    per-source quality pass rates (n_chars ≥ 300) — the standard cure
+    for small-source rate noise before curation decisions rank
+    sources (q_wilson_quality is the per-row-confidence member of
+    this family; this one borrows strength ACROSS sources).  Per-
+    source rates are ppm-quantized ints BEFORE the cross-source
+    moments, so μ and s² come from exact integer sums in both engines
+    (no FP summation-order hazard); the prior strength K =
+    μ(1−μ)/s² − 1 and the shrunk rate (k + μK)/(n + K) are assembled
+    in one identical-IEEE expression per engine and rounded once.
+    Scale: per-source aggregate is the only corpus-sized work; the
+    moment pass runs over the source dim (1-row broadcast back)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_chars") >= _EB_MIN_CHARS, 1).otherwise(0)
+        ).alias("k_pass"),
+    )
+    pq = per.select(
+        "source", "n_docs", "k_pass",
+        F.round(
+            (F.lit(1000000.0) * F.col("k_pass")) / F.col("n_docs")
+        ).cast("long").alias("raw_ppm"),
+    )
+    sc = pq.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("raw_ppm").alias("sp"),
+        F.sum(F.col("raw_ppm") * F.col("raw_ppm")).alias("spp"),
+    )
+    mu = F.col("sp").cast("double") / (F.col("nd") * F.lit(1000000.0))
+    v = (
+        (F.col("nd") * F.col("spp") - F.col("sp") * F.col("sp"))
+        .cast("double")
+        / (F.col("nd") * (F.col("nd") - 1)).cast("double")
+        / F.lit(1000000000000.0)
+    )
+    k_prior = mu * (F.lit(1.0) - mu) / v - F.lit(1.0)
+    ok = (v > 0.0) & (mu > 0.0) & (mu < 1.0) & (k_prior > 0.0)
+    return (
+        pq.crossJoin(F.broadcast(sc))
+        .select(
+            "source", "n_docs", "k_pass", "raw_ppm",
+            F.round(
+                F.when(
+                    ok,
+                    (F.col("k_pass") + mu * k_prior)
+                    / (F.col("n_docs") + k_prior),
+                )
+                + F.lit(0.0), 6,
+            ).alias("shrunk_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1041,3 +1041,102 @@ def expected_calibration_error(
             6,
         ).alias("ece"),
     )
+
+
+_PERM_B = 200  # sign-flip replicates (shared with the SQL twin)
+
+
+def signflip_permutation_test(
+    df: DataFrame,
+    d_col: str,
+    t_col: str,
+    n_replicates: int = _PERM_B,
+) -> DataFrame:
+    """[n_pairs, obs_diff, n_ge, p_value] — exact-arithmetic paired
+    permutation (sign-flip) test of H0: median paired difference = 0,
+    the resampling companion to the Wilcoxon signed-rank test (same
+    paired frame) and the Poisson bootstrap (same deterministic-md5
+    replicate scheme).  For replicate b each pair's integer difference
+    d_t keeps or flips sign by the parity of md5(b ":" t)'s first hex
+    digit; the statistic |Σ s·d| and the observed |Σ d| are exact
+    int64, so the only float is the final Monte-Carlo p-value
+    (1 + #{b: stat_b ≥ obs}) / (B + 1), rounded once.
+
+    Distributed shape: pairs × B via a broadcast replicate dim (the
+    bootstrap's map-side pattern — no global coordination), one
+    groupBy(b), one tiny cross join against the 1-row observed
+    aggregate.  Pairs are dim-sized (a calendar) at any corpus scale;
+    the corpus-sized work happened upstream in the per-day counting.
+    """
+    reps = df.sparkSession.range(n_replicates).select(
+        F.col("id").alias("b")
+    )
+    d = df.select(
+        F.col(t_col).alias("t"), F.col(d_col).cast("long").alias("d")
+    )
+    obs = d.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.abs(F.sum("d")).alias("obs_diff"),
+    )
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("b").cast("string"),
+                                  F.col("t").cast("string"))),
+                1, 1,
+            ),
+            16, 10,
+        ).cast("long") % 2
+    )
+    s = F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
+    stats = (
+        d.crossJoin(F.broadcast(reps))
+        .groupBy("b")
+        .agg(F.abs(F.sum(s * F.col("d"))).alias("stat"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(obs))
+        .groupBy("n_pairs", "obs_diff")
+        .agg(
+            F.sum(
+                F.when(F.col("stat") >= F.col("obs_diff"), 1).otherwise(0)
+            ).alias("n_ge")
+        )
+        .select(
+            "n_pairs", "obs_diff", "n_ge",
+            F.round(
+                (F.col("n_ge") + 1).cast("double")
+                / F.lit(float(n_replicates + 1)),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+def signflip_permutation_sql(
+    pairs_sql: str,
+    n_replicates: int = _PERM_B,
+) -> str:
+    """DuckDB twin of :func:`signflip_permutation_test`.  ``pairs_sql``
+    must yield (t, d) with d already an integer difference."""
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_sql}),
+reps AS (SELECT CAST(r.range AS BIGINT) AS b FROM range({n_replicates}) r),
+obs AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               abs(CAST(sum(d) AS BIGINT)) AS obs_diff FROM pairs),
+stats AS (
+  SELECT b,
+         abs(CAST(sum(
+           (CASE WHEN CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                 CAST(t AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END) * d) AS BIGINT)) AS stat
+  FROM pairs, reps GROUP BY b
+)
+SELECT o.n_pairs, o.obs_diff,
+       CAST(sum(CASE WHEN s.stat >= o.obs_diff THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ge,
+       round(CAST(sum(CASE WHEN s.stat >= o.obs_diff THEN 1 ELSE 0 END) + 1
+                  AS DOUBLE) / {float(n_replicates + 1)!r}, 6) AS p_value
+FROM stats s, obs o
+GROUP BY o.n_pairs, o.obs_diff
+"""

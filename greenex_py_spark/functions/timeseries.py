@@ -33,7 +33,7 @@ __all__ = [
     "HOLT_ALPHA", "HOLT_OMA", "HOLT_BETA", "HOLT_OMB",
     "HW_ALPHA", "HW_OMA", "HW_BETA", "HW_OMB", "HW_GAMMA", "HW_OMG",
     "HW_SEASON", "holt_linear", "holt_winters_additive", "acf_lags",
-    "dow_volume_anomaly",
+    "dow_volume_anomaly", "DTW_INF", "dtw_to_reference", "dtw_sql",
 ]
 
 HOLT_ALPHA = 0.3
@@ -410,3 +410,113 @@ def rolling_median(
         F.expr("element_at(_arr, cast((size(_arr) + 1) div 2 as int))")
         .cast("long").alias("roll_median"),
     )
+
+
+DTW_INF = 1 << 60  # integer "infinity" for the DP boundary (shared literal)
+
+
+def dtw_to_reference(
+    profiles: DataFrame,
+    t_len: int,
+    series_col: str = "g",
+    j_col: str = "j",
+    q_col: str = "q",
+    ref_cols_prefix: str = "r",
+) -> DataFrame:
+    """[series, dtw_cost] — exact integer dynamic-time-warping cost of
+    each series' quantized profile against ONE reference profile that
+    has been pivoted onto every row as columns ``r1..r{t_len}``
+    (dim-sized: crossJoin-broadcast a 1-row pivot upstream).
+
+    The classic O(T²) DP
+
+        D[i][j] = c_ij + min(D[i−1][j], D[i−1][j−1], D[i][j−1])
+
+    has a sequential intra-row term (D[i][j−1]) that looks
+    window-hostile, but each row unrolls to a min-plus PREFIX SCAN:
+    with S_i[j] = Σ_{m≤j} c_im and A_i[j] = min(D[i−1][j], D[i−1][j−1]),
+
+        D[i][j] = S_i[j] + min_{k≤j} (A_i[k] − S_i[k−1])
+
+    so every DP row is one cumulative sum + one running min — pure
+    codegen window functions, NO Python kernel and NO T-step join
+    chain.  All T rows share one partitioning (series, ordered j):
+    a single shuffle, then T chained in-partition Window stages.
+
+    Exactness: costs |r_i − q_j| are int64 (callers pre-quantize
+    profiles, e.g. ppm shares), so every D cell is an exact integer —
+    bit-equal to the DuckDB twin (:func:`dtw_sql`) at any parallelism.
+    Scale: rows = series × T; series is corpus-scaled but T is a
+    constant calendar, and per-task state is one window frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(series_col).orderBy(j_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    df = profiles
+    for i in range(1, t_len + 1):
+        c = F.abs(F.col(f"{ref_cols_prefix}{i}") - F.col(q_col))
+        df = df.withColumn("_S", F.sum(c).over(wcum))
+        if i == 1:
+            df = df.withColumn("_D", F.col("_S"))
+        else:
+            df = (
+                df.withColumn(
+                    "_A",
+                    F.least(
+                        F.col("_D"),
+                        F.lag("_D", 1, DTW_INF).over(w),
+                    ),
+                )
+                .withColumn("_AmS", F.col("_A") - F.lag("_S", 1, 0).over(w))
+                .withColumn("_D", F.col("_S") + F.min("_AmS").over(wcum))
+            )
+    return (
+        df.filter(F.col(j_col) == t_len)
+        .select(F.col(series_col), F.col("_D").alias("dtw_cost"))
+    )
+
+
+def dtw_sql(
+    grid_sql: str,
+    ref_sql: str,
+    t_len: int,
+) -> str:
+    """DuckDB twin of :func:`dtw_to_reference`, generated from the same
+    window-scan decomposition (one MATERIALIZED CTE per DP row — the
+    unrolled-iterative-oracle house rule).  ``grid_sql`` must yield
+    (g, j, q) with j = 1..t_len dense per series; ``ref_sql`` must
+    yield (i, r) for i = 1..t_len."""
+    parts = [
+        f"WITH grid AS MATERIALIZED ({grid_sql}),",
+        f"ref AS MATERIALIZED ({ref_sql}),",
+        "d1 AS MATERIALIZED (",
+        "  SELECT g, j, q,",
+        "         sum(abs((SELECT r FROM ref WHERE i = 1) - q))",
+        "           OVER (PARTITION BY g ORDER BY j) AS s,",
+        "         sum(abs((SELECT r FROM ref WHERE i = 1) - q))",
+        "           OVER (PARTITION BY g ORDER BY j) AS d",
+        "  FROM grid),",
+    ]
+    for i in range(2, t_len + 1):
+        prev = f"d{i - 1}"
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT g, j, q, s,
+         s + min(ams) OVER (PARTITION BY g ORDER BY j) AS d
+  FROM (
+    SELECT g, j, q, s, a - lag(s, 1, 0) OVER (PARTITION BY g ORDER BY j)
+             AS ams
+    FROM (
+      SELECT g, j, q,
+             sum(abs((SELECT r FROM ref WHERE i = {i}) - q))
+               OVER (PARTITION BY g ORDER BY j) AS s,
+             least(d, lag(d, 1, {DTW_INF}) OVER
+                      (PARTITION BY g ORDER BY j)) AS a
+      FROM {prev}
+    )
+  )),""")
+    parts[-1] = parts[-1].rstrip(",")  # last CTE: no trailing comma
+    parts.append(
+        f"SELECT g, CAST(d AS BIGINT) AS dtw_cost FROM d{t_len}"
+        f" WHERE j = {t_len}"
+    )
+    return "\n".join(parts)

@@ -6243,3 +6243,90 @@ def test_min_cost_supplier_keeps_all_ties(spark, sf_dir):
     assert (got["cost_cents"] == per_part_min).all()
     # no duplicate (part, supplier) pairs
     assert not got.duplicated(["p_partkey", "s_suppkey"]).any()
+
+
+def test_dtw_to_reference_brute_force(spark):
+    """The window-scan DTW decomposition equals the textbook O(T²) DP
+    recurrence computed in NumPy, on hand-built integer profiles."""
+    from greenex_py_spark.functions.timeseries import dtw_to_reference
+
+    T = 8
+    rng = np.random.RandomState(7)
+    ref = rng.randint(0, 1000, T)
+    series = {g: rng.randint(0, 1000, T) for g in range(5)}
+    series[3] = ref.copy()  # identical profile -> cost 0
+    rows = []
+    for g, qs in series.items():
+        for j in range(1, T + 1):
+            row = {"g": int(g), "j": j, "q": int(qs[j - 1])}
+            for i in range(1, T + 1):
+                row[f"r{i}"] = int(ref[i - 1])
+            rows.append(row)
+    df = spark.createDataFrame(rows)
+    got = {r["g"]: r["dtw_cost"]
+           for r in dtw_to_reference(df, T).collect()}
+
+    INF = 1 << 60
+    for g, qs in series.items():
+        D = np.full((T + 1, T + 1), INF, dtype=np.int64)
+        D[0][0] = 0
+        for i in range(1, T + 1):
+            for j in range(1, T + 1):
+                c = abs(int(ref[i - 1]) - int(qs[j - 1]))
+                D[i][j] = c + min(D[i - 1][j], D[i - 1][j - 1], D[i][j - 1])
+        assert got[g] == D[T][T], f"series {g}"
+    assert got[3] == 0
+
+
+def test_signflip_permutation_brute_force(spark):
+    """Replicate signs and the p-value recomputed with hashlib md5."""
+    import hashlib as hl
+
+    from greenex_py_spark.functions.stats import (
+        _PERM_B,
+        signflip_permutation_test,
+    )
+
+    rng = np.random.RandomState(11)
+    d = rng.randint(-40, 60, 25)
+    df = spark.createDataFrame(
+        [(int(t), int(v)) for t, v in enumerate(d)], "t long, d long"
+    )
+    got = signflip_permutation_test(df, "d", "t").collect()[0]
+    obs = abs(int(d.sum()))
+    n_ge = 0
+    for b in range(_PERM_B):
+        tot = 0
+        for t, v in enumerate(d):
+            h = hl.md5(f"{b}:{t}".encode()).hexdigest()
+            s = 1 if int(h[0], 16) % 2 == 0 else -1
+            tot += s * int(v)
+        if abs(tot) >= obs:
+            n_ge += 1
+    assert got["n_pairs"] == 25 and got["obs_diff"] == obs
+    assert got["n_ge"] == n_ge
+    assert got["p_value"] == round((n_ge + 1) / (_PERM_B + 1), 6)
+
+
+def test_eb_shrinkage_pulls_toward_mean(spark, sf_dir):
+    """Shrunk rates sit strictly between the raw rate and the prior
+    mean, and small-n sources move further than large-n ones (the
+    defining property of beta-binomial shrinkage); NumPy recompute of
+    the method-of-moments prior agrees."""
+    from greenex_py_spark.driver_queries import q_eb_shrinkage
+
+    got = q_eb_shrinkage(spark, sf_dir).toPandas()
+    assert len(got) == 20 and got["shrunk_rate"].notna().all()
+    pq = got["raw_ppm"].to_numpy(dtype=np.int64)
+    nd = len(pq)
+    mu = pq.sum() / (nd * 1e6)
+    v = (nd * (pq.astype(object) ** 2).sum() - int(pq.sum()) ** 2) \
+        / (nd * (nd - 1)) / 1e12
+    K = mu * (1 - mu) / v - 1
+    assert K > 0
+    for _, r in got.iterrows():
+        want = (r["k_pass"] + mu * K) / (r["n_docs"] + K)
+        assert abs(r["shrunk_rate"] - want) < 5e-7
+        raw = r["k_pass"] / r["n_docs"]
+        lo, hi = sorted((raw, mu))
+        assert lo - 1e-9 <= r["shrunk_rate"] <= hi + 1e-9
