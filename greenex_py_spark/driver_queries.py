@@ -13,7 +13,8 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .data import driver_city as city
@@ -3246,7 +3247,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag → flag → running
     sum → session key, all window functions (the batch equivalent of
     ``applyInPandasWithState`` session windows)."""
-    from pyspark.sql import Window as W
+    from pyspark.sql import Window
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -14520,7 +14521,7 @@ def q_dtw_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact int64 and the DuckDB twin (same decomposition,
     unrolled MATERIALIZED CTEs per the house rule) is bit-equal at
     any parallelism."""
-    from pyspark.sql import Window as W
+    from pyspark.sql import Window
 
     from .functions.timeseries import dtw_to_reference
 
@@ -14859,6 +14860,300 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0), 6,
             ).alias("shrunk_rate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_late_audit — watermark-lateness audit over a deterministic
+# out-of-order ingest replay (two-phase global running max, no
+# single-task window)
+# ---------------------------------------------------------------------------
+
+_LATE_WM_MIN = 10
+
+
+@register(
+    "q_late_audit",
+    f"""
+WITH a AS (SELECT ts, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+r AS (SELECT ts,
+             max(ts) OVER (ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+      FROM a)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN m IS NOT NULL
+                      AND ts < m - INTERVAL {_LATE_WM_MIN} MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM r GROUP BY 1
+""",
+)
+def q_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: how many events arrive more than
+    10 minutes behind the running event-time high-water mark, per
+    event-time hour — the sizing study every Structured-Streaming
+    watermark policy starts from.  The fixture's event_id is
+    time-ordered, so arrival is replayed through the deterministic
+    md5 shuffle (q_shard_shuffle's trick) to exercise real
+    out-of-orderness.  The global strictly-prior running max — a
+    single-task window in naive form — runs as the two-phase scan in
+    engine/rank.py ``hex_prefix_running_max``: hash-prefix buckets
+    are lexicographically ordered by construction, so per-bucket
+    maxima + a broadcast prefix over the 256-row bucket dim + one
+    in-bucket ordered window give the exact scan at any scale.
+    Timestamp comparisons are exact microsecond arithmetic."""
+    from .engine.rank import hex_prefix_running_max
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.select(
+        "ts", F.md5(F.col("event_id").cast("string")).alias("h")
+    )
+    r = hex_prefix_running_max(a, "h", "ts", "m")
+    late = (
+        F.col("m").isNotNull()
+        & (F.col("ts")
+           < F.col("m") - F.expr(f"INTERVAL {_LATE_WM_MIN} MINUTE"))
+    )
+    return (
+        r.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:00").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_km_survival — Kaplan-Meier time-to-first-purchase with
+# administrative censoring
+# ---------------------------------------------------------------------------
+
+_KM_TAU = 3  # administrative follow-up horizon (days)
+
+
+@register(
+    "q_km_survival",
+    f"""
+WITH e AS (SELECT user_id AS u, date_trunc('day', ts) AS d, event_type
+           FROM events),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+per AS (
+  SELECT u, min(date_diff('day', d0.dmin, d)) AS f,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN date_diff('day', d0.dmin, d) END) AS p,
+         max(d0.tmax) AS tmax
+  FROM e, d0 GROUP BY u),
+obs AS (
+  SELECT u,
+         CASE WHEN p IS NOT NULL
+               AND p - f <= least({_KM_TAU}, tmax - f)
+              THEN 1 ELSE 0 END AS ev,
+         CASE WHEN p IS NOT NULL
+               AND p - f <= least({_KM_TAU}, tmax - f)
+              THEN p - f ELSE least({_KM_TAU}, tmax - f) END AS dur
+  FROM per),
+g AS (
+  SELECT dur AS t_day, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(ev) AS BIGINT) AS d_events,
+         CAST(sum(1 - ev) AS BIGINT) AS c_censored
+  FROM obs GROUP BY 1),
+k AS (
+  SELECT t_day, d_events, c_censored,
+         sum(n_at) OVER (ORDER BY t_day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM g)
+SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events, c_censored,
+       round(product(1.0 - CAST(d_events AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             + 0.0, 6) AS survival
+FROM k
+""",
+)
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-first-purchase per user, with
+    administrative right-censoring at min(τ = 3 days, calendar end) —
+    the survival-analysis member of the behavioural family
+    (q_retention counts fixed cohort offsets; KM handles censoring
+    correctly).  The corpus-sized work is one per-user aggregate;
+    the risk table is dim-sized (≤ τ+1 rows), n_risk is a reverse
+    cumulative window sum, and the product-limit estimator is an
+    ORDERED cumulative product over that dim — both engines evaluate
+    the growing frame as a left fold over identical (1 − d/n)
+    doubles, verified hash-identical tri-scale."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        "event_type",
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    per = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            "u",
+            F.datediff(F.col("d"), F.col("dmin")).alias("t"),
+            "event_type", "tmax",
+        )
+        .groupBy("u")
+        .agg(
+            F.min("t").alias("f"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("t"))
+            ).alias("p"),
+            F.max("tmax").alias("tmax"),
+        )
+    )
+    follow = F.least(F.lit(_KM_TAU), F.col("tmax") - F.col("f"))
+    is_ev = F.col("p").isNotNull() & (F.col("p") - F.col("f") <= follow)
+    obs = per.select(
+        F.when(is_ev, 1).otherwise(0).alias("ev"),
+        F.when(is_ev, F.col("p") - F.col("f")).otherwise(follow)
+        .alias("dur"),
+    )
+    g = obs.groupBy(F.col("dur").alias("t_day")).agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("ev").alias("d_events"),
+        F.sum(1 - F.col("ev")).alias("c_censored"),
+    )
+    w_rev = Window.orderBy("t_day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = g.select(
+        "t_day", "d_events", "c_censored",
+        F.sum("n_at").over(w_rev).alias("n_risk"),
+    )
+    factor = F.lit(1.0) - (
+        F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+    )
+    return k.select(
+        "t_day", "n_risk", "d_events", "c_censored",
+        F.round(F.product(factor).over(w_cum) + F.lit(0.0), 6)
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stl_decompose — classical additive seasonal decomposition
+# (centered 7-day MA trend, weekday seasonal means, exact rationals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stl_decompose",
+    """
+WITH e AS (SELECT date_trunc('day', ts) AS d FROM events),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (SELECT date_diff('day', d0.dmin, d) AS t,
+               CAST(count(*) AS BIGINT) AS y FROM e, d0 GROUP BY 1),
+grid AS (
+  SELECT i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.t = i.t),
+tr AS (
+  SELECT t, y,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN sum(y) OVER w7 END AS s7
+  FROM grid
+  WINDOW w7 AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+se AS (
+  SELECT t, y, s7,
+         CAST(sum(CASE WHEN s7 IS NOT NULL THEN 7 * y - s7 END)
+              OVER (PARTITION BY t % 7) AS BIGINT) AS s_num,
+         CAST(count(CASE WHEN s7 IS NOT NULL THEN 1 END)
+              OVER (PARTITION BY t % 7) AS BIGINT) AS c_w
+  FROM tr)
+SELECT t, y,
+       round(s7 / 7.0 + 0.0, 6) AS trend,
+       round(CASE WHEN c_w > 0 THEN s_num / (7.0 * c_w) END + 0.0, 6)
+         AS seasonal,
+       round(CASE WHEN s7 IS NOT NULL AND c_w > 0
+                  THEN (7 * c_w * y - c_w * s7 - s_num) / (7.0 * c_w)
+             END + 0.0, 6) AS resid
+FROM se
+""",
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the global daily volume:
+    trend = centered 7-day moving average (null at the edges),
+    seasonal = per-weekday mean of the detrended series, residual =
+    the exact remainder — the decomposition member of the
+    time-series family (q_holt_winters SMOOTHS seasonality; this one
+    EXPLAINS it).  Exactness: detrended values are kept as the
+    integer 7y − S₇ (never y − S₇/7), so the weekday means are exact
+    integer ratios and the residual is one rational
+    (7c·y − c·S₇ − Σd₇)/(7c) — every division happens once,
+    identically, in both engines; +0.0 kills −0.0 before round-6.
+    All windows run over the dim-sized calendar; the corpus-sized
+    work is the per-day count."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(F.date_trunc("day", F.col("ts")).alias("d"))
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t")
+        )
+        .join(cnt, ["t"], "left")
+        .select("t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    w7 = Window.orderBy("t").rowsBetween(-3, 3)
+    tr = grid.select(
+        "t", "y",
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("y").over(w7))
+        .alias("s7"),
+    )
+    ww = Window.partitionBy(F.col("t") % 7)
+    se = tr.select(
+        "t", "y", "s7",
+        F.sum(
+            F.when(F.col("s7").isNotNull(), 7 * F.col("y") - F.col("s7"))
+        ).over(ww).alias("s_num"),
+        F.count(
+            F.when(F.col("s7").isNotNull(), F.lit(1))
+        ).over(ww).alias("c_w"),
+    )
+    return se.select(
+        "t", "y",
+        F.round(F.col("s7") / F.lit(7.0) + F.lit(0.0), 6).alias("trend"),
+        F.round(
+            F.when(F.col("c_w") > 0,
+                   F.col("s_num") / (F.lit(7.0) * F.col("c_w")))
+            + F.lit(0.0), 6,
+        ).alias("seasonal"),
+        F.round(
+            F.when(
+                F.col("s7").isNotNull() & (F.col("c_w") > 0),
+                (7 * F.col("c_w") * F.col("y")
+                 - F.col("c_w") * F.col("s7") - F.col("s_num"))
+                / (F.lit(7.0) * F.col("c_w")),
+            )
+            + F.lit(0.0), 6,
+        ).alias("resid"),
     )
 
 

@@ -120,3 +120,56 @@ def spearman_rho(
     n = F.col("n")
     rho = 1.0 - (6 * F.col("sum_d2")).cast("double") / (n * (n * n - 1)).cast("double")
     return agg.select("n", "sum_d2", F.round(rho, 6).alias("rho"))
+
+
+def hex_prefix_running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "run_max_prior",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """+ ``out_col`` — running max of ``value_col`` over all rows
+    STRICTLY BEFORE the current one in the total order of
+    ``order_col`` (a fixed-width hex string, e.g. an md5), without a
+    single-task global window.
+
+    Two-phase scan: bucket on the first ``prefix_chars`` hex chars
+    (buckets are lexicographically ordered BY CONSTRUCTION — no
+    sampled range boundaries to depend on, unlike global_rank), take
+    per-bucket maxima, prefix-max them over the tiny bucket dim, and
+    broadcast the offsets back; within each bucket one ordered window
+    computes the strictly-prior max.  16^prefix_chars buckets bound
+    both the dim table and the per-task frame.  NULL when no prior
+    row exists (global first row)."""
+    b = F.substring(F.col(order_col), 1, prefix_chars)
+    d = df.withColumn("_bk", b)
+    per = d.groupBy("_bk").agg(F.max(value_col).alias("_bmax"))
+    off_w = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per.select(
+        "_bk", F.max("_bmax").over(off_w).alias("_prev_max")
+    )
+    in_w = (
+        Window.partitionBy("_bk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(offsets), "_bk")
+        .withColumn("_wmax", F.max(value_col).over(in_w))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_wmax").isNull() & F.col("_prev_max").isNull(),
+                F.lit(None),
+            ).otherwise(
+                F.greatest(
+                    F.coalesce("_wmax", "_prev_max"),
+                    F.coalesce("_prev_max", "_wmax"),
+                )
+            ),
+        )
+        .drop("_bk", "_bmax", "_prev_max", "_wmax")
+    )
