@@ -15158,6 +15158,204 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_scc — strongly connected components of the host link graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_scc",
+    "WITH RECURSIVE " + _LINK_GRAPH_CTE + """,
+de AS MATERIALIZED (SELECT DISTINCT src_host AS u, dst_host AS v
+       FROM r WHERE src_host <> dst_host),
+nodes AS MATERIALIZED (SELECT u AS n FROM de UNION SELECT v AS n FROM de),
+reach(u, v) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT rr.u, de.v FROM reach rr JOIN de ON de.u = rr.v
+),
+m AS (SELECT f.u, f.v FROM reach f JOIN reach b ON b.u = f.v AND b.v = f.u),
+sid AS (SELECT u AS host, min(v) AS scc_id FROM m GROUP BY u)
+SELECT host, scc_id,
+       CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+FROM sid
+""",
+)
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed host graph: the
+    planted cross-host anchor host(d) → host((7d+3) mod 97) is an
+    affine permutation, so the 97 content hosts decompose into one
+    96-host cycle plus the map's fixed point (host48), and the 11 CDN
+    hosts (in-links only) are singleton SCCs — the link-farm /
+    crawl-cycle detector beside k-core and k-truss.  The engine
+    (functions/graph.py ``scc_components``) squares the reflexive
+    transitive closure — R ← R ∪ R∘R doubles reach per round, so the
+    95-hop cycle diameter converges in 7 self-joins — then one
+    transpose semi-join keeps mutual pairs and min-agg labels each
+    node with its smallest mutually-reachable id.  The oracle walks
+    the SAME reachability one edge per recursive-CTE iteration; both
+    include identity pairs so singletons label themselves."""
+    from .functions.graph import scc_components
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    out = scc_components(edges, src_col="src_host", dst_col="dst_host")
+    return out.select(F.col("node").alias("host"), "scc_id", "scc_size")
+
+
+# ---------------------------------------------------------------------------
+# q_radius_gyration — per-user mobility summaries over the home/work model
+# ---------------------------------------------------------------------------
+
+_RG_SITE_Q = 100  # site snap, integer metres
+
+
+@register(
+    "q_radius_gyration",
+    f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         (CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+               THEN (user_id * 48271) % 9000
+               ELSE (user_id * 7919 + 211) % 9000 END)
+           + ((event_id * 131) % 41 - 20) AS qx,
+         (CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+               THEN (user_id * 16807) % 9000
+               ELSE (user_id * 104729 + 57) % 9000 END)
+           + ((event_id * 211) % 41 - 20) AS qy
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(floor(qx / {_RG_SITE_Q}.0) AS BIGINT) AS gx,
+         CAST(floor(qy / {_RG_SITE_Q}.0) AS BIGINT) AS gy,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qx) AS BIGINT) AS sx,
+         CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qx * qx + qy * qy) AS BIGINT) AS sq
+  FROM e GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS n_fixes,
+         CAST(sum(sx) AS BIGINT) AS tsx,
+         CAST(sum(sy) AS BIGINT) AS tsy,
+         CAST(sum(sq) AS BIGINT) AS tsq,
+         CAST(count(*) AS BIGINT) AS n_sites,
+         CAST(max(n) AS BIGINT) AS top
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n_fixes,
+       n_fixes * tsq - tsx * tsx - tsy * tsy AS rg2_num,
+       round(sqrt(CAST(n_fixes * tsq - tsx * tsx - tsy * tsy AS DOUBLE))
+             / CAST(n_fixes AS DOUBLE), 3) AS rg_m,
+       n_sites,
+       round(CAST(top AS DOUBLE) / CAST(n_fixes AS DOUBLE), 6) AS top_share
+FROM g
+""",
+)
+def q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration + location predictability (González et al.
+    2008) per user over the SAME deterministic home/work mobility
+    model as q_staypoints (int64 LCG sites ± 20 m jitter, so every
+    moment is exact): rg ships as the exact integer numerator
+    n·Σ(x²+y²) − (Σx)² − (Σy)² — the cancellation-free assembly the
+    slab-union centroids taught (BENCH/SCALE_AUDIT) — plus one
+    correctly-rounded sqrt/division; sites snap to a 100 m grid for
+    the distinct-site count and modal-site share.  The operator
+    (operators/spacetime.py ``radius_of_gyration``) is a two-phase
+    combine — (user, site) partials first, so the exchange carries
+    site-level rows, then a user-level reduce; no windows, no
+    join-backs."""
+    from .operators.spacetime import radius_of_gyration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    at_home = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24 < 12"
+    )
+    e = ev.select(
+        "user_id",
+        (
+            F.when(at_home, (uid * 48271) % 9000)
+            .otherwise((uid * 7919 + 211) % 9000)
+            + ((eid * 131) % 41 - 20)
+        ).alias("qx"),
+        (
+            F.when(at_home, (uid * 16807) % 9000)
+            .otherwise((uid * 104729 + 57) % 9000)
+            + ((eid * 211) % 41 - 20)
+        ).alias("qy"),
+    )
+    out = radius_of_gyration(e, site_q=_RG_SITE_Q)
+    return out.select(
+        F.col("entity").alias("user_id"), "n_fixes", "rg2_num", "rg_m",
+        "n_sites", "top_share",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_segregation — Duncan dissimilarity + isolation of language communities
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_segregation",
+    _CTE + f"""
+, pg AS (
+  SELECT {city.cell_expr_sql('p.x', 'p.y')} AS cell, d.lang AS grp
+  FROM pts p JOIN documents d ON d.doc_id = p.doc_id
+),
+cl AS (SELECT cell, grp, CAST(count(*) AS BIGINT) AS a FROM pg GROUP BY 1, 2),
+w AS (
+  SELECT grp, a,
+         CAST(sum(a) OVER (PARTITION BY cell) AS BIGINT) AS ct,
+         CAST(sum(a) OVER (PARTITION BY grp) AS BIGINT) AS ga,
+         CAST(sum(a) OVER () AS BIGINT) AS nn
+  FROM cl
+),
+g AS (
+  SELECT grp, max(ga) AS n_members, CAST(count(*) AS BIGINT) AS n_cells,
+         max(nn) AS nn,
+         CAST(sum(abs(a * (nn - ga) - (ct - a) * ga)) AS BIGINT) AS dsum,
+         CAST(sum(ct) AS BIGINT) AS tsum,
+         CAST(sum((a * a * CAST(1000000000 AS BIGINT)) // ct) AS BIGINT)
+           AS isum
+  FROM w GROUP BY grp
+)
+SELECT grp AS lang, n_members, n_cells,
+       round(CAST(dsum + (nn - tsum) * n_members AS DOUBLE)
+             / (2.0 * CAST(n_members AS DOUBLE)
+                    * CAST(nn - n_members AS DOUBLE)), 6) AS dissimilarity,
+       round(CAST(isum AS DOUBLE) / 1000000000.0
+             / CAST(n_members AS DOUBLE), 6) AS isolation
+FROM g
+""",
+)
+def q_segregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duncan dissimilarity D + isolation P* of each language
+    community across the geocoded grid cells — the classic
+    segregation pair (Duncan & Duncan 1955; Bell 1954) over the
+    webtext×geo cross, beside q_join_counts (adjacency) and
+    q_lang_entropy (diversity).  D's numerator Σ|a_i·B − b_i·A| stays
+    an exact integer with absent (cell, lang) rows folded in as
+    (N − Σ_present t_i)·A; P* terms quantize a_i²/t_i to 1e-9 by
+    integer division so the per-group sum is order-free
+    (operators/spatial_stats.py ``segregation_indices``).  The oracle
+    runs the identical assembly over the identical (cell, lang)
+    frame."""
+    from .operators.spatial_stats import segregation_indices
+
+    pts = city.with_cell(city.points_df(spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    pg = pts.join(docs, "doc_id").select("cell", F.col("lang").alias("grp"))
+    out = segregation_indices(pg, cell_col="cell", grp_col="grp")
+    return out.select(
+        F.col("grp").alias("lang"), "n_members", "n_cells",
+        "dissimilarity", "isolation",
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

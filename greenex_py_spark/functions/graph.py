@@ -20,7 +20,9 @@ must checkpoint or Catalyst hangs on plan growth).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PICO = 1_000_000_000_000.0
@@ -1188,4 +1190,73 @@ SELECT u AS node, CAST(count(*) AS BIGINT) AS n_reachable,
                                  + 0.5) AS BIGINT)) AS DOUBLE)
              / 1000000000.0 + 0.0, 6) AS harmonic
 FROM d{rounds} GROUP BY u"""
+    )
+
+
+def scc_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """[node, scc_id, scc_size] — strongly connected components of the
+    directed simple graph: scc_id is the smallest node id mutually
+    reachable from the member (self included), the canonical label for
+    link-farm / crawl-frontier cycle detection next to the k-core and
+    k-truss backbones (the reference has no graph surface at all; this
+    serves the webgraph half of the graft).
+
+    Reachability by TRANSITIVE-CLOSURE SQUARING: seed R with the edge
+    set plus the identity pairs, then R ← distinct(R ∪ R∘R) per round,
+    so reach doubles and convergence takes ⌈log₂ diam⌉ rounds of one
+    self-join + distinct (``localCheckpoint`` per round — the
+    plan-lineage rule).  SCC membership is then one hash join of R
+    against its own transpose (mutual pairs) and a min-agg; sizes come
+    from a window over the dim-sized (node, scc_id) frame.  The
+    closure table is |V|·reach ≤ |V|² — the HOST graph is a dim table
+    (hosts ≪ documents, the same argument as harmonic_centrality); a
+    billion-node webgraph would swap this for FW-BW pivot
+    decomposition or label propagation with path halving, a different
+    contract.  Tarjan/Kosaraju are inherently sequential DFS — the
+    squaring formulation is the distributed-native equivalent."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    r = (
+        e.unionByName(
+            nodes.select(F.col("n").alias("u"), F.col("n").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # after k squarings R holds every path of length ≤ 2^k; diameter
+    # ≤ |V| − 1, so ⌈log₂|V|⌉ rounds suffice — no per-round count jobs
+    n_nodes = nodes.count()
+    rounds = min(max_rounds, max(1, math.ceil(math.log2(max(2, n_nodes)))))
+    for _ in range(rounds):
+        l = r.select(F.col("u"), F.col("v").alias("m"))
+        rt = r.select(F.col("u").alias("m"), F.col("v"))
+        r = (
+            r.unionByName(l.join(rt, "m").select("u", "v"))
+            .distinct()
+            .localCheckpoint()
+        )
+    mutual = r.join(
+        r.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"],
+        "left_semi",
+    )
+    sid = mutual.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("scc_id")
+    )
+    w = Window.partitionBy("scc_id")
+    return sid.select(
+        "node", "scc_id", F.count(F.lit(1)).over(w).cast("long").alias("scc_size")
     )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["knox_statistic", "od_flows", "staypoints"]
+__all__ = ["knox_statistic", "od_flows", "staypoints", "radius_of_gyration"]
 
 
 def knox_statistic(
@@ -288,4 +288,68 @@ def staypoints(
         )
         .filter(F.col("n_events") >= min_pts)
         .drop("_island")
+    )
+
+
+def radius_of_gyration(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    x_col: str = "qx",
+    y_col: str = "qy",
+    site_q: int = 100,
+) -> DataFrame:
+    """[entity, n_fixes, rg2_num, rg_m, n_sites, top_share] — the two
+    canonical human-mobility summaries (González et al. 2008) per
+    entity:
+
+    - radius of gyration  rg = sqrt(Σ‖p_i − p̄‖² / n), shipped as the
+      EXACT integer numerator  rg2_num = n·Σ(x²+y²) − (Σx)² − (Σy)²
+      (so rg = sqrt(rg2_num)/n — the only FP is one correctly-rounded
+      sqrt + one division, engine-portable at round-3);
+    - location predictability: fixes are snapped to ``site_q``-unit
+      sites; n_sites = distinct sites visited, top_share = share of
+      fixes at the modal site (one division, round-6).
+
+    Coordinates must be integers (quantize upstream, the staypoints
+    contract).  Shape: one partial aggregate on (entity, site) — map-
+    side combinable, so the shuffle carries site-level rows, not fixes
+    — then a second aggregate on entity alone; both exchanges hash the
+    same leading key.  No windows, no join-backs, per-task state O(1):
+    the 100 TB plan is the same two-phase combine."""
+    sx = F.col(x_col).cast("long")
+    sy = F.col(y_col).cast("long")
+    per_site = df.groupBy(
+        F.col(entity_col).alias("entity"),
+        F.floor(sx / site_q).alias("_gx"),
+        F.floor(sy / site_q).alias("_gy"),
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(sx).alias("_sx"),
+        F.sum(sy).alias("_sy"),
+        F.sum(sx * sx + sy * sy).alias("_sq"),
+    )
+    agg = per_site.groupBy("entity").agg(
+        F.sum("_n").cast("long").alias("n_fixes"),
+        F.sum("_sx").alias("_tsx"),
+        F.sum("_sy").alias("_tsy"),
+        F.sum("_sq").alias("_tsq"),
+        F.count(F.lit(1)).cast("long").alias("n_sites"),
+        F.max("_n").cast("long").alias("_top"),
+    )
+    num = (
+        F.col("n_fixes") * F.col("_tsq")
+        - F.col("_tsx") * F.col("_tsx")
+        - F.col("_tsy") * F.col("_tsy")
+    )
+    return agg.select(
+        "entity",
+        "n_fixes",
+        num.cast("long").alias("rg2_num"),
+        F.round(
+            F.sqrt(num.cast("double")) / F.col("n_fixes").cast("double"), 3
+        ).alias("rg_m"),
+        "n_sites",
+        F.round(
+            F.col("_top").cast("double") / F.col("n_fixes").cast("double"), 6
+        ).alias("top_share"),
     )

@@ -6330,3 +6330,77 @@ def test_eb_shrinkage_pulls_toward_mean(spark, sf_dir):
         raw = r["k_pass"] / r["n_docs"]
         lo, hi = sorted((raw, mu))
         assert lo - 1e-9 <= r["shrunk_rate"] <= hi + 1e-9
+
+
+def test_scc_components_hand(spark):
+    """SCC on a hand graph: 3-cycle {a,b,c}, 2-cycle {d,e} reachable
+    from the 3-cycle (one-way bridge, so NOT merged), sink f and
+    source g as singletons — mutual reachability only, never weak
+    connectivity."""
+    from greenex_py_spark.functions.graph import scc_components
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),      # 3-cycle
+         ("c", "d"), ("d", "e"), ("e", "d"),      # bridge into 2-cycle
+         ("e", "f"), ("g", "a")],                 # sink f, source g
+        "src string, dst string",
+    )
+    got = {(r.node, r.scc_id, r.scc_size) for r in scc_components(e).collect()}
+    assert got == {
+        ("a", "a", 3), ("b", "a", 3), ("c", "a", 3),
+        ("d", "d", 2), ("e", "d", 2),
+        ("f", "f", 1), ("g", "g", 1),
+    }
+
+
+def test_radius_of_gyration_hand(spark):
+    """rg numerator / site stats vs a NumPy brute force, including a
+    negative coordinate (floor-division site snap, not truncation)."""
+    import numpy as np
+
+    from greenex_py_spark.operators.spacetime import radius_of_gyration
+
+    fixes = [(1, 0, 0), (1, 30, 40), (1, 250, -10), (1, 30, 40)]
+    df = spark.createDataFrame(fixes, "user_id long, qx long, qy long")
+    r = radius_of_gyration(df, site_q=100).collect()[0]
+    xs = np.array([f[1] for f in fixes]); ys = np.array([f[2] for f in fixes])
+    n = len(fixes)
+    num = n * int((xs * xs + ys * ys).sum()) - int(xs.sum()) ** 2 - int(ys.sum()) ** 2
+    assert r["n_fixes"] == n and r["rg2_num"] == num
+    assert r["rg_m"] == round(float(np.sqrt(num)) / n, 3)
+    sites = {(x // 100, y // 100) for x, y in zip(xs, ys)}  # floor div
+    assert r["n_sites"] == len(sites) == 2  # {(0,0), (2,-1)}
+    assert r["top_share"] == round(3 / 4, 6)  # 3 fixes snap to (0,0)
+
+
+def test_segregation_indices_hand(spark):
+    """Duncan D + isolation vs the textbook formulas brute-forced in
+    Python over ALL cells (including cells where a group is absent —
+    the fold-in term the grouped frame never materializes)."""
+    from greenex_py_spark.operators.spatial_stats import segregation_indices
+
+    rows = (
+        [(1, "en")] * 4 + [(1, "de")] * 1
+        + [(2, "en")] * 1 + [(2, "de")] * 3
+        + [(3, "de")] * 2            # no en at all in cell 3
+    )
+    df = spark.createDataFrame(rows, "cell long, grp string")
+    got = {r["lang" if "lang" in r.asDict() else "grp"]: r
+           for r in segregation_indices(df).collect()}
+    cells = {1: {"en": 4, "de": 1}, 2: {"en": 1, "de": 3}, 3: {"de": 2}}
+    N = sum(sum(c.values()) for c in cells.values())
+    for g in ("en", "de"):
+        A = sum(c.get(g, 0) for c in cells.values())
+        B = N - A
+        D = 0.5 * sum(
+            abs(c.get(g, 0) / A - (sum(c.values()) - c.get(g, 0)) / B)
+            for c in cells.values()
+        )
+        P = sum(
+            (c.get(g, 0) / A) * (c.get(g, 0) / sum(c.values()))
+            for c in cells.values()
+        )
+        r = got[g]
+        assert r["n_members"] == A
+        assert abs(r["dissimilarity"] - D) < 1e-6, (g, r["dissimilarity"], D)
+        assert abs(r["isolation"] - P) < 1e-6, (g, r["isolation"], P)
