@@ -15356,6 +15356,187 @@ def q_segregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_stream_left_join — LEFT-OUTER watermarked stream-stream join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_left_join",
+    """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT v.ts AS vts, p.event_id AS pid,
+         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+  FROM v LEFT JOIN p
+    ON v.user_id = p.user_id
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT strftime(date_trunc('day', vts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(pid) AS BIGINT) AS n_conv,
+       CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       CAST(coalesce(sum(gap_us), 0) AS BIGINT) AS sum_gap_us
+FROM j GROUP BY day
+""",
+)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join — the one streaming
+    join shape where results are emitted by the WATERMARK, not by
+    data: views with no purchase inside [view_ts, view_ts + 1 h] must
+    surface as null-padded rows only after the global watermark proves
+    no match can still arrive.  The feeds get a sentinel FLUSH event
+    (ids −1, ts = max + 40 days) appended to BOTH directories so the
+    final AvailableNow no-data batch pushes the watermark past every
+    real view and evicts the remaining outer state
+    (streaming/join.py ``stream_stream_left_join``); the sentinel is
+    dropped in the rollup.  Oracle: the identical batch LEFT range
+    join — matched pair count, orphan count, and exact µs gap sums
+    per view-day all hash-checked, so both the eager match path and
+    the watermark-driven null path are verified end-to-end."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.join import stream_stream_left_join
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"q_stream_left_join_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    srcl, srcr, sink, ckpt = (
+        os.path.join(base, d) for d in ("views", "purchases", "sink", "ckpt")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    flush = ev.agg(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"),
+    )
+    ev.filter(F.col("event_type") == "view").unionByName(flush).coalesce(
+        4
+    ).write.parquet(srcl)
+    ev.filter(F.col("event_type") == "purchase").unionByName(flush).coalesce(
+        4
+    ).write.parquet(srcr)
+    stream_stream_left_join(spark, srcl, srcr, sink, ckpt)
+    out = spark.read.parquet(sink).filter(F.col("k") >= 0)
+    return out.groupBy(
+        F.date_format(F.date_trunc("day", "l_ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("r_id").alias("n_conv"),
+        F.sum(
+            F.when(F.col("r_id").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_orphans"),
+        F.coalesce(
+            F.sum(F.unix_micros("r_ts") - F.unix_micros("l_ts")), F.lit(0)
+        ).cast("long").alias("sum_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_anderson_darling — k-sample Anderson–Darling test across sources
+# ---------------------------------------------------------------------------
+
+
+def _anderson_darling_oracle() -> str:
+    from .functions.stats import anderson_darling_k_sql
+
+    return anderson_darling_k_sql("documents", "source", "n_chars")
+
+
+@register("q_anderson_darling", _anderson_darling_oracle())
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample Anderson–Darling A²akN (tie-adjusted, Scholz &
+    Stephens 1987) of the per-source document-length distributions —
+    the tail-weighted omnibus equality test completing the shift
+    family beside q_kruskal (rank location), q_ks_test (2-sample sup)
+    and q_js_divergence.  Same value-histogram machinery as Kruskal–
+    Wallis plus the completed (source × length) grid — a group's
+    cumulative keeps counting at values it never attains — with
+    two-level integer quantization so no FP sum ever crosses rows
+    (functions/stats.py ``anderson_darling_k``, oracle generated by
+    ``anderson_darling_k_sql`` from the same module so the two sides
+    cannot drift)."""
+    from .functions.stats import anderson_darling_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return anderson_darling_k(docs, "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q_core_area — 3×3-erosion core-area metric of the green mask per tile
+# ---------------------------------------------------------------------------
+
+
+def _core_area_oracle(quant: float = 1e6) -> str:
+    npx = city.NPX
+
+    def mq(x_expr: str, y_expr: str) -> str:
+        q = (
+            "CAST(round(("
+            + city.NDVI_SQL.format(
+                px_x=f"{city.X0} + (({x_expr}) + 0.5) * {city.RES}",
+                px_y=f"{city.Y0} + (({y_expr}) + 0.5) * {city.RES}",
+            )
+            + f") * {quant}) AS BIGINT)"
+        )
+        return (
+            f"(CASE WHEN ({x_expr}) BETWEEN 0 AND {npx - 1}"
+            f" AND ({y_expr}) BETWEEN 0 AND {npx - 1}"
+            f" AND ({q}) > 0 THEN 1 ELSE 0 END)"
+        )
+
+    nine = " + ".join(
+        mq(f"ix + {dx}", f"iy + {dy}")
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+agg AS (
+  SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+         CAST(count(*) FILTER (WHERE {mq('ix', 'iy')} = 1) AS BIGINT)
+           AS n_mask,
+         CAST(count(*) FILTER (WHERE ({nine}) = 9) AS BIGINT) AS n_core
+  FROM px GROUP BY tx, ty
+)
+SELECT tx, ty, n_mask, n_core,
+       CASE WHEN n_mask > 0
+            THEN round(CAST(n_core AS DOUBLE) / CAST(n_mask AS DOUBLE), 6)
+       END AS core_pct
+FROM agg
+"""
+
+
+@register("q_core_area", _core_area_oracle())
+def q_core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-area landscape metric (FRAGSTATS CORE): green-mask pixels
+    that survive one 3×3 morphological erosion — the edge-depth-1
+    interior habitat measure that completes the fragmentation triple
+    beside q_euler_green (topology) and q_edge_density (perimeter).
+    The engine runs the SAME single halo exchange as every
+    focal-family operator and erodes each padded tile in NumPy
+    (operators/focal.py ``core_area_tile_stats``); the oracle
+    re-evaluates the closed-form mask at all nine window positions
+    per pixel, out-of-raster = background on both sides."""
+    from .operators.focal import core_area_tile_stats
+
+    return core_area_tile_stats(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

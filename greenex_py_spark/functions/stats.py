@@ -1140,3 +1140,150 @@ SELECT o.n_pairs, o.obs_diff,
 FROM stats s, obs o
 GROUP BY o.n_pairs, o.obs_diff
 """
+
+
+_AD_QA = 10**6   # per-(group, value) term quantum
+_AD_QB = 10**3   # per-group component quantum
+
+
+def anderson_darling_k(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One row [n_groups, n, a2_akn] — the k-sample Anderson–Darling
+    test in its tie-adjusted (midrank) form A²akN (Scholz & Stephens
+    1987, eq. 6): the omnibus distribution-equality test that weights
+    the TAILS, catching shifts Kruskal–Wallis (location only) and KS
+    (sup metric, 2 groups) miss — the last member of the shift-test
+    family.
+
+        A²akN = (N−1)/N Σ_i (1/n_i) Σ_j (l_j/N)
+                · (N·M_ij − n_i·B_j)² / (B_j(N−B_j) − N·l_j/4)
+
+    with l_j the pooled count at distinct value j, M_ij / B_j the
+    midrank-adjusted group / pooled cumulative counts.  Exactness:
+    doubled cumulatives m2 = 2F_ij − f_ij and b2 = 2C_j − l_j are
+    integers, so each inner term is the exact rational
+    l_j·(N·m2 − n_i·b2)² / (N·(b2(2N−b2) − N·l_j)) — quantized to
+    1/QA by DECIMAL(38,0) integer division (the numerator reaches
+    ~1e22), summed order-free per group, then each 1/n_i weight is a
+    second integer division by QB before the cross-group sum.  The
+    only FP is the final (N−1)/N scaling + round-6.  Zero-fill
+    matters: values a group never attains still contribute (its
+    cumulative keeps counting), so the (group × value) grid is
+    completed before the windows — same completed-grid rule as chi².
+
+    Shape: one shuffle keyed by (group, value); a per-group cumulative
+    window + pooled windows over the dim-sized completed grid
+    (k·L rows, L = distinct values); one 1-row reduce."""
+    d = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    gv = d.groupBy("g", "v").agg(F.count(F.lit(1)).alias("f"))
+    vc = gv.groupBy("v").agg(F.sum("f").alias("l"))
+    groups = gv.select("g").distinct()
+    grid = (
+        groups.crossJoin(vc)
+        .join(gv, ["g", "v"], "left")
+        .select("g", "v", "l", F.coalesce("f", F.lit(0)).alias("f"))
+    )
+    wg = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wv = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = (
+        grid.withColumn("fc", F.sum("f").over(wg))
+        .withColumn("m2", 2 * F.col("fc") - F.col("f"))
+        .withColumn("ng", F.sum("f").over(Window.partitionBy("g")))
+        .withColumn("nn", F.sum("f").over(Window.partitionBy()))
+    )
+    # pooled doubled cumulative: b2 = 2C_j − l_j is group-independent;
+    # recover it from any group's frame via the pooled window on vc
+    cb = vc.withColumn("cum", F.sum("l").over(wv)).select(
+        "v", (2 * F.col("cum") - F.col("l")).alias("b2")
+    )
+    t = t.join(cb, "v")
+    pw = F.col("nn") * F.col("m2") - F.col("ng") * F.col("b2")
+    d4 = F.col("b2") * (2 * F.col("nn") - F.col("b2")) - F.col("nn") * F.col("l")
+    term = F.expr(
+        f"CAST((CAST({_AD_QA} AS DECIMAL(38,0)) * CAST(l AS DECIMAL(38,0))"
+        " * CAST(pw AS DECIMAL(38,0)) * CAST(pw AS DECIMAL(38,0)))"
+        " div (CAST(nn AS DECIMAL(38,0)) * CAST(d4 AS DECIMAL(38,0)))"
+        " AS BIGINT)"
+    )
+    per_g = (
+        t.withColumn("pw", pw.cast("long"))
+        .withColumn("d4", d4.cast("long"))
+        .withColumn("tq", term)
+        .groupBy("g")
+        .agg(
+            F.max("ng").cast("long").alias("ng"),
+            F.max("nn").cast("long").alias("nn"),
+            F.sum("tq").cast("long").alias("s"),
+        )
+    )
+    comp = F.expr(f"(s * CAST({_AD_QB} AS BIGINT)) div ng")
+    out = per_g.select("nn", comp.alias("cq")).groupBy("nn").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("cq").cast("long").alias("aq"),
+    )
+    nnD = F.col("nn").cast("double")
+    return out.select(
+        "n_groups",
+        F.col("nn").cast("long").alias("n"),
+        F.round(
+            (nnD - 1.0) / nnD
+            * (F.col("aq").cast("double") / F.lit(float(_AD_QA * _AD_QB)))
+            + F.lit(0.0),
+            6,
+        ).alias("a2_akn"),
+    )
+
+
+def anderson_darling_k_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`anderson_darling_k` — same completed
+    grid, same doubled cumulatives, same two-level integer
+    quantization (HUGEINT numerators mirror the DECIMAL(38,0) path)."""
+    qa, qb = _AD_QA, _AD_QB
+    return f"""
+WITH d AS (SELECT {group_col} AS g, {value_col} AS v FROM {table}),
+gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS f FROM d GROUP BY g, v),
+vc AS (SELECT v, CAST(sum(f) AS BIGINT) AS l FROM gv GROUP BY v),
+cb AS (SELECT v, l,
+              CAST(2 * sum(l) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - l
+                AS BIGINT) AS b2
+       FROM vc),
+grid AS (
+  SELECT gr.g, cb.v, cb.l, cb.b2, coalesce(gv.f, 0) AS f
+  FROM (SELECT DISTINCT g FROM gv) gr
+  CROSS JOIN cb
+  LEFT JOIN gv ON gv.g = gr.g AND gv.v = cb.v
+),
+t AS (
+  SELECT g, l, b2, f,
+         CAST(2 * sum(f) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f
+           AS BIGINT) AS m2,
+         CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS ng,
+         CAST(sum(f) OVER () AS BIGINT) AS nn
+  FROM grid
+),
+pg AS (
+  SELECT g, max(ng) AS ng, max(nn) AS nn,
+         CAST(sum((CAST({qa} AS HUGEINT) * l
+                   * (nn * m2 - ng * b2) * (nn * m2 - ng * b2))
+                  // (nn * (b2 * (2 * nn - b2) - nn * l))) AS BIGINT) AS s
+  FROM t GROUP BY g
+),
+o AS (
+  SELECT max(nn) AS nn, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum((s * {qb}) // ng) AS BIGINT) AS aq
+  FROM pg
+)
+SELECT n_groups, CAST(nn AS BIGINT) AS n,
+       round((CAST(nn AS DOUBLE) - 1.0) / CAST(nn AS DOUBLE)
+             * (CAST(aq AS DOUBLE) / {float(qa * qb)!r}) + 0.0, 6) AS a2_akn
+FROM o
+"""

@@ -36,6 +36,7 @@ __all__ = [
     "hillshade_tile_stats", "flow_direction_counts",
     "aspect_octant_counts", "ruggedness_tile_stats", "euler_tile_stats",
     "edge_density_tile_stats", "majority_tile_counts",
+    "core_area_tile_stats",
     "marching_squares_counts", "MS_SEGMENTS",
     "octant_case_sql", "quantize_half_away",
 ]
@@ -958,3 +959,53 @@ def curvature_class_counts(
 
     parts = _halo_parts(tiles, grid, quant)
     return parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+
+
+def core_area_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+    threshold_q: int = 0,
+) -> DataFrame:
+    """[tx, ty, n_mask, n_core, core_pct] — FRAGSTATS core-area metric
+    per tile: a CORE pixel is a mask pixel (quantised value strictly
+    above ``threshold_q``) whose eight neighbours are all mask too —
+    i.e. one round of 3×3 morphological EROSION, the edge-depth-1
+    interior that actually functions as habitat / cool refuge in the
+    landscape-ecology reading of greenness (beside euler_tile_stats'
+    topology and edge_density_tile_stats' perimeter).
+
+    Out-of-raster neighbours count as background (zero-padded canvas),
+    so raster-border pixels are never core — the same convention as
+    the quad counters.  One halo exchange, per-tile NumPy erosion (the
+    AND of nine shifted views), exact integer counts; core_pct is one
+    division + round-6 (NULL where the tile has no mask)."""
+    out_schema = "tx long, ty long, n_mask long, n_core long"
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, _mask, w, h = _assemble_canvas(kdf, grid)
+        m = canvas > threshold_q
+        core = np.ones((h, w), dtype=bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                core &= m[dy:dy + h, dx:dx + w]
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty],
+                "n_mask": [int(m[1:h + 1, 1:w + 1].sum())],
+                "n_core": [int(core.sum())],
+            }
+        )
+
+    parts = _halo_parts(tiles, grid, quant)
+    stats = parts.groupBy("dtx", "dty").applyInPandas(assemble, schema=out_schema)
+    return stats.select(
+        "tx", "ty", "n_mask", "n_core",
+        F.when(
+            F.col("n_mask") > 0,
+            F.round(
+                F.col("n_core").cast("double") / F.col("n_mask").cast("double"),
+                6,
+            ),
+        ).alias("core_pct"),
+    )

@@ -76,3 +76,68 @@ def stream_stream_join(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_left_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """LEFT-OUTER watermarked stream-stream join — the shape inner
+    joins cannot express: a left row that finds no right match within
+    the event-time horizon is emitted WITH NULLS, but only once the
+    global watermark has passed its state-eviction point (until then
+    a match could still arrive), so null emission is a watermark
+    side-effect, not an eager result.  This is the
+    abandoned-view / unconverted-session detector of the funnel
+    family, now as a live stream.
+
+    Completeness under ``Trigger.AvailableNow``: unmatched state for
+    rows near the end of the feed is only flushed if the final
+    watermark passes them — callers must append a FLUSH row (sentinel
+    key) with a timestamp beyond max(ts) + watermark + gap to BOTH
+    feeds (the global watermark is the min across inputs); Spark's
+    no-data micro-batch then evicts and emits the remaining outer
+    rows.  State is bounded by the horizon exactly as in
+    :func:`stream_stream_join`."""
+    lf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(left_dir)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col(key).alias("k"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rf = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(right_dir)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col(key).alias("rk"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = lf.join(
+        rf,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "leftOuter",
+    ).select("l_id", "r_id", "k", "l_ts", "r_ts")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -6404,3 +6404,75 @@ def test_segregation_indices_hand(spark):
         assert r["n_members"] == A
         assert abs(r["dissimilarity"] - D) < 1e-6, (g, r["dissimilarity"], D)
         assert abs(r["isolation"] - P) < 1e-6, (g, r["isolation"], P)
+
+
+def test_anderson_darling_k_brute_force(spark):
+    """A²akN vs an independent NumPy transcription of Scholz &
+    Stephens 1987 eq. 6 (midrank/tie version), on small samples with
+    heavy ties and a group absent from whole value ranges."""
+    import numpy as np
+
+    from greenex_py_spark.functions.stats import anderson_darling_k
+
+    samples = {
+        "a": [1, 1, 2, 3, 3, 3, 7],
+        "b": [2, 2, 2, 4, 4, 9, 9, 9],
+        "c": [1, 5, 5, 5, 6],
+    }
+    rows = [(g, v) for g, vs in samples.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anderson_darling_k(df, "g", "v").collect()[0]
+
+    pooled = np.sort(np.concatenate([np.array(v) for v in samples.values()]))
+    zs = np.unique(pooled)
+    N = len(pooled)
+    a2 = 0.0
+    for vs in samples.values():
+        arr = np.array(vs)
+        ni = len(arr)
+        inner = 0.0
+        for z in zs:
+            lj = int((pooled == z).sum())
+            fij = int((arr == z).sum())
+            Fij = int((arr <= z).sum())
+            Cj = int((pooled <= z).sum())
+            M = Fij - fij / 2.0
+            B = Cj - lj / 2.0
+            den = B * (N - B) - N * lj / 4.0
+            inner += (lj / N) * (N * M - ni * B) ** 2 / den
+        a2 += inner / ni
+    a2 *= (N - 1) / N
+    assert r["n_groups"] == 3 and r["n"] == N
+    assert abs(r["a2_akn"] - a2) < 2e-5, (r["a2_akn"], a2)
+
+
+def test_core_area_tile_stats_erosion(spark):
+    """Tiled erosion counts == whole-array 3×3 erosion (zero-padded)
+    for a solid block (core = interior), a 1-px-wide line (no core at
+    all), and random masks — seam neighbourhoods included."""
+    import numpy as np
+    from greenex_py_spark.operators.focal import core_area_tile_stats
+
+    def brute(mask):
+        p = np.zeros((mask.shape[0] + 2, mask.shape[1] + 2), dtype=bool)
+        p[1:-1, 1:-1] = mask.astype(bool)
+        h, w = mask.shape
+        core = np.ones((h, w), dtype=bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                core &= p[dy:dy + h, dx:dx + w]
+        return int(core.sum())
+
+    rng = np.random.RandomState(13)
+    solid = np.zeros((4, 8), dtype=np.int64); solid[0:4, 1:7] = 1
+    line = np.zeros((4, 8), dtype=np.int64); line[2, :] = 1
+    masks = [solid, line] + [(rng.rand(4, 8) < 0.6).astype(np.int64)
+                             for _ in range(2)]
+    for i, mask in enumerate(masks):
+        z = np.where(mask == 1, 1.0, -1.0)
+        tiles, grid = _two_tile_fixture(spark, z)
+        rows = core_area_tile_stats(tiles, grid, quant=1e3).collect()
+        assert sum(r["n_mask"] for r in rows) == int(mask.sum()), i
+        assert sum(r["n_core"] for r in rows) == brute(mask), i
+    # the solid block spans full height but borders the raster top and
+    # bottom: erosion must strip those rows too (padding is background)
