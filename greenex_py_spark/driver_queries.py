@@ -15537,6 +15537,276 @@ def q_core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_ewma_chart — EWMA control chart over daily event volumes per stream
+# ---------------------------------------------------------------------------
+
+
+def _ewma_oracle() -> str:
+    from .functions.timeseries import EWMA_LAM_DEN, EWMA_LAM_NUM, EWMA_Q
+
+    q = EWMA_Q
+    keep = EWMA_LAM_DEN - EWMA_LAM_NUM
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d FROM events
+),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+cnt AS (
+  SELECT g, date_diff('day', d0.dmin, d) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM e, d0 GROUP BY 1, 2
+),
+grid AS MATERIALIZED (
+  SELECT gs.g, i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT DISTINCT g FROM e) gs
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.g = gs.g AND c.t = i.t
+),
+st AS MATERIALIZED (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS s2
+  FROM grid GROUP BY g
+),
+rec(g, t, ev) AS (
+  SELECT g, CAST(0 AS BIGINT), CAST({q} * y AS BIGINT) FROM grid WHERE t = 0
+  UNION ALL
+  SELECT r.g, r.t + 1,
+         CAST(({q} * c.y + {keep} * r.ev) // {EWMA_LAM_DEN} AS BIGINT)
+  FROM rec r JOIN grid c ON c.g = r.g AND c.t = r.t + 1
+),
+fl AS (
+  SELECT rec.g, rec.t, rec.ev,
+         CASE WHEN (CAST(rec.ev AS HUGEINT) * st.n
+                    - CAST(st.s AS HUGEINT) * {q})
+                  * (CAST(rec.ev AS HUGEINT) * st.n
+                     - CAST(st.s AS HUGEINT) * {q})
+                  > CAST({q} AS HUGEINT) * {q}
+                    * (st.n * st.s2 - st.s * st.s)
+              THEN 1 ELSE 0 END AS flag
+  FROM rec JOIN st ON st.g = rec.g
+)
+SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(flag) AS BIGINT) AS n_flags,
+       CAST(coalesce(min(t) FILTER (WHERE flag = 1), -1) AS BIGINT)
+         AS first_flag_t,
+       round(CAST(max(ev) FILTER (WHERE t = (SELECT tmax FROM d0))
+                  AS DOUBLE) / {q}, 6) AS ewma_last
+FROM fl GROUP BY g
+"""
+
+
+@register("q_ewma_chart", _ewma_oracle())
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ = 1/5, L = 3σ) over each event stream's
+    daily volume — the sustained-drift watchdog beside q_cusum_drift
+    (single change point) and q_volume_anomaly (pointwise z-score).
+    The (λ, L) pair is chosen so the asymptotic control-band test
+    collapses to the EXACT integer comparison d² > σ² — the whole
+    flag history is FP-free (functions/timeseries.py ``ewma_chart``),
+    and the oracle replays the identical integer recursion as a
+    lockstep recursive CTE over the same dense zero-filled calendar
+    (MATERIALIZED per the iterative-oracle rule)."""
+    from .functions.timeseries import ewma_chart
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select("g", F.datediff(F.col("d"), F.col("dmin")).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grid = (
+        e.select("g").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+        )
+        .join(cnt, ["g", "t"], "left")
+        .select("g", "t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return ewma_chart(grid)
+
+
+# ---------------------------------------------------------------------------
+# q_gwr — geographically weighted regression of greenness on density
+# ---------------------------------------------------------------------------
+
+_GWR_QW = 10**4   # kernel weight quantum
+_GWR_H2x2 = 8.0   # 2·h², h = 2 cells (Gaussian bandwidth)
+
+
+def _gwr_offsets() -> list[tuple[int, int, int]]:
+    """5×5 k-ring Gaussian kernel, weights pre-quantized to integers —
+    one literal per relative offset, shared verbatim by the engine
+    array and the oracle VALUES so the two sides cannot drift."""
+    import math
+
+    return [
+        (dx, dy, int(round(_GWR_QW * math.exp(-(dx * dx + dy * dy)
+                                              / _GWR_H2x2))))
+        for dx in range(-2, 3)
+        for dy in range(-2, 3)
+    ]
+
+
+def _gwr_oracle() -> str:
+    vals = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in _gwr_offsets())
+    yv = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (gx + 0.5) * {city.CELL}",
+            px_y=f"{city.Y0} + (gy + 0.5) * {city.CELL}",
+        )
+        + ") * 1000000.0) AS BIGINT)"
+    )
+    return f"""{_CTE},
+cg AS (
+  SELECT CAST(floor((x - {city.X0}) / {city.CELL}) AS BIGINT) AS gx,
+         CAST(floor((y - {city.Y0}) / {city.CELL}) AS BIGINT) AS gy,
+         CAST(count(*) AS BIGINT) AS xv
+  FROM pts GROUP BY 1, 2
+),
+cv AS (SELECT gx, gy, xv, {yv} AS yv FROM cg),
+off(dx, dy, w) AS (VALUES {vals}),
+nb AS (
+  SELECT c.gx + o.dx AS gx, c.gy + o.dy AS gy,
+         CAST(o.w AS HUGEINT) AS w, c.xv AS nx, c.yv AS ny
+  FROM cv c CROSS JOIN off o
+),
+m AS (
+  SELECT n.gx, n.gy,
+         sum(n.w) AS sw, sum(n.w * n.nx) AS swx, sum(n.w * n.ny) AS swy,
+         sum(n.w * n.nx * n.nx) AS swxx, sum(n.w * n.nx * n.ny) AS swxy
+  FROM nb n JOIN (SELECT gx, gy FROM cv) t ON t.gx = n.gx AND t.gy = n.gy
+  GROUP BY n.gx, n.gy
+)
+SELECT gx, gy, CAST(sw AS BIGINT) AS sw,
+       round(CAST(sw * swxy - swx * swy AS DOUBLE)
+             / nullif(CAST(sw * swxx - swx * swx AS DOUBLE), 0.0), 6)
+         AS beta,
+       round(CAST(swxx * swy - swx * swxy AS DOUBLE)
+             / nullif(CAST(sw * swxx - swx * swx AS DOUBLE), 0.0), 6)
+         AS alpha
+FROM m
+"""
+
+
+@register("q_gwr", _gwr_oracle())
+def q_gwr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographically weighted regression: at every occupied 100 m
+    cell, a LOCAL weighted fit of quantized greenness (NDVI at the
+    cell centre) on corpus density (documents per cell) over a 5×5
+    Gaussian kernel — "where does density buy greenness?", the local
+    complement of q_slx_regression's single global coefficient and
+    the regression sibling of q_bivariate_moran.  Kernel weights are
+    integer literals per relative offset, every WLS moment is exact
+    DECIMAL(38,0), and β/α are Cramer ratios with one double division
+    each (operators/spatial_stats.py ``gwr_local``); constant-x
+    neighbourhoods yield null on both sides."""
+    from .operators.spatial_stats import gwr_local
+
+    pts = city.points_df(spark, sf_dir)
+    cg = pts.groupBy(
+        F.floor((F.col("x") - city.X0) / city.CELL).cast("long").alias("gx"),
+        F.floor((F.col("y") - city.Y0) / city.CELL).cast("long").alias("gy"),
+    ).agg(F.count(F.lit(1)).alias("xv"))
+    yv = F.round(
+        F.expr(
+            city.NDVI_SQL.format(
+                px_x=f"{city.X0} + (gx + 0.5) * {city.CELL}",
+                px_y=f"{city.Y0} + (gy + 0.5) * {city.CELL}",
+            )
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    cv = cg.select("gx", "gy", "xv", yv.alias("yv"))
+    return gwr_local(cv, _gwr_offsets(), x_col="xv", y_col="yv")
+
+
+# ---------------------------------------------------------------------------
+# q_diameter — per-district farthest-pair diameter via hull + pair scan
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_diameter",
+    f"""{_CTE},
+q AS (
+  SELECT doc_id,
+         CAST(floor((x - {city.X0}) / 1000.0) AS BIGINT) AS blk_x,
+         CAST(floor((y - {city.Y0}) / 1000.0) AS BIGINT) AS blk_y,
+         CAST(round((x - {city.X0}) * 100.0) AS BIGINT) AS qx,
+         CAST(round((y - {city.Y0}) * 100.0) AS BIGINT) AS qy
+  FROM pts
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY blk_x, blk_y
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM q
+),
+s AS (SELECT DISTINCT blk_x, blk_y, qx, qy FROM r WHERE rn <= {_HULL_CAP}),
+d AS (
+  SELECT a.blk_x, a.blk_y,
+         CAST(max((a.qx - b.qx) * (a.qx - b.qx)
+                  + (a.qy - b.qy) * (a.qy - b.qy)) AS BIGINT) AS diam2
+  FROM s a JOIN s b ON a.blk_x = b.blk_x AND a.blk_y = b.blk_y
+  GROUP BY a.blk_x, a.blk_y
+),
+n AS (
+  SELECT blk_x, blk_y, CAST(count(*) AS BIGINT) AS n_pts
+  FROM s GROUP BY blk_x, blk_y
+)
+SELECT n.blk_x, n.blk_y, n.n_pts, d.diam2,
+       floor(sqrt(CAST(d.diam2 AS DOUBLE)) * 1000.0 + 0.5) / 1000.0
+         AS diam_q
+FROM d JOIN n ON d.blk_x = n.blk_x AND d.blk_y = n.blk_y
+""",
+)
+def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-district farthest-pair DIAMETER of the geocoded documents
+    (same 1-km blocks, hash-ranked 48-point cap, and exact 1-cm
+    integer quantization as q_convex_hull): the engine reduces each
+    block to its monotone-chain hull and scans pairs only among hull
+    vertices — the diameter of a finite set is attained there, so the
+    pair scan is O(h²) with h ≪ n (operators/hull.py
+    ``district_diameter``) — while the oracle brute-forces ALL pairs
+    of the capped sample, proving the hull reduction loses nothing.
+    Self-pairs included, so singleton blocks report 0; diam2 is exact
+    int64, diam_q half-up at 3 dp."""
+    from .operators.hull import district_diameter
+
+    pts = city.points_df(spark, sf_dir)
+    q = pts.select(
+        "doc_id",
+        F.floor((F.col("x") - city.X0) / 1000.0).cast("long").alias("blk_x"),
+        F.floor((F.col("y") - city.Y0) / 1000.0).cast("long").alias("blk_y"),
+        F.round((F.col("x") - city.X0) * 100.0).cast("long").alias("qx"),
+        F.round((F.col("y") - city.Y0) * 100.0).cast("long").alias("qy"),
+    )
+    w = Window.partitionBy("blk_x", "blk_y").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    s = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HULL_CAP)
+        .select("blk_x", "blk_y", "qx", "qy")
+        .dropDuplicates()
+    )
+    return district_diameter(s, ["blk_x", "blk_y"], "qx", "qy")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

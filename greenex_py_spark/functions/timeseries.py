@@ -33,6 +33,7 @@ __all__ = [
     "HOLT_ALPHA", "HOLT_OMA", "HOLT_BETA", "HOLT_OMB",
     "HW_ALPHA", "HW_OMA", "HW_BETA", "HW_OMB", "HW_GAMMA", "HW_OMG",
     "HW_SEASON", "holt_linear", "holt_winters_additive", "acf_lags",
+    "EWMA_LAM_NUM", "EWMA_LAM_DEN", "EWMA_Q", "ewma_chart",
     "dow_volume_anomaly", "DTW_INF", "dtw_to_reference", "dtw_sql",
 ]
 
@@ -520,3 +521,66 @@ def dtw_sql(
         f" WHERE j = {t_len}"
     )
     return "\n".join(parts)
+
+
+EWMA_LAM_NUM = 1   # λ = 1/5 — with L = 3 the flag test reduces to
+EWMA_LAM_DEN = 5   # d² > σ² exactly (L²·λ/(2−λ) = 9·(1/9) = 1)
+EWMA_Q = 10**6     # integer smoothing quantum
+
+
+def ewma_chart(
+    df: DataFrame,
+    series_col: str = "g",
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """[series, n_days, n_flags, first_flag_t, ewma_last] — EWMA
+    control chart (Roberts 1959) per series over a DENSE integer time
+    index: e_t = λ·y_t + (1−λ)·e_{t−1} with λ = 1/5, flagged when the
+    smoothed value leaves the ±L·σ·√(λ/(2−λ)) asymptotic control band
+    (L = 3) around the series mean — the drift detector that beats
+    Shewhart charts on small sustained shifts (the crawl-volume /
+    quality-drift watchdog beside q_cusum_drift's single change
+    point).
+
+    Exactness: the recursion runs in integer micro-units,
+    e_t = (Q·y_t + 4·e_{t−1}) div 5 (floor division, non-negative
+    counts), and the chosen (λ, L) make the band test EXACTLY
+    d² > σ²: flag ⟺ (e_t·n − S·Q)² > Q²·(n·ΣY² − S²) — pure integer
+    comparison, no FP anywhere in the decision (Python ints in the
+    kernel, HUGEINT in the oracle).  Only ewma_last is FP: one
+    division + round-6.
+
+    Shape: per-day counting is the usual two-phase aggregate; the
+    O(days) recursion runs in one Arrow kernel per series, per-task
+    state bounded by the calendar — same contract as holt_linear."""
+    schema = (
+        f"{series_col} string, n_days long, n_flags long, "
+        "first_flag_t long, ewma_last double"
+    )
+    q = EWMA_Q
+    keep = EWMA_LAM_DEN - EWMA_LAM_NUM
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col)
+        ys = [int(v) for v in pdf[y_col]]
+        n = len(ys)
+        s = sum(ys)
+        s2 = sum(y * y for y in ys)
+        var_num = q * q * (n * s2 - s * s)
+        e = q * ys[0]
+        flags = []
+        for t, y in enumerate(ys):
+            if t > 0:
+                e = (q * y + keep * e) // EWMA_LAM_DEN
+            d = e * n - s * q
+            if d * d > var_num:
+                flags.append(t)
+        return pd.DataFrame(
+            [[pdf[series_col].iloc[0], n, len(flags),
+              flags[0] if flags else -1, round(e / q, 6)]],
+            columns=[series_col, "n_days", "n_flags",
+                     "first_flag_t", "ewma_last"],
+        )
+
+    return df.groupBy(series_col).applyInPandas(_kernel, schema=schema)

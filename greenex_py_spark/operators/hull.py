@@ -117,3 +117,48 @@ def convex_hull_stats(
         )
 
     return df.groupBy(*gcols).applyInPandas(_kernel, schema=schema)
+
+
+def district_diameter(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "qx",
+    y_col: str = "qy",
+) -> DataFrame:
+    """Per-group point-set DIAMETER: ``n_pts`` (distinct points),
+    ``diam2`` (exact max squared distance, int64), ``diam_q`` (its
+    sqrt, half-up at 3 dp via the floor(x·1000 + 0.5) convention the
+    perimeter uses) — the farthest-pair footprint statistic beside
+    :func:`convex_hull_stats`' area/perimeter.
+
+    The diameter of a finite set is attained between convex-hull
+    vertices, so the kernel reduces the (already capped) group to its
+    monotone-chain hull first and scans pairs only there — h ≪ n, and
+    collinear/degenerate groups fall back to the raw unique points
+    (their chain is the whole set anyway).  Self-pairs are included,
+    so singleton groups report diameter 0 — mirroring the oracle's
+    unrestricted pair join.  Integer coordinates in, exact int64
+    squared distances out; the only FP is one sqrt + round."""
+    gcols = list(group_cols)
+    schema = ", ".join(f"{c} long" for c in gcols) + (
+        ", n_pts long, diam2 long, diam_q double"
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = np.unique(
+            pdf[[x_col, y_col]].to_numpy(dtype=np.int64), axis=0
+        )
+        cand = _monotone_chain(pts) if len(pts) >= 3 else pts
+        if len(cand) < 3:
+            cand = pts
+        d = cand[:, None, :] - cand[None, :, :]
+        diam2 = int((d[..., 0] ** 2 + d[..., 1] ** 2).max())
+        keys = [pdf[c].iloc[0] for c in gcols]
+        return pd.DataFrame(
+            [keys + [len(pts), diam2,
+                     float(np.floor(np.sqrt(diam2) * 1000.0 + 0.5)
+                           / 1000.0)]],
+            columns=gcols + ["n_pts", "diam2", "diam_q"],
+        )
+
+    return df.groupBy(*gcols).applyInPandas(_kernel, schema=schema)

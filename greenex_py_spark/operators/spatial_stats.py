@@ -1491,3 +1491,91 @@ def segregation_indices(
             6,
         ).alias("isolation"),
     )
+
+
+def gwr_local(
+    cells: DataFrame,
+    offsets: list[tuple[int, int, int]],
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """[gx, gy, sw, beta, alpha] — geographically weighted regression
+    (Fotheringham et al. 2002), simple-regression form: at every
+    occupied cell a LOCAL weighted least-squares fit y ~ α + β·x over
+    the neighbouring occupied cells, with kernel weights supplied as
+    pre-quantized INTEGER ``offsets`` [(dx, dy, w)] — the Gaussian
+    kernel over a bounded k-ring, so the weight of each relative
+    offset is a compile-time literal and every normal-equation moment
+
+        Sw, Swx, Swy, Swxx, Swxy   (DECIMAL(38,0), exact)
+
+    is integer.  β and α come from Cramer's rule as exact integer
+    ratios — β = (Sw·Swxy − Swx·Swy) / (Sw·Swxx − Swx²),
+    α = (Swxx·Swy − Swx·Swxy) / same — one double division + round-6
+    each; a zero denominator (constant x in the neighbourhood) yields
+    null.  This is the LOCAL complement of slx_regression's single
+    global fit: "where does corpus density buy greenness, and where
+    doesn't it?".
+
+    Shape: each cell explodes its |offsets| neighbour keys and
+    equi-joins back on the occupied-cell frame — O(cells·k), never
+    all-pairs, the getis_ord/moran pattern; one aggregate on the
+    target key."""
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    nb = c.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gx") + dx).alias("gx"),
+                        (F.col("gy") + dy).alias("gy"),
+                        F.lit(w).cast("long").alias("w"),
+                    )
+                    for dx, dy, w in offsets
+                ]
+            )
+        ).alias("k"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+    ).select(
+        F.col("k.gx").alias("gx"), F.col("k.gy").alias("gy"),
+        F.col("k.w").alias("w"), "nx", "ny",
+    )
+    wd = F.col("w").cast(_DEC)
+    xd = F.col("nx").cast(_DEC)
+    yd = F.col("ny").cast(_DEC)
+    m = (
+        nb.join(c.select("gx", "gy"), ["gx", "gy"])
+        .groupBy("gx", "gy")
+        .agg(
+            F.sum(wd).alias("sw"),
+            F.sum(wd * xd).alias("swx"),
+            F.sum(wd * yd).alias("swy"),
+            F.sum(wd * xd * xd).alias("swxx"),
+            F.sum(wd * xd * yd).alias("swxy"),
+        )
+    )
+    den = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    bnum = F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")
+    anum = F.col("swxx") * F.col("swy") - F.col("swx") * F.col("swxy")
+    return m.select(
+        "gx", "gy",
+        F.col("sw").cast("long").alias("sw"),
+        F.round(
+            bnum.cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("beta"),
+        F.round(
+            anum.cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("alpha"),
+    )

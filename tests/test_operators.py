@@ -6476,3 +6476,87 @@ def test_core_area_tile_stats_erosion(spark):
         assert sum(r["n_core"] for r in rows) == brute(mask), i
     # the solid block spans full height but borders the raster top and
     # bottom: erosion must strip those rows too (padding is background)
+
+
+def test_ewma_chart_shift_detection(spark):
+    """A flat series never flags; a sustained level shift flags at /
+    after the shift; the quantized EWMA tracks the FP recursion."""
+    from greenex_py_spark.functions.timeseries import EWMA_Q, ewma_chart
+
+    flat = [("a", t, 50) for t in range(60)]
+    shift = [("b", t, 50 if t < 40 else 100) for t in range(60)]
+    df = spark.createDataFrame(flat + shift, "g string, t long, y long")
+    got = {r["g"]: r for r in ewma_chart(df).collect()}
+    assert got["a"]["n_flags"] == 0 and got["a"]["first_flag_t"] == -1
+    assert got["a"]["ewma_last"] == 50.0
+    b = got["b"]
+    # EWMA needs ~8 steps at λ=1/5 to cross mean + σ after the shift
+    assert b["n_flags"] > 0 and b["first_flag_t"] >= 40
+    # FP twin of the integer recursion stays within quantization slack
+    e = 50.0
+    for t in range(1, 60):
+        y = 50 if t < 40 else 100
+        e = 0.2 * y + 0.8 * e
+    assert abs(b["ewma_last"] - e) < 2e-5
+
+
+def test_gwr_local_vs_numpy_wls(spark):
+    """Local β/α vs NumPy weighted least squares at every occupied
+    cell, including a constant-x neighbourhood (null coefficients)."""
+    import numpy as np
+
+    from greenex_py_spark.operators.spatial_stats import gwr_local
+
+    offsets = [(dx, dy, 100 - 10 * (dx * dx + dy * dy))
+               for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    cells = [(0, 0, 2, 10), (1, 0, 5, 31), (0, 1, 3, 17), (1, 1, 8, 50),
+             (5, 5, 4, 9), (6, 5, 4, 13)]   # constant-x pair far away
+    df = spark.createDataFrame(cells, "gx long, gy long, x long, y long")
+    got = {(r["gx"], r["gy"]): r for r in gwr_local(df, offsets).collect()}
+    pos = {(c[0], c[1]): (c[2], c[3]) for c in cells}
+    for (gx, gy), (_, _) in pos.items():
+        xs, ys, ws = [], [], []
+        for dx, dy, w in offsets:
+            nb = (gx - dx, gy - dy)  # contributor at target - offset...
+            if nb in pos:
+                xs.append(pos[nb][0]); ys.append(pos[nb][1]); ws.append(w)
+        xs, ys, ws = map(np.array, (xs, ys, ws))
+        r = got[(gx, gy)]
+        den = ws.sum() * (ws * xs * xs).sum() - (ws * xs).sum() ** 2
+        if den == 0:
+            assert r["beta"] is None and r["alpha"] is None
+            continue
+        beta = (ws.sum() * (ws * xs * ys).sum()
+                - (ws * xs).sum() * (ws * ys).sum()) / den
+        alpha = ((ws * xs * xs).sum() * (ws * ys).sum()
+                 - (ws * xs).sum() * (ws * xs * ys).sum()) / den
+        assert abs(r["beta"] - beta) < 1e-6, (gx, gy)
+        assert abs(r["alpha"] - alpha) < 1e-6, (gx, gy)
+
+
+def test_district_diameter_hand(spark):
+    """Diameter via hull pair scan == brute force over all points,
+    for a square + interior points, a collinear run (degenerate hull),
+    and a singleton (diameter 0 via the self-pair convention)."""
+    import numpy as np
+
+    from greenex_py_spark.operators.hull import district_diameter
+
+    rows = (
+        [(1, 0, 0), (1, 10, 0), (1, 0, 10), (1, 10, 10), (1, 5, 5),
+         (1, 2, 9)]
+        + [(2, i, 2 * i) for i in range(5)]     # collinear
+        + [(3, 7, 7)]                           # singleton
+    )
+    df = spark.createDataFrame(rows, "blk long, qx long, qy long")
+    got = {r["blk"]: r for r in
+           district_diameter(df, ["blk"], "qx", "qy").collect()}
+    for blk in (1, 2, 3):
+        pts = np.array([(x, y) for b, x, y in rows if b == blk])
+        d = pts[:, None, :] - pts[None, :, :]
+        want = int((d[..., 0] ** 2 + d[..., 1] ** 2).max())
+        assert got[blk]["diam2"] == want, blk
+        assert got[blk]["diam_q"] == float(
+            np.floor(np.sqrt(want) * 1000.0 + 0.5) / 1000.0
+        )
+    assert got[3]["diam2"] == 0
