@@ -15807,6 +15807,167 @@ def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_mor_audit — deletion-vector merge-on-read reconstructs the logical table
+# ---------------------------------------------------------------------------
+
+_MOR_FILES = 8
+_MOR_SUFFIX = " [v2]"
+
+
+@register(
+    "q_mor_audit",
+    f"""
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 11 = 0 THEN text || '{_MOR_SUFFIX}'
+                ELSE text END) AS h
+FROM documents
+WHERE doc_id % 7 != 0 OR doc_id % 11 = 0
+""",
+)
+def q_mor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector merge-on-read: the corpus is laid out as
+    {_MOR_FILES} immutable files with deterministic row positions,
+    docs ≡ 0 (mod 7) are deleted and docs ≡ 0 (mod 11) are updated the
+    DV way (positional delete + append delta — never a file rewrite),
+    and the READ is one broadcast hash ANTI-join of the position dim
+    plus a union (engine/cdc.py ``mor_read``).  The oracle constructs
+    the logical end state directly from the source table, so the hash
+    match proves the positional read path — the lakehouse surface
+    keyed MERGE (q_merge_upsert) cannot exercise, since DVs address
+    physical (file, position), not keys."""
+    from .engine.cdc import mor_read
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    w = Window.partitionBy("file_id").orderBy("doc_id")
+    base = (
+        docs.select((did % _MOR_FILES).alias("file_id"), "doc_id", "text")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    dv = base.filter((did % 7 == 0) | (did % 11 == 0)).select(
+        "file_id", "pos"
+    )
+    appends = base.filter(did % 11 == 0).select(
+        "file_id",
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_MOR_SUFFIX)).alias("text"),
+        F.lit(-1).alias("pos"),
+    )
+    out = mor_read(base, dv, appends)
+    return out.select("doc_id", F.md5("text").alias("h"))
+
+
+# ---------------------------------------------------------------------------
+# q_rake — top RAKE keyword phrase per source
+# ---------------------------------------------------------------------------
+
+
+def _rake_oracle() -> str:
+    from .functions.text import RAKE_Q, STOPWORDS_EN
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH toks AS (
+  SELECT grp, did, i.range AS pos, tk[i.range] AS tok
+  FROM (SELECT source AS grp, doc_id AS did,
+               string_split_regex(lower(text), '[^a-z]+') AS tk
+        FROM documents) t, range(1, 1001) i
+  WHERE i.range <= len(tk) AND tk[i.range] <> ''
+),
+mem AS (
+  SELECT * FROM (
+    SELECT grp, did, pos, tok, stop,
+           sum(stop) OVER (PARTITION BY did ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+    FROM (SELECT *, CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END AS stop
+          FROM toks)
+  ) WHERE stop = 0
+),
+plen AS (SELECT did, island, CAST(count(*) AS BIGINT) AS plen
+         FROM mem GROUP BY 1, 2),
+m AS (SELECT mem.*, plen.plen FROM mem JOIN plen USING (did, island)),
+wdim AS (
+  SELECT tok,
+         CAST((CAST(sum(plen) AS BIGINT) * {RAKE_Q}) // count(*) AS BIGINT)
+           AS sq
+  FROM m GROUP BY tok
+),
+phr AS (
+  SELECT grp, did, island,
+         string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(w.sq) AS BIGINT) AS score_q
+  FROM m JOIN wdim w USING (tok)
+  GROUP BY grp, did, island
+),
+dp AS (SELECT DISTINCT grp, phrase, n_words, score_q FROM phr),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp
+          ORDER BY score_q DESC, phrase ASC) AS rn FROM dp)
+SELECT grp, phrase, n_words,
+       round(CAST(score_q AS DOUBLE) / {float(RAKE_Q)!r}, 6) AS score
+FROM r WHERE rn = 1
+"""
+
+
+@register("q_rake", _rake_oracle())
+def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top RAKE keyword phrase per source (Rose et al. 2010):
+    stopword/punctuation-delimited candidate phrases via
+    gaps-and-islands over the token stream, corpus-wide word scores
+    deg/freq quantized to integer micro-units, phrase score = exact
+    member sum, lexicographic tie-break — the phrase-level keyword
+    extractor beside q_salient_terms (tf-idf unigrams) and
+    q_pmi_bigrams (collocation pairs).  The oracle replays the same
+    islands / degree / pricing chain under the documented 1000-token
+    position cap (functions/text.py ``rake_top_phrases``)."""
+    from .functions.text import rake_top_phrases
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rake_top_phrases(docs)
+
+
+# ---------------------------------------------------------------------------
+# q_cochran_armitage — purchase-rate trend across ordered weekdays
+# ---------------------------------------------------------------------------
+
+
+def _ca_oracle() -> str:
+    from .functions.stats import cochran_armitage_sql
+
+    inner = (
+        "(SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv"
+        " FROM events)"
+    )
+    return cochran_armitage_sql(inner, "dow", "conv")
+
+
+@register("q_cochran_armitage", _ca_oracle())
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend: does the purchase share of events rise
+    or fall monotonically across the ordered weekday score 0..6? —
+    the directional categorical test beside q_chi2 (unordered
+    independence) and q_volume_anomaly (pointwise).  Weekday is
+    derived from epoch days ((days + 4) mod 7 — portable, unlike the
+    engines' differing dayofweek conventions); every moment is an
+    exact DECIMAL(38,0)/HUGEINT integer and the statistic is one
+    division + round-6 (functions/stats.py ``cochran_armitage``,
+    oracle generated by ``cochran_armitage_sql``)."""
+    from .functions.stats import cochran_armitage
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7"
+        ).alias("dow"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    return cochran_armitage(d, "dow", "conv")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -205,3 +205,41 @@ def merge_apply(
     )
     ups = b.filter(F.col(status_col) != "deleted").select(key_col, value_col)
     return kept.unionByName(ups)
+
+
+def mor_read(
+    base: DataFrame,
+    deletes: DataFrame,
+    appends: DataFrame,
+    file_col: str = "file_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Merge-on-read with DELETION VECTORS (Delta DVs / Iceberg
+    positional delete files): the physical table is immutable ``base``
+    files plus a small (file, position) delete dim plus append deltas,
+    and the READ reconstructs the logical table as
+
+        (base  ANTI JOIN  deletes ON (file, pos))  UNION ALL  appends
+
+    — the position-based semantic that distinguishes DVs from keyed
+    MERGE (:func:`merge_apply` rewrites files eagerly; DVs defer the
+    rewrite to compaction and pay one anti-join per read instead).
+    Updates are modelled the standard way: delete the old position,
+    append the new row.
+
+    Scale shape: the delete dim is delete-fraction-sized — broadcast
+    it (Spark plans the anti-join as BroadcastNestedLoop only without
+    the equi-keys; with (file, pos) keys it is a broadcast hash
+    anti-join), so the read adds zero shuffles over the base scan.
+    Appends are unioned, never joined."""
+    d = F.broadcast(
+        deletes.select(
+            F.col(file_col).alias("_df"), F.col(pos_col).alias("_dp")
+        )
+    )
+    kept = base.join(
+        d,
+        (F.col(file_col) == F.col("_df")) & (F.col(pos_col) == F.col("_dp")),
+        "left_anti",
+    )
+    return kept.unionByName(appends)

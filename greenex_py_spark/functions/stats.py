@@ -1287,3 +1287,78 @@ SELECT n_groups, CAST(nn AS BIGINT) AS n,
              * (CAST(aq AS DOUBLE) / {float(qa * qb)!r}) + 0.0, 6) AS a2_akn
 FROM o
 """
+
+
+def cochran_armitage(
+    df: DataFrame, score_col: str, outcome_col: str
+) -> DataFrame:
+    """One row [k_groups, n, r, ca_z2] — the Cochran–Armitage trend
+    test (Cochran 1954; Armitage 1955): is a binary outcome rate
+    monotonically associated with an ORDERED integer dose/score? —
+    the directional complement of q_chi2's unordered independence
+    test (chi² spends its power on any deviation; CA concentrates it
+    on the linear trend).
+
+        Z² = N·(N·T − R·P1)² / (R·(N−R)·(N·P2 − P1²))
+
+    with T = Σ sᵢrᵢ, P1 = Σ sᵢnᵢ, P2 = Σ sᵢ²nᵢ over score groups —
+    every moment an exact integer (DECIMAL(38,0): the squared
+    numerator reaches ~1e26), one final double division + round-6.
+
+    Shape: one map-side-combinable aggregate over (score) groups, one
+    1-row reduce — the cheapest test in the family."""
+    dec = "decimal(38,0)"
+    d = df.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(outcome_col).cast("long").alias("o"),
+    )
+    g = d.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("o").alias("r_i")
+    )
+    sd = F.col("s").cast(dec)
+    a = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_i").cast(dec).alias("nn"),
+        F.sum("r_i").cast(dec).alias("rr"),
+        F.sum(sd * F.col("r_i").cast(dec)).alias("t"),
+        F.sum(sd * F.col("n_i").cast(dec)).alias("p1"),
+        F.sum(sd * sd * F.col("n_i").cast(dec)).alias("p2"),
+    )
+    num = F.col("nn") * F.col("t") - F.col("rr") * F.col("p1")
+    den = (
+        F.col("rr")
+        * (F.col("nn") - F.col("rr"))
+        * (F.col("nn") * F.col("p2") - F.col("p1") * F.col("p1"))
+    )
+    return a.select(
+        "k_groups",
+        F.col("nn").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("r"),
+        F.round(
+            (F.col("nn") * num * num).cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("ca_z2"),
+    )
+
+
+def cochran_armitage_sql(table_expr: str, score: str, outcome: str) -> str:
+    """DuckDB twin of :func:`cochran_armitage` (HUGEINT moments mirror
+    the DECIMAL(38,0) path; identical final expression)."""
+    return f"""
+WITH d AS (SELECT CAST({score} AS HUGEINT) AS s,
+                  CAST({outcome} AS HUGEINT) AS o FROM {table_expr}),
+g AS (SELECT s, CAST(count(*) AS HUGEINT) AS n_i, sum(o) AS r_i
+      FROM d GROUP BY s),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         sum(n_i) AS nn, sum(r_i) AS rr,
+         sum(s * r_i) AS t, sum(s * n_i) AS p1, sum(s * s * n_i) AS p2
+  FROM g
+)
+SELECT k_groups, CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS r,
+       round(CAST(nn * (nn * t - rr * p1) * (nn * t - rr * p1) AS DOUBLE)
+             / nullif(CAST(rr * (nn - rr) * (nn * p2 - p1 * p1) AS DOUBLE),
+                      0.0), 6) AS ca_z2
+FROM a
+"""

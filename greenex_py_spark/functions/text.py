@@ -1367,3 +1367,95 @@ SELECT {id_col},
                     FILTER (WHERE is_content), '')) AS content_md5
 FROM cl GROUP BY {id_col}
 """
+
+
+RAKE_Q = 10**6  # per-word score quantum (deg/freq as integer micro-units)
+
+
+def rake_top_phrases(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[grp, phrase, n_words, score] — the top RAKE keyword phrase per
+    group (Rose et al. 2010), corpus-calibrated: candidate phrases are
+    maximal runs of content tokens between stopword/punctuation
+    delimiters (gaps-and-islands over the token stream — island id =
+    running stopword count, the q_staypoints segmentation applied to
+    text); each WORD scores deg/freq where freq counts its phrase
+    occurrences and deg sums the lengths of the phrases containing it
+    (co-occurrence degree, self included), computed CORPUS-WIDE so
+    rare-but-collocated vocabulary wins; a PHRASE scores the sum of
+    its member word scores.
+
+    Exactness: deg and freq are exact counts; each word score is
+    quantized to 1/RAKE_Q by integer division, so phrase scores are
+    order-free integer sums and the only FP is the display division +
+    round-6.  Ties break lexicographically on the phrase.
+
+    Shape: one shuffle keys tokens by document for the island window,
+    one (word) aggregate builds the score dim, one join prices the
+    members, and the per-group top-1 is a window over the dim-sized
+    distinct-phrase frame.  Never all-pairs; the token explode is the
+    same map-side explode the shingle family uses."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("did"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    flagged = toks.withColumn(
+        "stop", F.col("tok").isin(*STOPWORDS_EN).cast("int")
+    )
+    wisl = (
+        Window.partitionBy("did").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    members = (
+        flagged.withColumn("island", F.sum("stop").over(wisl))
+        .filter(F.col("stop") == 0)
+        .select("grp", "did", "island", "pos", "tok")
+    )
+    plen = members.groupBy("did", "island").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    m = members.join(plen, ["did", "island"])
+    wdim = m.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).select(
+        "tok", F.expr(f"(deg * CAST({RAKE_Q} AS BIGINT)) div freq").alias("sq")
+    )
+    phr = (
+        m.join(wdim, "tok")
+        .groupBy("grp", "did", "island")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("sq").cast("long").alias("score_q"),
+        )
+    )
+    dp = phr.select("grp", "phrase", "n_words", "score_q").distinct()
+    wtop = Window.partitionBy("grp").orderBy(
+        F.col("score_q").desc(), F.col("phrase").asc()
+    )
+    return (
+        dp.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "grp", "phrase", "n_words",
+            F.round(
+                F.col("score_q").cast("double") / F.lit(float(RAKE_Q)), 6
+            ).alias("score"),
+        )
+    )

@@ -6560,3 +6560,68 @@ def test_district_diameter_hand(spark):
             np.floor(np.sqrt(want) * 1000.0 + 0.5) / 1000.0
         )
     assert got[3]["diam2"] == 0
+
+
+def test_mor_read_positions_not_keys(spark):
+    """Deletion vectors address (file, position): deleting pos 2 of
+    file 0 must remove exactly that physical row even when another
+    file carries the same doc_id — and appends come back verbatim."""
+    from greenex_py_spark.engine.cdc import mor_read
+
+    base = spark.createDataFrame(
+        [(0, 1, "a", 1), (0, 2, "b", 2), (0, 3, "c", 3),
+         (1, 2, "dup-key-other-file", 1)],
+        "file_id long, doc_id long, text string, pos long",
+    )
+    dv = spark.createDataFrame([(0, 2)], "file_id long, pos long")
+    appends = spark.createDataFrame(
+        [(0, 9, "new", -1)], "file_id long, doc_id long, text string, pos long"
+    )
+    got = {(r.file_id, r.doc_id, r.text)
+           for r in mor_read(base, dv, appends).collect()}
+    assert got == {(0, 1, "a"), (0, 3, "c"),
+                   (1, 2, "dup-key-other-file"), (0, 9, "new")}
+
+
+def test_rake_top_phrases_hand(spark):
+    """RAKE degree/frequency arithmetic on a two-phrase corpus:
+    'linear regression' (deg/freq: linear 4/2, regression 4/2 → score
+    4.0 for the pair phrase) must outrank the lone frequent unigram."""
+    from greenex_py_spark.functions.text import rake_top_phrases
+
+    docs = spark.createDataFrame(
+        [(1, "linear regression of the linear regression", "s")],
+        "doc_id long, text string, source string",
+    )
+    # phrases: ["linear regression"] ×2 (split by stopwords of/the)
+    r = rake_top_phrases(docs).collect()
+    assert len(r) == 1
+    row = r[0]
+    # linear: freq 2, deg 2+2=4 → 2.0; regression same → phrase 4.0
+    assert row["phrase"] == "linear regression"
+    assert row["n_words"] == 2 and row["score"] == 4.0
+
+
+def test_cochran_armitage_brute_force(spark):
+    """CA Z² vs the textbook formula in floating point, on a table
+    with a planted monotone trend and on a flat (null-trend) table."""
+    import numpy as np
+
+    from greenex_py_spark.functions.stats import cochran_armitage
+
+    rows = []
+    for s, (n, r) in enumerate([(50, 5), (50, 10), (50, 20), (50, 30)]):
+        rows += [(s, 1)] * r + [(s, 0)] * (n - r)
+    df = spark.createDataFrame(rows, "s long, o long")
+    got = cochran_armitage(df, "s", "o").collect()[0]
+    ns = np.array([50, 50, 50, 50]); rs = np.array([5, 10, 20, 30])
+    ss = np.arange(4)
+    N, R = ns.sum(), rs.sum()
+    T, P1, P2 = (ss * rs).sum(), (ss * ns).sum(), (ss * ss * ns).sum()
+    z2 = N * (N * T - R * P1) ** 2 / (R * (N - R) * (N * P2 - P1 ** 2))
+    assert got["k_groups"] == 4 and got["n"] == N and got["r"] == R
+    assert abs(got["ca_z2"] - z2) < 1e-6
+    flat = spark.createDataFrame(
+        [(s, o) for s in range(3) for o in (0, 1)], "s long, o long"
+    )
+    assert cochran_armitage(flat, "s", "o").collect()[0]["ca_z2"] == 0.0
