@@ -15968,6 +15968,104 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_isotonic — PAV monotone calibration of English share on length bins
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_oracle() -> str:
+    from .functions.stats import isotonic_oracle_sql
+
+    inner = (
+        "(SELECT source, n_chars // 64 AS bin,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents)"
+    )
+    return isotonic_oracle_sql(inner, "source", "bin", "y")
+
+
+@register("q_isotonic", _isotonic_oracle())
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (pool-adjacent-violators) calibration per source: the
+    monotone non-decreasing fit of the English-share outcome on
+    ordered 64-char length bins — the calibration map beside
+    q_calibration_bins (fixed-width reliability) and
+    q_score_percentiles (rank map).  The engine runs exact PAV with
+    integer cross-multiplied merge decisions in one Arrow kernel per
+    source (functions/stats.py ``isotonic_fit``); the oracle
+    evaluates the INDEPENDENT minimax characterization
+    max_{j≤i} min_{k≥j} mean(y[j..k]) over prefix-sum interval pairs —
+    the PAV theorem says the two must agree, and the hash proves they
+    do on every fitted value."""
+    from .functions.stats import isotonic_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "source",
+        F.expr("n_chars div 64").alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return isotonic_fit(d, "source", "bin", "y")
+
+
+# ---------------------------------------------------------------------------
+# q_cocitation — top co-cited host pairs of the link graph
+# ---------------------------------------------------------------------------
+
+_COCIT_K = 20
+
+
+@register(
+    "q_cocitation",
+    "WITH " + _LINK_GRAPH_CTE + f""",
+de AS (SELECT DISTINCT src_host, dst_host FROM r
+       WHERE src_host <> dst_host),
+pr AS (
+  SELECT a.dst_host AS h1, b.dst_host AS h2,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM de a JOIN de b
+    ON a.src_host = b.src_host AND a.dst_host < b.dst_host
+  GROUP BY 1, 2
+),
+rk AS (SELECT *, row_number() OVER (
+          ORDER BY n_common DESC, h1 ASC, h2 ASC) AS rn FROM pr)
+SELECT h1, h2, n_common FROM rk WHERE rn <= {_COCIT_K}
+""",
+)
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_COCIT_K} co-cited host pairs (Small 1973 / SALSA's
+    authority-side projection): hosts linked by the most common
+    source hosts — the DIRECTED in-neighbour overlap, distinct from
+    q_adamic_adar's undirected weighted prediction and q_hits'
+    eigenvector authorities.  Shape: distinct edges, one self-join
+    keyed on the source host (bounded per-source out-degree, the
+    once-per-wedge enumeration triangle counting uses), one pair
+    aggregate, deterministic (count, pair) tie-break."""
+    from .functions.links import host_link_graph
+
+    e = (
+        host_link_graph(_link_pages_df(spark, sf_dir))
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    a = e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("h1"))
+    b = e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("h2"))
+    pr = (
+        a.join(b, "s")
+        .filter(F.col("h1") < F.col("h2"))
+        .groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    w = Window.orderBy(
+        F.col("n_common").desc(), F.col("h1").asc(), F.col("h2").asc()
+    )
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COCIT_K)
+        .select("h1", "h2", "n_common")
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

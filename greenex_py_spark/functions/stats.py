@@ -15,6 +15,7 @@ window then runs over the |levels_a| × |levels_b| grid (dim-sized).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1361,4 +1362,113 @@ SELECT k_groups, CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS r,
              / nullif(CAST(rr * (nn - rr) * (nn * p2 - p1 * p1) AS DOUBLE),
                       0.0), 6) AS ca_z2
 FROM a
+"""
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str,
+    bin_col: str,
+    y_col: str,
+) -> DataFrame:
+    """[grp, bin, n, fitted] — isotonic (monotone non-decreasing)
+    regression of the binary/integer outcome on the ordered ``bin``
+    per group, by pool-adjacent-violators — the calibration step
+    (Zadrozny & Elkan 2002) that turns a ranking score into monotone
+    probabilities, beside q_calibration_bins' fixed-width reliability
+    read-out and q_score_percentiles' rank map.
+
+    Exactness: the PAV merge decision compares block means by integer
+    CROSS-MULTIPLICATION (s_prev·c_cur ≥ s_cur·c_prev — never FP), so
+    the pooled blocks are exact; each fitted value is one double
+    division sum/count + round-6.  The oracle never runs PAV: it
+    evaluates the minimax characterization
+
+        fitted(i) = max_{j≤i} min_{k≥j} mean(y[j..k])
+
+    over prefix-sum pairs — O(B²) on the dim-sized bin frame — which
+    the PAV theorem proves identical, so the two sides are
+    independent algorithms agreeing on the same rationals (distinct
+    small-denominator fractions stay distinct as doubles, so the SQL
+    max/min picks the exact pooled-block value).
+
+    Shape: one (group, bin) partial aggregate — the shuffle carries
+    bin-level rows — then one Arrow kernel per group over its ≤ B
+    bins; per-task state is the PAV stack, bounded by B."""
+    schema = "grp string, bin long, n long, fitted double"
+
+    b = (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(bin_col).cast("long").alias("bin"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("y").alias("s"))
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin")
+        # PAV stack of blocks [start_idx, count, ysum]
+        blocks: list[list[int]] = []
+        for c, s in zip(pdf["c"], pdf["s"]):
+            blocks.append([1, int(c), int(s)])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][2] * blocks[-1][1]
+                >= blocks[-1][2] * blocks[-2][1]
+            ):
+                b2 = blocks.pop()
+                blocks[-1][0] += b2[0]
+                blocks[-1][1] += b2[1]
+                blocks[-1][2] += b2[2]
+        fitted = []
+        for nb, cb, sb in blocks:
+            # half-up at 6 dp (floor(x*1e6 + 0.5) house convention —
+            # Python round() is half-even and diverges on exact ties)
+            f = int(sb / cb * 1e6 + 0.5) / 1e6
+            fitted += [f] * nb
+        return pd.DataFrame(
+            {
+                "grp": pdf["grp"].iloc[0],
+                "bin": pdf["bin"].to_numpy(),
+                "n": pdf["c"].to_numpy(),
+                "fitted": fitted,
+            }
+        )
+
+    return b.groupBy("grp").applyInPandas(_kernel, schema=schema)
+
+
+def isotonic_oracle_sql(table_expr: str, grp: str, bin_: str, y: str) -> str:
+    """DuckDB twin of :func:`isotonic_fit` via the minimax formula
+    (max-over-j≤i of min-over-k≥j of the interval mean) — an
+    independent characterization, not a PAV transliteration."""
+    return f"""
+WITH raw AS (SELECT {grp} AS grp, {bin_} AS bin, {y} AS y
+             FROM {table_expr}),
+b AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM raw GROUP BY grp, bin),
+p AS (SELECT grp, bin, c, s,
+             CAST(sum(c) OVER w AS BIGINT) AS cc,
+             CAST(sum(s) OVER w AS BIGINT) AS ss
+      FROM b WINDOW w AS (PARTITION BY grp ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING)),
+iv AS (
+  SELECT j.grp, j.bin AS jb, k.bin AS kb,
+         CAST(k.ss - j.ss + j.s AS DOUBLE)
+           / CAST(k.cc - j.cc + j.c AS DOUBLE) AS m
+  FROM p j JOIN p k ON k.grp = j.grp AND k.bin >= j.bin
+),
+mj AS (SELECT grp, jb, min(m) AS mn FROM iv GROUP BY grp, jb),
+fit AS (
+  SELECT p.grp, p.bin, p.c,
+         max(mj.mn) OVER (PARTITION BY p.grp ORDER BY p.bin
+                          ROWS UNBOUNDED PRECEDING) AS f
+  FROM p JOIN mj ON mj.grp = p.grp AND mj.jb = p.bin
+)
+SELECT grp, bin, c AS n,
+       floor(f * 1000000.0 + 0.5) / 1000000.0 AS fitted
+FROM fit
 """

@@ -6625,3 +6625,25 @@ def test_cochran_armitage_brute_force(spark):
         [(s, o) for s in range(3) for o in (0, 1)], "s long, o long"
     )
     assert cochran_armitage(flat, "s", "o").collect()[0]["ca_z2"] == 0.0
+
+
+def test_isotonic_fit_pav_hand(spark):
+    """PAV on a classic violation sequence: y-means 0.2, 0.8, 0.4 on
+    bins 0,1,2 pool bins 1-2 to 0.6; an already-monotone tail is
+    untouched; constant groups fit their mean everywhere."""
+    from greenex_py_spark.functions.stats import isotonic_fit
+
+    rows = (
+        [("a", 0, 1)] * 1 + [("a", 0, 0)] * 4      # bin0 mean .2
+        + [("a", 1, 1)] * 4 + [("a", 1, 0)] * 1    # bin1 mean .8
+        + [("a", 2, 1)] * 2 + [("a", 2, 0)] * 3    # bin2 mean .4
+        + [("a", 3, 1)] * 5                        # bin3 mean 1.0
+        + [("b", 0, 0), ("b", 1, 0), ("b", 2, 0)]  # constant zero
+    )
+    df = spark.createDataFrame(rows, "g string, bin long, y long")
+    got = {(r.grp, r.bin): r.fitted
+           for r in isotonic_fit(df, "g", "bin", "y").collect()}
+    assert got[("a", 0)] == 0.2
+    assert got[("a", 1)] == got[("a", 2)] == 0.6   # pooled violator
+    assert got[("a", 3)] == 1.0
+    assert all(got[("b", i)] == 0.0 for i in range(3))
