@@ -16066,6 +16066,187 @@ def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_tree_rollup — hierarchical dimension rollup over a category tree
+# ---------------------------------------------------------------------------
+
+_TREE_N = 63     # complete binary tree, depth 0..5: parent(c) = (c-1) div 2
+_TREE_DEPTH = 6  # levels (root = 0)
+
+
+@register(
+    "q_tree_rollup",
+    f"""
+WITH dc AS (
+  SELECT doc_id % {_TREE_N} AS cat,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS ch
+  FROM documents GROUP BY 1
+),
+anc AS (
+  SELECT ((dc.cat + 1) // (1 << k.range)) - 1 AS node, dc.n, dc.ch,
+         CASE WHEN k.range = 0 THEN dc.n ELSE 0 END AS n_dir
+  FROM dc, range(0, {_TREE_DEPTH}) k
+  WHERE ((dc.cat + 1) // (1 << k.range)) - 1 >= 0
+)
+SELECT node,
+       CAST(floor(log2(node + 1)) AS BIGINT) AS depth,
+       CAST(sum(n_dir) AS BIGINT) AS n_direct,
+       CAST(sum(n) AS BIGINT) AS n_subtree,
+       CAST(sum(ch) AS BIGINT) AS chars_subtree
+FROM anc GROUP BY node
+""",
+)
+def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical dimension rollup — the OLAP surface GROUPING SETS
+    cannot express: documents hang off a {_TREE_N}-node category tree
+    (complete binary, parent(c) = (c−1) div 2) and every NODE reports
+    its direct and whole-SUBTREE document/char totals.  The ancestor
+    set of a complete-binary-tree node is CLOSED FORM —
+    anc_k(c) = (c+1) div 2^k − 1 — so the engine explodes ≤ 6
+    ancestor keys per category partial and aggregates once: zero
+    iteration, zero self-joins, the scale plan for any
+    fixed-fanout taxonomy (general DAGs would swap in the pointer-
+    doubling closure q_flow_length uses).  Leaf counting happens on
+    the category PARTIALS (one row per category, never per doc), so
+    the explode cost is dimension-sized."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dc = docs.groupBy((F.col("doc_id") % _TREE_N).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("ch")
+    )
+    anc = dc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            F.expr(f"(cat + 1) div {1 << k}") - 1
+                        ).alias("node"),
+                        F.lit(k).alias("k"),
+                    )
+                    for k in range(_TREE_DEPTH)
+                ]
+            )
+        ).alias("a"),
+        "n",
+        "ch",
+    ).select(
+        F.col("a.node").alias("node"),
+        F.col("a.k").alias("k"),
+        "n",
+        "ch",
+    ).filter(F.col("node") >= 0)
+    return anc.groupBy("node").agg(
+        F.floor(F.log2(F.col("node") + 1)).cast("long").alias("depth"),
+        F.sum(F.when(F.col("k") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_direct"),
+        F.sum("n").cast("long").alias("n_subtree"),
+        F.sum("ch").cast("long").alias("chars_subtree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_hausdorff — directed Hausdorff distance from each trajectory to a path
+# ---------------------------------------------------------------------------
+
+_HD_PATH = [(0, 0, 3000, 3000), (3000, 3000, 6000, 2000),
+            (6000, 2000, 9000, 9000)]  # reference polyline segments
+
+
+@register(
+    "q_hausdorff",
+    f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         (CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+               THEN (user_id * 48271) % 9000
+               ELSE (user_id * 7919 + 211) % 9000 END)
+           + ((event_id * 131) % 41 - 20) AS qx,
+         (CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+               THEN (user_id * 16807) % 9000
+               ELSE (user_id * 104729 + 57) % 9000 END)
+           + ((event_id * 211) % 41 - 20) AS qy
+  FROM events
+),
+seg(x1, y1, x2, y2) AS (VALUES {", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in _HD_PATH)}),
+d AS (
+  SELECT user_id, event_id,
+         min(round(sqrt(ddx * ddx + ddy * ddy), 6)) AS dmin
+  FROM (
+    SELECT user_id, event_id,
+           qx - (x1 + t * (x2 - x1)) AS ddx,
+           qy - (y1 + t * (y2 - y1)) AS ddy
+    FROM (
+      SELECT e.user_id, e.event_id, e.qx, e.qy, s.x1, s.y1, s.x2, s.y2,
+             least(greatest(
+               ((e.qx - s.x1) * (s.x2 - s.x1)
+                + (e.qy - s.y1) * (s.y2 - s.y1))
+               / CAST((s.x2 - s.x1) * (s.x2 - s.x1)
+                      + (s.y2 - s.y1) * (s.y2 - s.y1) AS DOUBLE),
+               0.0), 1.0) AS t
+      FROM e CROSS JOIN seg s
+    )
+  )
+  GROUP BY user_id, event_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_fixes,
+       max(dmin) AS hausdorff_m
+FROM d GROUP BY user_id
+""",
+)
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed Hausdorff distance from each user's trajectory (the
+    q_staypoints home/work fixes) to a fixed reference polyline —
+    max-over-fixes of min-over-segments, the set-based route-adherence
+    metric beside q_dtw_profile's order-aware alignment and
+    q_map_match's per-fix snap.  The point→segment distance reuses
+    nearest_edge's clamped-projection codegen chain verbatim
+    (operators/snap.py docstring math), round-6 BEFORE the min per
+    the FP-total-order rule; the segment dim is literal VALUES on
+    both sides and broadcast in the engine — O(fixes·|path|), never
+    a shuffle beyond the per-user aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    at_home = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24 < 12"
+    )
+    e = ev.select(
+        "user_id", "event_id",
+        (
+            F.when(at_home, (uid * 48271) % 9000)
+            .otherwise((uid * 7919 + 211) % 9000)
+            + ((eid * 131) % 41 - 20)
+        ).alias("qx"),
+        (
+            F.when(at_home, (uid * 16807) % 9000)
+            .otherwise((uid * 104729 + 57) % 9000)
+            + ((eid * 211) % 41 - 20)
+        ).alias("qy"),
+    )
+    seg = spark.createDataFrame(_HD_PATH, "x1 long, y1 long, x2 long, y2 long")
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    len2 = (dx * dx + dy * dy).cast("double")
+    traw = (
+        (F.col("qx") - F.col("x1")) * dx + (F.col("qy") - F.col("y1")) * dy
+    ) / len2
+    t = F.least(F.greatest(traw, F.lit(0.0)), F.lit(1.0))
+    px = F.col("x1") + t * dx
+    py = F.col("y1") + t * dy
+    ddx = F.col("qx") - px
+    ddy = F.col("qy") - py
+    dist = F.round(F.sqrt(ddx * ddx + ddy * ddy), 6)
+    d = (
+        e.crossJoin(F.broadcast(seg))
+        .groupBy("user_id", "event_id")
+        .agg(F.min(dist).alias("dmin"))
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fixes"),
+        F.max("dmin").alias("hausdorff_m"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -6647,3 +6647,25 @@ def test_isotonic_fit_pav_hand(spark):
     assert got[("a", 1)] == got[("a", 2)] == 0.6   # pooled violator
     assert got[("a", 3)] == 1.0
     assert all(got[("b", i)] == 0.0 for i in range(3))
+
+
+def test_tree_rollup_invariants(spark, sf_dir):
+    """Subtree identities on the real fixture: root holds every doc;
+    every internal node's subtree = direct + children subtrees; depth
+    is the binary-tree level."""
+    import __spark_entry__ as entrymod
+
+    rows = {r["node"]: r for r in
+            entrymod.queries()["q_tree_rollup"](spark, sf_dir).collect()}
+    import duckdb
+    n_docs = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert rows[0]["n_subtree"] == n_docs
+    for node, r in rows.items():
+        want = r["n_direct"]
+        for ch in (2 * node + 1, 2 * node + 2):
+            if ch in rows:
+                want += rows[ch]["n_subtree"]
+        assert r["n_subtree"] == want, node
+        assert r["depth"] == (node + 1).bit_length() - 1
