@@ -16247,6 +16247,158 @@ def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_hist_equalize — global histogram equalization of the NDVI raster
+# ---------------------------------------------------------------------------
+
+
+def _hist_equalize_oracle(quant: float = 1e4, levels: int = 256) -> str:
+    npx = city.NPX
+    vq = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + f") * {quant}) AS BIGINT)"
+    )
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+pv AS (SELECT ix // {city.TILE_PX} AS tx, iy // {city.TILE_PX} AS ty,
+              {vq} AS v
+       FROM px),
+h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM pv GROUP BY v),
+cd AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cdf FROM h),
+st AS (SELECT CAST(min_by(cdf, v) AS BIGINT) AS cmin,
+              CAST(max(cdf) AS BIGINT) AS n FROM cd)
+SELECT pv.tx, pv.ty, CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(((cd.cdf - st.cmin) * {levels - 1}) // (st.n - st.cmin))
+            AS BIGINT) AS sum_eq
+FROM pv JOIN cd USING (v), st
+GROUP BY pv.tx, pv.ty
+"""
+
+
+@register("q_hist_equalize", _hist_equalize_oracle())
+def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global histogram equalization (the OpenCV/GDAL contrast
+    normalization) of the quantized NDVI raster, per-tile exact sums
+    of the equalized 0..255 values: the ONE raster operator that
+    needs the global value distribution, solved with the same
+    two-phase value-histogram + range-partitioned cumulative sum the
+    zonal quantiles and equi-depth histogram use — shuffle volume is
+    O(distinct values), no global sort task, and the per-pixel remap
+    is integer division end-to-end (operators/zonal.py
+    ``histogram_equalize_stats``).  The oracle recomputes cdf / cmin
+    over the same closed-form pixels."""
+    from .operators.zonal import histogram_equalize_stats
+
+    return histogram_equalize_stats(city.tiles_df(spark, "ndvi"))
+
+
+# ---------------------------------------------------------------------------
+# q_growth_accounting — daily new / retained / resurrected / churned users
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_growth_accounting",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+  FROM events
+),
+l AS (
+  SELECT user_id, d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY d) AS pd,
+         lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nd
+  FROM ud
+),
+act AS (
+  SELECT d,
+         CAST(sum(CASE WHEN pd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN pd = d - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN pd IS NOT NULL AND pd < d - 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM l GROUP BY d
+),
+ch AS (
+  SELECT d + 1 AS d, CAST(count(*) AS BIGINT) AS n_churned
+  FROM l, (SELECT max(d) AS dmax FROM ud) mx
+  WHERE (nd IS NULL OR nd > d + 1) AND d + 1 <= mx.dmax
+  GROUP BY d + 1
+)
+SELECT coalesce(act.d, ch.d) AS d,
+       coalesce(act.n_new, 0) AS n_new,
+       coalesce(act.n_retained, 0) AS n_retained,
+       coalesce(act.n_resurrected, 0) AS n_resurrected,
+       coalesce(ch.n_churned, 0) AS n_churned
+FROM act FULL OUTER JOIN ch ON act.d = ch.d
+""",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the Social-Capital framework): every
+    active user-day is NEW (first ever), RETAINED (also active the
+    previous day) or RESURRECTED (returning after a gap), and a
+    CHURN row charges users active on d−1 but not d to day d —
+    identities n_active = new + retained + resurrected hold by
+    construction.  The state machine is two windows (lag/lead) over
+    the distinct user-day frame — one exchange keyed by user, the
+    same gaps-and-islands discipline as q_staypoints — then a day
+    rollup and one day-keyed outer join of the churn ledger; days
+    come from exact epoch-µs integer division."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "d"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    l = ud.select(
+        "user_id", "d",
+        F.lag("d").over(w).alias("pd"),
+        F.lead("d").over(w).alias("nd"),
+    ).localCheckpoint()  # consumed by both the activity and churn branches
+    act = l.groupBy("d").agg(
+        F.sum(F.when(F.col("pd").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.sum(F.when(F.col("pd") == F.col("d") - 1, 1).otherwise(0))
+        .cast("long").alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("pd").isNotNull() & (F.col("pd") < F.col("d") - 1), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_resurrected"),
+    )
+    mx = ud.agg(F.max("d").alias("dmax"))
+    ch = (
+        l.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("nd").isNull() | (F.col("nd") > F.col("d") + 1))
+            & (F.col("d") + 1 <= F.col("dmax"))
+        )
+        .groupBy((F.col("d") + 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        act.join(ch, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

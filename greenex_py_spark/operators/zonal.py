@@ -775,3 +775,67 @@ def zonal_class_variety(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def histogram_equalize_stats(
+    tiles: DataFrame,
+    quant: float = 1e4,
+    levels: int = 256,
+) -> DataFrame:
+    """[tx, ty, n_px, sum_eq] — global histogram EQUALIZATION of the
+    quantized raster (the contrast-normalization step an image /
+    remote-sensing ingest runs before thresholding or model input),
+    reported as exact per-tile sums of the equalized 0..levels−1
+    values:
+
+        eq(v) = ((cdf(v) − cdf_min) · (levels−1)) div (n − cdf_min)
+
+    — the classic OpenCV/GDAL formula, integer division end-to-end.
+
+    Quantization is deliberately COARSER than the 1e-6 zonal buckets:
+    a 256-level remap cannot distinguish finer than 1/levels of the
+    distribution anyway, and 1e-4 buckets keep the global histogram
+    dimension-sized (≤ value-domain·1e4 rows) so the cdf join-back
+    broadcasts instead of shuffling pixel-count rows.
+
+    Scale shape: this is the one raster op that needs a GLOBAL
+    distribution, and the plan is the same two-phase histogram the
+    zonal quantiles use — per-tile ``np.unique`` partials (map-side,
+    zero per-pixel boxing beyond the kernel), one value-keyed merge,
+    one cumulative sum over the distinct-value frame
+    (``engine/rank.global_cumsum`` — range-partitioned, no global
+    sort task), then one value-keyed join back to the tile partials.
+    Shuffle volume is O(distinct values), never O(zones·pixels); the
+    partials frame is localCheckpoint'd because BOTH the histogram
+    and the join-back consume it (the no-CSE rule)."""
+    from ..engine.rank import global_cumsum
+
+    def _hist(it):
+        for pdf in it:
+            for t in pdf.itertuples():
+                v = np.asarray(t.px, dtype=np.float64)
+                vi = (np.sign(v * quant)
+                      * np.floor(np.abs(v * quant) + 0.5)).astype(np.int64)
+                u, c = np.unique(vi, return_counts=True)
+                yield pd.DataFrame(
+                    {"tx": int(t.tx), "ty": int(t.ty), "v": u,
+                     "cnt": c.astype(np.int64)}
+                )
+
+    partials = tiles.mapInPandas(
+        _hist, schema="tx long, ty long, v long, cnt long"
+    ).localCheckpoint()
+    hist = partials.groupBy("v").agg(F.sum("cnt").alias("c"))
+    cdf = global_cumsum(hist, ["v"], "c", out_col="cdf")
+    st = cdf.agg(
+        F.min_by("cdf", F.col("v")).cast("long").alias("cmin"),
+        F.max("cdf").cast("long").alias("n"),
+    )
+    j = partials.join(
+        F.broadcast(cdf.select("v", "cdf")), "v"
+    ).crossJoin(F.broadcast(st))
+    eq = F.expr(f"((cdf - cmin) * {levels - 1}) div (n - cmin)")
+    return j.groupBy("tx", "ty").agg(
+        F.sum("cnt").cast("long").alias("n_px"),
+        F.sum(eq * F.col("cnt")).cast("long").alias("sum_eq"),
+    )
