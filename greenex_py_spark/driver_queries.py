@@ -16399,6 +16399,110 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_mutual_information — MI / marginal entropies / NMI of source × lang
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mutual_information",
+    """
+WITH d AS (SELECT source AS a, lang AS b FROM documents),
+ab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY a, b),
+w AS (SELECT a, b, c,
+             CAST(sum(c) OVER (PARTITION BY a) AS BIGINT) AS na,
+             CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS nb,
+             CAST(sum(c) OVER () AS BIGINT) AS nn
+      FROM ab),
+j AS (SELECT CAST(max(nn) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(
+               (CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS miq
+      FROM w),
+ma AS (SELECT a, max(nn) AS nn, max(na) AS nm FROM w GROUP BY a),
+ha AS (SELECT CAST(sum(CAST(floor(
+         (CAST(nm AS DOUBLE) / CAST(nn AS DOUBLE))
+         * ln(CAST(nm AS DOUBLE) / CAST(nn AS DOUBLE))
+         * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hq_a FROM ma),
+mb AS (SELECT b, max(nn) AS nn, max(nb) AS nm FROM w GROUP BY b),
+hb AS (SELECT CAST(sum(CAST(floor(
+         (CAST(nm AS DOUBLE) / CAST(nn AS DOUBLE))
+         * ln(CAST(nm AS DOUBLE) / CAST(nn AS DOUBLE))
+         * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hq_b FROM mb)
+SELECT n,
+       CAST(miq AS DOUBLE) / 1000000000.0 + 0.0 AS mi_nats,
+       -(CAST(hq_a AS DOUBLE) / 1000000000.0) + 0.0 AS h_a,
+       -(CAST(hq_b AS DOUBLE) / 1000000000.0) + 0.0 AS h_b,
+       CASE WHEN greatest(hq_a, hq_b) = 0 THEN NULL
+            ELSE CAST(miq AS DOUBLE)
+                 / (-CAST(greatest(hq_a, hq_b) AS DOUBLE)) + 0.0
+       END AS nmi
+FROM j, ha, hb
+""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document source and language (plus
+    both marginal entropies and min-normalized NMI) — "how much does
+    the crawl source tell you about the language mix?", the
+    information-theoretic complement of q_chi2 (significance) and
+    q_js_divergence (pairwise distance) over the same categorical
+    frame.  Every p·ln(·) term is 1e-9-quantized on the identical IEEE
+    expression in both engines and summed as exact integers
+    (functions/stats.py ``mutual_information``); the outputs are
+    ratios of those exact longs, shipped unrounded."""
+    from .functions.stats import mutual_information
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mutual_information(docs, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_complete — COMPLETE-mode streaming aggregate to the memory sink
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_complete",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS value_q
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode — the last uncovered writeStream contract
+    (append covers the file sinks and joins, update-shaped state
+    lives in foreachBatch MERGE and applyInPandasWithState): an
+    unwatermarked global aggregate whose ENTIRE dim-sized result is
+    re-emitted to the memory sink every trigger, so the final swap after
+    an AvailableNow drain must equal the batch groupBy — which is
+    exactly what the oracle computes.  Values are µ-quantized to
+    exact longs before summing (streaming/complete.py
+    ``complete_type_counts``)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.complete import complete_type_counts
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"q_stream_complete_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.coalesce(4).write.parquet(src)
+    out = complete_type_counts(
+        spark, src, ckpt, query_name=f"tc_{os.getpid()}"
+    )
+    return out.select("event_type", "n", "value_q")
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1472,3 +1472,76 @@ SELECT grp, bin, c AS n,
        floor(f * 1000000.0 + 0.5) / 1000000.0 AS fitted
 FROM fit
 """
+
+
+def mutual_information(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """One row [n, mi_nats, h_a, h_b, nmi] — mutual information
+    between two categorical columns plus both marginal entropies and
+    the min-normalized NMI ∈ [0, 1]: "how much does knowing the
+    source tell you about the language?" — the information-theoretic
+    complement of q_chi2's significance test and q_js_divergence's
+    pairwise distribution distance.
+
+    Exactness: every p·ln(·) term is 1e-9-quantized with the
+    outlink-entropy convention (floor(x·1e9 + 0.5) on the identical
+    IEEE expression in both engines) and summed as exact integers, so
+    FP order can never move the rounded totals; NMI is one ratio of
+    two quantized longs.  Joint terms with negative pointwise MI
+    quantize the same way (floor(x + 0.5) is half-up for negatives
+    too).
+
+    Shape: one (a, b) partial aggregate, margins via windows over the
+    dim-sized joint frame (never a join-back), two scalar entropy
+    aggregates broadcast into the final 1-row select."""
+    d = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    ab = d.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        ab.withColumn("na", F.sum("c").over(Window.partitionBy("a")))
+        .withColumn("nb", F.sum("c").over(Window.partitionBy("b")))
+        .withColumn("nn", F.sum("c").over(Window.partitionBy()))
+    )
+    cd = F.col("c").cast("double")
+    nad, nbd, nnd = (F.col(x).cast("double") for x in ("na", "nb", "nn"))
+    mi_term = (cd / nnd) * F.log((cd * nnd) / (nad * nbd))
+    joint = w.agg(
+        F.max("nn").cast("long").alias("n"),
+        F.sum(F.floor(mi_term * 1e9 + F.lit(0.5)).cast("long")).alias("miq"),
+    )
+
+    def _marg(col: str):
+        m = w.groupBy(col).agg(F.max("nn").alias("nn"),
+                               F.max("n" + col).alias("nm"))
+        pm = F.col("nm").cast("double") / F.col("nn").cast("double")
+        return m.agg(
+            F.sum(F.floor(pm * F.log(pm) * 1e9 + F.lit(0.5)).cast("long"))
+            .alias("hq_" + col)
+        )
+
+    out = joint.crossJoin(F.broadcast(_marg("a"))).crossJoin(
+        F.broadcast(_marg("b"))
+    )
+    # Ship the quantized totals UNROUNDED (k/1e9 and a ratio of two
+    # exact longs are the identical IEEE result in both engines;
+    # round-6 of a 9-dp value can land on …5 where Spark's decimal
+    # HALF_UP and DuckDB's binary rounding split — the mmr_rerank
+    # lesson).  + 0.0 flushes the -0.0 that -(0/1e9) would produce.
+    mi = F.col("miq").cast("double") / F.lit(1e9)
+    ha = -(F.col("hq_a").cast("double") / F.lit(1e9))
+    hb = -(F.col("hq_b").cast("double") / F.lit(1e9))
+    return out.select(
+        "n",
+        (mi + F.lit(0.0)).alias("mi_nats"),
+        (ha + F.lit(0.0)).alias("h_a"),
+        (hb + F.lit(0.0)).alias("h_b"),
+        (
+            F.col("miq").cast("double")
+            # hq sums are ≤ 0, so min entropy = −max(hq_a, hq_b)
+            / F.nullif(
+                -F.greatest("hq_a", "hq_b").cast("double"), F.lit(0.0)
+            )
+            + F.lit(0.0)
+        ).alias("nmi"),
+    )
+

@@ -693,3 +693,49 @@ def test_global_rank_is_exact_permutation(spark):
         df.withColumn("v", F.lit(1)), ["k", "uid"], "v", "cum"
     ).toPandas()
     assert sorted(c.cum) == list(range(1, n + 1))
+
+
+def test_complete_mode_state_spans_runs(spark, tmp_path):
+    """COMPLETE-mode aggregate to the memory sink: after draining two
+    appended batches through the SAME checkpoint, the final table
+    equals the batch groupBy over EVERYTHING written — i.e. the
+    unwatermarked state really carries totals across restarts instead
+    of re-emitting only the new rows."""
+    import os
+
+    import pandas as pd
+
+    from greenex_py_spark.streaming.complete import complete_type_counts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.to_datetime(["2023-06-01 10:00:00"] * len(rows)),
+                "user_id": 1,
+                "event_type": [r[0] for r in rows],
+                "value": [r[1] for r in rows],
+                "props": "",
+            }
+        )
+
+    b1 = mk([("view", 1.25), ("view", 0.5), ("click", 2.0)])
+    spark.createDataFrame(b1, schema=schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    complete_type_counts(spark, src, ckpt, query_name="tc_test")
+    b2 = mk([("view", 0.25), ("buy", 10.0)])
+    spark.createDataFrame(b2, schema=schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    out = complete_type_counts(spark, src, ckpt, query_name="tc_test")
+    got = {r["event_type"]: (r["n"], r["value_q"]) for r in out.collect()}
+    assert got == {
+        "view": (3, 2_000_000),
+        "click": (1, 2_000_000),
+        "buy": (1, 10_000_000),
+    }

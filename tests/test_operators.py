@@ -6669,3 +6669,38 @@ def test_tree_rollup_invariants(spark, sf_dir):
                 want += rows[ch]["n_subtree"]
         assert r["n_subtree"] == want, node
         assert r["depth"] == (node + 1).bit_length() - 1
+
+
+def test_mutual_information_hand(spark):
+    """2x2 hand case vs a NumPy mirror: MI, both marginal entropies,
+    and min-normalized NMI agree to the 1e-9 quantization; a
+    perfectly-dependent frame reaches NMI == 1 exactly."""
+    import math
+
+    from greenex_py_spark.functions.stats import mutual_information
+
+    rows = ([("s0", "en")] * 2 + [("s0", "de")] * 1
+            + [("s1", "en")] * 1 + [("s1", "de")] * 2)
+    df = spark.createDataFrame(rows, "src string, lang string")
+    r = mutual_information(df, "src", "lang").collect()[0]
+    n = 6.0
+    joint = {("s0", "en"): 2, ("s0", "de"): 1,
+             ("s1", "en"): 1, ("s1", "de"): 2}
+    pa = {"s0": 0.5, "s1": 0.5}
+    pb = {"en": 0.5, "de": 0.5}
+    mi = sum((c / n) * math.log((c / n) / (pa[a] * pb[b]))
+             for (a, b), c in joint.items())
+    h = -sum(0.5 * math.log(0.5) for _ in range(2))
+    assert r["n"] == 6
+    assert abs(r["mi_nats"] - mi) < 1e-8
+    assert abs(r["h_a"] - h) < 1e-8
+    assert abs(r["h_b"] - h) < 1e-8
+    assert abs(r["nmi"] - mi / h) < 1e-8
+
+    # perfect dependence: every source maps to exactly one language
+    dep = spark.createDataFrame(
+        [("s0", "en")] * 3 + [("s1", "de")] * 2, "src string, lang string"
+    )
+    r2 = mutual_information(dep, "src", "lang").collect()[0]
+    assert abs(r2["nmi"] - 1.0) < 1e-9
+    assert abs(r2["mi_nats"] - r2["h_a"]) < 1e-9
