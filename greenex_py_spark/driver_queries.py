@@ -16503,6 +16503,253 @@ def q_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_heaps_law — vocabulary-growth (Heaps' law) fit over crawl order
+# ---------------------------------------------------------------------------
+
+_HEAPS_CKPTS = 10
+
+
+@register(
+    "q_heaps_law",
+    f"""
+WITH ranked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS nd
+  FROM documents
+), dd AS (
+  SELECT toks,
+         CAST(floor(CAST((rk - 1) * {_HEAPS_CKPTS} AS DOUBLE)
+              / CAST(nd AS DOUBLE)) AS BIGINT) AS dec,
+         CAST(len(toks) AS BIGINT) AS n_tok
+  FROM ranked
+), fo AS (
+  SELECT tok, CAST(min(dec) AS BIGINT) AS fd
+  FROM (SELECT dec, unnest(toks) AS tok FROM dd) GROUP BY tok
+), vc AS (SELECT fd AS dec, CAST(count(*) AS BIGINT) AS v FROM fo GROUP BY fd),
+tc AS (SELECT dec, CAST(sum(n_tok) AS BIGINT) AS tk FROM dd GROUP BY dec),
+pts AS (
+  SELECT CAST(sum(tk) OVER (ORDER BY tc.dec
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+         CAST(sum(COALESCE(v, 0)) OVER (ORDER BY tc.dec
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_v
+  FROM tc LEFT JOIN vc ON tc.dec = vc.dec
+), qz AS (
+  SELECT cum_n, cum_v,
+         CAST(floor(log10(CAST(cum_n AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS xq,
+         CAST(floor(log10(CAST(cum_v AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS yq
+  FROM pts
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS dpts,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         CAST(max(cum_n) AS BIGINT) AS token_total,
+         CAST(max(cum_v) AS BIGINT) AS vocab_total
+  FROM qz
+), nd2 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs, dpts AS n_points, token_total, vocab_total,
+       CAST(dpts * sxy - sx * sy AS DOUBLE)
+         / CAST(dpts * sxx - sx * sx AS DOUBLE) AS heaps_beta,
+       (CAST(sy AS DOUBLE)
+        - (CAST(dpts * sxy - sx * sy AS DOUBLE)
+           / CAST(dpts * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / (CAST(dpts AS DOUBLE) * 1000000.0) AS heaps_logk
+FROM s, nd2
+""",
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N)=k·N^β over crawl order
+    (doc_id ascending, 10 rank-decile checkpoints) — the saturation
+    diagnostic for "does another crawl snapshot still add lexical
+    value?".  Checkpointing uses the two-phase global rank (never a
+    single-task window); first-appearance decile per token is a
+    map-side-combinable min; the log10 regression inputs are
+    1e-6-quantized to exact longs on the identical IEEE expression in
+    both engines, so slope and intercept divide the same integers
+    (functions/text.py ``heaps_law``).  The oracle's flat global
+    row_number window is exactly what the operator must NOT do at
+    scale."""
+    from .functions.text import heaps_law
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heaps_law(docs, "doc_id", "text", _HEAPS_CKPTS)
+
+
+# ---------------------------------------------------------------------------
+# q_mcnemar — paired McNemar test: heuristic language-ID vs majority baseline
+# ---------------------------------------------------------------------------
+
+@register("q_mcnemar", None)  # generated oracle attached below
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test of the heuristic language-ID classifier
+    against the majority-class baseline (modal corpus lang, ties by
+    lang ascending) on the SAME documents — the correct "is the model
+    actually better than predicting the mode?" eval where the unpaired
+    q_chi2 wastes the pairing.  b/c discordant counts are exact int64;
+    both the plain (b−c)²/(b+c) and Edwards' continuity-corrected
+    statistic are one integer/integer double division shipped
+    unrounded (functions/stats.py ``mcnemar_paired``); the oracle
+    recomputes the prediction through the generated stopword-score SQL
+    and the modal baseline independently."""
+    from .functions.stats import mcnemar_paired
+    from .functions.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    base = (
+        docs.groupBy("lang")
+        .count()
+        .orderBy(F.desc("count"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("base_lang"))
+    )
+    j = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .crossJoin(F.broadcast(base))
+    )
+    return mcnemar_paired(j, "lang", "pred_lang", "base_lang")
+
+
+ORACLES["q_mcnemar"] = f"""
+WITH p AS ({_langid_sql()}),
+base AS (
+  SELECT lang AS base_lang FROM documents
+  GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
+),
+j AS (
+  SELECT d.lang AS truth, p.pred_lang AS pa, bs.base_lang AS pb
+  FROM documents d JOIN p ON p.doc_id = d.doc_id CROSS JOIN base bs
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN truth = pa AND truth <> pb THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN truth <> pa AND truth = pb THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM j
+)
+SELECT n, b + c AS n_discordant, b, c,
+       CASE WHEN b + c = 0 THEN NULL
+            ELSE CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+       END AS mcnemar,
+       CASE WHEN b + c = 0 THEN NULL
+            ELSE CAST(greatest(abs(b - c) - 1, 0)
+                      * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+                 / CAST(b + c AS DOUBLE)
+       END AS mcnemar_cc
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_variant_hist — Spark-4 VARIANT open-schema field histogram
+# ---------------------------------------------------------------------------
+
+_VARIANT_BIN_W = 10
+
+
+@register(
+    "q_variant_hist",
+    f"""
+WITH e AS (
+  SELECT CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INT)
+         END AS k,
+         event_type, value
+  FROM events
+), b AS (
+  SELECT CASE WHEN k IS NULL THEN -1
+              ELSE CAST(floor(CAST(k AS DOUBLE) / {_VARIANT_BIN_W}.0)
+                        AS BIGINT)
+         END AS bin,
+         k, event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM e
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(sum(vq) AS BIGINT) AS value_q
+FROM b GROUP BY bin
+""",
+)
+def q_variant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of the props.k field extracted through Spark 4's
+    VARIANT type (try_parse_json → try_variant_get) — the open-schema
+    semi-structured path beside q_json_extract's closed from_json
+    schema: VARIANT keeps the parsed document in a binary columnar
+    encoding so key drift across crawl snapshots costs a probe, not a
+    re-parse.  Missing/malformed fields land in the observable bin=-1
+    bucket; the value companion is 1e-6-quantized to exact longs on
+    the identical floor(x·1e6+0.5) in both engines
+    (functions/semistructured.py ``variant_field_hist``)."""
+    from .functions.semistructured import variant_field_hist
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return variant_field_hist(ev, "props", "k", _VARIANT_BIN_W, "value")
+
+
+# ---------------------------------------------------------------------------
+# q_mcc — multi-class Matthews correlation of the language-ID classifier
+# ---------------------------------------------------------------------------
+
+@register("q_mcc", None)  # generated oracle attached below
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class Matthews correlation (Gorodkin's R_K) of the
+    heuristic language-ID prediction against the corpus lang label —
+    the skew-honest single number beside q_cohens_kappa (chance
+    agreement) and q_langid_prf (per-class detail) over the same
+    confusion frame.  All Σp_k t_k / Σp² / Σt² terms are exact int64;
+    each engine runs one identical cast–multiply–sqrt–divide IEEE
+    chain, shipped unrounded (functions/stats.py ``matthews_corr``)."""
+    from .functions.stats import matthews_corr
+    from .functions.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return matthews_corr(j, "lang", "pred_lang")
+
+
+ORACLES["q_mcc"] = f"""
+WITH j AS (
+  SELECT d.lang AS t, p.pred_lang AS p
+  FROM documents d JOIN ({_langid_sql()}) p ON p.doc_id = d.doc_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM j
+),
+pk AS (SELECT p AS cls, CAST(count(*) AS BIGINT) AS pcnt FROM j GROUP BY p),
+tk AS (SELECT t AS cls, CAST(count(*) AS BIGINT) AS tcnt FROM j GROUP BY t),
+x AS (
+  SELECT CAST(coalesce(sum(coalesce(pcnt, 0) * coalesce(tcnt, 0)), 0)
+              AS BIGINT) AS spt,
+         CAST(coalesce(sum(coalesce(pcnt, 0) * coalesce(pcnt, 0)), 0)
+              AS BIGINT) AS spp,
+         CAST(coalesce(sum(coalesce(tcnt, 0) * coalesce(tcnt, 0)), 0)
+              AS BIGINT) AS stt
+  FROM pk FULL OUTER JOIN tk USING (cls)
+)
+SELECT s AS n, c AS n_correct,
+       CASE WHEN sqrt(CAST(s * s - spp AS DOUBLE)
+                      * CAST(s * s - stt AS DOUBLE)) = 0 THEN NULL
+            ELSE CAST(c * s - spt AS DOUBLE)
+                 / sqrt(CAST(s * s - spp AS DOUBLE)
+                        * CAST(s * s - stt AS DOUBLE))
+       END AS mcc
+FROM tot, x
+"""
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

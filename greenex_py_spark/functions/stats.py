@@ -1545,3 +1545,98 @@ def mutual_information(
         ).alias("nmi"),
     )
 
+
+def mcnemar_paired(
+    df: DataFrame, truth_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """One row [n, n_discordant, b, c, mcnemar, mcnemar_cc] — McNemar's
+    paired test on the SAME documents for two classifiers against one
+    truth label: b = A right where B is wrong, c = the reverse; the
+    statistic (b−c)²/(b+c) (and Edwards' continuity-corrected
+    (|b−c|−1)²/(b+c), clamped at 0) asks whether the two disagree
+    asymmetrically — the right test when both classifiers score the
+    same rows, where the unpaired q_chi2 wastes the pairing.
+
+    Exactness: b and c are exact int64 counts; both statistics are one
+    integer-numerator / integer-denominator double division, shipped
+    unrounded (identical IEEE op in both engines).  Zero discordant
+    pairs → NULL statistics."""
+    flags = df.select(
+        (F.col(a_col) == F.col(truth_col)).cast("int").alias("ra"),
+        (F.col(b_col) == F.col(truth_col)).cast("int").alias("rb"),
+    )
+    s = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 0)).cast("long"))
+        .cast("long").alias("b"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 1)).cast("long"))
+        .cast("long").alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    diff = F.col("b") - F.col("c")
+    absm1 = F.greatest(F.abs(diff) - 1, F.lit(0).cast("long"))
+    return s.select(
+        "n",
+        bc.alias("n_discordant"),
+        "b",
+        "c",
+        ((diff * diff).cast("double")
+         / F.nullif(bc.cast("double"), F.lit(0.0))).alias("mcnemar"),
+        ((absm1 * absm1).cast("double")
+         / F.nullif(bc.cast("double"), F.lit(0.0))).alias("mcnemar_cc"),
+    )
+
+
+def matthews_corr(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
+    """One row [n, n_correct, mcc] — multi-class Matthews correlation
+    (Gorodkin's R_K) of a classifier against truth labels:
+    MCC = (c·s − Σ_k p_k·t_k) / sqrt((s² − Σ_k p_k²)(s² − Σ_k t_k²))
+    over the per-class predicted counts p_k and true counts t_k — the
+    single balanced-accuracy number that stays honest under skewed
+    label mixes where accuracy and even F1 flatter the majority class.
+
+    Exactness: c, s, p_k, t_k and all three Σ terms are exact int64;
+    the two engines evaluate one identical IEEE chain — an int64→double
+    cast, two multiplies, one sqrt (correctly rounded by IEEE-754 in
+    both JVMs and DuckDB), one division — shipped unrounded.  A
+    degenerate margin (all rows one class on either side) → NULL."""
+    j = df.select(
+        F.col(truth_col).alias("t"), F.col(pred_col).alias("p")
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum((F.col("t") == F.col("p")).cast("long")).cast("long")
+        .alias("c"),
+    )
+    pk = j.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tk = j.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cross = (
+        pk.select(F.col("p").alias("cls"), F.col("cnt").alias("pcnt"))
+        .join(
+            tk.select(F.col("t").alias("cls"), F.col("cnt").alias("tcnt")),
+            "cls",
+            "full_outer",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.coalesce("pcnt", F.lit(0))
+                      * F.coalesce("tcnt", F.lit(0))), F.lit(0)
+            ).cast("long").alias("spt"),
+            F.coalesce(F.sum(F.coalesce("pcnt", F.lit(0))
+                             * F.coalesce("pcnt", F.lit(0))), F.lit(0))
+            .cast("long").alias("spp"),
+            F.coalesce(F.sum(F.coalesce("tcnt", F.lit(0))
+                             * F.coalesce("tcnt", F.lit(0))), F.lit(0))
+            .cast("long").alias("stt"),
+        )
+    )
+    num = (F.col("c") * F.col("s") - F.col("spt")).cast("double")
+    den = F.sqrt(
+        (F.col("s") * F.col("s") - F.col("spp")).cast("double")
+        * (F.col("s") * F.col("s") - F.col("stt")).cast("double")
+    )
+    return tot.crossJoin(F.broadcast(cross)).select(
+        F.col("s").alias("n"),
+        F.col("c").alias("n_correct"),
+        (num / F.nullif(den, F.lit(0.0))).alias("mcc"),
+    )

@@ -1459,3 +1459,107 @@ def rake_top_phrases(
             ).alias("score"),
         )
     )
+
+
+HEAPS_Q = 1_000_000  # 1e-6 quantizer for the log10 regression inputs
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """One row [n_docs, n_points, token_total, vocab_total, heaps_beta,
+    heaps_logk] — Heaps'-law fit V(N) = k·N^β of vocabulary growth
+    against cumulative token count, the corpus-growth companion to
+    q_zipf_slope's frequency law: "how fast does the vocabulary still
+    grow?" is the standard saturation diagnostic when deciding whether
+    another crawl snapshot adds lexical value.
+
+    Checkpoints are rank-deciles of crawl order (doc id ascending via
+    the two-phase :func:`~greenex_py_spark.engine.rank.global_rank`,
+    never a single-task window); a token's first appearance is
+    ``min(decile)`` over the exploded corpus (map-side combinable), so
+    the cumulative vocabulary at checkpoint d counts tokens first seen
+    at or before d.  The log10 regression inputs are 1e-6-quantized to
+    exact longs on the identical IEEE expression in both engines;
+    slope = (D·Sxy − Sx·Sy)/(D·Sxx − Sx²) is a ratio of exact int64
+    products (quantizer cancels), shipped unrounded, and the intercept
+    repeats the same IEEE chain off that slope.
+
+    Scale: the only corpus-sized shuffles are the rank range exchange
+    and one groupBy(token); everything after is a ≤n_checkpoints-row
+    frame.  Cited behavior: Heaps (1978) β≈0.5 for natural text — the
+    LCG fixture's closed vocabulary saturates (β→0 in late deciles),
+    visible in the fitted slope."""
+    from ..engine.rank import global_rank
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    ranked = global_rank(docs, ["doc_id"], out_col="rk")
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    dd = (
+        ranked.crossJoin(F.broadcast(nd))
+        .withColumn(
+            "dec",
+            F.floor(
+                ((F.col("rk") - 1) * n_checkpoints).cast("double")
+                / F.col("nd").cast("double")
+            ).cast("long"),
+        )
+        .withColumn("n_tok", F.size("toks").cast("long"))
+    )
+    fo = (
+        dd.select("dec", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("dec").alias("fd"))
+    )
+    vc = fo.groupBy(F.col("fd").alias("dec")).agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    tc = dd.groupBy("dec").agg(F.sum("n_tok").cast("long").alias("tk"))
+    w = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        tc.join(vc, "dec", "left")
+        .withColumn("cum_n", F.sum("tk").over(w).cast("long"))
+        .withColumn(
+            "cum_v", F.sum(F.coalesce("v", F.lit(0))).over(w).cast("long")
+        )
+    )
+    qz = pts.select(
+        "cum_n",
+        "cum_v",
+        F.floor(
+            F.log10(F.col("cum_n").cast("double")) * HEAPS_Q + F.lit(0.5)
+        ).cast("long").alias("xq"),
+        F.floor(
+            F.log10(F.col("cum_v").cast("double")) * HEAPS_Q + F.lit(0.5)
+        ).cast("long").alias("yq"),
+    )
+    s = qz.agg(
+        F.count(F.lit(1)).cast("long").alias("dpts"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.max("cum_n").alias("token_total"),
+        F.max("cum_v").alias("vocab_total"),
+    )
+    beta = (
+        (F.col("dpts") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("dpts") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    logk = (F.col("sy").cast("double") - beta * F.col("sx").cast("double")) / (
+        F.col("dpts").cast("double") * F.lit(float(HEAPS_Q))
+    )
+    return s.crossJoin(F.broadcast(nd)).select(
+        F.col("nd").alias("n_docs"),
+        F.col("dpts").alias("n_points"),
+        "token_total",
+        "vocab_total",
+        beta.alias("heaps_beta"),
+        logk.alias("heaps_logk"),
+    )

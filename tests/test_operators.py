@@ -6704,3 +6704,120 @@ def test_mutual_information_hand(spark):
     r2 = mutual_information(dep, "src", "lang").collect()[0]
     assert abs(r2["nmi"] - 1.0) < 1e-9
     assert abs(r2["mi_nats"] - r2["h_a"]) < 1e-9
+
+
+def test_mcnemar_paired_hand(spark):
+    """Hand 2x2 discordance table: b=3 (A right, B wrong), c=1 — plain
+    statistic (3-1)^2/4 = 1.0, continuity-corrected (|3-1|-1)^2/4 =
+    0.25; a frame with zero discordant pairs yields NULL statistics."""
+    from greenex_py_spark.functions.stats import mcnemar_paired
+
+    rows = (
+        [("en", "en", "en")] * 4      # both right
+        + [("en", "en", "de")] * 3    # A right, B wrong  -> b
+        + [("en", "de", "en")] * 1    # A wrong, B right  -> c
+        + [("en", "de", "fr")] * 2    # both wrong
+    )
+    df = spark.createDataFrame(rows, "truth string, a string, b string")
+    r = mcnemar_paired(df, "truth", "a", "b").collect()[0]
+    assert (r["n"], r["n_discordant"], r["b"], r["c"]) == (10, 4, 3, 1)
+    assert abs(r["mcnemar"] - 1.0) < 1e-12
+    assert abs(r["mcnemar_cc"] - 0.25) < 1e-12
+
+    agree = spark.createDataFrame(
+        [("en", "en", "en"), ("de", "fr", "fr")],
+        "truth string, a string, b string",
+    )
+    r2 = mcnemar_paired(agree, "truth", "a", "b").collect()[0]
+    assert r2["n_discordant"] == 0
+    assert r2["mcnemar"] is None and r2["mcnemar_cc"] is None
+
+
+def test_heaps_law_hand(spark):
+    """Synthetic corpus with a known power-law vocabulary: doc i
+    contributes tokens so that after N_i cumulative tokens the
+    cumulative vocabulary is exactly round(2 * N_i^0.5) — the fitted
+    beta recovers ~0.5 and logk ~log10(2); the checkpoint count and
+    totals are exact."""
+    import math
+
+    from greenex_py_spark.functions.text import heaps_law
+
+    # build 10 docs; doc i has 100 tokens, vocabulary grows as 2*sqrt(N)
+    docs, vocab_used = [], 0
+    cum = 0
+    for i in range(10):
+        n_tok = 100
+        cum += n_tok
+        target_vocab = round(2.0 * math.sqrt(cum))
+        new = target_vocab - vocab_used
+        toks = [f"w{vocab_used + j}" for j in range(new)]
+        vocab_used = target_vocab
+        # pad with already-seen tokens
+        toks += ["w0"] * (n_tok - len(toks))
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = heaps_law(df, "doc_id", "text", 10).collect()[0]
+    assert r["n_docs"] == 10 and r["n_points"] == 10
+    assert r["token_total"] == 1000
+    assert r["vocab_total"] == vocab_used
+    assert abs(r["heaps_beta"] - 0.5) < 0.01
+    assert abs(r["heaps_logk"] - math.log10(2.0)) < 0.02
+
+
+def test_variant_field_hist_hand(spark):
+    """Hand events: ints bucket by width, missing key and malformed
+    JSON land in bin -1, value sums are exact 1e-6 longs."""
+    from greenex_py_spark.functions.semistructured import variant_field_hist
+
+    rows = [
+        ('{"k": 3}', "a", 0.5),
+        ('{"k": 7}', "b", 0.25),
+        ('{"k": 17}', "a", 1.0),
+        ('{"j": 2}', "a", 2.0),     # missing key
+        ("not json", "c", 3.0),     # malformed
+    ]
+    df = spark.createDataFrame(
+        rows, "props string, event_type string, value double"
+    )
+    got = {
+        r["bin"]: r
+        for r in variant_field_hist(df, "props", "k", 10, "value").collect()
+    }
+    assert set(got) == {-1, 0, 1}
+    assert (got[0]["n"], got[0]["sum_k"], got[0]["n_types"]) == (2, 10, 2)
+    assert got[0]["value_q"] == 750000
+    assert (got[1]["n"], got[1]["sum_k"]) == (1, 17)
+    assert (got[-1]["n"], got[-1]["sum_k"], got[-1]["n_types"]) == (2, 0, 2)
+    assert got[-1]["value_q"] == 5000000  # floor(v*1e6+0.5) summed per row
+
+
+def test_matthews_corr_hand(spark):
+    """Binary hand case vs the closed form: TP=4 TN=3 FP=2 FN=1 →
+    MCC = (4*3-2*1)/sqrt(6*5*4*7); a perfect classifier hits 1.0; a
+    single-class prediction margin degenerates to NULL."""
+    import math
+
+    from greenex_py_spark.functions.stats import matthews_corr
+
+    rows = (
+        [("p", "p")] * 4 + [("n", "n")] * 3
+        + [("n", "p")] * 2 + [("p", "n")] * 1
+    )
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    r = matthews_corr(df, "truth", "pred").collect()[0]
+    # (TP·TN − FP·FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)) = 10/sqrt(600)
+    want = (4 * 3 - 2 * 1) / math.sqrt(6 * 5 * 5 * 4)
+    assert (r["n"], r["n_correct"]) == (10, 7)
+    assert abs(r["mcc"] - want) < 1e-12
+
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c")], "truth string, pred string"
+    )
+    assert abs(matthews_corr(perfect, "truth", "pred")
+               .collect()[0]["mcc"] - 1.0) < 1e-12
+
+    degen = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "truth string, pred string"
+    )
+    assert matthews_corr(degen, "truth", "pred").collect()[0]["mcc"] is None
