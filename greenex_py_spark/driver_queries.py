@@ -16750,6 +16750,417 @@ FROM tot, x
 
 
 # ---------------------------------------------------------------------------
+# q_naive_bayes — multinomial NB trained + scored distributed (confusion)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_naive_bayes",
+    """
+WITH docs AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+toks AS (SELECT doc_id, lang, unnest(toks) AS tok FROM docs),
+c AS (SELECT tok, lang AS cls, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY tok, lang),
+model AS (
+  SELECT tok, cls,
+         CAST(floor(ln(CAST(c + 1 AS DOUBLE)) * 1000000000.0 + 0.5)
+              AS BIGINT) AS qc
+  FROM c
+),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c),
+tl AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS t_l
+       FROM toks GROUP BY lang),
+nl AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_l
+       FROM docs GROUP BY lang),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+cls AS (
+  SELECT tl.cls,
+         CAST(floor(ln(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1000000000.0 + 0.5) AS BIGINT) AS prior_q,
+         CAST(floor(ln(CAST(t_l + v AS DOUBLE)) * 1000000000.0 + 0.5)
+              AS BIGINT) AS qden
+  FROM tl JOIN nl USING (cls), vocab, nn
+),
+dtok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+         FROM toks GROUP BY doc_id, tok),
+part AS (
+  SELECT doc_id, cls, CAST(sum(m * qc) AS BIGINT) AS sum_q
+  FROM dtok JOIN model USING (tok) GROUP BY doc_id, cls
+),
+base AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok FROM docs),
+scored AS (
+  SELECT b.doc_id, b.lang, c2.cls,
+         c2.prior_q + COALESCE(p.sum_q, 0) - b.n_tok * c2.qden AS score_q
+  FROM base b CROSS JOIN cls c2
+  LEFT JOIN part p ON p.doc_id = b.doc_id AND p.cls = c2.cls
+),
+pred AS (
+  SELECT doc_id, lang, cls AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, cls ASC) AS rn
+  FROM scored
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1 GROUP BY lang, pred_lang
+""",
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier trained AND scored
+    distributed on the corpus (Laplace-smoothed per-class token
+    likelihoods + class priors, resubstitution confusion matrix) — the
+    model-fitting surface beside q_classifier_score's fixed-weight
+    scorer: one explode shuffle builds the vocab×L model, scoring
+    joins per-doc token counts to the model with a SHUFFLE hash join
+    (the model grows with corpus vocabulary — deliberately NOT
+    broadcast, the q_bigram_logprob lesson), and the per-class argmax
+    compares exact 1e-9-quantized integer log scores with ties broken
+    by class ascending (functions/text.py ``naive_bayes_confusion``)."""
+    from .functions.text import naive_bayes_confusion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return naive_bayes_confusion(docs, "doc_id", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q_mst_backbone — Borůvka minimum spanning tree of the densest crawl cells
+# ---------------------------------------------------------------------------
+
+_MST_TOP = 80
+
+
+@register(
+    "q_mst_backbone",
+    f"""
+WITH RECURSIVE pts AS ({{points_sql}}),
+cl AS (SELECT {{cell_sql}} AS cell FROM pts),
+cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY cell),
+top AS (SELECT cell, n,
+               row_number() OVER (ORDER BY n DESC, cell ASC) - 1 AS idx
+        FROM cnt ORDER BY n DESC, cell ASC LIMIT {_MST_TOP}),
+xy AS (SELECT idx,
+              CAST({{x0_2}} + (cell % {{cell_base}}) * 200 + 100 AS BIGINT)
+                AS x2,
+              CAST({{y0_2}} + (cell // {{cell_base}}) * 200 + 100 AS BIGINT)
+                AS y2
+       FROM top),
+ek AS MATERIALIZED (
+  SELECT a.idx AS u, b.idx AS v,
+         (a.x2 - b.x2) * (a.x2 - b.x2)
+           + (a.y2 - b.y2) * (a.y2 - b.y2) AS w4,
+         ((a.x2 - b.x2) * (a.x2 - b.x2)
+           + (a.y2 - b.y2) * (a.y2 - b.y2)) * 16384
+           + least(a.idx, b.idx) * 128 + greatest(a.idx, b.idx) AS wkey
+  FROM xy a JOIN xy b ON a.idx <> b.idx
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM top),
+prim(step, intree, total_w4, total_len_q) AS (
+  SELECT 0, [CAST(0 AS BIGINT)], CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT p.step + 1,
+         list_append(p.intree, arg_min(k.v, k.wkey)),
+         p.total_w4 + arg_min(k.w4, k.wkey),
+         p.total_len_q
+           + CAST(floor(sqrt(CAST(arg_min(k.w4, k.wkey) AS DOUBLE)) / 2.0
+                        * 1000000.0 + 0.5) AS BIGINT)
+  FROM prim p JOIN ek k
+    ON list_contains(p.intree, k.u) AND NOT list_contains(p.intree, k.v)
+  GROUP BY p.step, p.intree, p.total_w4, p.total_len_q
+),
+fin AS (SELECT step, total_w4, total_len_q
+        FROM prim ORDER BY step DESC LIMIT 1)
+SELECT n_nodes, CAST(step AS BIGINT) AS n_edges, total_w4, total_len_q
+FROM fin, nn
+""".format(
+        points_sql=city.points_sql(),
+        cell_sql=city.cell_expr_sql("x", "y"),
+        x0_2=int(2 * city.X0),
+        y0_2=int(2 * city.Y0),
+        cell_base=city.CELL_BASE,
+    ),
+)
+def q_mst_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning tree of the 80 densest geocoded crawl cells
+    (Euclidean complete graph on the exact doubled-integer cell
+    centers) by DISTRIBUTED Borůvka — the connectivity backbone a
+    crawl planner uses to wire its hottest regions with least total
+    distance.  Edge weights are exact int64 squared distances with the
+    (w, u, v) total order, so the MST is unique and Borůvka (engine,
+    O(log n) DataFrame rounds — functions/graph.py ``boruvka_mst``)
+    provably equals the oracle's sequential Prim (a 79-step recursive
+    CTE with arg_min per step — exactly what the operator must NOT do
+    at scale).  Per-edge lengths are quantized
+    floor(sqrt(w4)/2·1e6+0.5) on the identical IEEE chain; the top-80
+    selection is a distributed TakeOrdered (n DESC, cell ASC), never a
+    global sort."""
+    from .functions.graph import boruvka_mst
+
+    pts = city.with_cell(city.points_df(spark, sf_dir))
+    cnt = pts.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top = cnt.orderBy(F.desc("n"), F.asc("cell")).limit(_MST_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("cell"))
+    nodes = top.select(
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        (F.lit(int(2 * city.X0)) + (F.col("cell") % city.CELL_BASE) * 200
+         + 100).cast("long").alias("x2"),
+        (F.lit(int(2 * city.Y0))
+         + F.expr(f"cell DIV {city.CELL_BASE}") * 200
+         + 100).cast("long").alias("y2"),
+    )
+    a, b = nodes.alias("a"), nodes.alias("b")
+    dx = F.col("a.x2") - F.col("b.x2")
+    dy = F.col("a.y2") - F.col("b.y2")
+    edges = a.join(b, F.col("a.idx") < F.col("b.idx")).select(
+        F.col("a.idx").alias("u"),
+        F.col("b.idx").alias("v"),
+        (dx * dx + dy * dy).cast("long").alias("w4"),
+    )
+    mst = boruvka_mst(edges)
+    res = mst.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.coalesce(F.sum("w4"), F.lit(0)).cast("long").alias("total_w4"),
+        F.coalesce(
+            F.sum(
+                F.floor(
+                    F.sqrt(F.col("w4").cast("double")) / 2.0 * 1000000.0
+                    + 0.5
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).cast("long").alias("total_len_q"),
+    )
+    nn = top.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return res.crossJoin(F.broadcast(nn)).select(
+        "n_nodes", "n_edges", "total_w4", "total_len_q"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_green_quality_corr — ecological NDVI × document-quality correlation
+# ---------------------------------------------------------------------------
+
+
+def _green_quality_oracle() -> str:
+    npx, cb = city.NPX, city.CELL_BASE
+    ndvi = city.NDVI_SQL.format(
+        px_x=f"{city.X0} + ((i % {npx}) + 0.5) * {city.RES}",
+        px_y=f"{city.Y0} + ((i // {npx}) + 0.5) * {city.RES}",
+    )
+    return f"""
+WITH pts AS ({city.points_sql()}),
+ql AS (
+  SELECT doc_id,
+         CAST(floor(round(least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+           * (1.0 - least(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                               AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 4.0,
+                          1.0))
+           * (CASE WHEN (length(text) - len(toks) + 1)
+                        / CAST(len(toks) AS DOUBLE) >= 3.0
+                   AND (length(text) - len(toks) + 1)
+                        / CAST(len(toks) AS DOUBLE) <= 10.0
+                   THEN 1.0 ELSE 0.5 END), 3) * 1000.0 + 0.5) AS BIGINT)
+           AS q1000
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+),
+dc AS (
+  SELECT {city.cell_expr_sql('p.x', 'p.y')} AS cell, q.q1000
+  FROM pts p JOIN ql q ON q.doc_id = p.doc_id
+),
+cq AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(q1000) AS BIGINT) AS qsum
+  FROM dc GROUP BY cell
+),
+nd AS (
+  SELECT ((i // {npx}) // 10) * {cb} + ((i % {npx}) // 10) AS cell,
+         CAST(sum(CAST(round(({ndvi}) * 10000.0) AS BIGINT)) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  GROUP BY 1
+),
+j AS (
+  SELECT nd.x, cq.qsum // cq.n_docs AS y
+  FROM cq JOIN nd ON nd.cell = cq.cell
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM j
+)
+SELECT n AS n_cells, sx AS sum_x, sy AS sum_y,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+            THEN NULL
+            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS pearson_r
+FROM s
+"""
+
+
+@register("q_green_quality_corr", _green_quality_oracle())
+def q_green_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ecological correlation between greenness and content quality:
+    Pearson r across 100 m join-grid cells of (exact quantized NDVI
+    pixel sum, floor-mean quantized document quality) — "do greener
+    blocks host better pages?", the raster × webtext cross that joins
+    the zonal raster path to the curation quality signal.  The raster
+    side is `operators/focal.cell_value_sums` (per-tile exact int64
+    partials, straddle cells re-summed by one cell-keyed shuffle — no
+    halo, shuffle sized by cells not pixels); the document side
+    reuses the shared quality formula.  All five Σ terms are exact
+    int64; both engines run one identical cast-multiply-sqrt-divide
+    IEEE chain, shipped unrounded (NULL on a degenerate margin)."""
+    from .functions.text import quality_score
+    from .operators.focal import cell_value_sums
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = city.with_cell(city.points_df(spark, sf_dir))
+    q = quality_score(docs)
+    dq = (
+        pts.join(q, "doc_id")
+        .select(
+            "cell",
+            F.floor(F.col("quality") * 1000.0 + 0.5).cast("long")
+            .alias("q1000"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("q1000").cast("long").alias("qsum"),
+        )
+    )
+    nd = cell_value_sums(
+        city.tiles_df(spark, "ndvi"), city.grid(), cell_px=10, quant=1e4
+    ).select(
+        (F.col("gy") * city.CELL_BASE + F.col("gx")).alias("cell"),
+        F.col("vsum_q").alias("x"),
+    )
+    j = dq.join(nd, "cell").select(
+        "x", F.expr("qsum DIV n_docs").cast("long").alias("y")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd_, sx_, sy_ = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                     F.col("sy").cast("double"))
+    d1 = nd_ * F.col("sxx").cast("double") - sx_ * sx_
+    d2 = nd_ * F.col("syy").cast("double") - sy_ * sy_
+    num = nd_ * F.col("sxy").cast("double") - sx_ * sy_
+    return s.select(
+        F.col("n").alias("n_cells"),
+        F.col("sx").alias("sum_x"),
+        F.col("sy").alias("sum_y"),
+        F.when(d1 * d2 <= 0, F.lit(None).cast("double"))
+        .otherwise(num / F.sqrt(d1 * d2)).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_contagion — O'Neill landscape contagion of the language territory map
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_contagion",
+    _CTE + f""",
+{_DOM_LANG_SQL.strip()},
+sh AS (SELECT gx + 1 AS gx, gy, cat FROM dom
+       UNION ALL SELECT gx, gy + 1, cat FROM dom),
+up AS (SELECT s.cat AS a, d.cat AS b FROM sh s JOIN dom d USING (gx, gy)),
+ord_p AS (SELECT a, b FROM up UNION ALL SELECT b, a FROM up),
+obs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS tot
+        FROM ord_p GROUP BY a, b),
+ent AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_ordered,
+         CAST(coalesce(sum(CAST(floor(
+           (CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+           * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+           * 1000000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS ent_q
+  FROM obs
+),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(count(DISTINCT cat) AS BIGINT) AS m_classes FROM dom)
+SELECT n_cells, n_ordered // 2 AS n_pairs, m_classes,
+       CASE WHEN m_classes <= 1 OR n_ordered = 0 THEN NULL
+            ELSE 1.0 + (CAST(ent_q AS DOUBLE) / 1000000000.0)
+                 / (2.0 * ln(CAST(m_classes AS DOUBLE)))
+       END AS contagion
+FROM st, ent
+""",
+)
+def q_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Neill (1988) relative contagion of the per-cell dominant
+    document-language map — the single interspersion number ("how
+    clumped are the language territories?") that aggregates
+    q_join_counts' per-pair detail, applying the landscape-ecology
+    metric to the webtext surface.  Ordered rook-adjacent pair
+    distribution Q_ij; each Q·ln(Q) term 1e-9-quantized on the
+    identical IEEE chain and summed as exact int64; final
+    1 + (Σ/1e9)/(2·ln m), NULL when m ≤ 1
+    (operators/spatial_stats.py ``contagion``)."""
+    from .operators.spatial_stats import contagion
+
+    return contagion(_dom_lang_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q_range_frame — event-time RANGE-frame trailing-window burst stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_range_frame",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+t AS (
+  SELECT user_id,
+         CAST(count(*) OVER w AS BIGINT) AS n_win,
+         CAST(sum(vq) OVER w AS BIGINT) AS vsum_q
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(n_win) AS BIGINT) AS max_n_win,
+       CAST(max(vsum_q) AS BIGINT) AS max_vsum_q
+FROM t GROUP BY user_id
+""",
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user peak trailing-2-hour event count and µ-quantized value
+    sum via an EVENT-TIME RANGE window frame (value-based bounds over
+    epoch microseconds — the burst/velocity feature of rate limiting
+    and abuse scoring).  The one windowed surface every other engine
+    window leaves uncovered: a ROWS frame would be wrong whenever
+    timestamps tie, a RANGE frame includes all ties so the result is
+    order-independent and engine-exact
+    (functions/timeseries.py ``trailing_range_stats``)."""
+    from .functions.timeseries import trailing_range_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trailing_range_stats(ev, "user_id", "ts", "value", 7200)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

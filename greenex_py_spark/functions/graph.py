@@ -1260,3 +1260,87 @@ def scc_components(
     return sid.select(
         "node", "scc_id", F.count(F.lit(1)).over(w).cast("long").alias("scc_size")
     )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w4",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """[u, v, w4] — the minimum spanning forest of an undirected
+    weighted graph by distributed Borůvka: every round each component
+    picks its cheapest outgoing edge (exact integer weights, total
+    order (w, u, v) so the MSF is UNIQUE), the chosen edges merge
+    components, and the component count at least halves — O(log n)
+    rounds of pure DataFrame ops, the textbook MST shape for a graph
+    that fits no single machine (Borůvka 1926; the same round
+    structure GraphX/GBBS use).
+
+    ``edges`` must be canonical undirected pairs (u < v) with int64
+    weights; ties are impossible once (w, u, v) breaks them, so
+    Borůvka here equals Kruskal equals Prim — the property the
+    single-threaded Prim oracle relies on.
+
+    Scale: each round is two shuffle joins of the edge table to the
+    (node → component) map, one per-component min_by aggregation
+    (map-side combinable), and a component-graph contraction whose CC
+    runs on the CHOSEN edges only (≤ one per component — the adaptive
+    driver/distributed switch in operators/dissolve).  The component
+    map is localCheckpoint'd per round (CLAUDE.md: iterative loops
+    must cut lineage).  Candidate-edge generation is the caller's
+    job — at web scale feed cell-bucketed kNN candidates, not the
+    all-pairs this gate's 80-patch dim allows."""
+    from ..operators.dissolve import connected_components
+
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(u_col).cast("long").alias("u"),
+        F.col(v_col).cast("long").alias("v"),
+        F.col(w_col).cast("long").alias("w4"),
+    ).localCheckpoint()
+    comp = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+        .select("n", F.col("n").alias("comp"))
+        .localCheckpoint()
+    )
+    mst = spark.createDataFrame([], "u long, v long, w4 long")
+    key = F.struct(F.col("w4"), F.col("u"), F.col("v"))
+    for _ in range(max_rounds):
+        ec = (
+            e.join(comp.select(F.col("n").alias("u"),
+                               F.col("comp").alias("cu")), "u")
+            .join(comp.select(F.col("n").alias("v"),
+                              F.col("comp").alias("cv")), "v")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        cand = ec.select(F.col("cu").alias("c"), "u", "v", "w4",
+                         "cu", "cv").unionByName(
+            ec.select(F.col("cv").alias("c"), "u", "v", "w4", "cu", "cv")
+        )
+        sel = cand.groupBy("c").agg(
+            F.min_by(F.struct("u", "v", "w4", "cu", "cv"), key).alias("e")
+        ).select("e.u", "e.v", "e.w4", "e.cu", "e.cv")
+        chosen = sel.dropDuplicates(["u", "v"]).localCheckpoint()
+        if chosen.isEmpty():
+            break
+        mst = mst.unionByName(
+            chosen.select("u", "v", "w4")
+        ).localCheckpoint()
+        cnodes = comp.select(F.col("comp").alias("gs_id")).distinct()
+        cedges = chosen.select(F.col("cu").alias("a"),
+                               F.col("cv").alias("b"))
+        cc = connected_components(cnodes, cedges, key="gs_id")
+        comp = (
+            comp.join(
+                cc.select(F.col("gs_id").alias("comp"),
+                          F.col("comp").alias("newc")),
+                "comp",
+            )
+            .select("n", F.col("newc").alias("comp"))
+            .localCheckpoint()
+        )
+    return mst

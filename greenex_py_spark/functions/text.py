@@ -1563,3 +1563,108 @@ def heaps_law(
         beta.alias("heaps_beta"),
         logk.alias("heaps_logk"),
     )
+
+
+NB_Q = 1_000_000_000  # 1e-9 quantizer for every ln() term in the NB score
+
+
+def _qln(col):
+    """floor(ln(x)·1e9 + 0.5) as int64 — the shared engine-portable
+    log quantizer (identical IEEE expression in Spark and DuckDB)."""
+    return F.floor(F.log(col.cast("double")) * NB_Q + F.lit(0.5)).cast("long")
+
+
+def naive_bayes_confusion(
+    df: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", label_col: str = "lang",
+) -> DataFrame:
+    """[lang, pred_lang, n] — confusion matrix of a multinomial naive
+    Bayes text classifier TRAINED AND SCORED distributed on the same
+    corpus (resubstitution eval): per-class Laplace-smoothed token
+    likelihoods ln((c(t,l)+1)/(T_l+V)) plus a class prior ln(N_l/N) —
+    the classic fastText-free baseline every curation pipeline fits
+    before paying for a neural classifier.
+
+    Exactness: every ln() term is 1e-9-quantized to int64 on the
+    identical IEEE expression in both engines, the per-document score
+    is decomposed as prior_q + Σ_t m_t·qln(c+1) − n_tok·qln(T_l+V) so
+    that absent (token, class) pairs contribute qln(1) = 0 exactly,
+    and the argmax over classes compares exact integers (ties broken
+    by class ascending) — no float ordering anywhere.
+
+    Scale: one explode shuffle builds the model (vocab×L bounded);
+    scoring joins per-doc token counts to the model with a SHUFFLE
+    hash join on token — the model table grows with corpus vocabulary
+    and is deliberately NOT broadcast (the q_bigram_logprob lesson);
+    only the L-row priors/totals dim broadcasts.  The final window is
+    partitioned per document over L rows."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("lang"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode("toks").alias("tok")
+    )
+    c = toks.groupBy("tok", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    model = c.select(
+        "tok", F.col("lang").alias("cls"), _qln(F.col("c") + 1).alias("qc")
+    )
+    vocab = c.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cls = (
+        toks.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_l"))
+        .join(
+            docs.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("long").alias("n_l")
+            ),
+            "lang",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(
+            F.broadcast(
+                docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+        )
+        .select(
+            F.col("lang").alias("cls"),
+            (_qln(F.col("n_l").cast("double") / F.col("n").cast("double"))
+             ).alias("prior_q"),
+            _qln(F.col("t_l") + F.col("v")).alias("qden"),
+        )
+    )
+    dtok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    part = (
+        dtok.join(model, "tok")  # shuffle join: model is vocab-scale
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("m") * F.col("qc")).cast("long").alias("sum_q"))
+    )
+    base = docs.select(
+        "doc_id", "lang", F.size("toks").cast("long").alias("n_tok")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(cls))
+        .join(part, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id", "lang", "cls",
+            (F.col("prior_q") + F.coalesce(F.col("sum_q"), F.lit(0))
+             - F.col("n_tok") * F.col("qden")).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_q"), F.asc("cls")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cls").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -584,3 +584,52 @@ def ewma_chart(
         )
 
     return df.groupBy(series_col).applyInPandas(_kernel, schema=schema)
+
+
+def trailing_range_stats(
+    df,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 7200,
+):
+    """[user_id, n_events, max_n_win, max_vsum_q] — per-entity peak
+    trailing-window activity: for every event, the count and
+    µ-quantized value sum of that entity's events in the trailing
+    ``window_s`` seconds (EVENT-TIME RANGE frame, not a row frame — tied
+    timestamps all join the frame, so the result is order-independent),
+    then the per-entity maxima: the burst/velocity feature rate
+    limiters and abuse scoring build on event tables.
+
+    This is the ``Window.rangeBetween`` surface (value-based frame
+    bounds over epoch microseconds) — every other window in the engine
+    uses row frames; a rows-frame would be wrong here whenever events
+    carry duplicate timestamps.
+
+    Scale: one shuffle partitioned by entity; the in-partition sort is
+    per-entity event history, the standard sessionization shape.
+    Values are floor(v·1e6+0.5) exact longs, so the maxima compare
+    integers in both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = df.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.floor(F.col(value_col) * 1000000.0 + 0.5).cast("long").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    t = e.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_win"),
+        F.sum("vq").over(w).cast("long").alias("vsum_q"),
+    )
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("n_win").cast("long").alias("max_n_win"),
+        F.max("vsum_q").cast("long").alias("max_vsum_q"),
+    )

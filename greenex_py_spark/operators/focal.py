@@ -1009,3 +1009,61 @@ def core_area_tile_stats(
             ),
         ).alias("core_pct"),
     )
+
+
+def cell_value_sums(
+    tiles: DataFrame,
+    grid: GridSpec,
+    cell_px: int = 10,
+    quant: float = 1e4,
+) -> DataFrame:
+    """[gx, gy, vsum_q, n_px] — exact quantized raster-value sums per
+    join-grid cell (cell = ``cell_px`` × ``cell_px`` pixels): the
+    raster side of raster×vector ecological joins, e.g. correlating
+    per-cell greenness against per-cell document statistics.
+
+    Cells need not align with tile boundaries: each tile emits exact
+    int64 PARTIAL sums keyed by (gx, gy) and one groupBy adds the
+    straddle pieces — no halo exchange (sums are distributive), one
+    shuffle whose size is the cell count, not the pixel count.  Pixel
+    values are round-half-away quantized to int64 on the engine's
+    shared convention (`quantize_half_away` = SQL ``round``)."""
+    out_schema = "gx long, gy long, vsum_q long, n_px long"
+    tile_px = grid.tile_px
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                w, h = int(t.w), int(t.h)
+                q = quantize_half_away(
+                    np.asarray(t.px, dtype=np.float64).reshape(h, w), quant
+                )
+                ix = int(t.tx) * tile_px + np.arange(w)
+                iy = int(t.ty) * tile_px + np.arange(h)
+                gx = ix // cell_px
+                gy = iy // cell_px
+                key = (gy[:, None].astype(np.int64) * (1 << 32)
+                       + gx[None, :]).ravel()
+                uk, inv = np.unique(key, return_inverse=True)
+                sums = np.zeros(len(uk), dtype=np.int64)
+                np.add.at(sums, inv, q.ravel())
+                cnts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "gx": uk & ((1 << 32) - 1),
+                            "gy": uk >> 32,
+                            "vsum_q": sums,
+                            "n_px": cnts,
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    parts = tiles.mapInPandas(emit, schema=out_schema)
+    return parts.groupBy("gx", "gy").agg(
+        F.sum("vsum_q").cast("long").alias("vsum_q"),
+        F.sum("n_px").cast("long").alias("n_px"),
+    )

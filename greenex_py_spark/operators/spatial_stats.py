@@ -1579,3 +1579,85 @@ def gwr_local(
             6,
         ).alias("alpha"),
     )
+
+
+def contagion(
+    cells: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    cat_col: str = "cat",
+) -> DataFrame:
+    """One row [n_cells, n_pairs, m_classes, contagion] — O'Neill
+    (1988) relative contagion of a categorical cell map over rook
+    adjacency: 1 + Σ_{i,j} Q_ij·ln(Q_ij) / (2·ln m) where Q_ij is the
+    ORDERED adjacent-pair distribution and m the number of classes
+    present — 1 for a single solid blob, →0 for a maximally
+    interspersed salt-and-pepper map.  The landscape-ecology
+    aggregation interspersion number that complements
+    :func:`join_counts`' per-pair detail.
+
+    Engine-exactness: each Q·ln(Q) term is 1e-9-quantized on the
+    identical IEEE chain (p = cnt/tot double division, p·ln(p), floor
+    ·1e9+0.5) and summed as exact int64; the final assembly is
+    1.0 + (sum/1e9)/(2·ln(m)), NULL when m ≤ 1 or no pairs exist.
+
+    Spark shape: the same half-plane offset explode + equi-join as
+    join_counts (each undirected pair exactly once, O(cells)), then
+    both ordered directions are emitted before the dim-sized
+    class-pair aggregate; totals ride unpartitioned window sums over
+    that TINY frame (the no-CSE rule — never join back)."""
+    c = cells.select(
+        F.col(gx_col).alias("gx"),
+        F.col(gy_col).alias("gy"),
+        F.col(cat_col).alias("cat"),
+    )
+    sh = c.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("gx") + 1).alias("gx"),
+                         F.col("gy").alias("gy")),
+                F.struct(F.col("gx").alias("gx"),
+                         (F.col("gy") + 1).alias("gy")),
+            )
+        ).alias("k"),
+        F.col("cat").alias("acat"),
+    ).select("k.gx", "k.gy", "acat")
+    up = sh.join(c, ["gx", "gy"]).select(
+        F.col("acat").alias("a"), F.col("cat").alias("b")
+    )
+    ordered = up.unionByName(
+        up.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    obs = (
+        ordered.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("tot", F.sum("cnt").over(everything).cast("long"))
+    )
+    p = F.col("cnt").cast("double") / F.col("tot").cast("double")
+    ent = obs.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_ordered"),
+        F.coalesce(
+            F.sum(F.floor(p * F.log(p) * 1000000000.0 + 0.5).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("ent_q"),
+    )
+    stats = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("cat").cast("long").alias("m_classes"),
+    )
+    return stats.crossJoin(F.broadcast(ent)).select(
+        "n_cells",
+        (F.col("n_ordered") / 2).cast("long").alias("n_pairs"),
+        "m_classes",
+        F.when(
+            (F.col("m_classes") <= 1) | (F.col("n_ordered") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            F.lit(1.0)
+            + (F.col("ent_q").cast("double") / 1000000000.0)
+            / (2.0 * F.log(F.col("m_classes").cast("double")))
+        ).alias("contagion"),
+    )

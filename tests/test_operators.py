@@ -6821,3 +6821,228 @@ def test_matthews_corr_hand(spark):
         [("a", "a"), ("b", "a")], "truth string, pred string"
     )
     assert matthews_corr(degen, "truth", "pred").collect()[0]["mcc"] is None
+
+
+def test_naive_bayes_hand(spark):
+    """Tiny corpus vs a pure-Python multinomial-NB mirror with the
+    same 1e-9 integer quantization: confusion cells match exactly, and
+    a class-specific vocabulary classifies its own docs correctly."""
+    import math
+    from collections import Counter
+
+    from greenex_py_spark.functions.text import naive_bayes_confusion
+
+    corpus = [
+        (0, "la la la bon", "fr"),
+        (1, "la bon bon", "fr"),
+        (2, "the the cat", "en"),
+        (3, "the cat cat sat", "en"),
+        (4, "la the cat", "en"),   # mixed doc — mirror decides
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    got = {
+        (r["lang"], r["pred_lang"]): r["n"]
+        for r in naive_bayes_confusion(df).collect()
+    }
+
+    def qln(x):
+        return math.floor(math.log(x) * 1_000_000_000 + 0.5)
+
+    toks = [(d, t.split(), l) for d, t, l in corpus]
+    c = Counter((w, l) for _, ws, l in toks for w in ws)
+    t_l = Counter(l for _, ws, l in toks for _ in ws)
+    n_l = Counter(l for _, _, l in toks)
+    vocab = {w for _, ws, _ in toks for w in ws}
+    n = len(corpus)
+    want = Counter()
+    for _, ws, truth in toks:
+        best = None
+        for cl in sorted(n_l):
+            s = qln(n_l[cl] / n) - len(ws) * qln(t_l[cl] + len(vocab))
+            s += sum(qln(c[(w, cl)] + 1) for w in ws if (w, cl) in c)
+            if best is None or s > best[0]:
+                best = (s, cl)
+        want[(truth, best[1])] += 1
+    assert got == dict(want)
+    # sanity: pure-vocab docs classify to their own language
+    assert want[("fr", "fr")] == 2 and want[("en", "en")] >= 2
+
+
+def test_boruvka_mst_vs_kruskal(spark):
+    """Random connected graph: the distributed Borůvka MSF equals a
+    pure-Python Kruskal under the same (w, u, v) total order — edge
+    set identical, not just total weight; a disconnected graph yields
+    the spanning forest (one tree per component)."""
+    import random
+
+    from greenex_py_spark.functions.graph import boruvka_mst
+
+    def kruskal(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for w, u, v in sorted((w, u, v) for u, v, w in edges):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                out.append((u, v, w))
+        return sorted(out)
+
+    rng = random.Random(42)
+    n = 40
+    edges, seen = [], set()
+    for i in range(1, n):
+        edges.append((i - 1, i, rng.randrange(1, 50)))  # ties likely
+        seen.add((i - 1, i))
+    for _ in range(120):
+        x, y = rng.randrange(n), rng.randrange(n)
+        if x == y:
+            continue
+        x, y = min(x, y), max(x, y)
+        if (x, y) in seen:
+            continue
+        seen.add((x, y))
+        edges.append((x, y, rng.randrange(1, 50)))
+    df = spark.createDataFrame(edges, "u long, v long, w4 long")
+    got = sorted((r["u"], r["v"], r["w4"])
+                 for r in boruvka_mst(df).collect())
+    assert got == kruskal(n, edges)
+    assert len(got) == n - 1
+
+    # two components -> spanning forest with n - 2 edges
+    forest_edges = [(0, 1, 5), (1, 2, 3), (0, 2, 9),
+                    (10, 11, 1), (11, 12, 2), (10, 12, 2)]
+    fdf = spark.createDataFrame(forest_edges, "u long, v long, w4 long")
+    fgot = sorted((r["u"], r["v"], r["w4"])
+                  for r in boruvka_mst(fdf).collect())
+    assert fgot == [(0, 1, 5), (1, 2, 3), (10, 11, 1), (10, 12, 2)]
+
+
+def test_cell_value_sums_straddle(spark):
+    """Cells that straddle tile boundaries re-sum exactly: a 8-px
+    raster in 4-px tiles with 3-px cells — every cell's quantized sum
+    equals the NumPy whole-raster mirror, and n_px accounts for the
+    ragged edge cells."""
+    import numpy as np
+    import pandas as pd
+
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.focal import (
+        cell_value_sums, quantize_half_away,
+    )
+
+    npx, tile_px, cell_px = 8, 4, 3
+    grid = GridSpec.square(0.0, 0.0, 1.0, tile_px, npx)
+    full = (np.arange(npx * npx, dtype=np.float64).reshape(npx, npx)
+            * 0.137 - 2.5)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            blk = full[ty * 4:(ty + 1) * 4, tx * 4:(tx + 1) * 4]
+            rows.append({"layer": "t", "tx": tx, "ty": ty,
+                         "x0": tx * 4.0, "y0": ty * 4.0, "res": 1.0,
+                         "w": 4, "h": 4, "px": blk.ravel().tolist()})
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "layer string, tx int, ty int, x0 double, y0 double, "
+        "res double, w int, h int, px array<double>",
+    )
+    got = {(r["gx"], r["gy"]): (r["vsum_q"], r["n_px"])
+           for r in cell_value_sums(tiles, grid, cell_px, 100.0).collect()}
+    q = quantize_half_away(full, 100.0)
+    want = {}
+    for gy in range(3):
+        for gx in range(3):
+            blk = q[gy * 3:min((gy + 1) * 3, npx),
+                    gx * 3:min((gx + 1) * 3, npx)]
+            want[(gx, gy)] = (int(blk.sum()), blk.size)
+    assert got == want
+
+
+def test_contagion_hand(spark):
+    """Checkerboard: all adjacencies are discordant, Q_ab = Q_ba = 1/2
+    and the same-class pair types are absent, so the entropy is ln 2 of
+    the 2·ln 2 bound → contagion exactly 1/2 (contagion reaches 0 only
+    when ALL m² ordered pair types are uniform); a solid map
+    degenerates (m=1 → NULL); a two-blob half/half map scores HIGHER
+    than the checkerboard (more contagious = clumpier)."""
+    from greenex_py_spark.operators.spatial_stats import contagion
+
+    n = 6
+    checker = [(x, y, "a" if (x + y) % 2 == 0 else "b")
+               for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(checker, "gx long, gy long, cat string")
+    r = contagion(df).collect()[0]
+    assert r["n_cells"] == 36 and r["m_classes"] == 2
+    assert r["n_pairs"] == 2 * n * (n - 1)
+    assert abs(r["contagion"] - 0.5) < 1e-9
+
+    solid = spark.createDataFrame(
+        [(x, y, "a") for x in range(3) for y in range(3)],
+        "gx long, gy long, cat string",
+    )
+    assert contagion(solid).collect()[0]["contagion"] is None
+
+    # two-blob map vs a pure-Python mirror of the quantized formula.
+    # Note the O'Neill definition is adjacency-ENTROPY based: the
+    # checkerboard's perfectly predictable (a,b)-only adjacency has
+    # LOW entropy and thus scores higher than a blob map whose pair
+    # mix spans all four ordered types.
+    import math
+    from collections import Counter
+
+    blobs = {(x, y): "a" if x < 3 else "b"
+             for x in range(6) for y in range(3)}
+    rb = contagion(
+        spark.createDataFrame(
+            [(x, y, c) for (x, y), c in blobs.items()],
+            "gx long, gy long, cat string",
+        )
+    ).collect()[0]
+    pairs = Counter()
+    for (x, y), c in blobs.items():
+        for nx, ny in ((x + 1, y), (x, y + 1)):
+            if (nx, ny) in blobs:
+                pairs[(c, blobs[(nx, ny)])] += 1
+                pairs[(blobs[(nx, ny)], c)] += 1
+    tot = sum(pairs.values())
+    ent_q = sum(
+        math.floor((c / tot) * math.log(c / tot) * 1e9 + 0.5)
+        for c in pairs.values()
+    )
+    want = 1.0 + (ent_q / 1e9) / (2.0 * math.log(2.0))
+    assert rb["n_pairs"] == tot // 2
+    assert abs(rb["contagion"] - want) < 1e-12
+
+
+def test_trailing_range_stats_ties(spark):
+    """Duplicate timestamps all join the RANGE frame (order-independent
+    — the property a ROWS frame lacks) and the trailing bound is
+    inclusive at exactly window_s seconds."""
+    import datetime as dt
+
+    from greenex_py_spark.functions.timeseries import trailing_range_stats
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0, 2.0),                              # tie with the first
+        (1, t0 + dt.timedelta(seconds=7200), 4.0),  # still in frame
+        (1, t0 + dt.timedelta(seconds=7201), 8.0),  # first two drop out
+        (2, t0, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r
+           for r in trailing_range_stats(df, window_s=7200).collect()}
+    assert got[1]["n_events"] == 4
+    # at t0+7200 the frame holds all three events
+    assert got[1]["max_n_win"] == 3
+    # value peak is at t0+7201 where the frame holds {4, 8} = 12
+    assert got[1]["max_vsum_q"] == 12_000_000
+    assert got[2]["max_n_win"] == 1 and got[2]["max_vsum_q"] == 1_500_000
