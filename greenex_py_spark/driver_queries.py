@@ -16753,9 +16753,9 @@ FROM tot, x
 # q_naive_bayes — multinomial NB trained + scored distributed (confusion)
 # ---------------------------------------------------------------------------
 
-@register(
-    "q_naive_bayes",
-    """
+# per-document NB prediction as a reusable subquery (also feeds the
+# q_fleiss multi-rater agreement oracle)
+_NB_PRED_SQL = """
 WITH docs AS (
   SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
 ),
@@ -16801,8 +16801,15 @@ pred AS (
                             ORDER BY score_q DESC, cls ASC) AS rn
   FROM scored
 )
+SELECT doc_id, lang, pred_lang FROM pred WHERE rn = 1
+"""
+
+
+@register(
+    "q_naive_bayes",
+    f"""
 SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
-FROM pred WHERE rn = 1 GROUP BY lang, pred_lang
+FROM ({_NB_PRED_SQL}) GROUP BY lang, pred_lang
 """,
 )
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17158,6 +17165,416 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return trailing_range_stats(ev, "user_id", "ts", "value", 7200)
+
+
+# ---------------------------------------------------------------------------
+# q_ppjoin — exact prefix-filtered set-similarity self-join (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ppjoin",
+    f"WITH {_CORPUS_SQL.strip()},\n{_SHINGLE_SQL.strip()},\n"
+    """
+freq AS (SELECT sh AS g, count(*) AS cnt FROM sh GROUP BY sh),
+rkt AS (SELECT g, CAST(row_number() OVER (ORDER BY cnt, g) AS BIGINT) AS rk
+        FROM freq),
+dr AS (SELECT id, list_sort(list(rk)) AS arr, CAST(count(*) AS BIGINT) AS n
+       FROM sh JOIN rkt ON rkt.g = sh.sh GROUP BY id),
+pre AS (SELECT id, n,
+               unnest(list_slice(arr, 1,
+                      CAST(n - (n * 4 + 4) // 5 + 1 AS INT))) AS rk
+        FROM dr),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM pre a JOIN pre b ON a.rk = b.rk AND a.id < b.id
+         WHERE 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+v AS (SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(da.arr, db.arr)) AS BIGINT) AS inter,
+             da.n + db.n AS ssum
+      FROM cand c JOIN dr da ON da.id = c.id_a
+                  JOIN dr db ON db.id = c.id_b)
+SELECT id_a, id_b, inter, CAST(ssum - inter AS BIGINT) AS union_sz,
+       CAST(inter AS DOUBLE) / CAST(ssum - inter AS DOUBLE) AS jaccard
+FROM v WHERE 5 * inter >= 4 * (ssum - inter)
+""",
+)
+def q_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (shingle Jaccard ≥ 4/5) on the
+    clone-planted corpus by prefix filtering (AllPairs/PPJoin): each
+    document joins only on its globally RAREST n−⌈t·n⌉+1 shingles, so
+    hot shingles never build candidate buckets — the exact-answer
+    counterpart of q_minhash_lsh and the asymptotically cheaper twin
+    of q_ngram_jaccard's every-shingle inverted index.  Global rarity
+    order by the two-phase rank; the threshold is integer
+    cross-multiplication (5·inter ≥ 4·union, no FP); the reported
+    ratio is one identical double division
+    (functions/dedup.py ``prefix_filter_join``)."""
+    from .functions.dedup import prefix_filter_join
+
+    return prefix_filter_join(_corpus_df(spark, sf_dir), 4, 5, 3)
+
+
+# ---------------------------------------------------------------------------
+# q_friedman — Friedman rank test of event types over daily blocks
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_friedman",
+    """
+WITH e AS (SELECT event_type AS t, date_trunc('day', ts) AS d FROM events),
+days AS (SELECT DISTINCT d FROM e),
+ty AS (SELECT DISTINCT t FROM e),
+cnt AS (SELECT d, t, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY d, t),
+grid AS (SELECT days.d, ty.t, coalesce(cnt.y, 0) AS y
+         FROM days CROSS JOIN ty
+         LEFT JOIN cnt ON cnt.d = days.d AND cnt.t = ty.t),
+r AS (SELECT d, t,
+             CAST(2 * rank() OVER (PARTITION BY d ORDER BY y)
+                  + count(*) OVER (PARTITION BY d, y) - 1 AS BIGINT) AS r2
+      FROM grid),
+pt AS (SELECT t, CAST(sum(r2) AS BIGINT) AS rsum2 FROM r GROUP BY t),
+s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(rsum2 * rsum2) AS BIGINT) AS s4 FROM pt),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM days)
+SELECT n AS n_blocks, k AS k_treatments,
+       CASE WHEN k <= 1 OR n = 0 THEN NULL
+            ELSE 3.0 * (CAST(s4 AS DOUBLE)
+                        / CAST(n * k * (k + 1) AS DOUBLE))
+                 - CAST(3 * n * (k + 1) AS DOUBLE)
+       END AS friedman_q,
+       CASE WHEN k <= 1 OR n = 0 THEN NULL
+            ELSE (3.0 * (CAST(s4 AS DOUBLE)
+                         / CAST(n * k * (k + 1) AS DOUBLE))
+                  - CAST(3 * n * (k + 1) AS DOUBLE))
+                 / CAST(n * (k - 1) AS DOUBLE)
+       END AS kendall_w
+FROM s, nb
+""",
+)
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's rank test of the k event types over daily volume
+    blocks (zero-filled dense day × type grid, each day its own
+    control) plus Kendall's W effect size — the repeated-measures
+    complement of q_kruskal's independent-groups test.  Doubled
+    midranks are exact integers; Σ(ΣR)² is exact int64; both engines
+    finish on one identical IEEE chain, shipped unrounded
+    (functions/stats.py ``friedman_test``)."""
+    from .functions.stats import friedman_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+    days = e.select("d").distinct()
+    ty = e.select("event_type").distinct()
+    cnt = e.groupBy("d", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    grid = (
+        days.crossJoin(F.broadcast(ty))
+        .join(cnt, ["d", "event_type"], "left")
+        .select(
+            F.col("d").alias("b"),
+            F.col("event_type").alias("t"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    return friedman_test(grid, "b", "t", "y")
+
+
+# ---------------------------------------------------------------------------
+# q_collocations — Dunning G² log-likelihood bigram collocations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collocations",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+bi AS (SELECT tk[i.range] AS w1, tk[i.range + 1] AS w2
+       FROM t, range(1, 1001) i WHERE i.range <= len(tk) - 1),
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n11 FROM bi GROUP BY w1, w2),
+rw AS (SELECT w1, CAST(sum(n11) AS BIGINT) AS r1 FROM c GROUP BY w1),
+cl AS (SELECT w2, CAST(sum(n11) AS BIGINT) AS c1 FROM c GROUP BY w2),
+j AS (SELECT c.w1, c.w2, c.n11, rw.r1, cl.c1,
+             CAST(sum(c.n11) OVER () AS BIGINT) AS nn
+      FROM c JOIN rw ON rw.w1 = c.w1 JOIN cl ON cl.w2 = c.w2),
+g AS (
+  SELECT w1, w2, n11,
+    (CASE WHEN n11 > 0 THEN CAST(floor(CAST(n11 AS DOUBLE)
+       * ln(CAST(n11 AS DOUBLE)
+            / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(nn AS DOUBLE)))
+       * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+    + (CASE WHEN r1 - n11 > 0 THEN CAST(floor(CAST(r1 - n11 AS DOUBLE)
+       * ln(CAST(r1 - n11 AS DOUBLE)
+            / (CAST(r1 AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(c1 AS DOUBLE))
+               / CAST(nn AS DOUBLE)))
+       * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+    + (CASE WHEN c1 - n11 > 0 THEN CAST(floor(CAST(c1 - n11 AS DOUBLE)
+       * ln(CAST(c1 - n11 AS DOUBLE)
+            / ((CAST(nn AS DOUBLE) - CAST(r1 AS DOUBLE)) * CAST(c1 AS DOUBLE)
+               / CAST(nn AS DOUBLE)))
+       * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+    + (CASE WHEN nn - r1 - c1 + n11 > 0
+       THEN CAST(floor(CAST(nn - r1 - c1 + n11 AS DOUBLE)
+       * ln(CAST(nn - r1 - c1 + n11 AS DOUBLE)
+            / ((CAST(nn AS DOUBLE) - CAST(r1 AS DOUBLE))
+               * (CAST(nn AS DOUBLE) - CAST(c1 AS DOUBLE))
+               / CAST(nn AS DOUBLE)))
+       * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS g2q
+  FROM j
+)
+SELECT w1, w2, n11, CAST(g2q AS DOUBLE) * 2.0 / 1000000000.0 AS g2
+FROM g ORDER BY g2q DESC, w1, w2 LIMIT 20
+""",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by Dunning's log-likelihood ratio G²
+    (Dunning 1993) — the tie-robust phrase extractor beside
+    q_pmi_bigrams: each adjacent pair's 2×2 contingency scored
+    2·Σ O·ln(O/E) with every term 1e-9-quantized on the identical IEEE
+    chain and summed as exact int64, so the top-20 order compares
+    integers.  Bigrams via posexplode + lead (never nested
+    interpreted HOFs); margins are vocab-bounded aggregates with no
+    broadcast hint (functions/text.py ``dunning_collocations``).
+    Oracle bigram positions share the documented 1000-token cap
+    invariant with the shingle oracles."""
+    from .functions.text import dunning_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dunning_collocations(docs, "doc_id", "text", 20)
+
+
+# ---------------------------------------------------------------------------
+# q_patch_shape — per-patch area + perimeter joint distribution (FRAGSTATS)
+# ---------------------------------------------------------------------------
+
+
+def _patch_shape_oracle(quant: float = 1e6) -> str:
+    npx = city.NPX
+
+    def q(ix: str, iy: str) -> str:
+        expr = city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (({ix}) + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (({iy}) + 0.5) * {city.RES}",
+        )
+        return f"CAST(round(({expr}) * {quant}) AS BIGINT)"
+
+    def green(ix: str, iy: str) -> str:
+        return (
+            f"(CASE WHEN ({ix}) BETWEEN 0 AND {npx - 1}"
+            f" AND ({iy}) BETWEEN 0 AND {npx - 1}"
+            f" AND ({q(ix, iy)}) > 0 THEN 1 ELSE 0 END)"
+        )
+
+    x = f"{city.X0} + ((i % {npx}) + 0.5) * {city.RES}"
+    y = f"{city.Y0} + ((i // {npx}) + 0.5) * {city.RES}"
+    return f"""
+WITH g AS (
+  SELECT CAST(floor(({x}) / (500.0 * pi())) AS BIGINT) AS u,
+         CAST(floor((({y}) + 250.0 * pi()) / (500.0 * pi())) AS BIGINT) AS v,
+         4 - {green('i % ' + str(npx) + ' - 1', 'i // ' + str(npx))}
+           - {green('i % ' + str(npx) + ' + 1', 'i // ' + str(npx))}
+           - {green('i % ' + str(npx), 'i // ' + str(npx) + ' - 1')}
+           - {green('i % ' + str(npx), 'i // ' + str(npx) + ' + 1')} AS sides
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+  WHERE ({q('i % ' + str(npx), 'i // ' + str(npx))}) > 0
+),
+patches AS (SELECT u, v, CAST(count(*) AS BIGINT) AS patch_px,
+                   CAST(sum(sides) AS BIGINT) AS perim_px
+            FROM g GROUP BY u, v)
+SELECT patch_px, perim_px, CAST(count(*) AS BIGINT) AS n_patches,
+       CAST(perim_px AS DOUBLE) * 0.25 / sqrt(CAST(patch_px AS DOUBLE))
+         AS shape
+FROM patches GROUP BY patch_px, perim_px
+"""
+
+
+@register("q_patch_shape", _patch_shape_oracle())
+def q_patch_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint per-patch (area, 4-boundary perimeter) distribution of the
+    green mask with the FRAGSTATS raster shape index 0.25·P/√A — the
+    boundary-complexity metric q_patch_sizes (area only) and
+    q_edge_density (global perimeter, unattributed) cannot give: shape
+    needs BOTH numbers on the SAME patch.  The engine extends the
+    tile-CCL partials with tile-local zero-padded perimeter sums and
+    repairs each green↔green tile-border adjacency by −2 through the
+    existing n==2 border groups (operators/patches.py
+    ``patch_shape_stats``) — still two shuffles, no halo.  The oracle
+    keys patches by the fixture's closed-form sign boxes and counts
+    exposed sides per pixel; the engine never sees that shortcut."""
+    from .operators.patches import patch_shape_histogram
+
+    return patch_shape_histogram(city.tiles_df(spark, "ndvi"), city.grid())
+
+
+# ---------------------------------------------------------------------------
+# q_fleiss — Fleiss' kappa agreement among the three language classifiers
+# ---------------------------------------------------------------------------
+
+@register("q_fleiss", None)  # generated oracle attached below
+def q_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ agreement among the three in-engine language raters —
+    the stopword heuristic (q_lang_id), the trained naive Bayes
+    (q_naive_bayes) and the majority-class baseline — on the SAME
+    documents: the multi-rater generalisation of q_cohens_kappa that
+    answers "do independent classifiers even agree with each other?"
+    before any of them is trusted against truth.  Σn² and category
+    sums are exact int64; both engines run one identical IEEE chain
+    (functions/stats.py ``fleiss_kappa``)."""
+    from .functions.stats import fleiss_kappa
+    from .functions.text import language_id, naive_bayes_predict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1 = language_id(docs).select("doc_id", F.col("pred_lang").alias("r1"))
+    p2 = naive_bayes_predict(docs).select(
+        "doc_id", F.col("pred_lang").alias("r2")
+    )
+    base = (
+        docs.groupBy("lang")
+        .count()
+        .orderBy(F.desc("count"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("r3"))
+    )
+    j = p1.join(p2, "doc_id").crossJoin(F.broadcast(base))
+    return fleiss_kappa(j, "doc_id", ["r1", "r2", "r3"])
+
+
+ORACLES["q_fleiss"] = f"""
+WITH l AS ({_langid_sql()}),
+nbp AS (SELECT doc_id, pred_lang FROM ({_NB_PRED_SQL})),
+base AS (SELECT lang AS bl FROM documents
+         GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+st AS (SELECT l.doc_id AS i, l.pred_lang AS cat FROM l
+       UNION ALL SELECT doc_id, pred_lang FROM nbp
+       UNION ALL SELECT d.doc_id, b.bl FROM documents d CROSS JOIN base b),
+nij AS (SELECT i, cat, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY i, cat),
+s2 AS (SELECT CAST(sum(n * n) AS BIGINT) AS s2,
+              CAST(count(DISTINCT i) AS BIGINT) AS n_items FROM nij),
+c2 AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c2
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS cj FROM nij GROUP BY cat)),
+f AS (SELECT n_items,
+             CAST(s2 - n_items * 3 AS DOUBLE)
+               / CAST(n_items * 3 * 2 AS DOUBLE) AS p_bar,
+             CAST(c2 AS DOUBLE)
+               / (CAST(n_items * 3 AS DOUBLE) * CAST(n_items * 3 AS DOUBLE))
+               AS p_e
+      FROM s2, c2)
+SELECT n_items, CAST(3 AS BIGINT) AS n_raters, p_bar, p_e,
+       CASE WHEN p_e = 1.0 THEN NULL
+            ELSE (p_bar - p_e) / (1.0 - p_e) END AS fleiss_kappa
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_assoc_rules — pairwise association rules over document attributes
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_assoc_rules",
+    """
+WITH it AS (
+  SELECT doc_id AS i, unnest(['lang=' || lang, 'src=' || source,
+                              'len=' || CAST(n_chars // 200 AS VARCHAR)])
+           AS x
+  FROM documents
+),
+pairs AS (
+  SELECT a.x AS item_a, b.x AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM it a JOIN it b ON a.i = b.i AND a.x < b.x
+  GROUP BY a.x, b.x HAVING count(*) >= 2
+),
+freq AS (SELECT x, CAST(count(*) AS BIGINT) AS nx FROM it GROUP BY x),
+nn AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM it)
+SELECT p.item_a, p.item_b, p.n_ab, fa.nx AS n_a, fb.nx AS n_b,
+       CAST(p.n_ab AS DOUBLE) / CAST(nn.n AS DOUBLE) AS support,
+       CAST(p.n_ab AS DOUBLE) / CAST(fa.nx AS DOUBLE) AS conf_ab,
+       CAST(p.n_ab AS DOUBLE) / CAST(fb.nx AS DOUBLE) AS conf_ba,
+       CAST(p.n_ab AS DOUBLE) * CAST(nn.n AS DOUBLE)
+         / (CAST(fa.nx AS DOUBLE) * CAST(fb.nx AS DOUBLE)) AS lift
+FROM pairs p
+JOIN freq fa ON fa.x = p.item_a
+JOIN freq fb ON fb.x = p.item_b, nn
+""",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (support / confidence both ways /
+    lift) over per-document attribute items {lang, source, length
+    bucket} — the market-basket audit ("which corpus attributes travel
+    together?") a mixture planner runs before reweighting; lift > 1
+    exposes e.g. a source that over-ships one language.  Item sets are
+    3 per document so the pair explode is map-side; counts exact
+    int64, each ratio one identical double chain
+    (functions/rules.py ``association_rules``)."""
+    from .functions.rules import association_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    items = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("lang="), F.col("lang")),
+                F.concat(F.lit("src="), F.col("source")),
+                F.concat(F.lit("len="),
+                         F.expr("CAST(n_chars DIV 200 AS STRING)")),
+            )
+        ).alias("item"),
+    )
+    return association_rules(items, "id", "item", 2)
+
+
+# ---------------------------------------------------------------------------
+# q_haar_energy — level-1 Haar wavelet detail energies per tile
+# ---------------------------------------------------------------------------
+
+
+def _haar_oracle(quant: float = 1e6) -> str:
+    npx, tile_px = city.NPX, city.TILE_PX
+    q = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + (ix + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + (iy + 0.5) * {city.RES}",
+        )
+        + f") * {quant}) AS BIGINT)"
+    )
+    return f"""
+WITH px AS (
+  SELECT i % {npx} AS ix, i // {npx} AS iy
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+qv AS (SELECT ix, iy, {q} AS q FROM px),
+blk AS (
+  SELECT ix // 2 AS bx, iy // 2 AS by,
+         CAST(sum(q * (CASE WHEN ix % 2 = 0 THEN 1 ELSE -1 END))
+              AS BIGINT) AS hc,
+         CAST(sum(q * (CASE WHEN iy % 2 = 0 THEN 1 ELSE -1 END))
+              AS BIGINT) AS vc,
+         CAST(sum(q * (CASE WHEN ix % 2 = iy % 2 THEN 1 ELSE -1 END))
+              AS BIGINT) AS dc
+  FROM qv GROUP BY 1, 2
+)
+SELECT (bx * 2) // {tile_px} AS tx, (by * 2) // {tile_px} AS ty,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(hc * hc) AS BIGINT) AS e_h,
+       CAST(sum(vc * vc) AS BIGINT) AS e_v,
+       CAST(sum(dc * dc) AS BIGINT) AS e_d
+FROM blk GROUP BY 1, 2
+"""
+
+
+@register("q_haar_energy", _haar_oracle())
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-1 Haar wavelet detail energies (H/V/D bands) per raster
+    tile — the texture/compressibility audit beside q_raster_pyramid's
+    mass conservation: how much signal a 2× downsample would discard,
+    and in which direction it is oriented.  Un-normalized integer Haar
+    coefficients over 2×2 blocks of the shared round-half-away
+    quantization, energies as exact int64 Σcoeff² — zero shuffles, no
+    halo (blocks never straddle the even-dimension tiles)
+    (operators/focal.py ``haar_energy_tile_stats``).  The oracle
+    enumerates pixels and assembles coefficients by parity signs."""
+    from .operators.focal import haar_energy_tile_stats
+
+    return haar_energy_tile_stats(city.tiles_df(spark, "ndvi"), city.grid())
 
 
 # ---------------------------------------------------------------------------

@@ -1034,3 +1034,98 @@ def dedup_yield(
             .alias("new_rate"),
         )
     )
+
+
+def prefix_filter_join(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id_a, id_b, inter, union_sz, jaccard] — EXACT set-similarity
+    self-join on k-gram shingle sets with Jaccard ≥ num/den, by prefix
+    filtering (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al.
+    WWW'08): order every document's shingles by global rarity, keep
+    only the first n − ⌈t·n⌉ + 1 as the candidate-generating prefix —
+    if J(a,b) ≥ t the two prefixes provably share a shingle — then
+    verify candidates with an exact intersection.
+
+    Contrast with :func:`ngram_jaccard_pairs` (inverted-index join on
+    EVERY shingle — candidates = pairs sharing anything) and MinHash
+    (probabilistic): prefix filtering joins only on each document's
+    RAREST ~(1−t) fraction of shingles, so hot shingles never build
+    buckets and the candidate set shrinks toward the true result as t
+    rises — the exact-answer scale path.
+
+    Exactness: the global order is (freq, shingle) via the two-phase
+    ``engine/rank.global_rank`` (never a single-task window); the
+    threshold test den·inter ≥ num·union is integer cross-
+    multiplication (no FP anywhere until the final reported ratio,
+    one identical double division in both engines).
+
+    Scale: one shingle-keyed shuffle builds frequencies, one ranks the
+    vocabulary (range exchange), one joins ranks back, one self-join
+    on PREFIX ranks only, one verify join of the dim-shaped candidate
+    list against per-doc rank arrays (arrays are document-sized)."""
+    from ..engine.rank import global_rank
+
+    sh = shingles(df, k, id_col, text_col)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ranked = global_rank(freq, ["cnt", "sh"], out_col="rk")
+    docs = (
+        sh.join(ranked.select("sh", "rk"), "sh")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list("rk")).alias("arr"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, ceil via integer arithmetic
+    ceil_tn = F.expr(
+        f"(n * {threshold_num} + {threshold_den} - 1) DIV {threshold_den}"
+    )
+    p = (F.col("n") - ceil_tn + 1).cast("int")
+    pre = docs.select(
+        "id", "n", F.explode(F.slice("arr", F.lit(1), p)).alias("rk")
+    )
+    a = pre.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "rk")
+    b = pre.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "rk")
+    cand = (
+        a.join(b, "rk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (threshold_num * F.greatest("na", "nb")
+               <= threshold_den * F.least("na", "nb"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = (
+        cand.join(
+            docs.select(F.col("id").alias("id_a"),
+                        F.col("arr").alias("arr_a"),
+                        F.col("n").alias("na")), "id_a")
+        .join(
+            docs.select(F.col("id").alias("id_b"),
+                        F.col("arr").alias("arr_b"),
+                        F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+            .alias("inter"),
+            (F.col("na") + F.col("nb")).alias("ssum"),
+        )
+    )
+    return (
+        v.filter(threshold_den * F.col("inter")
+                 >= threshold_num * (F.col("ssum") - F.col("inter")))
+        .select(
+            "id_a", "id_b", "inter",
+            (F.col("ssum") - F.col("inter")).cast("long").alias("union_sz"),
+            (F.col("inter").cast("double")
+             / (F.col("ssum") - F.col("inter")).cast("double"))
+            .alias("jaccard"),
+        )
+    )

@@ -1640,3 +1640,113 @@ def matthews_corr(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
         F.col("c").alias("n_correct"),
         (num / F.nullif(den, F.lit(0.0))).alias("mcc"),
     )
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treat_col: str, y_col: str
+) -> DataFrame:
+    """One row [n_blocks, k_treatments, friedman_q, kendall_w] —
+    Friedman's rank test for k related treatments over n blocks (the
+    repeated-measures ANOVA-by-ranks: "do event types differ in daily
+    volume once each day serves as its own control?").  Ranks within a
+    block use midrank ties; the plain (uncorrected) statistic is
+    Q = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1), and Kendall's W =
+    Q / (n·(k−1)) is the matching effect size.
+
+    Exactness: doubled midranks r2 = 2·rank_min + ties − 1 are exact
+    integers (rank_min = RANK(), ties = a same-value count over the
+    block), Σ_j (Σ_b r2)² is an exact int64 (= 4·Σ R_j²), and both
+    engines finish with one identical IEEE chain
+    3·(S4/ (n·k·(k+1))) − 3·n·(k+1), shipped unrounded.  k ≤ 1 or
+    n = 0 → NULL.
+
+    Scale: one shuffle on block (in-block windows are k-row), one
+    treatment-keyed aggregation (dim-sized), one scalar assembly."""
+    g = df.select(
+        F.col(block_col).alias("b"),
+        F.col(treat_col).alias("t"),
+        F.col(y_col).alias("y"),
+    )
+    wb = Window.partitionBy("b").orderBy("y")
+    we = Window.partitionBy("b", "y")
+    r = g.select(
+        "b", "t",
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(we) - 1)
+        .cast("long").alias("r2"),
+    )
+    per_t = r.groupBy("t").agg(F.sum("r2").cast("long").alias("rsum2"))
+    s = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("rsum2") * F.col("rsum2")).cast("long").alias("s4"),
+    )
+    nb = g.select("b").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = s.crossJoin(F.broadcast(nb))
+    q = (
+        F.lit(3.0) * (F.col("s4").cast("double")
+                      / (F.col("n") * F.col("k") * (F.col("k") + 1))
+                      .cast("double"))
+        - (3 * F.col("n") * (F.col("k") + 1)).cast("double")
+    )
+    return j.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.when((F.col("k") <= 1) | (F.col("n") == 0),
+               F.lit(None).cast("double")).otherwise(q)
+        .alias("friedman_q"),
+        F.when((F.col("k") <= 1) | (F.col("n") == 0),
+               F.lit(None).cast("double"))
+        .otherwise(q / (F.col("n") * (F.col("k") - 1)).cast("double"))
+        .alias("kendall_w"),
+    )
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, rating_cols: list) -> DataFrame:
+    """One row [n_items, n_raters, p_bar, p_e, fleiss_kappa] — Fleiss'
+    κ agreement among r ≥ 2 raters assigning categories to the same
+    items (here: independent classifiers labelling the same documents)
+    — the multi-rater generalisation of q_cohens_kappa's two-rater
+    chance correction.
+
+    P_i = (Σ_j n_ij² − r)/(r(r−1)) per item, P̄ its mean, and
+    P̄_e = Σ_j (Σ_i n_ij)²/(N·r)²; κ = (P̄ − P̄_e)/(1 − P̄_e).
+
+    Exactness: Σ_i Σ_j n_ij² and the category column sums are exact
+    int64 (n_ij built by unpivoting the rating columns and counting),
+    so both engines evaluate one identical IEEE chain —
+    P̄ = (S2 − N·r)/(N·r·(r−1)), P̄_e = C2/((N·r)·(N·r)) — shipped
+    unrounded; perfect chance agreement (P̄_e = 1) → NULL."""
+    r = len(rating_cols)
+    stacked = None
+    for c in rating_cols:
+        part = df.select(F.col(item_col).alias("i"),
+                         F.col(c).cast("string").alias("cat"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    nij = stacked.groupBy("i", "cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s2 = nij.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        F.countDistinct("i").cast("long").alias("n_items"),
+    )
+    c2 = (
+        nij.groupBy("cat")
+        .agg(F.sum("n").cast("long").alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("long").alias("c2"))
+    )
+    j = s2.crossJoin(F.broadcast(c2))
+    nr = (F.col("n_items") * r).cast("double")
+    p_bar = (F.col("s2") - F.col("n_items") * r).cast("double") / (
+        (F.col("n_items") * r * (r - 1)).cast("double")
+    )
+    p_e = F.col("c2").cast("double") / (nr * nr)
+    return j.select(
+        "n_items",
+        F.lit(r).cast("long").alias("n_raters"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        F.when(p_e == 1.0, F.lit(None).cast("double"))
+        .otherwise((p_bar - p_e) / (F.lit(1.0) - p_e))
+        .alias("fleiss_kappa"),
+    )

@@ -1574,11 +1574,11 @@ def _qln(col):
     return F.floor(F.log(col.cast("double")) * NB_Q + F.lit(0.5)).cast("long")
 
 
-def naive_bayes_confusion(
+def naive_bayes_predict(
     df: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", label_col: str = "lang",
 ) -> DataFrame:
-    """[lang, pred_lang, n] — confusion matrix of a multinomial naive
+    """[doc_id, lang, pred_lang] — per-document argmax of a multinomial naive
     Bayes text classifier TRAINED AND SCORED distributed on the same
     corpus (resubstitution eval): per-class Laplace-smoothed token
     likelihoods ln((c(t,l)+1)/(T_l+V)) plus a class prior ln(N_l/N) —
@@ -1660,11 +1660,96 @@ def naive_bayes_confusion(
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_q"), F.asc("cls")
     )
-    pred = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("cls").alias("pred_lang"))
     )
-    return pred.groupBy("lang", "pred_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+
+
+def dunning_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """[w1, w2, n11, g2] — the top-N bigram collocations by Dunning's
+    log-likelihood ratio G² (Dunning 1993), the tie-robust
+    significance companion to q_pmi_bigrams' strength score: for each
+    adjacent word pair the 2×2 contingency (bigram vs its margins over
+    all bigram positions) scored by G² = 2·Σ O·ln(O/E) — the standard
+    collocation extractor for building phrase lexicons from a crawl.
+
+    Exactness: every O·ln(O/E) term (O > 0; zero cells contribute 0)
+    is 1e-9-quantized on the identical IEEE chain — expectations as
+    (row·col)/N double products of exact int64 margins — and summed as
+    exact integers, so the top-N ORDER BY (g2q DESC, w1, w2) compares
+    integers; g2 ships as g2q·2/1e9 (one identical multiply/divide).
+
+    Scale: bigram formation is posexplode + lead over per-doc windows
+    (the interpreted-HOF ban); margins are two dim-sized aggregates of
+    the bigram table re-joined by key (vocab-bounded — deliberately no
+    broadcast hint, the q_bigram_logprob lesson); top-N is a
+    TakeOrdered."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
     )
+    wd = Window.partitionBy("id").orderBy("pos")
+    bi = (
+        toks.select("id", "pos", "w", F.lead("w").over(wd).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    c = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n11")
+    )
+    everything = Window.partitionBy()
+    row = c.groupBy("w1").agg(F.sum("n11").cast("long").alias("r1"))
+    col = c.groupBy("w2").agg(F.sum("n11").cast("long").alias("c1"))
+    j = (
+        c.join(row, "w1")
+        .join(col, "w2")
+        .withColumn("nn", F.sum("n11").over(everything).cast("long"))
+    )
+
+    def term(o, e):
+        od = o.cast("double")
+        return F.when(
+            o > 0,
+            F.floor(od * F.log(od / e) * 1000000000.0 + 0.5).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    nd = F.col("nn").cast("double")
+    r1d, c1d = F.col("r1").cast("double"), F.col("c1").cast("double")
+    o11 = F.col("n11")
+    o12 = F.col("r1") - F.col("n11")
+    o21 = F.col("c1") - F.col("n11")
+    o22 = F.col("nn") - F.col("r1") - F.col("c1") + F.col("n11")
+    g2q = (
+        term(o11, r1d * c1d / nd)
+        + term(o12, r1d * (nd - c1d) / nd)
+        + term(o21, (nd - r1d) * c1d / nd)
+        + term(o22, (nd - r1d) * (nd - c1d) / nd)
+    )
+    scored = j.select("w1", "w2", "n11", g2q.alias("g2q"))
+    return (
+        scored.orderBy(F.desc("g2q"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+        .select(
+            "w1", "w2", "n11",
+            (F.col("g2q").cast("double") * 2.0 / 1000000000.0).alias("g2"),
+        )
+    )
+
+
+def naive_bayes_confusion(
+    df: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", label_col: str = "lang",
+) -> DataFrame:
+    """[lang, pred_lang, n] — resubstitution confusion matrix over
+    :func:`naive_bayes_predict` (see there for the scale/exactness
+    contract)."""
+    return naive_bayes_predict(df, id_col, text_col, label_col).groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

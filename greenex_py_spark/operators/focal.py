@@ -1067,3 +1067,51 @@ def cell_value_sums(
         F.sum("vsum_q").cast("long").alias("vsum_q"),
         F.sum("n_px").cast("long").alias("n_px"),
     )
+
+
+def haar_energy_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+) -> DataFrame:
+    """[tx, ty, n_blocks, e_h, e_v, e_d] — level-1 Haar wavelet detail
+    energies per tile: for every 2×2 pixel block with quantized int64
+    values (a b / c d), the un-normalized detail coefficients
+    H = a−b+c−d (horizontal), V = a+b−c−d (vertical), D = a−b−c+d
+    (diagonal), each band's energy Σcoeff² summed exactly — the
+    texture/compressibility audit (how much signal survives a 2×
+    downsample?) that complements `pyramid_tile_stats`' mass
+    conservation.  Everything is integer arithmetic on the shared
+    round-half-away quantization, so the energies are engine-exact;
+    tile dims must be even (the fixture's 256/232 tiles are), so NO
+    halo exchange and zero shuffles — one mapInPandas emits per-tile
+    rows."""
+    out_schema = "tx long, ty long, n_blocks long, e_h long, e_v long, e_d long"
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                w, h = int(t.w), int(t.h)
+                if w % 2 or h % 2:
+                    raise ValueError("haar level-1 needs even tile dims")
+                q = quantize_half_away(
+                    np.asarray(t.px, dtype=np.float64).reshape(h, w), quant
+                )
+                a = q[0::2, 0::2]
+                b = q[0::2, 1::2]
+                c = q[1::2, 0::2]
+                d = q[1::2, 1::2]
+                hh = a - b + c - d
+                vv = a + b - c - d
+                dd = a - b - c + d
+                rows.append({
+                    "tx": int(t.tx), "ty": int(t.ty),
+                    "n_blocks": int(a.size),
+                    "e_h": int((hh * hh).sum()),
+                    "e_v": int((vv * vv).sum()),
+                    "e_d": int((dd * dd).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(emit, schema=out_schema)

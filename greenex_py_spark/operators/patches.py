@@ -49,11 +49,15 @@ from pyspark.sql import functions as F
 from ..geo.grid import GridSpec
 from .focal import quantize_half_away
 
-__all__ = ["tile_patch_parts", "patch_sizes", "patch_size_histogram"]
+__all__ = [
+    "tile_patch_parts", "patch_sizes", "patch_size_histogram",
+    "patch_shape_stats", "patch_shape_histogram",
+]
 
 # record kinds emitted by the tile kernel
 _KIND_SIZE = 0    # k1 = provisional label, k2 = partial pixel count
 _KIND_BORDER = 1  # k1 = border id, k2 = position, lab = label
+_KIND_PERIM = 2   # k1 = provisional label, k2 = partial perimeter (sides)
 
 
 def _local_runs_union(mask: np.ndarray, gx0: int, gy0: int, npx: int):
@@ -149,6 +153,28 @@ def tile_patch_parts(
                     counts[lb] = counts.get(lb, 0) + (x1 - x0 + 1)
                 for lb, n in counts.items():
                     rows.append((_KIND_SIZE, lb, n, 0))
+                # tile-local perimeter partials (kind 2): sides facing
+                # non-green WITH zero padding at the tile edge; sides
+                # shared across a tile border are over-counted once per
+                # side and repaired in patch_shape_stats via the n==2
+                # border groups (−2 each).
+                if runs:
+                    lab_img = np.full((h, w), -1, dtype=np.int64)
+                    for (iy, x0, x1), lb in zip(runs, run_label):
+                        lab_img[iy, x0:x1 + 1] = lb
+                    m = lab_img >= 0
+                    ngb = np.zeros((h, w), dtype=np.int64)
+                    ngb[:, 1:] += m[:, :-1]
+                    ngb[:, :-1] += m[:, 1:]
+                    ngb[1:, :] += m[:-1, :]
+                    ngb[:-1, :] += m[1:, :]
+                    sides = (4 - ngb)[m]
+                    labs = lab_img[m]
+                    uk = np.unique(labs)
+                    acc = np.zeros(len(uk), dtype=np.int64)
+                    np.add.at(acc, np.searchsorted(uk, labs), sides)
+                    for lb, pp in zip(uk, acc):
+                        rows.append((_KIND_PERIM, int(lb), int(pp), 0))
                 # border records: vertical border right of (tx,ty) id =
                 # 2*(ty*ntx+tx); horizontal border above = that + 1
                 for (iy, x0, x1), lb in zip(runs, run_label):
@@ -219,4 +245,80 @@ def patch_size_histogram(
     sz = patch_sizes(tile_patch_parts(tiles, grid, quant))
     return sz.groupBy(F.col("n_px").alias("patch_px")).agg(
         F.count(F.lit(1)).alias("n_patches")
+    )
+
+
+def patch_shape_stats(parts: DataFrame) -> DataFrame:
+    """[patch, n_px, perim_px] — exact per-patch area AND 4-boundary
+    perimeter from the same tile-CCL partials: tile-local perimeter
+    partials zero-pad at tile edges, so every green↔green adjacency
+    straddling a border was counted once per side — each n==2 border
+    group repairs the merged patch by −2.  With area this yields the
+    FRAGSTATS shape index P/(4√A) per patch."""
+    from .dissolve import connected_components
+
+    sizes = (
+        parts.filter(F.col("kind") == _KIND_SIZE)
+        .groupBy(F.col("k1").alias("lbl"))
+        .agg(F.sum("k2").cast("long").alias("n_px"))
+    ).localCheckpoint()  # consumed by CC nodes + the final join
+    perim = (
+        parts.filter(F.col("kind") == _KIND_PERIM)
+        .groupBy(F.col("k1").alias("lbl"))
+        .agg(F.sum("k2").cast("long").alias("pp"))
+    )
+    bd = (
+        parts.filter(F.col("kind") == _KIND_BORDER)
+        .groupBy("k1", "k2")
+        .agg(
+            F.min("lab").alias("a"), F.max("lab").alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == 2)
+        .localCheckpoint()  # consumed twice: merge edges + perim repair
+    )
+    edges = bd.filter(F.col("a") != F.col("b")).select("a", "b")
+    corr = bd.groupBy(F.col("a").alias("lbl")).agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("cut")
+    )
+    comp = connected_components(
+        sizes.select(F.col("lbl").alias("gs_id")), edges, key="gs_id"
+    )
+    lbl_stats = (
+        sizes.join(perim, "lbl")
+        .join(corr, "lbl", "left")
+        .select(
+            "lbl", "n_px",
+            (F.col("pp") - F.coalesce("cut", F.lit(0))).alias("pnet"),
+        )
+    )
+    return (
+        lbl_stats.join(comp, lbl_stats["lbl"] == comp["gs_id"])
+        .groupBy(F.col("comp").alias("patch"))
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.sum("pnet").cast("long").alias("perim_px"),
+        )
+    )
+
+
+def patch_shape_histogram(
+    tiles: DataFrame, grid: GridSpec, quant: float = 1e6
+) -> DataFrame:
+    """[patch_px, perim_px, n_patches, shape] — label-free joint
+    area/perimeter distribution of the green-mask patches with the
+    FRAGSTATS raster shape index 0.25·P/√A per class (1 for a perfect
+    square, growing with boundary complexity)."""
+    st = patch_shape_stats(tile_patch_parts(tiles, grid, quant))
+    return (
+        st.groupBy(
+            F.col("n_px").alias("patch_px"),
+            F.col("perim_px").alias("perim_px"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_patches"))
+        .select(
+            "patch_px", "perim_px", "n_patches",
+            (F.col("perim_px").cast("double") * 0.25
+             / F.sqrt(F.col("patch_px").cast("double"))).alias("shape"),
+        )
     )

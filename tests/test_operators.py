@@ -7046,3 +7046,270 @@ def test_trailing_range_stats_ties(spark):
     # value peak is at t0+7201 where the frame holds {4, 8} = 12
     assert got[1]["max_vsum_q"] == 12_000_000
     assert got[2]["max_n_win"] == 1 and got[2]["max_vsum_q"] == 1_500_000
+
+
+def test_prefix_filter_join_brute(spark):
+    """Prefix-filtered join vs brute-force all-pairs shingle Jaccard:
+    identical pair set at t=4/5 (no false negatives — the prefix
+    theorem — and no survivors below threshold), including a pair
+    exactly AT the threshold."""
+    from greenex_py_spark.functions.dedup import prefix_filter_join
+
+    base = "w{} " * 12
+    texts = {
+        0: " ".join(f"a{i}" for i in range(12)),
+        1: " ".join(f"a{i}" for i in range(12)),        # exact clone
+        2: " ".join(f"a{i}" for i in range(11)) + " zz",  # near-dup
+        3: " ".join(f"b{i}" for i in range(12)),        # unrelated
+        4: " ".join(f"a{i}" for i in range(8)),         # prefix subset
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+        for r in prefix_filter_join(df, 4, 5, 3).collect()
+    )
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    want = []
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sh(texts[ids[i]]), sh(texts[ids[j]])
+            inter, uni = len(a & b), len(a | b)
+            if 5 * inter >= 4 * uni:
+                want.append((ids[i], ids[j], inter, uni))
+    assert got == sorted(want)
+    assert (0, 1, 10, 10) in got          # clone: J = 1
+    assert any(p[:2] == (0, 2) for p in got)  # near-dup survives
+    assert not any(p[:2] == (0, 3) for p in got)
+
+
+def test_friedman_hand(spark):
+    """Classic textbook block design (Conover Table 3, 3 treatments ×
+    4 blocks, no ties): Q matches the closed form computed by hand;
+    midrank ties reproduce the averaged-rank statistic; k=1
+    degenerates to NULL."""
+    from greenex_py_spark.functions.stats import friedman_test
+
+    # blocks b0..b3, y chosen so within-block ranks are
+    # t0 -> 1,1,1,2 ; t1 -> 2,3,3,1 ; t2 -> 3,2,2,3
+    rows = [
+        ("b0", "t0", 1), ("b0", "t1", 5), ("b0", "t2", 9),
+        ("b1", "t0", 1), ("b1", "t1", 9), ("b1", "t2", 5),
+        ("b2", "t0", 1), ("b2", "t1", 9), ("b2", "t2", 5),
+        ("b3", "t0", 5), ("b3", "t1", 1), ("b3", "t2", 9),
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, y long")
+    r = friedman_test(df, "b", "t", "y").collect()[0]
+    rsums = {"t0": 5, "t1": 9, "t2": 10}
+    n, k = 4, 3
+    q = 12.0 / (n * k * (k + 1)) * sum(v * v for v in rsums.values()) \
+        - 3 * n * (k + 1)
+    assert (r["n_blocks"], r["k_treatments"]) == (4, 3)
+    assert abs(r["friedman_q"] - q) < 1e-9
+    assert abs(r["kendall_w"] - q / (n * (k - 1))) < 1e-9
+
+    # all-tied block -> every midrank is (k+1)/2, Q = 0 exactly
+    tied = spark.createDataFrame(
+        [("b0", t, 7) for t in ("t0", "t1", "t2")],
+        "b string, t string, y long",
+    )
+    assert friedman_test(tied, "b", "t", "y").collect()[0]["friedman_q"] == 0.0
+
+    one = spark.createDataFrame(
+        [("b0", "t0", 1), ("b1", "t0", 2)], "b string, t string, y long"
+    )
+    assert friedman_test(one, "b", "t", "y").collect()[0]["friedman_q"] is None
+
+
+def test_dunning_collocations_hand(spark):
+    """A planted always-together bigram dominates G²; the score for it
+    matches a pure-Python mirror of the quantized 2x2 log-likelihood."""
+    import math
+
+    from greenex_py_spark.functions.text import dunning_collocations
+
+    # "new york" appears 4x; fillers vary
+    docs = [
+        (0, "new york a b c"),
+        (1, "new york d e f"),
+        (2, "a c new york b"),
+        (3, "d f new york e"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = dunning_collocations(df, top_n=5).collect()
+    assert (top[0]["w1"], top[0]["w2"], top[0]["n11"]) == ("new", "york", 4)
+
+    bi = []
+    for _, t in docs:
+        w = t.split()
+        bi += list(zip(w, w[1:]))
+    nn = len(bi)
+    n11 = bi.count(("new", "york"))
+    r1 = sum(1 for a, _ in bi if a == "new")
+    c1 = sum(1 for _, b in bi if b == "york")
+
+    def term(o, e):
+        return math.floor(o * math.log(o / e) * 1e9 + 0.5) if o > 0 else 0
+
+    g2q = (
+        term(n11, r1 * c1 / nn)
+        + term(r1 - n11, r1 * (nn - c1) / nn)
+        + term(c1 - n11, (nn - r1) * c1 / nn)
+        + term(nn - r1 - c1 + n11, (nn - r1) * (nn - c1) / nn)
+    )
+    assert abs(top[0]["g2"] - g2q * 2.0 / 1e9) < 1e-12
+
+
+def test_patch_shape_random_masks(spark):
+    """Distributed tile-CCL (area, perimeter) pairs == an independent
+    BFS flood fill + per-pixel exposed-side count, for random masks
+    spanning tile seams in all directions (the border −2 repair and
+    zero-padding at the raster edge both exercised)."""
+    import numpy as np
+
+    from greenex_py_spark.operators.patches import (
+        patch_shape_stats, tile_patch_parts,
+    )
+
+    def bfs_shapes(mask):
+        h, w = mask.shape
+        seen = np.zeros_like(mask, dtype=bool)
+        out = []
+        for sy in range(h):
+            for sx in range(w):
+                if not mask[sy, sx] or seen[sy, sx]:
+                    continue
+                stack, px, perim = [(sy, sx)], 0, 0
+                seen[sy, sx] = True
+                while stack:
+                    y, x = stack.pop()
+                    px += 1
+                    for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny, nx]:
+                            if not seen[ny, nx]:
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+                        else:
+                            perim += 1
+                out.append((px, perim))
+        return sorted(out)
+
+    rng = np.random.RandomState(23)
+    for trial, (h, w, p) in enumerate(
+        [(12, 16, 0.5), (12, 16, 0.75), (11, 14, 0.4), (12, 16, 1.0)]
+    ):
+        mask = rng.rand(h, w) < p
+        z = np.where(mask, 1.0, -1.0)
+        tiles, grid = _tile_grid_fixture(spark, z)
+        got = sorted(
+            (r["n_px"], r["perim_px"])
+            for r in patch_shape_stats(
+                tile_patch_parts(tiles, grid, quant=1e3)
+            ).collect()
+        )
+        assert got == bfs_shapes(mask), trial
+
+
+def test_fleiss_kappa_hand(spark):
+    """Fleiss' worked example shape: hand 2-category, 3-rater frame vs
+    the closed form; unanimity across raters gives kappa exactly 1."""
+    from greenex_py_spark.functions.stats import fleiss_kappa
+
+    # 4 items x 3 raters
+    rows = [
+        (0, "a", "a", "a"),
+        (1, "a", "a", "b"),
+        (2, "b", "b", "b"),
+        (3, "a", "b", "b"),
+    ]
+    df = spark.createDataFrame(rows, "i long, r1 string, r2 string, r3 string")
+    r = fleiss_kappa(df, "i", ["r1", "r2", "r3"]).collect()[0]
+    # n_ij^2 sums: item0 9, item1 4+1, item2 9, item3 1+4 -> s2=28
+    # P_bar = (28 - 12) / (12*2) = 2/3
+    # col sums: a=6, b=6 -> c2=72 ; P_e = 72/144 = 1/2
+    assert (r["n_items"], r["n_raters"]) == (4, 3)
+    assert abs(r["p_bar"] - 2 / 3) < 1e-12
+    assert abs(r["p_e"] - 0.5) < 1e-12
+    assert abs(r["fleiss_kappa"] - (2 / 3 - 0.5) / 0.5) < 1e-12
+
+    unam = spark.createDataFrame(
+        [(0, "a", "a", "a"), (1, "b", "b", "b")],
+        "i long, r1 string, r2 string, r3 string",
+    )
+    assert abs(fleiss_kappa(unam, "i", ["r1", "r2", "r3"])
+               .collect()[0]["fleiss_kappa"] - 1.0) < 1e-12
+
+
+def test_association_rules_hand(spark):
+    """Hand baskets: a perfectly-coupled pair reaches lift N/n_a; an
+    anti-correlated pair is filtered by min support; confidence is
+    directional."""
+    from greenex_py_spark.functions.rules import association_rules
+
+    baskets = {
+        0: ["x", "y"], 1: ["x", "y"], 2: ["x", "y", "z"],
+        3: ["z"], 4: ["z", "w"],
+    }
+    rows = [(i, it) for i, its in baskets.items() for it in its]
+    df = spark.createDataFrame(rows, "id long, item string")
+    got = {(r["item_a"], r["item_b"]): r
+           for r in association_rules(df, "id", "item", 2).collect()}
+    xy = got[("x", "y")]
+    assert (xy["n_ab"], xy["n_a"], xy["n_b"]) == (3, 3, 3)
+    assert abs(xy["support"] - 3 / 5) < 1e-12
+    assert abs(xy["conf_ab"] - 1.0) < 1e-12
+    assert abs(xy["lift"] - 3 * 5 / 9) < 1e-12
+    # single co-occurrences fall below min support
+    assert ("x", "z") not in got and ("w", "z") not in got
+    assert set(got) == {("x", "y")}
+
+
+def test_haar_energy_hand(spark):
+    """4x4 two-tile raster vs a NumPy mirror: integer Haar coefficient
+    energies per band; a constant tile has zero detail energy in all
+    three bands."""
+    import numpy as np
+
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.focal import (
+        haar_energy_tile_stats, quantize_half_away,
+    )
+
+    npx, tile_px = 4, 2
+    grid = GridSpec.square(0.0, 0.0, 1.0, tile_px, npx)
+    full = np.array([
+        [1.0, 2.0, 5.0, 5.0],
+        [3.0, 4.0, 5.0, 5.0],
+        [0.5, -0.5, 7.0, 7.0],
+        [0.25, 0.75, 7.0, 7.0],
+    ])
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            blk = full[ty * 2:(ty + 1) * 2, tx * 2:(tx + 1) * 2]
+            rows.append(("t", tx, ty, float(tx * 2), float(ty * 2), 1.0,
+                         2, 2, blk.ravel().tolist()))
+    tiles = spark.createDataFrame(
+        rows,
+        "layer string, tx int, ty int, x0 double, y0 double, "
+        "res double, w int, h int, px array<double>",
+    )
+    got = {(r["tx"], r["ty"]): r
+           for r in haar_energy_tile_stats(tiles, grid, 100.0).collect()}
+    q = quantize_half_away(full, 100.0)
+    for (tx, ty), r in got.items():
+        a = q[ty * 2, tx * 2]
+        b = q[ty * 2, tx * 2 + 1]
+        c = q[ty * 2 + 1, tx * 2]
+        d = q[ty * 2 + 1, tx * 2 + 1]
+        assert r["n_blocks"] == 1
+        assert r["e_h"] == (a - b + c - d) ** 2
+        assert r["e_v"] == (a + b - c - d) ** 2
+        assert r["e_d"] == (a - b - c + d) ** 2
+    assert got[(1, 0)]["e_h"] == got[(1, 0)]["e_v"] == got[(1, 0)]["e_d"] == 0
