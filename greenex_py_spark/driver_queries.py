@@ -17578,6 +17578,57 @@ def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_betweenness — exact Brandes betweenness of the host graph
+# ---------------------------------------------------------------------------
+
+_BETW_ROUNDS = 8  # measured host-graph diameter ≤ 5 at every SF; margin
+                  # (over-unrolling is idempotent once levels go empty)
+
+
+def _betweenness_oracle() -> str:
+    from .functions.graph import betweenness_oracle_tail
+
+    return (
+        "WITH "
+        + _LINK_GRAPH_CTE
+        + """,
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM r WHERE src_host <> dst_host
+),
+"""
+        + betweenness_oracle_tail("e0", rounds=_BETW_ROUNDS)
+    )
+
+
+@register("q_betweenness", None)  # generated oracle attached below
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shortest-path betweenness centrality of the undirected
+    host graph by a distributed all-sources Brandes sweep — the
+    broker/bridge metric that completes the centrality family
+    (q_pagerank flow, q_harmonic closeness, q_hits authority):
+    level-synchronous BFS over a (source, node) frontier with exact
+    int64 path counts, then the dependency fold back down the
+    shortest-path DAG, every (σ_v/σ_w)(1+δ_w) term 1e-9-quantized on
+    one fixed IEEE chain BEFORE its sum so the result is
+    summation-order free (functions/graph.py
+    ``betweenness_centrality``).  The oracle unrolls the SAME rounds
+    as MATERIALIZED CTEs past the measured diameter."""
+    from .functions.graph import betweenness_centrality
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return betweenness_centrality(
+        edges, src_col="src_host", dst_col="dst_host",
+        max_depth=_BETW_ROUNDS,
+    )
+
+
+ORACLES["q_betweenness"] = _betweenness_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1344,3 +1344,171 @@ def boruvka_mst(
             .localCheckpoint()
         )
     return mst
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 20,
+) -> DataFrame:
+    """[node, betweenness] — EXACT shortest-path betweenness of the
+    undirected simple graph by a distributed Brandes sweep (Brandes
+    2001) run from ALL sources simultaneously: the forward pass is a
+    level-synchronous BFS over a (source, node) frontier table that
+    accumulates exact int64 path counts σ, the backward pass folds
+    dependencies δ level by level down the shortest-path DAG, and
+    BC(v) = Σ_s δ_s(v) / 2 (each unordered pair counted once).
+
+    The frontier keyed by (s, v) is the textbook way to batch |V|
+    BFS-es into O(diameter) joins instead of |V| sequential sweeps —
+    each round is one join of the frontier to the adjacency list, one
+    anti-join against the visited set, one (s,v)-keyed σ-sum, all
+    localCheckpoint'd; state is ≤|V|² rows (the dim-sized host-graph
+    argument, same as harmonic_centrality; a billion-node graph swaps
+    this for pivot-sampled approximation, a different contract).
+
+    Exactness: σ are exact int64; each dependency term
+    (σ_v/σ_w)·(1 + δ_w) is evaluated on ONE fixed IEEE chain and
+    1e-9-quantized to int64 BEFORE the per-node sum (summation-order
+    free), so the oracle's unrolled CTE chain reproduces every round
+    bit-for-bit."""
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("w"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("w")))
+        .localCheckpoint()
+    )
+    nodes = adj.select("u").distinct().localCheckpoint()
+    lv0 = nodes.select(
+        F.col("u").alias("s"), F.col("u").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    levels = [lv0]
+    vis = lv0.select("s", "v").localCheckpoint()
+    cur = lv0
+    for _ in range(max_depth):
+        cand = cur.join(adj, cur["v"] == adj["u"]).select(
+            "s", F.col("w").alias("v"), "sigma"
+        )
+        nxt = (
+            cand.join(vis, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        vis = vis.unionByName(nxt.select("s", "v")).localCheckpoint()
+        cur = nxt
+    spark = edges.sparkSession
+    delta = levels[-1].select(
+        "s", "v", "sigma", F.lit(0).cast("long").alias("dq")
+    ).localCheckpoint()
+    all_dq = [delta.select("v", "dq")]
+    for L in range(len(levels) - 2, 0, -1):
+        p = levels[L]
+        succ = (
+            p.join(adj, p["v"] == adj["u"])
+            .select("s", "v", "sigma", F.col("w").alias("vw"))
+            .join(
+                delta.select(
+                    F.col("s").alias("s2"), F.col("v").alias("vw2"),
+                    F.col("sigma").alias("sw"), F.col("dq").alias("dqw"),
+                ),
+                (F.col("s") == F.col("s2")) & (F.col("vw") == F.col("vw2")),
+            )
+        )
+        # fixed IEEE chain, quantized per term BEFORE the sum
+        ratio = F.col("sigma").cast("double") / F.col("sw").cast("double")
+        fac = F.lit(1.0) + F.col("dqw").cast("double") / 1000000000.0
+        term = F.floor(ratio * fac * 1000000000.0 + F.lit(0.5)).cast("long")
+        contrib = succ.groupBy("s", "v").agg(F.sum(term).alias("dq"))
+        delta = (
+            p.join(contrib, ["s", "v"], "left")
+            .select(
+                "s", "v", "sigma",
+                F.coalesce("dq", F.lit(0)).cast("long").alias("dq"),
+            )
+            .localCheckpoint()
+        )
+        all_dq.append(delta.select("v", "dq"))
+    acc = all_dq[0]
+    for d in all_dq[1:]:
+        acc = acc.unionByName(d)
+    agg = acc.groupBy("v").agg(F.sum("dq").cast("long").alias("tq"))
+    return nodes.join(agg, nodes["u"] == agg["v"], "left").select(
+        F.col("u").alias("node"),
+        (F.coalesce("tq", F.lit(0)).cast("double") / 1000000000.0 / 2.0)
+        .alias("betweenness"),
+    )
+
+
+def betweenness_oracle_tail(e0: str, rounds: int) -> str:
+    """Unrolled Brandes CTE chain over ``e0 (a, b)`` — the DuckDB twin
+    of :func:`betweenness_centrality`: ``rounds`` BFS levels (σ path
+    counts), then the dependency fold back down, every round
+    MATERIALIZED (idempotent once levels go empty; callers
+    over-provision vs the measured diameter)."""
+    parts = [
+        f"""badj AS MATERIALIZED (
+  SELECT a AS u, b AS w FROM {e0} UNION ALL SELECT b AS u, a AS w FROM {e0}
+),
+bnodes AS MATERIALIZED (SELECT DISTINCT u FROM badj),
+blv0 AS MATERIALIZED (
+  SELECT u AS s, u AS v, CAST(1 AS BIGINT) AS sigma FROM bnodes
+),
+bvis0 AS MATERIALIZED (SELECT s, v FROM blv0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""blv{i} AS MATERIALIZED (
+  SELECT c.s, c.w AS v, CAST(sum(c.sigma) AS BIGINT) AS sigma FROM (
+    SELECT p.s, a.w, p.sigma FROM blv{i - 1} p JOIN badj a ON a.u = p.v
+  ) c LEFT JOIN bvis{i - 1} x ON x.s = c.s AND x.v = c.w
+  WHERE x.v IS NULL GROUP BY c.s, c.w
+),
+bvis{i} AS MATERIALIZED (
+  SELECT s, v FROM bvis{i - 1} UNION ALL SELECT s, v FROM blv{i}
+)"""
+        )
+    parts.append(
+        f"""bd{rounds} AS MATERIALIZED (
+  SELECT s, v, sigma, CAST(0 AS BIGINT) AS dq FROM blv{rounds}
+)"""
+    )
+    for L in range(rounds - 1, 0, -1):
+        parts.append(
+            f"""bd{L} AS MATERIALIZED (
+  SELECT p.s, p.v, p.sigma,
+         CAST(COALESCE(sum(
+           CAST(floor((CAST(p.sigma AS DOUBLE) / CAST(q.sigma AS DOUBLE))
+                * (1.0 + CAST(q.dq AS DOUBLE) / 1000000000.0)
+                * 1000000000.0 + 0.5) AS BIGINT)
+         ), 0) AS BIGINT) AS dq
+  FROM blv{L} p
+  LEFT JOIN badj a ON a.u = p.v
+  LEFT JOIN bd{L + 1} q ON q.s = p.s AND q.v = a.w
+  GROUP BY p.s, p.v, p.sigma
+)"""
+        )
+    alld = " UNION ALL ".join(
+        f"SELECT v, dq FROM bd{i}" for i in range(1, rounds + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+balld AS ({alld}),
+bagg AS (SELECT v, CAST(sum(dq) AS BIGINT) AS tq FROM balld GROUP BY v)
+SELECT n.u AS node,
+       CAST(COALESCE(b.tq, 0) AS DOUBLE) / 1000000000.0 / 2.0 AS betweenness
+FROM bnodes n LEFT JOIN bagg b ON b.v = n.u"""
+    )

@@ -7313,3 +7313,80 @@ def test_haar_energy_hand(spark):
         assert r["e_v"] == (a + b - c - d) ** 2
         assert r["e_d"] == (a - b - c + d) ** 2
     assert got[(1, 0)]["e_h"] == got[(1, 0)]["e_v"] == got[(1, 0)]["e_d"] == 0
+
+
+def test_betweenness_brandes_mirror(spark):
+    """Distributed all-sources Brandes == a pure-Python Brandes with
+    the identical per-term 1e-9 quantization on a random connected
+    graph; closed forms on a path (interior nodes (k)(n-1-k)) and a
+    star (center (n-1)(n-2)/2) are exact."""
+    import collections
+    import math
+    import random
+
+    from greenex_py_spark.functions.graph import betweenness_centrality
+
+    def mirror(edges):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tot = collections.Counter()
+        for s in adj:
+            dist = {s: 0}
+            sigma = {s: 1}
+            order = [s]
+            qd = collections.deque([s])
+            while qd:
+                u = qd.popleft()
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        sigma[w] = 0
+                        qd.append(w)
+                        order.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            dq = {v: 0 for v in dist}
+            for v in reversed(order):
+                for w in adj[v]:
+                    if dist.get(w) == dist[v] + 1:
+                        dq[v] += math.floor(
+                            sigma[v] / sigma[w] * (1.0 + dq[w] / 1e9) * 1e9
+                            + 0.5
+                        )
+                if v != s:
+                    tot[v] += dq[v]
+        return {v: tot[v] / 1e9 / 2.0 for v in adj}
+
+    rng = random.Random(3)
+    n = 20
+    edges = set()
+    for i in range(1, n):
+        edges.add((rng.randrange(i), i))
+    for _ in range(15):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    named = [(f"h{a}", f"h{b}") for a, b in edges]
+    df = spark.createDataFrame(named, "src string, dst string")
+    got = {r["node"]: r["betweenness"]
+           for r in betweenness_centrality(df).collect()}
+    want = mirror(named)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+
+    # path 0-1-2-3-4: interior k has k*(4-k)
+    path = [(f"p{i}", f"p{i+1}") for i in range(4)]
+    gp = {r["node"]: r["betweenness"] for r in betweenness_centrality(
+        spark.createDataFrame(path, "src string, dst string")).collect()}
+    assert {v: round(b, 6) for v, b in gp.items()} == {
+        "p0": 0.0, "p1": 3.0, "p2": 4.0, "p3": 3.0, "p4": 0.0}
+
+    # star: center sits on every pair
+    star = [("c", f"s{i}") for i in range(5)]
+    gs = {r["node"]: r["betweenness"] for r in betweenness_centrality(
+        spark.createDataFrame(star, "src string, dst string")).collect()}
+    assert round(gs["c"], 6) == 10.0
+    assert all(gs[f"s{i}"] == 0.0 for i in range(5))
