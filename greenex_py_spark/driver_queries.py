@@ -17629,6 +17629,45 @@ ORACLES["q_betweenness"] = _betweenness_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_golden_record — survivorship over near-duplicate groups
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_golden_record",
+    f"WITH RECURSIVE {_CORPUS_SQL.strip()},\n"
+    f"gr AS ({_NEAR_DUP_GROUPS_SQL}),\n"
+    """
+gj AS (SELECT g.rep_id, g.doc_id, CAST(length(c.text) AS BIGINT) AS len
+       FROM gr g JOIN corpus c ON c.doc_id = g.doc_id),
+k AS (SELECT rep_id, doc_id AS keep_id, len AS keep_len,
+             row_number() OVER (PARTITION BY rep_id
+                                ORDER BY len DESC, doc_id ASC) AS rn
+      FROM gj),
+s AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(len) AS BIGINT) AS total_len
+      FROM gj GROUP BY rep_id)
+SELECT s.rep_id, s.n_members, k.keep_id,
+       CAST(k.keep_len AS BIGINT) AS keep_len, s.total_len
+FROM s JOIN k ON k.rep_id = s.rep_id AND k.rn = 1
+""",
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over the near-duplicate groups: per
+    cluster the surviving document under the longest-text rule (ties
+    by smallest id) plus merged member statistics — the
+    entity-resolution step after q_near_dup_groups that decides which
+    copy the curated corpus keeps.  Exact integer keep rule and
+    outputs (functions/dedup.py ``golden_records``); the oracle
+    re-resolves the groups through the recursive transitive closure
+    and applies the same window rule."""
+    from .functions.dedup import golden_records, near_dup_groups
+
+    corpus = _corpus_df(spark, sf_dir)
+    groups = near_dup_groups(corpus, threshold=0.6)
+    return golden_records(groups, corpus)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1129,3 +1129,50 @@ def prefix_filter_join(
             .alias("jaccard"),
         )
     )
+
+
+def golden_records(
+    groups: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    rep_col: str = "rep_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[rep_id, n_members, keep_id, keep_len, total_len] — survivorship
+    over near-duplicate groups: for every group the canonical SURVIVOR
+    under the longest-text rule (ties by smallest id) plus merged
+    group statistics — the "golden record" step entity-resolution
+    pipelines run after :func:`near_dup_groups`, deciding which copy
+    of each duplicate cluster the curated corpus keeps.
+
+    Determinism: the keep rule orders by exact integer
+    (length DESC, id ASC); all outputs are exact int64.
+
+    Scale: one join of the group map to the corpus (both keyed by id),
+    one per-group window over group-sized partitions (near-dup groups
+    are small by construction), one dim-sized aggregate."""
+    j = groups.join(docs, id_col).select(
+        rep_col, id_col,
+        F.length(F.col(text_col)).cast("long").alias("len"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(rep_col).orderBy(
+        F.desc("len"), F.asc(id_col)
+    )
+    keep = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            rep_col,
+            F.col(id_col).alias("keep_id"),
+            F.col("len").alias("keep_len"),
+        )
+    )
+    stats = j.groupBy(rep_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("len").cast("long").alias("total_len"),
+    )
+    return stats.join(keep, rep_col).select(
+        rep_col, "n_members", "keep_id", "keep_len", "total_len"
+    )

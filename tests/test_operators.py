@@ -7390,3 +7390,24 @@ def test_betweenness_brandes_mirror(spark):
         spark.createDataFrame(star, "src string, dst string")).collect()}
     assert round(gs["c"], 6) == 10.0
     assert all(gs[f"s{i}"] == 0.0 for i in range(5))
+
+
+def test_golden_records_hand(spark):
+    """Survivorship picks the longest text, breaking ties by smallest
+    id; member counts and total lengths are exact."""
+    from greenex_py_spark.functions.dedup import golden_records
+
+    groups = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 10), (20, 20), (21, 20)],
+        "doc_id long, rep_id long",
+    )
+    docs = spark.createDataFrame(
+        [(10, "aaaa"), (11, "bbbbbb"), (12, "cccccc"),
+         (20, "xy"), (21, "z")],
+        "doc_id long, text string",
+    )
+    got = {r["rep_id"]: r for r in golden_records(groups, docs).collect()}
+    # group 10: lengths 4/6/6 -> tie between 11 and 12 -> keep 11
+    assert (got[10]["keep_id"], got[10]["keep_len"]) == (11, 6)
+    assert (got[10]["n_members"], got[10]["total_len"]) == (3, 16)
+    assert (got[20]["keep_id"], got[20]["keep_len"]) == (20, 2)
