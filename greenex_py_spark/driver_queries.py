@@ -17668,6 +17668,248 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_focal_entropy — 3×3 focal Shannon entropy of the NDVI class raster
+# ---------------------------------------------------------------------------
+
+
+def _focal_entropy_oracle(quant: float = 1e6, bins: int = 5) -> str:
+    npx, tile_px = city.NPX, city.TILE_PX
+    q = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + ((i % {npx}) + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + ((i // {npx}) + 0.5) * {city.RES}",
+        )
+        + f") * {quant}) AS BIGINT)"
+    )
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    joins = "\n".join(
+        f"  JOIN pc p{j} ON p{j}.i = c.i + ({dy * npx + dx})"
+        for j, (dy, dx) in enumerate(offs)
+    )
+    ksel = ", ".join(f"p{j}.cls AS k{j}" for j in range(9))
+    cnt = " + ".join
+    terms = []
+    for k in range(bins):
+        ck = cnt(f"(CASE WHEN k{j} = {k} THEN 1 ELSE 0 END)"
+                 for j in range(9))
+        terms.append(
+            f"(CASE WHEN ({ck}) > 0 THEN CAST(floor("
+            f"-(CAST(({ck}) AS DOUBLE) / 9.0)"
+            f" * ln(CAST(({ck}) AS DOUBLE) / 9.0)"
+            f" * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END)"
+        )
+    ent = "\n       + ".join(terms)
+    return f"""
+WITH pc AS MATERIALIZED (
+  SELECT i, least(greatest((({q}) + 1000000) * {bins} // 2000000, 0),
+                  {bins - 1}) AS cls
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+),
+w AS (
+  SELECT c.i, {ksel}
+  FROM pc c
+{joins}
+  WHERE c.i % {npx} BETWEEN 1 AND {npx - 2}
+    AND c.i // {npx} BETWEEN 1 AND {npx - 2}
+),
+e AS (
+  SELECT (i % {npx}) // {tile_px} AS tx, (i // {npx}) // {tile_px} AS ty,
+         {ent} AS ent_q
+  FROM w
+)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(ent_q) AS BIGINT) AS ent_q_sum,
+       round(CAST(sum(ent_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1000000000.0 + 0.0, 6) AS mean_entropy
+FROM e GROUP BY tx, ty
+"""
+
+
+@register("q_focal_entropy", _focal_entropy_oracle())
+def q_focal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal Shannon entropy of the 5-class NDVI value raster per
+    tile — the local-heterogeneity texture metric (GRASS r.neighbors
+    entropy) beside the focal mean (smoothness) and Haar energies
+    (orientation): interior windows only, each −(c/9)·ln(c/9) term
+    1e-9-quantized on the shared libm expression and summed exact
+    int64 over the SAME halo exchange as q_focal_mean
+    (operators/focal.py ``focal_entropy_tile_stats``).  The oracle
+    rebuilds every window with nine positional self-joins of the
+    closed-form class raster."""
+    from .operators.focal import focal_entropy_tile_stats
+
+    return focal_entropy_tile_stats(
+        city.tiles_df(spark, "ndvi"), city.grid()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_burrows_delta — stylometric distance between crawl sources
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_burrows_delta",
+    f"""
+WITH toks AS (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+tot AS (SELECT src, CAST(count(*) AS BIGINT) AS t FROM toks GROUP BY src),
+mk AS (SELECT unnest(['the','a','of','to','and','in','for','on','with',
+                      'at','by','from']) AS w),
+cnts AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c
+         FROM toks WHERE w IN {_STOP_SQL} GROUP BY src, w),
+grid AS (
+  SELECT tot.src, mk.w,
+         CAST(floor(CAST(COALESCE(cnts.c, 0) AS DOUBLE)
+              / CAST(tot.t AS DOUBLE) * 100000000.0 + 0.5) AS BIGINT) AS fq
+  FROM tot CROSS JOIN mk
+  LEFT JOIN cnts ON cnts.src = tot.src AND cnts.w = mk.w
+),
+z AS (SELECT src, w, fq,
+             CAST(count(*) OVER (PARTITION BY w) AS BIGINT) AS n,
+             CAST(sum(fq) OVER (PARTITION BY w) AS BIGINT) AS s,
+             CAST(sum(fq * fq) OVER (PARTITION BY w) AS BIGINT) AS qq
+      FROM grid),
+zq AS (SELECT src, w,
+              CAST(floor((CASE WHEN n * qq - s * s <= 0 THEN 0.0
+                    ELSE CAST(n * fq - s AS DOUBLE)
+                         / sqrt(CAST(n * qq - s * s AS DOUBLE)) END)
+                   * 1000000.0 + 0.5) AS BIGINT) AS zq
+       FROM z)
+SELECT a.src AS src_a, b.src AS src_b,
+       CAST(sum(abs(a.zq - b.zq)) AS DOUBLE) / (12 * 1000000.0) AS delta
+FROM zq a JOIN zq b ON a.w = b.w AND a.src < b.src
+GROUP BY a.src, b.src
+""",
+)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every pair of crawl
+    sources — mean |z| difference of function-word rates z-scored
+    against the cross-source population (Burrows 2002), the
+    authorship/provenance attribution standard ("do two sources share
+    a house style?") beside q_js_divergence's topical distance.
+    Rates 1e-8-quantized to exact int64, z one fixed int-ratio/sqrt
+    chain 1e-6-quantized, Delta an exact |Δz| integer sum with one
+    final division (functions/text.py ``burrows_delta``)."""
+    from .functions.text import burrows_delta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return burrows_delta(docs, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# q_rich_club — rich-club coefficient curve of the host graph
+# ---------------------------------------------------------------------------
+
+@register("q_rich_club", None)  # generated oracle attached below
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve φ(k) of the undirected host graph —
+    the density of the subgraph induced by hubs of degree > k, for
+    every observed threshold: "do the hubs wire to each other?", the
+    elite-interconnection diagnostic that q_degree_assortativity
+    collapses to one number.  Exact int64 suffix sums over the degree
+    and min-endpoint-degree histograms (never a per-k subgraph scan),
+    one division per row (functions/graph.py ``rich_club``)."""
+    from .functions.graph import rich_club
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return rich_club(edges, src_col="src_host", dst_col="dst_host")
+
+
+ORACLES["q_rich_club"] = (
+    "WITH "
+    + _LINK_GRAPH_CTE
+    + """,
+e0 AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                       greatest(src_host, dst_host) AS b
+       FROM r WHERE src_host <> dst_host),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY n),
+ks AS (SELECT DISTINCT d AS k FROM deg
+       UNION SELECT CAST(0 AS BIGINT)),
+dh AS (SELECT d, CAST(count(*) AS BIGINT) AS nd FROM deg GROUP BY d),
+em AS (SELECT least(da.d, db.d) AS m, CAST(count(*) AS BIGINT) AS ne
+       FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+       GROUP BY least(da.d, db.d)),
+ng AS (SELECT k, CAST(sum(nd) AS BIGINT) AS n_nodes
+       FROM ks JOIN dh ON dh.d > ks.k GROUP BY k),
+eg AS (SELECT k, CAST(sum(ne) AS BIGINT) AS n_edges
+       FROM ks JOIN em ON em.m > ks.k GROUP BY k)
+SELECT ng.k, ng.n_nodes, CAST(COALESCE(eg.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(2 * COALESCE(eg.n_edges, 0) AS DOUBLE)
+         / CAST(ng.n_nodes * (ng.n_nodes - 1) AS DOUBLE) AS phi
+FROM ng LEFT JOIN eg ON eg.k = ng.k
+WHERE ng.n_nodes >= 2
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q_ccf — lead-lag cross-correlation of two event-type volume series
+# ---------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 7
+
+
+@register(
+    "q_ccf",
+    f"""
+WITH e AS (SELECT event_type AS ty, date_trunc('day', ts) AS d
+           FROM events WHERE event_type IN ('view', 'click')),
+d0 AS (SELECT min(d) AS dmin,
+              CAST(date_diff('day', min(d), max(d)) AS BIGINT) AS tmax
+       FROM e),
+cnt AS (SELECT ty, d, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY ty, d),
+cal AS (SELECT dmin, unnest(generate_series(0, tmax)) AS t FROM d0),
+sa AS (SELECT cal.t, CAST(COALESCE(c.y, 0) AS BIGINT) AS a
+       FROM cal LEFT JOIN cnt c
+         ON c.ty = 'view' AND date_diff('day', cal.dmin, c.d) = cal.t),
+sb AS (SELECT cal.t, CAST(COALESCE(c.y, 0) AS BIGINT) AS b
+       FROM cal LEFT JOIN cnt c
+         ON c.ty = 'click' AND date_diff('day', cal.dmin, c.d) = cal.t),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(a) AS BIGINT) AS suma,
+              CAST(sum(a * a) AS BIGINT) AS sqa FROM sa),
+sbt AS (SELECT CAST(sum(b) AS BIGINT) AS sumb,
+               CAST(sum(b * b) AS BIGINT) AS sqb FROM sb),
+lags AS (SELECT CAST(unnest(generate_series(-{_CCF_MAX_LAG},
+                                            {_CCF_MAX_LAG})) AS BIGINT)
+           AS lag),
+ov AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_overlap,
+              CAST(sum(a * b) AS BIGINT) AS sab,
+              CAST(sum(a) AS BIGINT) AS soa,
+              CAST(sum(b) AS BIGINT) AS sob
+       FROM lags, sa JOIN sb ON sb.t = sa.t + lag
+       GROUP BY lag)
+SELECT lag, n_overlap,
+       CASE WHEN n * sqa - suma * suma <= 0
+              OR n * sqb - sumb * sumb <= 0 THEN NULL
+            ELSE CAST(n * n * sab - n * suma * sob - n * sumb * soa
+                      + n_overlap * suma * sumb AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * sqrt(CAST(n * sqa - suma * suma AS DOUBLE))
+                    * sqrt(CAST(n * sqb - sumb * sumb AS DOUBLE)))
+       END AS ccf
+FROM ov, st, sbt
+""",
+)
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation r(ℓ), ℓ ∈ [−7, 7], between the view
+    and click daily-volume series (full-series means/stds, dense
+    zero-filled shared calendar) — "does one stream lead the other,
+    and by how many days?", the causal-direction screen
+    q_acf_volume's single series cannot answer.  The numerator is
+    cleared to ONE exact int64; the denominator is one fixed IEEE
+    sqrt chain (functions/timeseries.py ``cross_correlation``)."""
+    from .functions.timeseries import cross_correlation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cross_correlation(ev, "view", "click", _CCF_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

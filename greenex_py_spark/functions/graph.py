@@ -1512,3 +1512,66 @@ SELECT n.u AS node,
        CAST(COALESCE(b.tq, 0) AS DOUBLE) / 1000000000.0 / 2.0 AS betweenness
 FROM bnodes n LEFT JOIN bagg b ON b.v = n.u"""
     )
+
+
+def rich_club(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """[k, n_nodes, n_edges, phi] — rich-club coefficient curve of the
+    undirected simple graph (Zhou & Mondragón 2004): for every degree
+    threshold k, the density φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) of
+    the subgraph induced by nodes with degree > k — "do the hubs wire
+    to each other?", the elite-interconnection diagnostic beside
+    q_degree_assortativity's single number.
+
+    All counts exact int64 via suffix sums over the degree histogram
+    (nodes) and the min-endpoint-degree histogram (edges) — never a
+    per-k subgraph scan; one double division per row.  Rows with
+    N_{>k} < 2 are dropped (undefined density)."""
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # consumed by degrees AND the edge re-join
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()  # histogram + two edge joins
+    )
+    ks = deg.select(F.col("d").alias("k")).distinct().unionByName(
+        und.sparkSession.createDataFrame([(0,)], "k long")
+    ).distinct()
+    dh = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    em = (
+        und.join(deg.select(F.col("n").alias("a"),
+                            F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"),
+                         F.col("d").alias("db")), "b")
+        .select(F.least("da", "db").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("ne"))
+    )
+    nodes_gt = ks.join(dh, dh["d"] > ks["k"]).groupBy("k").agg(
+        F.sum("nd").cast("long").alias("n_nodes")
+    )
+    edges_gt = ks.join(em, em["m"] > ks["k"]).groupBy("k").agg(
+        F.sum("ne").cast("long").alias("n_edges")
+    )
+    return (
+        nodes_gt.join(edges_gt, "k", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k", "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            (
+                (2 * F.coalesce("n_edges", F.lit(0))).cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double")
+            ).alias("phi"),
+        )
+    )

@@ -1753,3 +1753,89 @@ def naive_bayes_confusion(
     return naive_bayes_predict(df, id_col, text_col, label_col).groupBy(
         "lang", "pred_lang"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+BURROWS_Q = 100_000_000  # 1e-8 quantizer for relative function-word rates
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    marker_words: tuple = STOPWORDS_EN,
+) -> DataFrame:
+    """[src_a, src_b, delta] — Burrows' Delta stylometric distance
+    between every pair of sources (Burrows 2002): per source the
+    relative frequency of each function/marker word, z-scored against
+    the cross-source population, Delta = mean |z_a − z_b| over the
+    marker set — the standard authorship/provenance-attribution
+    distance ("do two crawl sources share a house style?").
+
+    Exactness: each rate is 1e-8-quantized to int64 (one c/T double
+    division), so the population mean/std assemble from exact integer
+    S = Σfq and Q = Σfq²; z = (n·fq − S)/sqrt(n·Σfq² − S²) is one
+    fixed IEEE chain per (source, word) (degenerate spread → z = 0),
+    z is 1e-6-quantized, and Delta sums exact |zq| differences with
+    one final division.
+
+    Scale: one token explode filtered to the marker dim (map-side),
+    one (source, word)-keyed aggregate; everything after is
+    sources×words dim-sized."""
+    toks = df.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    tot = toks.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    mk = list(marker_words)
+    cnts = (
+        toks.filter(F.col("w").isin(*mk))
+        .groupBy("src", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    srcs = tot.select("src")
+    words = cnts.sparkSession.createDataFrame(
+        [(w,) for w in mk], "w string"
+    )
+    grid = (
+        srcs.crossJoin(F.broadcast(words))
+        .join(cnts, ["src", "w"], "left")
+        .join(tot, "src")
+        .select(
+            "src", "w",
+            F.floor(
+                F.coalesce("c", F.lit(0)).cast("double")
+                / F.col("t").cast("double") * BURROWS_Q + 0.5
+            ).cast("long").alias("fq"),
+        )
+    )
+    ww = Window.partitionBy("w")
+    z = grid.select(
+        "src", "w", "fq",
+        F.count(F.lit(1)).over(ww).cast("long").alias("n"),
+        F.sum("fq").over(ww).cast("long").alias("s"),
+        F.sum(F.col("fq") * F.col("fq")).over(ww).cast("long").alias("qq"),
+    )
+    den2 = F.col("n") * F.col("qq") - F.col("s") * F.col("s")
+    zval = F.when(den2 <= 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("fq") - F.col("s")).cast("double")
+        / F.sqrt(den2.cast("double"))
+    )
+    zq = z.select(
+        "src", "w",
+        F.floor(zval * 1000000.0 + F.lit(0.5)).cast("long").alias("zq"),
+    )
+    a = zq.select(F.col("src").alias("src_a"), "w",
+                  F.col("zq").alias("za"))
+    b = zq.select(F.col("src").alias("src_b"), "w",
+                  F.col("zq").alias("zb"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            (F.sum(F.abs(F.col("za") - F.col("zb"))).cast("double")
+             / (len(mk) * 1000000.0)).alias("delta")
+        )
+    )

@@ -1115,3 +1115,81 @@ def haar_energy_tile_stats(
             yield pd.DataFrame(rows)
 
     return tiles.mapInPandas(emit, schema=out_schema)
+
+
+FOCAL_ENT_BINS = 5  # equal-width value classes over the quantized range
+
+
+def focal_entropy_tile_stats(
+    tiles: DataFrame,
+    grid: GridSpec,
+    quant: float = 1e6,
+    bins: int = FOCAL_ENT_BINS,
+    vmin_q: int = -1_000_000,
+    vmax_q: int = 1_000_000,
+) -> DataFrame:
+    """[tx, ty, n_windows, ent_q_sum, mean_entropy] — 3×3 focal
+    Shannon entropy of the value-class raster (values binned into
+    ``bins`` equal-width classes over [vmin_q, vmax_q]): the local
+    heterogeneity/texture metric (GRASS r.neighbors method=entropy /
+    diversity's weighted sibling) that complements the focal mean
+    (smoothness) and Haar energies (orientation).
+
+    Interior windows only (all 9 pixels inside the raster), each owned
+    by its centre pixel's tile — the SAME halo exchange as
+    ``focal_tile_stats``.  Per window: class counts c_k via shifted
+    box sums; each −(c/9)·ln(c/9) term is 1e-9-quantized on the libm
+    expression both engines share and summed as exact int64; the one
+    FP step (mean de-quantization) runs in Catalyst."""
+    parts = _halo_parts(tiles, grid, quant)
+    npx_x, npx_y = grid.npx_x, grid.npx_y
+    span = vmax_q - vmin_q
+
+    out_schema = "tx long, ty long, n_windows long, ent_q_sum long"
+
+    def assemble(kdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, canvas, mask, w, h = _assemble_canvas(kdf, grid)
+        gx0, gy0 = tx * grid.tile_px, ty * grid.tile_px
+        cls = np.clip(
+            ((canvas - vmin_q) * bins) // span, 0, bins - 1
+        ).astype(np.int64)
+        # interior centres: global 1..npx-2 in both axes
+        ix = gx0 + np.arange(w)
+        iy = gy0 + np.arange(h)
+        interior = (
+            (ix[None, :] >= 1) & (ix[None, :] <= npx_x - 2)
+            & (iy[:, None] >= 1) & (iy[:, None] <= npx_y - 2)
+        )
+        ent = np.zeros((h, w), dtype=np.int64)
+        for k in range(bins):
+            mk = (cls == k).astype(np.int64)
+            cnt = np.zeros((h, w), dtype=np.int64)
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    cnt += mk[dy:dy + h, dx:dx + w]
+            nz = cnt > 0
+            c = cnt[nz].astype(np.float64)
+            t = np.floor(-(c / 9.0) * np.log(c / 9.0) * 1e9 + 0.5)
+            buf = np.zeros((h, w), dtype=np.int64)
+            buf[nz] = t.astype(np.int64)
+            ent += buf
+        return pd.DataFrame(
+            {
+                "tx": [tx], "ty": [ty],
+                "n_windows": [int(interior.sum())],
+                "ent_q_sum": [int(ent[interior].sum())],
+            }
+        )
+
+    stats = parts.groupBy("dtx", "dty").applyInPandas(
+        assemble, schema=out_schema
+    )
+    return stats.select(
+        "tx", "ty", "n_windows", "ent_q_sum",
+        F.round(
+            F.col("ent_q_sum").cast("double")
+            / F.col("n_windows").cast("double") / 1000000000.0
+            + F.lit(0.0),
+            6,
+        ).alias("mean_entropy"),
+    )

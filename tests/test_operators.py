@@ -7411,3 +7411,137 @@ def test_golden_records_hand(spark):
     assert (got[10]["keep_id"], got[10]["keep_len"]) == (11, 6)
     assert (got[10]["n_members"], got[10]["total_len"]) == (3, 16)
     assert (got[20]["keep_id"], got[20]["keep_len"]) == (20, 2)
+
+
+def test_focal_entropy_hand(spark):
+    """4x4 two-tile class raster vs a NumPy window mirror: interior
+    windows only, quantized -(c/9)ln(c/9) class terms; a uniform
+    raster has zero entropy everywhere."""
+    import numpy as np
+
+    from greenex_py_spark.geo.grid import GridSpec
+    from greenex_py_spark.operators.focal import focal_entropy_tile_stats
+
+    npx, tile_px = 4, 2
+    grid = GridSpec.square(0.0, 0.0, 1.0, tile_px, npx)
+    # values in [-1, 1]; quant 100 -> classes over [-100, 100]
+    full = np.array([
+        [-0.9, -0.9, 0.9, 0.9],
+        [-0.9, 0.0, 0.0, 0.9],
+        [-0.9, 0.0, 0.0, 0.9],
+        [-0.9, -0.9, 0.9, 0.9],
+    ])
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            blk = full[ty * 2:(ty + 1) * 2, tx * 2:(tx + 1) * 2]
+            rows.append(("t", tx, ty, float(tx * 2), float(ty * 2), 1.0,
+                         2, 2, blk.ravel().tolist()))
+    schema = ("layer string, tx int, ty int, x0 double, y0 double, "
+              "res double, w int, h int, px array<double>")
+    tiles = spark.createDataFrame(rows, schema)
+    got = {(r["tx"], r["ty"]): r
+           for r in focal_entropy_tile_stats(
+               tiles, grid, quant=100.0, bins=5,
+               vmin_q=-100, vmax_q=100).collect()}
+
+    q = np.floor(np.abs(full * 100.0) + 0.5).astype(np.int64) * np.sign(
+        full).astype(np.int64)
+    cls = np.clip((q + 100) * 5 // 200, 0, 4)
+    import math
+    want = {}
+    for ty in range(2):
+        for tx in range(2):
+            tot, nw = 0, 0
+            for cy in range(ty * 2, ty * 2 + 2):
+                for cx in range(tx * 2, tx * 2 + 2):
+                    if not (1 <= cx <= npx - 2 and 1 <= cy <= npx - 2):
+                        continue
+                    nw += 1
+                    win = cls[cy - 1:cy + 2, cx - 1:cx + 2].ravel()
+                    for k in set(win.tolist()):
+                        c = int((win == k).sum())
+                        tot += math.floor(
+                            -(c / 9.0) * math.log(c / 9.0) * 1e9 + 0.5)
+            want[(tx, ty)] = (nw, tot)
+    for key, (nw, tot) in want.items():
+        assert (got[key]["n_windows"], got[key]["ent_q_sum"]) == (nw, tot)
+
+    flat = [("t", tx, ty, float(tx * 2), float(ty * 2), 1.0, 2, 2,
+             [0.5] * 4) for ty in range(2) for tx in range(2)]
+    gflat = focal_entropy_tile_stats(
+        spark.createDataFrame(flat, schema), grid, quant=100.0, bins=5,
+        vmin_q=-100, vmax_q=100).collect()
+    assert all(r["ent_q_sum"] == 0 for r in gflat)
+
+
+def test_rich_club_hand(spark):
+    """Star + hub-pair graph: the two hubs (deg > leaves) connect to
+    each other, so phi rises to 1.0 at the top threshold; phi(0) is
+    the global density."""
+    from greenex_py_spark.functions.graph import rich_club
+
+    # hubs h1,h2 (deg 4 each), leaves (deg 1): h1-h2 + 3 leaves each
+    edges = [("h1", "h2")] + [("h1", f"a{i}") for i in range(3)] \
+        + [("h2", f"b{i}") for i in range(3)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["k"]: r for r in rich_club(df).collect()}
+    n, m = 8, 7
+    assert got[0]["n_nodes"] == n and got[0]["n_edges"] == m
+    assert abs(got[0]["phi"] - 2 * m / (n * (n - 1))) < 1e-12
+    # k=1: only the two hubs survive; the h1-h2 edge among them
+    assert (got[1]["n_nodes"], got[1]["n_edges"]) == (2, 1)
+    assert got[1]["phi"] == 1.0
+
+
+def test_cross_correlation_hand(spark):
+    """B is A shifted by +2 days: the CCF peaks exactly at lag +2 with
+    r = 1 on the overlap... using full-series stats the peak lag is
+    still argmax; a constant series yields NULL everywhere."""
+    import datetime as dt
+
+    from greenex_py_spark.functions.timeseries import cross_correlation
+
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    vol = [5, 1, 4, 2, 8, 3, 6, 2, 7, 1]
+    for t, v in enumerate(vol):
+        rows += [("view", base + dt.timedelta(days=t))] * v
+    for t, v in enumerate(vol):
+        rows += [("click", base + dt.timedelta(days=t + 2))] * v
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["lag"]: r["ccf"]
+           for r in cross_correlation(df, "view", "click", 4).collect()}
+    assert max(got, key=lambda k: (got[k] if got[k] is not None
+                                   else -9)) == 2
+    # full-series stats include the zero-padded calendar ends, so the
+    # peak is attenuated below 1; it still clearly dominates
+    assert got[2] > 0.5 and got[2] > got[1] + 0.2 and got[2] > got[3] + 0.2
+
+    const = spark.createDataFrame(
+        [("view", base + dt.timedelta(days=t)) for t in range(5)]
+        + [("click", base + dt.timedelta(days=t)) for t in range(5)],
+        "event_type string, ts timestamp",
+    )
+    gc = cross_correlation(const, "view", "click", 2).collect()
+    assert all(r["ccf"] is None for r in gc)
+
+
+def test_burrows_delta_hand(spark):
+    """Two sources with identical function-word rates score delta 0;
+    a stopword-free source sits strictly farther from both."""
+    from greenex_py_spark.functions.text import burrows_delta
+
+    rows = [
+        ("s1", "the cat of the house and a dog"),
+        ("s1", "the bird of a tree and the fox"),
+        ("s2", "the car of the town and a bus"),
+        ("s2", "the ship of a port and the van"),
+        ("s3", "cats dogs birds trees foxes cars towns houses"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["src_a"], r["src_b"]): r["delta"]
+           for r in burrows_delta(df).collect()}
+    assert abs(got[("s1", "s2")]) < 1e-9          # identical rates
+    assert got[("s1", "s3")] > got[("s1", "s2")]
+    assert got[("s2", "s3")] > 0.1
