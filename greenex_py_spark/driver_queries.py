@@ -17910,6 +17910,186 @@ def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_neyman — Neyman-optimal stratified sampling allocation per source
+# ---------------------------------------------------------------------------
+
+_NEYMAN_B = 10_000
+
+
+@register(
+    "q_neyman",
+    f"""
+WITH s AS (
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT k, n,
+         CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * 1000.0 + 0.5) AS BIGINT) AS wq
+  FROM s
+),
+t AS (
+  SELECT k, n, wq,
+         CAST(sum(wq) OVER () AS BIGINT) AS tot
+  FROM w
+),
+u AS (
+  SELECT k, n, wq,
+         (CAST({_NEYMAN_B} AS BIGINT) * wq) // tot AS base,
+         (CAST({_NEYMAN_B} AS BIGINT) * wq) % tot AS rem
+  FROM t
+),
+v AS (
+  SELECT k, n, wq, base,
+         CAST({_NEYMAN_B} AS BIGINT) - sum(base) OVER () AS lft,
+         row_number() OVER (ORDER BY rem DESC, k ASC) AS rk
+  FROM u
+)
+SELECT k AS source, n, wq,
+       CAST(base + (CASE WHEN rk <= lft THEN 1 ELSE 0 END) AS BIGINT)
+         AS quota
+FROM v
+""",
+)
+def q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over sources:
+    stratum budget ∝ N_h·σ_h(n_chars) — the minimum-variance survey
+    design that upgrades q_budget_allocation's proportional split when
+    strata differ in spread.  N_h·σ_h = √(nΣx²−S²) exact under one
+    IEEE sqrt, ×1000-quantized to integer weights, then the exact
+    integer Hamilton largest-remainder rule (ties by key) — the quota
+    column sums to the budget exactly
+    (functions/sampling.py ``neyman_allocation``)."""
+    from .functions.sampling import neyman_allocation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return neyman_allocation(docs, "source", "n_chars", _NEYMAN_B)
+
+
+# ---------------------------------------------------------------------------
+# q_capture_recapture — Lincoln–Petersen/Chapman corpus-size estimate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_capture_recapture",
+    """
+WITH t AS (
+  SELECT
+    CASE WHEN CAST(CAST('0x' || substr(md5('cap1|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS UBIGINT) AS BIGINT) % 100 < 40 THEN 1 ELSE 0 END AS c1,
+    CASE WHEN CAST(CAST('0x' || substr(md5('cap2|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS UBIGINT) AS BIGINT) % 100 < 30 THEN 1 ELSE 0 END AS c2
+  FROM documents
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS true_n,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * c2) AS BIGINT) AS m_both
+  FROM t
+)
+SELECT n1, n2, m_both,
+       CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m_both + 1 AS DOUBLE)
+         - 1.0 AS n_hat,
+       true_n
+FROM s
+""",
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen (Chapman) capture-recapture estimate of corpus
+    size from two independent deterministic md5 captures (40% / 30%)
+    — how crawl-coverage estimation infers the unseen-web size from
+    two snapshots' overlap; the true size rides along so the gate also
+    witnesses the estimator's accuracy at every SF.  Exact integer
+    capture counts, one double division
+    (functions/sampling.py ``capture_recapture``)."""
+    from .functions.sampling import capture_recapture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return capture_recapture(docs, "doc_id", 40, 30)
+
+
+# ---------------------------------------------------------------------------
+# q_yules_k — Yule's characteristic K vocabulary-richness per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_yules_k",
+    """
+WITH toks AS (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+tf AS (SELECT src, w, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY src, w),
+s AS (SELECT src, CAST(sum(tf) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(tf * tf) AS BIGINT) AS s2
+      FROM tf GROUP BY src)
+SELECT src, n AS n_tokens, n_types,
+       CAST(s2 - n AS DOUBLE) * 10000.0
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS yules_k
+FROM s
+""",
+)
+def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source — the length-robust
+    repetitiveness constant 10⁴·(Σtf²−N)/N² over the token frequency
+    spectrum, beside q_lexical_diversity (bigram rate) and
+    q_heaps_law (growth exponent): boilerplate-heavy sources score
+    high regardless of volume.  Σtf² exact int64, one fixed IEEE
+    chain (functions/text.py ``yules_k``)."""
+    from .functions.text import yules_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return yules_k(docs, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# q_powerlaw_alpha — degree-distribution power-law exponent (host graph)
+# ---------------------------------------------------------------------------
+
+@register("q_powerlaw_alpha", None)  # generated oracle attached below
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-MLE power-law exponent α = 1 + n/Σln(d) (d_min = 1,
+    Clauset-Shalizi-Newman eq. 3.1) of the host-graph degree
+    distribution — the scale-free-ness single number that frames the
+    rich-club curve and degree assortativity.  Each ln(d)
+    1e-9-quantized before the order-free integer sum
+    (functions/graph.py ``powerlaw_alpha``)."""
+    from .functions.graph import powerlaw_alpha
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return powerlaw_alpha(edges, src_col="src_host", dst_col="dst_host")
+
+
+ORACLES["q_powerlaw_alpha"] = (
+    "WITH "
+    + _LINK_GRAPH_CTE
+    + """,
+e0 AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                       greatest(src_host, dst_host) AS b
+       FROM r WHERE src_host <> dst_host),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY n),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000000.0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS sum_lnq
+      FROM deg)
+SELECT n_nodes, sum_lnq,
+       CASE WHEN sum_lnq <= 0 THEN NULL
+            ELSE 1.0 + CAST(n_nodes AS DOUBLE)
+                 / (CAST(sum_lnq AS DOUBLE) / 1000000000.0)
+       END AS alpha
+FROM s
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

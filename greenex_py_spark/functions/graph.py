@@ -1575,3 +1575,45 @@ def rich_club(
             ).alias("phi"),
         )
     )
+
+
+def powerlaw_alpha(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row [n_nodes, sum_lnq, alpha] — continuous-MLE power-law
+    exponent of the undirected degree distribution with d_min = 1
+    (Clauset-Shalizi-Newman 2009 eq. 3.1): α = 1 + n / Σ ln(d_i) —
+    the scale-free-ness readout of the host graph that complements
+    the rich-club curve.  Each ln(d) is 1e-9-quantized to int64 on the
+    shared libm expression before the sum (order-free); a degenerate
+    all-degree-1 graph → NULL."""
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    s = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(
+            F.floor(F.log(F.col("d").cast("double")) * 1000000000.0
+                    + F.lit(0.5)).cast("long")
+        ).cast("long").alias("sum_lnq"),
+    )
+    return s.select(
+        "n_nodes", "sum_lnq",
+        F.when(F.col("sum_lnq") <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.lit(1.0)
+            + F.col("n_nodes").cast("double")
+            / (F.col("sum_lnq").cast("double") / 1000000000.0)
+        ).alias("alpha"),
+    )

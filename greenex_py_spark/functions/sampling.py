@@ -643,3 +643,100 @@ def weighted_systematic_sample(
         .filter(F.col("n_hits") > 0)
         .drop("_t", "_cwp")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    key_col: str = "source",
+    value_col: str = "n_chars",
+    budget: int = 10_000,
+) -> DataFrame:
+    """[key, n, wq, quota] — Neyman-optimal stratified sample
+    allocation: stratum h receives budget ∝ N_h·σ_h (minimum-variance
+    allocation for a fixed total sample, Neyman 1934) — the
+    survey-statistics upgrade of :func:`apportion_budget`'s
+    proportional split when strata differ in spread (a volatile source
+    deserves more probe samples than a uniform one).
+
+    N_h·σ_h = √(n_h·Σx² − S_h²) exactly (population σ), quantized
+    ×1000 to the int64 weight ``wq`` on one IEEE sqrt; the integer
+    largest-remainder (Hamilton) rule then apportions ``budget`` over
+    the weights — exact sum, ties by key ascending.
+
+    Shape: one per-stratum aggregate over the corpus; everything after
+    runs on the strata dim."""
+    from pyspark.sql import Window
+
+    s = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("sx"),
+        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long"))
+        .cast("long").alias("sxx"),
+    )
+    w = s.select(
+        "k", "n",
+        F.floor(
+            F.sqrt((F.col("n") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")).cast("double"))
+            * 1000.0 + F.lit(0.5)
+        ).cast("long").alias("wq"),
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(F.col("rem").desc(), F.col("k").asc())
+    b = F.lit(int(budget))
+    t = (
+        w.withColumn("tot", F.sum("wq").over(wall))
+        .withColumn("base", F.expr(f"(CAST({int(budget)} AS BIGINT) * wq)"
+                                   " div tot"))
+        .withColumn("rem", (b * F.col("wq")) % F.col("tot"))
+    )
+    t = t.withColumn("left", b - F.sum("base").over(wall)) \
+         .withColumn("rk", F.row_number().over(wrank))
+    quota = F.col("base") + F.when(F.col("rk") <= F.col("left"), 1) \
+        .otherwise(0)
+    return t.select(
+        F.col("k").alias(key_col), "n", "wq",
+        quota.cast("long").alias("quota"),
+    )
+
+
+def capture_recapture(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pct1: int = 40,
+    pct2: int = 30,
+) -> DataFrame:
+    """One row [n1, n2, m_both, n_hat, true_n] — Lincoln–Petersen /
+    Chapman capture-recapture estimate of corpus size from two
+    independent deterministic hash "captures": how crawl-coverage
+    estimation infers the size of the unseen web from the overlap of
+    two crawl snapshots.  Capture i = md5('capI|' || id) mod 100 <
+    pct_i (independent salts); Chapman's less-biased estimator
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 is exact-int assembled with one double
+    division, and the true corpus size rides along so the gate also
+    checks the estimator's accuracy contract."""
+    def cap(salt: str):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                       F.col(id_col).cast("string"))),
+                        1, 15),
+            16, 10,
+        ).cast("long") % 100
+        return h
+
+    t = df.select(
+        (cap("cap1") < pct1).cast("int").alias("c1"),
+        (cap("cap2") < pct2).cast("int").alias("c2"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("long").alias("true_n"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("m_both"),
+    )
+    nhat = (
+        ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+        / (F.col("m_both") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    return s.select("n1", "n2", "m_both", nhat.alias("n_hat"), "true_n")

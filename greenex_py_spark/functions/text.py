@@ -1839,3 +1839,41 @@ def burrows_delta(
              / (len(mk) * 1000000.0)).alias("delta")
         )
     )
+
+
+def yules_k(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """[src, n_tokens, n_types, yules_k] — Yule's characteristic K per
+    source (Yule 1944): K = 10⁴·(Σ_m m²·V_m − N)/N² over the token
+    frequency spectrum (V_m = types occurring m times) — the
+    length-robust vocabulary-richness/repetitiveness constant
+    (boilerplate-heavy sources score high) beside q_lexical_diversity's
+    distinct-bigram rate and q_heaps_law's growth exponent.
+
+    Exactness: the spectrum reduces to Σ m²·V_m = Σ_types tf², an
+    exact int64 over per-type counts; K is one fixed
+    (s2−N)·10⁴/(N·N) IEEE chain, shipped unrounded.
+
+    Scale: one token explode → (source, token) count (map-side
+    combinable) → per-source int sums."""
+    toks = df.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    tf = toks.groupBy("src", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    s = tf.groupBy("src").agg(
+        F.sum("tf").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("s2"),
+    )
+    return s.select(
+        "src",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        ((F.col("s2") - F.col("n")).cast("double") * 10000.0
+         / (F.col("n").cast("double") * F.col("n").cast("double")))
+        .alias("yules_k"),
+    )

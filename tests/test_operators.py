@@ -7545,3 +7545,67 @@ def test_burrows_delta_hand(spark):
     assert abs(got[("s1", "s2")]) < 1e-9          # identical rates
     assert got[("s1", "s3")] > got[("s1", "s2")]
     assert got[("s2", "s3")] > 0.1
+
+
+def test_neyman_allocation_hand(spark):
+    """Two equal-size strata, one with 3x the spread, draw ~3x the
+    budget; quotas sum exactly to the budget."""
+    from greenex_py_spark.functions.sampling import neyman_allocation
+
+    rows = ([("a", v) for v in (10, 20, 10, 20) * 25]       # low spread
+            + [("b", v) for v in (0, 30, 0, 30) * 25])      # 3x spread
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r["source"]: r for r in
+           neyman_allocation(df, "source", "n_chars", 1000).collect()}
+    assert got["a"]["quota"] + got["b"]["quota"] == 1000
+    ratio = got["b"]["quota"] / got["a"]["quota"]
+    assert 2.5 < ratio < 3.5
+
+
+def test_capture_recapture_hand(spark):
+    """The Chapman estimate lands near the true corpus size (within
+    15% at n=2000) and the overlap matches the two salts'
+    independence."""
+    from greenex_py_spark.functions.sampling import capture_recapture
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    r = capture_recapture(df, "doc_id", 40, 30).collect()[0]
+    assert r["true_n"] == 2000
+    assert abs(r["n_hat"] - 2000) / 2000 < 0.15
+    assert 0 < r["m_both"] < min(r["n1"], r["n2"])
+
+
+def test_yules_k_hand(spark):
+    """Closed form on a tiny source: K = 1e4 (sum tf^2 - N)/N^2; a
+    maximally repetitive source scores far higher than an all-distinct
+    one (K exactly 0)."""
+    from greenex_py_spark.functions.text import yules_k
+
+    rows = [("rep", "x x x x y y"), ("uniq", "a b c d e f")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["src"]: r for r in yules_k(df).collect()}
+    # rep: tf = {x:4, y:2} -> s2 = 20, N = 6 -> K = 1e4*14/36
+    assert abs(got["rep"]["yules_k"] - 1e4 * 14 / 36) < 1e-9
+    assert got["uniq"]["yules_k"] == 0.0
+    assert (got["rep"]["n_tokens"], got["rep"]["n_types"]) == (6, 2)
+
+
+def test_powerlaw_alpha_hand(spark):
+    """Star graph: hub degree n-1, leaves degree 1 → alpha =
+    1 + n/ln(n-1) exactly at the quantizer; an edge (degree-1 pair)
+    graph degenerates to NULL."""
+    import math
+
+    from greenex_py_spark.functions.graph import powerlaw_alpha
+
+    star = [("c", f"s{i}") for i in range(9)]
+    r = powerlaw_alpha(
+        spark.createDataFrame(star, "src string, dst string")
+    ).collect()[0]
+    n = 10
+    want = 1.0 + n / (math.floor(math.log(9) * 1e9 + 0.5) / 1e9)
+    assert r["n_nodes"] == n
+    assert abs(r["alpha"] - want) < 1e-12
+
+    pair = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert powerlaw_alpha(pair).collect()[0]["alpha"] is None
