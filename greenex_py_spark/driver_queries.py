@@ -18090,6 +18090,76 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# q_pysource_scan — Spark-4 Python DataSource raster scan
+# ---------------------------------------------------------------------------
+
+
+def _pysource_oracle(quant: float = 1e6) -> str:
+    npx, tile_px = city.NPX, city.TILE_PX
+    q = (
+        "CAST(round(("
+        + city.NDVI_SQL.format(
+            px_x=f"{city.X0} + ((i % {npx}) + 0.5) * {city.RES}",
+            px_y=f"{city.Y0} + ((i // {npx}) + 0.5) * {city.RES}",
+        )
+        + f") * {quant}) AS BIGINT)"
+    )
+    return f"""
+WITH px AS (
+  SELECT (i % {npx}) // {tile_px} AS tx, (i // {npx}) // {tile_px} AS ty,
+         {q} AS q
+  FROM (SELECT unnest(generate_series(0, {npx * npx - 1})) AS i)
+)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(q) AS BIGINT) AS vsum_q,
+       CAST(min(q) AS BIGINT) AS vmin_q,
+       CAST(max(q) AS BIGINT) AS vmax_q
+FROM px GROUP BY tx, ty
+"""
+
+
+@register("q_pysource_scan", _pysource_oracle())
+def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster scan through a CUSTOM PYTHON DATASOURCE (the Spark-4
+    DataSource API, SPARK-44076): the synthetic sin·cos raster exposed
+    as spark.read.format("sincos_tiles") with one InputPartition per
+    tile and Arrow RecordBatch emission — the first-class source
+    surface the mapInPandas ingest job becomes when promoted into
+    Spark's scan machinery (scheduling, AQE, and partition parallelism
+    all apply).  Every grid constant travels as a reader option
+    (sources/pysource.py is fixture-free); per-tile exact quantized
+    sums/extrema are hash-checked against the closed-form pixel
+    enumeration, proving the DataSource path is bit-identical to the
+    mapInPandas ingest (smoke-proven equal in test_sources)."""
+    from .sources.pysource import SinCosTileSource
+
+    spark.dataSource.register(SinCosTileSource)
+    tiles = (
+        spark.read.format("sincos_tiles")
+        .options(
+            x0=str(city.X0), y0=str(city.Y0), res=str(city.RES),
+            tile_px=str(city.TILE_PX), npx=str(city.NPX),
+            x_scale="500", y_scale="500",
+        )
+        .load()
+    )
+    v = tiles.select(
+        "tx", "ty",
+        F.explode("px").alias("v"),
+    ).select(
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.round(F.col("v") * 1000000.0).cast("long").alias("q"),
+    )
+    return v.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("long").alias("n_px"),
+        F.sum("q").cast("long").alias("vsum_q"),
+        F.min("q").cast("long").alias("vmin_q"),
+        F.max("q").cast("long").alias("vmax_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

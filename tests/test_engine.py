@@ -739,3 +739,58 @@ def test_complete_mode_state_spans_runs(spark, tmp_path):
         "click": (1, 2_000_000),
         "buy": (1, 10_000_000),
     }
+
+
+def test_transform_with_state_surface(spark):
+    """transformWithStateInPandas (Spark-4 state v2): the processor
+    and plan build; the RUN is environment-gated on protobuf (the
+    state-server protocol) — executed when available, otherwise the
+    documented initialization failure is asserted instead."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from greenex_py_spark.streaming.tws import (
+        RunningTotalsProcessor, running_user_totals,
+    )
+    from pyspark.sql import functions as F
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_pb = True
+    except ImportError:
+        have_pb = False
+
+    base = tempfile.mkdtemp()
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    try:
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).select("event_id", "ts", "user_id", "event_type", "value",
+                 "props")
+        ev.filter("event_id % 2 = 0").coalesce(1).write.mode(
+            "append").parquet(src)
+        ev.filter("event_id % 2 = 1").coalesce(1).write.mode(
+            "append").parquet(src)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        if not have_pb:
+            with pytest.raises(Exception, match="TransformWithState"):
+                running_user_totals(spark, src, ckpt, "tws_gate_t")
+            return
+        out = running_user_totals(spark, src, ckpt, "tws_gate_t")
+        got = {r["user_id"]: (r["n_events"], r["value_q"])
+               for r in out.collect()}
+        want = {r["user_id"]: (r["n"], r["vq"])
+                for r in ev.groupBy("user_id").agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.floor(F.col("value") * 1e6 + 0.5)
+                          .cast("long")).alias("vq")).collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

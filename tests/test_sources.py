@@ -75,3 +75,37 @@ def test_slippy_tile_math(spark):
         assert 0 <= x < 1024 and 0 <= y < 1024
     with pytest.raises(ValueError, match="antimeridian"):
         tiles_for_bbox(170.0, 0.0, -170.0, 1.0, 10)
+
+
+def test_pysource_equals_mapinpandas_ingest(spark):
+    """The Spark-4 Python DataSource scan is bit-identical to the
+    mapInPandas ingest job on the same grid (per-tile quantized sums
+    agree), and Spark schedules one InputPartition per tile."""
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.sources.pysource import SinCosTileSource
+
+    spark.dataSource.register(SinCosTileSource)
+    via_source = (
+        spark.read.format("sincos_tiles")
+        .options(x0=str(city.X0), y0=str(city.Y0), res=str(city.RES),
+                 tile_px=str(city.TILE_PX), npx=str(city.NPX),
+                 x_scale="500", y_scale="500")
+        .load()
+    )
+
+    def tile_sums(df):
+        return {
+            (r["tx"], r["ty"]): r["s"]
+            for r in df.select(
+                "tx", "ty", F.explode("px").alias("v")
+            ).groupBy("tx", "ty").agg(
+                F.sum(F.round(F.col("v") * 1e6).cast("long")).alias("s")
+            ).collect()
+        }
+
+    assert tile_sums(via_source) == tile_sums(
+        city.tiles_df(spark, "ndvi").select("tx", "ty", "px")
+    )
+    assert via_source.rdd.getNumPartitions() == 16
