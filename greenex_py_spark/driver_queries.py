@@ -18160,6 +18160,125 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_kulldorff — spatial scan statistic: top hotspot windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_kulldorff",
+    _CTE + f""",
+{_COUNT_CELLS_SQL.strip()},
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM c),
+offs AS (
+  SELECT r.r, dx.dx, dy.dy
+  FROM (SELECT unnest([1, 2, 3]) AS r) r,
+       (SELECT unnest(generate_series(-3, 3)) AS dx) dx,
+       (SELECT unnest(generate_series(-3, 3)) AS dy) dy
+  WHERE abs(dx.dx) <= r.r AND abs(dy.dy) <= r.r
+),
+sh AS (
+  SELECT c.gx + o.dx AS cgx, c.gy + o.dy AS cgy, o.r,
+         CAST(sum(c.cnt) AS BIGINT) AS n_in
+  FROM c, offs o GROUP BY 1, 2, 3
+),
+win AS (
+  SELECT sh.cgx AS gx, sh.cgy AS gy, sh.r, sh.n_in,
+         CAST((least(sh.cgx + sh.r, 99) - greatest(sh.cgx - sh.r, 0) + 1)
+              * (least(sh.cgy + sh.r, 99) - greatest(sh.cgy - sh.r, 0) + 1)
+              AS BIGINT) AS a_cells,
+         tot.nn
+  FROM sh JOIN c ON c.gx = sh.cgx AND c.gy = sh.cgy, tot
+),
+sc AS (
+  SELECT gx, gy, r, n_in, a_cells,
+         CAST(floor((CASE
+           WHEN CAST(n_in AS DOUBLE) <=
+                CAST(nn AS DOUBLE) * CAST(a_cells AS DOUBLE) / 10000.0
+           THEN 0.0
+           ELSE CAST(n_in AS DOUBLE)
+                * ln(CAST(n_in AS DOUBLE)
+                     / (CAST(nn AS DOUBLE) * CAST(a_cells AS DOUBLE)
+                        / 10000.0))
+                + (CASE WHEN CAST(nn - n_in AS DOUBLE) = 0.0 THEN 0.0
+                   ELSE CAST(nn - n_in AS DOUBLE)
+                        * ln(CAST(nn - n_in AS DOUBLE)
+                             / (CAST(nn AS DOUBLE)
+                                - CAST(nn AS DOUBLE)
+                                  * CAST(a_cells AS DOUBLE) / 10000.0))
+                   END)
+           END) * 1000000.0 + 0.5) AS BIGINT) AS llr_q
+  FROM win
+)
+SELECT gx, gy, r, n_in, a_cells,
+       CAST(llr_q AS DOUBLE) / 1000000.0 AS llr
+FROM sc ORDER BY llr_q DESC, r ASC, gx ASC, gy ASC LIMIT 10
+""",
+)
+def q_kulldorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kulldorff spatial scan statistic over the geocoded corpus: the
+    top-10 square hotspot windows (half-widths 1–3 cells, occupied
+    centres) by Poisson log-likelihood ratio against the area-CSR
+    null — the detection statistic that LOCALIZES what q_getis_ord
+    scores per cell and q_quadrat_csr tests globally (the urban core
+    dominates by construction).  Window counts/areas exact int64; the
+    LLR is one fixed IEEE chain 1e-6-quantized BEFORE the integer
+    top-10 ranking (operators/spatial_stats.py ``kulldorff_scan``)."""
+    from .operators.spatial_stats import kulldorff_scan
+
+    return kulldorff_scan(
+        _count_cells_df(spark, sf_dir), n_gx=100, n_gy=100,
+        radii=(1, 2, 3), top_n=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mrr — mean-reciprocal-rank of the true NN inside the IVF ANN list
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mrr",
+    f"""
+WITH approx AS ({_IVF_ANN_SQL}),
+exact AS ({_COSINE_TOPK_SQL})
+SELECT e.q_id, e.n_id AS true_nn,
+       CAST(COALESCE(a.rank, 0) AS BIGINT) AS found_rank,
+       CASE WHEN a.rank IS NULL THEN 0.0
+            ELSE 1.0 / CAST(a.rank AS DOUBLE) END AS rr
+FROM exact e
+LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+WHERE e.rank = 1
+""",
+)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of each query's TRUE nearest neighbour (exact
+    top-1) inside the IVF ANN's returned list — the position-sensitive
+    serving metric beside q_ann_recall's set overlap: recall@10 can
+    hide a true-NN buried at rank 10, MRR cannot.  Composed verbatim
+    from the two gate-verified searches; rr is one exact integer
+    reciprocal (missing → 0)."""
+    from .functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact1 = cosine_topk(q, emb, k=10).filter(F.col("rank") == 1)
+    appr = ivf_topk(q, emb, k=10, nprobe=4).select(
+        "q_id", F.col("n_id").alias("a_nid"), F.col("rank").alias("a_rank")
+    )
+    j = exact1.join(
+        appr,
+        (exact1["q_id"] == appr["q_id"])
+        & (exact1["n_id"] == appr["a_nid"]),
+        "left",
+    )
+    return j.select(
+        exact1["q_id"].alias("q_id"),
+        exact1["n_id"].alias("true_nn"),
+        F.coalesce("a_rank", F.lit(0)).cast("long").alias("found_rank"),
+        F.when(F.col("a_rank").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("a_rank").cast("double")).alias("rr"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1661,3 +1661,99 @@ def contagion(
             / (2.0 * F.log(F.col("m_classes").cast("double")))
         ).alias("contagion"),
     )
+
+
+def kulldorff_scan(
+    cells: DataFrame,
+    n_gx: int,
+    n_gy: int,
+    radii: tuple = (1, 2, 3),
+    top_n: int = 10,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """[gx, gy, r, n_in, a_cells, llr] — Kulldorff spatial scan
+    statistic over square windows (Kulldorff 1997, Poisson/area null):
+    for every occupied cell and window half-width r the log-likelihood
+    ratio of "this (2r+1)² box is a hotspot" under the CSR baseline
+    E = N·a/A (a = in-extent cells of the box, A = total grid cells),
+    LLR = n·ln(n/E) + (N−n)·ln((N−n)/(N−E)) for high clusters
+    (n > E, else 0) — the detection statistic that localizes what
+    q_getis_ord scores per cell and q_quadrat_csr tests globally,
+    reporting the top-N windows.
+
+    Exactness: window counts n and areas a are exact int64 (offset
+    explode + one (center, r)-keyed sum; a is closed-form from the
+    border clamps); the LLR is ONE fixed IEEE chain per window,
+    1e-6-quantized to int64 BEFORE the ranking, so the top-N order
+    compares integers (ties r, gx, gy ascending) and llr ships as
+    llr_q/1e6.
+
+    Scale: the only non-dim work is the offset explode — Σ(2r+1)²
+    rows per occupied cell — and one shuffle on the window center;
+    candidate centers are occupied cells (documented restriction: a
+    hotspot centre contains points)."""
+    spark = cells.sparkSession
+    c = cells.select(
+        F.col(gx_col).alias("gx"), F.col(gy_col).alias("gy"),
+        F.col(cnt_col).cast("long").alias("cnt"),
+    ).localCheckpoint()  # centers + shifted contributions + total
+    tot = c.agg(F.sum("cnt").cast("long").alias("nn"))
+    offs = spark.createDataFrame(
+        [(r, dx, dy) for r in radii
+         for dx in range(-r, r + 1) for dy in range(-r, r + 1)],
+        "r long, dx long, dy long",
+    )
+    shifted = (
+        c.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("gx") + F.col("dx")).alias("cgx"),
+            (F.col("gy") + F.col("dy")).alias("cgy"),
+            "r", "cnt",
+        )
+        .groupBy("cgx", "cgy", "r")
+        .agg(F.sum("cnt").cast("long").alias("n_in"))
+    )
+    win = shifted.join(
+        c.select(F.col("gx").alias("cgx"), F.col("gy").alias("cgy")),
+        ["cgx", "cgy"],
+    )
+    ax = (
+        F.least(F.col("cgx") + F.col("r"), F.lit(n_gx - 1))
+        - F.greatest(F.col("cgx") - F.col("r"), F.lit(0)) + 1
+    )
+    ay = (
+        F.least(F.col("cgy") + F.col("r"), F.lit(n_gy - 1))
+        - F.greatest(F.col("cgy") - F.col("r"), F.lit(0)) + 1
+    )
+    a_tot = n_gx * n_gy
+    w = win.crossJoin(F.broadcast(tot)).select(
+        F.col("cgx").alias("gx"), F.col("cgy").alias("gy"), "r", "n_in",
+        (ax * ay).cast("long").alias("a_cells"),
+        F.col("nn"),
+    )
+    nd = F.col("n_in").cast("double")
+    td = F.col("nn").cast("double")
+    e = td * F.col("a_cells").cast("double") / float(a_tot)
+    rest = (F.col("nn") - F.col("n_in")).cast("double")
+    llr = F.when(
+        nd <= e, F.lit(0.0)
+    ).otherwise(
+        nd * F.log(nd / e)
+        + F.when(rest == 0.0, F.lit(0.0))
+        .otherwise(rest * F.log(rest / (td - e)))
+    )
+    scored = w.select(
+        "gx", "gy", "r", "n_in", "a_cells",
+        F.floor(llr * 1000000.0 + F.lit(0.5)).cast("long").alias("llr_q"),
+    )
+    return (
+        scored.orderBy(F.desc("llr_q"), F.asc("r"), F.asc("gx"),
+                       F.asc("gy"))
+        .limit(top_n)
+        .select(
+            "gx", "gy", "r", "n_in", "a_cells",
+            (F.col("llr_q").cast("double") / 1000000.0).alias("llr"),
+        )
+    )

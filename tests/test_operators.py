@@ -7609,3 +7609,55 @@ def test_powerlaw_alpha_hand(spark):
 
     pair = spark.createDataFrame([("a", "b")], "src string, dst string")
     assert powerlaw_alpha(pair).collect()[0]["alpha"] is None
+
+
+def test_kulldorff_scan_hand(spark):
+    """A planted dense blob on a sparse background: the top window
+    centres on the blob, its LLR matches a pure-Python mirror of the
+    quantized chain, and border windows clamp their cell area."""
+    import math
+
+    from greenex_py_spark.operators.spatial_stats import kulldorff_scan
+
+    # 10x10 grid: blob of 20 at (5,5), 1s elsewhere on a few cells
+    cells = [(5, 5, 20), (5, 6, 15), (6, 5, 12),
+             (0, 0, 1), (9, 9, 1), (2, 7, 1)]
+    df = spark.createDataFrame(cells, "gx long, gy long, cnt long")
+    got = kulldorff_scan(df, n_gx=10, n_gy=10, radii=(1,),
+                         top_n=3).collect()
+    top = got[0]
+    nn = sum(c for _, _, c in cells)
+
+    def llr(n_in, a):
+        e = nn * a / 100.0
+        if n_in <= e:
+            return 0.0
+        rest = nn - n_in
+        v = n_in * math.log(n_in / e)
+        if rest:
+            v += rest * math.log(rest / (nn - e))
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    # the r=1 box at (5,5) captures 47 of 50
+    assert (top["gx"], top["gy"], top["r"], top["n_in"]) == (5, 5, 1, 47)
+    assert abs(top["llr"] - llr(47, 9)) < 1e-12
+    # corner window at (0,0) clamps to 4 cells
+    corner = [r for r in got if (r["gx"], r["gy"]) == (0, 0)]
+    if corner:
+        assert corner[0]["a_cells"] == 4
+
+
+def test_mrr_composition(spark):
+    """q_mrr invariants at sf0.001: rr = 1/found_rank when found, 0
+    when missing, and never exceeds 1; the true_nn matches the exact
+    top-1."""
+    import greenex_py_spark.driver_queries as dq
+
+    rows = dq.QUERIES["q_mrr"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        if r["found_rank"] == 0:
+            assert r["rr"] == 0.0
+        else:
+            assert abs(r["rr"] - 1.0 / r["found_rank"]) < 1e-15
+        assert 0.0 <= r["rr"] <= 1.0
