@@ -18279,6 +18279,52 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_edge_betweenness — Girvan–Newman edge betweenness of the host graph
+# ---------------------------------------------------------------------------
+
+
+def _edge_betweenness_oracle() -> str:
+    from .functions.graph import edge_betweenness_oracle_tail
+
+    return (
+        "WITH "
+        + _LINK_GRAPH_CTE
+        + """,
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM r WHERE src_host <> dst_host
+),
+"""
+        + edge_betweenness_oracle_tail("e0", rounds=_BETW_ROUNDS)
+    )
+
+
+@register("q_edge_betweenness", None)  # generated oracle attached below
+def q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact EDGE betweenness of the undirected host graph — the
+    Girvan–Newman community-splitting criterion that completes the
+    Brandes family beside q_betweenness's node scores: the same
+    distributed all-sources sweep, with each dependency term credited
+    to the shortest-path-DAG edge it flows through; bridges between
+    host communities carry the crossing pair mass, intra-clique edges
+    score low (functions/graph.py ``edge_betweenness``).  Exact int64
+    σ, per-term 1e-9 quantization before every sum; the oracle
+    unrolls the same rounds and credits the same edges."""
+    from .functions.graph import edge_betweenness
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return edge_betweenness(
+        edges, src_col="src_host", dst_col="dst_host",
+        max_depth=_BETW_ROUNDS,
+    )
+
+
+ORACLES["q_edge_betweenness"] = _edge_betweenness_oracle()
+
+
+# ---------------------------------------------------------------------------
 # pinned-VALUES oracles for the queries with no closed-form SQL twin
 # (q_stream_ingest / q_multimodal_gvi / q_lsh_ann / q_viewshed_gvi):
 # expected rows computed by independent mirrors and cross-checked against

@@ -1617,3 +1617,154 @@ def powerlaw_alpha(
             / (F.col("sum_lnq").cast("double") / 1000000000.0)
         ).alias("alpha"),
     )
+
+
+def edge_betweenness(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 20,
+) -> DataFrame:
+    """[a, b, ebc] — EXACT shortest-path EDGE betweenness of the
+    undirected simple graph (the Girvan–Newman community-detection
+    splitting criterion): the same distributed all-sources Brandes
+    sweep as :func:`betweenness_centrality`, but the backward pass
+    credits each dependency term (σ_v/σ_w)·(1+δ_w) to the DAG edge
+    (v, w) it flows through instead of to the node — EBC{v,w} =
+    Σ_s terms / 2.  Bridges score the full pair count that crosses
+    them; intra-clique edges score low.
+
+    Exactness and shape identical to the node variant: exact int64 σ,
+    every term 1e-9-quantized on one fixed IEEE chain BEFORE its sum
+    (order-free), level-synchronous BFS state ≤ |V|² (dim-sized host
+    graph), localCheckpoint per round."""
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # consumed by adj AND the final edge join
+    )
+    adj = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("w"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("w")))
+        .localCheckpoint()
+    )
+    nodes = adj.select("u").distinct().localCheckpoint()
+    lv0 = nodes.select(
+        F.col("u").alias("s"), F.col("u").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    levels = [lv0]
+    vis = lv0.select("s", "v").localCheckpoint()
+    cur = lv0
+    for _ in range(max_depth):
+        cand = cur.join(adj, cur["v"] == adj["u"]).select(
+            "s", F.col("w").alias("v"), "sigma"
+        )
+        nxt = (
+            cand.join(vis, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        vis = vis.unionByName(nxt.select("s", "v")).localCheckpoint()
+        cur = nxt
+    delta = levels[-1].select(
+        "s", "v", "sigma", F.lit(0).cast("long").alias("dq")
+    ).localCheckpoint()
+    edge_parts = []
+    for L in range(len(levels) - 2, -1, -1):
+        p = levels[L]
+        succ = (
+            p.join(adj, p["v"] == adj["u"])
+            .select("s", "v", "sigma", F.col("w").alias("vw"))
+            .join(
+                delta.select(
+                    F.col("s").alias("s2"), F.col("v").alias("vw2"),
+                    F.col("sigma").alias("sw"), F.col("dq").alias("dqw"),
+                ),
+                (F.col("s") == F.col("s2")) & (F.col("vw") == F.col("vw2")),
+            )
+        )
+        ratio = F.col("sigma").cast("double") / F.col("sw").cast("double")
+        fac = F.lit(1.0) + F.col("dqw").cast("double") / 1000000000.0
+        term = F.floor(ratio * fac * 1000000000.0 + F.lit(0.5)).cast("long")
+        with_term = succ.select(
+            "s", "v", "vw", term.alias("tq")
+        ).localCheckpoint()
+        edge_parts.append(
+            with_term.select(
+                F.least("v", "vw").alias("a"),
+                F.greatest("v", "vw").alias("b"),
+                "tq",
+            )
+        )
+        contrib = with_term.groupBy("s", "v").agg(
+            F.sum("tq").cast("long").alias("dq")
+        )
+        delta = (
+            p.join(contrib, ["s", "v"], "left")
+            .select(
+                "s", "v", "sigma",
+                F.coalesce("dq", F.lit(0)).cast("long").alias("dq"),
+            )
+            .localCheckpoint()
+        )
+    acc = edge_parts[0]
+    for d in edge_parts[1:]:
+        acc = acc.unionByName(d)
+    return (
+        acc.groupBy("a", "b")
+        .agg(F.sum("tq").cast("long").alias("tq"))
+        .join(und, ["a", "b"], "right")
+        .select(
+            "a", "b",
+            (F.coalesce("tq", F.lit(0)).cast("double")
+             / 1000000000.0 / 2.0).alias("ebc"),
+        )
+    )
+
+
+def edge_betweenness_oracle_tail(e0: str, rounds: int) -> str:
+    """Unrolled Girvan–Newman edge-betweenness CTE chain over
+    ``e0 (a, b)`` — the DuckDB twin of :func:`edge_betweenness`:
+    reuses the node oracle's BFS levels, then credits each per-level
+    dependency term to its DAG edge."""
+    head = betweenness_oracle_tail(e0, rounds)
+    # keep everything up to (excluding) the final SELECT of the node
+    # variant; the bd{L} CTEs and blv{L} levels are what we need.
+    head = head[: head.index(",\nballd AS (")]
+    parts = [head]
+    ebs = []
+    for L in range(rounds - 1, -1, -1):
+        nxt = f"bd{L + 1}" if L + 1 <= rounds else None
+        parts.append(
+            f""",
+bee{L} AS MATERIALIZED (
+  SELECT least(p.v, a.w) AS ea, greatest(p.v, a.w) AS eb,
+         CAST(floor((CAST(p.sigma AS DOUBLE) / CAST(q.sigma AS DOUBLE))
+              * (1.0 + CAST(q.dq AS DOUBLE) / 1000000000.0)
+              * 1000000000.0 + 0.5) AS BIGINT) AS tq
+  FROM blv{L} p
+  JOIN badj a ON a.u = p.v
+  JOIN bd{L + 1} q ON q.s = p.s AND q.v = a.w
+)"""
+        )
+        ebs.append(f"SELECT ea, eb, tq FROM bee{L}")
+    union = " UNION ALL ".join(ebs)
+    parts.append(
+        f""",
+beall AS ({union}),
+beagg AS (SELECT ea, eb, CAST(sum(tq) AS BIGINT) AS tq
+          FROM beall GROUP BY ea, eb)
+SELECT e.a, e.b,
+       CAST(COALESCE(g.tq, 0) AS DOUBLE) / 1000000000.0 / 2.0 AS ebc
+FROM {e0} e LEFT JOIN beagg g ON g.ea = e.a AND g.eb = e.b"""
+    )
+    return "".join(parts)

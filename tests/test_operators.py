@@ -7661,3 +7661,72 @@ def test_mrr_composition(spark):
         else:
             assert abs(r["rr"] - 1.0 / r["found_rank"]) < 1e-15
         assert 0.0 <= r["rr"] <= 1.0
+
+
+def test_edge_betweenness_mirror(spark):
+    """Distributed edge betweenness == a pure-Python Brandes edge
+    mirror with the identical per-term quantization; on a path the
+    edge (i, i+1) carries exactly (i+1)(n-1-i); a bridge between two
+    triangles carries all 9 crossing pairs."""
+    import collections
+    import math
+    import random
+
+    from greenex_py_spark.functions.graph import edge_betweenness
+
+    def mirror(named):
+        adj = collections.defaultdict(set)
+        for a, b in named:
+            adj[a].add(b)
+            adj[b].add(a)
+        tot = collections.Counter()
+        for s in adj:
+            dist = {s: 0}
+            sigma = {s: 1}
+            order = [s]
+            qd = collections.deque([s])
+            while qd:
+                u = qd.popleft()
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        sigma[w] = 0
+                        qd.append(w)
+                        order.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            dq = {v: 0 for v in dist}
+            for v in reversed(order):
+                for w in adj[v]:
+                    if dist.get(w) == dist[v] + 1:
+                        t = math.floor(
+                            sigma[v] / sigma[w] * (1.0 + dq[w] / 1e9) * 1e9
+                            + 0.5
+                        )
+                        dq[v] += t
+                        tot[(min(v, w), max(v, w))] += t
+        return {e: c / 1e9 / 2.0 for e, c in tot.items()}
+
+    rng = random.Random(5)
+    n = 16
+    edges = set()
+    for i in range(1, n):
+        edges.add((rng.randrange(i), i))
+    for _ in range(10):
+        x, y = rng.randrange(n), rng.randrange(n)
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+    named = [(f"h{a}", f"h{b}") for a, b in edges]
+    got = {(r["a"], r["b"]): r["ebc"] for r in edge_betweenness(
+        spark.createDataFrame(named, "src string, dst string")).collect()}
+    want = mirror(named)
+    assert set(got) == set(want)
+    for e in got:
+        assert abs(got[e] - want[e]) < 1e-12, e
+
+    # two triangles joined by a bridge: the bridge carries 3*3 pairs
+    tri = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+           ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a1", "b1")]
+    gb = {(r["a"], r["b"]): r["ebc"] for r in edge_betweenness(
+        spark.createDataFrame(tri, "src string, dst string")).collect()}
+    assert round(gb[("a1", "b1")], 6) == 9.0
