@@ -18353,3 +18353,384 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     greens = city.greenspace_df(spark)
     joined = point_in_rect_join(pts, greens, point_key="doc_id")
     return joined.select("doc_id", "x", "y", "cell", "gs_id")
+
+
+# ---------------------------------------------------------------------------
+# q_wasserstein — per-source W1 transport distance of the length
+# distribution vs the whole corpus
+# ---------------------------------------------------------------------------
+
+from .functions.stats import wasserstein_1d_sql as _w1_sql  # noqa: E402
+
+
+@register("q_wasserstein", _w1_sql("documents", "source", "n_chars"))
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth-mover (Wasserstein-1) distance between each
+    source's document-length distribution and the whole corpus — the
+    transport-cost source-shift detector beside q_ks_test (sup metric)
+    and q_js_divergence (content): KS sees only the worst point, W1
+    integrates the entire CDF gap.  Numerator exact int64 on the
+    value-domain grid; one corpus-sized groupBy, dim-sized windows."""
+    from .functions.stats import wasserstein_1d
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return wasserstein_1d(docs, "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q_jarque_bera — per-source normality of document lengths
+# ---------------------------------------------------------------------------
+
+from .functions.stats import jarque_bera_sql as _jb_sql  # noqa: E402
+
+
+@register("q_jarque_bera", _jb_sql("documents", "source", "n_chars"))
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test of each source's length
+    distribution — completes the distribution-shape family
+    (q_ks_test / q_anderson_darling compare groups to each other; JB
+    tests each group against normality itself, the standard residual
+    check before the parametric tests are trusted).  Four exact int64
+    power sums per source, one map-side-combinable aggregation, one
+    identical IEEE assembly chain shipped unrounded."""
+    from .functions.stats import jarque_bera
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jarque_bera(docs, "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q_bleu — corpus BLEU-4 of a 4-char-stem normalization vs the original
+# ---------------------------------------------------------------------------
+
+from .functions.text import corpus_bleu4_sql as _bleu_sql  # noqa: E402
+
+_STEM4_SQL = r"regexp_replace(text, '(\S{4})\S*', '\1', 'g')"
+
+
+@register("q_bleu", _bleu_sql(_STEM4_SQL, "text"))
+def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-4 per source between an aggressive 4-char
+    stemming of the text and the original — the machine-translation
+    metric turned curation eval: how much n-gram structure does a lossy
+    vocabulary compression destroy?  The stem is token-count-preserving
+    (pure regexp per token), so the brevity penalty is exactly 1 and
+    the whole score stays in exact IEEE arithmetic (int64 clipped
+    counts, four ratio products, two sqrts — no exp/ln).  Clip join is
+    co-partitioned with its counts' groupBy key."""
+    from .functions.text import corpus_bleu4
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepared = docs.select(
+        "source", "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S{4})\S*", "$1").alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return corpus_bleu4(prepared, "source", "doc_id", "cand", "ref")
+
+
+# ---------------------------------------------------------------------------
+# q_rouge — ROUGE-1/2 recall of the lead-20 extractive baseline
+# ---------------------------------------------------------------------------
+
+from .functions.text import rouge_n_sql as _rouge_sql  # noqa: E402
+
+_LEAD20_SQL = "array_to_string(string_split(text, ' ')[1:20], ' ')"
+
+
+@register("q_rouge", _rouge_sql(_LEAD20_SQL, "text", 2))
+def q_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ROUGE-1/ROUGE-2 recall per source of the lead-20
+    extractive baseline (the classic lead-N summarizer) against the
+    full document — the recall-side summarization eval beside
+    q_bleu's precision view.  Clipped int64 matches over reference
+    n-gram counts; one division, portable unrounded."""
+    from .functions.text import rouge_n_recall
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepared = docs.select(
+        "source", "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ").alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return rouge_n_recall(prepared, "source", "doc_id", "cand", "ref", 2)
+
+
+# ---------------------------------------------------------------------------
+# q_krippendorff — Krippendorff's alpha among the three language raters
+# ---------------------------------------------------------------------------
+
+@register("q_krippendorff", None)  # generated oracle attached below
+def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) among the same three language
+    raters as q_fleiss — stopword heuristic, trained naive Bayes,
+    majority baseline.  Alpha's chance disagreement is drawn WITHOUT
+    replacement from the pooled ratings (vs Fleiss' with-replacement
+    P̄_e), the reliability convention content-analysis pipelines
+    expect; same two exact int64 sums, one identical IEEE chain
+    (functions/stats.py ``krippendorff_alpha``)."""
+    from .functions.stats import krippendorff_alpha
+    from .functions.text import language_id, naive_bayes_predict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1 = language_id(docs).select("doc_id", F.col("pred_lang").alias("r1"))
+    p2 = naive_bayes_predict(docs).select(
+        "doc_id", F.col("pred_lang").alias("r2")
+    )
+    base = (
+        docs.groupBy("lang")
+        .count()
+        .orderBy(F.desc("count"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("r3"))
+    )
+    j = p1.join(p2, "doc_id").crossJoin(F.broadcast(base))
+    return krippendorff_alpha(j, "doc_id", ["r1", "r2", "r3"])
+
+
+ORACLES["q_krippendorff"] = f"""
+WITH l AS ({_langid_sql()}),
+nbp AS (SELECT doc_id, pred_lang FROM ({_NB_PRED_SQL})),
+base AS (SELECT lang AS bl FROM documents
+         GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+st AS (SELECT l.doc_id AS i, l.pred_lang AS cat FROM l
+       UNION ALL SELECT doc_id, pred_lang FROM nbp
+       UNION ALL SELECT d.doc_id, b.bl FROM documents d CROSS JOIN base b),
+nij AS (SELECT i, cat, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY i, cat),
+s2 AS (SELECT CAST(sum(n * n) AS BIGINT) AS s2,
+              CAST(count(DISTINCT i) AS BIGINT) AS n_items FROM nij),
+c2 AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c2
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS cj FROM nij GROUP BY cat)),
+f AS (SELECT n_items,
+             CAST(n_items * 9 - s2 AS DOUBLE)
+               / CAST(n_items * 6 AS DOUBLE) AS d_o,
+             CAST((n_items * 3) * (n_items * 3) - c2 AS DOUBLE)
+               / CAST((n_items * 3) * ((n_items * 3) - 1) AS DOUBLE) AS d_e
+      FROM s2, c2)
+SELECT n_items, CAST(3 AS BIGINT) AS n_raters, d_o, d_e,
+       CASE WHEN d_e = 0.0 THEN NULL
+            ELSE 1.0 - d_o / d_e END AS alpha
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_bh_fdr — Benjamini–Hochberg FDR hotspot screen over crawl cells
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_bh_fdr",
+    _CTE + f""",
+{_COUNT_CELLS_SQL.strip()},
+d AS (
+  SELECT gx, gy, CAST(cnt AS BIGINT) AS cnt,
+         CAST(count(*) OVER () AS BIGINT) AS m,
+         CAST(sum(cnt) OVER () AS BIGINT) AS t
+  FROM c
+),
+pq AS (
+  SELECT gx, gy, cnt, m,
+         CAST(floor(least(1.0, 2.0 * (CASE WHEN cnt = 0
+              THEN exp(-1.0 * (CAST(t AS DOUBLE) / CAST(m AS DOUBLE)))
+              ELSE exp(-1.0 * (CAST(t AS DOUBLE) / CAST(m AS DOUBLE))
+                * ((CAST(cnt AS DOUBLE)
+                    / (CAST(t AS DOUBLE) / CAST(m AS DOUBLE))
+                    * ln(CAST(cnt AS DOUBLE)
+                         / (CAST(t AS DOUBLE) / CAST(m AS DOUBLE))))
+                   - CAST(cnt AS DOUBLE)
+                     / (CAST(t AS DOUBLE) / CAST(m AS DOUBLE)) + 1.0))
+              END)) * 1000000000.0 + 0.5) AS BIGINT) AS p_q
+  FROM d
+),
+r AS (
+  SELECT gx, gy, cnt, m, p_q,
+         CAST(row_number() OVER (ORDER BY p_q ASC, gx ASC, gy ASC) AS BIGINT)
+           AS pos
+  FROM pq
+),
+x AS (
+  SELECT r.*, max(CASE WHEN p_q * m * 4 <= pos * 1000000000 THEN pos
+                       ELSE 0 END) OVER () AS imax
+  FROM r
+)
+SELECT gx, gy, cnt, p_q, pos, pos <= imax AS rejected
+FROM x
+""",
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR screen (q = 1/4) over per-cell document
+    counts with conservative two-sided Chernoff (KL) p-values
+    against the uniform null — the family-wise control layer between
+    q_getis_ord's raw per-cell scores and q_kulldorff's single best
+    window; the step-up rule runs on exact integers after the one
+    1e-9 exp quantization (operators/spatial_stats.py
+    ``bh_fdr_screen``)."""
+    from .operators.spatial_stats import bh_fdr_screen
+
+    return bh_fdr_screen(_count_cells_df(spark, sf_dir), q_num=1, q_den=4)
+
+
+# ---------------------------------------------------------------------------
+# q_hurst — rescaled-range (R/S) Hurst exponent of hourly event volume
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (8, 16, 32, 64)
+
+
+def _hurst_oracle() -> str:
+    per_s = []
+    for s in _HURST_SIZES:
+        per_s.append(f"""
+blk{s} AS (
+  SELECT CAST(t // {s} AS BIGINT) AS b, t, y,
+         CAST(sum(y) OVER (PARTITION BY (t // {s}) ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(row_number() OVER (PARTITION BY (t // {s}) ORDER BY t)
+              AS BIGINT) AS i,
+         CAST(sum(y) OVER (PARTITION BY (t // {s})) AS BIGINT) AS sb,
+         CAST(sum(y * y) OVER (PARTITION BY (t // {s})) AS BIGINT) AS qb
+  FROM grid, nn WHERE t < n - n % {s}
+),
+pb{s} AS (
+  SELECT b, sb, qb,
+         CAST(max({s} * c - i * sb) - min({s} * c - i * sb) AS BIGINT)
+           AS r_scaled
+  FROM blk{s} GROUP BY b, sb, qb
+),
+rs{s} AS (
+  SELECT CAST({s} AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CAST(floor((CAST(r_scaled AS DOUBLE) / {s}.0)
+              / sqrt((CAST(qb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / {s}.0)
+                     / {s}.0)
+              * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rs_q
+  FROM pb{s} WHERE qb * {s} > sb * sb
+)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT * FROM rs{s}" for s in _HURST_SIZES
+    )
+    return f"""
+WITH e AS (SELECT date_trunc('hour', ts) AS h FROM events),
+d0 AS (SELECT min(h) AS hmin,
+              date_diff('hour', min(h), max(h)) AS tmax FROM e),
+cnt AS (SELECT date_diff('hour', d0.hmin, h) AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM e, d0 GROUP BY 1),
+grid AS (
+  SELECT i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.t = i.t
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grid),
+{",".join(per_s)},
+pts AS (
+  {unions}
+),
+q AS (
+  SELECT s, n_blocks, sum_rs_q,
+         CAST(sum_rs_q AS DOUBLE)
+           / (CAST(n_blocks AS DOUBLE) * 1000000000.0) AS mean_rs,
+         CAST(floor(ln(CAST(sum_rs_q AS DOUBLE)
+              / (CAST(n_blocks AS DOUBLE) * 1000000000.0))
+              * 1000000.0 + 0.5) AS BIGINT) AS ly,
+         CAST(floor(ln(CAST(s AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lx
+  FROM pts
+)
+SELECT s, n_blocks, sum_rs_q, mean_rs,
+       CAST(count(*) OVER () * sum(lx * ly) OVER ()
+            - sum(lx) OVER () * sum(ly) OVER () AS DOUBLE)
+         / CAST(count(*) OVER () * sum(lx * lx) OVER ()
+                - sum(lx) OVER () * sum(lx) OVER () AS DOUBLE) AS hurst
+FROM q
+"""
+
+
+@register("q_hurst", _hurst_oracle())
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent (rescaled-range) of the hourly event-volume
+    series on the dense zero-filled calendar grid — the long-memory
+    diagnostic beside q_acf_volume's fixed lags: H≈0.5 means volume
+    increments forget, H>0.5 means bursts persist (capacity planning
+    must over-provision).  Exact int64 centred cumulative ranges,
+    per-block 1e-9 quantization before the cross-block mean, heaps-law
+    quantized log-log slope (functions/timeseries.py ``hurst_rs``)."""
+    from .functions.timeseries import hurst_rs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+    bounds = e.agg(
+        F.min("h").alias("hmin"),
+        (
+            (F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.min("h"))) / 3600
+        ).cast("long").alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                (F.unix_timestamp(F.col("h")) - F.unix_timestamp(F.col("hmin")))
+                / 3600
+            ).cast("long").alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    grid = (
+        bounds.select(F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"))
+        .join(cnt, ["t"], "left")
+        .select("t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return hurst_rs(grid, "t", "y", _HURST_SIZES)
+
+
+# ---------------------------------------------------------------------------
+# q_nfc_normalize — Unicode NFC canonicalization via mapInArrow
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_nfc_normalize",
+    """
+SELECT doc_id, nfc_normalize(text) AS norm,
+       nfc_normalize(text) != text AS changed
+FROM documents
+""",
+)
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization of every document (Arrow
+    mapInPandas kernel over pandas' unicodedata-backed normalizer —
+    pyarrow 16.1's own utf8_normalize NFC fails to compose, see the
+    operator docstring) — the canonical-equivalence dedup precondition
+    beside q_normalize_text's accent fold and q_fix_mojibake's byte
+    repair; the LCG fixture is ASCII so the invariant here is byte
+    identity (changed = false), proven per row by the oracle's own
+    nfc_normalize (functions/text.py ``nfc_normalize_arrow``)."""
+    from .functions.text import nfc_normalize_arrow
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return nfc_normalize_arrow(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q_utf8_audit — byte/codepoint audit via the raw mapInArrow surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_utf8_audit",
+    """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       strlen(text) = length(text) AS is_ascii
+FROM documents
+""",
+)
+def q_utf8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 byte vs codepoint audit of every document through the raw
+    ``mapInArrow`` surface — zero-copy RecordBatches into vectorized
+    pyarrow C++ kernels, no pandas boxing — the template for plugging
+    any Arrow compute kernel into a plan, and the cheap mojibake-risk
+    flag (multi-byte share) a crawl pipeline reads before charset
+    repair (functions/text.py ``utf8_audit_arrow``)."""
+    from .functions.text import utf8_audit_arrow
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return utf8_audit_arrow(docs, "doc_id", "text")

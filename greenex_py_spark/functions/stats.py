@@ -1750,3 +1750,254 @@ def fleiss_kappa(df: DataFrame, item_col: str, rating_cols: list) -> DataFrame:
         .otherwise((p_bar - p_e) / (F.lit(1.0) - p_e))
         .alias("fleiss_kappa"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """[source, n_g, n_total, w1_scaled, w1] — exact 1-D earth-mover
+    (Wasserstein-1) distance between EACH group's distribution of an
+    INTEGER value column and the whole corpus's: W1 = ∫|F_g − F_all| dv,
+    evaluated on the value-domain grid as
+    Σ_i |cum_g(v_i)·N − cum_all(v_i)·n_g| · (v_{i+1} − v_i), kept as an
+    exact int64 numerator (``w1_scaled``); the single division by
+    n_g·N happens once at the end and ships unrounded (identical IEEE
+    both engines).  The transport-cost companion to
+    :func:`ks_two_sample` (sup metric) and JS divergence (content): KS
+    sees only the worst point, W1 integrates the whole shift.  Scale
+    shape: one corpus-sized groupBy to (group, v) counts, then every
+    window runs over the value-DOMAIN-sized grid (bounded by the
+    measurement range, not the corpus), with the group×grid cross join
+    a dim×dim broadcast."""
+    counts = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = (
+        counts.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("c_all"))
+        .select(
+            "v", "c_all",
+            F.sum("c_all").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum_all"),
+            (F.lead("v").over(Window.orderBy("v")) - F.col("v"))
+            .cast("long").alias("gap"),
+            F.sum("c_all").over(Window.partitionBy()).alias("n_total"),
+        )
+    )
+    groups = counts.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    full = F.broadcast(groups).crossJoin(grid.drop("c_all")).join(
+        counts, ["g", "v"], "left"
+    ).withColumn("c", F.coalesce("c", F.lit(0)))
+    cum_g = F.sum("c").over(
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    term = (
+        F.abs(cum_g * F.col("n_total") - F.col("cum_all") * F.col("n_g"))
+        * F.coalesce("gap", F.lit(0))
+    )
+    return (
+        full.withColumn("_t", term)
+        .groupBy(F.col("g").alias("source"), "n_g", "n_total")
+        .agg(F.sum("_t").cast("long").alias("w1_scaled"))
+        .select(
+            "source", "n_g", "n_total", "w1_scaled",
+            (
+                F.col("w1_scaled").cast("double")
+                / (F.col("n_g") * F.col("n_total")).cast("double")
+            ).alias("w1"),
+        )
+    )
+
+
+def wasserstein_1d_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`wasserstein_1d` (same grid, same exact
+    int64 numerator, same single division)."""
+    return f"""
+WITH cnt AS (
+  SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+grid AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS c_all FROM cnt GROUP BY v
+),
+grid2 AS (
+  SELECT v,
+         CAST(sum(c_all) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_all,
+         CAST(lead(v) OVER (ORDER BY v) - v AS BIGINT) AS gap,
+         CAST(sum(c_all) OVER () AS BIGINT) AS n_total
+  FROM grid
+),
+gs AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM cnt GROUP BY g
+),
+full_grid AS (
+  SELECT gs.g, gs.n_g, grid2.v, grid2.cum_all, grid2.gap, grid2.n_total,
+         CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+  FROM gs CROSS JOIN grid2
+  LEFT JOIN cnt ON cnt.g = gs.g AND cnt.v = grid2.v
+),
+cum AS (
+  SELECT g, n_g, n_total,
+         abs(CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             * n_total - cum_all * n_g) * coalesce(gap, 0) AS t
+  FROM full_grid
+)
+SELECT g AS source, n_g, n_total,
+       CAST(sum(t) AS BIGINT) AS w1_scaled,
+       CAST(CAST(sum(t) AS BIGINT) AS DOUBLE)
+         / CAST(n_g * n_total AS DOUBLE) AS w1
+FROM cum GROUP BY g, n_g, n_total
+"""
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """[source, n, s1, s2, s3, s4, skewness, kurtosis_excess, jb] —
+    Jarque–Bera normality test per group over an INTEGER value column:
+    the four raw power sums are exact int64 (one map-side-combinable
+    aggregation), and the single IEEE chain that assembles the central
+    moments (mu = S1/n; m_k via the raw-moment expansion), skewness
+    m3/(m2·√m2), excess kurtosis m4/m2² − 3 and
+    JB = n/6·(skew² + kurt_ex²/4) is written identically in both
+    engines and shipped UNROUNDED (round-N of a shared double is the
+    only portability hazard; identical doubles hash identically).
+    Completes the distribution-shape family beside q_ks_test /
+    q_anderson_darling (vs another sample) — JB tests each group
+    against normality itself."""
+    v = F.col(value_col).cast("long")
+    agg = df.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(v * v).cast("long").alias("s2"),
+        F.sum(v * v * v).cast("long").alias("s3"),
+        F.sum(v * v * v * v).cast("long").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mu = s1 / nd
+    m2 = s2 / nd - mu * mu
+    m3 = s3 / nd - F.lit(3.0) * mu * (s2 / nd) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / nd
+        - F.lit(4.0) * mu * (s3 / nd)
+        + F.lit(6.0) * (mu * mu) * (s2 / nd)
+        - F.lit(3.0) * (mu * mu) * (mu * mu)
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt_ex = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (skew * skew + kurt_ex * kurt_ex / F.lit(4.0))
+    return agg.select(
+        "source", "n", "s1", "s2", "s3", "s4",
+        skew.alias("skewness"),
+        kurt_ex.alias("kurtosis_excess"),
+        jb.alias("jb"),
+    )
+
+
+def jarque_bera_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`jarque_bera` — identical IEEE chain over
+    the same four exact int64 power sums."""
+    return f"""
+WITH s AS (
+  SELECT {group_col} AS source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v*v) AS BIGINT) AS s2,
+         CAST(sum(v*v*v) AS BIGINT) AS s3,
+         CAST(sum(v*v*v*v) AS BIGINT) AS s4
+  FROM (SELECT {group_col}, CAST({value_col} AS BIGINT) AS v FROM {table})
+  GROUP BY 1
+),
+m AS (
+  SELECT source, n, s1, s2, s3, s4,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+  FROM s
+),
+c AS (
+  SELECT source, n, s1, s2, s3, s4, nd, mu,
+         CAST(s2 AS DOUBLE) / nd - mu * mu AS m2,
+         CAST(s3 AS DOUBLE) / nd - 3.0 * mu * (CAST(s2 AS DOUBLE) / nd)
+           + 2.0 * mu * mu * mu AS m3,
+         CAST(s4 AS DOUBLE) / nd - 4.0 * mu * (CAST(s3 AS DOUBLE) / nd)
+           + 6.0 * (mu * mu) * (CAST(s2 AS DOUBLE) / nd)
+           - 3.0 * (mu * mu) * (mu * mu) AS m4
+  FROM m
+),
+k AS (
+  SELECT source, n, s1, s2, s3, s4, nd,
+         m3 / (m2 * sqrt(m2)) AS skewness,
+         m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+  FROM c
+)
+SELECT source, n, s1, s2, s3, s4, skewness, kurtosis_excess,
+       nd / 6.0 * (skewness * skewness
+                   + kurtosis_excess * kurtosis_excess / 4.0) AS jb
+FROM k
+"""
+
+
+def krippendorff_alpha(
+    df: DataFrame, item_col: str, rating_cols: list
+) -> DataFrame:
+    """[n_items, n_raters, d_o, d_e, alpha] — Krippendorff's alpha
+    (nominal metric, no missing ratings) over R rating columns: the
+    reliability coefficient that differs from Fleiss' κ in its chance
+    model — expected disagreement is drawn WITHOUT replacement from the
+    pooled ratings, making alpha the small-sample-honest choice.
+
+    With n_ij the unit×category counts, r raters, N units, n = N·r,
+    S2 = Σ n_ij², C2 = Σ_j n_j² (the same two exact int64 sums Fleiss
+    uses):  D_o = (N·r² − S2)/(N·r·(r−1)),
+    D_e = (n² − C2)/(n·(n−1)),  alpha = 1 − D_o/D_e.  One identical
+    IEEE chain per engine, shipped unrounded; D_e = 0 (single observed
+    category) → NULL."""
+    r = len(rating_cols)
+    stacked = None
+    for c in rating_cols:
+        part = df.select(F.col(item_col).alias("i"),
+                         F.col(c).cast("string").alias("cat"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    nij = stacked.groupBy("i", "cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s2 = nij.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        F.countDistinct("i").cast("long").alias("n_items"),
+    )
+    c2 = (
+        nij.groupBy("cat")
+        .agg(F.sum("n").cast("long").alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("long").alias("c2"))
+    )
+    j = s2.crossJoin(F.broadcast(c2))
+    big_n = F.col("n_items") * r
+    d_o = (F.col("n_items") * (r * r) - F.col("s2")).cast("double") / (
+        (F.col("n_items") * (r * (r - 1))).cast("double")
+    )
+    d_e = (big_n * big_n - F.col("c2")).cast("double") / (
+        (big_n * (big_n - 1)).cast("double")
+    )
+    return j.select(
+        "n_items",
+        F.lit(r).cast("long").alias("n_raters"),
+        d_o.alias("d_o"),
+        d_e.alias("d_e"),
+        F.when(d_e == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.0) - d_o / d_e)
+        .alias("alpha"),
+    )

@@ -1877,3 +1877,302 @@ def yules_k(
          / (F.col("n").cast("double") * F.col("n").cast("double")))
         .alias("yules_k"),
     )
+
+
+def ngram_clip_stats(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """[source, n, matches, total_cand, total_ref] — corpus-level
+    CLIPPED n-gram overlap statistics between a candidate and a
+    reference text column for n = 1..max_n: per document and order,
+    ``matches`` sums min(count_cand(g), count_ref(g)) over the shared
+    grams (the BLEU modified-precision / ROUGE-recall numerator), and
+    the totals are each side's n-gram counts.  All counts exact int64.
+
+    Shape: one posexplode per side, ONE per-doc window pass producing
+    lead(1..max_n−1) columns, then an array-of-structs explode builds
+    every order without re-evaluating the window (the interpreted-HOF
+    rule); the clip join is an equi-join on (doc, n, gram), the same
+    key as the counts' groupBy — co-partitioned, no extra shuffle at
+    scale."""
+    sides = []
+    for tag, col in (("c", cand_col), ("r", ref_col)):
+        toks = df.select(
+            F.col(source_col).alias("src"),
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(col), " ")).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("doc").orderBy("pos")
+        leads = toks.select(
+            "src", "doc", "pos", "tok",
+            *[F.lead("tok", k).over(w).alias(f"l{k}") for k in range(1, max_n)],
+        )
+        parts = [F.struct(F.lit(1).alias("n"), F.col("tok").alias("g"))]
+        for n in range(2, max_n + 1):
+            gram = F.concat_ws(
+                " ", F.col("tok"), *[F.col(f"l{k}") for k in range(1, n)]
+            )
+            parts.append(
+                F.struct(
+                    F.when(F.col(f"l{n-1}").isNotNull(), F.lit(n))
+                    .otherwise(F.lit(None)).alias("n"),
+                    gram.alias("g"),
+                )
+            )
+        g = (
+            leads.select(
+                "src", "doc", F.explode(F.array(*parts)).alias("s")
+            )
+            .select("src", "doc", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+            .filter(F.col("n").isNotNull())
+        )
+        sides.append(
+            g.groupBy("src", "doc", "n", "g").agg(
+                F.count(F.lit(1)).cast("long").alias(f"c_{tag}")
+            )
+        )
+    cand, ref = sides
+    m = (
+        cand.join(ref, ["src", "doc", "n", "g"])
+        .groupBy("src", "n")
+        .agg(F.sum(F.least("c_c", "c_r")).cast("long").alias("matches"))
+    )
+    tc = cand.groupBy("src", "n").agg(F.sum("c_c").cast("long").alias("total_cand"))
+    tr = ref.groupBy("src", "n").agg(F.sum("c_r").cast("long").alias("total_ref"))
+    return (
+        tc.join(tr, ["src", "n"])
+        .join(m, ["src", "n"], "left")
+        .select(
+            F.col("src").alias("source"),
+            F.col("n").cast("long").alias("n"),
+            F.coalesce("matches", F.lit(0)).cast("long").alias("matches"),
+            "total_cand", "total_ref",
+        )
+    )
+
+
+def corpus_bleu4(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+) -> DataFrame:
+    """[source, m1..m4, t1..t4, bleu] — corpus-level BLEU-4 between a
+    LENGTH-PRESERVING candidate transform and its reference (token
+    counts equal per doc → brevity penalty exactly 1, keeping the whole
+    score inside exact IEEE arithmetic: products of int64 ratios under
+    two sqrt calls, no exp/ln).  The machine-translation metric applied
+    to curation: how much n-gram structure does a lossy normalization
+    destroy?  Ships unrounded."""
+    stats = ngram_clip_stats(df, source_col, id_col, cand_col, ref_col, 4)
+    wide = stats.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("n") == n, F.col("matches")).otherwise(0))
+            .cast("long").alias(f"m{n}")
+            for n in range(1, 5)
+        ],
+        *[
+            F.sum(F.when(F.col("n") == n, F.col("total_cand")).otherwise(0))
+            .cast("long").alias(f"t{n}")
+            for n in range(1, 5)
+        ],
+    )
+    p = (
+        (F.col("m1").cast("double") / F.col("t1").cast("double"))
+        * (F.col("m2").cast("double") / F.col("t2").cast("double"))
+        * (F.col("m3").cast("double") / F.col("t3").cast("double"))
+        * (F.col("m4").cast("double") / F.col("t4").cast("double"))
+    )
+    return wide.select(
+        "source", "m1", "m2", "m3", "m4", "t1", "t2", "t3", "t4",
+        F.sqrt(F.sqrt(p)).alias("bleu"),
+    )
+
+
+def rouge_n_recall(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 2,
+) -> DataFrame:
+    """[source, n, matches, total_ref, rouge_n] — corpus-level ROUGE-N
+    recall of an extractive candidate against the full reference text
+    (clipped matches over reference n-gram count) — the summarization
+    eval twin of :func:`corpus_bleu4`'s precision view.  Two exact
+    int64 counts divide once; portable unrounded."""
+    stats = ngram_clip_stats(df, source_col, id_col, cand_col, ref_col, max_n)
+    return stats.select(
+        "source", "n", "matches", "total_ref",
+        (F.col("matches").cast("double") / F.col("total_ref").cast("double"))
+        .alias("rouge_n"),
+    )
+
+
+def _ngram_clip_sql(
+    cand_expr: str, ref_expr: str, max_n: int, cap: int = 1001
+) -> str:
+    """Shared DuckDB CTE body for the clipped n-gram stats (same
+    1000-position cap convention as the other n-gram oracles — safe
+    under the documented ≤79-word corpus invariant)."""
+    side_sql = []
+    for tag, expr in (("c", cand_expr), ("r", ref_expr)):
+        grams = []
+        for n in range(1, max_n + 1):
+            gram = " || ' ' || ".join(
+                f"tk[i.range + {k}]" for k in range(n)
+            ).replace("tk[i.range + 0]", "tk[i.range]")
+            grams.append(
+                f"SELECT src, doc, {n} AS n, {gram} AS g, i.range AS p "
+                f"FROM t_{tag}, range(1, {cap}) i "
+                f"WHERE i.range <= len(tk) - {n - 1}"
+            )
+        side_sql.append(
+            f"t_{tag} AS (SELECT source AS src, doc_id AS doc, "
+            f"string_split({expr}, ' ') AS tk FROM documents),\n"
+            f"g_{tag} AS ({' UNION ALL '.join(grams)}),\n"
+            f"cnt_{tag} AS (SELECT src, doc, n, g, "
+            f"CAST(count(*) AS BIGINT) AS c_{tag} "
+            f"FROM g_{tag} GROUP BY src, doc, n, g)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(side_sql)
+        + """,
+m AS (SELECT a.src, a.n, CAST(sum(least(a.c_c, b.c_r)) AS BIGINT) AS matches
+      FROM cnt_c a JOIN cnt_r b
+        ON a.src = b.src AND a.doc = b.doc AND a.n = b.n AND a.g = b.g
+      GROUP BY a.src, a.n),
+tc AS (SELECT src, n, CAST(sum(c_c) AS BIGINT) AS total_cand
+       FROM cnt_c GROUP BY src, n),
+tr AS (SELECT src, n, CAST(sum(c_r) AS BIGINT) AS total_ref
+       FROM cnt_r GROUP BY src, n),
+stats AS (
+  SELECT tc.src AS source, CAST(tc.n AS BIGINT) AS n,
+         CAST(coalesce(m.matches, 0) AS BIGINT) AS matches,
+         tc.total_cand, tr.total_ref
+  FROM tc JOIN tr ON tc.src = tr.src AND tc.n = tr.n
+  LEFT JOIN m ON m.src = tc.src AND m.n = tc.n
+)
+"""
+    )
+
+
+def corpus_bleu4_sql(cand_expr: str, ref_expr: str) -> str:
+    """DuckDB twin of :func:`corpus_bleu4`."""
+    return (
+        _ngram_clip_sql(cand_expr, ref_expr, 4)
+        + """
+SELECT source,
+       CAST(sum(CASE WHEN n = 1 THEN matches ELSE 0 END) AS BIGINT) AS m1,
+       CAST(sum(CASE WHEN n = 2 THEN matches ELSE 0 END) AS BIGINT) AS m2,
+       CAST(sum(CASE WHEN n = 3 THEN matches ELSE 0 END) AS BIGINT) AS m3,
+       CAST(sum(CASE WHEN n = 4 THEN matches ELSE 0 END) AS BIGINT) AS m4,
+       CAST(sum(CASE WHEN n = 1 THEN total_cand ELSE 0 END) AS BIGINT) AS t1,
+       CAST(sum(CASE WHEN n = 2 THEN total_cand ELSE 0 END) AS BIGINT) AS t2,
+       CAST(sum(CASE WHEN n = 3 THEN total_cand ELSE 0 END) AS BIGINT) AS t3,
+       CAST(sum(CASE WHEN n = 4 THEN total_cand ELSE 0 END) AS BIGINT) AS t4,
+       sqrt(sqrt(
+         (CAST(sum(CASE WHEN n = 1 THEN matches ELSE 0 END) AS DOUBLE)
+          / CAST(sum(CASE WHEN n = 1 THEN total_cand ELSE 0 END) AS DOUBLE))
+         * (CAST(sum(CASE WHEN n = 2 THEN matches ELSE 0 END) AS DOUBLE)
+          / CAST(sum(CASE WHEN n = 2 THEN total_cand ELSE 0 END) AS DOUBLE))
+         * (CAST(sum(CASE WHEN n = 3 THEN matches ELSE 0 END) AS DOUBLE)
+          / CAST(sum(CASE WHEN n = 3 THEN total_cand ELSE 0 END) AS DOUBLE))
+         * (CAST(sum(CASE WHEN n = 4 THEN matches ELSE 0 END) AS DOUBLE)
+          / CAST(sum(CASE WHEN n = 4 THEN total_cand ELSE 0 END) AS DOUBLE))
+       )) AS bleu
+FROM stats GROUP BY source
+"""
+    )
+
+
+def rouge_n_sql(cand_expr: str, ref_expr: str, max_n: int = 2) -> str:
+    """DuckDB twin of :func:`rouge_n_recall`."""
+    return (
+        _ngram_clip_sql(cand_expr, ref_expr, max_n)
+        + """
+SELECT source, n, matches, total_ref,
+       CAST(matches AS DOUBLE) / CAST(total_ref AS DOUBLE) AS rouge_n
+FROM stats
+"""
+    )
+
+
+def nfc_normalize_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, norm, changed] — Unicode NFC canonicalization of the text
+    column in an Arrow ``mapInPandas`` kernel (pandas
+    ``Series.str.normalize``, the same unicodedata tables DuckDB's
+    nfc_normalize uses) — the canonical-equivalence dedup precondition
+    for crawl text where 'é' may arrive composed or decomposed
+    (byte-different, canonically equal).  ``changed`` flags rows the
+    normalization actually rewrote.
+
+    NOT ``pc.utf8_normalize``: pyarrow 16.1's NFC form fails to
+    compose (e+COMBINING ACUTE stays decomposed, diverging from
+    Python/DuckDB NFC) — verified in tests; revisit when the container
+    ships a fixed Arrow.  Scale shape: pure map-side work (0
+    shuffles), per-task memory one Arrow batch."""
+    import pandas as pd
+
+    def _kernel(pdfs):
+        for pdf in pdfs:
+            norm = pdf[text_col].str.normalize("NFC")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "norm": norm,
+                    "changed": norm != pdf[text_col],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _kernel, f"{id_col} long, norm string, changed boolean"
+    )
+
+
+def utf8_audit_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_bytes, n_chars, is_ascii] — UTF-8 byte/codepoint audit of
+    the text column through the raw ``mapInArrow`` surface: the kernel
+    receives ``pyarrow.RecordBatch``es and runs only vectorized C++
+    compute (binary_length on the bytes view, utf8_length on
+    codepoints) — no pandas boxing, no per-row Python; the zero-copy
+    tier BELOW mapInPandas in the Arrow UDF ladder (this function is
+    the template for plugging any pyarrow C++ kernel into a plan).
+    is_ascii = bytes == codepoints is the cheap mojibake-risk flag a
+    crawl pipeline computes before charset repair.
+
+    Scale shape: pure map-side work (0 shuffles); per-task memory is
+    one batch (spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _kernel(batches):
+        for batch in batches:
+            txt = batch.column(text_col)
+            n_bytes = pc.binary_length(pc.cast(txt, pa.binary()))
+            n_chars = pc.utf8_length(txt)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pc.cast(n_bytes, pa.int64()),
+                    pc.cast(n_chars, pa.int64()),
+                    pc.equal(n_bytes, n_chars),
+                ],
+                names=[id_col, "n_bytes", "n_chars", "is_ascii"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        _kernel, f"{id_col} long, n_bytes long, n_chars long, is_ascii boolean"
+    )

@@ -731,3 +731,107 @@ def cross_correlation(
         F.when((va <= 0) | (vb <= 0), F.lit(None).cast("double"))
         .otherwise(num / den).alias("ccf"),
     )
+
+
+def hurst_rs(
+    grid: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    block_sizes: Sequence[int] = (8, 16, 32, 64),
+) -> DataFrame:
+    """[s, n_blocks, sum_rs_q, mean_rs, hurst] — rescaled-range (R/S)
+    Hurst-exponent estimate of a dense integer series: for each block
+    size s the series splits into full blocks, each block's range of
+    mean-centred cumulative deviations divides its population std,
+    and H is the log-log slope of mean(R/S) against s (H≈0.5 random
+    walk increments, >0.5 long-range persistence — the crawl-traffic
+    long-memory diagnostic beside q_acf_volume's fixed lags).
+
+    Exactness: within a block the centred cumulative deviation scaled
+    by s, s·C_t − (i+1)·S_b, is exact int64, so R_scaled = max−min is
+    exact; each block's R/S double is 1e-9-quantized BEFORE the
+    cross-block mean (summation order can't move it), and the final
+    regression follows the heaps_law convention — ln inputs quantized
+    to 1e-6 longs, slope a ratio of exact int64 products, shipped
+    unrounded.  Scale shape: one window pass per block size over the
+    calendar-sized grid; nothing is corpus-sized here (the heavy
+    per-hour count happens upstream)."""
+    from pyspark.sql import Window
+
+    outs = []
+    for s in block_sizes:
+        d = grid.select(
+            F.col(t_col).alias("t"), F.col(y_col).cast("long").alias("y")
+        )
+        n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        d = d.crossJoin(F.broadcast(n)).filter(
+            F.col("t") < (F.col("n") - F.col("n") % s)
+        )
+        d = d.withColumn("b", (F.col("t") / s).cast("long"))
+        wb = Window.partitionBy("b")
+        wc = Window.partitionBy("b").orderBy("t").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        d = d.select(
+            "b", "t", "y",
+            F.sum("y").over(wc).alias("c"),
+            F.row_number().over(Window.partitionBy("b").orderBy("t")).alias("i"),
+            F.sum("y").over(wb).alias("sb"),
+            F.sum(F.col("y") * F.col("y")).over(wb).alias("qb"),
+        )
+        z = (F.lit(s) * F.col("c") - F.col("i") * F.col("sb")).cast("long")
+        per_b = (
+            d.withColumn("z", z)
+            .groupBy("b", "sb", "qb")
+            .agg((F.max("z") - F.min("z")).cast("long").alias("r_scaled"))
+        )
+        sd = F.sqrt(
+            (
+                F.col("qb").cast("double")
+                - F.col("sb").cast("double") * F.col("sb").cast("double")
+                / F.lit(float(s))
+            )
+            / F.lit(float(s))
+        )
+        rs = (F.col("r_scaled").cast("double") / F.lit(float(s))) / sd
+        per_b = per_b.filter(
+            F.col("qb") * s > F.col("sb") * F.col("sb")
+        ).withColumn(
+            "rs_q", F.floor(rs * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+        )
+        outs.append(
+            per_b.agg(
+                F.lit(s).cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.sum("rs_q").cast("long").alias("sum_rs_q"),
+            )
+        )
+    pts = outs[0]
+    for o in outs[1:]:
+        pts = pts.unionByName(o)
+    mean_rs = F.col("sum_rs_q").cast("double") / (
+        F.col("n_blocks").cast("double") * F.lit(1000000000.0)
+    )
+    pts = pts.select(
+        "s", "n_blocks", "sum_rs_q",
+        mean_rs.alias("mean_rs"),
+        F.floor(
+            F.log(mean_rs) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long").alias("_ly"),
+        F.floor(
+            F.log(F.col("s").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long").alias("_lx"),
+    )
+    wa = Window.partitionBy()
+    dd = F.count(F.lit(1)).over(wa).cast("long")
+    sx = F.sum("_lx").over(wa)
+    sy = F.sum("_ly").over(wa)
+    sxx = F.sum(F.col("_lx") * F.col("_lx")).over(wa)
+    sxy = F.sum(F.col("_lx") * F.col("_ly")).over(wa)
+    return pts.select(
+        "s", "n_blocks", "sum_rs_q", "mean_rs",
+        (
+            (dd * sxy - sx * sy).cast("double")
+            / (dd * sxx - sx * sx).cast("double")
+        ).alias("hurst"),
+    )

@@ -33,7 +33,7 @@ equi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["morans_i", "getis_ord_gi", "gini_exposure", "semivariogram", "clark_evans"]
@@ -1756,4 +1756,61 @@ def kulldorff_scan(
             "gx", "gy", "r", "n_in", "a_cells",
             (F.col("llr_q").cast("double") / 1000000.0).alias("llr"),
         )
+    )
+
+
+def bh_fdr_screen(
+    cells: DataFrame,
+    q_num: int = 1,
+    q_den: int = 4,
+) -> DataFrame:
+    """[gx, gy, cnt, p_q, pos, rejected] — Benjamini–Hochberg
+    FDR-controlled hotspot screen over per-cell document counts.  Each
+    cell gets a CONSERVATIVE two-sided Chernoff (KL / Bennett) bound
+    p-value against the uniform (CSR) null — with μ = T/m the expected
+    count and x = cnt/μ, p = min(1, 2·exp(−μ·(x·ln x − x + 1)))
+    (exp(−μ) at cnt = 0) — and the BH step-up rejects the largest
+    prefix (p ascending) where p_(i) ≤ i·q/m.  A conservative, valid
+    p-value keeps the FDR guarantee (rejections can only be fewer);
+    the KL form is sharp enough in the Poisson regime to flag the
+    urban core, needs no erf, and the one exp/ln chain is quantized to
+    1e-9 integers before every comparison (the same cross-engine
+    convention the naive-Bayes model uses), so the step-up rule is the
+    pure integer test p_q·m·q_den ≤ i·q_num·10⁹.
+
+    The multiple-testing layer between q_getis_ord (per-cell scores,
+    no family control) and q_kulldorff (single best window): BH bounds
+    the expected fraction of false hotspots at q across ALL rejected
+    cells.  Scale shape: the corpus-sized groupBy happens upstream
+    (the cells input); every window here is cell-family-sized —
+    bounded by the grid area, not the corpus."""
+    w_all = Window.partitionBy()
+    m = F.count(F.lit(1)).over(w_all)
+    t = F.sum("cnt").over(w_all)
+    d = cells.select(
+        "gx", "gy", F.col("cnt").cast("long").alias("cnt"),
+        m.cast("long").alias("_m"), t.cast("long").alias("_t"),
+    )
+    mu = F.col("_t").cast("double") / F.col("_m").cast("double")
+    x = F.col("cnt").cast("double") / mu
+    core = F.when(F.col("cnt") == 0, F.exp(F.lit(-1.0) * mu)).otherwise(
+        F.exp(F.lit(-1.0) * mu * ((x * F.log(x)) - x + F.lit(1.0)))
+    )
+    p = F.least(F.lit(1.0), F.lit(2.0) * core)
+    d = d.withColumn(
+        "p_q", F.floor(p * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    )
+    w_pos = Window.orderBy(F.asc("p_q"), F.asc("gx"), F.asc("gy"))
+    d = d.withColumn("pos", F.row_number().over(w_pos).cast("long"))
+    flag = (
+        F.col("p_q") * F.col("_m") * q_den
+        <= F.col("pos") * F.lit(q_num * 1000000000)
+    )
+    d = d.withColumn(
+        "_imax",
+        F.max(F.when(flag, F.col("pos")).otherwise(F.lit(0))).over(w_all),
+    )
+    return d.select(
+        "gx", "gy", "cnt", "p_q", "pos",
+        (F.col("pos") <= F.col("_imax")).alias("rejected"),
     )

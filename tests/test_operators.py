@@ -7730,3 +7730,208 @@ def test_edge_betweenness_mirror(spark):
     gb = {(r["a"], r["b"]): r["ebc"] for r in edge_betweenness(
         spark.createDataFrame(tri, "src string, dst string")).collect()}
     assert round(gb[("a1", "b1")], 6) == 9.0
+
+
+def test_wasserstein_1d_hand(spark):
+    """Two point-mass groups at 0 and 2: each is exactly distance 1
+    from the 50/50 mixture (integral of |CDF gap| over [0,2))."""
+    from greenex_py_spark.functions.stats import wasserstein_1d
+
+    rows = [("a", 0), ("a", 0), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "source string, v long")
+    got = {r["source"]: r for r in wasserstein_1d(df, "source", "v").collect()}
+    assert got["a"]["w1"] == 1.0 and got["b"]["w1"] == 1.0
+    assert got["a"]["w1_scaled"] == 8  # |cum_a*N - cum_all*n_a|*gap = 4*2
+    assert got["a"]["n_g"] == 2 and got["a"]["n_total"] == 4
+
+
+def test_wasserstein_identical_group_is_zero(spark):
+    """A group distributed exactly like the corpus has W1 = 0."""
+    from greenex_py_spark.functions.stats import wasserstein_1d
+
+    rows = [(g, v) for g in ("a", "b") for v in (1, 5, 9)]
+    df = spark.createDataFrame(rows, "source string, v long")
+    for r in wasserstein_1d(df, "source", "v").collect():
+        assert r["w1_scaled"] == 0 and r["w1"] == 0.0
+
+
+def test_jarque_bera_hand(spark):
+    """Three-point uniform {1,2,3}: skew exactly 0, excess kurtosis
+    exactly −1.5, JB = n/6 · (1.5²/4)."""
+    from greenex_py_spark.functions.stats import jarque_bera
+
+    rows = [("u", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "source string, v long")
+    r = jarque_bera(df, "source", "v").collect()[0]
+    assert (r["s1"], r["s2"], r["s3"], r["s4"]) == (6, 14, 36, 98)
+    assert abs(r["skewness"]) < 1e-12
+    assert abs(r["kurtosis_excess"] + 1.5) < 1e-12
+    assert abs(r["jb"] - 3 / 6 * (1.5 * 1.5 / 4)) < 1e-12
+
+
+def test_jarque_bera_skewed(spark):
+    """A right-skewed mass {0,0,0,9} scores positive skewness and a
+    large JB versus the symmetric case."""
+    from greenex_py_spark.functions.stats import jarque_bera
+
+    rows = [("s", v) for v in (0, 0, 0, 9)]
+    df = spark.createDataFrame(rows, "source string, v long")
+    r = jarque_bera(df, "source", "v").collect()[0]
+    assert r["skewness"] > 1.0
+    # skew² = 4/3, excess kurtosis = −2/3 → JB = 4/6·(4/3 + (4/9)/4) = 26/27
+    assert abs(r["jb"] - 26 / 27) < 1e-12
+
+
+def test_corpus_bleu4_hand(spark):
+    """One-token substitution in a 5-token doc: precisions 4/5, 3/4,
+    2/3, 1/2 → BLEU = (1/5)^(1/4); identical candidate scores 1."""
+    from greenex_py_spark.functions.text import corpus_bleu4
+
+    rows = [
+        ("s", 1, "a b c d X", "a b c d e"),
+        ("t", 2, "p q r s t", "p q r s t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, cand string, ref string"
+    )
+    got = {r["source"]: r for r in
+           corpus_bleu4(df, "source", "doc_id", "cand", "ref").collect()}
+    s = got["s"]
+    assert (s["m1"], s["m2"], s["m3"], s["m4"]) == (4, 3, 2, 1)
+    assert (s["t1"], s["t2"], s["t3"], s["t4"]) == (5, 4, 3, 2)
+    assert abs(s["bleu"] - (4 / 5 * 3 / 4 * 2 / 3 * 1 / 2) ** 0.25) < 1e-12
+    assert got["t"]["bleu"] == 1.0
+
+
+def test_bleu_clipping(spark):
+    """Clipped counts: candidate repeating a reference token scores
+    min(count_cand, count_ref), not the raw overlap."""
+    from greenex_py_spark.functions.text import corpus_bleu4
+
+    df = spark.createDataFrame(
+        [("s", 1, "a a a a a", "a b c d e")],
+        "source string, doc_id long, cand string, ref string",
+    )
+    r = corpus_bleu4(df, "source", "doc_id", "cand", "ref").collect()[0]
+    assert r["m1"] == 1  # ref has a single 'a'
+    assert r["m2"] == 0 and r["bleu"] == 0.0
+
+
+def test_rouge_n_hand(spark):
+    """Lead-2 extract of 'a b a c': ROUGE-1 = 2/4, ROUGE-2 = 1/3."""
+    from greenex_py_spark.functions.text import rouge_n_recall
+
+    df = spark.createDataFrame(
+        [("s", 1, "a b", "a b a c")],
+        "source string, doc_id long, cand string, ref string",
+    )
+    got = {r["n"]: r for r in
+           rouge_n_recall(df, "source", "doc_id", "cand", "ref", 2).collect()}
+    assert got[1]["matches"] == 2 and got[1]["total_ref"] == 4
+    assert got[1]["rouge_n"] == 0.5
+    assert got[2]["matches"] == 1 and got[2]["total_ref"] == 3
+    assert abs(got[2]["rouge_n"] - 1 / 3) < 1e-12
+
+
+def test_krippendorff_alpha_hand(spark):
+    """Units (a,a,a) and (a,b,b): D_o = 1/3, D_e = 16/30 →
+    alpha = 0.375 exactly; perfect agreement scores 1."""
+    from greenex_py_spark.functions.stats import krippendorff_alpha
+
+    df = spark.createDataFrame(
+        [(1, "a", "a", "a"), (2, "a", "b", "b")],
+        "i long, r1 string, r2 string, r3 string",
+    )
+    r = krippendorff_alpha(df, "i", ["r1", "r2", "r3"]).collect()[0]
+    assert abs(r["d_o"] - 1 / 3) < 1e-15
+    assert abs(r["d_e"] - 16 / 30) < 1e-15
+    assert abs(r["alpha"] - 0.375) < 1e-12
+
+    perfect = spark.createDataFrame(
+        [(1, "a", "a", "a"), (2, "b", "b", "b")],
+        "i long, r1 string, r2 string, r3 string",
+    )
+    r = krippendorff_alpha(perfect, "i", ["r1", "r2", "r3"]).collect()[0]
+    assert r["d_o"] == 0.0 and r["alpha"] == 1.0
+
+
+def test_bh_fdr_screen_hand(spark):
+    """A 97-vs-1 spike violates the uniform null everywhere (all
+    rejected); a perfectly balanced grid rejects nothing."""
+    from greenex_py_spark.operators.spatial_stats import bh_fdr_screen
+
+    spike = spark.createDataFrame(
+        [(0, 0, 97), (1, 0, 1), (2, 0, 1), (3, 0, 1)],
+        "gx long, gy long, cnt long",
+    )
+    got = bh_fdr_screen(spike).collect()
+    by_cell = {(r["gx"], r["gy"]): r for r in got}
+    assert by_cell[(0, 0)]["pos"] == 1 and by_cell[(0, 0)]["rejected"]
+    assert by_cell[(0, 0)]["p_q"] == 0  # Chernoff exponent ≈ −59.6
+
+    flat = spark.createDataFrame(
+        [(i, 0, 25) for i in range(4)], "gx long, gy long, cnt long"
+    )
+    got = bh_fdr_screen(flat).collect()
+    assert all(not r["rejected"] for r in got)
+    assert all(r["p_q"] == 10**9 for r in got)
+
+
+def test_hurst_rs_hand(spark):
+    """A linear ramp is maximally persistent (H → 1); a strict
+    alternation is maximally anti-persistent (R/S flat in s, H → 0)."""
+    from greenex_py_spark.functions.timeseries import hurst_rs
+
+    ramp = spark.createDataFrame(
+        [(t, t) for t in range(256)], "t long, y long"
+    )
+    rows = hurst_rs(ramp, "t", "y", (8, 16, 32, 64)).collect()
+    assert all(r["hurst"] > 0.9 for r in rows)
+    by_s = {r["s"]: r["mean_rs"] for r in rows}
+    assert by_s[8] < by_s[16] < by_s[32] < by_s[64]
+
+    alt = spark.createDataFrame(
+        [(t, t % 2) for t in range(256)], "t long, y long"
+    )
+    rows = hurst_rs(alt, "t", "y", (8, 16, 32, 64)).collect()
+    assert all(abs(r["hurst"]) < 0.2 for r in rows)
+    # R/S of the alternation is exactly 1 at every even block size
+    assert all(r["mean_rs"] == 1.0 for r in rows)
+
+
+def test_nfc_normalize_arrow_hand(spark):
+    """Decomposed e + COMBINING ACUTE collapses to the composed
+    form (byte-different, canonically equal); ASCII passes through
+    unchanged.  Also documents WHY the kernel is mapInPandas:
+    pyarrow 16.1's own utf8_normalize NFC fails to compose."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from greenex_py_spark.functions.text import nfc_normalize_arrow
+
+    decomposed = "e\u0301cole"
+    composed = "\u00e9cole"
+    # the pyarrow bug this operator works around (drop the pandas
+    # kernel when this assertion starts failing on a fixed Arrow)
+    broken = pc.utf8_normalize(pa.array([decomposed]), form="NFC")[0].as_py()
+    assert broken != composed
+
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain ascii")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in nfc_normalize_arrow(df).collect()}
+    assert got[1]["norm"] == composed and got[1]["changed"]
+    assert got[2]["norm"] == "plain ascii" and not got[2]["changed"]
+
+
+def test_utf8_audit_arrow_hand(spark):
+    """Byte length counts UTF-8 bytes, char length counts codepoints;
+    is_ascii flags pure-ASCII rows."""
+    from greenex_py_spark.functions.text import utf8_audit_arrow
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "caf\u00e9")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in utf8_audit_arrow(df).collect()}
+    assert (got[1]["n_bytes"], got[1]["n_chars"], got[1]["is_ascii"]) == (3, 3, True)
+    assert (got[2]["n_bytes"], got[2]["n_chars"], got[2]["is_ascii"]) == (5, 4, False)
