@@ -18734,3 +18734,431 @@ def q_utf8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return utf8_audit_arrow(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q_linear_svm — distributed hinge-loss classifier trained on the corpus
+# ---------------------------------------------------------------------------
+
+def _svm_feats_sql() -> str:
+    from .functions.text import LANG_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+SELECT doc_id AS i,
+       [CAST(1 AS BIGINT),
+        CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ({sw}))) AS BIGINT),
+        CAST(len(string_split(text, ' ')) // 10 AS BIGINT),
+        CAST(least(n_chars // 100, 20) AS BIGINT),
+        CAST((length(text) - length(replace(text, 'e', ''))) // 10
+             AS BIGINT)] AS x,
+       CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+FROM documents
+"""
+
+
+def _svm_oracle() -> str:
+    from .functions.svm import svm_oracle_sql
+
+    return svm_oracle_sql(_svm_feats_sql(), n_dims=5, iters=3)
+
+
+@register("q_linear_svm", None)  # generated oracle attached below
+def q_linear_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear SVM (hinge loss, full-batch subgradient, η=1/2, λ=1/8)
+    trained DISTRIBUTED on the corpus to separate English documents
+    from the rest on five cheap integer text features — the
+    discriminative trainer beside q_naive_bayes (generative) and
+    q_kmeans (unsupervised), i.e. the quality-classifier-training
+    shape crawl curation runs at scale.  Micro-unit integer weights
+    make the margin test and every round exactly reproducible across
+    engines; per round one weight broadcast + one dim-sized gradient
+    shuffle (functions/svm.py ``svm_train``).  The LCG fixture's text
+    is label-independent word salad (aggregate features carry ~no lang
+    signal — resubstitution accuracy sits near the class prior), so
+    the GATE proves the trainer's cross-engine exactness while
+    test_svm_separable proves it converges on a separable set."""
+    from .functions.svm import svm_train
+
+    from .functions.text import LANG_STOPWORDS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sw = LANG_STOPWORDS["en"]
+    feats = docs.withColumn("_toks", F.split(F.col("text"), " ")).select(
+        F.col("doc_id"),
+        F.array(
+            F.lit(1).cast("long"),
+            F.size(F.filter("_toks", lambda t: t.isin(*sw))).cast("long"),
+            F.floor(F.size("_toks") / 10).cast("long"),
+            F.least(F.floor(F.col("n_chars") / 100), F.lit(20)).cast("long"),
+            F.floor(
+                (
+                    F.length(F.col("text"))
+                    - F.length(F.expr("replace(text, 'e', '')"))
+                ) / 10
+            ).cast("long"),
+        ).alias("x"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1)).cast("long").alias("y"),
+    )
+    return svm_train(feats, n_dims=5, iters=3)
+
+
+ORACLES["q_linear_svm"] = _svm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_rocchio — pseudo-relevance-feedback query expansion + re-rank
+# ---------------------------------------------------------------------------
+
+
+def _rocchio_oracle() -> str:
+    dim = _embedding_dim()
+    return f"""
+WITH orig AS ({_COSINE_TOPK_SQL}),
+fb AS (
+  SELECT o.q_id, i.range AS pos,
+         round(avg(CAST(c.embedding[i.range] AS DOUBLE)), 6) AS fval
+  FROM orig o JOIN embeddings c ON c.vec_id = o.n_id,
+       range(1, {dim + 1}) i
+  GROUP BY o.q_id, i.range
+),
+qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+qe AS (
+  SELECT q.vec_id AS q_id,
+         list(round(1.0 * CAST(q.embedding[f.pos] AS DOUBLE)
+                    + 0.75 * f.fval, 6) ORDER BY f.pos) AS e
+  FROM qv q JOIN fb f ON f.q_id = q.vec_id GROUP BY q.vec_id
+),
+p AS (
+  SELECT qe.q_id, c.vec_id AS n_id,
+         round({_DOT.format(a='qe.e', b='c.embedding')}
+               / ({_NRM.format(a='qe.e')} * {_NRM.format(a='c.embedding')}),
+               6) AS sim
+  FROM qe, embeddings c WHERE c.vec_id <> qe.q_id
+),
+r AS (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id ASC) AS rank
+  FROM p
+)
+SELECT r.q_id, r.n_id, r.sim, CAST(r.rank AS BIGINT) AS rank,
+       (o2.n_id IS NOT NULL) AS was_feedback
+FROM r LEFT JOIN orig o2 ON o2.q_id = r.q_id AND o2.n_id = r.n_id
+WHERE r.rank <= 10
+"""
+
+
+@register("q_rocchio", None)  # generated oracle attached below
+def q_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (α=1, β=0.75) over the
+    embedding corpus: each query's exact top-10 becomes its feedback
+    set, the expanded query re-ranks the corpus, and was_feedback
+    marks which hits the expansion genuinely pulled in — the classic
+    query-expansion serving stage beside q_mmr_rerank (diversity) and
+    q_rrf_fusion (ensembling) that completes the rerank family
+    (functions/retrieval.py ``rocchio_rerank``)."""
+    from .functions.retrieval import rocchio_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return rocchio_rerank(q, emb, k=10)
+
+
+ORACLES["q_rocchio"] = _rocchio_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_udtf_tf — per-document term frequencies through a Python UDTF
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_udtf_tf",
+    """
+SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 200)
+GROUP BY doc_id, tok
+""",
+)
+def q_udtf_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token frequencies computed by a PYTHON UDTF invoked
+    through SQL LATERAL (Arrow transport enabled) — the row→table
+    Python-integration surface beside q_pysource_scan's DataSource;
+    hash-proven equal to the relational explode+groupBy the oracle
+    runs (functions/udtfs.py ``TermFreq``)."""
+    from .functions.udtfs import register_term_freq
+
+    register_term_freq(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.tok, CAST(t.cnt AS BIGINT) AS cnt "
+        "FROM _udtf_docs d, LATERAL term_freq(d.text) t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_jl_audit — Johnson–Lindenstrauss projection distortion audit
+# ---------------------------------------------------------------------------
+
+
+def _jl_oracle() -> str:
+    dim = _embedding_dim()
+    from .functions.similarity import JL_BITS, JL_Q
+
+    return f"""
+WITH pairs AS (SELECT q_id, n_id FROM ({_COSINE_TOPK_SQL})),
+ids AS (SELECT DISTINCT vid FROM (
+  SELECT q_id AS vid FROM pairs UNION ALL SELECT n_id FROM pairs)),
+vecs AS (
+  SELECT e.vec_id AS vid, CAST(i.range - 1 AS BIGINT) AS i,
+         CAST(e.embedding[i.range] AS DOUBLE) AS val
+  FROM embeddings e JOIN ids ON ids.vid = e.vec_id,
+       range(1, {dim + 1}) i
+),
+proj AS (
+  SELECT vid, b.range AS b,
+         CAST(sum(CAST(floor(
+           ((CAST((b.range * 1315423911 + i * 2654435761 + 97531)
+                  % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0)
+           * val * {JL_Q}.0 + 0.5) AS BIGINT)) AS BIGINT) AS p
+  FROM vecs, range(0, {JL_BITS}) b GROUP BY vid, b.range
+),
+vq AS (SELECT vid, i,
+              CAST(floor(val * {JL_Q}.0 + 0.5) AS BIGINT) AS vq FROM vecs),
+dt AS (
+  SELECT p.q_id, p.n_id,
+         CAST(sum((a.vq - c.vq) * (a.vq - c.vq)) AS BIGINT) AS d_true_q
+  FROM pairs p JOIN vq a ON a.vid = p.q_id
+  JOIN vq c ON c.vid = p.n_id AND c.i = a.i
+  GROUP BY p.q_id, p.n_id
+),
+dp AS (
+  SELECT p.q_id, p.n_id,
+         CAST(sum((a.p - c.p) * (a.p - c.p)) AS BIGINT) AS d_proj_q
+  FROM pairs p JOIN proj a ON a.vid = p.q_id
+  JOIN proj c ON c.vid = p.n_id AND c.b = a.b
+  GROUP BY p.q_id, p.n_id
+)
+SELECT dt.q_id, dt.n_id, dt.d_true_q, dp.d_proj_q,
+       CASE WHEN dt.d_true_q = 0 THEN NULL
+            ELSE CAST(dp.d_proj_q AS DOUBLE) / CAST(dt.d_true_q AS DOUBLE)
+       END AS ratio,
+       (CASE WHEN dt.d_true_q = 0 THEN NULL
+             ELSE CAST(dp.d_proj_q AS DOUBLE) / CAST(dt.d_true_q AS DOUBLE)
+        END) * 3.0 / {JL_BITS}.0 AS distortion
+FROM dt JOIN dp ON dp.q_id = dt.q_id AND dp.n_id = dt.n_id
+"""
+
+
+@register("q_jl_audit", None)  # generated oracle attached below
+def q_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality-reduction audit: squared
+    distances of the exact top-10 pairs after a deterministic 16-dim
+    hash-mix projection, over the true squared distances — distortion
+    near 1 is the acceptance test before an embedding pipeline swaps
+    full vectors for sketches.  Both distances exact int64 (per-term
+    1e-6 quantization), two divisions at the end
+    (functions/similarity.py ``jl_distortion_audit``)."""
+    from .functions.similarity import jl_distortion_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return jl_distortion_audit(q, emb, k=10)
+
+
+ORACLES["q_jl_audit"] = _jl_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_textrank — TextRank keywords via weighted PageRank on co-occurrence
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_EDGES_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+bi AS (SELECT tk[i.range] AS a, tk[i.range + 1] AS b
+       FROM t, range(1, 1001) i WHERE i.range <= len(tk) - 1),
+und AS (SELECT a AS src, b AS dst FROM bi WHERE a <> b
+        UNION ALL SELECT b, a FROM bi WHERE a <> b)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM und GROUP BY src, dst
+"""
+
+
+def _textrank_oracle() -> str:
+    from .functions.graph import weighted_pagerank_oracle_sql
+
+    inner = weighted_pagerank_oracle_sql(
+        f"SELECT * FROM ({_TEXTRANK_EDGES_SQL})", n_iters=3
+    )
+    return f"""
+SELECT node AS token, rank
+FROM ({inner})
+ORDER BY rank DESC, token ASC LIMIT 20
+"""
+
+
+@register("q_textrank", None)  # generated oracle attached below
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: weighted PageRank (3 quantized
+    rounds) over the corpus token co-occurrence graph (adjacent-token
+    pairs, both directions, weight = pair count), top-20 tokens — the
+    graph-centrality keyword scorer beside q_rake (phrase heuristics)
+    and q_salient_terms (tf-idf): a token ranks high when its
+    NEIGHBOURS rank high, not merely when it is frequent.  The graph
+    is vocabulary-sized (never corpus-sized) — the one corpus-sized
+    pass is the bigram count (functions/graph.py
+    ``weighted_pagerank``)."""
+    from .functions.graph import weighted_pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+        .select(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+    )
+    und = bi.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        bi.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    edges = und.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    pr = weighted_pagerank(edges, n_iters=3)
+    return (
+        pr.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("token"), "rank")
+    )
+
+
+ORACLES["q_textrank"] = _textrank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_bot_cadence — inter-arrival regularity (bot) screen per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_bot_cadence",
+    """
+WITH d AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS d
+  FROM events
+),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(d) AS BIGINT) AS span_s,
+         CAST(sum(d * d) AS BIGINT) AS sd2
+  FROM d WHERE d IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps, span_s,
+       CAST(n_gaps AS DOUBLE) * CAST(sd2 AS DOUBLE)
+         / (CAST(span_s AS DOUBLE) * CAST(span_s AS DOUBLE)) - 1.0 AS cv2,
+       4 * (n_gaps * sd2 - span_s * span_s) < span_s * span_s AS is_bot
+FROM g WHERE n_gaps >= 4
+""",
+)
+def q_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival CV² bot screen: scripted clients fire on
+    a timer (CV² → 0), humans are bursty — the abuse-detection signal
+    beside q_sessionize; gaps exact int64 seconds, the flag decided by
+    a pure integer inequality (functions/audit.py ``bot_cadence``)."""
+    from .functions.audit import bot_cadence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bot_cadence(ev, "user_id", "ts", min_gaps=4)
+
+
+# ---------------------------------------------------------------------------
+# q_periodogram — Fourier periodogram of hourly event volume
+# ---------------------------------------------------------------------------
+
+_PGRAM_K = 8
+
+
+@register(
+    "q_periodogram",
+    f"""
+WITH e AS (SELECT date_trunc('hour', ts) AS h FROM events),
+d0 AS (SELECT min(h) AS hmin,
+              date_diff('hour', min(h), max(h)) AS tmax FROM e),
+cnt AS (SELECT date_diff('hour', d0.hmin, h) AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM e, d0 GROUP BY 1),
+grid AS (
+  SELECT i.t, coalesce(c.y, 0) AS y
+  FROM (SELECT unnest(generate_series(0, (SELECT tmax FROM d0))) AS t) i
+  LEFT JOIN cnt c ON c.t = i.t
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grid),
+terms AS (
+  SELECT k.range AS k, nn.n,
+         CAST(floor(CAST(y AS DOUBLE)
+              * cos(2.0 * pi() * CAST(k.range AS DOUBLE) * CAST(t AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE))
+              * 1000000000.0 + 0.5) AS BIGINT) AS cq,
+         CAST(floor(CAST(y AS DOUBLE)
+              * sin(2.0 * pi() * CAST(k.range AS DOUBLE) * CAST(t AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE))
+              * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM grid, range(1, {_PGRAM_K + 1}) k, nn
+),
+a AS (SELECT k, max(n) AS n, CAST(sum(cq) AS BIGINT) AS c_q,
+             CAST(sum(sq) AS BIGINT) AS s_q
+      FROM terms GROUP BY k),
+p AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS period, c_q, s_q,
+         (CAST(c_q AS DOUBLE) / 1000000000.0)
+           * (CAST(c_q AS DOUBLE) / 1000000000.0)
+         + (CAST(s_q AS DOUBLE) / 1000000000.0)
+           * (CAST(s_q AS DOUBLE) / 1000000000.0) AS power
+  FROM a
+)
+SELECT k, period, c_q, s_q, power,
+       row_number() OVER (ORDER BY power DESC, k ASC) = 1 AS dominant
+FROM p
+""",
+)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fourier periodogram (harmonics 1–8) of the hourly
+    event-volume grid — the seasonality detector that MEASURES the
+    dominant period q_acf_volume and q_holt_winters must be told;
+    per-term 1e-9 quantization absorbs the cross-engine libm ulp, the
+    sums are exact int64 (functions/timeseries.py ``periodogram``)."""
+    from .functions.timeseries import periodogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+    bounds = e.agg(
+        F.min("h").alias("hmin"),
+        (
+            (F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.min("h"))) / 3600
+        ).cast("long").alias("tmax"),
+    )
+    cnt = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                (F.unix_timestamp(F.col("h")) - F.unix_timestamp(F.col("hmin")))
+                / 3600
+            ).cast("long").alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    grid = (
+        bounds.select(F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"))
+        .join(cnt, ["t"], "left")
+        .select("t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    return periodogram(grid, "t", "y", _PGRAM_K)

@@ -361,3 +361,62 @@ def dq_check(df: DataFrame, violation: Column, name: str) -> DataFrame:
         "check", "n_total", "n_violations",
         (F.col("n_violations") == 0).alias("pass"),
     )
+
+
+def bot_cadence(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gaps: int = 4,
+) -> DataFrame:
+    """[user_id, n_gaps, span_s, cv2, is_bot] — inter-arrival
+    regularity screen: per user the coefficient of variation (squared)
+    of consecutive event gaps, CV² = n·Σd²/(Σd)² − 1 with d in whole
+    seconds (exact µs gap floor-divided — DuckDB's fractional
+    epoch() and timestamp ties are both avoided: ordering ties break
+    on event_id).  Human browsing is bursty (CV² ≥ 1, exponential-ish);
+    scripted clients fire on a timer (CV² → 0) — the classic crawl
+    bot/abuse signal next to q_sessionize's gap split.
+
+    Exactness: gaps are exact int64 seconds (epoch floor), Σd
+    telescopes to the user's span, and the flag
+    ``is_bot`` ⇔ CV² < 1/4 is decided by the pure integer test
+    4·(n·Σd² − (Σd)²) < (Σd)² — no FP anywhere near the boundary;
+    the reported cv2 double is one identical IEEE chain.  Shape: one
+    per-user window pass (lag) + one aggregation; users with fewer
+    than ``min_gaps`` gaps are excluded (the estimator is noise
+    there)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = (
+        events.select(
+            user_col,
+            (
+                us
+                - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+            ).alias("d_us"),
+        )
+        .filter(F.col("d_us").isNotNull())
+        .select(
+            user_col, F.floor(F.col("d_us") / 1000000).cast("long").alias("d")
+        )
+    )
+    agg = d.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("d").cast("long").alias("span_s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sd2"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    cv2 = (
+        F.col("n_gaps").cast("double") * F.col("sd2").cast("double")
+        / (F.col("span_s").cast("double") * F.col("span_s").cast("double"))
+        - F.lit(1.0)
+    )
+    is_bot = (
+        4 * (F.col("n_gaps") * F.col("sd2") - F.col("span_s") * F.col("span_s"))
+        < F.col("span_s") * F.col("span_s")
+    )
+    return agg.select(
+        "user_id", "n_gaps", "span_s", cv2.alias("cv2"), is_bot.alias("is_bot")
+    )

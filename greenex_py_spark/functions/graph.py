@@ -1768,3 +1768,120 @@ SELECT e.a, e.b,
 FROM {e0} e LEFT JOIN beagg g ON g.ea = e.a AND g.eb = e.b"""
     )
     return "".join(parts)
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """[node, rank] — damped PageRank over WEIGHTED directed edges
+    (contribution r·w_ij/W_i with W_i the src's total out-weight),
+    the TextRank/co-citation-strength variant of :func:`pagerank`:
+    same quantized-round contract — per-edge contributions round to
+    pico-ints before the sum, rank vectors round-9 per round — so the
+    iteration is exactly reproducible across engines.  Dangling mass
+    redistributes uniformly.  One broadcast-free equi-join + one
+    groupBy per round; rank/edge frames localCheckpoint per round
+    (the lineage rule)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    ws = e.groupBy("src").agg(F.sum("w").cast("long").alias("ws"))
+    eo = e.join(ws, "src").localCheckpoint()
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iters):
+        contrib = eo.join(ranks, eo["src"] == ranks["node"]).select(
+            "dst",
+            F.round(F.col("r") * F.col("w") / F.col("ws") * PICO)
+            .cast("long").alias("c"),
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        dang = (
+            ranks.join(ws, ranks["node"] == ws["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("r") * PICO).cast("long")), F.lit(0)
+                ).alias("dgp")
+            )
+        )
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.round(
+                    base
+                    + damping * (F.coalesce("s", F.lit(0)) / PICO)
+                    + damping * (F.col("dgp") / PICO) / n,
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
+def weighted_pagerank_oracle_sql(
+    edges_cte: str,
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin of :func:`weighted_pagerank`: identical quantized
+    rounds unrolled (MATERIALIZED per the iterative-oracle rule).
+    ``edges_cte`` must select (src, dst, w)."""
+    d = damping
+    ctes = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "ws AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ws "
+        "FROM e GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e"
+        " UNION SELECT DISTINCT dst FROM e)",
+        "n AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, round(1.0 / n.n, 9) AS r"
+        " FROM nodes CROSS JOIN n)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST(round(r{p}.r * e.w / ws.ws * 1000000000000.0) AS BIGINT) AS c
+  FROM e JOIN r{p} ON e.src = r{p}.node JOIN ws ON ws.src = e.src
+)"""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node)"
+        )
+        ctes.append(
+            f"""dg{i} AS (
+  SELECT coalesce(sum(CAST(round(r{p}.r * 1000000000000.0) AS BIGINT)), 0)
+           AS dgp
+  FROM r{p} LEFT JOIN ws ON r{p}.node = ws.src WHERE ws.src IS NULL
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         round((1.0 - {d}) / n.n
+               + {d} * (coalesce(s{i}.s, 0) / 1000000000000.0)
+               + {d} * (dg{i}.dgp / 1000000000000.0) / n.n, 9) AS r
+  FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node
+  CROSS JOIN n CROSS JOIN dg{i}
+)"""
+        )
+    return (
+        ",\n".join(ctes) + f"\nSELECT node, r AS rank FROM r{n_iters}"
+    )

@@ -430,3 +430,74 @@ SELECT source, CAST(dcg_micro AS BIGINT) AS dcg_micro,
              / nullif(CAST(idcg_micro AS DOUBLE), 0.0), 6) AS ndcg
 FROM a
 """
+
+
+ROCCHIO_ALPHA = 1.0
+ROCCHIO_BETA = 0.75
+
+
+def rocchio_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[q_id, n_id, sim, rank, was_feedback] — Rocchio pseudo-relevance
+    feedback over the embedding corpus: each query's exact cosine
+    top-k becomes its feedback set, the expanded query is
+    q′ = α·q + β·centroid(feedback) (α=1, β=0.75, the classic
+    parameters), and the corpus is re-ranked against q′.
+    ``was_feedback`` marks re-ranked hits that were already in the
+    original top-k — the drift readout (false = the expansion pulled
+    in a genuinely new neighbour).
+
+    Determinism: the feedback centroid is round-6 per dimension (the
+    kmeans device — FP summation order can't move it), the expansion
+    is one fixed IEEE expression re-rounded to 6 dp, and the re-rank
+    reuses :func:`~greenex_py_spark.functions.similarity.cosine_topk`
+    (round-6 sims, id tie-break).  Scale shape: feedback join is
+    k-rows-per-query sized; the only corpus-wide pass is the final
+    BLAS re-rank — same serving shape as cosine_topk itself."""
+    from .similarity import cosine_topk
+
+    orig = cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    fb = (
+        orig.join(
+            corpus.select(
+                F.col(id_col).alias("n_id"), F.col(vec_col).alias("_v")
+            ),
+            "n_id",
+        )
+        .select("q_id", F.posexplode("_v").alias("pos", "val"))
+        .groupBy("q_id", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("fval"))
+    )
+    qd = queries.select(
+        F.col(id_col).alias("q_id"), F.posexplode(vec_col).alias("pos", "qval")
+    )
+    qe = (
+        qd.join(fb, ["q_id", "pos"])
+        .withColumn(
+            "eval",
+            F.round(
+                F.lit(ROCCHIO_ALPHA) * F.col("qval").cast("double")
+                + F.lit(ROCCHIO_BETA) * F.col("fval"),
+                6,
+            ),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "eval"))),
+                lambda s: s["eval"],
+            ).alias(vec_col)
+        )
+        .select(F.col("q_id").alias(id_col), vec_col)
+    )
+    rer = cosine_topk(qe, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    o2 = orig.select("q_id", "n_id", F.lit(True).alias("was_feedback"))
+    return rer.join(o2, ["q_id", "n_id"], "left").select(
+        "q_id", "n_id", "sim", F.col("rank").cast("long").alias("rank"),
+        F.coalesce("was_feedback", F.lit(False)).alias("was_feedback"),
+    )

@@ -968,3 +968,109 @@ def pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+JL_BITS = 16
+JL_Q = 1_000_000
+
+
+def jl_distortion_audit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_proj: int = JL_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[q_id, n_id, d_true_q, d_proj_q, ratio, distortion] — Johnson–
+    Lindenstrauss audit of the deterministic random projection: for
+    each exact-top-k pair, the squared distance in the n_proj-dim
+    projected space over the true squared distance.  With projection
+    entries r ~ uniform[−1,1] (the same hash-mix family as
+    :func:`_hyperplanes`), E[ratio] = n_proj/3, so
+    ``distortion`` = ratio·3/n_proj concentrates near 1 — the
+    dimensionality-reduction acceptance test an embedding pipeline
+    runs before swapping full vectors for sketches.
+
+    Exactness: projection terms r·v quantize to 1e-6 ints BEFORE the
+    per-dimension sum (summation order immaterial), true distances use
+    1e-6-quantized coordinates, so BOTH distances are exact int64 and
+    the two divisions at the end are identical IEEE.  Scale shape:
+    projection is map-side explode + (id, b)-keyed partial sums (one
+    corpus-sized shuffle, n_proj fan-out); the audit join touches only
+    the k·|queries| pair sliver."""
+    from .similarity import cosine_topk  # self-import keeps style uniform
+
+    pairs = cosine_topk(queries, corpus, k=k, id_col=id_col,
+                        vec_col=vec_col).select("q_id", "n_id")
+    ids = (
+        pairs.select(F.col("q_id").alias("vid"))
+        .unionByName(pairs.select(F.col("n_id").alias("vid")))
+        .distinct()
+    )
+    vecs = corpus.join(ids, corpus[id_col] == ids["vid"]).select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(vec_col).alias("i", "val"),
+    )
+    spark = corpus.sparkSession
+    b = spark.range(n_proj).select(F.col("id").cast("long").alias("b"))
+    z = (
+        F.col("b") * F.lit(1315423911)
+        + F.col("i") * F.lit(2654435761)
+        + F.lit(97531)
+    ) % F.lit(1000003)
+    r = (z.cast("double") / F.lit(1000003.0)) * F.lit(2.0) - F.lit(1.0)
+    proj = (
+        vecs.crossJoin(F.broadcast(b))
+        .withColumn(
+            "tq",
+            F.floor(
+                r * F.col("val").cast("double") * F.lit(float(JL_Q))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .groupBy("vid", "b")
+        .agg(F.sum("tq").cast("long").alias("p"))
+    )
+    vq = vecs.withColumn(
+        "vq",
+        F.floor(
+            F.col("val").cast("double") * F.lit(float(JL_Q)) + F.lit(0.5)
+        ).cast("long"),
+    ).select("vid", "i", "vq")
+    dt = (
+        pairs.join(vq.withColumnRenamed("vid", "q_id")
+                   .withColumnRenamed("vq", "va"), ["q_id"])
+        .join(
+            vq.select(F.col("vid").alias("n_id"), "i",
+                      F.col("vq").alias("vb")),
+            ["n_id", "i"],
+        )
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))
+            .cast("long").alias("d_true_q")
+        )
+    )
+    dp = (
+        pairs.join(proj.withColumnRenamed("vid", "q_id")
+                   .withColumnRenamed("p", "pa"), ["q_id"])
+        .join(
+            proj.select(F.col("vid").alias("n_id"), "b",
+                        F.col("p").alias("pb")),
+            ["n_id", "b"],
+        )
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.sum((F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb")))
+            .cast("long").alias("d_proj_q")
+        )
+    )
+    ratio = F.when(
+        F.col("d_true_q") == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("d_proj_q").cast("double") / F.col("d_true_q").cast("double"))
+    return dt.join(dp, ["q_id", "n_id"]).select(
+        "q_id", "n_id", "d_true_q", "d_proj_q",
+        ratio.alias("ratio"),
+        (ratio * F.lit(3.0) / F.lit(float(n_proj))).alias("distortion"),
+    )

@@ -835,3 +835,72 @@ def hurst_rs(
             / (dd * sxx - sx * sx).cast("double")
         ).alias("hurst"),
     )
+
+
+def periodogram(
+    grid: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    max_k: int = 8,
+) -> DataFrame:
+    """[k, period, c_q, s_q, power, dominant] — discrete Fourier
+    periodogram of a dense integer series at harmonics k = 1..max_k:
+    c_k = Σ y_t·cos(2πkt/n), s_k = Σ y_t·sin(2πkt/n), power = c²+s² —
+    the seasonality detector that finds the period q_acf_volume and
+    q_holt_winters must be TOLD (their lags/period are parameters;
+    the dominant harmonic here is measured).  ``period`` = n/k in the
+    series' own time unit; ``dominant`` marks the max-power harmonic
+    (tie → smallest k).
+
+    Exactness: each y·cos / y·sin term quantizes to 1e-9 ints before
+    the sum (libm cos/sin may differ by 1 ulp between engines — the
+    established quantization convention absorbs it, and summation
+    order is then immaterial); power is one identical IEEE chain off
+    the two exact int64 sums.  Shape: one explode of the
+    calendar-sized grid × max_k — never corpus-sized."""
+    import math
+
+    from pyspark.sql import Window
+
+    n = grid.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spark = grid.sparkSession
+    ks = spark.range(1, max_k + 1).select(F.col("id").cast("long").alias("k"))
+    base = (
+        grid.select(F.col(t_col).alias("t"), F.col(y_col).cast("long").alias("y"))
+        .crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+    )
+    ang = (
+        F.lit(2.0) * F.lit(math.pi) * F.col("k").cast("double")
+        * F.col("t").cast("double") / F.col("n").cast("double")
+    )
+    cq = F.floor(
+        F.col("y").cast("double") * F.cos(ang) * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("long")
+    sq = F.floor(
+        F.col("y").cast("double") * F.sin(ang) * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        base.withColumn("_c", cq)
+        .withColumn("_s", sq)
+        .groupBy("k")
+        .agg(
+            F.max(F.col("n")).alias("n"),
+            F.sum("_c").cast("long").alias("c_q"),
+            F.sum("_s").cast("long").alias("s_q"),
+        )
+    )
+    c = F.col("c_q").cast("double") / F.lit(1000000000.0)
+    s = F.col("s_q").cast("double") / F.lit(1000000000.0)
+    power = c * c + s * s
+    out = agg.select(
+        "k",
+        (F.col("n").cast("double") / F.col("k").cast("double")).alias("period"),
+        "c_q", "s_q",
+        power.alias("power"),
+    )
+    w = Window.partitionBy()
+    return out.withColumn(
+        "dominant",
+        F.row_number().over(w.orderBy(F.desc("power"), F.asc("k"))) == 1,
+    )

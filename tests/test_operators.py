@@ -7935,3 +7935,139 @@ def test_utf8_audit_arrow_hand(spark):
     got = {r["doc_id"]: r for r in utf8_audit_arrow(df).collect()}
     assert (got[1]["n_bytes"], got[1]["n_chars"], got[1]["is_ascii"]) == (3, 3, True)
     assert (got[2]["n_bytes"], got[2]["n_chars"], got[2]["is_ascii"]) == (5, 4, False)
+
+
+def test_svm_separable(spark):
+    """On a linearly separable set (y = sign of x1 − 3, wide margin)
+    the quantized trainer reaches 100% resubstitution accuracy and a
+    positive weight on the discriminative dim within a few rounds."""
+    from greenex_py_spark.functions.svm import svm_train
+
+    rows = [(i, [1, 6], 1) for i in range(20)] + [
+        (i + 20, [1, 0], -1) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, x array<long>, y long")
+    got = svm_train(df, n_dims=2, iters=4).collect()
+    by_dim = {r["dim"]: r for r in got}
+    assert by_dim[0]["n_correct"] == 40 and by_dim[0]["n_total"] == 40
+    assert by_dim[1]["wq"] > 0          # the separating feature
+    assert by_dim[0]["wq"] < 0          # bias pushes the x1=0 class negative
+    assert by_dim[1]["w"] == by_dim[1]["wq"] / 1e6
+
+
+def test_svm_update_is_quantized_and_deterministic(spark):
+    """Two identical runs produce identical integer weights (the
+    micro-unit grid removes FP order sensitivity)."""
+    from greenex_py_spark.functions.svm import svm_train
+
+    rows = [(i, [1, i % 5, (i * 7) % 3], 1 if i % 2 == 0 else -1)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, x array<long>, y long")
+    a = sorted((r["dim"], r["wq"]) for r in svm_train(df, 3, iters=3).collect())
+    b = sorted((r["dim"], r["wq"]) for r in svm_train(df, 3, iters=3).collect())
+    assert a == b
+
+
+def test_rocchio_rerank_hand(spark):
+    """With β pulling toward the feedback centroid, a query sitting
+    between two clusters re-ranks its own cluster's members above the
+    decoy; original-top-k hits are flagged was_feedback."""
+    from greenex_py_spark.functions.retrieval import rocchio_rerank
+
+    rows = [
+        (0, [1.0, 0.2]),     # query: mostly x with a little y
+        (1, [1.0, 0.0]),     # its cluster
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),     # orthogonal decoy
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    got = rocchio_rerank(q, df, k=2).collect()
+    assert all(r["q_id"] == 0 for r in got)
+    ranked = sorted(got, key=lambda r: r["rank"])
+    assert [r["n_id"] for r in ranked] == [2, 1]
+    assert all(r["was_feedback"] for r in ranked)  # top-2 unchanged here
+
+
+def test_jl_distortion_concentrates(spark):
+    """On orthogonal-ish random-free vectors the 16-proj distortion
+    stays within [0.2, 3] per pair and near 1 on average (JL with
+    uniform[−1,1] entries: E[ratio] = k/3)."""
+    from greenex_py_spark.functions.similarity import jl_distortion_audit
+
+    rows = [
+        (i, [1.0 if j == i else 0.1 * ((i * 7 + j) % 5) for j in range(32)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    got = jl_distortion_audit(q, df, k=5, n_proj=16).collect()
+    assert len(got) == 15
+    ds = [r["distortion"] for r in got]
+    # 16 projections concentrate loosely — wide per-pair envelope,
+    # tight mean
+    assert all(0.02 < d < 8.0 for d in ds)
+    assert 0.5 < sum(ds) / len(ds) < 2.0
+    # exact integers on both distance sides
+    assert all(r["d_true_q"] > 0 and r["d_proj_q"] >= 0 for r in got)
+
+
+def test_weighted_pagerank_hand(spark):
+    """A hub fed by heavy weights outranks one fed lightly; uniform
+    weights reduce to the unweighted ranking."""
+    from greenex_py_spark.functions.graph import pagerank, weighted_pagerank
+
+    rows = [("a", "hub", 9), ("b", "hub", 9), ("a", "side", 1),
+            ("b", "side", 1), ("hub", "a", 1), ("side", "b", 1)]
+    df = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = {r["node"]: r["rank"] for r in weighted_pagerank(df, 3).collect()}
+    assert got["hub"] > got["side"]
+
+    uni = df.withColumn("w", df.w * 0 + 1)
+    gw = {r["node"]: r["rank"] for r in weighted_pagerank(uni, 3).collect()}
+    gu = {r["node"]: r["rank"] for r in
+          pagerank(df.select("src", "dst"), 3).collect()}
+    assert gw == gu
+
+
+def test_bot_cadence_hand(spark):
+    """A metronome user (exact 60 s gaps) flags as a bot (CV² = 0);
+    a bursty user (1 s vs 1 h gaps) does not."""
+    import datetime as dt
+
+    from greenex_py_spark.functions.audit import bot_cadence
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=60 * i), 1) for i in range(6)]
+    rows += [
+        (10 + i, t0 + dt.timedelta(seconds=s), 2)
+        for i, s in enumerate([0, 1, 3600, 3601, 7200, 7201])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {r["user_id"]: r for r in bot_cadence(df, min_gaps=4).collect()}
+    assert got[1]["cv2"] == 0.0 and got[1]["is_bot"]
+    assert got[2]["cv2"] > 1.0 and not got[2]["is_bot"]
+    assert got[1]["span_s"] == 300 and got[1]["n_gaps"] == 5
+
+
+def test_periodogram_finds_planted_period(spark):
+    """A pure 24-sample cosine on a 240-sample grid puts the dominant
+    harmonic exactly at k = 10 (period 24), with power n²·A²/4 /1 —
+    and near-zero power elsewhere."""
+    import math
+
+    from greenex_py_spark.functions.timeseries import periodogram
+
+    n, period, amp = 240, 24, 10
+    rows = [
+        (t, round(100 + amp * math.cos(2 * math.pi * t / period)))
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(rows, "t long, y long")
+    got = {r["k"]: r for r in periodogram(df, max_k=12).collect()}
+    dom = [k for k, r in got.items() if r["dominant"]]
+    assert dom == [10]
+    assert got[10]["period"] == 24.0
+    # planted-harmonic power ≈ (n·A/2)² = 1_440_000 (rounding of y adds noise)
+    assert got[10]["power"] > 1e6
+    assert all(r["power"] < 1e5 for k, r in got.items() if k not in (10,))

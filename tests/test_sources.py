@@ -109,3 +109,32 @@ def test_pysource_equals_mapinpandas_ingest(spark):
         city.tiles_df(spark, "ndvi").select("tx", "ty", "px")
     )
     assert via_source.rdd.getNumPartitions() == 16
+
+
+def test_term_freq_udtf_lateral(spark):
+    """The UDTF expansion equals the relational explode+groupBy and
+    runs through the Arrow UDTF path."""
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.functions.udtfs import register_term_freq
+
+    register_term_freq(spark)
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "x")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_udtf_t")
+    got = {
+        (r["doc_id"], r["tok"]): r["cnt"]
+        for r in spark.sql(
+            "SELECT d.doc_id, t.tok, t.cnt "
+            "FROM _udtf_t d, LATERAL term_freq(d.text) t"
+        ).collect()
+    }
+    assert got == {(1, "a"): 2, (1, "b"): 1, (2, "x"): 1}
+    rel = {
+        (r["doc_id"], r["tok"]): r["cnt"]
+        for r in df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    assert got == rel
