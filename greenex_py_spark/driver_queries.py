@@ -14520,10 +14520,13 @@ def q_dtw_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar.  Profiles are integer ppm shares, so every DP cell
     is an exact int64 and the DuckDB twin (same decomposition,
     unrolled MATERIALIZED CTEs per the house rule) is bit-equal at
-    any parallelism."""
+    any parallelism.  The gate runs the Arrow hot-path twin
+    (``dtw_to_reference_arrow`` — same exact DP, one stage instead of
+    ~90 window operators, ×5 wall-clock at sf0.1); the zero-Python
+    window form stays value-equal-tested in test_operators."""
     from pyspark.sql import Window
 
-    from .functions.timeseries import dtw_to_reference
+    from .functions.timeseries import dtw_to_reference_arrow
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     e = ev.select(
@@ -14574,7 +14577,7 @@ def q_dtw_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, _DTW_T + 1)
         ]
     )
-    return dtw_to_reference(
+    return dtw_to_reference_arrow(
         prof.crossJoin(F.broadcast(refrow)), _DTW_T
     ).select(F.col("g").alias("user_id"), "dtw_cost")
 

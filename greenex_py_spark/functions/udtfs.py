@@ -12,8 +12,10 @@ the DuckDB oracle uses, so the UDTF path is hash-provable).
 Execution notes:
 - Registered per-session and idempotent:
   ``register_term_freq(spark)``.
-- The gate enables ``spark.sql.execution.pythonUDTF.arrow.enabled`` so
-  rows travel as Arrow batches (ArrowEvalPythonUDTF), keeping the
+- ``useArrow=True`` is baked into the decorator (the session conf is
+  consulted at DECORATION time, so setting it later is too late —
+  verified against the executed plan), making the node
+  ArrowEvalPythonUDTF and keeping the
   inventory's zero-BatchEvalPython contract intact in spirit: the per
   ``eval`` work is one Counter over one document, state bounded by the
   document length cap.
@@ -29,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="tok string, cnt long")
+@udtf(returnType="tok string, cnt long", useArrow=True)
 class TermFreq:
     """(text) → rows of (tok, cnt): whitespace token frequencies of one
     document, sorted by token."""

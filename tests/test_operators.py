@@ -8071,3 +8071,27 @@ def test_periodogram_finds_planted_period(spark):
     # planted-harmonic power ≈ (n·A/2)² = 1_440_000 (rounding of y adds noise)
     assert got[10]["power"] > 1e6
     assert all(r["power"] < 1e5 for k, r in got.items() if k not in (10,))
+
+
+def test_dtw_arrow_equals_window_form(spark):
+    """The Arrow DP kernel is value-identical to the chained-window
+    min-plus scan on random integer profiles (exact int64 DP both)."""
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.functions.timeseries import (
+        dtw_to_reference, dtw_to_reference_arrow,
+    )
+
+    t = 8
+    rows = []
+    for g in range(5):
+        for j in range(1, t + 1):
+            rows.append((g, j, (g * 37 + j * j * 13) % 100))
+    prof = spark.createDataFrame(rows, "g long, j long, q long")
+    ref = {f"r{i}": (i * 29 + 11) % 100 for i in range(1, t + 1)}
+    for c, v in ref.items():
+        prof = prof.withColumn(c, F.lit(v).cast("long"))
+    a = {r["g"]: r["dtw_cost"] for r in dtw_to_reference(prof, t).collect()}
+    b = {r["g"]: r["dtw_cost"]
+         for r in dtw_to_reference_arrow(prof, t).collect()}
+    assert a == b and len(a) == 5
