@@ -19165,3 +19165,451 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
     )
     return periodogram(grid, "t", "y", _PGRAM_K)
+
+
+# ---------------------------------------------------------------------------
+# q_squares — exact 4-cycle motif count of the host graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_squares",
+    "WITH " + _LINK_EDGE_CTE + """,
+w AS (SELECT b1.b AS u, b2.b AS w
+      FROM bo b1 JOIN bo b2 ON b1.a = b2.a AND b1.b < b2.b),
+cn AS (SELECT u, w, CAST(count(*) AS BIGINT) AS cn FROM w GROUP BY u, w),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_diag_pairs,
+              CAST(sum(cn * (cn - 1)) // 4 AS BIGINT) AS n_squares
+       FROM cn),
+sz AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+nd AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS n_nodes FROM bo)
+SELECT nd.n_nodes, sz.n_edges, st.n_diag_pairs, st.n_squares
+FROM nd, sz, st
+""",
+)
+def q_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-cycle (square) count of the undirected host graph —
+    the motif one past q_triangles: bipartite link farms are
+    triangle-free but square-heavy, so C4/C3 separates organic graphs
+    from mutual-promotion rings.  ½·Σ C(common-neighbours, 2) over
+    vertex pairs, pure integer counting (functions/graph.py
+    ``square_count``)."""
+    from .functions.graph import square_count
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return square_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# q_attr_assortativity — categorical (host-class) assortativity
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_attr_assortativity",
+    "WITH " + _LINK_GRAPH_CTE + """,
+le AS (SELECT DISTINCT src_host AS s, dst_host AS d FROM r
+       WHERE src_host <> dst_host),
+ec AS (SELECT coalesce(TRY_CAST(regexp_extract(s, '([0-9]+)', 1) AS BIGINT),
+                       -1) % 5 AS ci,
+              coalesce(TRY_CAST(regexp_extract(d, '([0-9]+)', 1) AS BIGINT),
+                       -1) % 5 AS cj
+       FROM le),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN ci = cj THEN 1 ELSE 0 END) AS BIGINT)
+               AS same_cat
+      FROM ec),
+a AS (SELECT ci AS c, CAST(count(*) AS BIGINT) AS ai FROM ec GROUP BY ci),
+b AS (SELECT cj AS c, CAST(count(*) AS BIGINT) AS bi FROM ec GROUP BY cj),
+ab AS (SELECT CAST(sum(coalesce(ai, 0) * coalesce(bi, 0)) AS BIGINT) AS sab
+       FROM a FULL JOIN b USING (c))
+SELECT m.m AS n_edges, m.same_cat,
+       CASE WHEN CAST(m.m * m.m - ab.sab AS DOUBLE) = 0.0 THEN NULL
+            ELSE CAST(m.m * m.same_cat - ab.sab AS DOUBLE)
+                 / CAST(m.m * m.m - ab.sab AS DOUBLE) END AS r
+FROM m, ab
+""",
+)
+def q_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman categorical assortativity of the host graph by host
+    class (host-number mod 5 — the synthetic stand-in for a language
+    or TLD label): do same-class hosts link to each other more than
+    chance?  Mixing-matrix diagonal vs row·column products, exact
+    integers, one division (functions/graph.py
+    ``attribute_assortativity``)."""
+    from .functions.graph import attribute_assortativity
+    from .functions.links import host_link_graph
+
+    edges = (
+        host_link_graph(_link_pages_df(spark, sf_dir))
+        .select(
+            F.col("src_host").alias("s"), F.col("dst_host").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+
+    def _cat(c):
+        return (
+            F.coalesce(
+                F.regexp_extract(F.col(c), "([0-9]+)", 1).cast("long"),
+                F.lit(-1),
+            ) % 5
+        )
+
+    ec = edges.select(_cat("s").alias("src_cat"), _cat("d").alias("dst_cat"))
+    return attribute_assortativity(ec)
+
+
+# ---------------------------------------------------------------------------
+# q_contrastive_pairs — anchor/positive/negative mining for training
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_contrastive_pairs",
+    f"""
+WITH top1 AS (SELECT q_id, n_id AS pos_id, sim AS pos_sim
+              FROM ({_COSINE_TOPK_SQL}) WHERE rank = 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cand AS (
+  SELECT t.q_id, t.pos_id, t.pos_sim, CAST(j.range AS BIGINT) AS slot,
+         CASE j.range WHEN 1 THEN (t.q_id * 31 + 7) % nn.n
+                      WHEN 2 THEN (t.q_id * 17 + 3) % nn.n
+                      ELSE (t.q_id * 53 + 11) % nn.n END AS neg_id
+  FROM top1 t, range(1, 4) j, nn
+),
+f AS (SELECT * FROM cand WHERE neg_id <> q_id AND neg_id <> pos_id)
+SELECT f.q_id, f.pos_id, f.pos_sim, f.slot, f.neg_id,
+       round({_DOT.format(a='q.embedding', b='c.embedding')}
+             / ({_NRM.format(a='q.embedding')}
+                * {_NRM.format(a='c.embedding')}), 6) AS neg_sim
+FROM f JOIN embeddings q ON q.vec_id = f.q_id
+JOIN embeddings c ON c.vec_id = f.neg_id
+""",
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: every anchor (vec_id < 10)
+    with its exact top-1 positive and three deterministic affine-hash
+    negatives, plus the round-6 cosine margins a triplet/InfoNCE loss
+    would see — the embedding-training data op beside q_hash_split
+    (splits) and q_pack_sequences (batching); collisions with the
+    anchor/positive are dropped (functions/similarity.py
+    ``contrastive_pairs``)."""
+    from .functions.similarity import contrastive_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return contrastive_pairs(q, emb)
+
+
+# ---------------------------------------------------------------------------
+# q_walk_entropy — entropy rate of the damped random walk on the host graph
+# ---------------------------------------------------------------------------
+
+
+def _walk_entropy_oracle() -> str:
+    from .functions.graph import weighted_pagerank_oracle_sql
+
+    edges_sub = (
+        "SELECT * FROM (WITH "
+        + _LINK_GRAPH_CTE
+        + """,
+g AS (SELECT src_host AS src, dst_host AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM r GROUP BY 1, 2)
+SELECT * FROM g)"""
+    )
+    pr_chain = weighted_pagerank_oracle_sql(edges_sub, n_iters=3)
+    return f"""
+WITH pr AS MATERIALIZED ({pr_chain}),
+lg AS MATERIALIZED (SELECT * FROM (WITH {_LINK_GRAPH_CTE},
+g AS (SELECT src_host AS src, dst_host AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM r GROUP BY 1, 2)
+SELECT * FROM g)),
+n AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS n FROM lg),
+h AS (SELECT src AS node,
+             CAST(sum(CAST(floor((CAST(w AS DOUBLE) / n)
+                  * ln(CAST(w AS DOUBLE) / n) * 1000000000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS sumtq
+      FROM n GROUP BY src),
+j AS (
+  SELECT CAST(floor(pr.rank
+              * (-(CAST(coalesce(h.sumtq, 0) AS DOUBLE) / 1000000000.0))
+              * 1000000000.0 + 0.5) AS BIGINT) AS t,
+         CASE WHEN h.node IS NOT NULL THEN 1 ELSE 0 END AS l
+  FROM pr LEFT JOIN h ON h.node = pr.node
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(l) AS BIGINT) AS n_linking_hosts,
+       round(CAST(sum(t) AS BIGINT) / 1000000000.0 + 0.0, 6) AS entropy_rate
+FROM j
+"""
+
+
+@register("q_walk_entropy", None)  # generated oracle attached below
+def q_walk_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the damped random walk on the weighted host
+    graph — Σ π_i·H_i composing the quantized weighted PageRank with
+    per-host outlink entropy: the one-number "how surprising is the
+    next click" health metric (mirror chains → 0, hub economy → high)
+    (functions/links.py ``walk_entropy_rate``)."""
+    from .functions.links import host_link_graph, walk_entropy_rate
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return walk_entropy_rate(edges)
+
+
+ORACLES["q_walk_entropy"] = _walk_entropy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_ushape_attribution — position-based (40/20/40) conversion credit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ushape_attribution",
+    """
+WITH s AS (
+  SELECT user_id, event_type, event_id, ts,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pc
+  FROM events
+),
+np AS (SELECT CAST(max(pc) OVER (PARTITION BY user_id) AS BIGINT) AS u_conv,
+              s.* FROM s),
+t AS (
+  SELECT user_id, event_type, pc + 1 AS path_id,
+         CAST(row_number() OVER (PARTITION BY user_id, pc
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id, pc) AS BIGINT) AS k
+  FROM np WHERE event_type <> 'purchase' AND pc < u_conv
+),
+c AS (
+  SELECT event_type,
+         CAST(floor((CASE WHEN k = 1 THEN 1.0
+                          WHEN k = 2 THEN 0.5
+                          WHEN rn = 1 OR rn = k THEN 0.4
+                          ELSE 0.2 / (CAST(k AS DOUBLE) - 2.0) END)
+              * 1000000000.0 + 0.5) AS BIGINT) AS cq
+  FROM t
+)
+SELECT event_type AS touch, CAST(count(*) AS BIGINT) AS n_touches,
+       round(CAST(sum(cq) AS BIGINT) / 1000000000.0 + 0.0, 6) AS credit
+FROM c GROUP BY event_type
+""",
+)
+def q_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) attribution: every
+    non-purchase event before a user's next purchase forms that
+    conversion's touch path; first and last touch get 40% credit
+    each, middles split 20% (k=1 → 100%, k=2 → 50/50) — the
+    multi-touch companion of q_attribution's last-touch.  Paths are
+    gaps-and-islands on the purchase cumulative count; per-touch
+    credits quantize to 1e-9 before the sum (the exact-division
+    shares make both engines' doubles identical)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", "event_id", "ts",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("pc"),
+    )
+    s = s.withColumn(
+        "u_conv", F.max("pc").over(Window.partitionBy("user_id")).cast("long")
+    )
+    wp = Window.partitionBy("user_id", "pc").orderBy("ts", "event_id")
+    t = (
+        s.filter((F.col("event_type") != "purchase")
+                 & (F.col("pc") < F.col("u_conv")))
+        .select(
+            "event_type",
+            F.row_number().over(wp).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id", "pc"))
+            .cast("long").alias("k"),
+        )
+    )
+    share = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k").cast("double") - F.lit(2.0)))
+    )
+    c = t.select(
+        "event_type",
+        F.floor(share * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long").alias("cq"),
+    )
+    return c.groupBy(F.col("event_type").alias("touch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(
+            F.sum("cq").cast("double") / F.lit(1000000000.0) + F.lit(0.0), 6
+        ).alias("credit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bowtie — Broder bow-tie macro-structure of the host graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_bowtie",
+    "WITH RECURSIVE " + _LINK_GRAPH_CTE + """,
+de AS MATERIALIZED (SELECT DISTINCT src_host AS u, dst_host AS v
+       FROM r WHERE src_host <> dst_host),
+nodes AS MATERIALIZED (SELECT u AS n FROM de UNION SELECT v AS n FROM de),
+reach(u, v) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT rr.u, de.v FROM reach rr JOIN de ON de.u = rr.v
+),
+m AS (SELECT f.u, f.v FROM reach f JOIN reach b ON b.u = f.v AND b.v = f.u),
+sid AS (SELECT u AS host, min(v) AS scc_id FROM m GROUP BY u),
+core AS (SELECT scc_id AS core_id, CAST(count(*) AS BIGINT) AS core_size
+         FROM sid GROUP BY scc_id
+         ORDER BY count(*) DESC, scc_id ASC LIMIT 1),
+cm AS (SELECT sid.host AS c FROM sid, core WHERE sid.scc_id = core.core_id),
+fc AS (SELECT DISTINCT reach.v AS node
+       FROM reach JOIN cm ON cm.c = reach.u),
+tc AS (SELECT DISTINCT reach.u AS node
+       FROM reach JOIN cm ON cm.c = reach.v)
+SELECT sid.host,
+       CASE WHEN sid.scc_id = core.core_id THEN 'CORE'
+            WHEN tc.node IS NOT NULL THEN 'IN'
+            WHEN fc.node IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS region,
+       core.core_id, core.core_size
+FROM sid CROSS JOIN core
+LEFT JOIN tc ON tc.node = sid.host
+LEFT JOIN fc ON fc.node = sid.host
+""",
+)
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition of the directed host graph: the
+    largest SCC is the CORE, IN reaches it, OUT is reachable from it,
+    everything else (tendrils/tubes/islands) is OTHER — the
+    macro-structure readout of a crawl snapshot (a seed list stuck in
+    OUT can never crawl back); shares the closure-squaring
+    reachability with q_scc (functions/graph.py
+    ``bowtie_decomposition``)."""
+    from .functions.graph import bowtie_decomposition
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return bowtie_decomposition(
+        edges, src_col="src_host", dst_col="dst_host"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ips_offpolicy — inverse-propensity off-policy value estimate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ips_offpolicy",
+    """
+WITH e AS (
+  SELECT event_type AS arm,
+         CAST(round(value * 100.0) AS BIGINT) AS r_q
+  FROM events
+),
+a AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r_q) AS BIGINT) AS sum_cents
+  FROM e GROUP BY arm
+),
+k AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total
+      FROM a),
+t AS (
+  SELECT arm, n, sum_cents, k.k, k.n_total,
+         CAST(floor((CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(k.k AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) AS tq
+  FROM a, k
+)
+SELECT arm, n, sum_cents,
+       CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_reward,
+       round(CAST(sum(tq) OVER () AS BIGINT) / 1000000000.0 / 100.0 + 0.0, 6)
+         AS ips_uniform
+FROM t
+""",
+)
+def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: treating
+    event_type as the logged policy's arm and value as the reward, the
+    IPS estimate of a UNIFORM target policy collapses to the uniform
+    average of per-arm mean rewards (weights (1/K)/(n_a/N) telescope) —
+    the counterfactual "what if we served all arms equally" readout an
+    experimentation pipeline runs before an A/B test.  Rewards
+    quantize to exact cents; per-arm terms quantize to 1e-9 before the
+    K-term sum; two divisions ship unrounded/round-6."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("event_type").alias("arm"),
+        F.round(F.col("value") * 100.0).cast("long").alias("r_q"),
+    )
+    a = e.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_q").cast("long").alias("sum_cents"),
+    )
+    k = a.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    t = a.crossJoin(F.broadcast(k)).select(
+        "arm", "n", "sum_cents",
+        F.floor(
+            (F.col("sum_cents").cast("double") / F.col("n").cast("double"))
+            / F.col("k").cast("double") * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("tq"),
+    )
+    w = Window.partitionBy()
+    return t.select(
+        "arm", "n", "sum_cents",
+        (F.col("sum_cents").cast("double") / F.col("n").cast("double")
+         / F.lit(100.0)).alias("mean_reward"),
+        F.round(
+            F.sum("tq").over(w).cast("double") / F.lit(1000000000.0)
+            / F.lit(100.0) + F.lit(0.0), 6
+        ).alias("ips_uniform"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_em_mixture — two-component Poisson-mixture EM on document lengths
+# ---------------------------------------------------------------------------
+
+
+def _em_oracle() -> str:
+    from .functions.clustering import em_poisson2_oracle_sql
+
+    return em_poisson2_oracle_sql(
+        "SELECT CAST(n_chars AS BIGINT) AS x FROM documents", iters=3
+    )
+
+
+@register("q_em_mixture", None)  # generated oracle attached below
+def q_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Poisson-mixture EM on document lengths — the
+    latent-variable trainer beside q_kmeans (hard assignments),
+    q_naive_bayes (supervised) and q_linear_svm (discriminative): the
+    classic "two populations in one crawl" length diagnostic, with
+    responsibilities floored to integer nanoshares so every E/M round
+    is exactly reproducible across engines (functions/clustering.py
+    ``em_poisson2``)."""
+    from .functions.clustering import em_poisson2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("n_chars").alias("x")
+    )
+    return em_poisson2(docs, "x", iters=3)
+
+
+ORACLES["q_em_mixture"] = _em_oracle()

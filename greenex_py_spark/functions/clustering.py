@@ -233,3 +233,201 @@ def silhouette_oracle_sql(
         + "\n       round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000000.0 + 0.0, 6)"
         + " AS mean_sil\nFROM q GROUP BY cluster"
     )
+
+
+EM_L_Q = 1_000_000       # λ micro-grid
+EM_R_Q = 1_000_000_000   # responsibility nano-grid
+
+
+def em_poisson2(
+    df: DataFrame,
+    x_col: str,
+    iters: int = 3,
+    init: tuple = (100.0, 400.0, 0.5),
+) -> DataFrame:
+    """[k, lambda_q, pi_q, lam, pi, n_hard] — two-component Poisson
+    mixture fitted by EM on an integer count column, fully quantized so
+    the ITERATION is exactly reproducible across engines (the same two
+    devices as quantized k-means / the linear SVM):
+
+    - E-step: each document's component-2 responsibility
+      r = sigmoid(x·(ln λ₂ − ln λ₁) − (λ₂ − λ₁) + ln(π₂/π₁)) is
+      computed from the micro-grid parameters and floored to an
+      integer nanoshare r_q ∈ [0, 10⁹] — after that every M-step sum
+      is exact int64;
+    - M-step: λ_k = Σ r_q·x / Σ r_q re-quantized to the micro-grid,
+      π₂ = Σ r_q / (N·10⁹) to the nano-grid.
+
+    The canonical latent-variable trainer beside k-means (hard
+    assignments) and naive Bayes (supervised): document-length mixtures
+    are the classic "two populations in one crawl" diagnostic.
+    ``n_hard`` counts documents whose responsibility passes ½ —
+    decided by the pure integer test r_q > 5·10⁸.
+
+    Shape per round: one broadcast of the 1-row parameter frame, one
+    map-side E-step expression, one exact aggregation;
+    localCheckpoint per round (the lineage rule)."""
+    spark = df.sparkSession
+    l1, l2, p2 = init
+    params = spark.createDataFrame(
+        [(int(round(l1 * EM_L_Q)), int(round(l2 * EM_L_Q)),
+          int(round(p2 * EM_R_Q)))],
+        "l1q long, l2q long, p2q long",
+    )
+    x = F.col(x_col).cast("long")
+    for _ in range(iters):
+        lam1 = F.col("l1q").cast("double") / EM_L_Q
+        lam2 = F.col("l2q").cast("double") / EM_L_Q
+        pi2 = F.col("p2q").cast("double") / EM_R_Q
+        s = (
+            x.cast("double") * (F.log(lam2) - F.log(lam1))
+            - (lam2 - lam1)
+            + (F.log(pi2) - F.log(F.lit(1.0) - pi2))
+        )
+        r2 = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+        e = df.crossJoin(F.broadcast(params)).select(
+            x.alias("x"),
+            F.floor(r2 * F.lit(float(EM_R_Q)) + F.lit(0.5))
+            .cast("long").alias("rq"),
+        )
+        agg = e.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rq").cast("long").alias("n2q"),
+            F.sum(F.col("rq") * F.col("x")).cast("long").alias("sx2q"),
+            F.sum((F.lit(EM_R_Q) - F.col("rq")) * F.col("x"))
+            .cast("long").alias("sx1q"),
+        )
+        params = agg.select(
+            F.floor(
+                F.col("sx1q").cast("double")
+                / (F.col("n").cast("double") * EM_R_Q - F.col("n2q").cast("double"))
+                * EM_L_Q + F.lit(0.5)
+            ).cast("long").alias("l1q"),
+            F.floor(
+                F.col("sx2q").cast("double") / F.col("n2q").cast("double")
+                * EM_L_Q + F.lit(0.5)
+            ).cast("long").alias("l2q"),
+            F.floor(
+                F.col("n2q").cast("double")
+                / (F.col("n").cast("double") * EM_R_Q)
+                * EM_R_Q + F.lit(0.5)
+            ).cast("long").alias("p2q"),
+        ).localCheckpoint()
+    lam1 = F.col("l1q").cast("double") / EM_L_Q
+    lam2 = F.col("l2q").cast("double") / EM_L_Q
+    pi2 = F.col("p2q").cast("double") / EM_R_Q
+    s = (
+        x.cast("double") * (F.log(lam2) - F.log(lam1))
+        - (lam2 - lam1)
+        + (F.log(pi2) - F.log(F.lit(1.0) - pi2))
+    )
+    r2 = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+    hard = df.crossJoin(F.broadcast(params)).select(
+        F.floor(r2 * F.lit(float(EM_R_Q)) + F.lit(0.5))
+        .cast("long").alias("rq"),
+    ).agg(
+        F.sum(F.when(F.col("rq") > EM_R_Q // 2, 1).otherwise(0))
+        .cast("long").alias("h2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    out = params.crossJoin(F.broadcast(hard))
+    one = out.select(
+        F.lit(1).cast("long").alias("k"),
+        F.col("l1q").alias("lambda_q"),
+        (F.lit(EM_R_Q) - F.col("p2q")).cast("long").alias("pi_q"),
+        (F.col("l1q").cast("double") / EM_L_Q).alias("lam"),
+        ((F.lit(EM_R_Q) - F.col("p2q")).cast("double") / EM_R_Q).alias("pi"),
+        (F.col("n") - F.col("h2")).cast("long").alias("n_hard"),
+    )
+    two = out.select(
+        F.lit(2).cast("long").alias("k"),
+        F.col("l2q").alias("lambda_q"),
+        F.col("p2q").alias("pi_q"),
+        (F.col("l2q").cast("double") / EM_L_Q).alias("lam"),
+        (F.col("p2q").cast("double") / EM_R_Q).alias("pi"),
+        F.col("h2").alias("n_hard"),
+    )
+    return one.unionByName(two)
+
+
+def em_poisson2_oracle_sql(
+    values_cte: str,
+    iters: int = 3,
+    init: tuple = (100.0, 400.0, 0.5),
+) -> str:
+    """DuckDB twin of :func:`em_poisson2` — identical quantized rounds
+    unrolled as MATERIALIZED CTEs.  ``values_cte`` must select a single
+    BIGINT column ``x``."""
+    l1, l2, p2 = init
+    parts = [
+        f"WITH v AS MATERIALIZED ({values_cte})",
+        f"p0 AS (SELECT CAST({int(round(l1 * EM_L_Q))} AS BIGINT) AS l1q, "
+        f"CAST({int(round(l2 * EM_L_Q))} AS BIGINT) AS l2q, "
+        f"CAST({int(round(p2 * EM_R_Q))} AS BIGINT) AS p2q)",
+    ]
+    sig = (
+        "1.0 / (1.0 + exp(-(CAST(v.x AS DOUBLE)"
+        " * (ln(CAST(p{t}.l2q AS DOUBLE) / {LQ})"
+        "    - ln(CAST(p{t}.l1q AS DOUBLE) / {LQ}))"
+        " - (CAST(p{t}.l2q AS DOUBLE) / {LQ}"
+        "    - CAST(p{t}.l1q AS DOUBLE) / {LQ})"
+        " + (ln(CAST(p{t}.p2q AS DOUBLE) / {RQ})"
+        "    - ln(1.0 - CAST(p{t}.p2q AS DOUBLE) / {RQ})))))"
+    )
+    for t in range(iters):
+        r2 = sig.format(t=t, LQ=f"{EM_L_Q}.0", RQ=f"{EM_R_Q}.0")
+        parts.append(
+            f"""e{t} AS MATERIALIZED (
+  SELECT v.x,
+         CAST(floor({r2} * {EM_R_Q}.0 + 0.5) AS BIGINT) AS rq
+  FROM v, p{t}
+)"""
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rq) AS BIGINT) AS n2q,
+         CAST(sum(rq * x) AS BIGINT) AS sx2q,
+         CAST(sum(({EM_R_Q} - rq) * x) AS BIGINT) AS sx1q
+  FROM e{t}
+)"""
+        )
+        parts.append(
+            f"""p{t + 1} AS (
+  SELECT CAST(floor(CAST(sx1q AS DOUBLE)
+         / (CAST(n AS DOUBLE) * {EM_R_Q} - CAST(n2q AS DOUBLE))
+         * {EM_L_Q} + 0.5) AS BIGINT) AS l1q,
+         CAST(floor(CAST(sx2q AS DOUBLE) / CAST(n2q AS DOUBLE)
+         * {EM_L_Q} + 0.5) AS BIGINT) AS l2q,
+         CAST(floor(CAST(n2q AS DOUBLE)
+         / (CAST(n AS DOUBLE) * {EM_R_Q})
+         * {EM_R_Q} + 0.5) AS BIGINT) AS p2q
+  FROM a{t}
+)"""
+        )
+    rf = sig.format(t=iters, LQ=f"{EM_L_Q}.0", RQ=f"{EM_R_Q}.0")
+    parts.append(
+        f"""hf AS (
+  SELECT CAST(sum(CASE WHEN CAST(floor({rf} * {EM_R_Q}.0 + 0.5) AS BIGINT)
+                       > {EM_R_Q // 2} THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v, p{iters}
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(1 AS BIGINT) AS k, l1q AS lambda_q,
+       CAST({EM_R_Q} - p2q AS BIGINT) AS pi_q,
+       CAST(l1q AS DOUBLE) / {EM_L_Q} AS lam,
+       CAST({EM_R_Q} - p2q AS DOUBLE) / {EM_R_Q} AS pi,
+       CAST(n - h2 AS BIGINT) AS n_hard
+FROM p{iters}, hf
+UNION ALL
+SELECT CAST(2 AS BIGINT), l2q, p2q,
+       CAST(l2q AS DOUBLE) / {EM_L_Q},
+       CAST(p2q AS DOUBLE) / {EM_R_Q},
+       h2
+FROM p{iters}, hf
+"""
+    )

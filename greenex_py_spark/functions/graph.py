@@ -1885,3 +1885,194 @@ def weighted_pagerank_oracle_sql(
     return (
         ",\n".join(ctes) + f"\nSELECT node, r AS rank FROM r{n_iters}"
     )
+
+
+def square_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row [n_nodes, n_edges, n_diag_pairs, n_squares] — exact
+    4-cycle (square) count of the undirected simple graph: with
+    cn(u,w) the common-neighbour count of a vertex pair,
+    #C4 = ½·Σ_{u<w} C(cn, 2) (every square is counted once per
+    diagonal, and it has two).  Squares are the motif one step past
+    q_triangles — bipartite-ish link farms are triangle-FREE but
+    square-HEAVY, so the C4/C3 ratio separates organic host graphs
+    from mutual-promotion rings.
+
+    Exactness: pure integer counting end to end.  Shape: wedge
+    enumeration via one center-keyed self-join (Σdeg² work — the same
+    envelope as the clustering-coefficient family; at webgraph scale
+    the hub-cap/oriented variants bound it), one (u,w) groupBy, one
+    1-row reduction."""
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    wedges = (
+        both.select(F.col("a").alias("c"), F.col("b").alias("u"))
+        .join(
+            both.select(F.col("a").alias("c"), F.col("b").alias("w")), "c"
+        )
+        .filter(F.col("u") < F.col("w"))
+    )
+    cn = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    stats = cn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_diag_pairs"),
+        (F.sum(F.col("cn") * (F.col("cn") - 1)) / 4).cast("long")
+        .alias("n_squares"),
+    )
+    sizes = und.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    ).crossJoin(
+        both.select("a").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        )
+    )
+    return sizes.crossJoin(F.broadcast(stats)).select(
+        "n_nodes", "n_edges", "n_diag_pairs", "n_squares"
+    )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    src_cat_col: str = "src_cat",
+    dst_cat_col: str = "dst_cat",
+) -> DataFrame:
+    """One row [n_edges, same_cat, r] — Newman's CATEGORICAL
+    assortativity over directed edges labelled with endpoint
+    categories: with the mixing matrix e_ij (edge counts), row sums
+    a_i and column sums b_i, r = (m·Σe_ii − Σa_i·b_i)/(m² − Σa_i·b_i)
+    — the discrete-attribute companion of degree assortativity ("do
+    same-language hosts link to each other?"), exact integers up to
+    the one final division (shipped unrounded)."""
+    e = edges.select(
+        F.col(src_cat_col).alias("ci"), F.col(dst_cat_col).alias("cj")
+    )
+    m = e.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("ci") == F.col("cj"), 1).otherwise(0))
+        .cast("long").alias("same_cat"),
+    )
+    a = e.groupBy(F.col("ci").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("ai")
+    )
+    b = e.groupBy(F.col("cj").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("bi")
+    )
+    ab = (
+        a.join(b, "c", "full")
+        .select(
+            (F.coalesce("ai", F.lit(0)) * F.coalesce("bi", F.lit(0))).alias("p")
+        )
+        .agg(F.sum("p").cast("long").alias("sab"))
+    )
+    j = m.crossJoin(F.broadcast(ab))
+    num = (F.col("m") * F.col("same_cat") - F.col("sab")).cast("double")
+    den = (F.col("m") * F.col("m") - F.col("sab")).cast("double")
+    return j.select(
+        F.col("m").alias("n_edges"),
+        "same_cat",
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise(num / den).alias("r"),
+    )
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """[host, region, core_id, core_size] — the Broder et al. (2000)
+    bow-tie decomposition of a directed graph: CORE = the largest SCC
+    (tie → smallest label), OUT = reachable FROM the core, IN = nodes
+    that REACH the core, OTHER = everything else (tendrils, tubes,
+    disconnected islands — not split further).  The canonical
+    macro-structure readout of a crawl frontier: a healthy web snapshot
+    has a dominant CORE; a seed list that only ever lands in OUT can
+    never crawl back.
+
+    Shares the transitive-closure-squaring reachability of
+    :func:`scc_components` (⌈log₂ diam⌉ self-join rounds,
+    localCheckpoint per round); region assignment is then two
+    semi-joins against the closure restricted to core rows.  Host
+    graphs are dim tables (hosts ≪ documents); a billion-node graph
+    swaps the closure for frontier BFS from the core — documented,
+    different contract."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    r = (
+        e.unionByName(
+            nodes.select(F.col("n").alias("u"), F.col("n").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    rounds = min(max_rounds, max(1, math.ceil(math.log2(max(2, n_nodes)))))
+    for _ in range(rounds):
+        l = r.select(F.col("u"), F.col("v").alias("m"))
+        rt = r.select(F.col("u").alias("m"), F.col("v"))
+        r = (
+            r.unionByName(l.join(rt, "m").select("u", "v"))
+            .distinct()
+            .localCheckpoint()
+        )
+    mutual = r.join(
+        r.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"],
+        "left_semi",
+    )
+    sid = mutual.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("scc_id")
+    )
+    sizes = sid.groupBy("scc_id").agg(F.count(F.lit(1)).alias("sz"))
+    core = (
+        sizes.orderBy(F.desc("sz"), F.asc("scc_id"))
+        .limit(1)
+        .select(F.col("scc_id").alias("core_id"),
+                F.col("sz").cast("long").alias("core_size"))
+        .localCheckpoint()
+    )
+    lab = sid.crossJoin(F.broadcast(core))
+    core_members = lab.filter(F.col("scc_id") == F.col("core_id")).select(
+        F.col("node").alias("c")
+    )
+    from_core = (
+        r.join(core_members, r["u"] == core_members["c"], "left_semi")
+        .select(F.col("v").alias("node")).distinct()
+        .withColumn("_out", F.lit(1))
+    )
+    to_core = (
+        r.join(core_members, r["v"] == core_members["c"], "left_semi")
+        .select(F.col("u").alias("node")).distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    out = (
+        lab.join(from_core, "node", "left")
+        .join(to_core, "node", "left")
+        .select(
+            F.col("node").alias("host"),
+            F.when(F.col("scc_id") == F.col("core_id"), F.lit("CORE"))
+            .when(F.col("_in").isNotNull(), F.lit("IN"))
+            .when(F.col("_out").isNotNull(), F.lit("OUT"))
+            .otherwise(F.lit("OTHER")).alias("region"),
+            "core_id", "core_size",
+        )
+    )
+    return out

@@ -195,3 +195,66 @@ def bitext_candidates(
         )
 
     return side(lang_a, "id_a").join(side(lang_b, "id_b"), ["host", "path"])
+
+
+def walk_entropy_rate(
+    weighted_edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    w_col: str = "n_links",
+    n_iters: int = 3,
+) -> DataFrame:
+    """One row [n_hosts, n_linking_hosts, entropy_rate] — entropy rate
+    of the damped random walk on the weighted host graph:
+    H = Σ_i π_i·H_i with π the quantized weighted-PageRank stationary
+    approximation and H_i each host's outlink-distribution Shannon
+    entropy.  The single-number "how surprising is the next click"
+    summary that joins the two gate-verified pieces (q_pagerank's walk,
+    q_outlink_entropy's per-host diversity): near 0 the graph is
+    deterministic mirror chains, near ln(out-degree) it is a genuine
+    hub economy.
+
+    Exactness: π comes from :func:`~greenex_py_spark.functions.graph.
+    weighted_pagerank` (pico-int rounds, round-9 ranks); each p·ln p
+    term and each π·H product is 1e-9-quantized before its sum; hosts
+    with no out-links contribute 0 (walk teleports).  Shape: the
+    pagerank rounds dominate (one join + one groupBy each); everything
+    else is host-dim sized."""
+    from pyspark.sql import Window
+
+    from .graph import weighted_pagerank
+
+    pr = weighted_pagerank(
+        weighted_edges, n_iters=n_iters,
+        src_col=src_col, dst_col=dst_col, w_col=w_col,
+    )
+    wn = Window.partitionBy(src_col)
+    p = F.col(w_col).cast("double") / F.col("_n")
+    h = (
+        weighted_edges.withColumn("_n", F.sum(w_col).over(wn))
+        .select(
+            F.col(src_col).alias("node"),
+            F.floor(p * F.log(p) * F.lit(1e9) + F.lit(0.5))
+            .cast("long").alias("_tq"),
+        )
+        .groupBy("node")
+        .agg(F.sum("_tq").cast("long").alias("_sumtq"))
+    )
+    j = pr.join(h, "node", "left")
+    hpos = -(F.coalesce("_sumtq", F.lit(0)).cast("double") / F.lit(1e9))
+    term = F.floor(
+        F.col("rank") * hpos * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select(
+            term.alias("_t"),
+            F.when(F.col("_sumtq").isNotNull(), 1).otherwise(0).alias("_l"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("_l").cast("long").alias("n_linking_hosts"),
+            F.round(
+                F.sum("_t").cast("double") / F.lit(1e9) + F.lit(0.0), 6
+            ).alias("entropy_rate"),
+        )
+    )

@@ -1074,3 +1074,85 @@ def jl_distortion_audit(
         ratio.alias("ratio"),
         (ratio * F.lit(3.0) / F.lit(float(n_proj))).alias("distortion"),
     )
+
+
+NEG_MULTS = (31, 17, 53)
+NEG_OFFS = (7, 3, 11)
+
+
+def contrastive_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[q_id, pos_id, pos_sim, slot, neg_id, neg_sim] — contrastive
+    training-pair mining over the embedding corpus: each anchor pairs
+    with its exact top-1 neighbour as the positive and with
+    ``len(NEG_MULTS)`` deterministic affine-hash candidates
+    (a·P_j + Q_j mod N, the doc_link_edges device) as random
+    negatives; candidates that collide with the anchor or the positive
+    are dropped (documented variable fan-out).  ``pos_sim``/``neg_sim``
+    are the round-6 cosines — the margin readout a contrastive loss
+    (InfoNCE/triplet) would see, and the sanity filter (a "random"
+    negative landing above the positive flags a near-dup the dedup
+    stage missed).
+
+    Scale shape: the positive comes from the gate-verified exact
+    top-k (broadcast query set); negatives are pure arithmetic plus
+    one id-equi-join to fetch vectors — no corpus-wide pairing
+    anywhere."""
+    n = corpus.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top1 = cosine_topk(queries, corpus, k=1, id_col=id_col, vec_col=vec_col)
+    pos = top1.select(
+        "q_id", F.col("n_id").alias("pos_id"), F.col("sim").alias("pos_sim")
+    )
+    slots = [
+        F.struct(
+            F.lit(j + 1).alias("slot"),
+            ((F.col("q_id") * NEG_MULTS[j] + NEG_OFFS[j]) % F.col("n"))
+            .alias("neg_id"),
+        )
+        for j in range(len(NEG_MULTS))
+    ]
+    cand = (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            "q_id", "pos_id", "pos_sim",
+            F.explode(F.array(*slots)).alias("s"),
+        )
+        .select(
+            "q_id", "pos_id", "pos_sim",
+            F.col("s.slot").alias("slot"), F.col("s.neg_id").alias("neg_id"),
+        )
+        .filter(
+            (F.col("neg_id") != F.col("q_id"))
+            & (F.col("neg_id") != F.col("pos_id"))
+        )
+    )
+    emb = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("_v"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "_nv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+    def _nrm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda e: e * e), F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    out = (
+        cand.join(emb.select(F.col("_id").alias("q_id"),
+                             F.col("_v").alias("_qv")), "q_id")
+        .join(emb.select(F.col("_id").alias("neg_id"),
+                         F.col("_v").alias("_nv")), "neg_id")
+        .withColumn("neg_sim", F.round(dot / (_nrm("_qv") * _nrm("_nv")), 6))
+    )
+    return out.select("q_id", "pos_id", "pos_sim", "slot", "neg_id", "neg_sim")

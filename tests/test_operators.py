@@ -8095,3 +8095,185 @@ def test_dtw_arrow_equals_window_form(spark):
     b = {r["g"]: r["dtw_cost"]
          for r in dtw_to_reference_arrow(prof, t).collect()}
     assert a == b and len(a) == 5
+
+
+def test_square_count_hand(spark):
+    """C4 itself counts exactly one square; adding a chord keeps one
+    square (the chord makes triangles, not new 4-cycles); K4 has 3."""
+    from greenex_py_spark.functions.graph import square_count
+
+    c4 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(c4, "src string, dst string")
+    r = square_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_squares"]) == (4, 4, 1)
+
+    k4 = c4 + [("a", "c"), ("b", "d")]
+    r = square_count(spark.createDataFrame(k4, "src string, dst string")).collect()[0]
+    assert r["n_squares"] == 3          # K4 contains 3 distinct 4-cycles
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    r = square_count(spark.createDataFrame(tri, "src string, dst string")).collect()[0]
+    assert r["n_squares"] == 0
+
+
+def test_attribute_assortativity_hand(spark):
+    """Perfectly assortative labels give r = 1; a checkerboard of
+    cross-class edges gives r < 0; same_cat counts the diagonal."""
+    from greenex_py_spark.functions.graph import attribute_assortativity
+
+    same = [("x", "x")] * 5 + [("y", "y")] * 5
+    df = spark.createDataFrame(same, "src_cat string, dst_cat string")
+    r = attribute_assortativity(df).collect()[0]
+    assert r["r"] == 1.0 and r["same_cat"] == 10
+
+    cross = [("x", "y")] * 5 + [("y", "x")] * 5
+    r = attribute_assortativity(
+        spark.createDataFrame(cross, "src_cat string, dst_cat string")
+    ).collect()[0]
+    assert r["same_cat"] == 0 and r["r"] < 0
+
+
+def test_contrastive_pairs_hand(spark):
+    """The positive is the true top-1; negatives follow the affine
+    maps with anchor/positive collisions dropped; margins separate
+    positive from random negatives on a clustered set."""
+    from greenex_py_spark.functions.similarity import contrastive_pairs
+
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0] if i < 4 else [0.0, 1.0 + 0.01 * i])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    got = contrastive_pairs(q, df).collect()
+    assert all(r["q_id"] == 0 for r in got)
+    assert all(r["pos_id"] in (1, 2, 3) for r in got)  # same cluster
+    slots = sorted(r["slot"] for r in got)
+    # anchor 0: negs = 7%8=7, 3%8=3, 11%8=3 — slot2/3 may collide w/ pos
+    assert 1 in slots
+    for r in got:
+        assert r["neg_id"] not in (0, r["pos_id"])
+        if r["neg_id"] >= 4:  # cross-cluster negative: clear margin
+            assert r["neg_sim"] < r["pos_sim"]
+
+
+def test_walk_entropy_rate_hand(spark):
+    """A deterministic ring (every host one out-link) has entropy rate
+    exactly 0; a uniform 4-way hub graph scores near ln 4 · π-mass of
+    the linking hosts."""
+    import math
+
+    from greenex_py_spark.functions.links import walk_entropy_rate
+
+    ring = [(f"h{i}", f"h{(i + 1) % 5}", 3) for i in range(5)]
+    df = spark.createDataFrame(ring, "src_host string, dst_host string, n_links long")
+    r = walk_entropy_rate(df).collect()[0]
+    assert r["entropy_rate"] == 0.0 and r["n_linking_hosts"] == 5
+
+    hub = [("hub", f"h{i}", 1) for i in range(4)]
+    df = spark.createDataFrame(hub, "src_host string, dst_host string, n_links long")
+    r = walk_entropy_rate(df).collect()[0]
+    # only the hub links out; its entropy is ln 4, weighted by its rank
+    assert 0 < r["entropy_rate"] < math.log(4)
+    assert r["n_linking_hosts"] == 1 and r["n_hosts"] == 5
+
+
+def test_ushape_attribution_hand(spark):
+    """Path a,b,c,d → purchase gives a 0.4 / 0.1 / 0.1 / 0.4 split;
+    a single-touch path gets full credit; trailing events after the
+    last purchase earn nothing."""
+    import datetime as dt
+
+    import __spark_entry__  # noqa: F401 — ensures registry imports cleanly
+    from greenex_py_spark.driver_queries import QUERIES  # noqa: F401
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    t0 = dt.datetime(2026, 1, 1)
+    seq = ["a", "b", "c", "d", "purchase", "x", "purchase", "z"]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, et, 0.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["touch"]: r for r in
+           QUERIES["q_ushape_attribution"](spark, d).collect()}
+    assert abs(got["a"]["credit"] - 0.4) < 1e-9
+    assert abs(got["b"]["credit"] - 0.1) < 1e-9
+    assert abs(got["c"]["credit"] - 0.1) < 1e-9
+    assert abs(got["d"]["credit"] - 0.4) < 1e-9
+    assert abs(got["x"]["credit"] - 1.0) < 1e-9   # single-touch path
+    assert "z" not in got                          # after last purchase
+
+
+def test_bowtie_decomposition_hand(spark):
+    """in1 → {a,b,c cycle} → out1, plus an island pair: the cycle is
+    CORE, in1 is IN, out1 is OUT, the island is OTHER."""
+    from greenex_py_spark.functions.graph import bowtie_decomposition
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("in1", "a"), ("c", "out1"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["region"] for r in bowtie_decomposition(df).collect()}
+    assert got["a"] == got["b"] == got["c"] == "CORE"
+    assert got["in1"] == "IN" and got["out1"] == "OUT"
+    assert got["x"] == "OTHER" and got["y"] == "OTHER"
+
+
+def test_ips_offpolicy_hand(spark):
+    """Two arms with means 1.00 and 3.00: uniform-policy IPS = 2.00
+    regardless of how unbalanced the logged traffic was."""
+    import datetime as dt
+
+    from greenex_py_spark.driver_queries import QUERIES
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 1, "a", 1.0, "{}") for i in range(9)]
+    rows += [(9, t0, 1, "b", 3.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["arm"]: r for r in QUERIES["q_ips_offpolicy"](spark, d).collect()}
+    assert got["a"]["mean_reward"] == 1.0 and got["b"]["mean_reward"] == 3.0
+    assert got["a"]["ips_uniform"] == 2.0   # not the logged mean 1.2
+
+
+def test_em_poisson2_separates_planted_mixture(spark):
+    """A planted 50/50 mixture of Poisson-ish counts around 50 and 400
+    is recovered: fitted lambdas land near the true components and the
+    hard assignment splits the sample."""
+    from greenex_py_spark.functions.clustering import em_poisson2
+
+    rows = [(50 + (i * 7) % 11 - 5,) for i in range(300)]
+    rows += [(400 + (i * 13) % 41 - 20,) for i in range(300)]
+    df = spark.createDataFrame(rows, "x long")
+    got = {r["k"]: r for r in em_poisson2(df, "x", iters=4).collect()}
+    assert abs(got[1]["lam"] - 50) < 15
+    assert abs(got[2]["lam"] - 400) < 30
+    assert got[1]["n_hard"] == 300 and got[2]["n_hard"] == 300
+    assert abs(got[1]["pi"] + got[2]["pi"] - 1.0) < 1e-9
+
+
+def test_em_poisson2_deterministic(spark):
+    """Two runs produce bit-identical quantized parameters."""
+    from greenex_py_spark.functions.clustering import em_poisson2
+
+    df = spark.createDataFrame([((i * 17) % 200 + 10,) for i in range(200)],
+                               "x long")
+    a = sorted((r["k"], r["lambda_q"], r["pi_q"])
+               for r in em_poisson2(df, "x", iters=3).collect())
+    b = sorted((r["k"], r["lambda_q"], r["pi_q"])
+               for r in em_poisson2(df, "x", iters=3).collect())
+    assert a == b
