@@ -19613,3 +19613,254 @@ def q_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_em_mixture"] = _em_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_err — Expected Reciprocal Rank @10 of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+
+def _err_oracle() -> str:
+    from .functions.retrieval import err_oracle_sql
+
+    return err_oracle_sql(_BM25_TERMS, k=10)
+
+
+@register("q_err", None)  # generated oracle attached below
+def q_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @10 of the BM25 ranking per source —
+    the CASCADE ranking metric beside q_ndcg (position discounts):
+    a rank is discounted by the probability the user already stopped
+    at a relevant document above it.  Survival products exact int64,
+    per-rank terms 1e-9-quantized (functions/retrieval.py
+    ``err_at_k``)."""
+    from .functions.retrieval import bm25_scores, err_at_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = bm25_scores(docs, _BM25_TERMS).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return err_at_k(scored, k=10)
+
+
+ORACLES["q_err"] = _err_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_nelson_aalen — cumulative-hazard estimator on the same risk table
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_nelson_aalen",
+    f"""
+WITH e AS (SELECT user_id AS u, date_trunc('day', ts) AS d, event_type
+           FROM events),
+d0 AS (SELECT min(d) AS dmin,
+              date_diff('day', min(d), max(d)) AS tmax FROM e),
+per AS (
+  SELECT u, min(date_diff('day', d0.dmin, d)) AS f,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN date_diff('day', d0.dmin, d) END) AS p,
+         max(d0.tmax) AS tmax
+  FROM e, d0 GROUP BY u),
+obs AS (
+  SELECT u,
+         CASE WHEN p IS NOT NULL
+               AND p - f <= least({_KM_TAU}, tmax - f)
+              THEN 1 ELSE 0 END AS ev,
+         CASE WHEN p IS NOT NULL
+               AND p - f <= least({_KM_TAU}, tmax - f)
+              THEN p - f ELSE least({_KM_TAU}, tmax - f) END AS dur
+  FROM per),
+g AS (
+  SELECT dur AS t_day, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(ev) AS BIGINT) AS d_events,
+         CAST(sum(1 - ev) AS BIGINT) AS c_censored
+  FROM obs GROUP BY 1),
+k AS (
+  SELECT t_day, d_events, c_censored,
+         CAST(sum(n_at) OVER (ORDER BY t_day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_risk
+  FROM g),
+q AS (
+  SELECT t_day, n_risk, d_events, c_censored,
+         CAST(floor(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+              * 1000000000.0 + 0.5) AS BIGINT) AS hq,
+         CAST(floor(CAST(d_events AS DOUBLE)
+              / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+              * 1000000000.0 + 0.5) AS BIGINT) AS vq
+  FROM k)
+SELECT t_day, n_risk, d_events, c_censored,
+       round(CAST(sum(hq) OVER (ORDER BY t_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / 1000000000.0 + 0.0, 6) AS cum_hazard,
+       round(CAST(sum(vq) OVER (ORDER BY t_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / 1000000000.0 + 0.0, 6) AS var_hazard
+FROM q
+""",
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard H(t) = Σ d_i/n_i (+ its Poisson
+    variance Σ d_i/n_i²) on the SAME time-to-first-purchase risk table
+    as q_km_survival — the hazard-scale view survival analysts pair
+    with the product-limit curve (KM ≈ exp(−H) when hazards are
+    small); per-step hazards quantize to 1e-9 before the cumulative
+    sums, so unlike KM's ordered product the estimator is summation-
+    order-free."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        "event_type",
+    )
+    bounds = e.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("tmax"),
+    )
+    per = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            "u",
+            F.datediff(F.col("d"), F.col("dmin")).alias("t"),
+            "event_type", "tmax",
+        )
+        .groupBy("u")
+        .agg(
+            F.min("t").alias("f"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("t"))
+            ).alias("p"),
+            F.max("tmax").alias("tmax"),
+        )
+    )
+    follow = F.least(F.lit(_KM_TAU), F.col("tmax") - F.col("f"))
+    is_ev = F.col("p").isNotNull() & (F.col("p") - F.col("f") <= follow)
+    obs = per.select(
+        F.when(is_ev, 1).otherwise(0).alias("ev"),
+        F.when(is_ev, F.col("p") - F.col("f")).otherwise(follow)
+        .alias("dur"),
+    )
+    g = obs.groupBy(F.col("dur").alias("t_day")).agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("ev").cast("long").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),
+    )
+    w_rev = Window.orderBy("t_day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = g.select(
+        "t_day", "d_events", "c_censored",
+        F.sum("n_at").over(w_rev).cast("long").alias("n_risk"),
+    )
+    hq = F.floor(
+        F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+        * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("long")
+    vq = F.floor(
+        F.col("d_events").cast("double")
+        / (F.col("n_risk").cast("double") * F.col("n_risk").cast("double"))
+        * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("long")
+    q = k.select("t_day", "n_risk", "d_events", "c_censored",
+                 hq.alias("hq"), vq.alias("vq"))
+    return q.select(
+        "t_day", "n_risk", "d_events", "c_censored",
+        F.round(
+            F.sum("hq").over(w_cum).cast("double") / F.lit(1000000000.0)
+            + F.lit(0.0), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum("vq").over(w_cum).cast("double") / F.lit(1000000000.0)
+            + F.lit(0.0), 6
+        ).alias("var_hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_conformal — split-conformal interval around an OLS length model
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_conformal",
+    f"""
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         CAST(n_chars AS BIGINT) AS y,
+         {_BUCKET_SQL} AS bkt
+  FROM documents
+),
+tr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM d WHERE bkt >= 5000
+),
+p AS (
+  SELECT n AS n_train,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+  FROM tr
+),
+cal AS (
+  SELECT CAST(floor(abs(CAST(y AS DOUBLE)
+              - (p.intercept + p.slope * CAST(x AS DOUBLE)))
+              * 1000000.0 + 0.5) AS BIGINT) AS rq
+  FROM d, p WHERE bkt < 2500
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+cnt AS (SELECT rq, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY rq),
+qh AS (
+  SELECT min(rq) AS qhat_q, max(n_cal) AS n_cal
+  FROM (SELECT rq,
+               CAST(sum(c) OVER (ORDER BY rq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM cnt) s, nc
+  WHERE s.cum >= ((nc.n_cal + 1) * 9 + 9) // 10
+),
+te AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN CAST(floor(abs(CAST(y AS DOUBLE)
+              - (p.intercept + p.slope * CAST(x AS DOUBLE)))
+              * 1000000.0 + 0.5) AS BIGINT) <= qh.qhat_q
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         max(qh.qhat_q) AS qhat_q, max(qh.n_cal) AS n_cal
+  FROM d, p, qh WHERE bkt >= 2500 AND bkt < 5000
+)
+SELECT p.n_train, te.n_cal, te.n_test, p.slope, p.intercept,
+       CAST(te.qhat_q AS DOUBLE) / 1000000.0 AS q_hat,
+       te.n_covered,
+       CAST(te.n_covered AS DOUBLE) / CAST(te.n_test AS DOUBLE) AS coverage
+FROM p, te
+""",
+)
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (α = 0.1) around the OLS
+    fit of n_chars on token count: train / calibration / test by
+    md5-bucket thirds, half-width = the ⌈(n_cal+1)·0.9⌉-th smallest
+    calibration residual, empirical test coverage reported — the
+    distribution-free uncertainty layer beside the probability
+    recalibrators (q_calibration_bins / q_isotonic / q_ece)
+    (functions/stats.py ``conformal_interval``)."""
+    from .functions.sampling import _bucket
+    from .functions.stats import conformal_interval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+        _bucket("doc_id").alias("bkt"),
+    )
+    return conformal_interval(d, "x", "y", "bkt")

@@ -501,3 +501,126 @@ def rocchio_rerank(
         "q_id", "n_id", "sim", F.col("rank").cast("long").alias("rank"),
         F.coalesce("was_feedback", F.lit(False)).alias("was_feedback"),
     )
+
+
+def err_at_k(
+    scored: DataFrame,
+    k: int = 10,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    n_grades: int = 4,
+) -> DataFrame:
+    """[group, n_ranked, err] — Expected Reciprocal Rank @k of a scored
+    ranking against the md5 graded relevance (Chapelle et al. 2009):
+    the CASCADE ranking metric — ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i)
+    with stop probability R = (2^grade − 1)/2^max_grade — that, unlike
+    NDCG's position discounts, discounts a rank by how likely the user
+    already stopped above it.  Completes the ranking-eval family
+    (AP/NDCG/MRR/RBO).
+
+    Exactness: each group's top-k gains pivot onto ONE row, the
+    survival products P_r = Π(2^max_grade − gain_i) stay exact int64
+    (≤ 8⁹), every per-rank term is one fixed double chain quantized
+    to 1e-9 before the k-term sum, and missing ranks contribute gain 0
+    (R = 0, survival ×2^max_grade — "no document, user reads on").  Shape: one
+    shuffle on the group key, one window sort, one pivot row per
+    group."""
+    gmax = 1 << (n_grades - 1)   # 2^max_grade (Chapelle et al. eq. 4)
+    base = scored.select(
+        F.col(group_col), F.col(id_col), F.col(score_col)
+    ).withColumn("_g", graded_relevance(id_col, n_grades))
+    wr = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    gain = (F.expr("shiftleft(1L, cast(_g AS int))") - 1).cast("long")
+    r = (
+        base.withColumn("_rr", F.row_number().over(wr))
+        .filter(F.col("_rr") <= k)
+        .withColumn("_gain", gain)
+    )
+    piv = r.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_rr") == i, F.col("_gain"))), F.lit(0)
+            ).cast("long").alias(f"g{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    piv = piv.select("*", F.lit(1).cast("long").alias("p1"))
+    for i in range(2, k + 1):
+        piv = piv.select(
+            "*",
+            (F.col(f"p{i-1}") * (F.lit(gmax) - F.col(f"g{i-1}")))
+            .cast("long").alias(f"p{i}"),
+        )
+    terms = []
+    for i in range(1, k + 1):
+        pow16 = float(gmax ** (i - 1))
+        terms.append(
+            F.floor(
+                (F.col(f"g{i}").cast("double") / F.lit(float(gmax)))
+                * (F.col(f"p{i}").cast("double") / F.lit(pow16))
+                / F.lit(float(i))
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return piv.select(
+        F.col(group_col),
+        "n_ranked",
+        F.round(
+            total.cast("double") / F.lit(1000000000.0) + F.lit(0.0), 6
+        ).alias("err"),
+    )
+
+
+def err_oracle_sql(
+    query_terms: list[str], k: int = 10, n_grades: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`err_at_k` over the BM25 ranking — same
+    pivot, same exact survival products, same quantized term chain."""
+    gmax = 1 << (n_grades - 1)
+    bm25 = bm25_oracle_sql(query_terms, table=table)
+    gcols = ",\n         ".join(
+        f"CAST(coalesce(max(CASE WHEN rr = {i} THEN gain END), 0) AS BIGINT)"
+        f" AS g{i}"
+        for i in range(1, k + 1)
+    )
+    p_defs = ["CAST(1 AS BIGINT) AS p1"]
+    for i in range(2, k + 1):
+        prod = " * ".join(f"({gmax} - g{j})" for j in range(1, i))
+        p_defs.append(f"CAST({prod} AS BIGINT) AS p{i}")
+    term_sql = " + ".join(
+        f"CAST(floor((CAST(g{i} AS DOUBLE) / {float(gmax)})"
+        f" * (CAST(p{i} AS DOUBLE) / {float(gmax ** (i - 1))})"
+        f" / {float(i)} * 1000000000.0 + 0.5) AS BIGINT)"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH sc AS ({bm25}),
+g AS (
+  SELECT d.source, sc.doc_id, sc.score,
+         CAST((1 << (CAST(CAST('0x' || substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {n_grades} AS INT))) - 1 AS BIGINT) AS gain,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY sc.score DESC, sc.doc_id) AS rr
+  FROM sc JOIN {table} d ON d.doc_id = sc.doc_id
+),
+piv AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_ranked,
+         {gcols}
+  FROM g WHERE rr <= {k} GROUP BY source
+),
+pp AS (
+  SELECT piv.*, {", ".join(p_defs)} FROM piv
+)
+SELECT source, n_ranked,
+       round(CAST({term_sql} AS DOUBLE) / 1000000000.0 + 0.0, 6) AS err
+FROM pp
+"""

@@ -8277,3 +8277,73 @@ def test_em_poisson2_deterministic(spark):
     b = sorted((r["k"], r["lambda_q"], r["pi_q"])
                for r in em_poisson2(df, "x", iters=3).collect())
     assert a == b
+
+
+def test_err_at_k_hand(spark):
+    """A top-grade document at rank 1 dominates ERR (R=7/8); moving
+    it to rank 2 behind an irrelevant one halves its term; closed-form
+    check on a 2-doc ranking (R = (2^g − 1)/8 for grades 0..3)."""
+    from greenex_py_spark.functions.retrieval import err_at_k
+
+    # grades are md5-derived; find two ids with known grades
+    import hashlib
+
+    def grade(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+
+    hi = next(i for i in range(100) if grade(i) == 3)
+    lo = next(i for i in range(100) if grade(i) == 0)
+    df = spark.createDataFrame(
+        [("s", hi, 2.0), ("s", lo, 1.0)],
+        "source string, doc_id long, score double",
+    )
+    r = err_at_k(df, k=10).collect()[0]
+    # ERR = (7/8)/1 + 0 = 0.875 exactly (lo has R=0)
+    assert abs(r["err"] - 7 / 8) < 1e-6 and r["n_ranked"] == 2
+
+    df2 = spark.createDataFrame(
+        [("s", hi, 1.0), ("s", lo, 2.0)],
+        "source string, doc_id long, score double",
+    )
+    r2 = err_at_k(df2, k=10).collect()[0]
+    # ERR = 0 + (1/2)·(7/8)·(1 − 0) = 0.4375
+    assert abs(r2["err"] - 7 / 16) < 1e-6
+
+
+def test_nelson_aalen_vs_km_consistency(spark):
+    """On the fixture risk table, H is nondecreasing and the KM curve
+    obeys KM ≤ exp(−H) (1 − x ≤ e^−x termwise)."""
+    import math
+
+    from greenex_py_spark.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    na = {r["t_day"]: r for r in QUERIES["q_nelson_aalen"](spark, sf).collect()}
+    km = {r["t_day"]: r for r in QUERIES["q_km_survival"](spark, sf).collect()}
+    hs = [na[t]["cum_hazard"] for t in sorted(na)]
+    assert hs == sorted(hs)
+    for t in na:
+        s_km = km[t]["survival"]
+        s_na = math.exp(-na[t]["cum_hazard"])
+        # 1 − x ≤ e^−x: the KM curve sits below exp(−H) always, and the
+        # fixture's daily hazards (~0.3–0.6) keep the gap moderate
+        assert s_km <= s_na + 1e-6
+        assert abs(s_km - s_na) < 0.15 or s_km == 0.0
+
+
+def test_conformal_interval_hand(spark):
+    """On y = 3x + deterministic noise in [−2, 2], q̂ lands near the
+    0.9-quantile of |noise| and test coverage is ≥ 0.85."""
+    from greenex_py_spark.functions.stats import conformal_interval
+
+    rows = []
+    for i in range(2000):
+        x = i % 50 + 1
+        noise = ((i * 37) % 41 - 20) / 10.0          # ∈ [−2.0, 2.0]
+        rows.append((x, int(round(3 * x + noise)), (i * 7919) % 10000))
+    df = spark.createDataFrame(rows, "x long, y long, bkt long")
+    r = conformal_interval(df, "x", "y", "bkt").collect()[0]
+    assert abs(r["slope"] - 3.0) < 0.05
+    assert 1.0 < r["q_hat"] < 2.6
+    assert r["coverage"] >= 0.85
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == 2000
