@@ -19864,3 +19864,147 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket("doc_id").alias("bkt"),
     )
     return conformal_interval(d, "x", "y", "bkt")
+
+
+# ---------------------------------------------------------------------------
+# q_knn_degree — average-neighbour-degree curve of the host graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_knn_degree",
+    "WITH " + _LINK_EDGE_CTE + """,
+nb AS (
+  SELECT bo.a, da.dg AS k,
+         CAST(sum(db.dg) AS BIGINT) AS snd,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM bo JOIN deg da ON da.a = bo.a JOIN deg db ON db.a = bo.b
+  GROUP BY bo.a, da.dg
+),
+pn AS (
+  SELECT k,
+         CAST(floor(CAST(snd AS DOUBLE) / CAST(nn AS DOUBLE)
+              * 1000000000.0 + 0.5) AS BIGINT) AS mq
+  FROM nb
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+       round(CAST(sum(mq) AS BIGINT) / CAST(count(*) AS DOUBLE)
+             / 1000000000.0 + 0.0, 6) AS knn
+FROM pn GROUP BY k
+""",
+)
+def q_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbour-degree curve knn(k) of the undirected host
+    graph — the degree-resolved view of q_degree_assortativity's
+    single coefficient (decreasing knn(k) = disassortative hub
+    structure, the normal web shape).  Per-node neighbour-degree means
+    quantize to 1e-9 before the per-k average; all counts exact."""
+    from pyspark.sql import Window  # noqa: F401
+
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    und = (
+        edges.select(
+            F.least("src_host", "dst_host").alias("ua"),
+            F.greatest("src_host", "dst_host").alias("ub"),
+        )
+        .filter(F.col("ua") != F.col("ub"))
+        .distinct()
+    )
+    bo = und.select(F.col("ua").alias("a"), F.col("ub").alias("b")).unionByName(
+        und.select(F.col("ub").alias("a"), F.col("ua").alias("b"))
+    )
+    deg = bo.groupBy("a").agg(F.count(F.lit(1)).alias("dg"))
+    nb = (
+        bo.join(deg.select(F.col("a"), F.col("dg").alias("k")), "a")
+        .join(deg.select(F.col("a").alias("b"), F.col("dg").alias("nd")), "b")
+        .groupBy("a", "k")
+        .agg(
+            F.sum("nd").cast("long").alias("snd"),
+            F.count(F.lit(1)).cast("long").alias("nn"),
+        )
+    )
+    pn = nb.select(
+        "k",
+        F.floor(
+            F.col("snd").cast("double") / F.col("nn").cast("double")
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("mq"),
+    )
+    return pn.groupBy(F.col("k").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.round(
+            F.sum("mq").cast("double") / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000000.0) + F.lit(0.0), 6
+        ).alias("knn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lorenz — per-source Lorenz curve deciles of document length
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_lorenz",
+    """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+d AS (
+  SELECT source, CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+         n_chars
+  FROM r
+),
+g AS (
+  SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM d GROUP BY source, decile
+)
+SELECT source, decile, n_docs,
+       CAST(sum(chars) OVER (PARTITION BY source ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_chars,
+       CAST(sum(chars) OVER (PARTITION BY source ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(sum(chars) OVER (PARTITION BY source) AS DOUBLE) AS cum_share
+FROM g
+""",
+)
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Lorenz curve at decile resolution — the
+    curve-level view of q_length_gini's single inequality number
+    (cum_share(d) far below d/10 = a few giant documents dominate the
+    source's bytes, the dedup/pricing signal).  Deterministic
+    (n_chars, doc_id) ranking, exact integer cumulative sums, one
+    division."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    d = docs.select(
+        "source", "n_chars",
+        F.floor(
+            ((F.row_number().over(wr) - 1) * 10)
+            / F.count(F.lit(1)).over(wn)
+        ).cast("long").alias("decile"),
+    )
+    g = d.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    wc = Window.partitionBy("source").orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "source", "decile", "n_docs",
+        F.sum("chars").over(wc).cast("long").alias("cum_chars"),
+        (
+            F.sum("chars").over(wc).cast("double")
+            / F.sum("chars").over(wn).cast("double")
+        ).alias("cum_share"),
+    )

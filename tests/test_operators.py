@@ -8347,3 +8347,46 @@ def test_conformal_interval_hand(spark):
     assert 1.0 < r["q_hat"] < 2.6
     assert r["coverage"] >= 0.85
     assert r["n_train"] + r["n_cal"] + r["n_test"] == 2000
+
+
+def test_knn_degree_hand(spark):
+    """Star graph: the hub (k=4) has knn=1, leaves (k=1) have knn=4 —
+    maximally disassortative."""
+    from greenex_py_spark.driver_queries import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # exercise the same relational shape directly on a tiny frame
+    edges = [("hub", x) for x in ("a", "b", "c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    und = df.select(F.least("src", "dst").alias("ua"),
+                    F.greatest("src", "dst").alias("ub")).distinct()
+    bo = und.select(F.col("ua").alias("a"), F.col("ub").alias("b")).unionByName(
+        und.select(F.col("ub").alias("a"), F.col("ua").alias("b")))
+    deg = bo.groupBy("a").agg(F.count(F.lit(1)).alias("dg"))
+    nb = (bo.join(deg.select("a", F.col("dg").alias("k")), "a")
+            .join(deg.select(F.col("a").alias("b"), F.col("dg").alias("nd")), "b")
+            .groupBy("a", "k")
+            .agg((F.sum("nd") / F.count("*")).alias("m")))
+    got = {r["k"]: r["m"] for r in
+           nb.groupBy("k").agg(F.avg("m").alias("m")).collect()}
+    assert got[4] == 1.0 and got[1] == 4.0
+
+
+def test_lorenz_curve_hand(spark):
+    """Equal lengths give the diagonal (cum_share = (d+1)/10); the
+    final decile always reaches exactly 1."""
+    import tempfile
+
+    from greenex_py_spark.driver_queries import QUERIES
+
+    rows = [(i, "t" * 50, "en", "s", 50) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(QUERIES["q_lorenz"](spark, d).collect(),
+                 key=lambda r: r["decile"])
+    for r in got:
+        assert abs(r["cum_share"] - (r["decile"] + 1) / 10) < 1e-12
+    assert got[-1]["cum_share"] == 1.0
