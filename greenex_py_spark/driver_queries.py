@@ -3314,20 +3314,24 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .streaming.sessionize import EVENT_SCHEMA, sessionize_stream
+    from .streaming.sessionize import sessionize_stream
+    from .streaming.stage import (
+        append_empty_delta,
+        drain_shuffle_partitions,
+        stage_events,
+    )
 
     base = os.path.join(tempfile.gettempdir(), f"q_sessionize_stream_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # few large files: the streaming source lists/tracks per-file state
-    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").coalesce(8).write.parquet(src)
-    sessionize_stream(spark, src, sink, ckpt)
-    # an empty delta file forces one more micro-batch, in which the
-    # state-store timeouts fire against the now-advanced watermark
-    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
-    sessionize_stream(spark, src, sink, ckpt)
+    stage_events(sf_dir, src)  # one-file copy: one micro-batch, no Spark job
+    with drain_shuffle_partitions(spark):
+        sessionize_stream(spark, src, sink, ckpt)
+        # an empty delta file forces one more micro-batch, in which the
+        # state-store timeouts fire against the now-advanced watermark
+        append_empty_delta(src)
+        sessionize_stream(spark, src, sink, ckpt)
     out = spark.read.parquet(sink)
     return out.select(
         "user_id",
@@ -4350,23 +4354,22 @@ def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.bloom_dedup import run_bloom_stream
+    from .streaming.stage import drain_shuffle_partitions, stage_documents_bloom
 
     base = os.path.join(tempfile.gettempdir(), f"q_bloom_stream_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", (F.col("doc_id") % 3).alias("lab"), "text"
-    )
-    docs.write.mode("overwrite").parquet(src)
+    stage_documents_bloom(sf_dir, src, mod=3)
     key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
-    run_bloom_stream(
-        spark, src, sink, ckpt,
-        key_expr=key,
-        schema="doc_id long, lab long, text string",
-        m_bits=_BLOOM_STREAM_M,
-        k=3,
-    )
+    with drain_shuffle_partitions(spark):
+        run_bloom_stream(
+            spark, src, sink, ckpt,
+            key_expr=key,
+            schema="doc_id long, lab long, text string",
+            m_bits=_BLOOM_STREAM_M,
+            k=3,
+        )
     flags = spark.read.parquet(sink)
     return flags.groupBy("doc_id", "lab").agg(
         (F.count(F.when(F.col("prior"), 1)) >= 3).alias("probably_seen")
@@ -6426,7 +6429,11 @@ def q_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.ingest import windowed_event_counts
-    from .streaming.sessionize import EVENT_SCHEMA
+    from .streaming.stage import (
+        append_empty_delta,
+        drain_shuffle_partitions,
+        stage_events,
+    )
 
     base = os.path.join(
         tempfile.gettempdir(), f"q_window_stream_{os.getpid()}"
@@ -6434,17 +6441,13 @@ def q_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    ).coalesce(8).write.parquet(src)
-    windowed_event_counts(spark, src, sink, ckpt)
-    # empty delta: one more micro-batch in which the watermark-closed
-    # windows are evicted from state into the sink
-    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    windowed_event_counts(spark, src, sink, ckpt)
+    stage_events(sf_dir, src)
+    with drain_shuffle_partitions(spark):
+        windowed_event_counts(spark, src, sink, ckpt)
+        # empty delta: one more micro-batch in which the watermark-closed
+        # windows are evicted from state into the sink
+        append_empty_delta(src)
+        windowed_event_counts(spark, src, sink, ckpt)
     out = spark.read.parquet(sink)
     return out.select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
@@ -6532,7 +6535,11 @@ def q_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.ingest import windowed_event_counts
-    from .streaming.sessionize import EVENT_SCHEMA
+    from .streaming.stage import (
+        append_empty_delta,
+        drain_shuffle_partitions,
+        stage_events,
+    )
 
     base = os.path.join(
         tempfile.gettempdir(), f"q_sliding_stream_{os.getpid()}"
@@ -6540,19 +6547,15 @@ def q_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    ).coalesce(8).write.parquet(src)
-    windowed_event_counts(
-        spark, src, sink, ckpt, window="2 days", slide="1 day"
-    )
-    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    windowed_event_counts(
-        spark, src, sink, ckpt, window="2 days", slide="1 day"
-    )
+    stage_events(sf_dir, src)
+    with drain_shuffle_partitions(spark):
+        windowed_event_counts(
+            spark, src, sink, ckpt, window="2 days", slide="1 day"
+        )
+        append_empty_delta(src)
+        windowed_event_counts(
+            spark, src, sink, ckpt, window="2 days", slide="1 day"
+        )
     out = spark.read.parquet(sink)
     return out.select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
@@ -9403,19 +9406,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.ingest import dedup_event_stream
+    from .streaming.stage import drain_shuffle_partitions, stage_events_with_replay
 
     base = os.path.join(tempfile.gettempdir(), f"q_stream_dedup_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    ev.coalesce(4).write.parquet(src)
-    ev.filter(F.col("event_id") % 3 == 0).coalesce(2).write.mode(
-        "append"
-    ).parquet(src)
-    dedup_event_stream(spark, src, sink, ckpt)
+    stage_events_with_replay(sf_dir, src, mod=3)
+    with drain_shuffle_partitions(spark):
+        dedup_event_stream(spark, src, sink, ckpt)
     out = spark.read.parquet(sink)
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -10412,6 +10411,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.join import stream_stream_join
+    from .streaming.stage import drain_shuffle_partitions, stage_events
 
     base = os.path.join(tempfile.gettempdir(), f"q_stream_join_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
@@ -10419,12 +10419,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcl, srcr, sink, ckpt = (
         os.path.join(base, d) for d in ("views", "purchases", "sink", "ckpt")
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    ev.filter(F.col("event_type") == "view").coalesce(4).write.parquet(srcl)
-    ev.filter(F.col("event_type") == "purchase").coalesce(4).write.parquet(srcr)
-    stream_stream_join(spark, srcl, srcr, sink, ckpt)
+    stage_events(sf_dir, srcl, event_type="view")
+    stage_events(sf_dir, srcr, event_type="purchase")
+    with drain_shuffle_partitions(spark):
+        stream_stream_join(spark, srcl, srcr, sink, ckpt)
     out = spark.read.parquet(sink)
     return out.groupBy(
         F.date_format(F.date_trunc("day", "r_ts"), "yyyy-MM-dd").alias("day")
@@ -12067,7 +12065,11 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.ingest import enriched_windowed_counts
-    from .streaming.sessionize import EVENT_SCHEMA
+    from .streaming.stage import (
+        append_empty_delta,
+        drain_shuffle_partitions,
+        stage_events,
+    )
 
     base = os.path.join(tempfile.gettempdir(), f"q_stream_enrich_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
@@ -12083,14 +12085,11 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(4),
         ).cast("long"),
     )
-    ev.select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    ).coalesce(8).write.parquet(src)
-    enriched_windowed_counts(spark, src, sink, ckpt, dim)
-    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    enriched_windowed_counts(spark, src, sink, ckpt, dim)
+    stage_events(sf_dir, src)
+    with drain_shuffle_partitions(spark):
+        enriched_windowed_counts(spark, src, sink, ckpt, dim)
+        append_empty_delta(src)
+        enriched_windowed_counts(spark, src, sink, ckpt, dim)
     out = spark.read.parquet(sink)
     return out.select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
@@ -13179,7 +13178,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.ingest import session_window_counts
-    from .streaming.sessionize import EVENT_SCHEMA
+    from .streaming.stage import (
+        append_empty_delta,
+        drain_shuffle_partitions,
+        stage_events,
+    )
 
     base = os.path.join(
         tempfile.gettempdir(), f"q_stream_session_{os.getpid()}"
@@ -13187,15 +13190,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    ).coalesce(8).write.parquet(src)
-    session_window_counts(spark, src, sink, ckpt)
-    spark.createDataFrame([], schema=EVENT_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    session_window_counts(spark, src, sink, ckpt)
+    stage_events(sf_dir, src)
+    with drain_shuffle_partitions(spark):
+        session_window_counts(spark, src, sink, ckpt)
+        append_empty_delta(src)
+        session_window_counts(spark, src, sink, ckpt)
     return spark.read.parquet(sink).select(
         F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
             "sess_start"
@@ -15403,6 +15402,11 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.join import stream_stream_left_join
+    from .streaming.stage import (
+        drain_shuffle_partitions,
+        flush_row_after,
+        stage_events,
+    )
 
     base = os.path.join(
         tempfile.gettempdir(), f"q_stream_left_join_{os.getpid()}"
@@ -15412,24 +15416,11 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcl, srcr, sink, ckpt = (
         os.path.join(base, d) for d in ("views", "purchases", "sink", "ckpt")
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    flush = ev.agg(F.max("ts").alias("m")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        (F.col("m") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("flush").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit("").alias("props"),
-    )
-    ev.filter(F.col("event_type") == "view").unionByName(flush).coalesce(
-        4
-    ).write.parquet(srcl)
-    ev.filter(F.col("event_type") == "purchase").unionByName(flush).coalesce(
-        4
-    ).write.parquet(srcr)
-    stream_stream_left_join(spark, srcl, srcr, sink, ckpt)
+    flush = flush_row_after(sf_dir, days=40)
+    stage_events(sf_dir, srcl, event_type="view", flush_after=flush)
+    stage_events(sf_dir, srcr, event_type="purchase", flush_after=flush)
+    with drain_shuffle_partitions(spark):
+        stream_stream_left_join(spark, srcl, srcr, sink, ckpt)
     out = spark.read.parquet(sink).filter(F.col("k") >= 0)
     return out.groupBy(
         F.date_format(F.date_trunc("day", "l_ts"), "yyyy-MM-dd").alias("day")

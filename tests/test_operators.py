@@ -229,6 +229,43 @@ def test_partitioned_dijkstra_equals_broadcast(spark, sf_dir):
     np.testing.assert_allclose(a.net_dist.to_numpy(), b.net_dist.to_numpy(), rtol=0, atol=0)
 
 
+def test_adaptive_dijkstra_routes_by_graph_size(spark, sf_dir):
+    """VERDICT r03 #1: the auto dispatcher must take the broadcast-CSR
+    path below DRIVER_MAX_EDGES and the no-broadcast cogroup path above
+    it — pinned by plan shape (MapInPandas vs FlatMapCoGroupsInPandas),
+    and both routes must agree row-for-row."""
+    from greenex_py_spark.data import city_fixture as fx
+    from greenex_py_spark.data import driver_city as city
+    from greenex_py_spark.operators.network import (
+        bounded_network_distances_auto,
+        nearest_node,
+    )
+
+    pts = (
+        city.points_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 13 == 0)
+        .withColumnRenamed("doc_id", "id")
+    )
+    nodes, edges = fx.network_dfs(spark)
+    snapped = nearest_node(pts, nodes, "id")
+
+    small = bounded_network_distances_auto(snapped, nodes, edges, 450.0, "id")
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_small
+    assert "FlatMapCoGroupsInPandas" not in plan_small
+
+    big = bounded_network_distances_auto(
+        snapped, nodes, edges, 450.0, "id", driver_max_edges=0
+    )
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan_big
+
+    a = small.toPandas().sort_values(["id", "node_id"]).reset_index(drop=True)
+    b = big.toPandas().sort_values(["id", "node_id"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    np.testing.assert_allclose(a.net_dist.to_numpy(), b.net_dist.to_numpy(), rtol=0, atol=0)
+
+
 def test_distributed_cc_equals_driver_cc(spark):
     """The big-graph Pregel path (_cc_distributed, never reached by the
     adaptive threshold on fixtures) emits the same labels as the
