@@ -1176,3 +1176,264 @@ def golden_records(
     return stats.join(keep, rep_col).select(
         rep_col, "n_members", "keep_id", "keep_len", "total_len"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage (m/u-probability EM)
+# ---------------------------------------------------------------------------
+
+FS_Q = 1_000_000_000  # probability nano-grid (the em_poisson2 contract)
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    iters: int = 4,
+    init: tuple = (0.9, 0.1, 0.5),
+) -> DataFrame:
+    """[k, m_q, u_q, m, u, w_agree_q, p_q, n_pairs, n_match] — the
+    Fellegi–Sunter (1969) linkage model fitted by EM over blocked
+    comparison vectors: each candidate pair carries K binary field
+    agreements γ_k; under conditional independence the E-step posterior
+    of "pair is a match" is
+
+        g = sigmoid( logit(p) + Σ_k γ_k·(ln m_k − ln u_k)
+                              + (1−γ_k)·(ln(1−m_k) − ln(1−u_k)) )
+
+    and the M-step re-estimates m_k (P(agree | match)),
+    u_k (P(agree | non-match)) and the match proportion p.
+
+    Engine-portable by the quantized-EM contract shared with
+    em_poisson2 / the SVM / k-means trainers: parameters live on an
+    integer nano-grid (``FS_Q``), the E-step posterior is floored to an
+    integer nanoshare immediately, every M-step statistic is an exact
+    int64 sum, and each int64/int64 division back to the grid is a
+    single correctly-rounded double op — so Spark and an unrolled
+    MATERIALIZED-CTE DuckDB oracle iterate bit-identically.  Parameters
+    are clamped to [1, FS_Q−1] (integer test) so ln never sees 0.
+
+    ``w_agree_q`` is the Fellegi–Sunter agreement weight
+    log2(m_k/u_k) on a micro-grid (the score a production linker sums
+    per field); ``n_match`` counts pairs whose FINAL posterior passes
+    ½ — a pure integer comparison.  Shape per round: one broadcast of
+    the 1-row parameter frame, one map-side E-step expression, one
+    exact aggregation; no per-pair state, so the pair table streams at
+    any scale and blocking bounds the candidate space exactly like
+    fuzzy_match/jaro_winkler_linkage above.
+    """
+    spark = pairs.sparkSession
+    K = len(gamma_cols)
+    m0, u0, p0 = init
+    row = tuple(
+        [int(round(m0 * FS_Q))] * K + [int(round(u0 * FS_Q))] * K
+        + [int(round(p0 * FS_Q))]
+    )
+    schema = (
+        ", ".join(f"m{k}q long" for k in range(K)) + ", "
+        + ", ".join(f"u{k}q long" for k in range(K)) + ", pq long"
+    )
+    params = spark.createDataFrame([row], schema)
+
+    def posterior():
+        p = F.col("pq").cast("double") / FS_Q
+        s = F.log(p) - F.log(F.lit(1.0) - p)
+        for k, c in enumerate(gamma_cols):
+            m = F.col(f"m{k}q").cast("double") / FS_Q
+            u = F.col(f"u{k}q").cast("double") / FS_Q
+            g = F.col(c).cast("double")
+            s = (
+                s
+                + g * (F.log(m) - F.log(u))
+                + (F.lit(1.0) - g) * (F.log(F.lit(1.0) - m) - F.log(F.lit(1.0) - u))
+            )
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+
+    clamp = lambda c: F.greatest(F.lit(1), F.least(F.lit(FS_Q - 1), c))  # noqa: E731
+    for _ in range(iters):
+        e = pairs.crossJoin(F.broadcast(params)).select(
+            *[F.col(c).cast("long").alias(c) for c in gamma_cols],
+            F.floor(posterior() * F.lit(float(FS_Q)) + F.lit(0.5))
+            .cast("long").alias("gq"),
+        )
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("gq").cast("long").alias("sg"),
+        ]
+        for k, c in enumerate(gamma_cols):
+            aggs.append(F.sum(F.col("gq") * F.col(c)).cast("long").alias(f"sm{k}"))
+            aggs.append(
+                F.sum((F.lit(FS_Q) - F.col("gq")) * F.col(c))
+                .cast("long").alias(f"su{k}")
+            )
+        a = e.agg(*aggs)
+        news = []
+        for k in range(K):
+            news.append(
+                clamp(
+                    F.floor(
+                        F.col(f"sm{k}").cast("double") / F.col("sg").cast("double")
+                        * FS_Q + F.lit(0.5)
+                    ).cast("long")
+                ).cast("long").alias(f"m{k}q")
+            )
+        for k in range(K):
+            news.append(
+                clamp(
+                    F.floor(
+                        F.col(f"su{k}").cast("double")
+                        / (F.col("n").cast("double") * FS_Q - F.col("sg").cast("double"))
+                        * FS_Q + F.lit(0.5)
+                    ).cast("long")
+                ).cast("long").alias(f"u{k}q")
+            )
+        news.append(
+            clamp(
+                F.floor(
+                    F.col("sg").cast("double") / (F.col("n").cast("double") * FS_Q)
+                    * FS_Q + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("pq")
+        )
+        params = a.select(*news).localCheckpoint()
+
+    hard = pairs.crossJoin(F.broadcast(params)).select(
+        F.floor(posterior() * F.lit(float(FS_Q)) + F.lit(0.5))
+        .cast("long").alias("gq"),
+    ).agg(
+        F.sum(F.when(F.col("gq") > FS_Q // 2, 1).otherwise(0))
+        .cast("long").alias("n_match"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    out = params.crossJoin(F.broadcast(hard))
+    rows = []
+    for k in range(K):
+        m = F.col(f"m{k}q").cast("double") / FS_Q
+        u = F.col(f"u{k}q").cast("double") / FS_Q
+        rows.append(
+            out.select(
+                F.lit(k + 1).cast("long").alias("k"),
+                F.col(f"m{k}q").alias("m_q"),
+                F.col(f"u{k}q").alias("u_q"),
+                m.alias("m"),
+                u.alias("u"),
+                # log2(m/u) on a micro-grid: double log of exact-grid
+                # ratios, floored — identical both engines
+                F.floor(
+                    (F.log(m) - F.log(u)) / F.log(F.lit(2.0)) * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long").alias("w_agree_q"),
+                F.col("pq").alias("p_q"),
+                F.col("n_pairs"),
+                F.col("n_match"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+def fellegi_sunter_oracle_sql(
+    pairs_cte: str,
+    gamma_cols: list[str],
+    iters: int = 4,
+    init: tuple = (0.9, 0.1, 0.5),
+) -> str:
+    """DuckDB twin of :func:`fellegi_sunter_em` — identical quantized
+    rounds unrolled as MATERIALIZED CTEs.  ``pairs_cte`` must select
+    the BIGINT 0/1 columns named in ``gamma_cols``."""
+    K = len(gamma_cols)
+    m0, u0, p0 = init
+    parts = [
+        f"WITH v AS MATERIALIZED ({pairs_cte})",
+        "p0 AS (SELECT "
+        + ", ".join(
+            f"CAST({int(round(m0 * FS_Q))} AS BIGINT) AS m{k}q" for k in range(K)
+        )
+        + ", "
+        + ", ".join(
+            f"CAST({int(round(u0 * FS_Q))} AS BIGINT) AS u{k}q" for k in range(K)
+        )
+        + f", CAST({int(round(p0 * FS_Q))} AS BIGINT) AS pq)",
+    ]
+
+    def post(t: int) -> str:
+        terms = [
+            f"(ln(CAST(p{t}.pq AS DOUBLE) / {FS_Q}.0)"
+            f" - ln(1.0 - CAST(p{t}.pq AS DOUBLE) / {FS_Q}.0))"
+        ]
+        for k, c in enumerate(gamma_cols):
+            m = f"CAST(p{t}.m{k}q AS DOUBLE) / {FS_Q}.0"
+            u = f"CAST(p{t}.u{k}q AS DOUBLE) / {FS_Q}.0"
+            g = f"CAST(v.{c} AS DOUBLE)"
+            terms.append(f"{g} * (ln({m}) - ln({u}))")
+            terms.append(f"(1.0 - {g}) * (ln(1.0 - {m}) - ln(1.0 - {u}))")
+        s = " + ".join(terms)
+        return f"1.0 / (1.0 + exp(-({s})))"
+
+    def clamp(x: str) -> str:
+        return f"greatest(1, least({FS_Q - 1}, {x}))"
+
+    for t in range(iters):
+        parts.append(
+            f"""e{t} AS MATERIALIZED (
+  SELECT {', '.join('v.' + c for c in gamma_cols)},
+         CAST(floor(({post(t)}) * {FS_Q}.0 + 0.5) AS BIGINT) AS gq
+  FROM v, p{t}
+)"""
+        )
+        sums = [
+            "CAST(count(*) AS BIGINT) AS n",
+            "CAST(sum(gq) AS BIGINT) AS sg",
+        ]
+        for k, c in enumerate(gamma_cols):
+            sums.append(f"CAST(sum(gq * {c}) AS BIGINT) AS sm{k}")
+            sums.append(f"CAST(sum(({FS_Q} - gq) * {c}) AS BIGINT) AS su{k}")
+        parts.append(f"a{t} AS (\n  SELECT {', '.join(sums)}\n  FROM e{t}\n)")
+        news = []
+        for k in range(K):
+            news.append(
+                clamp(
+                    f"CAST(floor(CAST(sm{k} AS DOUBLE) / CAST(sg AS DOUBLE)"
+                    f" * {FS_Q} + 0.5) AS BIGINT)"
+                )
+                + f" AS m{k}q"
+            )
+        for k in range(K):
+            news.append(
+                clamp(
+                    f"CAST(floor(CAST(su{k} AS DOUBLE)"
+                    f" / (CAST(n AS DOUBLE) * {FS_Q} - CAST(sg AS DOUBLE))"
+                    f" * {FS_Q} + 0.5) AS BIGINT)"
+                )
+                + f" AS u{k}q"
+            )
+        news.append(
+            clamp(
+                f"CAST(floor(CAST(sg AS DOUBLE) / (CAST(n AS DOUBLE) * {FS_Q})"
+                f" * {FS_Q} + 0.5) AS BIGINT)"
+            )
+            + " AS pq"
+        )
+        parts.append(f"p{t + 1} AS (\n  SELECT {', '.join(news)}\n  FROM a{t}\n)")
+    parts.append(
+        f"""hf AS (
+  SELECT CAST(sum(CASE WHEN CAST(floor(({post(iters)}) * {FS_Q}.0 + 0.5) AS BIGINT)
+                       > {FS_Q // 2} THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM v, p{iters}
+)"""
+    )
+    selects = []
+    for k in range(K):
+        m = f"CAST(m{k}q AS DOUBLE) / {FS_Q}"
+        u = f"CAST(u{k}q AS DOUBLE) / {FS_Q}"
+        selects.append(
+            f"""SELECT CAST({k + 1} AS BIGINT) AS k, m{k}q AS m_q, u{k}q AS u_q,
+       {m} AS m, {u} AS u,
+       CAST(floor((ln({m}) - ln({u})) / ln(2.0) * 1000000 + 0.5) AS BIGINT)
+         AS w_agree_q,
+       pq AS p_q, n_pairs, n_match
+FROM p{iters}, hf"""
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

@@ -1989,6 +1989,7 @@ def bowtie_decomposition(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 12,
+    full: bool = False,
 ) -> DataFrame:
     """[host, region, core_id, core_size] — the Broder et al. (2000)
     bow-tie decomposition of a directed graph: CORE = the largest SCC
@@ -1998,6 +1999,16 @@ def bowtie_decomposition(
     macro-structure readout of a crawl frontier: a healthy web snapshot
     has a dominant CORE; a seed list that only ever lands in OUT can
     never crawl back.
+
+    ``full=True`` completes the Broder taxonomy by sub-splitting OTHER:
+    TUBE = on an IN→OUT path that avoids the core (reachable from IN
+    AND reaches OUT), TENDRIL_IN = hangs off IN (reachable from IN
+    only), TENDRIL_OUT = feeds OUT (reaches OUT only), DISC = fully
+    disconnected from the bow tie.  Plain reachability suffices for
+    the avoid-the-core condition: an OTHER node's witness path from IN
+    can never pass through CORE (it would make the node OUT), and
+    symmetrically for paths to OUT — so the sub-split is two extra
+    semi-joins against the same closure, no new reachability pass.
 
     Shares the transitive-closure-squaring reachability of
     :func:`scc_components` (⌈log₂ diam⌉ self-join rounds,
@@ -2063,10 +2074,9 @@ def bowtie_decomposition(
         .select(F.col("u").alias("node")).distinct()
         .withColumn("_in", F.lit(1))
     )
-    out = (
-        lab.join(from_core, "node", "left")
-        .join(to_core, "node", "left")
-        .select(
+    tagged = lab.join(from_core, "node", "left").join(to_core, "node", "left")
+    if not full:
+        return tagged.select(
             F.col("node").alias("host"),
             F.when(F.col("scc_id") == F.col("core_id"), F.lit("CORE"))
             .when(F.col("_in").isNotNull(), F.lit("IN"))
@@ -2074,5 +2084,38 @@ def bowtie_decomposition(
             .otherwise(F.lit("OTHER")).alias("region"),
             "core_id", "core_size",
         )
+    # IN / OUT member sets (region semantics: core excluded — a node
+    # mutually reachable with the core IS the core)
+    inn = to_core.select("node").join(
+        core_members.withColumnRenamed("c", "node"), "node", "left_anti"
     )
-    return out
+    outn = from_core.select("node").join(
+        core_members.withColumnRenamed("c", "node"), "node", "left_anti"
+    )
+    reach_from_in = (
+        r.join(inn.withColumnRenamed("node", "u"), "u", "left_semi")
+        .select(F.col("v").alias("node")).distinct()
+        .withColumn("_fi", F.lit(1))
+    )
+    reaches_out = (
+        r.join(outn.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select(F.col("u").alias("node")).distinct()
+        .withColumn("_to", F.lit(1))
+    )
+    return (
+        tagged.join(reach_from_in, "node", "left")
+        .join(reaches_out, "node", "left")
+        .select(
+            F.col("node").alias("host"),
+            F.when(F.col("scc_id") == F.col("core_id"), F.lit("CORE"))
+            .when(F.col("_in").isNotNull(), F.lit("IN"))
+            .when(F.col("_out").isNotNull(), F.lit("OUT"))
+            .when(
+                F.col("_fi").isNotNull() & F.col("_to").isNotNull(), F.lit("TUBE")
+            )
+            .when(F.col("_fi").isNotNull(), F.lit("TENDRIL_IN"))
+            .when(F.col("_to").isNotNull(), F.lit("TENDRIL_OUT"))
+            .otherwise(F.lit("DISC")).alias("region"),
+            "core_id", "core_size",
+        )
+    )

@@ -121,12 +121,18 @@ def connected_components(
     ~8 jobs of latency).  Above it, the Pregel-style min-label loop
     runs distributed.  Both paths emit identical labels (component =
     min member key).
-    """
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        import numpy as np
 
-        e = edges.toPandas()
+    The size decision and the data fetch are ONE bounded job
+    (VERDICT r03 #5): ``limit(threshold+1).toPandas()`` stops scanning
+    once it has threshold+1 rows, and when it returns ≤ threshold rows
+    that frame already IS the complete edge set — no separate
+    ``count()`` action, no second evaluation of the overlap-edge
+    subtree.  A big graph pays one early-stopping scan before the
+    distributed loop; a small one pays exactly the collect it needed
+    anyway.
+    """
+    e = edges.limit(driver_threshold + 1).toPandas()
+    if len(e) <= driver_threshold:
         keys = [r[key] for r in polys.select(key).collect()]
         parent = {k: k for k in keys}
 

@@ -218,7 +218,7 @@ def city_points(doc_ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"id": did, "x": x, "y": y})
 
 
-def expected_viewshed(docs: pd.DataFrame) -> pd.DataFrame:
+def expected_viewshed(docs: pd.DataFrame, replicate_bug: bool = True) -> pd.DataFrame:
     from greenex_py_spark.data import city_fixture as fx
     from greenex_py_spark.geo import raster
 
@@ -253,7 +253,10 @@ def expected_viewshed(docs: pd.DataFrame) -> pd.DataFrame:
             sl = (slice(iy - R, iy + R + 1), slice(ix - R, ix + R + 1))
             # kernel pinned bit-identical to the reference loop
             # transliteration by tests/test_visibility.py
-            v = float(raster.gvi_at_point(dsm[sl], dtm[sl], green[sl], R, res, 1.7))
+            v = float(raster.gvi_at_point(
+                dsm[sl], dtm[sl], green[sl], R, res, 1.7,
+                replicate_bug=replicate_bug,
+            ))
             if math.isnan(v):
                 v = None
         cache[key] = v
@@ -313,6 +316,7 @@ def main() -> None:
         "q_multimodal_gvi": [],
         "q_lsh_ann": [],
         "q_viewshed_gvi": [],
+        "q_viewshed_fixed": [],
     }
     si = expected_stream_ingest()
     got = dq.QUERIES["q_stream_ingest"](spark, f"/root/testdata/sf0.01").toPandas()
@@ -343,7 +347,16 @@ def main() -> None:
         got = dq.QUERIES["q_viewshed_gvi"](spark, sfdir).toPandas()
         assert norm_frame(vs).equals(norm_frame(got)), f"viewshed mismatch sf{sf}"
         expected["q_viewshed_gvi"].append((dmark, vs))
-        print(f"sf{sf}: multimodal {len(mm)}, lsh_ann {len(la)}, viewshed {len(vs)} rows ok")
+
+        fkey = f"fixed-{len(docs)}"
+        if fkey not in viewshed_cache:
+            viewshed_cache[fkey] = expected_viewshed(docs, replicate_bug=False)
+        vf = viewshed_cache[fkey]
+        got = dq.QUERIES["q_viewshed_fixed"](spark, sfdir).toPandas()
+        assert norm_frame(vf).equals(norm_frame(got)), f"viewshed-fixed mismatch sf{sf}"
+        expected["q_viewshed_fixed"].append((dmark, vf))
+        print(f"sf{sf}: multimodal {len(mm)}, lsh_ann {len(la)}, "
+              f"viewshed {len(vs)}+{len(vf)} rows ok")
 
     def tagged_rows(pairs):
         rows = []
@@ -375,6 +388,12 @@ def main() -> None:
             [("tag", None), ("id", "BIGINT"), ("GVI", "DOUBLE"),
              ("nr_of_points", "BIGINT")],
             tagged_rows(expected["q_viewshed_gvi"]),
+            DOC_MARKER,
+        ),
+        "q_viewshed_fixed": values_sql(
+            [("tag", None), ("id", "BIGINT"), ("GVI", "DOUBLE"),
+             ("nr_of_points", "BIGINT")],
+            tagged_rows(expected["q_viewshed_fixed"]),
             DOC_MARKER,
         ),
     }

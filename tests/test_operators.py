@@ -294,6 +294,44 @@ def test_distributed_cc_equals_driver_cc(spark):
     assert set(drv.unique()) == {0, 10, 20, 30}
 
 
+def test_cc_threshold_boundary_routes_and_agrees(spark, monkeypatch):
+    """VERDICT r03 #5: the path decision is one bounded job — at
+    driver_threshold == n_edges the union-find runs (distributed loop
+    NOT invoked), at n_edges - 1 the distributed loop runs; labels are
+    identical on both sides of the boundary."""
+    import greenex_py_spark.operators.dissolve as dz
+
+    rows = []
+    for c in range(3):  # 3 chains of 4 overlapping rects -> 9 edges
+        for i in range(4):
+            x0 = c * 1000.0 + i * 50.0
+            rows.append((c * 4 + i, 100000.0 + x0, 450000.0,
+                         100000.0 + x0 + 80.0, 450080.0))
+    layer = spark.createDataFrame(
+        rows, "gs_id long, minx double, miny double, maxx double, maxy double"
+    )
+    e = dz.overlap_edges(layer)
+    n_edges = e.count()
+    assert n_edges == 9
+
+    calls = []
+    real = dz._cc_distributed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dz, "_cc_distributed", spy)
+    at = dz.connected_components(layer, e, driver_threshold=n_edges).toPandas()
+    assert not calls, "union-find path expected at threshold == n_edges"
+    below = dz.connected_components(layer, e, driver_threshold=n_edges - 1).toPandas()
+    assert calls, "distributed path expected at threshold == n_edges - 1"
+    a = at.set_index("gs_id")["comp"].sort_index()
+    b = below.set_index("gs_id")["comp"].sort_index()
+    assert (a == b).all()
+    assert set(a.unique()) == {0, 4, 8}
+
+
 def test_blocked_cosine_pairs_cross_block(spark):
     """Regression: cosine_pairs_blocked must find pairs whose SMALLER id
     hashes into the HIGHER block (block_rows=2 forces many blocks; every
@@ -2813,6 +2851,48 @@ def test_fuzzy_match_hand(spark):
     }
     # mitten->kitten and mitten->sitten are both dist 1: tiebreak c_id
     assert got == {10: (1, 1)}  # q 11 has no match within 2
+
+
+def test_fellegi_sunter_recovers_planted_mu(spark):
+    """EM on a synthetic comparison-vector table with KNOWN generative
+    m/u over K=3 fields (K≥3 is the FS identifiability floor: 2^K−1
+    cells must cover 2K+1 free parameters — with 2 binary fields the
+    model is over-parameterized and the fit drifts, which is exactly
+    why the gate query compares three fields).  200 match pairs agree
+    with m≈(0.8, 0.71, 0.89), 800 non-matches with u≈(0.05, 0.10,
+    0.17) — deterministic coprime index stripes, no RNG.  The fitted
+    nano-grid parameters must land near the planted values."""
+    from greenex_py_spark.functions.dedup import fellegi_sunter_em
+
+    rows = []
+    # full CRT periods (315 = lcm(5,7,9), 840 = 14·lcm(20,10,6)) make
+    # the three stripes EXACTLY independent within each class — any
+    # cross-field correlation violates FS's conditional-independence
+    # assumption and biases the fit (an earlier i%20==0 ⊂ i%10==0
+    # design under-estimated u2 by 3×)
+    for i in range(315):  # matches
+        rows.append((1 if i % 5 < 4 else 0, 1 if i % 7 < 5 else 0,
+                     1 if i % 9 < 8 else 0))
+    for i in range(840):  # non-matches
+        rows.append((1 if i % 20 == 0 else 0, 1 if i % 10 == 3 else 0,
+                     1 if i % 6 == 1 else 0))
+    pairs = spark.createDataFrame(rows, "g1 long, g2 long, g3 long")
+    got = {
+        r["k"]: r
+        for r in fellegi_sunter_em(pairs, ["g1", "g2", "g3"], iters=8).collect()
+    }
+    # unsupervised EM on 1000 deterministic pairs: ±0.12 is the honest
+    # tolerance (soft posteriors shave the extreme stripes)
+    assert abs(got[1]["m"] - 0.80) < 0.12
+    assert abs(got[2]["m"] - 0.71) < 0.12
+    assert abs(got[3]["m"] - 0.89) < 0.12
+    assert abs(got[1]["u"] - 0.05) < 0.05
+    assert abs(got[2]["u"] - 0.10) < 0.06
+    assert abs(got[3]["u"] - 0.167) < 0.08
+    assert abs(got[1]["p_q"] / 1e9 - 315 / 1155) < 0.08
+    assert got[1]["n_pairs"] == 1155
+    # agreement weight is positive (m > u) for every field
+    assert all(got[k]["w_agree_q"] > 0 for k in (1, 2, 3))
 
 
 def test_slope_tile_stats_cross_tile(spark):
@@ -8262,6 +8342,32 @@ def test_bowtie_decomposition_hand(spark):
     assert got["a"] == got["b"] == got["c"] == "CORE"
     assert got["in1"] == "IN" and got["out1"] == "OUT"
     assert got["x"] == "OTHER" and got["y"] == "OTHER"
+
+
+def test_bowtie_full_taxonomy_hand(spark):
+    """full=True sub-splits OTHER per Broder: td1 hangs off IN
+    (TENDRIL_IN), td2 feeds OUT (TENDRIL_OUT), tube sits on the
+    core-avoiding in1→out1 path (TUBE), the island pair is DISC; the
+    CORE/IN/OUT labels are unchanged from the base decomposition."""
+    from greenex_py_spark.functions.graph import bowtie_decomposition
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),       # core cycle
+             ("in1", "a"), ("c", "out1"),              # IN / OUT
+             ("in1", "td1"),                           # tendril off IN
+             ("td2", "out1"),                          # tendril into OUT
+             ("in1", "tube"), ("tube", "out1"),        # core-avoiding path
+             ("x", "y")]                               # disconnected
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["host"]: r["region"]
+        for r in bowtie_decomposition(df, full=True).collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == "CORE"
+    assert got["in1"] == "IN" and got["out1"] == "OUT"
+    assert got["td1"] == "TENDRIL_IN"
+    assert got["td2"] == "TENDRIL_OUT"
+    assert got["tube"] == "TUBE"
+    assert got["x"] == "DISC" and got["y"] == "DISC"
 
 
 def test_ips_offpolicy_hand(spark):
