@@ -7596,6 +7596,40 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_als — rank-2 ALS matrix factorization of the user×item matrix
+# ---------------------------------------------------------------------------
+
+
+def _als_oracle() -> str:
+    from .functions.clustering import als_oracle_sql
+
+    return als_oracle_sql(
+        "SELECT user_id AS u, event_id % 40 AS i, "
+        "CAST(round(value * 100.0) AS BIGINT) AS rq FROM events"
+    )
+
+
+@register("q_als", _als_oracle())
+def q_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALS over the implicit user×item matrix (items = event_id
+    mod 40, ratings = event value in cents): closed-form per-entity
+    ridge solves with EXACT-int64 normal-equation sums — the
+    FP-summation-order hazard of distributed ALS never arises, so the
+    unrolled MATERIALIZED-CTE oracle iterates bit-identically (see
+    functions/clustering.als_factorize).  Completes the trainer family
+    (k-means / EM / SVM / naive Bayes / Fellegi–Sunter)."""
+    from .functions.clustering import als_factorize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ratings = ev.select(
+        F.col("user_id"),
+        (F.col("event_id") % 40).alias("item"),
+        F.round(F.col("value") * 100.0).cast("long").alias("rq"),
+    )
+    return als_factorize(ratings)
+
+
+# ---------------------------------------------------------------------------
 # q_fellegi_sunter — probabilistic record-linkage weights by EM
 # ---------------------------------------------------------------------------
 

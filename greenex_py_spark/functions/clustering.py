@@ -431,3 +431,232 @@ SELECT CAST(2 AS BIGINT), l2q, p2q,
 FROM p{iters}, hf
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization (rank-2, exact-integer normal equations)
+# ---------------------------------------------------------------------------
+
+ALS_Q = 1_000_000  # factor micro-grid
+
+
+def als_factorize(
+    ratings: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    rating_cents: str = "rq",
+    iters: int = 2,
+    lam: float = 0.1,
+) -> DataFrame:
+    """[item, x1_q, x2_q, x1, x2, n_r, sse_cents2, n_total] — rank-2
+    alternating least squares, the matrix-factorization trainer that
+    completes the family beside k-means (hard), EM (soft) and the SVM
+    (supervised).  Each half-step solves the per-entity ridge normal
+    equations in CLOSED FORM (2×2 inverse), so no iterative inner
+    solver exists to drift between engines.
+
+    Engine-portability is the exact-integer-sums device (the
+    Fellegi–Sunter / em_poisson2 contract, one step stronger): factors
+    live on the ``ALS_Q`` micro-grid as int64, ratings enter as int64
+    cents, and every normal-equation statistic (Σx₁², Σx₁x₂, Σx₂²,
+    Σr·x₁, Σr·x₂) is an **exact int64 sum of int64 products** — FP
+    summation order, the classic cross-engine ALS hazard, never
+    arises.  The closed-form solve then runs on doubles derived from
+    those exact integers (identical expression both engines) and
+    re-quantizes.  The ridge λ > 0 bounds the determinant away from 0
+    so the inverse is total.  Final SSE is integer too: per-row
+    predictions are floored to cents before squaring.
+
+    Scale shape per half-step: item factors are a dim table
+    (catalog-sized) → broadcast-joined to the ratings; user factors
+    scale with users → a shuffle equi-join on ``user_col``.  That IS
+    production ALS's block structure (ratings partitioned by the
+    grouping side, factors shipped to them); no step materializes
+    anything driver-side, and localCheckpoint truncates the per-round
+    lineage exactly like the other iterative trainers.
+    """
+    r = ratings.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("i"),
+        F.col(rating_cents).cast("long").alias("rq"),
+    )
+    # deterministic item-factor init on the grid (spread by small
+    # coprime moduli so items start distinguishable)
+    itemf = (
+        r.select("i").distinct()
+        .select(
+            "i",
+            (F.lit(ALS_Q) + (F.col("i") % 7) * (ALS_Q // 10))
+            .cast("long").alias("x1q"),
+            (F.lit(ALS_Q) - (F.col("i") % 5) * (ALS_Q // 10))
+            .cast("long").alias("x2q"),
+        )
+        .localCheckpoint()
+    )
+    userf = None
+
+    def solve(joined: DataFrame, key: str, f1: str, f2: str) -> DataFrame:
+        """closed-form ridge solve per `key` given factor cols f1/f2
+        (int64 micro-grid) and rq (cents) on the joined frame."""
+        a = joined.groupBy(key).agg(
+            F.sum(F.col(f1) * F.col(f1)).cast("long").alias("a11q"),
+            F.sum(F.col(f1) * F.col(f2)).cast("long").alias("a12q"),
+            F.sum(F.col(f2) * F.col(f2)).cast("long").alias("a22q"),
+            F.sum(F.col("rq") * F.col(f1)).cast("long").alias("b1q"),
+            F.sum(F.col("rq") * F.col(f2)).cast("long").alias("b2q"),
+        )
+        Q2 = float(ALS_Q) * float(ALS_Q)
+        a11 = F.col("a11q").cast("double") / Q2 + F.lit(lam)
+        a12 = F.col("a12q").cast("double") / Q2
+        a22 = F.col("a22q").cast("double") / Q2 + F.lit(lam)
+        b1 = F.col("b1q").cast("double") / (F.lit(100.0) * ALS_Q)
+        b2 = F.col("b2q").cast("double") / (F.lit(100.0) * ALS_Q)
+        det = a11 * a22 - a12 * a12
+        w1 = (a22 * b1 - a12 * b2) / det
+        w2 = (a11 * b2 - a12 * b1) / det
+        return a.select(
+            key,
+            F.floor(w1 * ALS_Q + F.lit(0.5)).cast("long").alias("w1q"),
+            F.floor(w2 * ALS_Q + F.lit(0.5)).cast("long").alias("w2q"),
+        )
+
+    for _ in range(iters):
+        ju = r.join(F.broadcast(itemf), "i")
+        userf = (
+            solve(ju, "u", "x1q", "x2q")
+            .withColumnsRenamed({"w1q": "y1q", "w2q": "y2q"})
+            .localCheckpoint()
+        )
+        ji = r.join(userf, "u")
+        itemf = (
+            solve(ji, "i", "y1q", "y2q")
+            .withColumnsRenamed({"w1q": "x1q", "w2q": "x2q"})
+            .localCheckpoint()
+        )
+
+    # integer SSE: prediction floored to cents per row, residual squared
+    pred = (
+        r.join(userf, "u").join(F.broadcast(itemf), "i")
+        .select(
+            "i", "rq",
+            F.floor(
+                (F.col("y1q").cast("double") * F.col("x1q").cast("double")
+                 + F.col("y2q").cast("double") * F.col("x2q").cast("double"))
+                / (F.lit(float(ALS_Q)) * ALS_Q) * 100.0 + F.lit(0.5)
+            ).cast("long").alias("pq"),
+        )
+    )
+    per_item = pred.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+        F.sum((F.col("rq") - F.col("pq")) * (F.col("rq") - F.col("pq")))
+        .cast("long").alias("sse_i"),
+    )
+    tot = per_item.agg(
+        F.sum("sse_i").cast("long").alias("sse_cents2"),
+        F.sum("n_r").cast("long").alias("n_total"),
+    )
+    return (
+        itemf.join(per_item, "i")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("item"),
+            F.col("x1q").alias("x1_q"), F.col("x2q").alias("x2_q"),
+            (F.col("x1q").cast("double") / ALS_Q).alias("x1"),
+            (F.col("x2q").cast("double") / ALS_Q).alias("x2"),
+            "n_r", "sse_cents2", "n_total",
+        )
+    )
+
+
+def als_oracle_sql(
+    ratings_cte: str,
+    iters: int = 2,
+    lam: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`als_factorize` — identical half-steps
+    unrolled as MATERIALIZED CTEs.  ``ratings_cte`` must select columns
+    ``u`` (BIGINT), ``i`` (BIGINT), ``rq`` (BIGINT cents)."""
+    Q = ALS_Q
+    Q2 = f"{float(Q) * float(Q)!r}"
+    parts = [
+        f"WITH v AS MATERIALIZED ({ratings_cte})",
+        f"""i0 AS MATERIALIZED (
+  SELECT i,
+         CAST({Q} + (i % 7) * {Q // 10} AS BIGINT) AS x1q,
+         CAST({Q} - (i % 5) * {Q // 10} AS BIGINT) AS x2q
+  FROM (SELECT DISTINCT i FROM v)
+)""",
+    ]
+
+    def solve(src: str, key: str, f1: str, f2: str, w1: str, w2: str) -> str:
+        return f"""(
+  SELECT {key},
+         CAST(floor(((CAST(a22q AS DOUBLE) / {Q2} + {lam!r})
+                      * (CAST(b1q AS DOUBLE) / (100.0 * {Q}))
+                     - (CAST(a12q AS DOUBLE) / {Q2})
+                      * (CAST(b2q AS DOUBLE) / (100.0 * {Q})))
+                    / ((CAST(a11q AS DOUBLE) / {Q2} + {lam!r})
+                       * (CAST(a22q AS DOUBLE) / {Q2} + {lam!r})
+                       - (CAST(a12q AS DOUBLE) / {Q2})
+                         * (CAST(a12q AS DOUBLE) / {Q2}))
+                    * {Q} + 0.5) AS BIGINT) AS {w1},
+         CAST(floor(((CAST(a11q AS DOUBLE) / {Q2} + {lam!r})
+                      * (CAST(b2q AS DOUBLE) / (100.0 * {Q}))
+                     - (CAST(a12q AS DOUBLE) / {Q2})
+                      * (CAST(b1q AS DOUBLE) / (100.0 * {Q})))
+                    / ((CAST(a11q AS DOUBLE) / {Q2} + {lam!r})
+                       * (CAST(a22q AS DOUBLE) / {Q2} + {lam!r})
+                       - (CAST(a12q AS DOUBLE) / {Q2})
+                         * (CAST(a12q AS DOUBLE) / {Q2}))
+                    * {Q} + 0.5) AS BIGINT) AS {w2}
+  FROM (SELECT {key},
+               CAST(sum({f1} * {f1}) AS BIGINT) AS a11q,
+               CAST(sum({f1} * {f2}) AS BIGINT) AS a12q,
+               CAST(sum({f2} * {f2}) AS BIGINT) AS a22q,
+               CAST(sum(rq * {f1}) AS BIGINT) AS b1q,
+               CAST(sum(rq * {f2}) AS BIGINT) AS b2q
+        FROM {src} GROUP BY {key})
+)"""
+
+    for t in range(iters):
+        parts.append(
+            f"u{t} AS MATERIALIZED "
+            + solve(f"(SELECT v.*, x1q, x2q FROM v JOIN i{t} USING (i))",
+                    "u", "x1q", "x2q", "y1q", "y2q")
+        )
+        parts.append(
+            f"i{t + 1} AS MATERIALIZED "
+            + solve(f"(SELECT v.*, y1q, y2q FROM v JOIN u{t} USING (u))",
+                    "i", "y1q", "y2q", "x1q", "x2q")
+        )
+    last_u, last_i = f"u{iters - 1}", f"i{iters}"
+    parts.append(
+        f"""pred AS MATERIALIZED (
+  SELECT v.i, v.rq,
+         CAST(floor((CAST(y1q AS DOUBLE) * CAST(x1q AS DOUBLE)
+                     + CAST(y2q AS DOUBLE) * CAST(x2q AS DOUBLE))
+                    / ({float(Q)!r} * {Q}) * 100.0 + 0.5) AS BIGINT) AS pq
+  FROM v JOIN {last_u} USING (u) JOIN {last_i} USING (i)
+)""",
+    )
+    parts.append(
+        """pi AS MATERIALIZED (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_r,
+         CAST(sum((rq - pq) * (rq - pq)) AS BIGINT) AS sse_i
+  FROM pred GROUP BY i
+)""",
+    )
+    parts.append(
+        """tt AS (SELECT CAST(sum(sse_i) AS BIGINT) AS sse_cents2,
+                CAST(sum(n_r) AS BIGINT) AS n_total FROM pi)""",
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT {last_i}.i AS item, x1q AS x1_q, x2q AS x2_q,
+       CAST(x1q AS DOUBLE) / {Q} AS x1,
+       CAST(x2q AS DOUBLE) / {Q} AS x2,
+       n_r, sse_cents2, n_total
+FROM {last_i} JOIN pi USING (i) CROSS JOIN tt
+"""
+    )

@@ -1,6 +1,6 @@
 """Pin hash oracles for the gate queries that have no closed-form SQL
 twin (r01 verdict item 1): q_stream_ingest, q_multimodal_gvi,
-q_lsh_ann, q_viewshed_gvi.
+q_lsh_ann, q_viewshed_gvi, q_viewshed_fixed (r03 verdict item 7).
 
 For each query this script computes the expected output with an
 INDEPENDENT implementation (pure-Python XXH64 + arithmetic mirrors /

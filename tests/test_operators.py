@@ -2853,6 +2853,28 @@ def test_fuzzy_match_hand(spark):
     assert got == {10: (1, 1)}  # q 11 has no match within 2
 
 
+def test_als_fits_planted_rank2_matrix(spark):
+    """ALS on ratings generated EXACTLY from a rank-2 model must
+    reconstruct them to within a few cents RMSE (ridge λ adds ~1%
+    shrinkage bias, quantization ±½ cent)."""
+    from greenex_py_spark.functions.clustering import als_factorize
+
+    rows = []
+    for u in range(8):
+        au = (1.0 + u / 10.0, 1.0 - u / 20.0)
+        for i in range(5):
+            bi = (2.0 + i / 10.0, 1.0 + i / 7.0)
+            r = au[0] * bi[0] + au[1] * bi[1]
+            rows.append((u, i, int(round(r * 100))))
+    df = spark.createDataFrame(rows, "user_id long, item long, rq long")
+    out = als_factorize(df, iters=3).toPandas()
+    assert len(out) == 5 and out["n_total"].iloc[0] == 40
+    rmse_cents = (out["sse_cents2"].iloc[0] / out["n_total"].iloc[0]) ** 0.5
+    assert rmse_cents < 15.0, rmse_cents
+    # factors actually moved off the deterministic init grid
+    assert (out["x1_q"] != 1_000_000 + (out["item"] % 7) * 100_000).any()
+
+
 def test_fellegi_sunter_recovers_planted_mu(spark):
     """EM on a synthetic comparison-vector table with KNOWN generative
     m/u over K=3 fields (K≥3 is the FS identifiability floor: 2^K−1
