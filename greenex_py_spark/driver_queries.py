@@ -13421,6 +13421,42 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_harmonic"] = _harmonic_oracle()
 
 
+def _hyperball_oracle() -> str:
+    from .functions.graph import hyperball_oracle_sql
+
+    return (
+        "WITH "
+        + _LINK_GRAPH_CTE
+        + ",\n"
+        + hyperball_oracle_sql(
+            "SELECT src_host AS src, dst_host AS dst FROM r", rounds=6
+        )
+    )
+
+
+@register("q_hyperball", None)  # generated oracle attached below
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate harmonic centrality (Boldi–Vigna 2013) —
+    the billion-node swap q_harmonic's docstring promises, now
+    implemented and oracle-locked: per-node m=16 HLL ball sketches,
+    one register-max groupBy per round (state m·|V| integers instead
+    of the exact closure's |V|²), linear-counting small-range
+    correction, fixed-order harmonic fold over micro-quantized
+    per-round estimates.  Same undirected host graph and round budget
+    as q_harmonic, so the two queries are directly comparable
+    (tests pin rank correlation between them)."""
+    from .functions.graph import hyperball_harmonic
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return hyperball_harmonic(
+        edges, src_col="src_host", dst_col="dst_host", rounds=6
+    )
+
+
+ORACLES["q_hyperball"] = _hyperball_oracle()
+
+
 # ---------------------------------------------------------------------------
 # q_boilerplate — jusText-style line-block main-content extraction
 # ---------------------------------------------------------------------------

@@ -2119,3 +2119,200 @@ def bowtie_decomposition(
             "core_id", "core_size",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall approximate harmonic centrality (Boldi-Vigna 2013)
+# ---------------------------------------------------------------------------
+
+HB_M = 16          # HLL registers per node (p=4, alpha=0.673)
+HB_ALPHA = 0.673   # standard HLL bias constant for m=16
+HB_MAXRANK = 20    # rank cap (P[rank>20] ~ 1e-6 per element)
+HB_EQ = 1_000_000  # estimate micro-grid
+
+
+def _hb_rank_case_sql(h2: str) -> str:
+    """Trailing-zero rank ladder (rank = t+1) as portable integer
+    CASE — no log2/bit intrinsics, identical semantics both engines."""
+    branches = [f"WHEN {h2} = 0 THEN {HB_MAXRANK + 1}"]
+    for k in range(1, HB_MAXRANK + 1):
+        branches.append(f"WHEN {h2} % {1 << k} = {1 << (k - 1)} THEN {k}")
+    return "CASE " + " ".join(branches) + f" ELSE {HB_MAXRANK + 1} END"
+
+
+def _hb_rank_col(h2):
+    expr = F.when(h2 == 0, F.lit(HB_MAXRANK + 1))
+    for k in range(1, HB_MAXRANK + 1):
+        expr = expr.when(h2 % (1 << k) == (1 << (k - 1)), F.lit(k))
+    return expr.otherwise(F.lit(HB_MAXRANK + 1))
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 6,
+) -> DataFrame:
+    """[node, ball_q, harm_q] — APPROXIMATE harmonic centrality by
+    HyperBall (Boldi & Vigna 2013): each node carries an m=16 HLL
+    sketch of its ball; one round merges every neighbour's sketch by
+    element-wise register max, so after r rounds the sketch estimates
+    |B(v, r)| and h(v) ≈ Σ_r (|B(v,r)| − |B(v,r−1)|)/r.  This is the
+    web-scale swap documented in :func:`harmonic_centrality`: the
+    exact min-plus closure is |V|² state, HyperBall is m·|V| integers
+    per round — register max-merge is associative/commutative, so the
+    shuffle is a plain partial-aggregated groupBy and a billion-node
+    graph costs rounds × one shuffle of 16|V| small rows.
+
+    Engine-portable by construction: registers come from md5 of the
+    node key (index = low bits, rank = trailing-zero ladder — pure
+    integer CASE, no bit intrinsics), merge is integer MAX, and the
+    only floating point is the final estimate alpha·m²/Σ2^−M[j]
+    (a sum of ≤16 dyadic rationals — exact in double) with standard
+    linear-counting small-range correction, floored to a micro-grid.
+    The harmonic fold is a FIXED-ORDER expression over the quantized
+    per-round estimates (d₁/1 + … + d_R/R written out literally), so
+    no aggregate summation order exists anywhere.  Undirected graph
+    (symmetrized), matching :func:`harmonic_centrality`'s convention;
+    truncation at ``rounds`` is part of the operator's definition
+    (and of the oracle's)."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+
+    h = F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    # h is up to 60 bits: h/16 MUST stay integer (double division would
+    # round away the low bits and inflate every trailing-zero rank —
+    # caught by the pure-Python mirror in tests)
+    regs = nodes.select(
+        "node",
+        (h % HB_M).cast("int").alias("j"),
+        _hb_rank_col(F.shiftright(h, 4)).cast("int").alias("reg"),
+    ).localCheckpoint()
+
+    def estimate(r: DataFrame) -> DataFrame:
+        per = r.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_nz"),
+        )
+        S = (F.lit(float(HB_M)) - F.col("cnt").cast("double")) + F.col("s_nz")
+        raw = F.lit(HB_ALPHA * HB_M * HB_M) / S
+        v0 = (F.lit(HB_M) - F.col("cnt")).cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * HB_M)) & (F.col("cnt") < HB_M),
+            F.lit(float(HB_M)) * F.log(F.lit(float(HB_M)) / v0),
+        ).otherwise(raw)
+        return per.select(
+            "node",
+            F.floor(est * HB_EQ + F.lit(0.5)).cast("long").alias("eq"),
+        )
+
+    ests = [estimate(regs).withColumnRenamed("eq", "eq0")]
+    cur = regs
+    for t in range(1, rounds + 1):
+        merged = (
+            sym.join(cur.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), "j", "reg")
+            .unionByName(cur)
+            .groupBy("node", "j")
+            .agg(F.max("reg").cast("int").alias("reg"))
+            .localCheckpoint()
+        )
+        cur = merged
+        ests.append(estimate(cur).withColumnRenamed("eq", f"eq{t}"))
+
+    out = ests[0]
+    for t in range(1, rounds + 1):
+        out = out.join(ests[t], "node")
+    # fixed-order harmonic fold over integer micro-estimates: each term
+    # is an int64 difference divided by a literal — no SUM aggregate
+    harm = None
+    for t in range(1, rounds + 1):
+        term = (F.col(f"eq{t}") - F.col(f"eq{t - 1}")).cast("double") / F.lit(
+            float(t)
+        )
+        harm = term if harm is None else harm + term
+    return out.select(
+        "node",
+        F.col(f"eq{rounds}").alias("ball_q"),
+        F.floor(harm + F.lit(0.5)).cast("long").alias("harm_q"),
+    )
+
+
+def hyperball_oracle_sql(edges_cte: str, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`hyperball_harmonic` — identical rounds
+    unrolled as MATERIALIZED CTEs, emitted as a CTE TAIL (no leading
+    WITH, same contract as harmonic_oracle_tail) so callers can
+    prepend their own edge-producing CTEs.  ``edges_cte`` must select
+    directed string columns ``src, dst`` (symmetrized/deduped
+    here)."""
+    m, alpha, EQ = HB_M, HB_ALPHA, HB_EQ
+    rank = _hb_rank_case_sql("(h // 16)")  # BIGINT floor div — exact
+    parts = [
+        f"de AS MATERIALIZED ({edges_cte})",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM de WHERE src <> dst
+)""",
+        """sym AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+)""",
+        """nd AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT node,
+         CAST(h % {m} AS INTEGER) AS j,
+         CAST({rank} AS INTEGER) AS reg
+  FROM (SELECT node,
+               CAST(CAST('0x' || substr(md5(node), 1, 15) AS UBIGINT)
+                    AS BIGINT) AS h
+        FROM nd)
+)""",
+    ]
+    est = (
+        f"""(SELECT node,
+        CAST(floor(
+          CASE WHEN ({alpha!r} * {m * m}) /
+                    (({m}.0 - CAST(cnt AS DOUBLE)) + s_nz) <= {2.5 * m!r}
+                AND cnt < {m}
+               THEN {m}.0 * ln({m}.0 / ({m} - cnt))
+               ELSE ({alpha!r} * {m * m}) /
+                    (({m}.0 - CAST(cnt AS DOUBLE)) + s_nz)
+          END * {EQ} + 0.5) AS BIGINT) AS eq
+  FROM (SELECT node, CAST(count(*) AS BIGINT) AS cnt,
+               sum(power(2.0, -reg)) AS s_nz
+        FROM rSRC GROUP BY node))"""
+    )
+    for t in range(rounds + 1):
+        if t > 0:
+            parts.append(
+                f"""r{t} AS MATERIALIZED (
+  SELECT node, j, CAST(max(reg) AS INTEGER) AS reg FROM (
+    SELECT sym.b AS node, r.j, r.reg FROM sym JOIN r{t - 1} r ON r.node = sym.a
+    UNION ALL
+    SELECT node, j, reg FROM r{t - 1}
+  ) GROUP BY node, j
+)"""
+            )
+        parts.append(f"est{t} AS MATERIALIZED {est.replace('rSRC', f'r{t}')}")
+    harm = " + ".join(
+        f"CAST(q{t}.eq - q{t - 1}.eq AS DOUBLE) / {float(t)!r}"
+        for t in range(1, rounds + 1)
+    )
+    joins = "".join(
+        f" JOIN est{t} q{t} ON q{t}.node = q0.node" for t in range(1, rounds + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT q0.node, q{rounds}.eq AS ball_q,
+       CAST(floor(({harm}) + 0.5) AS BIGINT) AS harm_q
+FROM est0 q0{joins}
+"""
+    )

@@ -2853,6 +2853,34 @@ def test_fuzzy_match_hand(spark):
     assert got == {10: (1, 1)}  # q 11 has no match within 2
 
 
+def test_hyperball_tracks_exact_harmonic(spark, sf_dir):
+    """HyperBall's approximate harmonic must rank-correlate strongly
+    with the exact min-plus closure on the same host graph (m=16 HLL
+    has ~26% relative error per ball, but errors are shared across a
+    node's rounds, so the ORDERING is much tighter), and every ball
+    estimate must be positive and bounded by ~|V|·(1+3σ)."""
+    from greenex_py_spark.data import synth  # noqa: F401 (fixture parity)
+    from greenex_py_spark.driver_queries import QUERIES
+
+    exact = (
+        QUERIES["q_harmonic"](spark, sf_dir).toPandas().set_index("node")
+    )
+    approx = (
+        QUERIES["q_hyperball"](spark, sf_dir).toPandas().set_index("node")
+    )
+    assert set(exact.index) == set(approx.index)
+    a = exact.loc[sorted(exact.index)]
+    b = approx.loc[sorted(exact.index)]
+    n_nodes = len(a)
+    assert (b["ball_q"] > 0).all()
+    assert (b["ball_q"] <= n_nodes * 1_000_000 * 1.8).all()
+    # Spearman rank correlation, computed by hand (no scipy in image)
+    ra = a["harmonic"].rank(method="average")
+    rb = b["harm_q"].rank(method="average")
+    rho = ra.corr(rb)
+    assert rho > 0.7, rho
+
+
 def test_als_fits_planted_rank2_matrix(spark):
     """ALS on ratings generated EXACTLY from a rank-2 model must
     reconstruct them to within a few cents RMSE (ridge λ adds ~1%
