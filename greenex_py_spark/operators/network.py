@@ -44,6 +44,7 @@ def nearest_node(
     nodes: DataFrame,
     id_col: str = "id",
     max_snap_dist: float = 300.0,
+    broadcast_nodes: bool | None = None,
 ) -> DataFrame:
     """[id, x, y, node_id, penalty_home] — 1-NN snap, tie-break node_id.
 
@@ -66,10 +67,21 @@ def nearest_node(
     showed up as +2.5 s on every network gate query when this was a
     4×-then-16× cascade (the 16× ring is a superset of the 4× one, so
     collapsing tiers changes nothing semantically).
+
+    ``broadcast_nodes=None`` sizes the node table with the same
+    bounded probe as the Dijkstra dispatcher: a city-scale layer
+    broadcasts its cover table (zero shuffle on the probe side), a
+    continental one (> ``DRIVER_MAX_EDGES`` rows) switches the cell
+    joins to plain shuffle equi-joins and localCheckpoints the primary
+    tier so the retry anti-joins never re-run it (measured 38 s → the
+    shuffle path on the 1.5M-node demo lattice).  Rows identical
+    either way (1-NN under the same total order).
     """
     from ..geo.cells import _BASE
     from .spatial_join import bbox_cover_cells, with_point_cell
 
+    if broadcast_nodes is None:
+        broadcast_nodes = _graph_fits_driver(nodes, DRIVER_MAX_EDGES)
     n_src = nodes.select("node_id", F.col("x").alias("nx"), F.col("y").alias("ny"))
     cover = bbox_cover_cells(
         n_src.withColumn("minx", F.col("nx")).withColumn("miny", F.col("ny"))
@@ -81,17 +93,22 @@ def nearest_node(
     ddy = F.col("ny") - F.col("y")
     d = F.sqrt(ddx * ddx + ddy * ddy)
     w = Window.partitionBy(id_col).orderBy(F.col("penalty_home").asc(), F.col("node_id").asc())
+    cov = F.broadcast(cover) if broadcast_nodes else cover
     snapped = (
-        pts.join(F.broadcast(cover), "cell")
+        pts.join(cov, "cell")
         .withColumn("penalty_home", d)
         .filter(F.col("penalty_home") <= max_snap_dist)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "nx", "ny", "cell")
     )
+    if not broadcast_nodes:
+        snapped = snapped.localCheckpoint()
     from .spatial_join import CELL_SIZE
 
     n_home = with_point_cell(n_src, x="nx", y="ny", out="ncell")
+    if broadcast_nodes:
+        n_home = F.broadcast(n_home)
     missed = pts.join(snapped.select(id_col), id_col, "left_anti")
     radius = max_snap_dist * 16.0
     span = int(np.ceil(radius / CELL_SIZE)) + 1
@@ -99,7 +116,7 @@ def nearest_node(
         missed.withColumn("_dy", F.explode(F.sequence(F.lit(-span), F.lit(span))))
         .withColumn("_dx", F.explode(F.sequence(F.lit(-span), F.lit(span))))
         .withColumn("ncell", F.col("cell") + F.col("_dy") * _BASE + F.col("_dx"))
-        .join(F.broadcast(n_home), "ncell")
+        .join(n_home, "ncell")
         .withColumn("penalty_home", d)
         .filter(F.col("penalty_home") <= radius)
         .withColumn("_rn", F.row_number().over(w))
@@ -261,6 +278,9 @@ def bounded_network_distances_partitioned(
     region = float(region if region is not None else radius)
 
     npos = nodes.select("node_id", "x", "y")
+    # one tiny row per PoI, consumed twice (cogroup left side + the
+    # empty-region prune's broadcast build) — localCheckpoint so the
+    # snap subtree is never re-evaluated (the join-back lesson)
     sn = (
         snapped.select(id_col, "node_id", "penalty_home")
         .join(npos, "node_id")
@@ -270,6 +290,7 @@ def bounded_network_distances_partitioned(
             + F.floor((F.col("x") - ORIGIN_X) / region).cast("long"),
         )
         .select(id_col, "node_id", "penalty_home", "rcell")
+        .localCheckpoint()
     )
     e = (
         edges.select("src", "dst", "length")
@@ -285,6 +306,18 @@ def bounded_network_distances_partitioned(
         .withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
         .withColumn("rcell", F.col("_gy") * _BASE + F.col("_gx"))
         .select("rcell", "src", "dst", "length")
+    )
+    # prune fragments to region cells that actually hold snapped PoIs:
+    # a continental lattice has ~10^5-10^6 region cells but a PoI batch
+    # touches only |PoIs| of them — without this, every empty cell
+    # still pays its fragment shuffle + Arrow transfer (measured 6.7×
+    # on the 1.5M-node demo, scripts/network_scale_demo.py).  The
+    # semi-join build side is one row per OCCUPIED cell (≤ |PoIs|,
+    # snap-output-sized — driver-safe to broadcast at any graph size);
+    # pruned cells' kernels returned empty frames anyway, so rows are
+    # identical (the broadcast-equality test covers a pruned layout).
+    frag = frag.join(
+        F.broadcast(sn.select("rcell").distinct()), "rcell", "leftsemi"
     )
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
