@@ -479,7 +479,13 @@ def near_dup_groups(
     from ..operators.dissolve import connected_components
 
     pairs = minhash_lsh_pairs(df, threshold, id_col=id_col, text_col=text_col, **lsh_kwargs)
-    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # the similarity graph is tiny (near-dup pairs only) but its
+    # LINEAGE is the whole LSH pipeline — CC consumes it twice (edge
+    # fetch + node universe), so materialize once (measured ~1.7× on
+    # q_near_dup_groups / q_golden_record; the join-back lesson again)
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("a").alias("n"))
         .unionByName(edges.select(F.col("b").alias("n")))
