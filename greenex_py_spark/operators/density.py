@@ -143,6 +143,10 @@ def grid_dbscan(
         c.join(pop, ["gx", "gy"])
         .filter(F.col("m") >= F.lit(min_pts))
         .select("gx", "gy", key)
+        # consumed 4× below (shifted, edge build side, CC nodes, label
+        # join) — materialize the small core-cell table once instead of
+        # re-running the count+neighbourhood join per consumer
+        .localCheckpoint()
     )
     # queen-adjacent core pairs, one direction (a < b) — an equi-join per
     # offset, never all-pairs; 4 of the 8 directed offsets suffice

@@ -225,6 +225,10 @@ def patch_sizes(parts: DataFrame) -> DataFrame:
         )
         .filter((F.col("n") == 2) & (F.col("a") != F.col("b")))
         .select("a", "b")
+        # tiny border-merge pair table, but its lineage is the whole
+        # tile-CCL kernel — materialize so the CC edge fetch doesn't
+        # re-run the CCL pass `sizes` already paid for
+        .localCheckpoint()
     )
     comp = connected_components(
         sizes.select(F.col("lbl").alias("gs_id")), edges, key="gs_id"
