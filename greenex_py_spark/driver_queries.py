@@ -1647,6 +1647,27 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_hll_distinct"] = _hll_oracle()
 
 
+def _hll_rolling_oracle() -> str:
+    from .functions.sketches import hll_rolling_sql
+
+    return hll_rolling_sql("events", "user_id", "ts", window_days=7)
+
+
+@register("q_hll_rolling", _hll_rolling_oracle())
+def q_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from merged DAILY HLL sketches —
+    the mergeability property as a first-class op: the window estimate
+    max-merges the tiny per-day register tables (≤256 rows each) and
+    never rescans raw events, which is how a lakehouse answers
+    "trailing-week uniques over 100 TB of history" (persist daily
+    sketches, max-merge any window/backfill).  Same portable
+    deterministic estimator as q_hll_distinct."""
+    from .functions.sketches import hll_rolling_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_rolling_distinct(ev, "user_id", "ts", window_days=7)
+
+
 _ZIPF_TOP_R = 50
 
 

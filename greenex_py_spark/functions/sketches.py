@@ -367,3 +367,133 @@ def equidepth_histogram(
         F.min("_v").cast("long").alias("lo"),
         F.max("_v").cast("long").alias("hi"),
     )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    value_col: str,
+    date_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """[day, est_1d, est_win] — per-day distinct AND trailing
+    ``window_days``-day distinct of ``value_col``, both from ONE pass of
+    daily HLL registers: the window estimate never touches the raw
+    values again, it max-merges the daily register tables (each daily
+    register row replicates to the ≤ window_days days it serves, then
+    groupBy(day, bucket).max — registers in, registers out).  This is
+    the MERGEABILITY property that makes sketches the lakehouse answer
+    to "rolling 7-day unique users over 100 TB of events": daily
+    sketches are tiny (≤ m=256 rows), persistable, and any window /
+    backfill / partition union is a max-merge — no re-scan of history,
+    no exact-distinct shuffle, no window over raw data.  Same
+    deterministic portable estimator as :func:`hll_distinct` (md5
+    buckets, hex-run rho, exact int64 register sums).  Days appear in
+    the output iff they have events; a window covers whatever subset of
+    its trailing days exists (ragged starts included — day 1's "window"
+    is just day 1)."""
+    day = F.date_trunc("day", F.col(date_col)).cast("date")
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    hex13 = F.substring(h, 3, 13)
+    z = F.length(F.regexp_extract(hex13, "^0*", 0))
+    d = F.substring(hex13, (z + 1).cast("int"), 1)
+    lz4 = F.lit(0)
+    for dig, n in _HLL_LZ4.items():
+        lz4 = F.when(d == dig, n).otherwise(lz4)
+    rho = F.when(z == 13, F.lit(53)).otherwise(z * 4 + lz4 + 1)
+    daily = (
+        df.select(day.alias("day"), bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy("day", "_b")
+        .agg(F.max("_rho").alias("_mr"))
+        # daily sketch table: consumed by the 1-day estimate AND the
+        # window replication — materialize once (the lineage rule)
+        .localCheckpoint()
+    )
+    days = daily.select("day").distinct()
+    served = (
+        daily.withColumn(
+            "_off", F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+        )
+        .withColumn("day", F.date_add(F.col("day"), F.col("_off")))
+        .join(days, "day", "leftsemi")  # only days that actually exist
+        .groupBy("day", "_b")
+        .agg(F.max("_mr").alias("_mr"))
+    )
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        sk = regs.groupBy("day").agg(
+            F.count("*").alias("_nz"),
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - _mr)")).alias("_snz"),
+        )
+        sum_z = (F.lit(HLL_M) - F.col("_nz")) * F.lit(_HLL_SCALE) + F.col("_snz")
+        v_empty = F.lit(HLL_M) - F.col("_nz")
+        raw = F.lit(_HLL_C) / sum_z
+        est = F.when(
+            (raw <= 2.5 * HLL_M) & (v_empty > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty),
+        ).otherwise(raw)
+        return sk.select("day", F.round(est, 3).alias(out))
+
+    return (
+        estimate(daily, "est_1d")
+        .join(estimate(served, "est_win"), "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "est_1d", "est_win",
+        )
+    )
+
+
+def hll_rolling_sql(
+    table_sql: str, value_expr: str, date_expr: str, window_days: int = 7
+) -> str:
+    """DuckDB twin of :func:`hll_rolling_distinct` — same registers,
+    same replication, same estimator."""
+    case = " ".join(f"WHEN '{dig}' THEN {n}" for dig, n in _HLL_LZ4.items())
+    def est(p: str) -> str:
+        return (
+            f"round(CASE WHEN {_HLL_C!r} / (({HLL_M} - {p}.nz) * {_HLL_SCALE} + {p}.snz)"
+            f" <= {2.5 * HLL_M}"
+            f" AND {HLL_M} - {p}.nz > 0"
+            f" THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - {p}.nz))"
+            f" ELSE {_HLL_C!r} / (({HLL_M} - {p}.nz) * {_HLL_SCALE} + {p}.snz)"
+            f" END, 3)"
+        )
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', {date_expr}) AS DATE) AS day,
+         CAST(CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 2)
+              AS UBIGINT) AS BIGINT) AS b,
+         substr(md5(CAST({value_expr} AS VARCHAR)), 3, 13) AS hex13
+  FROM {table_sql}
+), rh AS (
+  SELECT day, b,
+         CASE WHEN length(regexp_extract(hex13, '^0*', 0)) = 13 THEN 53
+              ELSE length(regexp_extract(hex13, '^0*', 0)) * 4
+                   + CASE substr(hex13, length(regexp_extract(hex13, '^0*', 0)) + 1, 1)
+                     {case} ELSE 0 END + 1
+         END AS rho
+  FROM src
+), daily AS MATERIALIZED (
+  SELECT day, b, max(rho) AS mr FROM rh GROUP BY day, b
+), days AS MATERIALIZED (SELECT DISTINCT day FROM daily),
+served AS (
+  SELECT d2.day, daily.b, max(daily.mr) AS mr
+  FROM daily
+  CROSS JOIN range({window_days}) t(off)
+  JOIN days d2 ON d2.day = daily.day + CAST(t.off AS INTEGER) * INTERVAL 1 DAY
+  GROUP BY d2.day, daily.b
+), sk1 AS (
+  SELECT day, count(*) AS nz,
+         sum(CAST(1 AS BIGINT) << (53 - mr)) AS snz
+  FROM daily GROUP BY day
+), skw AS (
+  SELECT day, count(*) AS nz,
+         sum(CAST(1 AS BIGINT) << (53 - mr)) AS snz
+  FROM served GROUP BY day
+)
+SELECT strftime(sk1.day, '%Y-%m-%d') AS day,
+       {est("sk1")} AS est_1d,
+       {est("skw")} AS est_win
+FROM sk1 JOIN skw ON skw.day = sk1.day
+"""

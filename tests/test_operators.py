@@ -2853,6 +2853,47 @@ def test_fuzzy_match_hand(spark):
     assert got == {10: (1, 1)}  # q 11 has no match within 2
 
 
+def test_hll_rolling_merge_is_exact(spark):
+    """Register max-merge must equal sketching the unioned values
+    directly — EXACT equality, not approximate: the merged window
+    register table is identical to the one built from the raw union,
+    so the estimates match to the last bit.  Also pins ragged-start
+    semantics (day 1's window is just day 1)."""
+    import datetime as dt
+
+    from greenex_py_spark.functions.sketches import (
+        hll_distinct,
+        hll_rolling_distinct,
+    )
+
+    t0 = dt.datetime(2026, 3, 1)
+    rows = []
+    eid = 0
+    by_day = {}
+    for day in range(5):
+        users = [day * 37 + i * 11 for i in range(40 + 13 * day)]
+        by_day[day] = users
+        for u in users:
+            rows.append((eid, t0 + dt.timedelta(days=day, minutes=eid % 60), u))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        r["day"]: r
+        for r in hll_rolling_distinct(ev, "user_id", "ts", window_days=3).collect()
+    }
+    assert len(got) == 5
+    for day in range(5):
+        lo = max(0, day - 2)
+        union = sorted({u for d2 in range(lo, day + 1) for u in by_day[d2]})
+        ref = spark.createDataFrame([(u,) for u in union], "user_id long")
+        want = hll_distinct(ref, "user_id").collect()[0]["est_distinct"]
+        key = (t0 + dt.timedelta(days=day)).strftime("%Y-%m-%d")
+        assert got[key]["est_win"] == want, (day, got[key]["est_win"], want)
+    # day 0's window == its own single day
+    k0 = t0.strftime("%Y-%m-%d")
+    assert got[k0]["est_win"] == got[k0]["est_1d"]
+
+
 def test_hyperball_tracks_exact_harmonic(spark, sf_dir):
     """HyperBall's approximate harmonic must rank-correlate strongly
     with the exact min-plus closure on the same host graph (m=16 HLL
