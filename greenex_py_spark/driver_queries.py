@@ -1647,6 +1647,33 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_hll_distinct"] = _hll_oracle()
 
 
+def _kmv_inter_oracle() -> str:
+    from .functions.sketches import kmv_intersection_sql
+
+    return kmv_intersection_sql(
+        "(SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)",
+        "tok", "source", k=256,
+    )
+
+
+@register("q_kmv_intersection", _kmv_inter_oracle())
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shared-vocabulary estimates between sources from KMV
+    sketches — the set-OPERATION companion to HLL's union-only merge:
+    the union k-min sketch of any pair is computable from the two
+    per-source sketches alone, and side membership of its elements is
+    provably decidable from the side sketches, so the pair stage fans
+    out k-row sketches, never vocabularies
+    (functions/sketches.kmv_intersection)."""
+    from .functions.sketches import kmv_intersection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return kmv_intersection(toks, "tok", "source", k=256)
+
+
 def _hll_rolling_oracle() -> str:
     from .functions.sketches import hll_rolling_sql
 

@@ -497,3 +497,136 @@ SELECT strftime(sk1.day, '%Y-%m-%d') AS day,
        {est("skw")} AS est_win
 FROM sk1 JOIN skw ON skw.day = sk1.day
 """
+
+
+def kmv_intersection(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """[src_a, src_b, k_used, k_inter, est_union, est_inter, jaccard_q]
+    — KMV set-operation estimates for every unordered pair of groups
+    (Beyer et al. 2007): estimated distinct-value overlap and Jaccard
+    between e.g. two crawl sources' vocabularies.  The set-operation
+    companion to HLL's union-only merge — KMV sketches support
+    INTERSECTION because membership of a union-sketch element in each
+    side is decidable from the side sketches alone: the union's k-th
+    smallest hash is ≤ either side's k-th smallest (the union has more
+    elements), so every union-sketch element that belongs to side A
+    provably sits inside A's own k-min sketch.  The pair stage
+    therefore fans out only k-row sketches, never value sets:
+    per-group sketches once (bounded window over distinct hashes, the
+    kmv_distinct shape), then per pair rank the ≤2k union rows, keep k,
+    flag membership with two sketch semi-joins,
+    est_union = (k−1)/h_(k), ρ = k∩/k, est_inter = ρ·est_union —
+    exact (not approximate) whenever |A∪B| < k, which the hand test
+    pins.  All arithmetic is md5-derived doubles identical on both
+    engines; estimates round 3 dp, ρ ships as an exact 1e-6 integer.
+    """
+    hashed = (
+        df.select(
+            F.col(group_col).alias("g"),
+            _unit_hash(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .dropDuplicates(["g", "_h"])
+    )
+    w = Window.partitionBy("g").orderBy(F.col("_h").asc())
+    sk = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("g", "_h")
+        # per-group sketch table: ≤ k rows per group, consumed by the
+        # pair fan-out AND both membership joins (the lineage rule)
+        .localCheckpoint()
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("src_a"))
+        .join(groups.select(F.col("g").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    u = (
+        pairs.join(sk.withColumnRenamed("g", "src_a"), "src_a")
+        .unionByName(pairs.join(sk.withColumnRenamed("g", "src_b"), "src_b"))
+        .dropDuplicates(["src_a", "src_b", "_h"])
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy(F.col("_h").asc())
+    kept = u.withColumn("_rn", F.row_number().over(wu)).filter(F.col("_rn") <= k)
+    ina = sk.select(F.col("g").alias("src_a"), "_h", F.lit(1).alias("_ia"))
+    inb = sk.select(F.col("g").alias("src_b"), "_h", F.lit(1).alias("_ib"))
+    flagged = (
+        kept.join(ina, ["src_a", "_h"], "left")
+        .join(inb, ["src_b", "_h"], "left")
+    )
+    agg = flagged.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.sum(
+            F.when(F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("k_inter"),
+        F.max("_h").alias("_kth"),
+    )
+    est_union = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise((F.lit(k) - 1.0) / F.col("_kth"))
+    rho = F.col("k_inter").cast("double") / F.col("k_used")
+    return agg.select(
+        "src_a", "src_b", "k_used", "k_inter",
+        F.round(est_union, 3).alias("est_union"),
+        F.round(rho * est_union, 3).alias("est_inter"),
+        F.floor(rho * 1_000_000 + F.lit(0.5)).cast("long").alias("jaccard_q"),
+    )
+
+
+def kmv_intersection_sql(
+    table_sql: str, value_expr: str, group_expr: str, k: int = 256
+) -> str:
+    """DuckDB twin of :func:`kmv_intersection` — same hash, sketches,
+    pair fan-out and estimator."""
+    uh = (
+        f"(CAST(CAST(('0x' || substr(md5({value_expr}), 1, {_HEX_DIGITS})) AS UBIGINT) AS DOUBLE)"
+        f" + 1.0) / {_DENOM!r}"
+    )
+    return f"""
+WITH h AS (SELECT DISTINCT {group_expr} AS g, {uh} AS _h FROM {table_sql}),
+r AS (SELECT g, _h, row_number() OVER (PARTITION BY g ORDER BY _h ASC) AS rn
+      FROM h),
+sk AS MATERIALIZED (SELECT g, _h FROM r WHERE rn <= {k}),
+gs AS (SELECT DISTINCT g FROM sk),
+pr AS (SELECT a.g AS src_a, b.g AS src_b FROM gs a, gs b WHERE a.g < b.g),
+u AS (
+  SELECT DISTINCT src_a, src_b, _h FROM (
+    SELECT pr.src_a, pr.src_b, sk._h FROM pr JOIN sk ON sk.g = pr.src_a
+    UNION ALL
+    SELECT pr.src_a, pr.src_b, sk._h FROM pr JOIN sk ON sk.g = pr.src_b
+  )
+),
+kept AS (
+  SELECT * FROM (
+    SELECT src_a, src_b, _h,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY _h ASC) AS rn
+    FROM u
+  ) WHERE rn <= {k}
+),
+fl AS (
+  SELECT kept.src_a, kept.src_b, kept._h,
+         CASE WHEN ia._h IS NOT NULL AND ib._h IS NOT NULL THEN 1 ELSE 0 END AS in_both
+  FROM kept
+  LEFT JOIN sk ia ON ia.g = kept.src_a AND ia._h = kept._h
+  LEFT JOIN sk ib ON ib.g = kept.src_b AND ib._h = kept._h
+),
+ag AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(in_both) AS BIGINT) AS k_inter, max(_h) AS kth
+  FROM fl GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, k_used, k_inter,
+       round(CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                  ELSE ({k} - 1.0) / kth END, 3) AS est_union,
+       round(CAST(k_inter AS DOUBLE) / k_used
+             * CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                    ELSE ({k} - 1.0) / kth END, 3) AS est_inter,
+       CAST(floor(CAST(k_inter AS DOUBLE) / k_used * 1000000 + 0.5) AS BIGINT)
+         AS jaccard_q
+FROM ag
+"""

@@ -2853,6 +2853,24 @@ def test_fuzzy_match_hand(spark):
     assert got == {10: (1, 1)}  # q 11 has no match within 2
 
 
+def test_kmv_intersection_exact_below_k(spark):
+    """With |A∪B| < k the union sketch holds every hash, so the
+    intersection/union/Jaccard estimates are EXACT set arithmetic:
+    A = 0..59, B = 40..139 → |A∪B| = 140, |A∩B| = 20, ρ = 1/7."""
+    from greenex_py_spark.functions.sketches import kmv_intersection
+
+    rows = [("A", v) for v in range(60)] + [("B", v) for v in range(40, 140)]
+    rows += rows[:30]  # duplicates must not matter (distinct hashes)
+    df = spark.createDataFrame(rows, "src string, val long")
+    out = kmv_intersection(df, "val", "src", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == ("A", "B")
+    assert r["k_used"] == 140 and r["k_inter"] == 20
+    assert r["est_union"] == 140.0 and r["est_inter"] == 20.0
+    assert r["jaccard_q"] == round(20 / 140 * 1_000_000)
+
+
 def test_hll_rolling_merge_is_exact(spark):
     """Register max-merge must equal sketching the unioned values
     directly — EXACT equality, not approximate: the merged window
