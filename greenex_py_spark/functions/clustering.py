@@ -467,6 +467,17 @@ def als_factorize(
     so the inverse is total.  Final SSE is integer too: per-row
     predictions are floored to cents before squaring.
 
+    **int64 headroom bound**: Spark's non-ANSI long sum wraps silently
+    while DuckDB sums BIGINT into HUGEINT (and the CAST back errors),
+    so the exactness contract requires each per-entity product sum to
+    FIT in int64: |rows per entity| · max(|factor_q|, |rq|)² < 2⁶³.
+    Factors are re-quantized each half-step from a ridge solve whose
+    magnitude is bounded by max|r|/ (2λ) ≈ 25·ALS_Q for 5-star cents
+    ratings, so with ALS_Q = 1e6 the bound allows ≳ 10⁴ ratings/entity
+    at factor magnitude 10⁸ — far above the fixture and any sane
+    per-user volume; callers at ~1e18 product-sum scale must shrink
+    ALS_Q or pre-aggregate.
+
     Scale shape per half-step: item factors are a dim table
     (catalog-sized) → broadcast-joined to the ratings; user factors
     scale with users → a shuffle equi-join on ``user_col``.  That IS

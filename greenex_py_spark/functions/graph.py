@@ -2003,8 +2003,14 @@ def bowtie_decomposition(
     ``full=True`` completes the Broder taxonomy by sub-splitting OTHER:
     TUBE = on an IN→OUT path that avoids the core (reachable from IN
     AND reaches OUT), TENDRIL_IN = hangs off IN (reachable from IN
-    only), TENDRIL_OUT = feeds OUT (reaches OUT only), DISC = fully
-    disconnected from the bow tie.  Plain reachability suffices for
+    only), TENDRIL_OUT = feeds OUT (reaches OUT only), DISC = neither
+    reachable from IN nor reaching OUT.  NOTE this DISC rule is a
+    reachability-based approximation of Broder's DISCONNECTED (which is
+    defined by WEAK connectivity): a fringe node whose only edge points
+    INTO a tendril is weakly connected to the bow tie yet lands in DISC
+    here.  The DuckDB oracle mirrors the same rule, so the gate is
+    self-consistent; a faithful split would add one undirected
+    connected-components pass.  Plain reachability suffices for
     the avoid-the-core condition: an OTHER node's witness path from IN
     can never pass through CORE (it would make the node OUT), and
     symmetrically for paths to OUT — so the sub-split is two extra

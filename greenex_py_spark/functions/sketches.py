@@ -582,9 +582,12 @@ def kmv_intersection_sql(
     table_sql: str, value_expr: str, group_expr: str, k: int = 256
 ) -> str:
     """DuckDB twin of :func:`kmv_intersection` — same hash, sketches,
-    pair fan-out and estimator."""
+    pair fan-out and estimator.  ``value_expr`` is cast to VARCHAR
+    before hashing to mirror the Spark side's ``cast("string")`` —
+    without it a non-string expression would hit DuckDB md5's implicit
+    cast, which need not match Spark's string rendering."""
     uh = (
-        f"(CAST(CAST(('0x' || substr(md5({value_expr}), 1, {_HEX_DIGITS})) AS UBIGINT) AS DOUBLE)"
+        f"(CAST(CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {_HEX_DIGITS})) AS UBIGINT) AS DOUBLE)"
         f" + 1.0) / {_DENOM!r}"
     )
     return f"""
