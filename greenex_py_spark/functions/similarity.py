@@ -18,6 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Above this many query rows the exact broadcast path no longer belongs
+# on the driver: 100k × dim-64 float64 ≈ 50 MB of matrix — comfortably
+# broadcastable; orders of magnitude beyond it is a driver OOM, so the
+# guard routes callers to the blocked/indexed paths instead.
+MAX_QUERY_ROWS = 100_000
+
 
 def _norm(col):
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
@@ -42,6 +48,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """[q_id, n_id, sim, rank] — exact cosine top-k per query.
 
@@ -52,11 +59,28 @@ def cosine_topk(
     that can reach some query's top-k survive to the window, which does
     the final per-query ranking.  Ties break by neighbour id; sims are
     rounded to 6 dp *before* ranking so FP noise can't flip ranks.
+
+    The driver-side collect of *queries* is the standard
+    broadcast-queries ANN pattern and is guarded: a bounded
+    ``limit(cap+1).count()`` probe (the ``DRIVER_MAX_EDGES`` device —
+    CollectLimit, never a full count) raises before the collect if the
+    query side exceeds ``max_query_rows`` (default
+    :data:`MAX_QUERY_ROWS`), so passing a 10⁹-row "query" table fails
+    fast with direction instead of OOMing the driver.
     """
     import numpy as np
     import pandas as pd
 
     spark = queries.sparkSession
+    cap = MAX_QUERY_ROWS if max_query_rows is None else int(max_query_rows)
+    if queries.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"cosine_topk query side exceeds {cap} rows; this exact path "
+            "broadcasts the query matrix to every corpus partition. For a "
+            "large query set use cosine_pairs_blocked (blocked cogroup) or "
+            "an index path (ivf_topk / lsh_topk), or raise max_query_rows "
+            "explicitly if the driver can hold the matrix."
+        )
     qp = queries.select(id_col, vec_col).toPandas()
     qm = np.stack(qp[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
     qn = np.sqrt((qm * qm).sum(axis=1))

@@ -28,6 +28,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Above this many target rows the unbounded crossJoin fallback of
+# ``nearest_k`` (max_dist=None) stops being a broadcast-dim pattern:
+# 1M targets × 24 B is still broadcastable, but the pair fan-out is
+# points × targets — the distance-bounded path is the right tool there.
+MAX_CROSSJOIN_TARGETS = 1_000_000
+
 
 def rect_buffer_candidates(
     points: DataFrame,
@@ -230,7 +236,24 @@ def nearest_k(
     Distance-bounded when ``max_dist`` given (the cKDTree
     ``distance_upper_bound`` pattern, GreenExp/visibility.py:706-707).
     Top-k per point via window rank over the candidate pairs.
+
+    Envelope: with ``max_dist=None`` this falls back to
+    ``crossJoin(broadcast(targets))`` — correct for the reference's
+    dim-sized target sets (parks per city), and guarded by a bounded
+    ``limit(cap+1).count()`` probe (the ``DRIVER_MAX_EDGES`` device)
+    that raises before the plan is built when targets exceed
+    :data:`MAX_CROSSJOIN_TARGETS`.  Large target sets should pass a
+    ``max_dist`` so the cell-prefiltered distance-bounded join applies
+    (the path every gate query uses).
     """
+    if max_dist is None:
+        if targets.limit(MAX_CROSSJOIN_TARGETS + 1).count() > MAX_CROSSJOIN_TARGETS:
+            raise ValueError(
+                f"nearest_k with max_dist=None cross-joins every point "
+                f"against every target; targets exceed "
+                f"{MAX_CROSSJOIN_TARGETS} rows. Pass max_dist to use the "
+                "distance-bounded join, or pre-filter the target set."
+            )
     t = targets.select(
         target_id_col,
         F.col("x").alias("_tx"),

@@ -30,6 +30,50 @@ def test_nearest_k_matches_brute_force(spark):
     assert (bounded.nn_dist <= 200.0).all()
 
 
+def test_nearest_k_crossjoin_cap_boundary(spark, monkeypatch):
+    """max_dist=None crossJoin guard fires at cap+1 targets, not at cap
+    (VERDICT r04 #2); the error names the remedy (pass max_dist)."""
+    import pytest
+
+    from greenex_py_spark.operators import accessibility as acc
+
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": range(5),
+                      "x": rng.uniform(0, 100, 5), "y": rng.uniform(0, 100, 5)})
+    )
+    tgt = spark.createDataFrame(
+        pd.DataFrame({"gs_id": range(50),
+                      "x": rng.uniform(0, 100, 50), "y": rng.uniform(0, 100, 50)})
+    )
+    monkeypatch.setattr(acc, "MAX_CROSSJOIN_TARGETS", 50)
+    assert acc.nearest_k(pts, tgt, k=1).count() == 5          # at cap: runs
+    monkeypatch.setattr(acc, "MAX_CROSSJOIN_TARGETS", 49)
+    with pytest.raises(ValueError, match="max_dist"):          # cap+1: raises
+        acc.nearest_k(pts, tgt, k=1)
+    # the bounded path is never guarded (no collect, no crossJoin)
+    assert acc.nearest_k(pts, tgt, k=1, max_dist=500.0).count() > 0
+
+
+def test_cosine_topk_query_cap_boundary(spark, sf_dir):
+    """Broadcast-queries collect guard fires at cap+1 query rows, not at
+    cap, and the bounded probe never changes the result (VERDICT r04 #2)."""
+    import pytest
+
+    from greenex_py_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    at_cap = cosine_topk(q, emb, k=3, max_query_rows=8).toPandas()
+    assert set(at_cap.q_id) == set(range(8))
+    default_cap = cosine_topk(q, emb, k=3).toPandas()  # default cap ≫ 8
+    assert at_cap.sort_values(["q_id", "rank"]).reset_index(drop=True).equals(
+        default_cap.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    with pytest.raises(ValueError, match="query side exceeds"):
+        cosine_topk(q, emb, k=3, max_query_rows=7)
+
+
 def test_simhash_pairs_pigeonhole(spark):
     from greenex_py_spark.driver_queries import _corpus_df
     from greenex_py_spark.functions.dedup import simhash, simhash_pairs
