@@ -170,6 +170,33 @@ def minhash_signatures(
     return wide.selectExpr("id", f"stack({num_perm}, {stack}) AS (j, mh)")
 
 
+def _band_signatures(sh: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """[id, band, bsig] from a hashed-shingle frame [id, sid]: one
+    groupBy computes all ``num_perm`` min-hash columns (single shuffle,
+    map-side partials), band signatures fold the columns arithmetically
+    (Σ mh·31^(j mod r) mod P — portable integer arithmetic), then one
+    unpivot produces the bucket-join rows.  Shared by
+    :func:`minhash_lsh_pairs` and the at-scale diagnostics
+    (scripts/dedup_scale_demo.py) so the two can never drift."""
+    rows_per_band = num_perm // bands
+    consts = _perm_consts(num_perm)
+    aggs = [
+        F.min(F.pmod(F.col("sid") * F.lit(a) + F.lit(b), F.lit(P_MOD))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(consts)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    band_cols = []
+    for b in range(bands):
+        terms = None
+        for r in range(rows_per_band):
+            t = F.pmod(F.col(f"mh{b * rows_per_band + r}") * F.lit(31 ** r), F.lit(P_MOD))
+            terms = t if terms is None else terms + t
+        band_cols.append(terms.alias(f"bs{b}"))
+    wide = wide.select("id", *band_cols)
+    stack = ", ".join(f"{b}, bs{b}" for b in range(bands))
+    return wide.selectExpr("id", f"stack({bands}, {stack}) AS (band, bsig)")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -187,7 +214,6 @@ def minhash_lsh_pairs(
     arithmetic).  Buckets larger than ``max_bucket`` are dropped (hot
     boilerplate defusal) before the pair self-join.
     """
-    rows_per_band = num_perm // bands
     # shingles feed both the signature path and the exact-verify path —
     # cache once (plan inspection showed a full recompute otherwise).
     # sid (md5-derived, DuckDB-portable) drives the min-hash arithmetic;
@@ -204,22 +230,7 @@ def minhash_lsh_pairs(
     # one groupBy produces all num_perm min-hashes as columns (single
     # shuffle), band signatures fold columns arithmetically, then
     # unpivot to (id, band, bsig) rows for the bucket join
-    consts = _perm_consts(num_perm)
-    aggs = [
-        F.min(F.pmod(F.col("sid") * F.lit(a) + F.lit(b), F.lit(P_MOD))).alias(f"mh{j}")
-        for j, (a, b) in enumerate(consts)
-    ]
-    wide = sh.groupBy("id").agg(*aggs)
-    band_cols = []
-    for b in range(bands):
-        terms = None
-        for r in range(rows_per_band):
-            t = F.pmod(F.col(f"mh{b * rows_per_band + r}") * F.lit(31 ** r), F.lit(P_MOD))
-            terms = t if terms is None else terms + t
-        band_cols.append(terms.alias(f"bs{b}"))
-    wide = wide.select("id", *band_cols)
-    stack = ", ".join(f"{b}, bs{b}" for b in range(bands))
-    band_sig = wide.selectExpr("id", f"stack({bands}, {stack}) AS (band, bsig)")
+    band_sig = _band_signatures(sh, num_perm, bands)
     # defuse hot buckets
     bucket_ok = (
         band_sig.groupBy("band", "bsig").agg(F.count("*").alias("bn"))
@@ -1077,7 +1088,17 @@ def prefix_filter_join(
     list against per-doc rank arrays (arrays are document-sized)."""
     from ..engine.rank import global_rank
 
-    sh = shingles(df, k, id_col, text_col)
+    # the exploded shingle table is consumed twice (vocabulary
+    # frequencies AND the per-doc rank-array build); checkpointing it
+    # runs the split/transform/explode text kernel once, not twice.
+    # Under-partitioned sources (a small parquet read can be 3 files on
+    # 32 cores) are widened first so the text kernel parallelizes; at
+    # scale the condition is false and no extra shuffle is added.
+    sc = df.sparkSession.sparkContext
+    src = df
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    sh = shingles(src, k, id_col, text_col).localCheckpoint()
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     ranked = global_rank(freq, ["cnt", "sh"], out_col="rk")
     docs = (
@@ -1087,6 +1108,11 @@ def prefix_filter_join(
             F.array_sort(F.collect_list("rk")).alias("arr"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
+        # doc-sized (one row per document) and consumed THREE times —
+        # prefix explode + both verify-join sides; without this the
+        # whole shingle→freq→rank→join pipeline re-evaluates per
+        # consumer (the expensive-lineage rule, CLAUDE.md)
+        .localCheckpoint()
     )
     # prefix length p = n - ceil(t*n) + 1, ceil via integer arithmetic
     ceil_tn = F.expr(
@@ -1094,10 +1120,28 @@ def prefix_filter_join(
     )
     p = (F.col("n") - ceil_tn + 1).cast("int")
     pre = docs.select(
-        "id", "n", F.explode(F.slice("arr", F.lit(1), p)).alias("rk")
+        "id", "n",
+        # pos is the token's 0-based position in the FULL sorted rank
+        # array (the slice starts at element 1), which the positional
+        # filter below needs
+        F.posexplode(F.slice("arr", F.lit(1), p)).alias("pos", "rk"),
     )
-    a = pre.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "rk")
-    b = pre.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "rk")
+    a = pre.select(F.col("id").alias("id_a"), F.col("n").alias("na"),
+                   F.col("pos").alias("pa"), "rk")
+    b = pre.select(F.col("id").alias("id_b"), F.col("n").alias("nb"),
+                   F.col("pos").alias("pb"), "rk")
+    # PPJoin positional filter (Xiao et al. WWW'08 §3.2): let w be the
+    # pair's FIRST common prefix token in the global order, at 0-based
+    # positions pa/pb.  Tokens of a strictly before pa contribute no
+    # overlap (w is the first common one), so
+    #   inter(a,b) ≤ 1 + min(na − pa − 1, nb − pb − 1).
+    # J ≥ num/den  ⟺  inter ≥ num/(num+den)·(na+nb); the integer test
+    # ub·(num+den) ≥ num·(na+nb) is exact (ub ≥ ceil(x) ⟺ ub ≥ x for
+    # integer ub).  Ranks are unique per doc (distinct shingles ×
+    # unique global rank), so min-by-rank is deterministic.  The
+    # groupBy replaces the old dropDuplicates — same shuffle, and the
+    # verify join downstream shrinks.
+    first = F.min(F.struct("rk", "pa", "pb")).alias("m")
     cand = (
         a.join(b, "rk")
         .filter(
@@ -1105,8 +1149,15 @@ def prefix_filter_join(
             & (threshold_num * F.greatest("na", "nb")
                <= threshold_den * F.least("na", "nb"))
         )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(first)
+        .filter(
+            (F.lit(1) + F.least(F.col("na") - F.col("m.pa") - 1,
+                                F.col("nb") - F.col("m.pb") - 1))
+            * (threshold_num + threshold_den)
+            >= threshold_num * (F.col("na") + F.col("nb"))
+        )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     v = (
         cand.join(
