@@ -111,6 +111,7 @@ def sessionize_stream(
     gap_minutes: int = 30,
     watermark: str = "1 minute",
     state_partitions: int | None = 8,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain available event files → closed-session parquet sink
     (AvailableNow incremental batch; re-runs process only new files and
@@ -128,7 +129,15 @@ def sessionize_stream(
     if state_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        # rate-limit the AvailableNow drain to one file per micro-batch:
+        # with the timeout delta staged up front (mtime-ordered LAST,
+        # streaming/stage.append_empty_delta) a SINGLE drain plans
+        # events → watermark advance → timeout batch, replacing the old
+        # two-drain restart at identical state/watermark semantics
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
 
     def fold(key, pdf_iter, state):
         yield from _fold(key, pdf_iter, state, gap_us)

@@ -129,7 +129,15 @@ def append_empty_delta(src: str) -> None:
     empty = pa.table(
         {f.name: pa.array([], f.type) for f in schema}
     )
-    pq.write_table(empty, os.path.join(src, f"delta-{len(files):05d}.parquet"))
+    path = os.path.join(src, f"delta-{len(files):05d}.parquet")
+    pq.write_table(empty, path)
+    # FileStreamSource orders files by modification time; pin the delta
+    # strictly AFTER everything already staged so a rate-limited
+    # single-drain run (maxFilesPerTrigger=1) always plans it as the
+    # LAST micro-batch — sub-second mtime ties would otherwise make the
+    # batch order racy.
+    latest = max(os.path.getmtime(os.path.join(src, f)) for f in files)
+    os.utime(path, (latest + 10.0, latest + 10.0))
 
 
 @contextmanager
