@@ -286,7 +286,28 @@ class _ProjCRS:
     datum_from_wgs84: tuple | None = None  # Helmert params, None = WGS84/identity
 
 
-def crs_from_epsg(code: int) -> _ProjCRS:
+def parse_epsg(crs) -> int:
+    """Accept ``28992`` / ``'28992'`` / ``'epsg:28992'`` / ``'EPSG:28992'``
+    — the pyproj-style strings the reference passes straight through to
+    geopandas (GreenExp/accessibility.py:40-50) — and return the integer
+    code.  Unsupported CODES still fail in :func:`crs_from_epsg` with
+    the actionable supported-list error; this only normalizes the
+    SPELLING so real-data fixtures using CRS strings onboard unchanged."""
+    if isinstance(crs, str):
+        s = crs.strip().lower()
+        if s.startswith("epsg:"):
+            s = s[5:]
+        if not s.isdigit():
+            raise ValueError(
+                f"cannot parse CRS {crs!r}: expected an integer EPSG code "
+                "or an 'epsg:<code>' string"
+            )
+        return int(s)
+    return int(crs)
+
+
+def crs_from_epsg(code) -> _ProjCRS:
+    code = parse_epsg(code)
     if 32601 <= code <= 32660:  # UTM north
         zone = code - 32600
         return _ProjCRS("tm", WGS84, zone * 6.0 - 183.0, 0.0, 0.9996, 500000.0, 0.0)
@@ -357,7 +378,9 @@ def project_points_epsg(
 ) -> DataFrame:
     """+ (x, y) in ``epsg``.  EPSG:3395 stays pure codegen
     (geo/crs.project_points); the series projections run as one
-    Arrow-batched pandas UDF (vectorized NumPy, no per-row Python)."""
+    Arrow-batched pandas UDF (vectorized NumPy, no per-row Python).
+    ``epsg`` may be an int or an ``'epsg:<code>'`` string."""
+    epsg = parse_epsg(epsg)
     if epsg == 3395:
         from .crs import project_points
 
