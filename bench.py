@@ -142,12 +142,18 @@ def run_bench() -> dict:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # registry reconciliation (VERDICT r04 #7): `queries` carries the
+    # two bench-only flagship_* rows alongside the gate registry, so
+    # len(queries) = n_registry_queries + len(bench_only_entries)
+    bench_only = sorted(k for k in timings if k.startswith("flagship_"))
     out = {
         "metric": "spatial-join + tile-assignment throughput",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_reps": reps_per_q,
+        "n_registry_queries": len(dq.QUERIES),
+        "bench_only_entries": bench_only,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         **extra,
