@@ -13509,6 +13509,51 @@ ORACLES["q_hyperball"] = _hyperball_oracle()
 
 
 # ---------------------------------------------------------------------------
+# q_louvain — deterministic synchronous Louvain communities of the host graph
+# ---------------------------------------------------------------------------
+
+_LOUVAIN_R1, _LOUVAIN_R2 = 6, 4
+
+
+def _louvain_oracle() -> str:
+    from .functions.graph import louvain_oracle_tail
+
+    return (
+        "WITH "
+        + _LINK_EDGE_CTE
+        + ",\nu0 AS MATERIALIZED (SELECT ua AS a, ub AS b FROM und),\n"
+        + louvain_oracle_tail("u0", _LOUVAIN_R1, _LOUVAIN_R2)
+    )
+
+
+@register("q_louvain", None)  # generated oracle attached below
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level deterministic SYNCHRONOUS Louvain over the undirected
+    host graph — the community-detection surface ROADMAP triaged out
+    twice as "only worth it if a deterministic synchronous variant
+    with an oracle can be designed"; this is that variant.  All
+    modularity-gain comparisons are exact integers (2m·w_{i→c} −
+    k_i·Σtot_c; strict-improvement move rule, smallest-label
+    tie-break), every node moves simultaneously per round (visit-order
+    independence — the property sequential Louvain lacks), level 1's
+    partition contracts to a weighted supernode graph (intra weight →
+    self-loops riding in degrees only), level 2 refines it.  The
+    oracle unrolls the SAME integer rounds as MATERIALIZED CTEs
+    (functions/graph.louvain_oracle_tail)."""
+    from .functions.graph import louvain_sync
+    from .functions.links import host_link_graph
+
+    edges = host_link_graph(_link_pages_df(spark, sf_dir))
+    return louvain_sync(
+        edges, _LOUVAIN_R1, _LOUVAIN_R2,
+        src_col="src_host", dst_col="dst_host",
+    )
+
+
+ORACLES["q_louvain"] = _louvain_oracle()
+
+
+# ---------------------------------------------------------------------------
 # q_boilerplate — jusText-style line-block main-content extraction
 # ---------------------------------------------------------------------------
 

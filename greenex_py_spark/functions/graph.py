@@ -2322,3 +2322,311 @@ SELECT q0.node, q{rounds}.eq AS ball_q,
 FROM est0 q0{joins}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synchronous Louvain (two-level, integer-exact gains)
+# ---------------------------------------------------------------------------
+
+
+def _louvain_phase(und: DataFrame, selfw: DataFrame | None, rounds: int) -> DataFrame:
+    """One Louvain level: ``rounds`` SYNCHRONIZED local-move rounds over
+    the weighted undirected graph ``und``[a, b, w] (a<b, no self loops)
+    with optional supernode self-loops ``selfw``[i, sw].  Returns the
+    community map [i, c].
+
+    Determinism contract: every modularity-gain comparison is the
+    integer 2m·w_{i→c} − k_i·Σtot_c (no FP anywhere), argmax breaks
+    ties by smallest community label, a move needs a STRICT improvement
+    over staying (with i removed from its own community), and all
+    ELIGIBLE nodes move simultaneously — so the result is a pure
+    function of the graph, never of visit order.  Eligibility
+    alternates by md5 parity of the node label (round r moves only
+    nodes with parity r mod 2): unrestricted simultaneous moves
+    label-swap forever on symmetric motifs (two nodes adopting each
+    other's community every round — observed on a plain triangle);
+    parity gating is the standard coloring-style mitigation
+    distributed Louvain implementations use, and md5 parity is
+    portable to the DuckDB oracle.  Fixed round count, one
+    localCheckpoint per round (the iterative-lineage rule).
+    """
+    sym = und.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "w"
+    ).unionByName(und.select(F.col("b").alias("i"), F.col("a").alias("j"), "w"))
+    nodes = sym.select("i").distinct()
+    if selfw is not None:
+        nodes = nodes.unionByName(selfw.select("i")).distinct()
+    kdeg = sym.groupBy("i").agg(F.sum("w").cast("long").alias("k"))
+    if selfw is not None:
+        kdeg = (
+            nodes.join(kdeg, "i", "left")
+            .join(selfw, "i", "left")
+            .select(
+                "i",
+                (F.coalesce(F.col("k"), F.lit(0))
+                 + 2 * F.coalesce(F.col("sw"), F.lit(0))).cast("long").alias("k"),
+            )
+        )
+    kdeg = kdeg.withColumn(
+        # 8 independent md5 colorings (one bit per round mod 8): two
+        # adjacent nodes share EVERY color with prob 1/256, so the
+        # synchronous-swap deadlock a single parity cannot break (both
+        # endpoints same color ⇒ they co-move and adopt each other's
+        # community forever) resolves in some round for essentially
+        # every pair
+        "par", F.conv(F.substring(F.md5(F.col("i")), 1, 2), 16, 10).cast("long")
+    ).localCheckpoint()
+    # 2m as a driver-side scalar literal (one 1-row aggregate collect —
+    # bounded like the repo's other driver-literal constants).  The
+    # earlier broadcast-aggregate crossJoin form embedded the exchange
+    # subquery twice per round and drove Catalyst's plan-stats
+    # estimation into an OOM at 6+ rounds.
+    m2 = int(kdeg.agg(F.sum("k")).collect()[0][0] or 0)
+    # the round-over-round frame MUST use the stats-resetting
+    # checkpoint: each round's plan joins comm ~5 times, and Spark 4's
+    # LogicalRDD carries the old plan's sizeInBytes through a plain
+    # localCheckpoint — the estimate compounds 5^rounds and OOMs the
+    # driver at ~8 rounds (engine/checkpoint.localcheckpoint_fresh)
+    from ..engine.checkpoint import localcheckpoint_fresh
+
+    comm = localcheckpoint_fresh(kdeg.select("i", F.col("i").alias("c")))
+    for r in range(rounds):
+        tot = comm.join(kdeg, "i").groupBy("c").agg(
+            F.sum("k").cast("long").alias("tot")
+        )
+        nbr = (
+            sym.join(comm.select(F.col("i").alias("j"), F.col("c").alias("cj")), "j")
+            .groupBy("i", "cj")
+            .agg(F.sum("w").cast("long").alias("wic"))
+        ).localCheckpoint()  # consumed by base (wia), cand — and cheap
+        base = (
+            comm.join(kdeg, "i")
+            .join(tot, "c")
+            .join(
+                nbr.select("i", F.col("cj").alias("c"), F.col("wic").alias("wia")),
+                ["i", "c"], "left",
+            )
+            .select(
+                "i", F.col("c").alias("ca"), "k", F.col("tot").alias("tota"),
+                F.coalesce("wia", F.lit(0)).alias("wia"),
+            )
+        )
+        cand = (
+            nbr.join(comm, "i")
+            .filter(F.col("cj") != F.col("c"))
+            .join(kdeg, "i")
+            .join(tot.select(F.col("c").alias("cj"), "tot"), "cj")
+            .select(
+                "i", "cj",
+                (F.lit(m2) * F.col("wic") - F.col("k") * F.col("tot"))
+                .cast("long").alias("g"),
+            )
+        )
+        w = Window.partitionBy("i").orderBy(F.col("g").desc(), F.col("cj").asc())
+        best = cand.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        ).select("i", "cj", "g")
+        comm = (
+            base.join(best, "i", "left")
+            .join(kdeg.select("i", "par"), "i")
+            .select(
+                "i",
+                F.when(
+                    (F.col("par").bitwiseAND(F.lit(1 << (r % 8))) != 0)
+                    & (
+                        F.col("g")
+                        > F.lit(m2) * F.col("wia")
+                        - F.col("k") * (F.col("tota") - F.col("k"))
+                    ),
+                    F.col("cj"),
+                ).otherwise(F.col("ca")).alias("c"),
+            )
+        )
+        comm = localcheckpoint_fresh(comm)
+    return comm
+
+
+def louvain_sync(
+    edges: DataFrame,
+    rounds1: int = 6,
+    rounds2: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """[host, community] — two-level deterministic SYNCHRONOUS Louvain
+    community detection over the undirected simple host graph: level 1
+    runs ``rounds1`` synchronized move rounds on unit weights, the
+    partition contracts to a weighted supernode graph (inter-community
+    weights summed, intra-community weight becoming self-loops that
+    ride in the degree but never in the neighbour gains), and level 2
+    runs ``rounds2`` more rounds there; hosts inherit their
+    supernode's final community.
+
+    This is the distributed formulation production systems use
+    (synchronous rounds instead of Louvain's sequential sweep — the
+    sequential variant is visit-order-dependent and therefore
+    unbenchmarkable cross-engine; the ROADMAP triage condition was
+    exactly "a deterministic synchronous variant with an oracle").
+    Total weight 2m is invariant under contraction, so one broadcast
+    scalar serves both levels.  Known synchronous caveat (documented,
+    shared by every bulk-parallel Louvain): simultaneous moves can
+    oscillate label-swaps instead of converging — the fixed round
+    count makes the output well-defined regardless, and modularity of
+    the result is graded by the q_modularity machinery, not assumed.
+
+    Scale: every round is two hash aggregations (Σtot dim-sized,
+    neighbour-community weights edge-sized) + one window over per-node
+    candidate lists — no collect, no all-pairs; the contracted level
+    operates on the community dim.  Oracle:
+    :func:`louvain_oracle_tail` unrolls the SAME integer rounds as
+    MATERIALIZED CTEs.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .localCheckpoint()  # consumed by level 1 AND the contraction
+    )
+    c1 = _louvain_phase(und, None, rounds1)
+    e2 = (
+        und.join(c1.select(F.col("i").alias("a"), F.col("c").alias("ca")), "a")
+        .join(c1.select(F.col("i").alias("b"), F.col("c").alias("cb")), "b")
+    ).localCheckpoint()
+    und2 = (
+        e2.filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("a"), F.greatest("ca", "cb").alias("b"), "w"
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+        # community-dim frames, referenced many times inside level 2
+        # (sym union + degree + every round) — checkpoint or the plan's
+        # stats estimation blows the driver heap (BigInteger sizeInBytes
+        # products over the repeated subtrees; observed OOM at 6 rounds)
+        .localCheckpoint()
+    )
+    selfw2 = (
+        e2.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("i"))
+        .agg(F.sum("w").cast("long").alias("sw"))
+        .localCheckpoint()
+    )
+    c2 = _louvain_phase(und2, selfw2, rounds2)
+    return (
+        c1.join(c2.select(F.col("i").alias("c"), F.col("c").alias("community")),
+                "c")
+        .select(F.col("i").alias("host"), "community")
+    )
+
+
+def louvain_oracle_tail(u0: str, rounds1: int = 6, rounds2: int = 4) -> str:
+    """DuckDB twin of :func:`louvain_sync`: the same synchronized
+    integer-gain rounds unrolled as MATERIALIZED CTEs (the k-truss /
+    Brandes oracle device) over an undirected edge CTE ``u0(a, b)``.
+    Returns the SQL tail (appended after a WITH chain ending in u0)."""
+
+    def phase(p: str, src_edges: str, selfw: str | None, rounds: int) -> list[str]:
+        parts = [
+            f"sym{p} AS MATERIALIZED ("
+            f"SELECT a AS i, b AS j, w FROM {src_edges} "
+            f"UNION ALL SELECT b, a, w FROM {src_edges})",
+        ]
+        if selfw is None:
+            parts.append(
+                f"k{p} AS MATERIALIZED (SELECT i, CAST(sum(w) AS BIGINT) AS k "
+                f"FROM sym{p} GROUP BY i)"
+            )
+        else:
+            parts.append(
+                f"""k{p} AS MATERIALIZED (
+  SELECT n.i, CAST(coalesce(d.k, 0) + 2 * coalesce(s.sw, 0) AS BIGINT) AS k
+  FROM (SELECT DISTINCT i FROM (SELECT i FROM sym{p}
+        UNION ALL SELECT i FROM {selfw})) n
+  LEFT JOIN (SELECT i, sum(w) AS k FROM sym{p} GROUP BY i) d ON d.i = n.i
+  LEFT JOIN {selfw} s ON s.i = n.i)"""
+            )
+        parts.append(
+            f"par{p} AS MATERIALIZED (SELECT i, "
+            f"CAST(('0x' || substr(md5(i), 1, 2)) AS UBIGINT) AS par "
+            f"FROM k{p})"
+        )
+        parts.append(
+            f"c{p}_0 AS MATERIALIZED (SELECT i, i AS c FROM k{p})"
+        )
+        for r in range(rounds):
+            parts.append(
+                f"""tot{p}_{r} AS MATERIALIZED (
+  SELECT c.c, CAST(sum(k.k) AS BIGINT) AS tot
+  FROM c{p}_{r} c JOIN k{p} k ON k.i = c.i GROUP BY c.c)"""
+            )
+            parts.append(
+                f"""nbr{p}_{r} AS MATERIALIZED (
+  SELECT s.i, cj.c AS cj, CAST(sum(s.w) AS BIGINT) AS wic
+  FROM sym{p} s JOIN c{p}_{r} cj ON cj.i = s.j GROUP BY s.i, cj.c)"""
+            )
+            parts.append(
+                f"""best{p}_{r} AS MATERIALIZED (
+  SELECT i, cj, g FROM (
+    SELECT n.i, n.cj,
+           CAST(m2.m2 * n.wic - k.k * t.tot AS BIGINT) AS g,
+           row_number() OVER (
+             PARTITION BY n.i
+             ORDER BY m2.m2 * n.wic - k.k * t.tot DESC, n.cj ASC) AS rn
+    FROM nbr{p}_{r} n
+    JOIN c{p}_{r} c ON c.i = n.i AND c.c <> n.cj
+    JOIN k{p} k ON k.i = n.i
+    JOIN tot{p}_{r} t ON t.c = n.cj
+    CROSS JOIN m2) WHERE rn = 1)"""
+            )
+            parts.append(
+                f"""c{p}_{r + 1} AS MATERIALIZED (
+  SELECT b.i,
+         CASE WHEN (pr.par & {1 << (r % 8)}) <> 0
+               AND bst.g > m2.m2 * b.wia - b.k * (b.tota - b.k)
+              THEN bst.cj ELSE b.ca END AS c
+  FROM (SELECT c.i, c.c AS ca, k.k, t.tot AS tota,
+               coalesce(n.wic, 0) AS wia
+        FROM c{p}_{r} c
+        JOIN k{p} k ON k.i = c.i
+        JOIN tot{p}_{r} t ON t.c = c.c
+        LEFT JOIN nbr{p}_{r} n ON n.i = c.i AND n.cj = c.c) b
+  JOIN par{p} pr ON pr.i = b.i
+  LEFT JOIN best{p}_{r} bst ON bst.i = b.i
+  CROSS JOIN m2)"""
+            )
+        return parts
+
+    parts = [f"uw0 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM {u0})"]
+    parts += phase("0", "uw0", None, 0)[:2]  # sym0 + k0 only, for m2
+    parts.append("m2 AS MATERIALIZED (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM k0)")
+    # re-run phase 0 fully (its sym0/k0 parts duplicate names — build
+    # the phase rounds only, reusing the sym0/k0 above)
+    parts += phase("0", "uw0", None, rounds1)[2:]
+    parts.append(
+        f"""cm AS MATERIALIZED (SELECT i, c FROM c0_{rounds1})"""
+    )
+    parts.append(
+        """u1 AS MATERIALIZED (
+  SELECT least(x.c, y.c) AS a, greatest(x.c, y.c) AS b,
+         CAST(sum(u.w) AS BIGINT) AS w
+  FROM uw0 u JOIN cm x ON x.i = u.a JOIN cm y ON y.i = u.b
+  WHERE x.c <> y.c GROUP BY 1, 2)"""
+    )
+    parts.append(
+        """sw1 AS MATERIALIZED (
+  SELECT x.c AS i, CAST(sum(u.w) AS BIGINT) AS sw
+  FROM uw0 u JOIN cm x ON x.i = u.a JOIN cm y ON y.i = u.b
+  WHERE x.c = y.c GROUP BY x.c)"""
+    )
+    parts += phase("1", "u1", "sw1", rounds2)
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT cm.i AS host, c1_{rounds2}.c AS community
+FROM cm JOIN c1_{rounds2} ON c1_{rounds2}.i = cm.c
+"""
+    )

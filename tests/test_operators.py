@@ -8642,3 +8642,76 @@ def test_lorenz_curve_hand(spark):
     for r in got:
         assert abs(r["cum_share"] - (r["decile"] + 1) / 10) < 1e-12
     assert got[-1]["cum_share"] == 1.0
+
+
+def test_louvain_sync_two_cliques_hand(spark):
+    """Two 4-cliques joined by one bridge edge: the synchronized
+    integer-gain rounds must (a) be deterministic across runs, (b)
+    unify each clique into one community, (c) never merge the two
+    cliques across the bridge (merging them lowers modularity), and
+    (d) agree row-for-row with the unrolled DuckDB oracle on the same
+    edge list."""
+    import duckdb
+
+    from greenex_py_spark.functions.graph import louvain_oracle_tail, louvain_sync
+
+    def clique(names):
+        return [(a, b) for a in names for b in names if a < b]
+
+    A = ["a1", "a2", "a3", "a4"]
+    B = ["b1", "b2", "b3", "b4"]
+    edges = clique(A) + clique(B) + [("a1", "b1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["community"] for r in louvain_sync(df).collect()}
+    again = {r["host"]: r["community"] for r in louvain_sync(df).collect()}
+    assert got == again  # determinism
+    assert len({got[h] for h in A}) == 1
+    assert len({got[h] for h in B}) == 1
+    assert got["a1"] != got["b1"]  # bridge must not merge the cliques
+    # cross-engine parity on the same edge list
+    con = duckdb.connect()
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    sql = (
+        f"WITH und(a, b) AS (VALUES {vals}),\n"
+        + "u0 AS MATERIALIZED (SELECT a, b FROM und),\n"
+        + louvain_oracle_tail("u0", 6, 4)
+    )
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_louvain_sync_weighted_contraction(spark):
+    """Level-2 correctness on a graph where contraction leaves real
+    structure: a ring of 4 triangles joined by single bridge edges
+    (a triangle is strictly denser than the ring, unlike a uniform
+    cycle).  Contracted self-loops must ride in degrees (not neighbour
+    gains) — verified by engine/oracle agreement, plus triangle
+    cohesion in the final partition."""
+    import duckdb
+
+    from greenex_py_spark.functions.graph import louvain_oracle_tail, louvain_sync
+
+    tris = [
+        (f"t{i}a", f"t{i}b") for i in range(4)
+    ] + [
+        (f"t{i}a", f"t{i}c") for i in range(4)
+    ] + [
+        (f"t{i}b", f"t{i}c") for i in range(4)
+    ]
+    ring = [(f"t{i}c", f"t{(i + 1) % 4}a") for i in range(4)]
+    edges = tris + ring
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["community"] for r in louvain_sync(df).collect()}
+    for i in range(4):  # each triangle ends unified
+        assert got[f"t{i}a"] == got[f"t{i}b"] == got[f"t{i}c"], i
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('{min(a, b)}', '{max(a, b)}')" for a, b in edges
+    )
+    sql = (
+        f"WITH und(a, b) AS (VALUES {vals}),\n"
+        + "u0 AS MATERIALIZED (SELECT a, b FROM und),\n"
+        + louvain_oracle_tail("u0", 6, 4)
+    )
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == want
