@@ -55,11 +55,16 @@ def corpus(spark, n_docs: int, partitions: int):
         F.concat(F.lit(f"b{w}_"), ((tpl * 7919 + w * 104729) % 9973).cast("string"))
         for w in range(WORDS)
     ]
-    # unique body: LCG word mix over a large vocab
+    # unique body: hash-mixed words.  NOT a linear LCG — with
+    # word(id, w) linear in id, ids differing by the right residue
+    # produce word sequences that are exact TRANSLATES of each other
+    # (shift-s overlap → Jaccard (13−s)/(13+s) ≥ 0.6 for s ≤ 3), which
+    # manufactured ~2.8M bogus near-dup pairs at 10⁷ docs before the
+    # xxhash64 mix replaced it.
     uniq_words = [
         F.concat(
             F.lit("w"),
-            ((F.col("id") * 2654435761 + w * 40503) % 50_000_000).cast("string"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(w)), F.lit(50_000_000)).cast("string"),
         )
         for w in range(WORDS)
     ]
@@ -109,6 +114,21 @@ def fingerprint(df):
     return (row["n"], int(row["hsum"] or 0), int(row["hxor"] or 0))
 
 
+def _reclaim_shuffle(spark) -> None:
+    """Drop cached frames and nudge the JVM ContextCleaner so the
+    previous layout's shuffle files leave disk before the next one
+    starts — a 10⁸-doc LSH layout writes tens of GB of shuffle, and
+    two layouts plus the cached shingle table overran /tmp on the
+    first full-scale attempt (java.io.IOException: No space left)."""
+    import gc
+    import time as _t
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    _t.sleep(5)
+
+
 def main() -> None:
     n_exact = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000_000
     n_lsh = int(float(sys.argv[2])) if len(sys.argv) > 2 else 100_000_000
@@ -125,35 +145,46 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = {"n_exact": n_exact, "n_lsh": n_lsh}
 
-    # -- exact dedup at n_exact docs --------------------------------------
-    parts = max(256, n_exact // 500_000)
-    docs = corpus(spark, n_exact, parts)
-    t0 = time.time()
-    g = exact_duplicates(docs).agg(
+    # -- exact dedup at n_exact docs (0 = skip) ---------------------------
+    if n_exact:
+        parts = max(256, n_exact // 500_000)
+        docs = corpus(spark, n_exact, parts)
+        t0 = time.time()
+        g = exact_duplicates(docs).agg(
         F.count("*").alias("groups"), F.sum("n_dups").alias("dup_docs")
-    ).collect()[0]
-    dt = time.time() - t0
-    total_rows = n_exact + n_exact // CLONE_MOD  # clones ride along
-    out["exact"] = {
-        "wall_s": round(dt, 1),
-        "rows_per_s": round(total_rows / dt / 1e6, 2),
-        "dup_groups": g["groups"],
-        "dup_docs": int(g["dup_docs"]),
-        "jvm_peak_mb": round(jvm_peak_mb(), 0),
-    }
-    print("exact:", json.dumps(out["exact"]), flush=True)
+        ).collect()[0]
+        dt = time.time() - t0
+        total_rows = n_exact + n_exact // CLONE_MOD  # clones ride along
+        out["exact"] = {
+            "wall_s": round(dt, 1),
+            "rows_per_s": round(total_rows / dt / 1e6, 2),
+            "dup_groups": g["groups"],
+            "dup_docs": int(g["dup_docs"]),
+            "jvm_peak_mb": round(jvm_peak_mb(), 0),
+        }
+        print("exact:", json.dumps(out["exact"]), flush=True)
+        _reclaim_shuffle(spark)
 
     # -- MinHash LSH at n_lsh docs, two partition layouts ------------------
     parts = max(128, n_lsh // 500_000)
     docs = corpus(spark, n_lsh, parts)
     fps = {}
-    for sp in (64, 256):
+    # SPARK_GRAFT_LSH_LAYOUTS="64" lets a wrapper run each layout in
+    # its OWN process (scratch disk frees at process exit — two layouts
+    # in one process peak at ~2x the shuffle footprint, which overran
+    # the shared box twice); fingerprints print per run for the
+    # cross-process comparison.
+    layouts = tuple(
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_LSH_LAYOUTS", "64,256").split(",")
+    )
+    for sp in layouts:
         spark.conf.set("spark.sql.shuffle.partitions", str(sp))
         t0 = time.time()
         pairs = minhash_lsh_pairs(docs, threshold=0.6, max_bucket=1000)
         fps[sp] = fingerprint(pairs)
         dt = time.time() - t0
-        spark.catalog.clearCache()
+        _reclaim_shuffle(spark)
         out[f"lsh_sp{sp}"] = {
             "wall_s": round(dt, 1),
             "docs_per_s": round((n_lsh + n_lsh // CLONE_MOD) / dt / 1e6, 3),
@@ -161,7 +192,9 @@ def main() -> None:
             "jvm_peak_mb": round(jvm_peak_mb(), 0),
         }
         print(f"lsh sp={sp}:", json.dumps(out[f"lsh_sp{sp}"]), flush=True)
-    out["lsh_rows_identical"] = fps[64] == fps[256]
+        print(f"lsh fp sp={sp}:", list(fps[sp]), flush=True)
+    if len(layouts) > 1:
+        out["lsh_rows_identical"] = len({fps[sp] for sp in layouts}) == 1
 
     # -- hot-bucket cap diagnostics (shared _band_signatures builder) ------
     from greenex_py_spark.functions.dedup import SID_MOD
