@@ -794,3 +794,37 @@ def test_transform_with_state_surface(spark):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_localcheckpoint_fresh_resets_plan_stats(spark):
+    """The stats-resetting checkpoint (BENCH/SCALE_AUDIT.md): plain
+    localCheckpoint carries the old plan's sizeInBytes into the
+    LogicalRDD (so iterative self-joins compound it k^rounds);
+    localcheckpoint_fresh must return (a) identical rows, (b) a plan
+    whose sizeInBytes is back to the 63-bit default, (c) a frame that
+    re-evaluates without recomputation (checkpointed, not lazy)."""
+    from pyspark.sql import functions as F
+
+    from greenex_py_spark.engine.checkpoint import localcheckpoint_fresh
+
+    def bits(df):
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+
+    a = spark.createDataFrame(
+        [("x", 1), ("y", 2)], "i string, v long"
+    ).localCheckpoint()
+    big = (
+        a.join(a.withColumnsRenamed({"v": "v2"}), "i")
+        .join(a.withColumnsRenamed({"v": "v3"}), "i")
+    )
+    assert bits(big) > 100  # joins compound the default-sized inputs
+    # plain localCheckpoint inherits the compounded stats (the hazard)
+    assert bits(big.localCheckpoint()) > 100
+    fresh = localcheckpoint_fresh(big)
+    assert bits(fresh) <= 64  # reset to default
+    got = sorted(tuple(r) for r in fresh.collect())
+    want = sorted(tuple(r) for r in big.collect())
+    assert got == want
+    assert fresh.count() == 2 == fresh.count()  # stable re-evaluation
